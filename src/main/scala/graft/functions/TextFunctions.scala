@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text normalization / tokenization primitives, reproducing the reference's
+  * word semantics exactly (reference `mapreduce/mapreduce.go:33-36`):
+  * whitespace-split → lowercase → trim leading/trailing chars from the set
+  * `. , ! ? : ; " '` → drop empties.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` — no UDFs —
+  * so the whole pipeline stays inside whole-stage codegen.
+  */
+object TextFunctions {
+
+  /** Exact char set the reference trims (`strings.Trim(word, ".,!?:;\"'")`,
+    * reference `mapreduce/mapreduce.go:35`). Interior punctuation is kept.
+    */
+  val PunctTrimPattern = "^[.,!?:;\"']+|[.,!?:;\"']+$"
+
+  /** Whitespace tokenization. `split` (unlike Go's `strings.Fields`,
+    * reference `mapreduce/mapreduce.go:33`) can emit empty tokens on
+    * leading/trailing whitespace — the empty filter downstream absorbs the
+    * difference (SURVEY §7.3).
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** lowercase then trim-punct, in the reference's order. */
+  def normalizeWord(word: Column): Column =
+    regexp_replace(lower(word), PunctTrimPattern, "")
+
+  /** Per-document array of normalized, non-empty words (HOF form — keeps the
+    * doc → words mapping inside one row, no explode).
+    */
+  def normalizedWords(text: Column): Column =
+    filter(transform(tokens(text), normalizeWord _), w => length(w) > 0)
+
+  /** Distinct word n-gram "shingles" of a document, for MinHash / Jaccard
+    * dedup. Empty array when the document has fewer than `n` tokens
+    * (guarded: Spark's `sequence(0, negative)` would count *down*).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator suite over the driver's TPC-H-ish star schema
+  * (FIXTURES.md §B) — the generalization of the reference's single
+  * scan→project→filter→agg→sort→limit pipeline (SURVEY §2) to a full query
+  * library: multi-way joins, distinct aggregates, rollup, window functions,
+  * set ops, semi/anti joins, scalar functions.
+  *
+  * Scale conventions used throughout:
+  *   - Dimension tables (`region`, `nation`, and at 100 TB also `supplier`,
+  *     `part` if they fit `spark.sql.autoBroadcastJoinThreshold`) are
+  *     explicitly `broadcast()` — no shuffle for the build side.
+  *   - Fact-fact joins (`orders ⋈ lineitem`) shuffle on the join key; AQE
+  *     handles skew splitting. On a real deployment both facts would be
+  *     bucketed by key to make this a zero-shuffle sort-merge join.
+  *   - All aggregates are hash aggregates with map-side partials — Catalyst
+  *     plans those automatically; nothing here prevents it (no UDAFs).
+  *   - Numeric outputs are `round`ed (2dp for money sums, 4dp for averages)
+  *     so results are invariant to floating-point summation order across
+  *     partitionings — required for a stable result at any parallelism.
+  */
+object Relational {
+
+  /** Money columns in the test data are exact 2-decimal doubles. All money
+    * aggregates below run on integer cents (exact, order-independent) and
+    * divide back to dollars as the LAST step, with no fractional `round()`:
+    * double summation is partition-order-dependent, and `round()` itself
+    * disagrees across engines at half-way points (Spark rounds the shortest
+    * decimal representation, DuckDB the binary value). Integer sums are
+    * bit-reproducible at any parallelism. (Exactness bound: cents sums stay
+    * < 2^53; for a true 100 TB deployment these would be `DecimalType`
+    * columns at the source and the scaling layer disappears.)
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** l_extendedprice * (1 - l_discount) in exact 1e-4-dollar units. */
+  private def discPriceUnits: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
+  /** TPC-H Q1-style pricing summary: scan → partial agg → 6-group final agg.
+    * One shuffle whose width = #(returnflag × linestatus) = 6 groups.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+        (sum(discPriceUnits).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(cents(col("l_quantity"))).cast("double") / count(lit(1)) / 100.0).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / count(lit(1)) / 100.0).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q6-style forecast revenue: the predicate-pushdown showcase.
+    * All four filters reach the parquet scan (`PushedFilters`), and only
+    * 4 of 11 columns are read (`ReadSchema`). Single-row output.
+    */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+        .cast("double") / 10000.0).as("revenue"))
+
+  /** TPC-H Q3-style shipping priority: selective dim filter → 3-way join →
+    * agg → top-10. `customer` (filtered) is broadcast; `orders ⋈ lineitem`
+    * shuffles on orderkey. Top-10 runs as TakeOrderedAndProject.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    broadcast(customer.where(col("c_mktsegment") === "BUILDING"))
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg((sum(discPriceUnits).cast("double") / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-style local-supplier revenue: 6-way join through the whole
+    * star. region→nation broadcast down the chain; the customer=supplier
+    * nation equality is the classic "local supplier" constraint.
+    */
+  def localSupplierRevenue(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    broadcast(region.where(col("r_name") === "ASIA"))
+      .join(broadcast(nation), col("r_regionkey") === col("n_regionkey"))
+      .join(customer, col("n_nationkey") === col("c_nationkey"))
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .where(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(
+        broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg((sum(discPriceUnits).cast("double") / 10000.0).as("revenue"))
+
+  /** Distinct aggregate: Catalyst plans this as a two-phase expand+agg. */
+  def distinctCustomers(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  /** Grouping sets via ROLLUP — subtotals + grand total in one pass. */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Ranking window: per-customer top-3 orders by price. The window sort is
+    * per-partition (custkey) — no global sort, scales with the largest
+    * single customer, not the table.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+  }
+
+  /** Analytic window with a sliding frame: 4-row moving average of order
+    * totals per customer in date order.
+    *
+    * Computed over exact integer cents, not `avg(double)`: sliding-window
+    * aggregation order differs across engines (Spark recomputes the frame,
+    * DuckDB uses segment trees), so double summation is not reproducible at
+    * the rounding boundary. Integer sum → one double division is bit-exact
+    * everywhere, at any partitioning.
+    */
+  def movingAvgOrderValue(orders: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      (sum(cents(col("o_totalprice"))).over(w).cast("double")
+        / count(lit(1)).over(w) / 100.0).as("mavg"))
+  }
+
+  /** Set operations: INTERSECT / EXCEPT branches tagged and unioned. */
+  def customerSetOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val building = customer.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val withOrders = orders.select(col("o_custkey").as("custkey"))
+    building.intersect(withOrders).select(lit("both").as("tag"), col("custkey"))
+      .unionAll(building.except(withOrders).select(lit("cust_only").as("tag"), col("custkey")))
+  }
+
+  /** Left-semi join: customers having at least one URGENT order.
+    * Semi joins shuffle only the distinct keys of the probe side.
+    */
+  def customersWithUrgentOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(
+        orders.where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Left-anti join: customers with no URGENT orders. */
+  def customersWithoutUrgentOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(
+        orders.where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Scalar function surface: date parts, string ops, math — all codegen'd
+    * builtins, no UDFs (SURVEY §2.2 "scalar functions").
+    */
+  def scalarShowcase(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      substring(col("o_orderpriority"), 1, 1).as("pri"),
+      concat(col("o_orderstatus"), lit("-"), upper(col("o_orderpriority"))).as("tag"),
+      round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+      round(log(col("o_totalprice") + 1), 4).as("ln_price"),
+      (col("o_orderkey") % 7).as("mod7"))
+
+  /** Global top-k over a computed measure — TakeOrderedAndProject again,
+    * the distributed generalization of the reference's master-side sort+k
+    * (reference `master/master.go:294-311`).
+    */
+  def topRevenueLineitems(lineitem: DataFrame, k: Int = 20): DataFrame =
+    lineitem
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (discPriceUnits.cast("double") / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(k)
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate: run each
+oracle SQL in DuckDB over the sf parquet tables, compare (schema-insensitive:
+columns sorted by name, rows sorted) against the Verify.scala parquet dumps.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            rr.append(str(v))
+        out.append("|".join(rr))
+    return sorted(out)
+
+fail = ok = 0
+for name in sorted(oracle):
+    res_dir = f"{outdir}/{name}"
+    if not os.path.isdir(res_dir):
+        print(f"MISSING  {name} (no verify output)"); fail += 1; continue
+    try:
+        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+        grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        want = con.execute(oracle[name])
+        wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fail += 1; continue
+    if sorted(gcols) != sorted(wcols):
+        print(f"SCHEMA   {name}: got {sorted(gcols)} want {sorted(wcols)}"); fail += 1; continue
+    cg, cw = canon(grows, gcols), canon(wrows, wcols)
+    if cg == cw:
+        print(f"OK       {name} ({len(grows)} rows)"); ok += 1
+    else:
+        print(f"MISMATCH {name}: {len(grows)} vs {len(wrows)} rows")
+        gs, ws = set(cg), set(cw)
+        for x in list(gs - ws)[:3]: print(f"  spark-only: {x}")
+        for x in list(ws - gs)[:3]: print(f"  oracle-only: {x}")
+        fail += 1
+
+# rows-only queries (no oracle)
+for d in sorted(glob.glob(f"{outdir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name in oracle: continue
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+        print(f"{'ROWS-OK ' if n > 0 else 'EMPTY!  '} {name} ({n} rows)")
+        if n == 0: fail += 1
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fail += 1
+print(f"\n{ok} oracle-ok, {fail} problems")
+sys.exit(1 if fail else 0)
