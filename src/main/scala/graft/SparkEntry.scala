@@ -56,7 +56,56 @@ object SparkEntry {
     "q_events_json" -> ((s, dir) => EventAnalytics.perTypeStats(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) => EventAnalytics.hourlyStats(Tables.events(s, dir))),
     "q_events_sessions" -> ((s, dir) => EventAnalytics.sessionCounts(Tables.events(s, dir))),
+    // --- text analysis (LLM-pipeline surface) ---
+    "q_text_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
+    "q_dedup_exact" -> ((s, dir) => Dedup.exactDuplicates(Tables.documents(s, dir))),
+    "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
+    "q_dedup_neardup" -> ((s, dir) => Dedup.nearDuplicatePairs(Tables.documents(s, dir))),
+    "q_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
+    // --- similarity search over embeddings ---
+    "q_embed_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
+    "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+    // LSH ANN is approximate by design: no SQL oracle (rows-only check);
+    // recall vs brute force is asserted in SimilaritySpec.
+    "ann_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
   )
+
+  /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
+    * shingling mirror TextFunctions.{tokens,shingles} exactly; the 60-bit
+    * seeded hash mirrors HashFunctions.md5Long (15 hex chars of
+    * md5("<seed>:<x>") parsed as an integer).
+    */
+  private val tokCte =
+    "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents"
+  private val shCte =
+    """SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+      |    range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')))
+      |  ELSE CAST([] AS VARCHAR[]) END AS sh
+      |FROM (""".stripMargin + tokCte + ")"
+  private def h60(seed: Int, x: String): String =
+    s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
+  private val minhashCols = (0 until Dedup.NumHashes)
+    .map(i =>
+      s"CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, s -> ${h60(i, "s")})) END AS mh$i")
+    .mkString(",\n  ")
+  private val simhashCte = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(((h32 >> $b) & 1) * 2 - 1) AS b$b").mkString(", ")
+    val recombine = (0 until 32)
+      .map(b => s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |         FROM documents),
+       |th AS (SELECT doc_id, ${h60(99, "tok")} & 4294967295 AS h32 FROM toks),
+       |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $recombine AS simhash FROM bits)""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -190,5 +239,99 @@ object SparkEntry {
         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
         |  FROM events) t
         |GROUP BY user_id""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH t AS ($tokCte)
+         |SELECT d.doc_id, length(d.text) AS n_chars_txt, len(t.toks) AS n_tokens,
+         |  len(list_filter(t.toks, w -> regexp_full_match(w, '[.,!?:;"'']+'))) AS n_punct_tokens,
+         |  len(list_filter(t.toks, w -> list_contains($stopList, w))) AS n_stopwords,
+         |  CAST(len(list_filter(t.toks, w -> list_contains($stopList, w))) AS DOUBLE)
+         |    / len(t.toks) AS stopword_ratio,
+         |  (len(t.toks) >= 10 AND len(list_filter(t.toks, w -> list_contains($stopList, w))) > 0)
+         |    AS is_quality
+         |FROM documents d JOIN t ON d.doc_id = t.doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+         |h AS (SELECT doc_id, $langHitCols FROM t)
+         |SELECT d.doc_id, d.lang, h.hits_en, h.hits_de, h.hits_es, h.hits_fr,
+         |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |       WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |       WHEN hits_es >= hits_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM documents d JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH sh AS ($shCte)
+         |SELECT d.doc_id,
+         |  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp_md5,
+         |  ${h60(0, "regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')")} AS fp60,
+         |  CASE WHEN len(sh.sh) > 0
+         |       THEN list_min(list_transform(sh.sh, s -> ${h60(1, "s")})) END AS fp_min_shingle
+         |FROM documents d JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |  count(*) AS n_copies, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_minhash_sig" ->
+      s"""WITH sh AS ($shCte)
+         |SELECT doc_id,
+         |  $minhashCols
+         |FROM sh""".stripMargin,
+    // Oracle brute-forces all pairs; the engine uses MinHash+LSH banding.
+    // With 8 bands x 2 rows a jaccard>=0.5 pair is missed with prob
+    // <= (1-0.25)^8 = 10% in the worst case at exactly 0.5 — but the data's
+    // near-dup pairs all sit at ~0.99 (miss prob ~6e-15), with the next
+    // pair below 0.14, so banding and brute force agree deterministically.
+    "q_dedup_neardup" ->
+      s"""WITH sh AS ($shCte)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.sh, b.sh)) AS inter,
+         |  len(list_distinct(a.sh || b.sh)) AS uni,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    "q_simhash_sig" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sig""".stripMargin,
+    // Byte-banding over 32 bits is exact for Hamming distance <= 3
+    // (pigeonhole: 3 flipped bits touch at most 3 of the 4 bytes), so the
+    // engine's band join equals this brute-force oracle.
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // Pairs only (no float column): cosine values are not bit-portable
+    // across engines; the closest pair sits 5.5e-4 from the 0.45 threshold
+    // at sf0.01, far beyond any fp divergence.
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    "q_ann_bruteforce" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |               b.vec_id ASC) AS rank
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 10) t
+        |WHERE rank <= 5""".stripMargin,
   )
+
+  private def stopList: String =
+    graft.operators.TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+  private def langHitCols: String =
+    graft.operators.TextAnalysis.LangMarkers.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(toks, w -> list_contains($lst, w))) AS hits_$l"
+    }.mkString(",\n  ")
 }

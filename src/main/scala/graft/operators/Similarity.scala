@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): exact
+  * brute-force cosine top-k as the correctness baseline, embedding-cosine
+  * near-dup pairs, and a random-hyperplane LSH bucketed variant as the
+  * scale path.
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate`) over the array — elementwise, evaluated in array order, so
+  * the double results are bit-reproducible. No UDFs.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * scans candidates once — linear in corpus size, no shuffle until the
+  * final per-query top-k (TakeOrdered-style via window over query_id).
+  * The LSH path buckets both sides on deterministic hyperplane sign
+  * patterns, turning the scan into an equi-join; recall is tunable with
+  * `planes` (fewer planes → bigger buckets → higher recall).
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ in double, evaluated left-to-right over the array. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors by cosine for each query vector (vec_id <
+    * nQueries), excluding self. Query side is broadcast; candidates are
+    * scanned once. Output: (query_id, rank, neighbor_id) — ids only, since
+    * float similarity values are not oracle-portable across engines.
+    */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cand = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(queries)
+      .join(cand, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+    * Brute force at test scale; the LSH bucketing below is the 100 TB path.
+    * Pairs only — see [[bruteForceTopK]] on float portability.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Deterministic ±1 random hyperplanes from md5 — reproducible across
+    * runs and engines, no RNG state. One set per (table, plane).
+    */
+  private[operators] def hyperplanes(table: Int, planes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, d) =>
+      val h = md.digest(s"$table:$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-pattern bucket id of a vector under a table's hyperplanes. */
+  private def bucketId(v: Column, hps: Array[Array[Double]]): Column =
+    hps.indices
+      .map { p =>
+        val hp = array(hps(p).map(lit): _*)
+        when(dot(v, hp) > 0, 1L << p).otherwise(0L)
+      }
+      .foldLeft(lit(0L))(_ + _)
+
+  /** LSH-bucketed ANN with `tables` independent hash tables of `planes`
+    * sign bits each: a candidate is considered if it shares a bucket with
+    * the query in ANY table (union), then exact cosine reranks the
+    * candidates. For a pair at angle θ the per-table collision prob is
+    * (1-θ/π)^planes; tables multiply recall at linear cost — the standard
+    * recall/cost dial. Each vector is bucketed `tables` times (a constant),
+    * and candidate generation is an equi-join on (table, bucket) — no scan
+    * of the full corpus per query, which is the 100 TB point.
+    */
+  def lshTopK(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      planes: Int = 4, tables: Int = 8): DataFrame = {
+    val dim = 64
+    val allHps = (0 until tables).map(t => hyperplanes(t, planes, dim))
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(
+        col("*"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("table"), bucketId(col("embedding"), allHps(t)).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col("*"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+        .drop("tb")
+    val queries = bucketed(embeddings.where(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("table"), col("bucket"))
+    val cands = bucketed(embeddings)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("table"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(queries)
+      .join(cands, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id") // union the tables
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+  }
+}

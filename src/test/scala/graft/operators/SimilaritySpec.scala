@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+
+  test("cosine HOF matches a hand-computed value") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()(0).getDouble(0)
+    assert(math.abs(c - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, ranks 1..k") {
+    val got = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3).collect()
+    assert(got.length === 15)
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3))
+      assert(!rows.exists(_.getLong(1) == q), s"query $q returned itself")
+    }
+  }
+
+  test("LSH top-k achieves >= 60% recall@5 vs brute force (4 planes x 8 tables)") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, 10, 5))
+    val approx = pairs(Similarity.lshTopK(emb, 10, 5, planes = 4, tables = 8))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall was $recall")
+  }
+
+  test("LSH with 0 planes degenerates to brute force (single bucket)") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(Similarity.lshTopK(emb, 5, 3, planes = 0, tables = 1)) ===
+      rows(Similarity.bruteForceTopK(emb, 5, 3)))
+  }
+}
