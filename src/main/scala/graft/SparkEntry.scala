@@ -73,6 +73,13 @@ object SparkEntry {
     // LSH ANN is approximate by design: no SQL oracle (rows-only check);
     // recall vs brute force is asserted in SimilaritySpec.
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
+    // --- multimodal binary-column plumbing ---
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(Tables.documents(s, dir))),
+    // Decode features come from the clearly-marked stub codec: rows-only.
+    "mm_features" -> ((s, dir) => Multimodal.featuresOf(s, Tables.documents(s, dir))),
+    // --- structured streaming (event-time windows, run to completion) ---
+    "q_stream_hourly" -> ((s, dir) =>
+      graft.streaming.EventStreams.hourlyStatsToBatch(s, dir)),
   )
 
   /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
@@ -316,6 +323,16 @@ object SparkEntry {
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5, 'fake/' || source AS format
+        |FROM documents""".stripMargin,
+    // Streaming twin of q_events_hourly: same grouping, same aggregates,
+    // same oracle — window(ts, '1 hour').start == date_trunc('hour', ts).
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

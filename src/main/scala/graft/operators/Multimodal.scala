@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through the
+  * pipeline as opaque `binary` columns with typed metadata, and
+  * decode/feature-extraction runs as a partition-wise batch operator.
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
+  * [[decodeStub]] produces deterministic fake features derived from the
+  * bytes (clearly marked below). Everything around it — the binary schema,
+  * the typed `Dataset` row shape, partition-wise batching via
+  * `mapPartitions`, and the metadata projections — is the real plumbing a
+  * codec would drop into: replace the body of `fakeDecode` with the real
+  * library call and nothing else changes.
+  *
+  * Scale notes: payload bytes never pass through a shuffle here — decode is
+  * a narrow map over the scan, and the metadata-only projections prune the
+  * binary column out entirely (check `ReadSchema` in explain). That
+  * column-pruning behavior is exactly why multimodal payloads belong in a
+  * parquet binary column rather than side files.
+  */
+object Multimodal {
+
+  /** A multimodal row: opaque payload + minimal typed metadata. */
+  case class MediaFile(doc_id: Long, content: Array[Byte], format: String)
+
+  /** Extracted features (fake — see [[decodeStub]]). */
+  case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Stand-in payload builder: encodes the documents' text as UTF-8 bytes
+    * in a `binary` column (in production this column arrives already binary
+    * from the ingest layer — e.g. image bytes).
+    */
+  def attachPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      concat(lit("fake/"), col("source")).as("format"))
+
+  /** STUB decode: deterministic fake "dimensions" from the payload bytes.
+    * A real implementation calls the codec here (javax.imageio / ffmpeg /
+    * soundfile) on `m.content` — per partition, so per-executor native
+    * resources are initialized once per batch, not once per row.
+    */
+  private def fakeDecode(m: MediaFile): MediaFeatures = {
+    val n = m.content.length
+    // ??? real codec goes here — fake: derive dims from byte stats
+    val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xFF))
+    MediaFeatures(
+      m.doc_id, n, m.format,
+      width = (sum % 640).toInt + 1,
+      height = (sum % 480).toInt + 1,
+      n_frames = n % 30 + 1)
+  }
+
+  /** Partition-wise decode/feature-extract over the binary column. */
+  def decodeStub(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(fakeDecode))
+  }
+
+  /** "Frame sampling": deterministic byte-chunk slices standing in for
+    * video frame extraction — demonstrates the explode-to-frames shape
+    * (one output row per sampled frame, payload stays binary).
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int = 3, frameBytes: Int = 16): DataFrame =
+    media.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(nFrames - 1)),
+        i => substring(col("content"), lit(1) + i * frameBytes, lit(frameBytes)))))
+      .select(col("doc_id"), col("pos").as("frame_no"), col("col").as("frame_bytes"))
+      .where(length(col("frame_bytes")) > 0)
+
+  /** Metadata-only projection — oracle-checkable (byte length and md5 of
+    * the payload are engine-portable), and the binary column is pruned at
+    * the scan when only these are selected.
+    */
+  def payloadMeta(documents: DataFrame): DataFrame =
+    attachPayload(documents).select(
+      col("doc_id"),
+      octet_length(col("content")).as("n_bytes"),
+      md5(col("content")).as("content_md5"),
+      col("format"))
+
+  /** End-to-end typed pipeline: attach → decode (stub) → features DF. */
+  def featuresOf(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeStub(attachPayload(documents).as[MediaFile]).toDF()
+  }
+}

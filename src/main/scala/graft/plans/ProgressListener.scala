@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.scheduler._
+import scala.collection.concurrent.TrieMap
+
+/** Job-progress observability: a `SparkListener` aggregating executor and
+  * task state into the same JSON shape as the reference's dashboard
+  * endpoint (reference `master/master.go:198-235`: `{workers:
+  * [{id, tasks_assigned}], tasks: [{id, type, status}], progress}`).
+  *
+  * The reference polls master state under a mutex; here the listener bus
+  * pushes events and a snapshot renders on demand — attach with
+  * `spark.sparkContext.addSparkListener(listener)` and serve
+  * [[jsonSnapshot]] from any HTTP endpoint for dashboard parity. Spark's
+  * own UI / REST API remains the full-fidelity surface; this shim exists
+  * for drop-in compatibility with the reference's `/data` consumers.
+  */
+class ProgressListener extends SparkListener {
+
+  private val taskCounts = TrieMap.empty[String, Long] // executorId -> tasks assigned
+  private val stageTotal = TrieMap.empty[Int, Int]     // stageId -> task count
+  private val stageDone = TrieMap.empty[Int, Int]      // stageId -> completed tasks
+  private val stageStatus = TrieMap.empty[Int, String] // idle | in-progress | done
+
+  override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+    stageTotal.put(e.stageInfo.stageId, e.stageInfo.numTasks)
+    stageDone.putIfAbsent(e.stageInfo.stageId, 0)
+    stageStatus.put(e.stageInfo.stageId, "in-progress")
+  }
+
+  override def onTaskStart(e: SparkListenerTaskStart): Unit =
+    taskCounts.updateWith(e.taskInfo.executorId) {
+      case Some(n) => Some(n + 1)
+      case None    => Some(1L)
+    }
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    if (e.taskInfo.successful) {
+      stageDone.updateWith(e.stageId) {
+        case Some(n) => Some(n + 1)
+        case None    => Some(1)
+      }
+    }
+
+  override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+    stageStatus.put(e.stageInfo.stageId, "done")
+
+  /** done-stages / total-stages percentage, mirroring the reference's
+    * done/total × 100 (`master/master.go:226-235`).
+    */
+  def progress: Double = {
+    val total = stageStatus.size
+    if (total == 0) 0.0
+    else stageStatus.values.count(_ == "done") * 100.0 / total
+  }
+
+  /** Snapshot in the reference dashboard's JSON shape. */
+  def jsonSnapshot: String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
+    val workers = taskCounts.toSeq.sortBy(_._1).map { case (id, n) =>
+      s"""{"id":"${esc(id)}","tasks_assigned":$n}"""
+    }.mkString("[", ",", "]")
+    val tasks = stageStatus.toSeq.sortBy(_._1).map { case (id, st) =>
+      s"""{"id":$id,"type":"stage","status":"${esc(st)}"}"""
+    }.mkString("[", ",", "]")
+    s"""{"workers":$workers,"tasks":$tasks,"progress":$progress}"""
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event analytics
+  * ([[graft.operators.EventAnalytics]]). The transformations are shared
+  * shapes — same grouping keys, same exact-cents aggregates — so the DuckDB
+  * oracle that validates the batch query validates the streaming one too
+  * (SURVEY §7.3 "streaming state").
+  *
+  * At scale this is the standard continuous-ingest topology: file/Kafka
+  * source → event-time window aggs with watermarked state → sink. Here the
+  * source is the driver's events parquet and the sink is an in-memory table
+  * so Verify can oracle-check the result; swapping source/sink strings is
+  * the only change for a real deployment.
+  */
+object EventStreams {
+
+  /** Raw schema of the events parquet — `ts` is INT64 TIMESTAMP(NANOS),
+    * surfaced as long nanos (see [[graft.Tables.events]]).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet with the nanos→micros
+    * conversion applied, watermarked on event time.
+    */
+  def source(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // the file stream source wants a directory; events.parquet is a
+      // single file, so stream the table dir filtered down to it
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermark)
+  }
+
+  /** Tumbling 1-hour event-time window aggregation — the streaming twin of
+    * `EventAnalytics.hourlyStats` (`window(ts).start` ≡ `date_trunc`).
+    */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time session windows (30-minute gap) per user — the streaming
+    * generalization of the batch gaps-and-islands sessionization.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Run a streaming aggregation over the driver's events table to
+    * completion (Trigger.AvailableNow) and return the final result as a
+    * batch DataFrame. Complete output mode flushes every window at the end,
+    * so the result is exactly the batch answer — which is what makes this
+    * oracle-checkable from Verify.
+    */
+  def runToBatch(
+      spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame,
+      queryName: String): DataFrame = {
+    val q = transform(source(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Oracle-checked streaming hourly stats (same oracle as q_events_hourly). */
+  def hourlyStatsToBatch(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, dir, hourlyStats, s"stream_hourly_${System.nanoTime()}")
+}

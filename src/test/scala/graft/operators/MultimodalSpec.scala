@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docs() = {
+    import spark.implicits._
+    Seq((1L, "hello world", "en", "srcA", 11L), (2L, "abc", "en", "srcB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("typed decode pipeline produces deterministic features per payload") {
+    val f1 = Multimodal.featuresOf(spark, docs()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val f2 = Multimodal.featuresOf(spark, docs()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f1.keySet === Set(1L, 2L))
+    assert(f1(1L).getInt(1) === 11) // n_bytes = utf8 length
+    assert(f1(2L).getInt(1) === 3)
+    // deterministic across runs (stub decode is a pure function of bytes)
+    f1.foreach { case (k, r) => assert(r === f2(k)) }
+  }
+
+  test("frame sampling explodes to one row per non-empty frame") {
+    val frames = Multimodal
+      .sampleFrames(Multimodal.attachPayload(docs()), nFrames = 3, frameBytes = 4)
+      .collect()
+    // doc 1: 11 bytes -> frames of 4,4,3 bytes; doc 2: 3 bytes -> 1 frame
+    val byDoc = frames.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byDoc === Map(1L -> 3, 2L -> 1))
+    assert(frames.forall(_.getInt(1) < 3))
+  }
+
+  test("metadata projection prunes the binary column at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    Multimodal.attachPayload(docs()).write.mode("overwrite").parquet(dir)
+    val meta = spark.read.parquet(dir)
+      .select(col("doc_id"), octet_length(col("content")).as("n_bytes"))
+    // content must be read (octet_length needs it), but format must not be:
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(!plan.contains("format"), s"format column not pruned:\n$plan")
+  }
+}

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Batch-equivalence for the streaming paths (SURVEY §7.3): the streaming
+  * hourly aggregation run to completion must equal the batch query, row for
+  * row — same grouping keys, same exact-cents aggregates.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  private def canon(rows: Array[Row]): Set[String] =
+    rows.map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|")).toSet
+
+  test("streaming hourly stats (AvailableNow, complete mode) == batch hourly stats") {
+    val dir = sf("sf0.001")
+    val streamed = EventStreams.hourlyStatsToBatch(spark, dir).collect()
+    val batch = graft.operators.EventAnalytics
+      .hourlyStats(graft.Tables.events(spark, dir)).collect()
+    assert(streamed.nonEmpty)
+    assert(canon(streamed) === canon(batch))
+  }
+
+  test("session windows cover all events with plausible session counts") {
+    val dir = sf("sf0.001")
+    val sessions = EventStreams.runToBatch(
+      spark, dir, EventStreams.sessionStats(_), s"stream_sessions_${System.nanoTime()}")
+      .collect()
+    val batchSessions = graft.operators.EventAnalytics
+      .sessionCounts(graft.Tables.events(spark, dir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every event lands in exactly one session window
+    val nEvents = sessions.map(_.getLong(2)).sum
+    assert(nEvents === batchSessions.values.map(_._2).sum)
+    // per-user session-window count equals the batch gaps-and-islands count
+    val perUser = sessions.groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    assert(perUser === batchSessions.view.mapValues(_._1).toMap)
+  }
+}
