@@ -30,6 +30,7 @@ object HashFunctions {
   def minhash(elems: Column, seed: Int): Column =
     array_min(transform(elems, e => md5Long(e, seed)))
 
+
   /** LSH band key over `rowsPerBand` consecutive minhash columns: two docs
     * land in the same bucket for band b iff all of that band's minhashes
     * agree. Hashing the concatenation keeps the key short for the shuffle.

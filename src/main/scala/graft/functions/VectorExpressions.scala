@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the float-vector dot product — the hot
+  * inner loop of similarity search. A `zip_with`+`aggregate` HOF pipeline
+  * computes the same value but runs interpreted with per-element boxing;
+  * this expression compiles (doGenCode) to a primitive Java loop over the
+  * two ArrayData buffers inside whole-stage codegen, evaluating
+  * left-to-right in array order exactly like the HOF form (bit-identical
+  * doubles).
+  *
+  * This is the one place the engine drops below the DataFrame API for
+  * performance, per the custom-operator preference order: compose builtins
+  * (too slow here) → custom Expression (this) → custom SparkPlan (overkill).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  /** Accepts array<float> or array<double> on either side. */
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val getX = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $getX * $getY;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  /** Codegen'd Σ aᵢbᵢ in double over two float arrays. */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** ‖a‖₂ via the same kernel (one self-dot + sqrt). */
+  def vecNorm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(vecDot(a, a))
+}

