@@ -41,6 +41,8 @@ object SparkEntry {
       Relational.localSupplierRevenue(
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q14_promo_revenue" -> ((s, dir) =>
+      Relational.promoRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctCustomers(Tables.orders(s, dir))),
     "q_rollup" -> ((s, dir) => Relational.rollupSummary(Tables.lineitem(s, dir))),
     "q_window_rank" -> ((s, dir) => Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
@@ -170,6 +172,17 @@ object SparkEntry {
         |  AND o_orderkey = l_orderkey
         |  AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN u ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+        |  CAST(sum(u) AS DOUBLE) / 10000.0 AS total_revenue,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN u ELSE 0 END) AS DOUBLE) / sum(u) AS promo_share
+        |FROM (
+        |  SELECT l_shipdate, p_type,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey) t
+        |GROUP BY CAST(year(l_shipdate) AS INTEGER)""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,

@@ -105,6 +105,21 @@ object Relational {
       .groupBy("n_name")
       .agg((sum(discPriceUnits).cast("double") / 10000.0).as("revenue"))
 
+  /** TPC-H Q14-style promo revenue: lineitem ⋈ broadcast(part) with
+    * conditional aggregation per ship-year. The promo share is a ratio of
+    * two exact integer sums — one double division, engine-reproducible.
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val promoUnits = when(col("p_type") === "PROMO", discPriceUnits).otherwise(0L)
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("yr"))
+      .agg(
+        (sum(promoUnits).cast("double") / 10000.0).as("promo_revenue"),
+        (sum(discPriceUnits).cast("double") / 10000.0).as("total_revenue"),
+        (sum(promoUnits).cast("double") / sum(discPriceUnits)).as("promo_share"))
+  }
+
   /** Distinct aggregate: Catalyst plans this as a two-phase expand+agg. */
   def distinctCustomers(orders: DataFrame): DataFrame =
     orders

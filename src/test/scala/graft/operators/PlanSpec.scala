@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry, Tables}
+
+/** Physical-plan assertions — the scale properties the engine is designed
+  * around must survive refactors: predicate pushdown to the parquet scan,
+  * column pruning, broadcast joins for dims, distributed top-k, and no
+  * cartesian products anywhere in the oracle suite.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q6: all four predicates push down to the parquet scan") {
+    val f = formatted("q6_forecast_revenue")
+    assert(f.contains("GreaterThanOrEqual(l_shipdate"), f)
+    assert(f.contains("LessThan(l_quantity,24.0)"), f)
+  }
+
+  test("q6: scan reads only the four referenced columns") {
+    val f = formatted("q6_forecast_revenue")
+    val read = f.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(read.contains("l_quantity") && read.contains("l_shipdate"))
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"), read)
+  }
+
+  test("q3: dim side broadcasts; top-10 plans as TakeOrderedAndProject") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("wordcount: partial aggregation before the shuffle + distributed top-k") {
+    val p = plan("wordcount_topk")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("vector dot product is the native expression inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val proj = Tables.embeddings(spark, sf("sf0.001"))
+      .select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    val p = proj.queryExecution.executedPlan.toString
+    assert(p.contains("vec_dot"), p)
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(p.contains("*(1) Project [vec_dot"), p)
+    // and the pairwise query uses it too (no interpreted HOF fallback)
+    assert(plan("q_embed_neardup").contains("vec_dot"))
+  }
+
+  test("no oracle query plans a cartesian product") {
+    // pairwise similarity queries are range self-joins (vec_a < vec_b) and
+    // legitimately plan as BroadcastNestedLoopJoin at this scale, but a
+    // CartesianProduct would mean a missing join condition
+    SparkEntry.queries.keys.filterNot(_ == "q_stream_hourly").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+    }
+  }
+
+  test("metadata-only multimodal projection does not shuffle") {
+    val p = plan("q_multimodal_meta")
+    assert(!p.contains("Exchange"), p)
+  }
+}
