@@ -31,41 +31,54 @@ object TextAnalysis {
 
   private def toks(text: Column): Column = split(trim(text), "\\s+")
 
-  private def hitCount(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
-
   /** Per-document statistics and a quality score. All counts are integers;
     * the ratio is a single division of exact ints (engine-reproducible).
+    *
+    * Shape: one tokenization (explode) → conditional sums → hash-agg by
+    * doc. The pure-projection form re-evaluates the regex split for every
+    * output column; here it runs once per document and the per-token
+    * predicates combine map-side, so the shuffle carries 3 ints per doc.
     */
-  def docStats(documents: DataFrame): DataFrame = {
-    val t = toks(col("text"))
-    documents.select(
-      col("doc_id"),
-      length(col("text")).as("n_chars_txt"),
-      size(t).as("n_tokens"),
-      size(filter(t, w => w.rlike("^[.,!?:;\"']+$"))).as("n_punct_tokens"),
-      hitCount(t, Stopwords).as("n_stopwords"),
-      (hitCount(t, Stopwords).cast("double") / size(t)).as("stopword_ratio"),
-      (size(t) >= 10 && hitCount(t, Stopwords) > 0).as("is_quality"))
-  }
+  def docStats(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"), length(col("text")).as("n_chars_txt"),
+        explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "n_chars_txt")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").rlike("^[.,!?:;\"']+$"), 1L).otherwise(0L)).as("n_punct_tokens"),
+        sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L)).as("n_stopwords"))
+      .select(
+        col("doc_id"), col("n_chars_txt"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("n_punct_tokens").cast("int").as("n_punct_tokens"),
+        col("n_stopwords").cast("int").as("n_stopwords"),
+        (col("n_stopwords").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_tokens") >= 10 && col("n_stopwords") > 0).as("is_quality"))
 
   /** Heuristic language ID: argmax of marker-word hits with a fixed
     * precedence chain (en > de > es > fr on ties) so the prediction is
-    * total and deterministic.
+    * total and deterministic. Same explode→agg shape as [[docStats]].
     */
   def langId(documents: DataFrame): DataFrame = {
-    val t = toks(lower(col("text")))
-    val hits = LangMarkers.map { case (l, ws) => l -> hitCount(t, ws) }.toMap
+    val hitSums = LangMarkers.map { case (l, ws) =>
+      sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L)).cast("int").as(s"hits_$l")
+    }
+    val hits = LangMarkers.map { case (l, _) => l -> col(s"hits_$l") }.toMap
     val pred = when(
       hits("en") >= hits("de") && hits("en") >= hits("es") && hits("en") >= hits("fr"), "en")
       .when(hits("de") >= hits("es") && hits("de") >= hits("fr"), "de")
       .when(hits("es") >= hits("fr"), "es")
       .otherwise("fr")
-    documents.select(
-      col("doc_id"), col("lang"),
-      hits("en").as("hits_en"), hits("de").as("hits_de"),
-      hits("es").as("hits_es"), hits("fr").as("hits_fr"),
-      pred.as("pred_lang"))
+    documents
+      .select(col("doc_id"), col("lang"), explode(toks(lower(col("text")))).as("tok"))
+      .groupBy("doc_id", "lang")
+      .agg(hitSums.head, hitSums.tail: _*)
+      .select(
+        col("doc_id"), col("lang"),
+        hits("en"), hits("de"), hits("es"), hits("fr"),
+        pred.as("pred_lang"))
   }
 
   /** BPE-ish regex for subword-ish token counting: letter runs, digit runs,
