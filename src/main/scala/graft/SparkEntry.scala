@@ -75,6 +75,7 @@ object SparkEntry {
     // LSH ANN is approximate by design: no SQL oracle (rows-only check);
     // recall vs brute force is asserted in SimilaritySpec.
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
+    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // --- multimodal binary-column plumbing ---
     "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(Tables.documents(s, dir))),
     // Decode features come from the clearly-marked stub codec: rows-only.

@@ -95,6 +95,57 @@ object Similarity {
       }
       .foldLeft(lit(0L))(_ + _)
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nLists` cells by
+    * nearest centroid, search only the query's `nProbe` closest cells, then
+    * exact-cosine rerank. Centroids here are the first `nLists` corpus
+    * vectors — deterministic and cheap; a production build would run a few
+    * k-means rounds with the same plumbing (assignment is the same
+    * argmax-over-centroids expression either way).
+    *
+    * Scale notes: centroids ship as literals (broadcast by value, no
+    * shuffle); assignment is a linear scan (n·nLists dots, map-only);
+    * candidate generation is an equi-join on cell id, so per-query work is
+    * the probed cells' sizes, not the corpus. The recall/cost dials are
+    * nLists (cell granularity) and nProbe (cells searched).
+    */
+  def ivfTopK(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nLists: Int = 8, nProbe: Int = 3): DataFrame = {
+    val centroids: Array[(Int, Array[Float])] = embeddings
+      .orderBy("vec_id").limit(nLists)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
+
+    // array of (cosine-to-centroid, cell-id) structs for a vector column
+    def cellScores(v: Column): Column = array(centroids.map { case (i, c) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        (dot(v, cl) / (norm(v) * math.sqrt(c.map(x => x.toDouble * x).sum))).as("c"),
+        lit(i).as("i"))
+    }: _*)
+    // struct ordering is field-by-field, so array_max picks the best cosine
+    def bestCell(v: Column): Column = array_max(cellScores(v)).getField("i")
+    def probeCells(v: Column): Column =
+      transform(slice(reverse(array_sort(cellScores(v))), 1, nProbe), s => s.getField("i"))
+
+    val assigned = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"), bestCell(col("embedding")).as("cell"))
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"),
+        explode(probeCells(col("embedding"))).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(queries)
+      .join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN with `tables` independent hash tables of `planes`
     * sign bits each: a candidate is considered if it shares a bucket with
     * the query in ANY table (union), then exact cosine reranks the

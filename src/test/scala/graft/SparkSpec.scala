@@ -17,7 +17,9 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession
       .builder()
-      .master("local[4]")
+      // local[threads, maxTaskFailures]: retries on so FaultToleranceSpec
+      // can exercise lineage-based task re-execution
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

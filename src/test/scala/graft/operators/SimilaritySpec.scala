@@ -40,4 +40,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.lshTopK(emb, 5, 3, planes = 0, tables = 1)) ===
       rows(Similarity.bruteForceTopK(emb, 5, 3)))
   }
+
+  test("IVF top-k achieves >= 50% recall@5 (8 lists, 3 probes)") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, 10, 5))
+    val approx = pairs(Similarity.ivfTopK(emb, 10, 5, nLists = 8, nProbe = 3))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall was $recall")
+  }
+
+  test("IVF with a single cell equals brute force") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(Similarity.ivfTopK(emb, 5, 3, nLists = 1, nProbe = 1)) ===
+      rows(Similarity.bruteForceTopK(emb, 5, 3)))
+  }
 }

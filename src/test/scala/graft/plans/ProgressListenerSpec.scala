@@ -21,6 +21,14 @@ class ProgressListenerSpec extends SparkSpec {
       assert(json.contains(""""tasks":[{"id":"""))
       assert(json.contains(""""status":"done""""))
       assert(json.contains(""""progress":100.0"""))
+
+      // dashboard shim serves the same snapshot over HTTP (/data)
+      val server = new DashboardServer(listener)
+      try {
+        val url = new java.net.URI(s"http://localhost:${server.boundPort}/data").toURL
+        val body = new String(url.openStream().readAllBytes(), "UTF-8")
+        assert(body === json)
+      } finally server.stop()
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
