@@ -100,9 +100,14 @@ object SparkEntry {
       |FROM (""".stripMargin + tokCte + ")"
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
+  // mh(2i)/mh(2i+1) are the two independent 60-bit halves of digest i
+  // (hex chars [1,15] and [17,31]) — mirrors HashFunctions.md5LongHalves
   private val minhashCols = (0 until Dedup.NumHashes)
-    .map(i =>
-      s"CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, s -> ${h60(i, "s")})) END AS mh$i")
+    .map { i =>
+      val (seed, from) = (i / 2, if (i % 2 == 0) 1 else 17)
+      val h = s"CAST(('0x' || substr(md5('$seed:' || s), $from, 15)) AS BIGINT)"
+      s"CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, s -> $h)) END AS mh$i"
+    }
     .mkString(",\n  ")
   private val simhashCte = {
     val bitSums = (0 until 32)

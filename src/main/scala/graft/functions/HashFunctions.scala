@@ -30,6 +30,19 @@ object HashFunctions {
   def minhash(elems: Column, seed: Int): Column =
     array_min(transform(elems, e => md5Long(e, seed)))
 
+  /** Two INDEPENDENT 60-bit hashes from one seeded digest: the disjoint
+    * hex ranges [1,15] and [17,31] of md5. Unlike an affine combination
+    * (see the note in Dedup.signaturesFromShingled), disjoint digest bits
+    * are genuinely independent — this halves the digests per element for
+    * MinHash without weakening the family.
+    */
+  def md5LongHalves(c: Column, seed: Int): Column = {
+    val d = md5(concat(lit(seed.toString), lit(":"), c))
+    struct(
+      conv(substring(d, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(d, 17, 15), 16, 10).cast("long").as("h2"))
+  }
+
 
   /** LSH band key over `rowsPerBand` consecutive minhash columns: two docs
     * land in the same bucket for band b iff all of that band's minhashes

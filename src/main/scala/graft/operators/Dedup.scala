@@ -48,23 +48,39 @@ object Dedup {
     * computes shingles once and the per-doc mins combine map-side, so the
     * shuffle carries NumHashes longs per doc.
     */
-  def minhashSignatures(documents: DataFrame, numHashes: Int = NumHashes): DataFrame = {
-    val perShingle = documents
-      .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 3)).as("s"))
-    // One md5 digest PER SEED: the seeds must be genuinely independent hash
-    // functions. An affine family h_i = h1 + i*h2 from a single digest was
-    // tried and rejected — without a full-width modular reduction one
-    // element with small (h1, h2) stays the argmin across a RANGE of i,
-    // correlating every band and missing true near-dup pairs.
-    val sigs = perShingle
-      .groupBy("doc_id")
-      .agg(
-        min(HashFunctions.md5Long(col("s"), 0)).as("mh0"),
-        (1 until numHashes).map(i => min(HashFunctions.md5Long(col("s"), i)).as(s"mh$i")): _*)
+  /** (doc_id, sh: array<string>) of distinct 3-shingles per doc. */
+  def shingled(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+
+  /** Signatures from a pre-shingled frame (see [[shingled]]) — lets callers
+    * compute the expensive shingling once and reuse it across the LSH join
+    * and the exact-jaccard verification.
+    */
+  def signaturesFromShingled(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+    require(numHashes % 2 == 0, "signature entries come in digest-half pairs")
+    // The hash functions must be genuinely independent. An affine family
+    // h_i = h1 + i*h2 from a single digest was tried and rejected: without
+    // a full-width modular reduction one element with small (h1, h2) stays
+    // the argmin across a RANGE of i, correlating every band and missing
+    // true near-dup pairs. Disjoint bit-ranges of a digest ARE independent,
+    // so each seeded digest safely yields TWO signature entries
+    // (HashFunctions.md5LongHalves) — numHashes/2 digests per shingle.
+    val digests = (0 until numHashes / 2).map(i =>
+      HashFunctions.md5LongHalves(col("s"), i).as(s"d$i"))
+    val perShingle = sh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id") +: digests: _*)
+    val mins = (0 until numHashes).map { i =>
+      val half = if (i % 2 == 0) "h1" else "h2"
+      min(col(s"d${i / 2}.$half")).as(s"mh$i")
+    }
+    val sigs = perShingle.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     // docs with no shingles keep a row (null signature) for oracle parity
-    documents.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
+    sh.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
   }
+
+  def minhashSignatures(documents: DataFrame, numHashes: Int = NumHashes): DataFrame =
+    signaturesFromShingled(shingled(documents), numHashes)
 
   /** LSH candidate pairs (a < b) from banded minhash signatures: docs
     * collide iff all RowsPerBand minhashes of some band agree. The join is
@@ -82,6 +98,9 @@ object Dedup {
               (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // self-joined below: materialize so the signature pipeline above
+      // runs once, not once per join side
+      .localCheckpoint()
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -96,12 +115,16 @@ object Dedup {
     * their single-division ratio. Keeps pairs with jaccard >= threshold.
     */
   def nearDuplicatePairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val shingled = documents
-      .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
-    val pairs = lshCandidatePairs(minhashSignatures(documents))
+    // materialize shingles ONCE: they feed the signature pipeline plus both
+    // sides of the verification join, and a self-join otherwise recomputes
+    // its whole input subplan per side (localCheckpoint also cuts lineage).
+    // At cluster scale this would be an explicit staged table or
+    // MEMORY_AND_DISK persist — same idea, longer-lived.
+    val sh = shingled(documents).localCheckpoint()
+    val pairs = lshCandidatePairs(signaturesFromShingled(sh))
     pairs
-      .join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
@@ -145,6 +168,7 @@ object Dedup {
         struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint() // self-joined: compute the signatures once
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
