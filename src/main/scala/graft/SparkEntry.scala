@@ -83,6 +83,8 @@ object SparkEntry {
     // --- structured streaming (event-time windows, run to completion) ---
     "q_stream_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyStatsToBatch(s, dir)),
+    "q_stream_sessions" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionCountsToBatch(s, dir)),
   )
 
   /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
@@ -352,6 +354,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    // Streaming session windows rolled up per user == batch
+    // gaps-and-islands sessionization (same oracle as q_events_sessions).
+    "q_stream_sessions" ->
+      """SELECT user_id,
+        |  CAST(1 + sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms > 1800000
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
+        |  FROM events) t
+        |GROUP BY user_id""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -88,4 +88,16 @@ object EventStreams {
   /** Oracle-checked streaming hourly stats (same oracle as q_events_hourly). */
   def hourlyStatsToBatch(spark: SparkSession, dir: String): DataFrame =
     runToBatch(spark, dir, hourlyStats, s"stream_hourly_${System.nanoTime()}")
+
+  /** Oracle-checked streaming sessionization: session windows rolled up to
+    * per-user counts — by construction equal to the batch gaps-and-islands
+    * sessionization, so it shares q_events_sessions' oracle.
+    */
+  def sessionCountsToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    runToBatch(spark, dir, sessionStats(_),
+      s"stream_sessions_${System.nanoTime()}")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+  }
 }
