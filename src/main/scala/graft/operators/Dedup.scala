@@ -48,9 +48,14 @@ object Dedup {
     * computes shingles once and the per-doc mins combine map-side, so the
     * shuffle carries NumHashes longs per doc.
     */
-  /** (doc_id, sh: array<string>) of distinct 3-shingles per doc. */
+  /** (doc_id, sh: array<string>) of distinct 3-shingles per doc. The
+    * parallelism guard matters here: shingling is the pipeline's CPU-heavy
+    * per-row step and must not run at the (possibly single-partition) scan
+    * parallelism.
+    */
   def shingled(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+    graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
 
   /** Signatures from a pre-shingled frame (see [[shingled]]) — lets callers
     * compute the expensive shingling once and reuse it across the LSH join
@@ -139,7 +144,7 @@ object Dedup {
     * applies, so the shuffle carries 32 ints per doc, not the tokens.
     */
   def simhashSignatures(documents: DataFrame, seed: Int = 99): DataFrame = {
-    val perToken = documents
+    val perToken = graft.Parallelism.ensure(documents)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .select(col("doc_id"), HashFunctions.md5Int32(col("tok"), seed).as("h32"))
     val bitSums = (0 until 32).map(b =>
