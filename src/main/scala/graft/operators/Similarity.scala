@@ -115,6 +115,12 @@ object Similarity {
       .orderBy("vec_id").limit(nLists)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
+    if (centroids.isEmpty) {
+      // empty corpus → no cells; empty result with the output schema
+      return embeddings.select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank")).limit(0)
+    }
 
     // array of (cosine-to-centroid, cell-id) structs for a vector column
     def cellScores(v: Column): Column = array(centroids.map { case (i, c) =>
