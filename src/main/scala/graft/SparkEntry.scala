@@ -54,6 +54,8 @@ object SparkEntry {
       Relational.customersWithoutUrgentOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_scalar_funcs" -> ((s, dir) => Relational.scalarShowcase(Tables.orders(s, dir))),
     "q_topk_global" -> ((s, dir) => Relational.topRevenueLineitems(Tables.lineitem(s, dir))),
+    // Sketches are approximate: rows-only here, error-bounded in SketchSpec.
+    "sketch_summary" -> ((s, dir) => Relational.sketchSummary(Tables.lineitem(s, dir))),
     // --- events: JSON, time buckets, sessionization (build plan M4/M5) ---
     "q_events_json" -> ((s, dir) => EventAnalytics.perTypeStats(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) => EventAnalytics.hourlyStats(Tables.events(s, dir))),

