@@ -2,21 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** SparkSession factories.
+/** SparkSession factory — the single place the engine's session config
+  * lives (Verify, Bench, and user entry points all build through here so
+  * the settings cannot drift):
   *
-  * The engine itself never creates a session implicitly — callers (Verify,
-  * Bench, tests, user code) own the session lifecycle. These helpers only
-  * centralize the configuration we care about:
-  *
-  *   - `spark.sql.shuffle.partitions` sized to the local core count rather
-  *     than Spark's default 200 (on a real cluster this would be set to
-  *     ~2-3x total cores, or left to AQE coalescing);
-  *   - UTC session time zone so timestamp semantics match the DuckDB oracle;
+  *   - `spark.sql.shuffle.partitions` sized to the core count rather than
+  *     Spark's default 200 (on a real cluster: ~2-3x total cores, or left
+  *     to AQE coalescing);
+  *   - UTC session time zone so timestamp semantics match the DuckDB
+  *     oracle regardless of host TZ;
   *   - AQE left ON (Spark 4 default) — at 100 TB it handles skew-join
   *     splitting and post-shuffle coalescing that we'd otherwise hand-tune.
   */
 object Sessions {
-  def local(cores: Int = 4, shufflePartitions: Int = 32, appName: String = "graft"): SparkSession = {
+  def local(
+      cores: Int = 4,
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")

@@ -197,7 +197,9 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_rollup" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -261,7 +263,7 @@ object SparkEntry {
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
     "q_events_sessions" ->
       """SELECT user_id,
-        |  CAST(1 + sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms > 1800000
+        |  CAST(1 + sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms >= 1800000
         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM (
@@ -360,7 +362,7 @@ object SparkEntry {
     // gaps-and-islands sessionization (same oracle as q_events_sessions).
     "q_stream_sessions" ->
       """SELECT user_id,
-        |  CAST(1 + sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms > 1800000
+        |  CAST(1 + sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms >= 1800000
         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM (

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -13,7 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * this expression compiles (doGenCode) to a primitive Java loop over the
   * two ArrayData buffers inside whole-stage codegen, evaluating
   * left-to-right in array order exactly like the HOF form (bit-identical
-  * doubles).
+  * doubles, including null-element propagation to a NULL result).
   *
   * This is the one place the engine drops below the DataFrame API for
   * performance, per the custom-operator preference order: compose builtins
@@ -25,11 +26,36 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
-  /** Accepts array<float> or array<double> on either side. */
+  /** Registered as a user-callable SQL function, so inputs must be
+    * validated at analysis time — arbitrary arrays would otherwise be read
+    * as garbage through the typed ArrayData accessors.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _                                                  => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
+
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _               => true
+  }
+
+  /** Null when either input is null OR any paired element is null (the
+    * zip_with product-with-null semantics).
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemsNullable(left) || elemsNullable(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -39,6 +65,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -54,10 +81,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val getX = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      // element-null guard only when the schema says elements can be null
+      val nullGuard =
+        if (elemsNullable(left) || elemsNullable(right))
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $s += $getX * $getY;
          |}
          |${ev.value} = $s;

@@ -37,15 +37,20 @@ object EventAnalytics {
         (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
 
   /** Sessionization (gaps-and-islands): a new session starts when a user is
-    * idle longer than `gapMinutes`. Per-user window — scales with the
+    * idle for `gapMinutes` or longer. Per-user window — scales with the
     * busiest user's event count, not the table. Millisecond-truncated
     * epochs keep the arithmetic identical across engines.
+    *
+    * Boundary semantics are `>= gap` (an event at exactly last+gap opens a
+    * new session) to match Spark's `session_window`, whose windows are
+    * end-exclusive `[t, t+gap)` — so the batch, streaming, and custom-state
+    * sessionizations all agree, including at the exact-gap boundary.
     */
   def sessionCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
     val ms = unix_millis(col("ts"))
     val prevMs = lag(ms, 1).over(w)
-    val newSession = when(prevMs.isNotNull && ms - prevMs > gapMinutes * 60000L, 1L).otherwise(0L)
+    val newSession = when(prevMs.isNotNull && ms - prevMs >= gapMinutes * 60000L, 1L).otherwise(0L)
     events
       .select(col("user_id"), newSession.as("new_session"))
       .groupBy("user_id")

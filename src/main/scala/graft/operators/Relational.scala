@@ -132,7 +132,9 @@ object Relational {
   def rollupSummary(lineitem: DataFrame): DataFrame =
     lineitem
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(
+        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+        count(lit(1)).as("n"))
 
   /** Ranking window: per-customer top-3 orders by price. The window sort is
     * per-partition (custkey) — no global sort, scales with the largest

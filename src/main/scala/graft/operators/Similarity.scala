@@ -164,7 +164,15 @@ object Similarity {
   def lshTopK(
       embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       planes: Int = 4, tables: Int = 8): DataFrame = {
-    val dim = 64
+    // hyperplanes must span the actual embedding dimension — a hardcoded
+    // dim would silently bucket on a prefix of longer vectors
+    val firstVec = embeddings.select(col("embedding")).limit(1).collect()
+    if (firstVec.isEmpty) {
+      return embeddings.select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank")).limit(0)
+    }
+    val dim = firstVec(0).getSeq[Float](0).length
     val allHps = (0 until tables).map(t => hyperplanes(t, planes, dim))
     def bucketed(df: DataFrame): DataFrame =
       df.select(

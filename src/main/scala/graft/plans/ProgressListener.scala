@@ -45,16 +45,19 @@ class ProgressListener extends SparkListener {
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
     stageStatus.put(e.stageInfo.stageId, "done")
 
-  /** done-stages / total-stages percentage, mirroring the reference's
-    * done/total × 100 (`master/master.go:226-235`).
+  /** done-tasks / total-tasks percentage, mirroring the reference's
+    * done/total × 100 over its task list (`master/master.go:226-235`);
+    * task-level (not stage-level) so the bar moves during a long stage.
     */
   def progress: Double = {
-    val total = stageStatus.size
+    val total = stageTotal.values.sum
     if (total == 0) 0.0
-    else stageStatus.values.count(_ == "done") * 100.0 / total
+    else math.min(100.0, stageDone.values.sum * 100.0 / total)
   }
 
-  /** Snapshot in the reference dashboard's JSON shape. */
+  /** Snapshot in the reference dashboard's JSON shape; each Spark stage
+    * plays the role of a reference task, with its task-completion counts.
+    */
   def jsonSnapshot: String = {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
@@ -63,7 +66,9 @@ class ProgressListener extends SparkListener {
       s"""{"id":"${esc(id)}","tasks_assigned":$n}"""
     }.mkString("[", ",", "]")
     val tasks = stageStatus.toSeq.sortBy(_._1).map { case (id, st) =>
-      s"""{"id":$id,"type":"stage","status":"${esc(st)}"}"""
+      val done = stageDone.getOrElse(id, 0)
+      val total = stageTotal.getOrElse(id, 0)
+      s"""{"id":$id,"type":"stage","status":"${esc(st)}","tasks_done":$done,"tasks_total":$total}"""
     }.mkString("[", ",", "]")
     s"""{"workers":$workers,"tasks":$tasks,"progress":$progress}"""
   }

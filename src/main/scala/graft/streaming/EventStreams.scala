@@ -82,7 +82,13 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    // copy the result out and drop the sink table — the memory sink holds
+    // the full materialized result in the driver for the session lifetime
+    val sink = spark.table(queryName)
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    spark.catalog.dropTempView(queryName)
+    result
   }
 
   /** Oracle-checked streaming hourly stats (same oracle as q_events_hourly). */
@@ -91,12 +97,14 @@ object EventStreams {
 
   /** Streaming exactly-once ingest dedup: drop duplicate event ids within
     * the watermark horizon — the standard at-least-once → exactly-once
-    * repair at the front of an ingest pipeline. State holds one entry per
-    * id seen inside the horizon and is purged as the watermark advances,
-    * so it is bounded by arrival rate × horizon, not by history.
+    * repair at the front of an ingest pipeline. Input must be watermarked
+    * (see [[source]]): `dropDuplicatesWithinWatermark` evicts each id's
+    * state once the watermark passes it, so state is bounded by arrival
+    * rate × horizon, not history — plain `dropDuplicates(id)` would keep
+    * every id forever and OOM on an unbounded stream.
     */
   def dedupedEvents(events: DataFrame): DataFrame =
-    events.dropDuplicates("event_id")
+    events.dropDuplicatesWithinWatermark("event_id")
 
   /** Oracle-checked streaming sessionization: session windows rolled up to
     * per-user counts — by construction equal to the batch gaps-and-islands

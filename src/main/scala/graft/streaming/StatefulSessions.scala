@@ -48,7 +48,10 @@ object StatefulSessions {
     events.toSeq.sortBy(_.ts.getTime).foreach { e =>
       val t = e.ts.getTime
       cur match {
-        case Some(s) if t - s.last <= GapMs =>
+        // strict `< GapMs`: an event at exactly last+gap opens a NEW
+        // session, matching session_window's end-exclusive [t, t+gap)
+        // windows and the batch gaps-and-islands query (>= gap → new)
+        case Some(s) if t - s.last < GapMs =>
           cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
         case Some(s) =>
           closed ::= toSession(s)

@@ -21,19 +21,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(canon(streamed) === canon(batch))
   }
 
-  test("streaming dedup drops duplicate event ids across batches") {
+  test("streaming dedup drops duplicate event ids within the watermark horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val input = MemoryStream[(Long, String)]
-    val q = EventStreams.dedupedEvents(input.toDF().toDF("event_id", "payload"))
+    def ts(minute: Int) = new java.sql.Timestamp(86400000L + minute * 60000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStreams.dedupedEvents(
+      input.toDF().toDF("event_id", "ts").withWatermark("ts", "1 hour"))
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     try {
-      input.addData((1L, "a"), (2L, "b"), (1L, "a-dup"))
+      input.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))
       q.processAllAvailable()
-      input.addData((2L, "b-dup-next-batch"), (3L, "c"))
+      input.addData((2L, ts(3)), (3L, ts(4)))
       q.processAllAvailable()
       val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
       assert(ids === Seq(1L, 2L, 3L)) // one row per id, across batches
