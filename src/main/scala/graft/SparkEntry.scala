@@ -32,6 +32,13 @@ object SparkEntry {
         .select($"doc_id".cast("string"), $"text").as[(String, String)]
       MapReduce.wordCountJob(input).toDF("word", "cnt")
     }),
+    "mr_inverted_index" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val input = Tables.documents(s, dir)
+        .select($"doc_id".cast("string"), $"text").as[(String, String)]
+      MapReduce.invertedIndexJob(input).toDF("word", "doc_ids")
+    }),
     // --- relational suite (SURVEY §2 generalized; build plan M3) ---
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
     "q6_forecast_revenue" -> ((s, dir) => Relational.forecastRevenue(Tables.lineitem(s, dir))),
@@ -139,6 +146,14 @@ object SparkEntry {
     "mr_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
+        |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_inverted_index" ->
+      """SELECT word, array_to_string(
+        |    list_sort(list_distinct(list(doc_id)), 'ASC'), ',') AS doc_ids
+        |FROM (
+        |  SELECT DISTINCT doc_id, regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
         |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,

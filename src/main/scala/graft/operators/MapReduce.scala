@@ -61,6 +61,26 @@ object MapReduce {
       .as[(String, String)]
   }
 
+  /** Inverted index on the GENERAL path (reducer sees every value for a
+    * key, order-dependent result — not expressible as an associative
+    * combine): word → comma-joined sorted distinct doc ids. This is the
+    * kind of job the reference's `reduceF(key, values)` contract exists
+    * for (reference `mapreduce/mapreduce.go:88`).
+    */
+  def invertedIndexJob(input: Dataset[(String, String)])(implicit
+      spark: SparkSession): Dataset[(String, String)] = {
+    import spark.implicits._
+    val mapF: (String, String) => IterableOnce[(String, String)] = (doc, content) =>
+      content.split("\\s+")
+        .map(_.toLowerCase.replaceAll("^[.,!?:;\"']+|[.,!?:;\"']+$", ""))
+        .filter(_.nonEmpty)
+        .distinct
+        .map(w => (w, doc))
+    val reduceF: (String, Iterator[String]) => String = (_, docs) =>
+      docs.toSeq.distinct.sortBy(_.toLong).mkString(",")
+    mapReduce[String, String](input, mapF, reduceF)
+  }
+
   /** The reference's word-count MapF/ReduceF pair on the generic API
     * (reference `mapreduce/mapreduce.go:31-56`), including the in-mapper
     * combine (counts emitted once per distinct word per document).
