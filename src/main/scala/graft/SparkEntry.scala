@@ -80,9 +80,12 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
     // --- similarity search over embeddings ---
     "q_embed_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
+    "q_embed_neardup_blocked" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsBlocked(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
-    // LSH ANN is approximate by design: no SQL oracle (rows-only check);
-    // recall vs brute force is asserted in SimilaritySpec.
+    // ANN paths are approximate by design, but their bucketing/assignment
+    // is deterministic (md5 hyperplanes, first-n centroids), so the full
+    // candidate generation + rerank is mirrored in DuckDB SQL below.
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // --- multimodal binary-column plumbing ---
@@ -111,6 +114,98 @@ object SparkEntry {
       |FROM (""".stripMargin + tokCte + ")"
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
+
+  /** Embedding dimensionality of the driver's testdata (all SFs). The
+    * engine reads the dim dynamically; the static oracle SQL is generated
+    * for this one.
+    */
+  private val EmbDim = 64
+
+  /** Σ_d a[d]·b[d] as a left-associated double sum — mirrors
+    * [[graft.functions.FloatVecDot]]'s left-to-right accumulation
+    * bit-for-bit (callers pass DOUBLE[]-cast list expressions, matching the
+    * expression's float→double element reads).
+    */
+  private def dotSql(a: String, b: String): String =
+    (1 to EmbDim).map(d => s"$a[$d]*$b[$d]").mkString("(", " + ", ")")
+  private def selfDotSql(a: String): String = dotSql(a, a)
+
+  /** ±v[d] signed sum for one md5 hyperplane's ±1 pattern (same
+    * left-to-right order; x·(±1.0) is an exact sign flip in IEEE double, so
+    * +/− mirrors the engine's multiply-accumulate exactly).
+    */
+  private def signedSumSql(v: String, hp: Array[Double]): String =
+    hp.zipWithIndex.map { case (s, d) =>
+      (if (s > 0) "+" else "-") + s"$v[${d + 1}]"
+    }.mkString("(", " ", ")")
+
+  /** One LSH table's sign-pattern bucket id — mirrors
+    * `Similarity.bucketId` over `Similarity.hyperplanes(table, planes, _)`.
+    */
+  private def bucketSql(v: String, table: Int, planes: Int): String = {
+    val hps = graft.operators.Similarity.hyperplanes(table, planes, EmbDim)
+    (0 until planes).map { p =>
+      s"(CASE WHEN ${signedSumSql(v, hps(p))} > 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB mirror of `Similarity.lshTopK(planes=4, tables=8)`: same md5
+    * hyperplane signs (embedded as ±v[d] sums), same union-of-tables
+    * candidate set, same exact-cosine rerank with the same (cos DESC,
+    * neighbor ASC) tie-break. All arithmetic is double with the engine's
+    * evaluation order, so bucket bits — sign comparisons — agree exactly.
+    */
+  private def annLshOracle: String = {
+    val tables = 8
+    val bucketCols = (0 until tables)
+      .map(t => s"${bucketSql("v", t, 4)} AS b$t").mkString(",\n    ")
+    val orCond = (0 until tables).map(t => s"q.b$t = c.b$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, sqrt(${selfDotSql("v")}) AS nrm,
+       |    $bucketCols
+       |  FROM e),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM b q JOIN b c ON q.vec_id <> c.vec_id AND ($orCond)
+       |  WHERE q.vec_id < 10),
+       |ranked AS (SELECT cand.query_id, cand.neighbor_id,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+       |               cand.neighbor_id ASC) AS rank
+       |  FROM cand JOIN b q ON q.vec_id = cand.query_id
+       |            JOIN b c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** DuckDB mirror of `Similarity.ivfTopK(nLists=8, nProbe=3)`: centroids
+    * are the first 8 vectors by vec_id; assignment/probing rank cells by
+    * (cosine DESC, cell-id DESC) exactly like the engine's
+    * array_max/reverse(array_sort) over (c, i) structs; rerank as in
+    * [[annLshOracle]].
+    */
+  private def annIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c,
+       |    sqrt(${selfDotSql("v")}) AS cn
+       |  FROM e ORDER BY vec_id ASC LIMIT 8),
+       |scores AS (SELECT e.vec_id, cent.i,
+       |    ${dotSql("e.v", "cent.c")} / (sqrt(${selfDotSql("e.v")}) * cent.cn) AS cs
+       |  FROM e CROSS JOIN cent),
+       |ranked_cells AS (SELECT vec_id, i,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, i DESC) AS rn
+       |  FROM scores),
+       |assigned AS (SELECT vec_id AS neighbor_id, i AS cell FROM ranked_cells WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked_cells
+       |  WHERE rn <= 3 AND vec_id < 10),
+       |cand AS (SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell) WHERE a.neighbor_id <> p.query_id),
+       |ranked AS (SELECT cand.query_id, cand.neighbor_id,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY ${dotSql("q.v", "n.v")}
+       |                 / (sqrt(${selfDotSql("q.v")}) * sqrt(${selfDotSql("n.v")})) DESC,
+       |               cand.neighbor_id ASC) AS rank
+       |  FROM cand JOIN e q ON q.vec_id = cand.query_id
+       |            JOIN e n ON n.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
   // mh(2i)/mh(2i+1) are the two independent 60-bit halves of digest i
   // (hex chars [1,15] and [17,31]) — mirrors HashFunctions.md5LongHalves
   private val minhashCols = (0 until Dedup.NumHashes)
@@ -358,11 +453,21 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     // Pairs only (no float column): cosine values are not bit-portable
     // across engines; the closest pair sits 5.5e-4 from the 0.45 threshold
-    // at sf0.01, far beyond any fp divergence.
+    // at sf0.01, far beyond any fp divergence. The oracle brute-forces all
+    // pairs; the engine's LSH candidates + exact verify returns the same
+    // set (recall 1 measured with >= 5-table margin at every SF — see
+    // Similarity.NearDupPlanes).
     "q_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    // The grid-blocked variant is exact by construction — same oracle.
+    "q_embed_neardup_blocked" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    "ann_lsh" -> annLshOracle,
+    "ann_ivf" -> annIvfOracle,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5, 'fake/' || source AS format

@@ -6,19 +6,21 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`): exact
   * brute-force cosine top-k as the correctness baseline, embedding-cosine
-  * near-dup pairs, and a random-hyperplane LSH bucketed variant as the
-  * scale path.
+  * near-dup pairs (LSH-bucketed by default, grid-blocked exact as the
+  * guaranteed-recall alternative), and random-hyperplane LSH / IVF ANN as
+  * the scale paths.
   *
-  * All vector math is built-in higher-order functions (`zip_with` +
-  * `aggregate`) over the array — elementwise, evaluated in array order, so
-  * the double results are bit-reproducible. No UDFs.
+  * All vector math runs through the codegen'd native dot-product expression
+  * ([[graft.functions.FloatVecDot]]) — double accumulation, left-to-right in
+  * array order, so results are bit-reproducible across partitionings and
+  * engines. No UDFs.
   *
   * Scale design: brute-force top-k broadcasts the (small) query set and
   * scans candidates once — linear in corpus size, no shuffle until the
-  * final per-query top-k (TakeOrdered-style via window over query_id).
-  * The LSH path buckets both sides on deterministic hyperplane sign
-  * patterns, turning the scan into an equi-join; recall is tunable with
-  * `planes` (fewer planes → bigger buckets → higher recall).
+  * final per-query top-k. The LSH paths bucket both sides on deterministic
+  * hyperplane sign patterns, turning the scan into an equi-join; recall is
+  * tunable with `planes` (fewer planes → bigger buckets → higher recall)
+  * and `tables` (more tables → more chances to collide).
   */
 object Similarity {
 
@@ -32,6 +34,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Near-dup LSH amplification defaults. The driver data's near-dup pairs
+    * sit at cosine ≈ 0.45–0.60 with a continuous background right below the
+    * 0.45 threshold (measured: min qualifying pair 0.4501, max
+    * non-qualifying 0.4497 at sf0.1) — there is no angular margin, so
+    * recall-1 amplification must be wide: at cos 0.45 the per-table
+    * collision probability is (1 − θ/π)^planes = 0.6486^5 ≈ 0.115, giving a
+    * per-pair miss probability of (1 − 0.115)^96 ≈ 8e-6. Measured on the
+    * driver data (sf0.001/0.01/0.1): every qualifying pair collides in ≥ 5
+    * of the 96 tables — recall 1 with margin. On a real near-dup corpus
+    * (thresholds ≥ 0.8, planted duplicates) far fewer tables suffice; these
+    * dials are per-call parameters for that reason.
+    */
+  val NearDupPlanes = 5
+  val NearDupTables = 96
+
   /** Exact top-k neighbors by cosine for each query vector (vec_id <
     * nQueries), excluding self. Query side is broadcast; candidates are
     * scanned once. Output: (query_id, rank, neighbor_id) — ids only, since
@@ -40,14 +57,16 @@ object Similarity {
     * Norms are projected per ROW before the join (the join boundary stops
     * Catalyst from inlining them into the pair expression), so each pair
     * costs one dot product, not dot + two norms — 3× fewer flops on the
-    * O(n·q) hot path.
+    * O(n·q) hot path. The candidate side goes through the parallelism
+    * guard: the per-pair dot products run at the probe side's partitioning,
+    * which on a single-row-group input would otherwise be one partition.
     */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val queries = embeddings
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"))
-    val cand = embeddings.select(
+    val cand = graft.Parallelism.ensure(embeddings).select(
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       norm(col("embedding")).as("cn"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
@@ -60,25 +79,92 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
-    * Brute force at test scale; the LSH bucketing below is the 100 TB path.
-    * Pairs only — see [[bruteForceTopK]] on float portability; norms
-    * precomputed per row as there.
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
+    * threshold), LSH-bucketed: both sides bucket on deterministic
+    * hyperplane sign patterns, candidates come from an equi-join on
+    * (table, bucket) — never from an all-pairs join — and the exact cosine
+    * then verifies every candidate, so false candidates cost work but
+    * never wrong answers. Recall is governed by (planes, tables); see
+    * [[NearDupPlanes]] for the measured guarantee on the driver data.
+    *
+    * Honest cost accounting (measured, not guessed): at threshold 0.45 on
+    * margin-free data, recall-1 amplification evaluates ≈ tables/2^planes =
+    * 3× MORE candidate pairs than the exact grid join — LSH pays off when
+    * the threshold/data leave angular margin (real near-dup corpora at
+    * cos ≥ 0.8: planes=16, tables=8 prunes ~2^-13 of all pairs), and
+    * [[cosineNearDupPairsBlocked]] is the better plan when they don't.
+    * Both are shuffle-partitioned equi-joins that never materialize the
+    * pair matrix on one node; bucket sizes under random hyperplanes are
+    * ~n/2^planes w.h.p., so no salting is needed (unlike key-skewed joins).
     */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val a = embeddings.select(
-      col("vec_id").as("vec_a"), col("embedding").as("va"), norm(col("embedding")).as("na"))
-    val b = embeddings.select(
-      col("vec_id").as("vec_b"), col("embedding").as("vb"), norm(col("embedding")).as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+  def cosineNearDupPairs(
+      embeddings: DataFrame, threshold: Double = 0.45,
+      planes: Int = NearDupPlanes, tables: Int = NearDupTables): DataFrame = {
+    val firstVec = embeddings.select(col("embedding")).limit(1).collect()
+    if (firstVec.isEmpty) {
+      return embeddings.select(
+        col("vec_id").as("vec_a"), col("vec_id").as("vec_b")).limit(0)
+    }
+    val dim = firstVec(0).getSeq[Float](0).length
+    val allHps = (0 until tables).map(t => hyperplanes(t, planes, dim))
+    // bucket the corpus ONCE (self-joined below, and the sign-pattern
+    // projection is the CPU-heavy per-row step → parallelism guard first)
+    val b = withTableBuckets(
+      graft.Parallelism.ensure(embeddings)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")),
+      allHps).localCheckpoint()
+    b.as("l")
+      .join(b.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      // exact-cosine verify BEFORE the distinct: the filter shrinks the
+      // dedup input to true pairs, and cosine is deterministic so every
+      // duplicate of a pair agrees
+      .where(dot(col("l.embedding"), col("r.embedding"))
+        / (col("l.nrm") * col("r.nrm")) >= threshold)
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Exact near-duplicate pairs via a grid-blocked self-join: block each
+    * vector by `vec_id mod blocks`; the unordered pair {i, j} is evaluated
+    * in exactly one grid cell (block(i), block(j)), and cells are the keys
+    * of a plain shuffle equi-join. Work is the full n(n−1)/2 dot products —
+    * an exact threshold join on margin-free data cannot do less — but the
+    * plan is a ShuffledHashJoin/SortMergeJoin over `blocks·(blocks+1)/2`
+    * uniformly-loaded cells: no BroadcastNestedLoopJoin, no broadcast-size
+    * dependence, no skew, and each row is replicated exactly blocks+1
+    * times. On a cluster, size `blocks` so blocks² ≳ total cores and each
+    * cell's (n/blocks)² pair block fits one task.
+    */
+  def cosineNearDupPairsBlocked(
+      embeddings: DataFrame, threshold: Double = 0.45, blocks: Int = 16): DataFrame = {
+    val base = graft.Parallelism.ensure(embeddings)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val left = base
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"),
+        pmod(col("vec_id"), lit(blocks)).cast("int").as("ba"))
+      .withColumn("bb", explode(sequence(col("ba"), lit(blocks - 1))))
+    val right = base
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"),
+        pmod(col("vec_id"), lit(blocks)).cast("int").as("bb"))
+      .withColumn("ba", explode(sequence(lit(0), col("bb"))))
+    left.join(right, Seq("ba", "bb"))
+      // diagonal cells see both orientations of a pair — keep one; off-
+      // diagonal cells see each unordered pair exactly once by construction
+      .where(col("ba") =!= col("bb") || col("id_a") < col("id_b"))
       .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
-      .select(col("vec_a"), col("vec_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"))
   }
 
   /** Deterministic ±1 random hyperplanes from md5 — reproducible across
     * runs and engines, no RNG state. One set per (table, plane).
+    * `private[graft]` so [[graft.SparkEntry]] can mirror the same planes
+    * into the DuckDB oracle SQL.
     */
-  private[operators] def hyperplanes(table: Int, planes: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def hyperplanes(table: Int, planes: Int, dim: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(planes, dim) { (p, d) =>
       val h = md.digest(s"$table:$p:$d".getBytes("UTF-8"))
@@ -95,6 +181,19 @@ object Similarity {
       }
       .foldLeft(lit(0L))(_ + _)
 
+  /** Appends exploded (table, bucket) columns: one output row per input row
+    * per table, bucketed by that table's hyperplane sign pattern. The sign
+    * projection evaluates once per row (before the explode), then fans out.
+    */
+  private def withTableBuckets(df: DataFrame, allHps: Seq[Array[Array[Double]]]): DataFrame =
+    df.select(
+        col("*"),
+        explode(array(allHps.indices.map { t =>
+          struct(lit(t).as("table"), bucketId(col("embedding"), allHps(t)).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("*"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .drop("tb")
+
   /** IVF (inverted-file) ANN: partition the corpus into `nLists` cells by
     * nearest centroid, search only the query's `nProbe` closest cells, then
     * exact-cosine rerank. Centroids here are the first `nLists` corpus
@@ -103,10 +202,11 @@ object Similarity {
     * argmax-over-centroids expression either way).
     *
     * Scale notes: centroids ship as literals (broadcast by value, no
-    * shuffle); assignment is a linear scan (n·nLists dots, map-only);
-    * candidate generation is an equi-join on cell id, so per-query work is
-    * the probed cells' sizes, not the corpus. The recall/cost dials are
-    * nLists (cell granularity) and nProbe (cells searched).
+    * shuffle); assignment is a linear scan (n·nLists dots, map-only, run at
+    * guarded parallelism); candidate generation is an equi-join on cell id,
+    * so per-query work is the probed cells' sizes, not the corpus. The
+    * recall/cost dials are nLists (cell granularity) and nProbe (cells
+    * searched).
     */
   def ivfTopK(
       embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
@@ -134,7 +234,7 @@ object Similarity {
     def probeCells(v: Column): Column =
       transform(slice(reverse(array_sort(cellScores(v))), 1, nProbe), s => s.getField("i"))
 
-    val assigned = embeddings.select(
+    val assigned = graft.Parallelism.ensure(embeddings).select(
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       norm(col("embedding")).as("cn"), bestCell(col("embedding")).as("cell"))
     val queries = embeddings
@@ -174,28 +274,22 @@ object Similarity {
     }
     val dim = firstVec(0).getSeq[Float](0).length
     val allHps = (0 until tables).map(t => hyperplanes(t, planes, dim))
-    def bucketed(df: DataFrame): DataFrame =
-      df.select(
-        col("*"),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("table"), bucketId(col("embedding"), allHps(t)).as("bucket"))
-        }: _*)).as("tb"))
-        .select(col("*"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-        .drop("tb")
-    val queries = bucketed(embeddings.where(col("vec_id") < nQueries))
+    val queries = withTableBuckets(embeddings.where(col("vec_id") < nQueries), allHps)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("table"), col("bucket"))
-    val cands = bucketed(embeddings)
+    val cands = withTableBuckets(graft.Parallelism.ensure(embeddings), allHps)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         norm(col("embedding")).as("cn"), col("table"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     broadcast(queries)
       .join(cands, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"), col("qn"), col("cn"))
-      .dropDuplicates("query_id", "neighbor_id") // union the tables
+      // cosine BEFORE the table-union dedup: cos is identical for every
+      // duplicate of a pair, so the dedup shuffle carries one double
+      // instead of two float vectors + norms
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
       .where(col("rank") <= k)
   }
