@@ -79,9 +79,14 @@ object SparkEntry {
     "q_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
     // --- similarity search over embeddings ---
-    "q_embed_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
-    "q_embed_neardup_blocked" -> ((s, dir) =>
+    // Default = the exact grid-blocked join: recall 1 by construction, and
+    // the cheaper plan on this data's margin-free threshold (the LSH path
+    // does ~tables/2^planes = 3x the candidate work here). The LSH variant
+    // stays registered as the opt-in scale path for margin-bearing corpora.
+    "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairsBlocked(Tables.embeddings(s, dir))),
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     // ANN paths are approximate by design, but their bucketing/assignment
     // is deterministic (md5 hyperplanes, first-n centroids), so the full
@@ -244,11 +249,14 @@ object SparkEntry {
         |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
+    // doc ids sort lexicographically as strings (the job's contract — its
+    // ids may be file paths), so the oracle sorts the VARCHAR form
     "mr_inverted_index" ->
       """SELECT word, array_to_string(
         |    list_sort(list_distinct(list(doc_id)), 'ASC'), ',') AS doc_ids
         |FROM (
-        |  SELECT DISTINCT doc_id, regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
+        |  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
+        |    regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
         |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
@@ -351,8 +359,8 @@ object SparkEntry {
         |  CAST(day(o_orderdate) AS INTEGER) AS dom,
         |  substr(o_orderpriority, 1, 1) AS pri,
         |  o_orderstatus || '-' || upper(o_orderpriority) AS tag,
-        |  round(sqrt(o_totalprice), 4) AS sqrt_price,
-        |  round(ln(o_totalprice + 1), 4) AS ln_price,
+        |  sqrt(o_totalprice) AS sqrt_price,
+        |  ln(o_totalprice + 1) AS ln_price,
         |  o_orderkey % 7 AS mod7
         |FROM orders""".stripMargin,
     "q_topk_global" ->
@@ -454,15 +462,15 @@ object SparkEntry {
     // Pairs only (no float column): cosine values are not bit-portable
     // across engines; the closest pair sits 5.5e-4 from the 0.45 threshold
     // at sf0.01, far beyond any fp divergence. The oracle brute-forces all
-    // pairs; the engine's LSH candidates + exact verify returns the same
-    // set (recall 1 measured with >= 5-table margin at every SF — see
-    // Similarity.NearDupPlanes).
+    // pairs; the engine's grid-blocked join is exact by construction.
     "q_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
-    // The grid-blocked variant is exact by construction — same oracle.
-    "q_embed_neardup_blocked" ->
+    // The LSH variant's candidates + exact verify return the same set on
+    // this data (recall 1 measured with >= 5-table margin at every SF — see
+    // Similarity.NearDupPlanes) — same oracle.
+    "q_embed_neardup_lsh" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,

@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the float-vector dot product — the hot
   * inner loop of similarity search. A `zip_with`+`aggregate` HOF pipeline
@@ -51,17 +51,20 @@ case class FloatVecDot(left: Expression, right: Expression)
     case _               => true
   }
 
-  /** Null when either input is null OR any paired element is null (the
-    * zip_with product-with-null semantics).
+  /** Null when either input is null, the lengths differ, OR any paired
+    * element is null (the zip_with product-with-null semantics). The
+    * length-mismatch NULL matters because `vec_dot` is a user-callable SQL
+    * function: a silently-truncated partial dot product would mask
+    * dimension-mismatch bugs in the caller's data.
     */
-  override def nullable: Boolean =
-    left.nullable || right.nullable || elemsNullable(left) || elemsNullable(right)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -87,11 +90,15 @@ case class FloatVecDot(left: Expression, right: Expression)
           s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
         else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullGuard
-         |  $s += $getX * $getY;
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $s += $getX * $getY;
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -100,6 +107,108 @@ case class FloatVecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** All `tables` LSH sign-pattern bucket ids of a vector in ONE expression:
+  * `bucket[t] = Σ_p (v · hyperplane(t,p) > 0) << p` over the deterministic
+  * md5-derived ±1 hyperplanes (same family as
+  * [[graft.operators.Similarity.hyperplanes]] — signs depend only on
+  * (table, plane, dim-index), so they are derived lazily per input
+  * dimension and mirrored verbatim in the DuckDB oracle SQL).
+  *
+  * Why one expression instead of `tables × planes` `vec_dot` calls: the
+  * inlined form generates ~130 bytes of Java per plane — at 96 tables × 5
+  * planes the projection method passes janino's 64 KB limit and the whole
+  * stage silently falls back to interpreted evaluation. Here codegen emits
+  * a single call into [[compute]] (a reference object), so the generated
+  * method stays tiny, whole-stage codegen survives, and the hot loop is
+  * one JIT-compiled pass with good cache locality over a sign matrix
+  * instead of 480 janino fragments.
+  *
+  * Arithmetic parity: accumulation is left-to-right in array order,
+  * multiplying each element by ±1.0 — an exact IEEE sign flip — so bucket
+  * bits agree bit-for-bit with the oracle's `(+v[1] -v[2] …)` sums and
+  * with the `vec_dot(v, ±1-array)` form this replaces.
+  */
+case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument, got ${dt.simpleString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  /** Sign rows for (table·planes + plane), derived for one dimension count;
+    * cached per dim (dims are uniform in practice — the cache has one
+    * entry). Rebuilt per executor after deserialization.
+    */
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def signs(dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent(dim, d => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(tables * planes) { tp =>
+        val (t, p) = (tp / planes, tp % planes)
+        Array.tabulate(d) { i =>
+          val h = md.digest(s"$t:$p:$i".getBytes("UTF-8"))
+          if ((h(0) & 1) == 1) 1.0 else -1.0
+        }
+      }
+    })
+
+  /** The per-row kernel — called from both eval paths. Public-to-codegen
+    * via a reference object.
+    */
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val sg = signs(n)
+    val fl = isFloat
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val row = sg(t * planes + p)
+        var s = 0.0
+        var nullSeen = false
+        var d = 0
+        while (d < n && !nullSeen) {
+          if (v.isNullAt(d)) nullSeen = true
+          else s += (if (fl) v.getFloat(d).toDouble else v.getDouble(d)) * row(d)
+          d += 1
+        }
+        // a null element nulls the dot product; a null comparison is false
+        // — same bit-0 outcome as the when(vec_dot > 0) form it replaces
+        if (!nullSeen && s > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hpBuckets", this, classOf[HyperplaneBuckets].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object VectorExpressions {
@@ -112,4 +221,10 @@ object VectorExpressions {
   /** ‖a‖₂ via the same kernel (one self-dot + sqrt). */
   def vecNorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vecDot(a, a))
+
+  /** Array of all `tables` LSH bucket ids for a vector (see
+    * [[HyperplaneBuckets]]).
+    */
+  def hyperplaneBuckets(v: Column, tables: Int, planes: Int): Column =
+    ColumnBridge.column(HyperplaneBuckets(ColumnBridge.expression(v), tables, planes))
 }

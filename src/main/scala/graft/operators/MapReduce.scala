@@ -66,6 +66,11 @@ object MapReduce {
     * combine): word → comma-joined sorted distinct doc ids. This is the
     * kind of job the reference's `reduceF(key, values)` contract exists
     * for (reference `mapreduce/mapreduce.go:88`).
+    *
+    * Doc ids are opaque strings and sort LEXICOGRAPHICALLY — the job must
+    * work on [[textInput]], whose ids are file paths, as well as numeric
+    * table ids (where lexicographic order is the string order of the id,
+    * not numeric order — the oracle mirrors this with a VARCHAR sort).
     */
   def invertedIndexJob(input: Dataset[(String, String)])(implicit
       spark: SparkSession): Dataset[(String, String)] = {
@@ -77,7 +82,7 @@ object MapReduce {
         .distinct
         .map(w => (w, doc))
     val reduceF: (String, Iterator[String]) => String = (_, docs) =>
-      docs.toSeq.distinct.sortBy(_.toLong).mkString(",")
+      docs.toSeq.distinct.sorted.mkString(",")
     mapReduce[String, String](input, mapF, reduceF)
   }
 

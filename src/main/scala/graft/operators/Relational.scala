@@ -209,8 +209,11 @@ object Relational {
       dayofmonth(col("o_orderdate")).as("dom"),
       substring(col("o_orderpriority"), 1, 1).as("pri"),
       concat(col("o_orderstatus"), lit("-"), upper(col("o_orderpriority"))).as("tag"),
-      round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
-      round(log(col("o_totalprice") + 1), 4).as("ln_price"),
+      // raw doubles, no round(): fractional rounding of an irrational is
+      // half-way-point flaky across engines (see cents() above); the
+      // compare harness canonicalizes floats itself
+      sqrt(col("o_totalprice")).as("sqrt_price"),
+      log(col("o_totalprice") + 1).as("ln_price"),
       (col("o_orderkey") % 7).as("mod7"))
 
   /** Sketch aggregates — the fixed-size-state approximations that replace

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`): exact
   * brute-force cosine top-k as the correctness baseline, embedding-cosine
-  * near-dup pairs (LSH-bucketed by default, grid-blocked exact as the
-  * guaranteed-recall alternative), and random-hyperplane LSH / IVF ANN as
-  * the scale paths.
+  * near-dup pairs (grid-blocked exact by default, LSH-bucketed as the
+  * opt-in path for margin-bearing corpora), and random-hyperplane LSH /
+  * IVF ANN as the scale paths.
   *
   * All vector math runs through the codegen'd native dot-product expression
   * ([[graft.functions.FloatVecDot]]) — double accumulation, left-to-right in
@@ -79,51 +79,65 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
-    * threshold), LSH-bucketed: both sides bucket on deterministic
-    * hyperplane sign patterns, candidates come from an equi-join on
-    * (table, bucket) — never from an all-pairs join — and the exact cosine
-    * then verifies every candidate, so false candidates cost work but
-    * never wrong answers. Recall is governed by (planes, tables); see
-    * [[NearDupPlanes]] for the measured guarantee on the driver data.
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b), LSH-bucketed —
+    * the opt-in scale path for corpora with angular margin: both sides
+    * bucket on deterministic hyperplane sign patterns, candidates come from
+    * an equi-join on (table, bucket) — never from an all-pairs join — and
+    * the exact cosine then verifies every candidate, so false candidates
+    * cost work but never wrong answers.
+    *
+    * RECALL CONTRACT — probabilistic, not exact: a qualifying pair that
+    * collides in none of the `tables` tables is silently dropped. The miss
+    * probability per pair at angle θ is (1 − (1 − θ/π)^planes)^tables —
+    * ~8e-6 at cos 0.45 with the defaults, and measured recall 1 (with ≥
+    * 5-table margin) on the driver data at every SF; see [[NearDupPlanes]].
+    * Callers needing a hard "every pair with cosine >= threshold" guarantee
+    * should use [[cosineNearDupPairsBlocked]] (exact by construction, and
+    * the better plan on margin-free data — see cost note below).
     *
     * Honest cost accounting (measured, not guessed): at threshold 0.45 on
     * margin-free data, recall-1 amplification evaluates ≈ tables/2^planes =
     * 3× MORE candidate pairs than the exact grid join — LSH pays off when
     * the threshold/data leave angular margin (real near-dup corpora at
-    * cos ≥ 0.8: planes=16, tables=8 prunes ~2^-13 of all pairs), and
-    * [[cosineNearDupPairsBlocked]] is the better plan when they don't.
+    * cos ≥ 0.8: planes=16, tables=8 prunes ~2^-13 of all pairs).
     * Both are shuffle-partitioned equi-joins that never materialize the
     * pair matrix on one node; bucket sizes under random hyperplanes are
     * ~n/2^planes w.h.p., so no salting is needed (unlike key-skewed joins).
+    *
+    * Memory footprint: only the slim (vec_id, table, bucket) rows are
+    * materialized for the self-join — tables×n ids (~24 bytes each), NOT
+    * tables copies of the vectors; embeddings and norms are joined back
+    * from the source for the (few) deduped candidate pairs. At 100 TB the
+    * materialized set is ~0.1% of the corpus instead of 96× it.
     */
   def cosineNearDupPairs(
       embeddings: DataFrame, threshold: Double = 0.45,
       planes: Int = NearDupPlanes, tables: Int = NearDupTables): DataFrame = {
-    val firstVec = embeddings.select(col("embedding")).limit(1).collect()
-    if (firstVec.isEmpty) {
-      return embeddings.select(
-        col("vec_id").as("vec_a"), col("vec_id").as("vec_b")).limit(0)
-    }
-    val dim = firstVec(0).getSeq[Float](0).length
-    val allHps = (0 until tables).map(t => hyperplanes(t, planes, dim))
-    // bucket the corpus ONCE (self-joined below, and the sign-pattern
-    // projection is the CPU-heavy per-row step → parallelism guard first)
-    val b = withTableBuckets(
-      graft.Parallelism.ensure(embeddings)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")),
-      allHps).localCheckpoint()
-    b.as("l")
-      .join(b.as("r"),
+    // bucket the corpus ONCE (the sign-pattern projection is the CPU-heavy
+    // per-row step → parallelism guard first), keeping only ids: the
+    // self-joined materialization must not carry the vectors
+    val buckets = withTableBuckets(
+      graft.Parallelism.ensure(embeddings).select(col("vec_id"), col("embedding")),
+      tables, planes)
+      .select(col("vec_id"), col("table"), col("bucket"))
+      .localCheckpoint()
+    // dedup candidate ids BEFORE fetching vectors: the distinct shuffles
+    // two longs per candidate, and each unique pair costs one dot product
+    val candidates = buckets.as("l")
+      .join(buckets.as("r"),
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
-      // exact-cosine verify BEFORE the distinct: the filter shrinks the
-      // dedup input to true pairs, and cosine is deterministic so every
-      // duplicate of a pair agrees
-      .where(dot(col("l.embedding"), col("r.embedding"))
-        / (col("l.nrm") * col("r.nrm")) >= threshold)
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
       .distinct()
+    val withVecs = embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    candidates
+      .join(withVecs.select(
+        col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na")), "vec_a")
+      .join(withVecs.select(
+        col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb")), "vec_b")
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("vec_a"), col("vec_b"))
   }
 
   /** Exact near-duplicate pairs via a grid-blocked self-join: block each
@@ -172,27 +186,20 @@ object Similarity {
     }
   }
 
-  /** Sign-pattern bucket id of a vector under a table's hyperplanes. */
-  private def bucketId(v: Column, hps: Array[Array[Double]]): Column =
-    hps.indices
-      .map { p =>
-        val hp = array(hps(p).map(lit): _*)
-        when(dot(v, hp) > 0, 1L << p).otherwise(0L)
-      }
-      .foldLeft(lit(0L))(_ + _)
-
   /** Appends exploded (table, bucket) columns: one output row per input row
-    * per table, bucketed by that table's hyperplane sign pattern. The sign
-    * projection evaluates once per row (before the explode), then fans out.
+    * per table, bucketed by that table's hyperplane sign pattern. All
+    * `tables` bucket ids come from ONE codegen'd kernel call per row
+    * ([[graft.functions.HyperplaneBuckets]] — the inlined per-plane
+    * `vec_dot` form blew janino's 64 KB method limit at 96×5 and fell back
+    * to interpreted evaluation), then `posexplode` fans them out.
     */
-  private def withTableBuckets(df: DataFrame, allHps: Seq[Array[Array[Double]]]): DataFrame =
+  private def withTableBuckets(df: DataFrame, tables: Int, planes: Int): DataFrame =
     df.select(
-        col("*"),
-        explode(array(allHps.indices.map { t =>
-          struct(lit(t).as("table"), bucketId(col("embedding"), allHps(t)).as("bucket"))
-        }: _*)).as("tb"))
-      .select(col("*"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      .drop("tb")
+      col("*"),
+      posexplode(graft.functions.VectorExpressions
+        .hyperplaneBuckets(col("embedding"), tables, planes)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
 
   /** IVF (inverted-file) ANN: partition the corpus into `nLists` cells by
     * nearest centroid, search only the query's `nProbe` closest cells, then
@@ -264,20 +271,13 @@ object Similarity {
   def lshTopK(
       embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       planes: Int = 4, tables: Int = 8): DataFrame = {
-    // hyperplanes must span the actual embedding dimension — a hardcoded
-    // dim would silently bucket on a prefix of longer vectors
-    val firstVec = embeddings.select(col("embedding")).limit(1).collect()
-    if (firstVec.isEmpty) {
-      return embeddings.select(
-        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        lit(1).as("rank")).limit(0)
-    }
-    val dim = firstVec(0).getSeq[Float](0).length
-    val allHps = (0 until tables).map(t => hyperplanes(t, planes, dim))
-    val queries = withTableBuckets(embeddings.where(col("vec_id") < nQueries), allHps)
+    // hyperplane signs span whatever dimension each row carries — the
+    // bucket kernel derives them per-dim, so no driver-side dim discovery
+    val queries = withTableBuckets(
+      embeddings.where(col("vec_id") < nQueries), tables, planes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("table"), col("bucket"))
-    val cands = withTableBuckets(graft.Parallelism.ensure(embeddings), allHps)
+    val cands = withTableBuckets(graft.Parallelism.ensure(embeddings), tables, planes)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         norm(col("embedding")).as("cn"), col("table"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))

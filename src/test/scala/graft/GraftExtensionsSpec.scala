@@ -11,6 +11,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("vec_dot returns NULL on length mismatch (not a truncated partial dot)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0), s"expected NULL, got ${r.get(0)}")
+    // and the interpreted (non-codegen) path agrees
+    val interp = graft.functions.FloatVecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+      .eval(null)
+    assert(interp == null)
+  }
+
   test("extensions class injects the same descriptors (startup path)") {
     // exercise the SparkSessionExtensions wiring itself
     val ext = new org.apache.spark.sql.SparkSessionExtensions

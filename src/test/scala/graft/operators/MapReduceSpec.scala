@@ -48,6 +48,20 @@ class MapReduceSpec extends SparkSpec {
     }
   }
 
+  test("inverted index works on textInput's file-path doc ids (sorted lexicographically)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inv")
+    val f1 = dir.resolve("input1.txt"); val f2 = dir.resolve("input2.txt")
+    java.nio.file.Files.writeString(f1, "hello world hello")
+    java.nio.file.Files.writeString(f2, "world goodbye")
+    val input = MapReduce.textInput(spark, Seq(f1.toString, f2.toString))
+    val got = MapReduce.invertedIndexJob(input).collect().toMap
+    // one entry per word; file-path ids sorted as strings, comma-joined
+    assert(got.keySet === Set("hello", "world", "goodbye"))
+    assert(got("hello").contains("input1.txt") && !got("hello").contains(","))
+    val worldDocs = got("world").split(",").toSeq
+    assert(worldDocs.size === 2 && worldDocs === worldDocs.sorted)
+  }
+
   test("result invariant to re-splitting the corpus into different files") {
     val rng = new scala.util.Random(13)
     for (_ <- 1 to 5) {

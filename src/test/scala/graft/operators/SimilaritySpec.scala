@@ -56,4 +56,42 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.ivfTopK(emb, 5, 3, nLists = 1, nProbe = 1)) ===
       rows(Similarity.bruteForceTopK(emb, 5, 3)))
   }
+
+  /** Driver-side brute-force threshold pairs — the ground truth for the
+    * near-dup paths (test-scale corpus only).
+    */
+  private def bruteForcePairs(threshold: Double): Set[(Long, Long)] = {
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= threshold
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("grid-blocked near-dup pairs equal the brute-force threshold join") {
+    assert(pairSet(Similarity.cosineNearDupPairsBlocked(emb)) === bruteForcePairs(0.45))
+  }
+
+  test("grid-blocked near-dup is exact when blocks > n (near-empty cells)") {
+    val small = emb.where(col("vec_id") < 5)
+    val vecsTruth = bruteForcePairs(0.2)
+      .filter { case (a, b) => a < 5 && b < 5 }
+    assert(pairSet(Similarity.cosineNearDupPairsBlocked(small, threshold = 0.2, blocks = 16))
+      === vecsTruth)
+  }
+
+  test("LSH near-dup pairs equal the brute-force threshold join (recall-1 amplification)") {
+    assert(pairSet(Similarity.cosineNearDupPairs(emb)) === bruteForcePairs(0.45))
+  }
 }
