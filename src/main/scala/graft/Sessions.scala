@@ -31,4 +31,27 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** The documented cluster profile — every setting a real multi-executor
+    * deployment adds on top of [[local]]'s session-level config. Apply with
+    * `clusterProfile.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }`.
+    *
+    *   - `spark.speculation=true`: straggler re-execution — the Spark
+    *     mapping of the reference's 10 s in-progress-task re-issue
+    *     (reference `master/master.go:111-117`; SURVEY §4). Meaningless in
+    *     a single-JVM local run (there is no slow node), which is why
+    *     [[local]] omits it.
+    *   - AQE skew-join splitting on (with AQE itself already on):
+    *     runtime re-planning of the skewed shuffle partitions that salting
+    *     handles statically (`SkewJoin`).
+    *   - `spark.sql.files.maxPartitionBytes` left at its 128 MB default on
+    *     purpose: with ~100 MB row groups it gives one task per row group;
+    *     shrink it only for CPU-bound scans.
+    */
+  val clusterProfile: Map[String, String] = Map(
+    "spark.speculation" -> "true",
+    "spark.speculation.multiplier" -> "3",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
 }

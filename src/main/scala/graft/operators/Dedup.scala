@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * (exact dedup, signatures) or an LSH bucket join — candidate pairs come
   * from an equi-join on (band, key), never from a cross join. At 100 TB the
   * bucket join shuffles each doc `bands` times (a constant), and bucket
-  * sizes are bounded w.h.p. by the banding parameters; a skew guard drops
-  * degenerate buckets (e.g. the empty-text bucket) above a size cap the
-  * same way production MinHash dedup pipelines do.
+  * sizes are bounded w.h.p. by the banding parameters; a skew guard
+  * ([[dropOversizedBuckets]]) drops degenerate buckets (e.g. boilerplate /
+  * identical-text clusters) above a size cap the same way production
+  * MinHash dedup pipelines do.
   */
 object Dedup {
 
@@ -26,6 +27,16 @@ object Dedup {
   val NumHashes = 16
   val Bands = 8
   val RowsPerBand = 2 // NumHashes / Bands
+
+  /** Default bucket-size cap for the band self-joins. A bucket of size n
+    * yields n(n-1)/2 within-bucket pairs in one task's hands — at the
+    * default cap that is ~5e7 pairs, the most a single straggling task
+    * should ever own. Buckets above the cap are degenerate by construction
+    * (identical boilerplate that exact dedup should have removed first, or
+    * a collapsed hash family) — enumerating their pairs is O(n²) work that
+    * tells you nothing new about any individual pair.
+    */
+  val DefaultMaxBucketSize = 10000
 
   /** Exact dedup on whitespace-normalized lowercase text: one hash-agg;
     * keeps the smallest doc_id as the cluster representative.
@@ -87,11 +98,30 @@ object Dedup {
   def minhashSignatures(documents: DataFrame, numHashes: Int = NumHashes): DataFrame =
     signaturesFromShingled(shingled(documents), numHashes)
 
+  /** Skew guard for band self-joins: anti-join away every (band, key)
+    * bucket larger than `cap` before the bucket join goes quadratic on it.
+    * The oversized set is tiny by construction (it IS the skew), so the
+    * anti-join broadcasts — one extra aggregate over the banded rows, no
+    * extra shuffle of them. Pairs inside a dropped bucket are NOT emitted;
+    * callers that must not lose them should exact-dedup first (identical
+    * docs are what make degenerate buckets).
+    */
+  private def dropOversizedBuckets(banded: DataFrame, cap: Int): DataFrame = {
+    val oversized = banded
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > cap)
+      .select("band", "key")
+    banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+  }
+
   /** LSH candidate pairs (a < b) from banded minhash signatures: docs
     * collide iff all RowsPerBand minhashes of some band agree. The join is
-    * an equi-join on (band, key) — no cross join anywhere.
+    * an equi-join on (band, key) — no cross join anywhere — with buckets
+    * above `maxBucketSize` dropped first (see [[dropOversizedBuckets]]).
     */
-  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
+  def lshCandidatePairs(
+      signatures: DataFrame, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val banded = signatures
       .where(col("mh0").isNotNull)
       .select(
@@ -106,8 +136,9 @@ object Dedup {
       // self-joined below: materialize so the signature pipeline above
       // runs once, not once per join side
       .localCheckpoint()
-    banded.as("l")
-      .join(banded.as("r"),
+    val kept = dropOversizedBuckets(banded, maxBucketSize)
+    kept.as("l")
+      .join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
@@ -119,14 +150,16 @@ object Dedup {
     * on the true shingle sets. `inter`/`uni` are exact ints; `jaccard` is
     * their single-division ratio. Keeps pairs with jaccard >= threshold.
     */
-  def nearDuplicatePairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def nearDuplicatePairs(
+      documents: DataFrame, threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // materialize shingles ONCE: they feed the signature pipeline plus both
     // sides of the verification join, and a self-join otherwise recomputes
     // its whole input subplan per side (localCheckpoint also cuts lineage).
     // At cluster scale this would be an explicit staged table or
     // MEMORY_AND_DISK persist — same idea, longer-lived.
     val sh = shingled(documents).localCheckpoint()
-    val pairs = lshCandidatePairs(signaturesFromShingled(sh))
+    val pairs = lshCandidatePairs(signaturesFromShingled(sh), maxBucketSize)
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -162,9 +195,13 @@ object Dedup {
     * band join: the 32-bit signature splits into 4 bytes; by pigeonhole,
     * any pair within Hamming distance 3 matches on at least one byte, so
     * the band join is EXACT for maxDist <= 3 — same result as the O(n²)
-    * scan, at bucket-join cost.
+    * scan, at bucket-join cost. Exactness assumes no bucket exceeds
+    * `maxBucketSize` (the cap is the skew escape hatch for degenerate
+    * identical-signature clusters; see [[dropOversizedBuckets]]).
     */
-  def simhashNearDupPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDupPairs(
+      documents: DataFrame, maxDist: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxDist <= 3, "byte-banding over 32 bits is only exact for maxDist <= 3")
     val sigs = simhashSignatures(documents)
     val banded = sigs.select(
@@ -174,8 +211,9 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
       .localCheckpoint() // self-joined: compute the signatures once
-    banded.as("l")
-      .join(banded.as("r"),
+    val kept = dropOversizedBuckets(banded, maxBucketSize)
+    kept.as("l")
+      .join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(

@@ -19,12 +19,16 @@ class ProgressListener extends SparkListener {
 
   private val taskCounts = TrieMap.empty[String, Long] // executorId -> tasks assigned
   private val stageTotal = TrieMap.empty[Int, Int]     // stageId -> task count
-  private val stageDone = TrieMap.empty[Int, Int]      // stageId -> completed tasks
+  // stageId -> distinct successful task indices: a speculative duplicate or
+  // a stage-retry re-run of task i must not count i twice (the reference
+  // has the same idempotence — a stale straggler's duplicate completion is
+  // accepted but the task is already "done", master.go:137-149)
+  private val stageDone = TrieMap.empty[Int, TrieMap[Int, Unit]]
   private val stageStatus = TrieMap.empty[Int, String] // idle | in-progress | done
 
   override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
     stageTotal.put(e.stageInfo.stageId, e.stageInfo.numTasks)
-    stageDone.putIfAbsent(e.stageInfo.stageId, 0)
+    stageDone.putIfAbsent(e.stageInfo.stageId, TrieMap.empty)
     stageStatus.put(e.stageInfo.stageId, "in-progress")
   }
 
@@ -36,11 +40,17 @@ class ProgressListener extends SparkListener {
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
     if (e.taskInfo.successful) {
-      stageDone.updateWith(e.stageId) {
-        case Some(n) => Some(n + 1)
-        case None    => Some(1)
-      }
+      stageDone
+        .getOrElseUpdate(e.stageId, TrieMap.empty)
+        .put(e.taskInfo.index, ())
     }
+
+  private def doneCount(stageId: Int): Int = {
+    val done = stageDone.get(stageId).map(_.size).getOrElse(0)
+    // a stage retry can legitimately run MORE distinct indices than the
+    // retry attempt's numTasks; clamp so done never exceeds total
+    math.min(done, stageTotal.getOrElse(stageId, done))
+  }
 
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
     stageStatus.put(e.stageInfo.stageId, "done")
@@ -52,7 +62,7 @@ class ProgressListener extends SparkListener {
   def progress: Double = {
     val total = stageTotal.values.sum
     if (total == 0) 0.0
-    else math.min(100.0, stageDone.values.sum * 100.0 / total)
+    else math.min(100.0, stageTotal.keys.map(doneCount).sum * 100.0 / total)
   }
 
   /** Snapshot in the reference dashboard's JSON shape; each Spark stage
@@ -66,7 +76,7 @@ class ProgressListener extends SparkListener {
       s"""{"id":"${esc(id)}","tasks_assigned":$n}"""
     }.mkString("[", ",", "]")
     val tasks = stageStatus.toSeq.sortBy(_._1).map { case (id, st) =>
-      val done = stageDone.getOrElse(id, 0)
+      val done = doneCount(id)
       val total = stageTotal.getOrElse(id, 0)
       s"""{"id":$id,"type":"stage","status":"${esc(st)}","tasks_done":$done,"tasks_total":$total}"""
     }.mkString("[", ",", "]")

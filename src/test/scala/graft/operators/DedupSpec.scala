@@ -40,6 +40,30 @@ class DedupSpec extends SparkSpec {
     assert(sigs === 1) // only doc 3 has shingles
   }
 
+  test("bucket-size cap drops a planted degenerate bucket, keeps normal pairs") {
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val nearDup = base.replace("delta", "DELTA-EDIT")
+    // 40 identical boilerplate docs -> one degenerate identical-signature
+    // bucket of 40; plus one true near-dup pair with distinct text
+    val degenerate = (10L until 50L).map(i => i -> boiler)
+    val d = docs(degenerate ++ Seq(1L -> base, 2L -> nearDup): _*)
+    // with the cap above the bucket size, the boilerplate cluster floods
+    // the result with its O(n^2) pairs
+    val uncapped = Dedup.nearDuplicatePairs(d, threshold = 0.3, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.size === 1 + 40 * 39 / 2)
+    // with the cap below it, the degenerate bucket is dropped whole and the
+    // true near-dup pair survives
+    val capped = Dedup.nearDuplicatePairs(d, threshold = 0.3, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+    // same guard on the simhash band join
+    val cappedSim = Dedup.simhashNearDupPairs(d, maxDist = 3, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cappedSim.exists(p => p._1 >= 10L && p._2 >= 10L))
+  }
+
   test("simhash byte-banding equals brute force for hamming <= 3 (driver data)") {
     val d = graft.Tables.documents(spark, sf("sf0.001"))
     val banded = Dedup.simhashNearDupPairs(d, maxDist = 3)

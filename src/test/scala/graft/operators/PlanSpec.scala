@@ -57,13 +57,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no oracle query plans a cartesian product") {
-    // pairwise similarity queries are range self-joins (vec_a < vec_b) and
-    // legitimately plan as BroadcastNestedLoopJoin at this scale, but a
-    // CartesianProduct would mean a missing join condition
+    // every pairwise query is bucketed (grid cells, LSH tables, bands) into
+    // an equi-join; a CartesianProduct would mean a missing join condition
     SparkEntry.queries.keys.filterNot(_ == "q_stream_hourly").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
     }
+  }
+
+  test("near-dup pair queries plan bucketed equi-joins, never BroadcastNestedLoopJoin") {
+    // the all-pairs BNLJ was round 1's scale-killer: candidate pairs must
+    // come from grid cells (blocked) or (table, bucket) hash tables (LSH)
+    Seq("q_embed_neardup", "q_embed_neardup_lsh", "q_dedup_neardup", "q_simhash_pairs")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$p")
+      }
   }
 
   test("metadata-only multimodal projection does not shuffle") {

@@ -31,4 +31,23 @@ class ProgressListenerSpec extends SparkSpec {
       } finally server.stop()
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("duplicate successful task ends (speculation/retry) do not over-count") {
+    import org.apache.spark.scheduler.TestTaskEvents._
+    val listener = new ProgressListener
+    listener.onStageSubmitted(stageSubmitted(stageId = 1, numTasks = 2))
+    listener.onTaskEnd(successfulTaskEnd(1, index = 0))
+    listener.onTaskEnd(successfulTaskEnd(1, index = 0, attempt = 1)) // speculative dup
+    assert(listener.progress === 50.0, "task 0's duplicate completion counted twice")
+    assert(listener.jsonSnapshot.contains(""""tasks_done":1,"tasks_total":2"""))
+    listener.onTaskEnd(successfulTaskEnd(1, index = 1))
+    listener.onTaskEnd(successfulTaskEnd(1, index = 1, attempt = 1))
+    assert(listener.progress === 100.0)
+    assert(listener.jsonSnapshot.contains(""""tasks_done":2,"tasks_total":2"""))
+  }
+
+  test("cluster profile documents straggler re-execution (speculation on)") {
+    assert(graft.Sessions.clusterProfile("spark.speculation") === "true")
+    assert(graft.Sessions.clusterProfile("spark.sql.adaptive.skewJoin.enabled") === "true")
+  }
 }
