@@ -102,6 +102,10 @@ object SparkEntry {
       graft.streaming.EventStreams.hourlyStatsToBatch(s, dir)),
     "q_stream_sessions" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionCountsToBatch(s, dir)),
+    // The production topology: append mode + parquet sink, state evicted at
+    // the watermark. Emits only watermark-passed windows (see oracle).
+    "q_stream_hourly_append" -> ((s, dir) =>
+      graft.streaming.EventStreams.hourlyStatsAppendToBatch(s, dir)),
   )
 
   /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
@@ -486,6 +490,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    // Append mode emits a window exactly once — when the final watermark
+    // (max event time - 1 h) passes its end — so the oracle is the batch
+    // aggregation restricted to hour + 2 h <= max(ts). Boundary safety:
+    // max(ts) sits 26-59 min past the hour at every SF, far from the
+    // nanos-vs-micros truncation and <=-vs-< ambiguity at exact boundaries.
+    "q_stream_hourly_append" ->
+      """SELECT * FROM (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |  FROM events GROUP BY date_trunc('hour', ts), event_type) t
+        |WHERE hour + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)""".stripMargin,
     // Streaming session windows rolled up per user == batch
     // gaps-and-islands sessionization (same oracle as q_events_sessions).
     "q_stream_sessions" ->

@@ -95,6 +95,52 @@ object EventStreams {
   def hourlyStatsToBatch(spark: SparkSession, dir: String): DataFrame =
     runToBatch(spark, dir, hourlyStats, s"stream_hourly_${System.nanoTime()}")
 
+  /** PRODUCTION streaming topology: append output mode + file sink. This —
+    * not [[runToBatch]] — is the shape that runs on an unbounded stream:
+    *
+    *   - append mode emits each window exactly once, when the watermark
+    *     passes its end, then EVICTS its state: state size is bounded by
+    *     (watermark horizon / window length) × key cardinality, never by
+    *     stream history (complete mode retains every window forever);
+    *   - the parquet sink writes distributed, exactly-once (checkpointed
+    *     file-manifest commit protocol) — nothing is collected on the
+    *     driver (the memory sink in [[runToBatch]] is a driver-side
+    *     materialization by construction, fine only as an oracle harness);
+    *   - `Trigger.AvailableNow` drains what exists and stops — swap for a
+    *     processing-time trigger for continuous ingest; nothing else
+    *     changes.
+    *
+    * Returns the path-backed result read back from the sink. Windows still
+    * inside the watermark horizon at end-of-input are NOT emitted — that is
+    * append-mode's contract (they could still receive late data), asserted
+    * against the batch answer + cutoff in the oracle and EventStreamsSpec.
+    */
+  def runAppendToFiles(
+      spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame,
+      outPath: String, checkpointPath: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val q = transform(source(spark, dir, watermark))
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
+  /** Append-mode hourly stats over the driver's events dir, file-sinked to
+    * a temp dir. Oracle: the batch hourly aggregation restricted to windows
+    * whose end the final watermark (max event time − 1 h) passed.
+    */
+  def hourlyStatsAppendToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_append")
+    runAppendToFiles(spark, dir, hourlyStats, s"$tmp/out", s"$tmp/ckpt")
+  }
+
   /** Streaming exactly-once ingest dedup: drop duplicate event ids within
     * the watermark horizon — the standard at-least-once → exactly-once
     * repair at the front of an ingest pipeline. Input must be watermarked

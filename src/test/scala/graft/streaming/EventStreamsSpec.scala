@@ -42,6 +42,56 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode file-sink hourly stats == batch stats for watermark-passed windows") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamed = EventStreams.hourlyStatsAppendToBatch(spark, dir).collect()
+    val events = graft.Tables.events(spark, dir)
+    val maxTs = events.agg(max("ts")).collect()(0).getTimestamp(0)
+    // append emits a window when the watermark (max ts - 1 h) passes its
+    // end: exactly the batch rows with hour end <= watermark
+    val expected = graft.operators.EventAnalytics.hourlyStats(events)
+      .where(col("hour") + expr("INTERVAL 2 HOURS") <= lit(maxTs))
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(canon(streamed) === canon(expected))
+  }
+
+  test("append-mode windowed agg evicts state once the watermark passes (bounded state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(hour: Int) = new java.sql.Timestamp(86400000L + hour * 3600000L)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = EventStreams.hourlyStats(
+      input.toDF().toDF("ts", "event_type")
+        .withColumn("value", lit(1.0))
+        .withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("append_evict")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // two windows land in state; watermark (max - 1h) passes neither end
+      input.addData((ts(0), "a"), (ts(1), "a"))
+      q.processAllAvailable()
+      val stateAfterBatch1 =
+        q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterBatch1 === 2, "both open windows held in state")
+      assert(spark.table("append_evict").count() === 0, "nothing emitted yet")
+      // jump event time far ahead: watermark passes both earlier windows —
+      // they are emitted once and their state rows EVICTED, not retained
+      input.addData((ts(10), "a"))
+      q.processAllAvailable()
+      val emitted = spark.table("append_evict").collect()
+        .map(r => r.getTimestamp(0).getTime).sorted.toSeq
+      assert(emitted === Seq(ts(0).getTime, ts(1).getTime))
+      val stateAfterBatch2 = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterBatch2 === 1,
+        s"only the open hour-10 window may remain in state, got $stateAfterBatch2")
+    } finally q.stop()
+  }
+
   test("session windows cover all events with plausible session counts") {
     val dir = sf("sf0.001")
     val sessions = EventStreams.runToBatch(
