@@ -91,8 +91,8 @@ object SparkEntry {
     // ANN paths are approximate by design, but their bucketing/assignment
     // is deterministic (md5 hyperplanes, first-n centroids), so the full
     // candidate generation + rerank is mirrored in DuckDB SQL below.
-    "ann_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
-    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "ann_lsh" -> ((s, dir) => Similarity.lshTopK(requireOracleDim(Tables.embeddings(s, dir)))),
+    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(requireOracleDim(Tables.embeddings(s, dir)))),
     // --- multimodal binary-column plumbing ---
     "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(Tables.documents(s, dir))),
     // Decode features come from the clearly-marked stub codec: rows-only.
@@ -129,6 +129,22 @@ object SparkEntry {
     * for this one.
     */
   private val EmbDim = 64
+
+  /** Fails loudly if the testdata's embedding dim ever drifts from the dim
+    * the static ann oracle SQL is generated for — otherwise out-of-range
+    * DuckDB list indexes would NULL out every bucket/cosine and surface as
+    * a baffling hash mismatch instead of an error. One-row bounded action.
+    */
+  private def requireOracleDim(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, size}
+    emb.select(size(col("embedding"))).head(1).foreach { r =>
+      val dim = r.getInt(0)
+      require(dim == EmbDim,
+        s"ann_* oracle SQL is generated for dim=$EmbDim but the embeddings " +
+          s"table has dim=$dim — regenerate the oracle for the new dim")
+    }
+    emb
+  }
 
   /** Σ_d a[d]·b[d] as a left-associated double sum — mirrors
     * [[graft.functions.FloatVecDot]]'s left-to-right accumulation

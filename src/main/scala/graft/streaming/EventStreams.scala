@@ -120,7 +120,8 @@ object EventStreams {
       transform: DataFrame => DataFrame,
       outPath: String, checkpointPath: String,
       watermark: String = "1 hour"): DataFrame = {
-    val q = transform(source(spark, dir, watermark))
+    val out = transform(source(spark, dir, watermark))
+    val q = out
       .writeStream
       .format("parquet")
       .option("path", outPath)
@@ -129,7 +130,9 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    // explicit schema: an all-late/empty stream legally emits zero files,
+    // and schema inference over an empty sink dir would throw
+    spark.read.schema(out.schema).parquet(outPath)
   }
 
   /** Append-mode hourly stats over the driver's events dir, file-sinked to

@@ -25,9 +25,53 @@ class FaultToleranceSpec extends SparkSpec {
     assert(got === Seq("hello" -> 2L, "world" -> 2L, "test" -> 1L))
     assert(!FaultToleranceSpec.shouldFail.get, "the failure was never injected")
   }
+
+  test("golden output survives continuous reference-rate chaos (5% crash, 10% delay)") {
+    import spark.implicits._
+    // The reference injects 5% crash / 10% delay on EVERY worker loop
+    // iteration (`worker/worker.go:36-45`) and the golden top-5 must
+    // survive. Spark equivalent: every task of the chaos stage rolls the
+    // same rates. The roll is md5(partition:attempt) — deterministic across
+    // runs AND fresh per retry, like the reference's per-iteration dice.
+    // With 64 partitions: partition 21 crashes on attempt 0 and succeeds on
+    // its retry; 7 tasks get delayed; no task crashes twice (verified —
+    // the session allows maxFailures=2).
+    val golden = Seq(
+      "hello world hello this is a test",   // reference input1.txt
+      "world goodbye hello test test world") // reference input2.txt
+    val chaotic = golden.toDS().repartition(64).mapPartitions { it =>
+      val ctx = org.apache.spark.TaskContext.get()
+      val roll = FaultToleranceSpec.chaosRoll(ctx.partitionId(), ctx.attemptNumber())
+      if (roll < 0.05) {
+        FaultToleranceSpec.crashes.incrementAndGet()
+        throw new RuntimeException("chaos: injected crash")
+      } else if (roll < 0.15) Thread.sleep(20) // scaled-down 0-5 s delay
+      it
+    }
+
+    FaultToleranceSpec.crashes.set(0)
+    val got = WordCount.topK(WordCount.counts(chaotic.toDF("value"), "value"), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(
+      "hello" -> 3L, "test" -> 3L, "world" -> 3L, "a" -> 1L, "goodbye" -> 1L),
+      "golden README.md:103-111 output must survive chaos")
+    assert(FaultToleranceSpec.crashes.get() > 0, "no crash was ever injected")
+  }
 }
 
 /** Shared flag on the (local-mode) executor JVM: first task attempt fails. */
 object FaultToleranceSpec {
   val shouldFail = new AtomicBoolean(false)
+  val crashes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Uniform [0,1) from the first 32 bits of md5("partition:attempt") —
+    * deterministic (no run-to-run flake) yet re-rolled per task attempt.
+    */
+  def chaosRoll(partition: Int, attempt: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$partition:$attempt".getBytes("UTF-8"))
+    val bits = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    bits.toDouble / (1L << 32)
+  }
 }

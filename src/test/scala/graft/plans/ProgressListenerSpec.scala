@@ -22,12 +22,22 @@ class ProgressListenerSpec extends SparkSpec {
       assert(json.contains(""""status":"done""""))
       assert(json.contains(""""progress":100.0"""))
 
-      // dashboard shim serves the same snapshot over HTTP (/data)
+      // dashboard shim serves the same snapshot over HTTP (/data), plus
+      // the rendered UI (own markup, reference behavior contract)
       val server = new DashboardServer(listener)
       try {
-        val url = new java.net.URI(s"http://localhost:${server.boundPort}/data").toURL
-        val body = new String(url.openStream().readAllBytes(), "UTF-8")
-        assert(body === json)
+        def get(path: String): String = {
+          val url = new java.net.URI(s"http://localhost:${server.boundPort}$path").toURL
+          new String(url.openStream().readAllBytes(), "UTF-8")
+        }
+        assert(get("/data") === json)
+        val page = get("/")
+        assert(page.contains("""<tbody id="tasksTable">"""))
+        assert(page.contains("""<tbody id="workersTable">"""))
+        assert(page.contains("""<script src="/script.js">"""))
+        val js = get("/script.js")
+        assert(js.contains("/data?t="), "script must poll the /data endpoint")
+        assert(js.contains("setInterval(tick, 1000)"), "reference polls every 1 s")
       } finally server.stop()
     } finally spark.sparkContext.removeSparkListener(listener)
   }
