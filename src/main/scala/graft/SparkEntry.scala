@@ -72,12 +72,16 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    "q_tfidf_topterms" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir))),
+    // --- deterministic sampling ---
+    "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDuplicates(Tables.documents(s, dir))),
     "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
     "q_dedup_neardup" -> ((s, dir) => Dedup.nearDuplicatePairs(Tables.documents(s, dir))),
     "q_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
     // --- similarity search over embeddings ---
     // Default = the exact grid-blocked join: recall 1 by construction, and
     // the cheaper plan on this data's margin-free threshold (the LSH path
@@ -446,6 +450,31 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // The linear-idf score is a single division of exact integers — see
+    // TextAnalysis.tfIdfTopTerms for why ln() is not hash-portable.
+    "q_tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / (df.df + 1) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / (df.df + 1) DESC,
+        |               tf.term ASC) AS rank
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    // Threshold is integer floor division on both engines (Spark `div`,
+    // DuckDB `//`) — the kept set is bit-reproducible.
+    "q_sample_stratified" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang)
+         |SELECT d.doc_id, d.lang,
+         |  ${h60(7, "d.doc_id")} % 1000000 AS bucket
+         |FROM documents d JOIN c USING (lang)
+         |WHERE ${h60(7, "d.doc_id")} % 1000000 < (100000000 // c.n_lang)""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH sh AS ($shCte)
          |SELECT doc_id,
@@ -467,6 +496,28 @@ object SparkEntry {
          |WHERE len(a.sh) > 0 AND len(b.sh) > 0
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // Connected components via transitive closure: the recursive CTE
+    // computes every (node, reachable-root) pair; min(root) per node is the
+    // component's minimum doc_id — exactly the engine's min-label
+    // propagation fixpoint. UNION (not UNION ALL) dedups per step, so the
+    // recursion terminates.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($shCte),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, s.cluster_n
+         |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
     "q_simhash_sig" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sig""".stripMargin,

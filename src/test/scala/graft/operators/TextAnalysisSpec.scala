@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tfIdfTopTerms ranks a distinctive term above ubiquitous ones") {
+    // "the" appears in every doc (df=3 -> low idf); "zebra" only in doc 1
+    val d = docs(
+      1L -> "the zebra the zebra the",
+      2L -> "the common words the",
+      3L -> "the other common words")
+    val top = TextAnalysis.tfIdfTopTerms(d, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) === "zebra")
+    // doc 2/3: "common"/"words" (df=2) beat "the" (df=3) despite lower tf?
+    // tf("the", doc2)=2, score 2*3/4 = 1.5; tf("common")=1, score 1*3/3 = 1
+    // -> "the" wins on tf here; just assert determinism + a valid rank-1
+    assert(top(2L) === "the")
+  }
+
+  test("tfIdfTopTerms: rank is dense 1..k per doc, tie-break by term asc") {
+    val d = docs(1L -> "b a c b a c", 2L -> "x y z")
+    val rows = TextAnalysis.tfIdfTopTerms(d, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(5)))
+    // doc 2: all terms tf=1 df=1 -> identical scores; rank purely by term
+    val doc2 = rows.filter(_._1 == 2L).sortBy(_._3).map(_._2)
+    assert(doc2 === Seq("x", "y", "z"))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted === (1 to rs.length))
+    }
+  }
+
+  test("tfIdfTopTerms df counts documents, not occurrences") {
+    val d = docs(1L -> "w w w", 2L -> "w", 3L -> "q")
+    val row = TextAnalysis.tfIdfTopTerms(d, k = 5)
+      .where("doc_id = 1").collect().head
+    assert(row.getString(1) === "w")
+    assert(row.getLong(2) === 3L) // tf: three occurrences in doc 1
+    assert(row.getLong(3) === 2L) // df: two docs contain it
+    assert(row.getDouble(4) === 3.0 * 3.0 / 3.0) // tf * n_docs / (df+1)
+  }
+}
