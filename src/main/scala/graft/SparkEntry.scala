@@ -110,6 +110,8 @@ object SparkEntry {
     // the watermark. Emits only watermark-passed windows (see oracle).
     "q_stream_hourly_append" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyStatsAppendToBatch(s, dir)),
+    "q_stream_sessions_append" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionWindowsAppendToBatch(s, dir)),
   )
 
   /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
@@ -568,6 +570,29 @@ object SparkEntry {
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |  FROM events GROUP BY date_trunc('hour', ts), event_type) t
         |WHERE hour + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)""".stripMargin,
+    // Gaps-and-islands sessionization (same session iff gap < 30 min,
+    // matching session_window's merge rule), then the append-mode emission
+    // cutoff: a session is emitted iff the final watermark (max event time
+    // - 1 h) passed its end (last event + 30 min). All arithmetic in epoch
+    // micros = exact integers.
+    "q_stream_sessions_append" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (SELECT user_id, min(us) AS session_start_us,
+        |    max(us) + 1800000000 AS session_end_us, count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start_us, session_end_us, n_events
+        |FROM sess
+        |WHERE session_end_us + 3600000000 <= (SELECT epoch_us(max(ts)) FROM events)""".stripMargin,
     // Streaming session windows rolled up per user == batch
     // gaps-and-islands sessionization (same oracle as q_events_sessions).
     "q_stream_sessions" ->

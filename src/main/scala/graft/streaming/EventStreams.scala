@@ -144,6 +144,34 @@ object EventStreams {
     runAppendToFiles(spark, dir, hourlyStats, s"$tmp/out", s"$tmp/ckpt")
   }
 
+  /** Per-session rows from event-time session windows (30-minute gap),
+    * with boundaries in epoch MICROS: integer columns are hash-portable
+    * across engines, while raw timestamps canonicalize differently (Spark
+    * micros vs the oracle's nanos parquet reads). `session_end_us` is the
+    * window end = last event + gap, the instant the watermark must pass
+    * for append mode to emit the session.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+
+  /** PRODUCTION sessionization topology — the session twin of
+    * [[hourlyStatsAppendToBatch]]: append mode + parquet sink, each session
+    * emitted exactly once when the watermark passes its end, then its
+    * state row is evicted (session state is bounded by open sessions per
+    * user within the watermark horizon, never by stream history).
+    */
+  def sessionWindowsAppendToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sessions")
+    runAppendToFiles(spark, dir, sessionWindows(_), s"$tmp/out", s"$tmp/ckpt")
+  }
+
   /** Streaming exactly-once ingest dedup: drop duplicate event ids within
     * the watermark horizon — the standard at-least-once → exactly-once
     * repair at the front of an ingest pipeline. Input must be watermarked

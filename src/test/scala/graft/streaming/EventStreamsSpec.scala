@@ -92,6 +92,23 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode file-sink sessions == batch session windows past the watermark") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamed = EventStreams.sessionWindowsAppendToBatch(spark, dir).collect()
+    val events = graft.Tables.events(spark, dir)
+    val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    // batch session_window over the same events, restricted to sessions
+    // whose end the final watermark (max event time - 1 h) passed
+    val expected = EventStreams.sessionWindows(events)
+      .where(col("session_end_us") + 3600000000L <= maxUs)
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(canon(streamed) === canon(expected))
+    // at least one open/late session was legitimately held back
+    assert(streamed.length < EventStreams.sessionWindows(events).count())
+  }
+
   test("session windows cover all events with plausible session counts") {
     val dir = sf("sf0.001")
     val sessions = EventStreams.runToBatch(
