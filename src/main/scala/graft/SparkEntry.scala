@@ -91,6 +91,16 @@ object SparkEntry {
       Similarity.cosineNearDupPairsBlocked(Tables.embeddings(s, dir))),
     "q_embed_neardup_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
+    // clustering composes with ANY pair source: here the exact cosine pairs
+    "q_embed_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, dir)
+      Dedup.clustersFromPairs(
+        emb.select(col("vec_id").as("doc_id")),
+        Similarity.cosineNearDupPairsBlocked(emb)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_n"))
+    }),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     // ANN paths are approximate by design, but their bucketing/assignment
     // is deterministic (md5 hyperplanes, first-n centroids), so the full
@@ -547,6 +557,23 @@ object SparkEntry {
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    // Same transitive-closure shape as q_dedup_clusters, over the exact
+    // cosine pair graph.
+    "q_embed_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, root) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+        |labels AS (SELECT id AS vec_id, min(root) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY 1)
+        |SELECT l.vec_id, l.cluster_id, s.cluster_n
+        |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "q_multimodal_meta" ->

@@ -75,6 +75,21 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("tfidf: scan reads only (doc_id, text); corpus count joins as broadcast") {
+    val f = formatted("q_tfidf_topterms")
+    val read = f.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("payload"), read)
+    // the 1-row n_docs frame must broadcast, not shuffle the term frame
+    assert(f.contains("BroadcastExchange"), f)
+  }
+
+  test("stratified sample: per-stratum counts broadcast; no corpus-scale shuffle join") {
+    val p = plan("q_sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("metadata-only multimodal projection does not shuffle") {
     val p = plan("q_multimodal_meta")
     assert(!p.contains("Exchange"), p)
