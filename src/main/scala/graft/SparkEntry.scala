@@ -67,6 +67,7 @@ object SparkEntry {
     "q_events_json" -> ((s, dir) => EventAnalytics.perTypeStats(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) => EventAnalytics.hourlyStats(Tables.events(s, dir))),
     "q_events_sessions" -> ((s, dir) => EventAnalytics.sessionCounts(Tables.events(s, dir))),
+    "q_asof_attribution" -> ((s, dir) => EventAnalytics.purchaseAttribution(Tables.events(s, dir))),
     // --- text analysis (LLM-pipeline surface) ---
     "q_text_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -425,6 +426,27 @@ object SparkEntry {
         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
         |  FROM events) t
         |GROUP BY user_id""".stripMargin,
+    // As-of join oracle mirrors the engine's union+carry-forward shape
+    // (DuckDB's native ASOF JOIN leaves equal-ts ties unspecified; the
+    // window form pins them): ties at equal ts prefer the click, then the
+    // largest event_id.
+    "q_asof_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS is_left,
+        |    CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS DOUBLE) AS c_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, event_id, value
+        |  FROM events WHERE event_type = 'click'),
+        |f AS (SELECT user_id, ts, event_id, is_left,
+        |    last_value(c_id IGNORE NULLS) OVER w AS click_id,
+        |    last_value(c_value IGNORE NULLS) OVER w AS click_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, is_left ASC, event_id ASC
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us,
+        |  click_id, click_value
+        |FROM f WHERE is_left = 1""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS ($tokCte)
          |SELECT d.doc_id, length(d.text) AS n_chars_txt, len(t.toks) AS n_tokens,

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Batch analytics over the `events` table (FIXTURES.md §B): JSON
   * extraction, time-bucketed aggregation, and sessionization. The streaming
@@ -46,6 +47,65 @@ object EventAnalytics {
     * end-exclusive `[t, t+gap)` — so the batch, streaming, and custom-state
     * sessionizations all agree, including at the exact-gap boundary.
     */
+  /** As-of join — for each left row, attach the payload of the single most
+    * recent right row with the same `key` and `right.ts <= left.ts` (NULL
+    * if none); ties at equal ts prefer the right row, and among right rows
+    * at the same ts the largest `tie` id wins — total, deterministic
+    * semantics.
+    *
+    * Spark has no native as-of join. The scalable composition is the union
+    * trick: tag both sides, order each key's rows by (ts, side, tie), and
+    * carry the latest right payload forward with `last(ignoreNulls)` over a
+    * running window — ONE shuffle on the key, work linear in rows. The
+    * alternatives all break at scale: a `l.ts >= r.ts` range join
+    * replicates every left row across all earlier right rows (quadratic in
+    * the busiest key, and Spark plans the non-equi conjunct as a post-join
+    * filter), and `mapPartitions` abandons codegen. Flink's temporal join
+    * and kdb's `aj` lower to this same sorted-merge shape. Skew bound: one
+    * key's rows sort within one task — same bound as any per-key window;
+    * AQE handles moderate skew, salting by time-bucket is the escape hatch
+    * for a pathological key.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, key: String, ts: String, tie: String,
+      rightPayload: Column, payloadName: String = "asof"): DataFrame = {
+    val payloadType = right.select(rightPayload.as("p")).schema("p").dataType
+    val lrowType = StructType(left.schema.fields)
+    val l = left.select(
+      col(key).as("k"), col(ts).as("t"), col(tie).as("o"), lit(1).as("is_left"),
+      lit(null).cast(payloadType).as("p"),
+      struct(left.columns.map(col): _*).as("lrow"))
+    val r = right.select(
+      col(key).as("k"), col(ts).as("t"), col(tie).as("o"), lit(0).as("is_left"),
+      rightPayload.as("p"), lit(null).cast(lrowType).as("lrow"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("is_left").asc, col("o").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(payloadName, last(col("p"), ignoreNulls = true).over(w))
+      .where(col("is_left") === 1)
+      .select(col("lrow.*"), col(payloadName))
+  }
+
+  /** Attribution via [[asOfJoin]]: each purchase event gets the user's most
+    * recent prior-or-concurrent click (id + value; NULLs when the user
+    * never clicked before buying). Timestamps surface as epoch micros —
+    * integer-portable across engines.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.where(col("event_type") === "click")
+    asOfJoin(
+      purchases, clicks, key = "user_id", ts = "ts", tie = "event_id",
+      struct(col("event_id").as("click_id"), col("value").as("click_value")))
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof.click_id").as("click_id"),
+        col("asof.click_value").as("click_value"))
+  }
+
   def sessionCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
     val ms = unix_millis(col("ts"))
