@@ -83,6 +83,8 @@ object SparkEntry {
     "q_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
+    // the full retention pipeline: quality gate -> exact dedup -> near-dup
+    "q_pipeline_retained" -> ((s, dir) => Pipeline.retainedCorpus(Tables.documents(s, dir))),
     // --- similarity search over embeddings ---
     // Default = the exact grid-blocked join: recall 1 by construction, and
     // the cheaper plan on this data's margin-free threshold (the LSH path
@@ -552,6 +554,38 @@ object SparkEntry {
          |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, s.cluster_n
          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
+    // The retention pipeline's oracle chains the same three stages: quality
+    // filter, exact-dedup min-keeper, then the recursive-CTE connected
+    // components over the SURVIVORS' pair graph, keeping representatives.
+    "q_pipeline_retained" ->
+      s"""WITH RECURSIVE t AS ($tokCte),
+         |q AS (SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN t ON d.doc_id = t.doc_id
+         |  WHERE len(t.toks) >= 10
+         |    AND len(list_filter(t.toks, w -> list_contains($stopList, w))) > 0),
+         |e AS (SELECT min(doc_id) AS doc_id
+         |  FROM q GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |s AS (SELECT q.* FROM q JOIN e USING (doc_id)),
+         |st AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM s),
+         |sh AS (SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+         |      range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')))
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM st),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, root) AS (
+         |  SELECT doc_id, doc_id FROM s
+         |  UNION
+         |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.id),
+         |labels AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+         |SELECT s.doc_id, s.lang FROM s JOIN labels l ON s.doc_id = l.doc_id
+         |WHERE l.cluster_id = l.doc_id""".stripMargin,
     "q_simhash_sig" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sig""".stripMargin,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The canonical training-data retention pipeline, composed end-to-end from
+  * the library's own operators:
+  *
+  *   1. quality gate — ≥ 10 whitespace tokens and ≥ 1 stopword (the
+  *      [[TextAnalysis.docStats]] `is_quality` rule), evaluated as a pure
+  *      projection filter so it runs at scan speed: no aggregation, no
+  *      shuffle, just the parquet scan feeding a codegen'd predicate;
+  *   2. exact dedup — keep each normalized text's minimum doc_id
+  *      ([[Dedup.exactDuplicates]]), one hash-agg + a semi join back;
+  *   3. near-dup dedup — cluster the survivors' MinHash+LSH pair graph
+  *      ([[Dedup.nearDupClusters]]) and keep only cluster representatives
+  *      (doc_id == cluster_id).
+  *
+  * Order matters at scale: each stage shrinks the corpus the next (more
+  * expensive) stage sees, and running exact dedup BEFORE LSH is what keeps
+  * identical-text clusters from forming degenerate LSH buckets (see
+  * [[Dedup.dropOversizedBuckets]]). The survivor set is materialized once
+  * (`localCheckpoint`; a staged table on a cluster) because the clustering
+  * and the final semi join both consume it.
+  */
+object Pipeline {
+
+  def retainedCorpus(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nStopwords = size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))
+    val quality = documents.where(size(toks) >= 10 && nStopwords > 0)
+    val exactKeepers = Dedup.exactDuplicates(quality)
+      .select(col("keeper_id").as("doc_id"))
+    val survivors = quality
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint()
+    val keepers = Dedup.nearDupClusters(survivors, threshold)
+      .where(col("doc_id") === col("cluster_id"))
+      .select("doc_id")
+    survivors.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"))
+  }
+}
