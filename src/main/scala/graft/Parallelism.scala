@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
 
 /** Parallelism guard for CPU-heavy per-row operators (shingling, hashing).
@@ -7,14 +8,26 @@ import org.apache.spark.sql.DataFrame
   * Parquet splits by row group; the driver's test tables are single-row-
   * group files, so a scan yields ONE partition and everything downstream
   * of it runs single-threaded until the first shuffle. `ensure` inserts a
-  * round-robin repartition only when the plan's scan parallelism is below
-  * the cluster default — on production inputs (many files / row groups)
-  * the condition is false and this is a no-op, so the extra shuffle exists
-  * exactly when it pays for itself.
+  * round-robin repartition only when the input is too small to split into
+  * the cluster-default number of tasks — on production inputs (many files /
+  * row groups) the condition is false and this is a no-op, so the extra
+  * shuffle exists exactly when it pays for itself.
+  *
+  * The split estimate comes from the OPTIMIZED LOGICAL plan's size
+  * statistics (file-relation stats are the summed file lengths), divided by
+  * `spark.sql.files.maxPartitionBytes` — the same quantity the physical
+  * file-scan planner uses. Deliberately NOT `df.rdd.getNumPartitions`:
+  * that forces full physical planning per call and pins a plan AQE can no
+  * longer re-optimize.
   */
 object Parallelism {
   def ensure(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val maxSplitBytes = JavaUtils.byteStringAsBytes(
+      sess.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = (sizeInBytes / maxSplitBytes).toLong + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 }

@@ -27,6 +27,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // engine-wide data-model decision, set statically at build time:
+      // INT64 TIMESTAMP(NANOS) parquet columns surface as raw long nanos
+      // (Spark's vectorized reader has no nanos timestamp type). The
+      // readers in Tables/EventStreams re-assert this defensively for
+      // sessions not built through here.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

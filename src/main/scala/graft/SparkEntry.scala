@@ -115,9 +115,13 @@ object SparkEntry {
     // Decode features come from the clearly-marked stub codec: rows-only.
     "mm_features" -> ((s, dir) => Multimodal.featuresOf(s, Tables.documents(s, dir))),
     // --- structured streaming (event-time windows, run to completion) ---
-    "q_stream_hourly" -> ((s, dir) =>
+    // The `_complete_oracle` pair is the ORACLE HARNESS form (complete
+    // output mode + memory sink = a driver-side materialization by
+    // construction) — named so no production-shaped registered query embeds
+    // a driver collect. The production topologies are the `_append` pair.
+    "q_stream_hourly_complete_oracle" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyStatsToBatch(s, dir)),
-    "q_stream_sessions" -> ((s, dir) =>
+    "q_stream_sessions_complete_oracle" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionCountsToBatch(s, dir)),
     // The production topology: append mode + parquet sink, state evicted at
     // the watermark. Emits only watermark-passed windows (see oracle).
@@ -508,9 +512,10 @@ object SparkEntry {
     "q_sample_stratified" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang)
          |SELECT d.doc_id, d.lang,
-         |  ${h60(7, "d.doc_id")} % 1000000 AS bucket
+         |  ${h60(Sampling.DefaultSeed, "d.doc_id")} % ${Sampling.Buckets} AS bucket
          |FROM documents d JOIN c USING (lang)
-         |WHERE ${h60(7, "d.doc_id")} % 1000000 < (100000000 // c.n_lang)""".stripMargin,
+         |WHERE ${h60(Sampling.DefaultSeed, "d.doc_id")} % ${Sampling.Buckets}
+         |  < (${Sampling.DefaultTargetPerStratum * Sampling.Buckets} // c.n_lang)""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH sh AS ($shCte)
          |SELECT doc_id,
@@ -638,7 +643,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // Streaming twin of q_events_hourly: same grouping, same aggregates,
     // same oracle — window(ts, '1 hour').start == date_trunc('hour', ts).
-    "q_stream_hourly" ->
+    "q_stream_hourly_complete_oracle" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
@@ -657,7 +662,12 @@ object SparkEntry {
     // matching session_window's merge rule), then the append-mode emission
     // cutoff: a session is emitted iff the final watermark (max event time
     // - 1 h) passed its end (last event + 30 min). All arithmetic in epoch
-    // micros = exact integers.
+    // micros = exact integers. Boundary assumption: Spark's watermark is
+    // MILLISECOND-truncated while this cutoff is exact micros, so the two
+    // engines could classify a session differently only if its end landed
+    // within 1 ms of (max ts - 1 h); session ends are event-derived (last
+    // event + 30 min exactly), and EventStreamsSpec asserts the fixtures
+    // keep every session end >= 1 ms away from the cutoff.
     "q_stream_sessions_append" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -678,7 +688,7 @@ object SparkEntry {
         |WHERE session_end_us + 3600000000 <= (SELECT epoch_us(max(ts)) FROM events)""".stripMargin,
     // Streaming session windows rolled up per user == batch
     // gaps-and-islands sessionization (same oracle as q_events_sessions).
-    "q_stream_sessions" ->
+    "q_stream_sessions_complete_oracle" ->
       """SELECT user_id,
         |  CAST(1 + sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms >= 1800000
         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,

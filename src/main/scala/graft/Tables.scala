@@ -31,6 +31,13 @@ object Tables {
     * (legacy conf) and floor-divide to a microsecond timestamp — integral
     * `div`, not `/`, because epoch-nanos (~1.7e18) exceed double's 2^53
     * exact range. Matches DuckDB's own nanos→micros truncation.
+    *
+    * The nanosAsLong conf is set statically in [[Sessions.local]]; the set
+    * here is an idempotent safety net for externally-built sessions. It is
+    * session-global (Spark exposes no per-read option for it) — by design:
+    * nanos-as-long is this engine's uniform treatment of INT64 nano
+    * timestamps, not a per-table toggle, and it is a no-op for every other
+    * table (none carries nano timestamps).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

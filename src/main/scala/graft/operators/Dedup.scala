@@ -226,20 +226,33 @@ object Dedup {
       val nbrMin = edges
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min("cluster_id").as("nbr_min"))
+      // convergence detection rides the SAME pass as the label update: a
+      // `changed` flag is projected next to the new label and materialized
+      // by the (eager) localCheckpoint, so the emptiness probe below scans
+      // cached blocks only — no second join/shuffle per round (at 100 TB
+      // each extra distributed action is a full shuffle round)
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(
           col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (col("nbr_min").isNotNull && col("nbr_min") < col("cluster_id"))
+            .as("changed"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .where(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("changed")).isEmpty
+      labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
+    // partial labels are silently WRONG (callers and the oracle expect the
+    // transitive-closure fixpoint), so a diameter->maxIter graph must fail
+    // loudly, not surface later as a baffling hash mismatch
+    if (!converged)
+      throw new IllegalStateException(
+        s"clustersFromPairs did not converge in $maxIter rounds — the pair " +
+          "graph has a component of diameter > maxIter. Raise maxIter, or " +
+          "switch to the O(log n)-round large-star/small-star contraction " +
+          "for chain-shaped graphs.")
     val assigned = documents
       .select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

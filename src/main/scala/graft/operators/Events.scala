@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Batch analytics over the `events` table (FIXTURES.md §B): JSON
   * extraction, time-bucketed aggregation, and sessionization. The streaming
@@ -71,20 +71,26 @@ object EventAnalytics {
       rightPayload: Column, payloadName: String = "asof"): DataFrame = {
     val payloadType = right.select(rightPayload.as("p")).schema("p").dataType
     val lrowType = StructType(left.schema.fields)
+    // the payload is wrapped in a single-field struct before the window:
+    // struct(x) is non-null even when x is null, so last(ignoreNulls) skips
+    // ONLY "no right row yet" markers — a most-recent right row whose
+    // payload is NULL yields NULL (it does not fall back to an older row),
+    // exactly the documented contract
+    val wrappedType = StructType(Seq(StructField("v", payloadType)))
     val l = left.select(
       col(key).as("k"), col(ts).as("t"), col(tie).as("o"), lit(1).as("is_left"),
-      lit(null).cast(payloadType).as("p"),
+      lit(null).cast(wrappedType).as("p"),
       struct(left.columns.map(col): _*).as("lrow"))
     val r = right.select(
       col(key).as("k"), col(ts).as("t"), col(tie).as("o"), lit(0).as("is_left"),
-      rightPayload.as("p"), lit(null).cast(lrowType).as("lrow"))
+      struct(rightPayload.as("v")).as("p"), lit(null).cast(lrowType).as("lrow"))
     val w = Window.partitionBy("k")
       .orderBy(col("t").asc, col("is_left").asc, col("o").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(payloadName, last(col("p"), ignoreNulls = true).over(w))
+      .withColumn("_asof_w", last(col("p"), ignoreNulls = true).over(w))
       .where(col("is_left") === 1)
-      .select(col("lrow.*"), col(payloadName))
+      .select(col("lrow.*"), col("_asof_w")("v").as(payloadName))
   }
 
   /** Attribution via [[asOfJoin]]: each purchase event gets the user's most

@@ -20,6 +20,13 @@ object Sampling {
   /** Hash-bucket resolution: rates are granted in millionths. */
   val Buckets: Long = 1000000L
 
+  /** Defaults shared with the registered query's oracle SQL — the oracle
+    * interpolates THESE constants (not literals), so changing a default
+    * here cannot silently desync the two engines.
+    */
+  val DefaultTargetPerStratum: Long = 100L
+  val DefaultSeed: Int = 7
+
   /** Stratified sample of `documents` targeting ~`targetPerStratum` rows
     * per language: each stratum is sampled at rate target/n_lang via a
     * 60-bit md5 of the doc_id reduced to a bucket in [0, Buckets), kept iff
@@ -36,7 +43,8 @@ object Sampling {
     * actually wants.
     */
   def stratifiedSample(
-      documents: DataFrame, targetPerStratum: Long = 100L, seed: Int = 7): DataFrame = {
+      documents: DataFrame, targetPerStratum: Long = DefaultTargetPerStratum,
+      seed: Int = DefaultSeed): DataFrame = {
     val counts = documents.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     documents
       .select(

@@ -31,7 +31,9 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Streaming source over the events parquet with the nanos→micros
-    * conversion applied, watermarked on event time.
+    * conversion applied, watermarked on event time. (The nanosAsLong conf
+    * is set statically in [[graft.Sessions.local]]; the set here is an
+    * idempotent safety net — see [[graft.Tables.events]].)
     */
   def source(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -135,13 +137,29 @@ object EventStreams {
     spark.read.schema(out.schema).parquet(outPath)
   }
 
+  /** Register `root` (and everything under it, recursively) for deletion at
+    * JVM exit. Called AFTER the streaming query finishes, so every sink /
+    * checkpoint file exists and gets registered. `deleteOnExit` deletes in
+    * reverse registration order, so parents are registered before children
+    * (children are deleted first) — repeated harness runs no longer
+    * accumulate on-disk garbage past the process lifetime.
+    */
+  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala.foreach(_.toFile.deleteOnExit())
+    finally walk.close()
+  }
+
   /** Append-mode hourly stats over the driver's events dir, file-sinked to
     * a temp dir. Oracle: the batch hourly aggregation restricted to windows
     * whose end the final watermark (max event time − 1 h) passed.
     */
   def hourlyStatsAppendToBatch(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_append")
-    runAppendToFiles(spark, dir, hourlyStats, s"$tmp/out", s"$tmp/ckpt")
+    val out = runAppendToFiles(spark, dir, hourlyStats, s"$tmp/out", s"$tmp/ckpt")
+    deleteRecursivelyOnExit(tmp) // deletion happens at JVM exit, after any read
+    out
   }
 
   /** Per-session rows from event-time session windows (30-minute gap),
@@ -169,7 +187,9 @@ object EventStreams {
     */
   def sessionWindowsAppendToBatch(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sessions")
-    runAppendToFiles(spark, dir, sessionWindows(_), s"$tmp/out", s"$tmp/ckpt")
+    val out = runAppendToFiles(spark, dir, sessionWindows(_), s"$tmp/out", s"$tmp/ckpt")
+    deleteRecursivelyOnExit(tmp)
+    out
   }
 
   /** Streaming exactly-once ingest dedup: drop duplicate event ids within

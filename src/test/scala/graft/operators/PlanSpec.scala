@@ -59,7 +59,7 @@ class PlanSpec extends SparkSpec {
   test("no oracle query plans a cartesian product") {
     // every pairwise query is bucketed (grid cells, LSH tables, bands) into
     // an equi-join; a CartesianProduct would mean a missing join condition
-    SparkEntry.queries.keys.filterNot(_ == "q_stream_hourly").foreach { name =>
+    SparkEntry.queries.keys.filterNot(_ == "q_stream_hourly_complete_oracle").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
     }

@@ -107,6 +107,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(canon(streamed) === canon(expected))
     // at least one open/late session was legitimately held back
     assert(streamed.length < EventStreams.sessionWindows(events).count())
+    // Oracle boundary guard: Spark's watermark is ms-truncated while the
+    // oracle cutoff is exact micros, so engine and oracle could disagree
+    // only about a session whose end lands within 1 ms of (max ts - 1 h).
+    // Assert the fixtures keep every session end >= 1 ms clear of it.
+    val cutoffUs = maxUs - 3600000000L
+    val minGapUs = EventStreams.sessionWindows(events)
+      .select(abs(col("session_end_us") - cutoffUs).as("gap"))
+      .agg(min("gap")).collect()(0).getLong(0)
+    assert(minGapUs >= 1000L,
+      s"a session end sits ${minGapUs}us from the watermark cutoff — inside " +
+        "the ms-truncation ambiguity band; the append-mode oracle is unsafe")
   }
 
   test("session windows cover all events with plausible session counts") {
