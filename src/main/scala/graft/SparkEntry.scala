@@ -110,6 +110,10 @@ object SparkEntry {
     // candidate generation + rerank is mirrored in DuckDB SQL below.
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(requireOracleDim(Tables.embeddings(s, dir)))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(requireOracleDim(Tables.embeddings(s, dir)))),
+    // The trained-centroid production path: 2 k-means rounds, whole loop
+    // replayed by the oracle (integer-quantized means are bit-portable).
+    "ann_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTopK(requireOracleDim(Tables.embeddings(s, dir)), trainIters = 2)),
     // --- multimodal binary-column plumbing ---
     "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(Tables.documents(s, dir))),
     // Decode features come from the clearly-marked stub codec: rows-only.
@@ -254,6 +258,62 @@ object SparkEntry {
        |  FROM cand JOIN e q ON q.vec_id = cand.query_id
        |            JOIN e n ON n.vec_id = cand.neighbor_id)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+  /** DuckDB mirror of `Similarity.ivfTopK(trainIters = 2)` — the k-means
+    * loop itself is replayed in SQL: cent0 = first-8 seeds, then per round
+    * an assignment CTE (same cosine, same (cs DESC, i DESC) tie-break) and
+    * a mean CTE. The mean is portable because the engine quantizes it:
+    * per-dimension sums are integers of x·2²⁰ (order-independent), divided
+    * CAST-to-DOUBLE / n / 2²⁰ in that pinned order, rounded back to FLOAT —
+    * so DuckDB recomputes the exact same centroid bits and every
+    * downstream cosine/rank agrees at hash level. Empty cells keep the
+    * previous round's centroid (COALESCE over a LEFT JOIN).
+    */
+  private def annIvfTrainedOracle: String = {
+    val (nLists, nProbe, iters) = (8, 3, 2)
+    val q = graft.operators.Similarity.MeanQuantum
+    val sumCols = (1 to EmbDim)
+      .map(d => s"sum(CAST(round(e.v[$d]*$q) AS BIGINT)) AS s$d")
+      .mkString(",\n    ")
+    val meanList = (1 to EmbDim)
+      .map(d => s"CAST(CAST(CAST(s$d AS DOUBLE)/n/$q.0 AS FLOAT) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    def iterCtes(t: Int): String =
+      s"""s$t AS (SELECT e.vec_id, c.i,
+         |    ${dotSql("e.v", "c.c")} / (sqrt(${selfDotSql("e.v")}) * sqrt(${selfDotSql("c.c")})) AS cs
+         |  FROM e CROSS JOIN cent$t c),
+         |a$t AS (SELECT vec_id, i AS cell FROM (
+         |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, i DESC) AS rn
+         |    FROM s$t) r WHERE rn = 1),
+         |m$t AS (SELECT a.cell, count(*) AS n, $sumCols
+         |  FROM a$t a JOIN e USING (vec_id) GROUP BY a.cell),
+         |cent${t + 1} AS (SELECT c0.i, COALESCE(m.c, c0.c) AS c
+         |  FROM cent$t c0 LEFT JOIN
+         |    (SELECT cell AS i, $meanList AS c FROM m$t) m USING (i)),""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c
+       |  FROM e ORDER BY vec_id ASC LIMIT $nLists),
+       |${(0 until iters).map(iterCtes).mkString("\n")}
+       |scores AS (SELECT e.vec_id, c.i,
+       |    ${dotSql("e.v", "c.c")} / (sqrt(${selfDotSql("e.v")}) * sqrt(${selfDotSql("c.c")})) AS cs
+       |  FROM e CROSS JOIN cent$iters c),
+       |ranked_cells AS (SELECT vec_id, i,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, i DESC) AS rn
+       |  FROM scores),
+       |assigned AS (SELECT vec_id AS neighbor_id, i AS cell FROM ranked_cells WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked_cells
+       |  WHERE rn <= $nProbe AND vec_id < 10),
+       |cand AS (SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell) WHERE a.neighbor_id <> p.query_id),
+       |ranked AS (SELECT cand.query_id, cand.neighbor_id,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY ${dotSql("q.v", "n.v")}
+       |                 / (sqrt(${selfDotSql("q.v")}) * sqrt(${selfDotSql("n.v")})) DESC,
+       |               cand.neighbor_id ASC) AS rank
+       |  FROM cand JOIN e q ON q.vec_id = cand.query_id
+       |            JOIN e n ON n.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   // mh(2i)/mh(2i+1) are the two independent 60-bit halves of digest i
   // (hex chars [1,15] and [17,31]) — mirrors HashFunctions.md5LongHalves
   private val minhashCols = (0 until Dedup.NumHashes)
@@ -637,6 +697,7 @@ object SparkEntry {
         |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
+    "ann_ivf_trained" -> annIvfTrainedOracle,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5, 'fake/' || source AS format

@@ -201,27 +201,113 @@ object Similarity {
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
 
+  /** Fixed-point quantum for the k-means mean step: per-dimension sums
+    * accumulate as integers of x·2²⁰. Multiplying a float by 2²⁰ is an
+    * exact exponent shift in double, so the quantization is lossless up to
+    * the rounding step, and INTEGER sums are order-independent — the same
+    * trick as the money oracles' integer cents. The resulting centroids are
+    * bit-identical across partitionings, re-runs, and engines, which is
+    * what lets a trained index be fully hash-checked by an external oracle.
+    */
+  private[graft] val MeanQuantum = 1048576L // 2^20
+
+  /** Deterministic k-means seeds: the first `nLists` corpus vectors by id. */
+  private[graft] def firstNCentroids(
+      embeddings: DataFrame, nLists: Int): Array[(Int, Array[Float])] =
+    embeddings
+      .orderBy("vec_id").limit(nLists)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
+
+  /** Array of (cosine-to-centroid, cell-id) structs for a vector column —
+    * the assignment expression shared by training rounds and query time.
+    */
+  private def cellScores(centroids: Array[(Int, Array[Float])])(v: Column): Column =
+    array(centroids.map { case (i, c) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        (dot(v, cl) / (norm(v) * math.sqrt(c.map(x => x.toDouble * x).sum))).as("c"),
+        lit(i).as("i"))
+    }: _*)
+  // struct ordering is field-by-field, so array_max picks the best cosine
+  // (ties broken by larger cell id — mirrored in the oracle's rn ordering)
+  private def bestCellOf(centroids: Array[(Int, Array[Float])])(v: Column): Column =
+    array_max(cellScores(centroids)(v)).getField("i")
+  private def probeCellsOf(
+      centroids: Array[(Int, Array[Float])], nProbe: Int)(v: Column): Column =
+    transform(
+      slice(reverse(array_sort(cellScores(centroids)(v))), 1, nProbe),
+      s => s.getField("i"))
+
+  /** Lloyd's k-means (cosine assignment, arithmetic-mean update) over the
+    * corpus, seeded with [[firstNCentroids]]. Each round is ONE map-only
+    * scan: per-row argmax-cosine assignment (the same codegen'd expression
+    * the query uses), then a hash-agg of integer-quantized per-dimension
+    * sums with map-side combine — the shuffle carries nLists×dim partial
+    * sums per partition, and the driver collects exactly nLists×dim rows
+    * (a parameter-bounded collect, like the centroid fetch itself). Means
+    * are rounded back to FLOAT so centroids stay exactly representable in
+    * both engines; empty cells keep their previous centroid.
+    *
+    * First-n seeds on clustered data give degenerate cells (all seeds may
+    * fall in one cluster); 2-3 rounds of this loop separate them — see
+    * SimilaritySpec's clustered-corpus recall case.
+    */
+  def trainedCentroids(
+      embeddings: DataFrame, nLists: Int = 8, iters: Int = 2): Array[(Int, Array[Float])] = {
+    var cents = firstNCentroids(embeddings, nLists)
+    var it = 0
+    while (it < iters && cents.nonEmpty) {
+      val sums = graft.Parallelism.ensure(embeddings)
+        .select(
+          bestCellOf(cents)(col("embedding")).as("cell"),
+          posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(
+          sum(round(col("col").cast("double") * MeanQuantum).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (i, old) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val dims = rows.sortBy(_.getInt(1)).map { r =>
+              // pinned order: toDouble, / n, / quantum — the oracle divides
+              // in the same order, so the double result is bit-identical
+              (r.getLong(2).toDouble / r.getLong(3) / MeanQuantum.toDouble).toFloat
+            }
+            (i, dims)
+          case None => (i, old)
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nLists` cells by
     * nearest centroid, search only the query's `nProbe` closest cells, then
-    * exact-cosine rerank. Centroids here are the first `nLists` corpus
-    * vectors — deterministic and cheap; a production build would run a few
-    * k-means rounds with the same plumbing (assignment is the same
-    * argmax-over-centroids expression either way).
+    * exact-cosine rerank. With `trainIters = 0` centroids are the first
+    * `nLists` corpus vectors — deterministic and cheap, fine on shuffled
+    * data; with `trainIters > 0` they are k-means-trained
+    * ([[trainedCentroids]]) — the production path for clustered corpora,
+    * where first-n seeding gives degenerate cells and poor
+    * recall-per-probe. Both paths are bit-deterministic and fully
+    * oracle-checked (ann_ivf / ann_ivf_trained).
     *
     * Scale notes: centroids ship as literals (broadcast by value, no
     * shuffle); assignment is a linear scan (n·nLists dots, map-only, run at
     * guarded parallelism); candidate generation is an equi-join on cell id,
     * so per-query work is the probed cells' sizes, not the corpus. The
-    * recall/cost dials are nLists (cell granularity) and nProbe (cells
-    * searched).
+    * recall/cost dials are nLists (cell granularity), nProbe (cells
+    * searched), and trainIters (centroid quality).
     */
   def ivfTopK(
       embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nLists: Int = 8, nProbe: Int = 3): DataFrame = {
-    val centroids: Array[(Int, Array[Float])] = embeddings
-      .orderBy("vec_id").limit(nLists)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
+      nLists: Int = 8, nProbe: Int = 3, trainIters: Int = 0): DataFrame = {
+    val centroids =
+      if (trainIters > 0) trainedCentroids(embeddings, nLists, trainIters)
+      else firstNCentroids(embeddings, nLists)
     if (centroids.isEmpty) {
       // empty corpus → no cells; empty result with the output schema
       return embeddings.select(
@@ -229,26 +315,14 @@ object Similarity {
         lit(1).as("rank")).limit(0)
     }
 
-    // array of (cosine-to-centroid, cell-id) structs for a vector column
-    def cellScores(v: Column): Column = array(centroids.map { case (i, c) =>
-      val cl = array(c.map(lit): _*)
-      struct(
-        (dot(v, cl) / (norm(v) * math.sqrt(c.map(x => x.toDouble * x).sum))).as("c"),
-        lit(i).as("i"))
-    }: _*)
-    // struct ordering is field-by-field, so array_max picks the best cosine
-    def bestCell(v: Column): Column = array_max(cellScores(v)).getField("i")
-    def probeCells(v: Column): Column =
-      transform(slice(reverse(array_sort(cellScores(v))), 1, nProbe), s => s.getField("i"))
-
     val assigned = graft.Parallelism.ensure(embeddings).select(
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      norm(col("embedding")).as("cn"), bestCell(col("embedding")).as("cell"))
+      norm(col("embedding")).as("cn"), bestCellOf(centroids)(col("embedding")).as("cell"))
     val queries = embeddings
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"),
-        explode(probeCells(col("embedding"))).as("cell"))
+        explode(probeCellsOf(centroids, nProbe)(col("embedding"))).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     broadcast(queries)
       .join(assigned, Seq("cell"))

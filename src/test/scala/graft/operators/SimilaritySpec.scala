@@ -50,6 +50,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall was $recall")
   }
 
+  test("k-means training separates degenerate first-n seeds on a clustered corpus") {
+    import spark.implicits._
+    // 8 tight clusters around near-orthogonal axes in 16-dim; vec_ids are
+    // ordered so ALL 8 first-n seeds fall inside cluster 0 — the degenerate
+    // seeding VERDICT flags for clustered real data. Deterministic fixture
+    // (seeded RNG, built once).
+    val rnd = new scala.util.Random(42)
+    val axes = Array.tabulate(8) { c =>
+      Array.tabulate(16)(d => if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f)
+    }
+    val vecs = (0 until 256).map { id =>
+      val c = if (id < 8) 0 else id % 8 // first 8 ids all in cluster 0
+      val v = axes(c).map(x => x + 0.1f * rnd.nextFloat())
+      (id.toLong, v)
+    }
+    val cdf = vecs.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(cdf, 10, 5))
+    def recallWith(iters: Int): Double = {
+      val approx = pairs(Similarity.ivfTopK(cdf, 10, 5, nLists = 8, nProbe = 3,
+        trainIters = iters))
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val (untrained, trained) = (recallWith(0), recallWith(3))
+    // trained centroids must spread across the true clusters: every
+    // query's own cluster is then its top probe, so recall@5 is ~1, while
+    // the degenerate seeds split cluster 0 eight ways and scatter the rest
+    assert(trained >= 0.9, s"trained recall was $trained")
+    assert(trained > untrained,
+      s"training did not improve recall: trained=$trained untrained=$untrained")
+    // trained centroids occupy >= 6 distinct true clusters (seeds: 1)
+    val cents = Similarity.trainedCentroids(cdf, nLists = 8, iters = 3)
+    def nearestAxis(c: Array[Float]): Int =
+      axes.indices.maxBy(a => c.zip(axes(a)).map { case (x, y) => x * y }.sum)
+    assert(cents.map(c => nearestAxis(c._2)).distinct.length >= 6)
+  }
+
   test("IVF with a single cell equals brute force") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
