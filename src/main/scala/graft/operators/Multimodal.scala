@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * pipeline as opaque `binary` columns with typed metadata, and
   * decode/feature-extraction runs as a partition-wise batch operator.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
-  * [[decodeStub]] produces deterministic fake features derived from the
-  * bytes (clearly marked below). Everything around it — the binary schema,
-  * the typed `Dataset` row shape, partition-wise batching via
-  * `mapPartitions`, and the metadata projections — is the real plumbing a
-  * codec would drop into: replace the body of `fakeDecode` with the real
-  * library call and nothing else changes.
+  * IMAGE DECODE IS REAL: payloads whose format starts with `image/` go
+  * through the JDK's built-in
+  * `javax.imageio` codecs (PNG, JPEG, BMP, GIF, TIFF — zero external
+  * dependencies), yielding true pixel dimensions; undecodable image bytes
+  * surface as an explicit (0, 0, 0) marker row, never a silent fake.
+  * AUDIO/VIDEO DECODE REMAINS A STUB: this container has no av codecs, so
+  * non-image payloads get deterministic fake features derived from the
+  * bytes ([[fakeDecode]], clearly marked). The surrounding plumbing — the
+  * binary schema, the typed `Dataset` row shape, partition-wise batching
+  * via `mapPartitions`, and the metadata projections — is shared by both
+  * paths: dropping in an av codec is one more case in [[decodeOne]].
   *
   * Scale notes: payload bytes never pass through a shuffle here — decode is
   * a narrow map over the scan, and the metadata-only projections prune the
@@ -41,14 +45,14 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("content"),
       concat(lit("fake/"), col("source")).as("format"))
 
-  /** STUB decode: deterministic fake "dimensions" from the payload bytes.
-    * A real implementation calls the codec here (javax.imageio / ffmpeg /
-    * soundfile) on `m.content` — per partition, so per-executor native
-    * resources are initialized once per batch, not once per row.
+  /** STUB decode for non-image payloads: deterministic fake "dimensions"
+    * from the payload bytes. An av implementation calls the codec here
+    * (ffmpeg / soundfile) on `m.content` — per partition, so per-executor
+    * native resources are initialized once per batch, not once per row.
     */
   private def fakeDecode(m: MediaFile): MediaFeatures = {
     val n = m.content.length
-    // ??? real codec goes here — fake: derive dims from byte stats
+    // ??? real av codec goes here — fake: derive dims from byte stats
     val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xFF))
     MediaFeatures(
       m.doc_id, n, m.format,
@@ -57,11 +61,37 @@ object Multimodal {
       n_frames = n % 30 + 1)
   }
 
-  /** Partition-wise decode/feature-extract over the binary column. */
-  def decodeStub(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map(fakeDecode))
+  /** REAL image decode via the JDK's `javax.imageio` (headless-safe, no
+    * external dependencies): true pixel width/height, n_frames = 1. None
+    * when the bytes are not a decodable image.
+    */
+  private def decodeImage(m: MediaFile): Option[MediaFeatures] = {
+    val in = new java.io.ByteArrayInputStream(m.content)
+    Option(javax.imageio.ImageIO.read(in)).map { img =>
+      MediaFeatures(m.doc_id, m.content.length, m.format, img.getWidth, img.getHeight, 1)
+    }
   }
+
+  /** Per-row dispatch: `image/` formats → real [[decodeImage]] (undecodable bytes
+    * → explicit (0, 0, 0) marker, distinguishable from every real decode,
+    * whose dims are >= 1); everything else → [[fakeDecode]] stub.
+    */
+  private def decodeOne(m: MediaFile): MediaFeatures =
+    if (m.format != null && m.format.startsWith("image/"))
+      decodeImage(m).getOrElse(
+        MediaFeatures(m.doc_id, m.content.length, m.format, 0, 0, 0))
+    else fakeDecode(m)
+
+  /** Partition-wise decode/feature-extract over the binary column. */
+  def decode(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeOne))
+  }
+
+  /** Historical name for [[decode]] — the seam the real image codec was
+    * wired behind; kept so existing callers compile unchanged.
+    */
+  def decodeStub(media: Dataset[MediaFile]): Dataset[MediaFeatures] = decode(media)
 
   /** "Frame sampling": deterministic byte-chunk slices standing in for
     * video frame extraction — demonstrates the explode-to-frames shape

@@ -23,6 +23,32 @@ class MultimodalSpec extends SparkSpec {
     f1.foreach { case (k, r) => assert(r === f2(k)) }
   }
 
+  test("real image decode: synthesized PNG/JPEG bytes yield true pixel dims") {
+    import spark.implicits._
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaFile(1L, imageBytes(17, 9, "png"), "image/png"),
+      Multimodal.MediaFile(2L, imageBytes(33, 21, "jpg"), "image/jpeg"),
+      Multimodal.MediaFile(3L, Array[Byte](1, 2, 3), "image/png"), // corrupt
+      Multimodal.MediaFile(4L, "not an image".getBytes("UTF-8"), "fake/srcA")
+    ).toDS()
+    val got = Multimodal.decode(media).collect().map(f => f.doc_id -> f).toMap
+    assert((got(1L).width, got(1L).height, got(1L).n_frames) === ((17, 9, 1)))
+    assert((got(2L).width, got(2L).height, got(2L).n_frames) === ((33, 21, 1)))
+    // undecodable image bytes -> explicit (0,0,0) marker, not a silent fake
+    assert((got(3L).width, got(3L).height, got(3L).n_frames) === ((0, 0, 0)))
+    // non-image payloads still take the deterministic stub path (dims >= 1)
+    assert(got(4L).width >= 1 && got(4L).height >= 1)
+  }
+
   test("frame sampling explodes to one row per non-empty frame") {
     val frames = Multimodal
       .sampleFrames(Multimodal.attachPayload(docs()), nFrames = 3, frameBytes = 4)
