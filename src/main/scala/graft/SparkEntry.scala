@@ -133,6 +133,11 @@ object SparkEntry {
       graft.streaming.EventStreams.hourlyStatsAppendToBatch(s, dir)),
     "q_stream_sessions_append" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionWindowsAppendToBatch(s, dir)),
+    // Ingest-time content dedup of documents (streaming twin of
+    // q_dedup_exact): the surviving-fingerprint SET is deterministic even
+    // though the surviving copy depends on arrival order.
+    "q_stream_dedup_docs" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.dedupToBatch(s, dir)),
   )
 
   /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
@@ -549,6 +554,10 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  count(*) AS n_copies, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    // One surviving row per distinct fingerprint — the batch twin's keys.
+    "q_stream_dedup_docs" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents GROUP BY 1""".stripMargin,
     // The linear-idf score is a single division of exact integers — see
     // TextAnalysis.tfIdfTopTerms for why ln() is not hash-portable.

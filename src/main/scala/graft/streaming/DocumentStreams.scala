@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming ingest-time deduplication of DOCUMENTS by content fingerprint —
+  * the ingest twin of the batch `Dedup.exactDuplicates` (q_dedup_exact): an
+  * LLM-data pipeline dedups exact copies at the front door, before they cost
+  * storage and downstream near-dup work.
+  *
+  * Topology: document stream → md5 fingerprint of whitespace-normalized
+  * lowercase text (the SAME normalization as the batch operator, so batch
+  * and streaming agree on what "exact copy" means) →
+  * `dropDuplicatesWithinWatermark(fp_md5)` → append-mode parquet sink.
+  *
+  * Scale notes: dedup state is keyed by fingerprint and EVICTED once the
+  * watermark passes a fingerprint's event time — state is bounded by ingest
+  * rate × watermark horizon, never by corpus history (a plain
+  * `dropDuplicates` would hold every fingerprint ever seen and OOM on an
+  * unbounded stream). The horizon is the dedup guarantee: copies arriving
+  * within it are dropped exactly-once; a copy arriving later than the
+  * horizon re-admits (the standard bounded-state trade — catch late
+  * stragglers with a periodic batch `exactDuplicates` sweep instead of
+  * unbounded streaming state).
+  */
+object DocumentStreams {
+
+  /** Raw schema of the documents parquet. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Synthetic ingest-time base (2020-01-01T00:00:00Z, epoch seconds). NOT
+    * epoch 0: Spark initializes the event-time watermark at 0, and a first
+    * row sitting exactly on the initial watermark is discarded as late.
+    */
+  val IngestEpochStart: Long = 1577836800L
+
+  /** Streaming source over the documents parquet, watermarked on a
+    * synthetic ingest time derived from doc_id (1 doc/second from
+    * [[IngestEpochStart]]) — the driver's table carries no arrival
+    * timestamp, and a deterministic stand-in keeps the pipeline
+    * oracle-checkable; a real deployment uses the ingest layer's arrival
+    * time here, nothing else changes.
+    */
+  def source(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("ingest_ts",
+        timestamp_micros((lit(IngestEpochStart) + col("doc_id")) * 1000000L))
+      .withWatermark("ingest_ts", watermark)
+
+  /** Exactly-once content dedup: first document with a given fingerprint
+    * passes (and is emitted immediately — dedup does not hold rows back in
+    * append mode), subsequent copies within the watermark horizon are
+    * dropped, and the fingerprint's state row is evicted once the
+    * watermark passes its event time.
+    */
+  def deduped(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp_md5", md5(TextAnalysis.normalized(col("text"))))
+      .dropDuplicatesWithinWatermark("fp_md5")
+
+  /** Run the dedup topology over the driver's documents dir to completion
+    * (append mode + exactly-once parquet sink, like the event streams) and
+    * read the result back.
+    *
+    * The registered query projects ONLY `fp_md5`: which physical copy
+    * survives depends on arrival order (partition interleaving), but the
+    * SET of surviving fingerprints is exactly the distinct fingerprints of
+    * the corpus — deterministic and oracle-checkable (the batch twin's
+    * GROUP BY keys).
+    */
+  def dedupToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_docdedup")
+    val out = deduped(source(spark, dir))
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.read.schema(out.schema).parquet(s"$tmp/out").select("fp_md5")
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    result
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ingest-time content dedup of a document stream: batch parity of the
+  * surviving-fingerprint set, cross-batch duplicate suppression, and
+  * bounded (watermark-evicted) state.
+  */
+class DocumentStreamsSpec extends SparkSpec {
+
+  test("streamed dedup fingerprint set == batch distinct fingerprints") {
+    val dir = sf("sf0.001")
+    val streamed = DocumentStreams.dedupToBatch(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    val batch = graft.operators.Dedup
+      .exactDuplicates(graft.Tables.documents(spark, dir))
+      .select("fp_md5").collect().map(_.getString(0)).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("content duplicates are dropped across batches; state evicts past the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(minute: Int) = new java.sql.Timestamp(86400000L + minute * 60000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocumentStreams.deduped(
+      input.toDF().toDF("doc_id", "text", "ingest_ts")
+        .withWatermark("ingest_ts", "10 minutes"))
+      .writeStream.format("memory").queryName("doc_dedup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // same normalized content, different doc ids, across two batches
+      input.addData((1L, "Hello  World", ts(0)), (2L, "hello world", ts(1)))
+      q.processAllAvailable()
+      input.addData((3L, "HELLO world", ts(2)), (4L, "fresh text", ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("doc_dedup_stream")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 4L), "one survivor per normalized content")
+      val stateBefore = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateBefore === 2, "one state row per live fingerprint")
+      // advance event time far past the horizon: fingerprint state evicts
+      input.addData((5L, "much later doc", ts(120)))
+      q.processAllAvailable()
+      input.addData((6L, "even later", ts(121)))
+      q.processAllAvailable()
+      val stateAfter = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfter < 4,
+        s"evicted fingerprints must leave state, got $stateAfter rows")
+    } finally q.stop()
+  }
+}
