@@ -63,8 +63,8 @@ object EventAnalytics {
     * filter), and `mapPartitions` abandons codegen. Flink's temporal join
     * and kdb's `aj` lower to this same sorted-merge shape. Skew bound: one
     * key's rows sort within one task — same bound as any per-key window;
-    * AQE handles moderate skew, salting by time-bucket is the escape hatch
-    * for a pathological key.
+    * AQE handles moderate skew, and [[asOfJoinSalted]] is the implemented
+    * time-bucket salting escape hatch for a pathological key.
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame, key: String, ts: String, tie: String,
@@ -88,6 +88,78 @@ object EventAnalytics {
       .orderBy(col("t").asc, col("is_left").asc, col("o").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
+      .withColumn("_asof_w", last(col("p"), ignoreNulls = true).over(w))
+      .where(col("is_left") === 1)
+      .select(col("lrow.*"), col("_asof_w")("v").as(payloadName))
+  }
+
+  /** [[asOfJoin]] with TIME-BUCKET SALTING — the skew escape hatch for a
+    * pathological hot key whose full history would otherwise sort inside
+    * ONE task. Same semantics, bit-for-bit (spec-asserted against the
+    * unsalted form at every bucket width), different parallelism bound:
+    * the carry-forward window partitions by (key, time-bucket), so a hot
+    * key's work splits across its buckets.
+    *
+    * Two-pass shape, still linear in rows:
+    *   1. per (key, bucket): the latest right payload of the bucket — one
+    *      hash-agg (`max_by`, map-side combined);
+    *   2. a bucket-LEVEL carry-forward (per key over bucket ids — rows =
+    *      distinct non-empty buckets, thousands at most, never row-scale)
+    *      computes each bucket's seed = latest right payload of all
+    *      STRICTLY EARLIER buckets;
+    *   3. per (key, bucket): the original union + carry-forward window,
+    *      with the seed injected as a virtual right row at the bucket
+    *      start that sorts before every real row (is_left = −1).
+    *
+    * Choose `bucketWidth` so the hottest key's densest bucket fits a task;
+    * the cost is one extra shuffle of the (small) seed frame. `ts` may be
+    * a timestamp (bucketed in micros) or any numeric (bucketed raw).
+    */
+  def asOfJoinSalted(
+      left: DataFrame, right: DataFrame, key: String, ts: String, tie: String,
+      rightPayload: Column, payloadName: String = "asof",
+      bucketWidth: Long = 3600000000L): DataFrame = {
+    val payloadType = right.select(rightPayload.as("p")).schema("p").dataType
+    val wrappedType = StructType(Seq(StructField("v", payloadType)))
+    val lrowType = StructType(left.schema.fields)
+    val tieType = left.schema(tie).dataType
+    def tn(c: Column): Column = left.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val l = left.select(
+      col(key).as("k"), tn(col(ts)).as("t"), col(tie).as("o"), lit(1).as("is_left"),
+      lit(null).cast(wrappedType).as("p"),
+      struct(left.columns.map(col): _*).as("lrow"))
+      // exact integral floor-div: double division would round 2^60-scale
+      // micros before flooring and misbucket boundary rows
+      .withColumn("b", expr(s"(t - pmod(t, ${bucketWidth}L)) div ${bucketWidth}L"))
+    val r = right.select(
+      col(key).as("k"), tn(col(ts)).as("t"), col(tie).as("o"), lit(0).as("is_left"),
+      struct(rightPayload.as("v")).as("p"), lit(null).cast(lrowType).as("lrow"))
+      // exact integral floor-div: double division would round 2^60-scale
+      // micros before flooring and misbucket boundary rows
+      .withColumn("b", expr(s"(t - pmod(t, ${bucketWidth}L)) div ${bucketWidth}L"))
+    // pass 1: latest right payload per (key, bucket)
+    val bucketLast = r.groupBy("k", "b")
+      .agg(max_by(col("p"), struct(col("t"), col("o"))).as("bp"))
+    // pass 2: seed per occupied (key, bucket) = latest payload of earlier
+    // buckets (bucket-level rows only — this window is never row-scale)
+    val wCarry = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = l.select("k", "b").union(r.select("k", "b")).distinct()
+      .join(bucketLast, Seq("k", "b"), "left")
+      .withColumn("p", last(col("bp"), ignoreNulls = true).over(wCarry))
+      .select(
+        col("k"), (col("b") * bucketWidth).as("t"),
+        lit(null).cast(tieType).as("o"), lit(-1).as("is_left"),
+        col("p"), lit(null).cast(lrowType).as("lrow"), col("b"))
+    // pass 3: the unsalted window, partitioned by (key, bucket); the seed's
+    // (bucket-start t, is_left = -1) sorts before every real row in it
+    val w = Window.partitionBy("k", "b")
+      .orderBy(col("t").asc, col("is_left").asc, col("o").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r).unionByName(seeds)
       .withColumn("_asof_w", last(col("p"), ignoreNulls = true).over(w))
       .where(col("is_left") === 1)
       .select(col("lrow.*"), col("_asof_w")("v").as(payloadName))

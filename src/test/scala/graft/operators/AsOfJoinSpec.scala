@@ -41,6 +41,47 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.length === 1 && got(0).isNullAt(4))
   }
 
+  test("salted as-of join equals unsalted at every bucket width (incl. boundary ties)") {
+    // rows deliberately ON bucket boundaries (t = 0, 4, 8) and straddling
+    // them, plus equal-ts ties, so seed ordering and carry-across-bucket
+    // are all exercised
+    val left = frame(
+      (100L, 1L, 10L, 0.0), (101L, 1L, 5L, 0.0), (102L, 1L, 2L, 0.0),
+      (103L, 1L, 4L, 0.0), (104L, 2L, 8L, 0.0), (105L, 2L, 0L, 0.0))
+    val right = frame(
+      (200L, 1L, 3L, 1.5), (201L, 1L, 7L, 2.5), (202L, 1L, 11L, 3.5),
+      (203L, 1L, 4L, 4.5), (204L, 2L, 4L, 5.5), (205L, 2L, 8L, 6.5))
+    def result(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    val unsalted = result(EventAnalytics.asOfJoin(
+      left, right, key = "k", ts = "t", tie = "id", col("id").as("rid")))
+    // width 1: every row its own bucket (pure carry); width 4: boundaries
+    // at the planted ts; width 1000: single bucket (degenerates to unsalted)
+    for (width <- Seq(1L, 4L, 1000L)) {
+      val salted = result(EventAnalytics.asOfJoinSalted(
+        left, right, key = "k", ts = "t", tie = "id", col("id").as("rid"),
+        bucketWidth = width))
+      assert(salted === unsalted, s"bucketWidth=$width diverged")
+    }
+  }
+
+  test("salted purchase-attribution equals the unsalted operator on driver data") {
+    val events = graft.Tables.events(spark, sf("sf0.001"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.where(col("event_type") === "click")
+    val payload = struct(col("event_id").as("click_id"), col("value").as("click_value"))
+    def result(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("asof.click_id"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val unsalted = result(EventAnalytics.asOfJoin(
+      purchases, clicks, key = "user_id", ts = "ts", tie = "event_id", payload))
+    val salted = result(EventAnalytics.asOfJoinSalted(
+      purchases, clicks, key = "user_id", ts = "ts", tie = "event_id", payload,
+      bucketWidth = 3600000000L)) // 1-hour buckets over timestamp micros
+    assert(salted === unsalted)
+  }
+
   test("purchaseAttribution equals a driver-side brute force (driver data)") {
     val events = graft.Tables.events(spark, sf("sf0.001"))
     val got = EventAnalytics.purchaseAttribution(events)
