@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the float-vector dot product — the hot
   * inner loop of similarity search. A `zip_with`+`aggregate` HOF pipeline
@@ -211,6 +211,120 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int)
     copy(child = newChild)
 }
 
+/** The `nProbe` nearest IVF cells of a vector, by (cosine DESC, cell-id
+  * DESC), as one expression returning `array<int>` in probe order (element
+  * 1 = the assignment cell).
+  *
+  * Why a kernel instead of per-centroid literal-array expressions: the
+  * centroid matrix as `array(lit...)` columns generates nLists × dim
+  * literal stores of Java source that janino must recompile for EVERY
+  * distinct centroid set — each k-means round and the final query each paid
+  * seconds of driver JIT. Here the matrix rides along as a reference object
+  * (codegen emits one `compute` call; the generated source is identical
+  * across rounds, so it compiles once ever), and the assignment stays a
+  * map-only scan — no shuffle of the corpus per training round, which is
+  * the 100 TB property the literal form also had.
+  *
+  * Arithmetic parity with the replaced form and the DuckDB oracle:
+  * cosine = (Σ_d v[d]·c[d]) / (‖v‖ · ‖c‖), every accumulation
+  * left-to-right in array order, float elements promoted to double — so
+  * cell choices agree bit-for-bit. A centroid of mismatched dimension
+  * scores -inf (never chosen); null vector elements read as 0 (the driver
+  * tables carry none — schema-level nullable only).
+  */
+case class CentroidProbes(child: Expression, centroids: Array[Array[Float]], nProbe: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_probes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument, got ${dt.simpleString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  /** Centroid norms — same left-to-right double accumulation as the oracle
+    * (and the driver-side `math.sqrt(c.map(x => x.toDouble * x).sum)` the
+    * literal form used).
+    */
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map { c =>
+      var s = 0.0
+      var d = 0
+      while (d < c.length) { s += c(d).toDouble * c(d); d += 1 }
+      math.sqrt(s)
+    }
+
+  /** The per-row kernel — called from both eval paths. */
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val fl = isFloat
+    var vs = 0.0
+    var d = 0
+    while (d < n) {
+      val x = if (v.isNullAt(d)) 0.0 else if (fl) v.getFloat(d).toDouble else v.getDouble(d)
+      vs += x * x
+      d += 1
+    }
+    val vn = math.sqrt(vs)
+    val k = centroids.length
+    val cs = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val c = centroids(i)
+      if (c.length != n) cs(i) = Double.NegativeInfinity
+      else {
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          val x = if (v.isNullAt(j)) 0.0 else if (fl) v.getFloat(j).toDouble else v.getDouble(j)
+          s += x * c(j)
+          j += 1
+        }
+        cs(i) = s / (vn * centroidNorms(i))
+      }
+      i += 1
+    }
+    // selection of the top nProbe cells by (cs DESC, id DESC); ascending
+    // scan with >= -equal replacement leaves the LARGEST id among ties —
+    // the same tie rule as the oracle's ORDER BY cs DESC, i DESC
+    val m = math.min(nProbe, k)
+    val used = new Array[Boolean](k)
+    val out = new Array[Int](m)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var t = 0
+      while (t < k) {
+        if (!used(t) && (best < 0 || cs(t) > cs(best) ||
+            (cs(t) == cs(best) && t > best))) best = t
+        t += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidProbes", this, classOf[CentroidProbes].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Codegen'd Σ aᵢbᵢ in double over two float arrays. */
@@ -227,4 +341,10 @@ object VectorExpressions {
     */
   def hyperplaneBuckets(v: Column, tables: Int, planes: Int): Column =
     ColumnBridge.column(HyperplaneBuckets(ColumnBridge.expression(v), tables, planes))
+
+  /** Top-`nProbe` IVF cells of a vector in probe order (see
+    * [[CentroidProbes]]).
+    */
+  def centroidProbes(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    ColumnBridge.column(CentroidProbes(ColumnBridge.expression(v), centroids, nProbe))
 }

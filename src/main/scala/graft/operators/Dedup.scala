@@ -217,8 +217,15 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // label init fused with the first propagation round: label(0) =
+    // min(self, min neighbor id) — exactly what round 1 over self-labels
+    // would produce, for the cost of the node-distinct aggregate we needed
+    // anyway. Dense quasi-clique components (the near-dup shape) converge
+    // AT init, so the loop's only work is the no-change confirmation round.
+    var labels = edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(min("dst").as("nbr_min"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("cluster_id"))
       .localCheckpoint()
     var converged = false
     var iter = 0

@@ -219,25 +219,19 @@ object Similarity {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
 
-  /** Array of (cosine-to-centroid, cell-id) structs for a vector column —
-    * the assignment expression shared by training rounds and query time.
+  /** Assignment / probe expressions over the [[graft.functions.CentroidProbes]]
+    * kernel — one codegen'd call per row whose generated source is
+    * IDENTICAL across centroid sets (the matrix rides as a reference
+    * object), so k-means rounds don't pay a janino recompile each; the
+    * per-centroid literal-array struct form this replaced did. Cell choice
+    * is (cosine DESC, cell-id DESC), bit-equal to the oracle.
     */
-  private def cellScores(centroids: Array[(Int, Array[Float])])(v: Column): Column =
-    array(centroids.map { case (i, c) =>
-      val cl = array(c.map(lit): _*)
-      struct(
-        (dot(v, cl) / (norm(v) * math.sqrt(c.map(x => x.toDouble * x).sum))).as("c"),
-        lit(i).as("i"))
-    }: _*)
-  // struct ordering is field-by-field, so array_max picks the best cosine
-  // (ties broken by larger cell id — mirrored in the oracle's rn ordering)
   private def bestCellOf(centroids: Array[(Int, Array[Float])])(v: Column): Column =
-    array_max(cellScores(centroids)(v)).getField("i")
+    element_at(
+      graft.functions.VectorExpressions.centroidProbes(v, centroids.map(_._2), 1), 1)
   private def probeCellsOf(
       centroids: Array[(Int, Array[Float])], nProbe: Int)(v: Column): Column =
-    transform(
-      slice(reverse(array_sort(cellScores(centroids)(v))), 1, nProbe),
-      s => s.getField("i"))
+    graft.functions.VectorExpressions.centroidProbes(v, centroids.map(_._2), nProbe)
 
   /** Lloyd's k-means (cosine assignment, arithmetic-mean update) over the
     * corpus, seeded with [[firstNCentroids]]. Each round is ONE map-only

@@ -66,6 +66,27 @@ object EventStreams {
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming state-store parallelism for the driver-table drains. A
+    * stateful stream creates one state store per shuffle partition, and the
+    * count is PINNED into the checkpoint at the first batch — so it is a
+    * per-stream sizing decision, not a session default. The session-wide 32
+    * is right for the batch suite but pure per-task commit overhead for
+    * these single-file drains; a real deployment sizes this per stream the
+    * same way (rate × horizon keys per store).
+    */
+  val StreamShufflePartitions = 8
+
+  /** Scoped shuffle-partition override for stream construction: set, run,
+    * restore — queries already planned keep their partitioning, and the
+    * stream's own value is pinned in its checkpoint from the first batch.
+    */
+  private[streaming] def withStreamShufflePartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamShufflePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming aggregation over the driver's events table to
     * completion (Trigger.AvailableNow) and return the final result as a
     * batch DataFrame. Complete output mode flushes every window at the end,
@@ -76,14 +97,18 @@ object EventStreams {
       spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
       queryName: String): DataFrame = {
-    val q = transform(source(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the scope covers awaitTermination: batch planning reads the conf
+    // asynchronously after start() returns
+    withStreamShufflePartitions(spark) {
+      val q = transform(source(spark, dir))
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // copy the result out and drop the sink table — the memory sink holds
     // the full materialized result in the driver for the session lifetime
     val sink = spark.table(queryName)
@@ -123,15 +148,19 @@ object EventStreams {
       outPath: String, checkpointPath: String,
       watermark: String = "1 hour"): DataFrame = {
     val out = transform(source(spark, dir, watermark))
-    val q = out
-      .writeStream
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", checkpointPath)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the scope covers awaitTermination: batch planning reads the conf
+    // asynchronously after start() returns
+    withStreamShufflePartitions(spark) {
+      val q = out
+        .writeStream
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", checkpointPath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // explicit schema: an all-late/empty stream legally emits zero files,
     // and schema inference over an empty sink dir would throw
     spark.read.schema(out.schema).parquet(outPath)
