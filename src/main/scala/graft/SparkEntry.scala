@@ -50,6 +50,13 @@ object SparkEntry {
         Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q14_promo_revenue" -> ((s, dir) =>
       Relational.promoRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q10_returned_item" -> ((s, dir) =>
+      Relational.returnedItemRevenue(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir),
+        Tables.lineitem(s, dir))),
+    "q18_large_volume" -> ((s, dir) =>
+      Relational.largeVolumeCustomers(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctCustomers(Tables.orders(s, dir))),
     "q_rollup" -> ((s, dir) => Relational.rollupSummary(Tables.lineitem(s, dir))),
     "q_window_rank" -> ((s, dir) => Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
@@ -419,6 +426,28 @@ object SparkEntry {
         |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
         |  FROM lineitem JOIN part ON l_partkey = p_partkey) t
         |GROUP BY CAST(year(l_shipdate) AS INTEGER)""".stripMargin,
+    "q10_returned_item" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    // total_qty is an exact integer-cents sum / 100, so the > 250 threshold
+    // and the top-100 cut agree across engines (ties broken by o_orderkey).
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |         JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,

@@ -93,6 +93,37 @@ object Multimodal {
     */
   def decodeStub(media: Dataset[MediaFile]): Dataset[MediaFeatures] = decode(media)
 
+  /** REAL image resize (JDK AWT + imageio, headless-safe): decode, bilinear
+    * scale to (width, height), re-encode as PNG. Non-image and undecodable
+    * payloads pass through unchanged, so the operator composes anywhere in
+    * a mixed-modality pipeline. Partition-wise narrow map — payload bytes
+    * never shuffle.
+    */
+  def resizeImages(media: Dataset[MediaFile], width: Int, height: Int): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val img =
+        if (m.format != null && m.format.startsWith("image/"))
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        else null
+      if (img == null) m
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        MediaFile(m.doc_id, out.toByteArray, "image/png")
+      }
+    })
+  }
+
   /** "Frame sampling": deterministic byte-chunk slices standing in for
     * video frame extraction — demonstrates the explode-to-frames shape
     * (one output row per sampled frame, payload stays binary).

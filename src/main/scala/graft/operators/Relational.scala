@@ -120,6 +120,52 @@ object Relational {
         (sum(promoUnits).cast("double") / sum(discPriceUnits)).as("promo_share"))
   }
 
+  /** TPC-H Q10-style returned-item reporting: one quarter's returned ('R')
+    * lineitems → orders → customer, nation broadcast; top-20 customers by
+    * lost revenue. The selective fact filters (returnflag + date window)
+    * run before any join, the customer join shuffles on custkey, and the
+    * top-20 plans as TakeOrderedAndProject.
+    */
+  def returnedItemRevenue(
+      customer: DataFrame, orders: DataFrame, nation: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    lineitem.where(col("l_returnflag") === "R")
+      .join(
+        orders.where(
+          col("o_orderdate") >= to_timestamp(lit("1996-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-10-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg((sum(discPriceUnits).cast("double") / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18-style large-volume customers: a HAVING-filtered aggregate
+    * subquery (orders whose total quantity exceeds the threshold) joined
+    * back to orders and customer. The subquery aggregates lineitem FIRST —
+    * the join input shrinks to the rare qualifying orderkeys before any
+    * wide row is built. Quantity total uses exact integer cents, so the
+    * threshold comparison is engine-reproducible.
+    */
+  def largeVolumeCustomers(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQty: Double = 250.0): DataFrame = {
+    val big = lineitem
+      .groupBy("l_orderkey")
+      .agg((sum(cents(col("l_quantity"))).cast("double") / 100.0).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    big
+      .join(orders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   /** Distinct aggregate: Catalyst plans this as a two-phase expand+agg. */
   def distinctCustomers(orders: DataFrame): DataFrame =
     orders

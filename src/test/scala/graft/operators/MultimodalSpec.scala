@@ -49,6 +49,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L).width >= 1 && got(4L).height >= 1)
   }
 
+  test("real image resize: scaled PNG re-decodes at the target dimensions") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 20).foreach(x => (0 until 10).foreach(y =>
+      img.setRGB(x, y, (x * 13 + y * 7) & 0xFFFFFF)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = Seq(
+      Multimodal.MediaFile(1L, out.toByteArray, "image/png"),
+      Multimodal.MediaFile(2L, "plain bytes".getBytes("UTF-8"), "fake/srcA")
+    ).toDS()
+    val resized = Multimodal.resizeImages(media, 8, 4)
+    val feats = Multimodal.decode(resized).collect().map(f => f.doc_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height) === ((8, 4)))
+    // non-image rows pass through byte-identical
+    val passthrough = resized.collect().find(_.doc_id == 2L).get
+    assert(passthrough.content.toSeq === "plain bytes".getBytes("UTF-8").toSeq)
+    assert(passthrough.format === "fake/srcA")
+  }
+
   test("frame sampling explodes to one row per non-empty frame") {
     val frames = Multimodal
       .sampleFrames(Multimodal.attachPayload(docs()), nFrames = 3, frameBytes = 4)
