@@ -145,6 +145,11 @@ object SparkEntry {
     // though the surviving copy depends on arrival order.
     "q_stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocumentStreams.dedupToBatch(s, dir)),
+    // Stream-stream interval join (watermark-evicted two-sided state);
+    // inner-join emission is not watermark-gated, so a full drain equals
+    // the batch interval join exactly.
+    "q_stream_attribution" -> ((s, dir) =>
+      graft.streaming.EventStreams.attributionPairsToBatch(s, dir)),
   )
 
   /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
@@ -584,6 +589,16 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // The batch mirror of the streaming interval join: all same-user
+    // (purchase, click) pairs with the click in [p_ts - 1h, p_ts]. Epoch
+    // micros on both sides = exact integer comparisons.
+    "q_stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
     // One surviving row per distinct fingerprint — the batch twin's keys.
     "q_stream_dedup_docs" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5

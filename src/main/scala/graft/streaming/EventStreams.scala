@@ -30,12 +30,14 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over the events parquet with the nanos→micros
-    * conversion applied, watermarked on event time. (The nanosAsLong conf
-    * is set statically in [[graft.Sessions.local]]; the set here is an
-    * idempotent safety net — see [[graft.Tables.events]].)
+  /** Un-watermarked streaming source over the events parquet with the
+    * nanos→micros conversion applied — callers that rename `ts` (e.g. the
+    * two sides of a stream-stream join) watermark AFTER renaming, since a
+    * watermark attaches to a specific column. (The nanosAsLong conf is set
+    * statically in [[graft.Sessions.local]]; the set here is an idempotent
+    * safety net — see [[graft.Tables.events]].)
     */
-  def source(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame = {
+  def rawSource(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
@@ -44,8 +46,11 @@ object EventStreams {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", watermark)
   }
+
+  /** [[rawSource]] watermarked on event time. */
+  def source(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
+    rawSource(spark, dir).withWatermark("ts", watermark)
 
   /** Tumbling 1-hour event-time window aggregation — the streaming twin of
     * `EventAnalytics.hourlyStats` (`window(ts).start` ≡ `date_trunc`).
@@ -219,6 +224,61 @@ object EventStreams {
     val out = runAppendToFiles(spark, dir, sessionWindows(_), s"$tmp/out", s"$tmp/ckpt")
     deleteRecursivelyOnExit(tmp)
     out
+  }
+
+  /** STREAM-STREAM INTERVAL JOIN: every (purchase, click) pair for the same
+    * user with the click inside the hour before (or at) the purchase — the
+    * continuous form of attribution candidate generation. Both inputs must
+    * be watermarked and the join condition must time-bound BOTH event
+    * times (here `p_ts − 1h ≤ c_ts ≤ p_ts`, which also bounds
+    * `c_ts ≤ p_ts ≤ c_ts + 1h`): that is what lets Spark EVICT each side's
+    * buffered rows once the watermark passes their eligibility window, so
+    * join state is bounded by rate × (watermark + interval), never stream
+    * history. Inner-join rows emit as soon as both sides arrive — the
+    * watermark gates eviction, not emission — so a full drain emits exactly
+    * the batch interval join (the oracle).
+    */
+  def attributionPairs(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(
+      clicks,
+      expr("""p_user = c_user AND
+              c_ts >= p_ts - INTERVAL 1 HOUR AND
+              c_ts <= p_ts"""))
+      .select(
+        col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"))
+
+  /** Run [[attributionPairs]] over the driver's events dir (each side its
+    * own watermarked stream over the same parquet) to completion, parquet
+    * sink, read back — the oracle is the equivalent batch interval join.
+    */
+  def attributionPairsToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = rawSource(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = rawSource(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val out = attributionPairs(purchases, clicks)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_attr")
+    withStreamShufflePartitions(spark) {
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val result = spark.read.schema(out.schema).parquet(s"$tmp/out")
+    deleteRecursivelyOnExit(tmp)
+    result
   }
 
   /** Streaming exactly-once ingest dedup: drop duplicate event ids within

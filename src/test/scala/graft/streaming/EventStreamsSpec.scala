@@ -120,6 +120,66 @@ class EventStreamsSpec extends SparkSpec {
         "the ms-truncation ambiguity band; the append-mode oracle is unsafe")
   }
 
+  test("stream-stream interval join equals the batch interval join on a full drain") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamed = EventStreams.attributionPairsToBatch(spark, dir)
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.Tables.events(spark, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        unix_micros(col("ts")).as("pus"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("cus"))
+    val batch = p.join(c,
+      col("pu") === col("cu") &&
+        col("cus") >= col("pus") - 3600000000L && col("cus") <= col("pus"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("stream-stream join state is watermark-evicted (bounded two-sided buffers)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(minute: Int) = new java.sql.Timestamp(86400000L + minute * 60000L)
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = pIn.toDF().toDF("purchase_id", "p_user", "p_ts")
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = cIn.toDF().toDF("click_id", "c_user", "c_ts")
+      .withWatermark("c_ts", "10 minutes")
+    val q = EventStreams.attributionPairs(purchases, clicks)
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      pIn.addData((1L, 7L, ts(30)))
+      cIn.addData((100L, 7L, ts(25)), (101L, 7L, ts(90))) // 101 too late to match 1
+      q.processAllAvailable()
+      val matched = spark.table("attr_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(matched === Set((1L, 100L)), "click within the hour matches immediately")
+      val stateEarly = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateEarly > 0, "both sides buffer within the horizon")
+      // push event time far ahead on both sides: eligibility windows of the
+      // early rows pass, their buffered state is evicted
+      pIn.addData((2L, 8L, ts(600)))
+      cIn.addData((102L, 8L, ts(600)))
+      q.processAllAvailable()
+      pIn.addData((3L, 9L, ts(610)))
+      cIn.addData((103L, 9L, ts(610)))
+      q.processAllAvailable()
+      val stateLate = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateLate < stateEarly + 4,
+        s"old buffered rows must evict: early=$stateEarly late=$stateLate")
+    } finally q.stop()
+  }
+
   test("session windows cover all events with plausible session counts") {
     val dir = sf("sf0.001")
     val sessions = EventStreams.runToBatch(
