@@ -213,9 +213,15 @@ object Dedup {
   def clustersFromPairs(
       documents: DataFrame, pairs0: DataFrame, maxIter: Int = 20): DataFrame = {
     val pairs = pairs0.select(col("doc_a"), col("doc_b"))
-    // undirected: propagate both ways each round
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // undirected: propagate both ways each round. Both orientations come
+    // from ONE explode over ONE evaluation of the pair plan — the naive
+    // union of two selects would execute the (expensive: LSH join + exact
+    // verify) pair pipeline once per branch
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // label init fused with the first propagation round: label(0) =
     // min(self, min neighbor id) — exactly what round 1 over self-labels
@@ -260,15 +266,19 @@ object Dedup {
           "graph has a component of diameter > maxIter. Raise maxIter, or " +
           "switch to the O(log n)-round large-star/small-star contraction " +
           "for chain-shaped graphs.")
-    val assigned = documents
+    // sizes come from the |edge-nodes|-scale label frame, not the corpus:
+    // every multi-doc cluster consists of edge nodes only, and singletons
+    // (docs with no pairs) are always clusters of exactly 1 — so the
+    // corpus-scale `assigned` frame is built and scanned ONCE, with
+    // cluster_n filled by coalesce for the singletons
+    val sizes = labels.groupBy(col("cluster_id").as("cid"))
+      .agg(count(lit(1)).as("cluster_n"))
+    documents
       .select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val sizes = assigned.groupBy(col("cluster_id").as("cid"))
-      .agg(count(lit(1)).as("cluster_n"))
-    assigned
-      .join(sizes, assigned("cluster_id") === sizes("cid"))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_n"))
+      .join(sizes, col("cluster_id") === col("cid"), "left")
+      .select(col("doc_id"), col("cluster_id"), coalesce(col("cluster_n"), lit(1L)).as("cluster_n"))
   }
 
   /** 32-bit SimHash per document over the (multiset) whitespace tokens:
