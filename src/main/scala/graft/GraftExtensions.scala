@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, HyperplaneBuckets}
 
 /** Session-extension entry point: registers the engine's native SQL
   * functions so `spark.sql("SELECT vec_dot(a, b) ...")` works. Activate
@@ -29,7 +29,21 @@ object GraftFunctions {
     (
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      exprs => FloatVecDot(exprs(0), exprs(1))))
+      exprs => FloatVecDot(exprs(0), exprs(1))),
+    (
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_norm"),
+      exprs => org.apache.spark.sql.catalyst.expressions.Sqrt(
+        FloatVecDot(exprs(0), exprs(0)))),
+    // hyperplane_buckets(v, tables, planes) — tables/planes must be int
+    // literals (they shape the kernel, not per-row data)
+    (
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      exprs => HyperplaneBuckets(
+        exprs(0),
+        tables = exprs(1).eval().asInstanceOf[Number].intValue(),
+        planes = exprs(2).eval().asInstanceOf[Number].intValue())))
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

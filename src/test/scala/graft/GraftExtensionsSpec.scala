@@ -28,6 +28,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(interp == null)
   }
 
+  test("vec_norm and hyperplane_buckets are callable from SQL") {
+    GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n")
+      .collect()(0).getDouble(0)
+    assert(n === 5.0)
+    // same buckets as the Column-API kernel on the same vector
+    val sqlBuckets = spark.sql(
+      """SELECT hyperplane_buckets(
+        |  array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT), CAST(0.5 AS FLOAT)),
+        |  4, 3) AS b""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val apiBuckets = Seq(Array(1.0f, -2.0f, 0.5f)).toDF("v")
+      .select(graft.functions.VectorExpressions.hyperplaneBuckets(col("v"), 4, 3).as("b"))
+      .collect()(0).getSeq[Long](0)
+    assert(sqlBuckets === apiBuckets)
+  }
+
   test("extensions class injects the same descriptors (startup path)") {
     // exercise the SparkSessionExtensions wiring itself
     val ext = new org.apache.spark.sql.SparkSessionExtensions
