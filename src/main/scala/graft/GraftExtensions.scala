@@ -40,10 +40,30 @@ object GraftFunctions {
     (
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
-      exprs => HyperplaneBuckets(
-        exprs(0),
-        tables = exprs(1).eval().asInstanceOf[Number].intValue(),
-        planes = exprs(2).eval().asInstanceOf[Number].intValue())))
+      exprs => {
+        // validated here, at analysis time: a non-foldable arg would
+        // otherwise crash eval() with an obscure unevaluable error, and a
+        // fractional literal would silently truncate to the wrong kernel
+        def intLiteral(pos: Int, name: String): Int = {
+          if (exprs.length != 3) throw new IllegalArgumentException(
+            s"hyperplane_buckets(v, tables, planes) takes 3 arguments, got ${exprs.length}")
+          val e = exprs(pos)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"hyperplane_buckets: $name must be an integer literal, got ${e.sql}")
+          e.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+            case s: java.lang.Short => s.intValue()
+            case b: java.lang.Byte => b.intValue()
+            case other => throw new IllegalArgumentException(
+              s"hyperplane_buckets: $name must be an integer literal, got $other")
+          }
+        }
+        HyperplaneBuckets(
+          exprs(0),
+          tables = intLiteral(1, "tables"),
+          planes = intLiteral(2, "planes"))
+      }))
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

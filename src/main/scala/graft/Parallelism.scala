@@ -26,8 +26,11 @@ object Parallelism {
     val target = sess.sparkContext.defaultParallelism
     val maxSplitBytes = JavaUtils.byteStringAsBytes(
       sess.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    // stay in BigInt: join stats multiply child sizes, so sizeInBytes can
+    // exceed Long range and a .toLong would wrap negative — inserting a
+    // cluster-wide shuffle exactly where this must be a no-op
     val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estSplits = (sizeInBytes / maxSplitBytes).toLong + 1
-    if (estSplits < target) df.repartition(target) else df
+    val estSplits = sizeInBytes / maxSplitBytes + 1
+    if (estSplits < BigInt(target)) df.repartition(target) else df
   }
 }

@@ -292,8 +292,13 @@ case class CentroidProbes(child: Expression, centroids: Array[Array[Float]], nPr
       i += 1
     }
     // selection of the top nProbe cells by (cs DESC, id DESC); ascending
-    // scan with >= -equal replacement leaves the LARGEST id among ties —
-    // the same tie rule as the oracle's ORDER BY cs DESC, i DESC
+    // scan with equal-replacement leaves the LARGEST id among ties — the
+    // same tie rule as the oracle's ORDER BY cs DESC, i DESC. Comparison is
+    // Double.compare, NOT the > operator: a zero-norm vector (or centroid)
+    // makes every cosine NaN, and both Spark's sort order and DuckDB's
+    // ORDER BY treat NaN as GREATER than every number — `>` would instead
+    // evaluate false everywhere and silently pick the lowest cells,
+    // diverging from the oracle on such data
     val m = math.min(nProbe, k)
     val used = new Array[Boolean](k)
     val out = new Array[Int](m)
@@ -302,8 +307,10 @@ case class CentroidProbes(child: Expression, centroids: Array[Array[Float]], nPr
       var best = -1
       var t = 0
       while (t < k) {
-        if (!used(t) && (best < 0 || cs(t) > cs(best) ||
-            (cs(t) == cs(best) && t > best))) best = t
+        if (!used(t) && (best < 0 || {
+          val cmp = java.lang.Double.compare(cs(t), cs(best))
+          cmp > 0 || (cmp == 0 && t > best)
+        })) best = t
         t += 1
       }
       used(best) = true

@@ -209,6 +209,11 @@ object Dedup {
     * with any pair source: MinHash ([[nearDuplicatePairs]]), SimHash
     * ([[simhashNearDupPairs]]), or embedding-cosine
     * ([[Similarity.cosineNearDupPairsBlocked]]) pairs.
+    *
+    * PRECONDITION: pair endpoints must be drawn from `documents` (every
+    * in-library pair source guarantees this — pairs are derived from the
+    * same frame). Endpoints outside it would inflate `cluster_n`, which is
+    * counted over the label frame so the corpus is scanned only once.
     */
   def clustersFromPairs(
       documents: DataFrame, pairs0: DataFrame, maxIter: Int = 20): DataFrame = {

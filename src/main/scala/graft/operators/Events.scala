@@ -123,19 +123,24 @@ object EventAnalytics {
     val wrappedType = StructType(Seq(StructField("v", payloadType)))
     val lrowType = StructType(left.schema.fields)
     val tieType = left.schema(tie).dataType
-    def tn(c: Column): Column = left.schema(ts).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
-      case _ => c.cast("long")
-    }
+    // the ts→long conversion is derived PER SIDE: a timestamp on one side
+    // and raw numeric micros on the other must land on the same axis
+    // (cast("long") on a timestamp would yield epoch SECONDS and silently
+    // shift that side's rows to bucket ~0)
+    def tn(schema: org.apache.spark.sql.types.StructType)(c: Column): Column =
+      schema(ts).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
     val l = left.select(
-      col(key).as("k"), tn(col(ts)).as("t"), col(tie).as("o"), lit(1).as("is_left"),
+      col(key).as("k"), tn(left.schema)(col(ts)).as("t"), col(tie).as("o"), lit(1).as("is_left"),
       lit(null).cast(wrappedType).as("p"),
       struct(left.columns.map(col): _*).as("lrow"))
       // exact integral floor-div: double division would round 2^60-scale
       // micros before flooring and misbucket boundary rows
       .withColumn("b", expr(s"(t - pmod(t, ${bucketWidth}L)) div ${bucketWidth}L"))
     val r = right.select(
-      col(key).as("k"), tn(col(ts)).as("t"), col(tie).as("o"), lit(0).as("is_left"),
+      col(key).as("k"), tn(right.schema)(col(ts)).as("t"), col(tie).as("o"), lit(0).as("is_left"),
       struct(rightPayload.as("v")).as("p"), lit(null).cast(lrowType).as("lrow"))
       // exact integral floor-div: double division would round 2^60-scale
       // micros before flooring and misbucket boundary rows

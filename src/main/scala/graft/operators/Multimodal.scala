@@ -82,10 +82,19 @@ object Multimodal {
         MediaFeatures(m.doc_id, m.content.length, m.format, 0, 0, 0))
     else fakeDecode(m)
 
+  /** Disable ImageIO's disk-backed stream cache for this JVM: with the
+    * default (useCache=true) EVERY decode/encode round-trips a temp file on
+    * executor-local disk, turning a pure-CPU narrow map into disk-bound
+    * work. Called once per partition from the mapPartitions seams (static
+    * JVM flag, idempotent — executors each set it on first use).
+    */
+  private def ensureInMemoryImageIO(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Partition-wise decode/feature-extract over the binary column. */
   def decode(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeOne))
+    media.mapPartitions { it => ensureInMemoryImageIO(); it.map(decodeOne) }
   }
 
   /** Historical name for [[decode]] — the seam the real image codec was
@@ -101,7 +110,7 @@ object Multimodal {
     */
   def resizeImages(media: Dataset[MediaFile], width: Int, height: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
+    media.mapPartitions { it => ensureInMemoryImageIO(); it.map { m =>
       val img =
         if (m.format != null && m.format.startsWith("image/"))
           javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
@@ -121,7 +130,7 @@ object Multimodal {
         javax.imageio.ImageIO.write(dst, "png", out)
         MediaFile(m.doc_id, out.toByteArray, "image/png")
       }
-    })
+    }}
   }
 
   /** "Frame sampling": deterministic byte-chunk slices standing in for

@@ -82,18 +82,9 @@ object DocumentStreams {
   def dedupToBatch(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_docdedup")
     val out = deduped(source(spark, dir))
-    // scope covers awaitTermination: batch planning reads the conf async
-    EventStreams.withStreamShufflePartitions(spark) {
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    val result = spark.read.schema(out.schema).parquet(s"$tmp/out").select("fp_md5")
+    val result = EventStreams
+      .drainAppendToParquet(spark, out, s"$tmp/out", s"$tmp/ckpt")
+      .select("fp_md5")
     EventStreams.deleteRecursivelyOnExit(tmp)
     result
   }

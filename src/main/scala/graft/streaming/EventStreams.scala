@@ -153,6 +153,18 @@ object EventStreams {
       outPath: String, checkpointPath: String,
       watermark: String = "1 hour"): DataFrame = {
     val out = transform(source(spark, dir, watermark))
+    drainAppendToParquet(spark, out, outPath, checkpointPath)
+  }
+
+  /** The shared drain: run a streaming frame to completion in append mode
+    * against an exactly-once parquet sink, then read the result back.
+    * Used by every *ToBatch harness (events, sessions, document dedup,
+    * stream-stream attribution) so the sink/checkpoint/read-back contract
+    * lives in ONE place.
+    */
+  private[streaming] def drainAppendToParquet(
+      spark: SparkSession, out: DataFrame,
+      outPath: String, checkpointPath: String): DataFrame = {
     // the scope covers awaitTermination: batch planning reads the conf
     // asynchronously after start() returns
     withStreamShufflePartitions(spark) {
@@ -266,17 +278,7 @@ object EventStreams {
       .withWatermark("c_ts", "1 hour")
     val out = attributionPairs(purchases, clicks)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_attr")
-    withStreamShufflePartitions(spark) {
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    val result = spark.read.schema(out.schema).parquet(s"$tmp/out")
+    val result = drainAppendToParquet(spark, out, s"$tmp/out", s"$tmp/ckpt")
     deleteRecursivelyOnExit(tmp)
     result
   }

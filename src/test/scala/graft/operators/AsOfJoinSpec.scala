@@ -82,6 +82,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(salted === unsalted)
   }
 
+  test("salted as-of join converts ts per SIDE (timestamp right vs numeric-micros left)") {
+    import spark.implicits._
+    // left carries raw epoch-MICROS longs, right carries real timestamps:
+    // both must land on the same micro axis (a naive cast('long') on a
+    // timestamp yields SECONDS and shifts that side to bucket ~0)
+    val left = Seq((100L, 1L, 5000000L, 0.0)).toDF("id", "k", "t", "v")
+    val right = Seq(
+      (200L, 1L, new java.sql.Timestamp(3000L), 1.5), // 3s = 3e6 us <= 5e6
+      (201L, 1L, new java.sql.Timestamp(7000L), 2.5)) // 7s: later, excluded
+      .toDF("id", "k", "t", "v")
+    val got = EventAnalytics.asOfJoinSalted(
+      left, right, key = "k", ts = "t", tie = "id", col("id").as("rid"),
+      bucketWidth = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(100L -> 200L))
+  }
+
   test("purchaseAttribution equals a driver-side brute force (driver data)") {
     val events = graft.Tables.events(spark, sf("sf0.001"))
     val got = EventAnalytics.purchaseAttribution(events)

@@ -88,6 +88,18 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.map(c => nearestAxis(c._2)).distinct.length >= 6)
   }
 
+  test("centroid probes treat NaN cosines as greatest with max-id ties (oracle order)") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions
+    // zero vector -> every cosine NaN -> all cells tie -> highest ids first,
+    // matching DuckDB's ORDER BY cs DESC, i DESC (NaN sorts greatest)
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(1.0f, 1.0f))
+    val probes = Seq(Array(0.0f, 0.0f)).toDF("v")
+      .select(VectorExpressions.centroidProbes(col("v"), cents, 3).as("p"))
+      .collect()(0).getSeq[Int](0)
+    assert(probes === Seq(2, 1, 0))
+  }
+
   test("IVF with a single cell equals brute force") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
