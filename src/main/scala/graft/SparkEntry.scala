@@ -150,6 +150,10 @@ object SparkEntry {
     // the batch interval join exactly.
     "q_stream_attribution" -> ((s, dir) =>
       graft.streaming.EventStreams.attributionPairsToBatch(s, dir)),
+    // The reference's flagship query as a continuous query (state = one
+    // row per distinct word; complete-mode oracle harness).
+    "q_stream_wordcount_complete_oracle" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.wordCountsToBatch(s, dir)),
   )
 
   /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
@@ -599,6 +603,14 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+    // Streaming twin of mr_wordcount — same tokenize/normalize/count
+    // expressions, so the same oracle.
+    "q_stream_wordcount_complete_oracle" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
+        |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
     // One surviving row per distinct fingerprint — the batch twin's keys.
     "q_stream_dedup_docs" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5

@@ -69,6 +69,38 @@ object DocumentStreams {
       .withColumn("fp_md5", md5(TextAnalysis.normalized(col("text"))))
       .dropDuplicatesWithinWatermark("fp_md5")
 
+  /** The reference's flagship query as a CONTINUOUS query: streaming word
+    * count over the document stream — `WordCount.counts` shares its exact
+    * tokenize/normalize/count expressions, so batch and stream agree term
+    * for term (and share the mr_wordcount oracle). Complete output mode +
+    * memory sink make it oracle-checkable from Verify (the same
+    * `_complete_oracle` harness convention as the event streams); a real
+    * deployment uses update mode into a keyed store. The aggregation state
+    * is one row per DISTINCT WORD — vocabulary-bounded, not stream-bounded
+    * — which is why a global unwatermarked count is legitimate here.
+    */
+  def wordCountsToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val counts = graft.operators.WordCount.counts(stream, "text")
+    EventStreams.withStreamShufflePartitions(spark) {
+      val name = s"stream_wordcount_${System.nanoTime()}"
+      val q = counts.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val result = spark.createDataFrame(
+        java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+      spark.catalog.dropTempView(name)
+      result
+    }
+  }
+
   /** Run the dedup topology over the driver's documents dir to completion
     * (append mode + exactly-once parquet sink, like the event streams) and
     * read the result back.

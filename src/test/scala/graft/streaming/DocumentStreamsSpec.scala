@@ -20,6 +20,17 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming word count == batch word count (reference flagship, continuous)") {
+    val dir = sf("sf0.001")
+    val streamed = DocumentStreams.wordCountsToBatch(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.WordCount
+      .counts(graft.Tables.documents(spark, dir), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("content duplicates are dropped across batches; state evicts past the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
