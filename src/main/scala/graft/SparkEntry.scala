@@ -81,6 +81,7 @@ object SparkEntry {
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir))),
+    "q_top_terms_per_lang" -> ((s, dir) => TextAnalysis.topTermsPerLang(Tables.documents(s, dir))),
     // --- deterministic sampling ---
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
@@ -632,6 +633,17 @@ object SparkEntry {
         |               tf.term ASC) AS rank
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_top_terms_per_lang" ->
+      """WITH t AS (SELECT lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, count(*) AS n FROM t
+        |  WHERE len(term) > 0 GROUP BY lang, term)
+        |SELECT lang, term, n, rank FROM (
+        |  SELECT lang, term, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
+        |  FROM c) r
+        |WHERE rank <= 10""".stripMargin,
     // Threshold is integer floor division on both engines (Spark `div`,
     // DuckDB `//`) — the kept set is bit-reproducible.
     "q_sample_stratified" ->

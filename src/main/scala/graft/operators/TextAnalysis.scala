@@ -129,6 +129,24 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
 
+  /** Corpus-level top-k terms PER LANGUAGE (SURVEY §7 M4's grouped top-k):
+    * explode → (lang, term) hash-agg with map-side combine → per-lang
+    * window rank. The shuffle width is |langs × vocabulary|, not the
+    * corpus; the window partitions by lang (a handful of groups, each
+    * vocabulary-sized — at 100 TB switch the final rank to a per-lang
+    * TakeOrdered if vocabularies outgrow a partition).
+    */
+  def topTermsPerLang(documents: DataFrame, k: Int = 10): DataFrame = {
+    val perTerm = graft.Parallelism.ensure(documents)
+      .select(col("lang"), explode(toks(lower(col("text")))).as("term"))
+      .where(length(col("term")) > 0)
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term").asc)
+    perTerm
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Whitespace-normalized lowercase form — the canonical text for exact
     * dedup and fingerprinting.
     */
