@@ -36,6 +36,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("topTermsPerLang ranks within each language independently") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apfel apfel birne", "de"),
+      (2L, "apfel", "de"),
+      (3L, "apple apple apple pear", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.topTermsPerLang(d, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val de = rows.filter(_._1 == "de").sortBy(_._4)
+    val en = rows.filter(_._1 == "en").sortBy(_._4)
+    assert(de.map(t => (t._2, t._3)).toSeq === Seq(("apfel", 3L), ("birne", 1L)))
+    assert(en.map(t => (t._2, t._3)).toSeq === Seq(("apple", 3L), ("pear", 1L)))
+  }
+
   test("tfIdfTopTerms df counts documents, not occurrences") {
     val d = docs(1L -> "w w w", 2L -> "w", 3L -> "q")
     val row = TextAnalysis.tfIdfTopTerms(d, k = 5)
