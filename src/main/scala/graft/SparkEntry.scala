@@ -58,6 +58,8 @@ object SparkEntry {
       Relational.largeVolumeCustomers(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctCustomers(Tables.orders(s, dir))),
+    "q_correlated_min" -> ((s, dir) =>
+      Relational.cheapestOrderPerCustomer(s, Tables.orders(s, dir))),
     "q_rollup" -> ((s, dir) => Relational.rollupSummary(Tables.lineitem(s, dir))),
     "q_window_rank" -> ((s, dir) => Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
     "q_window_moving" -> ((s, dir) => Relational.movingAvgOrderValue(Tables.orders(s, dir))),
@@ -461,6 +463,11 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_correlated_min" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

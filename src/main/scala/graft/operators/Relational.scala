@@ -166,6 +166,24 @@ object Relational {
       .limit(100)
   }
 
+  /** Correlated scalar subquery through the SQL entry point — each
+    * customer's cheapest order(s). Exercises the `spark.sql` API surface
+    * and Catalyst's subquery decorrelation: the correlated `min` rewrites
+    * to an aggregate + join (no per-row re-execution), so the plan is two
+    * scans + one shuffle, not O(rows) subquery invocations. Equality is on
+    * raw (unarithmetic'd) doubles — engine-portable.
+    */
+  def cheapestOrderPerCustomer(spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM graft_orders_v o
+        |WHERE o_totalprice = (SELECT min(o2.o_totalprice)
+        |                      FROM graft_orders_v o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   /** Distinct aggregate: Catalyst plans this as a two-phase expand+agg. */
   def distinctCustomers(orders: DataFrame): DataFrame =
     orders
