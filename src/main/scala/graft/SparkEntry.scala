@@ -60,6 +60,7 @@ object SparkEntry {
     "q_distinct_agg" -> ((s, dir) => Relational.distinctCustomers(Tables.orders(s, dir))),
     "q_correlated_min" -> ((s, dir) =>
       Relational.cheapestOrderPerCustomer(s, Tables.orders(s, dir))),
+    "q_pivot" -> ((s, dir) => Relational.ordersByPriorityPivot(Tables.orders(s, dir))),
     "q_rollup" -> ((s, dir) => Relational.rollupSummary(Tables.lineitem(s, dir))),
     "q_window_rank" -> ((s, dir) => Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
     "q_window_moving" -> ((s, dir) => Relational.movingAvgOrderValue(Tables.orders(s, dir))),
@@ -468,6 +469,13 @@ object SparkEntry {
         |FROM orders o
         |WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    // Declared-values pivot == one pass of conditional aggregation.
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

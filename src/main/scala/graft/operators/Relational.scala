@@ -166,6 +166,20 @@ object Relational {
       .limit(100)
   }
 
+  /** Pivot: order counts per priority, one column per order status. The
+    * pivot values are declared explicitly, so Catalyst plans ONE pass of
+    * conditional aggregation (no values-discovery job, no second scan) —
+    * the form that scales; an undeclared pivot first runs a distinct query
+    * to find the columns.
+    */
+  def ordersByPriorityPivot(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+
   /** Correlated scalar subquery through the SQL entry point — each
     * customer's cheapest order(s). Exercises the `spark.sql` API surface
     * and Catalyst's subquery decorrelation: the correlated `min` rewrites
