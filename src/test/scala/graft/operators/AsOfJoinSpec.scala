@@ -99,6 +99,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Map(100L -> 200L))
   }
 
+  test("asOfJoin + salted match brute force on randomized data incl. NULL payloads") {
+    import spark.implicits._
+    // dense key/ts collisions force every tie rule; payload is NULL for
+    // ~half the right rows, so the "most recent right row's payload, even
+    // if NULL" contract (no fallback to older rows) is exercised
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 150).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, 0.0))
+    val right = (0 until 150).map(i =>
+      (2000L + i, rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, rnd.nextDouble()))
+    val leftDf = left.toDF("id", "k", "t", "v")
+    val rightDf = right.toDF("id", "k", "t", "v")
+    val payload = when(col("v") > 0.5, col("id")) // NULL payload ~half the time
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    val expected = left.map { case (lid, k, lt, _) =>
+      val best = right.filter(r => r._2 == k && r._3 <= lt)
+        .sortBy(r => (r._3, r._1)).lastOption // max (t, id) among eligible
+      lid -> best.flatMap(b => if (b._4 > 0.5) Some(b._1) else None)
+    }.toMap
+    val unsalted = run(EventAnalytics.asOfJoin(
+      leftDf, rightDf, key = "k", ts = "t", tie = "id", payload.as("rid")))
+    assert(unsalted === expected)
+    for (width <- Seq(1L, 7L, 100L)) {
+      val salted = run(EventAnalytics.asOfJoinSalted(
+        leftDf, rightDf, key = "k", ts = "t", tie = "id", payload.as("rid"),
+        bucketWidth = width))
+      assert(salted === expected, s"bucketWidth=$width diverged from brute force")
+    }
+  }
+
   test("purchaseAttribution equals a driver-side brute force (driver data)") {
     val events = graft.Tables.events(spark, sf("sf0.001"))
     val got = EventAnalytics.purchaseAttribution(events)
