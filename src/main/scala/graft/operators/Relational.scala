@@ -189,13 +189,17 @@ object Relational {
     */
   def cheapestOrderPerCustomer(spark: org.apache.spark.sql.SparkSession,
       orders: DataFrame): DataFrame = {
-    orders.createOrReplaceTempView("graft_orders_v")
-    spark.sql(
-      """SELECT o_custkey, o_orderkey, o_totalprice
-        |FROM graft_orders_v o
-        |WHERE o_totalprice = (SELECT min(o2.o_totalprice)
-        |                      FROM graft_orders_v o2
-        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    // per-call unique view name, dropped right after analysis binds the
+    // plan — no fixed-name catalog state for concurrent callers to race on
+    val view = s"graft_orders_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    orders.createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT o_custkey, o_orderkey, o_totalprice
+         |FROM $view o
+         |WHERE o_totalprice = (SELECT min(o2.o_totalprice)
+         |                      FROM $view o2
+         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   /** Distinct aggregate: Catalyst plans this as a two-phase expand+agg. */

@@ -3,7 +3,6 @@ package graft.streaming
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Streaming ingest-time deduplication of DOCUMENTS by content fingerprint —
@@ -42,18 +41,24 @@ object DocumentStreams {
     */
   val IngestEpochStart: Long = 1577836800L
 
-  /** Streaming source over the documents parquet, watermarked on a
-    * synthetic ingest time derived from doc_id (1 doc/second from
-    * [[IngestEpochStart]]) — the driver's table carries no arrival
-    * timestamp, and a deterministic stand-in keeps the pipeline
-    * oracle-checkable; a real deployment uses the ingest layer's arrival
-    * time here, nothing else changes.
+  /** Un-watermarked streaming source over the documents parquet — the one
+    * place the read options live (mirrors EventStreams' rawSource/source
+    * split).
     */
-  def source(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
+  def rawSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
+
+  /** [[rawSource]] watermarked on a synthetic ingest time derived from
+    * doc_id (1 doc/second from [[IngestEpochStart]]) — the driver's table
+    * carries no arrival timestamp, and a deterministic stand-in keeps the
+    * pipeline oracle-checkable; a real deployment uses the ingest layer's
+    * arrival time here, nothing else changes.
+    */
+  def source(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
+    rawSource(spark, dir)
       .withColumn("ingest_ts",
         timestamp_micros((lit(IngestEpochStart) + col("doc_id")) * 1000000L))
       .withWatermark("ingest_ts", watermark)
@@ -79,27 +84,11 @@ object DocumentStreams {
     * is one row per DISTINCT WORD — vocabulary-bounded, not stream-bounded
     * — which is why a global unwatermarked count is legitimate here.
     */
-  def wordCountsToBatch(spark: SparkSession, dir: String): DataFrame = {
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-    val counts = graft.operators.WordCount.counts(stream, "text")
-    EventStreams.withStreamShufflePartitions(spark) {
-      val name = s"stream_wordcount_${System.nanoTime()}"
-      val q = counts.writeStream
-        .format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val sink = spark.table(name)
-      val result = spark.createDataFrame(
-        java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-      spark.catalog.dropTempView(name)
-      result
-    }
-  }
+  def wordCountsToBatch(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.drainCompleteToBatch(
+      spark,
+      graft.operators.WordCount.counts(rawSource(spark, dir), "text"),
+      s"stream_wordcount_${System.nanoTime()}")
 
   /** Run the dedup topology over the driver's documents dir to completion
     * (append mode + exactly-once parquet sink, like the event streams) and

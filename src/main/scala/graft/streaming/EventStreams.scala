@@ -101,11 +101,20 @@ object EventStreams {
   def runToBatch(
       spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
-      queryName: String): DataFrame = {
+      queryName: String): DataFrame =
+    drainCompleteToBatch(spark, transform(source(spark, dir)), queryName)
+
+  /** The shared complete-mode drain (oracle harnesses only — the memory
+    * sink is a driver-side materialization by construction): run an
+    * arbitrary streaming frame to completion, copy the result out, drop
+    * the sink table. Lives in ONE place like [[drainAppendToParquet]].
+    */
+  private[streaming] def drainCompleteToBatch(
+      spark: SparkSession, out: DataFrame, queryName: String): DataFrame = {
     // the scope covers awaitTermination: batch planning reads the conf
     // asynchronously after start() returns
     withStreamShufflePartitions(spark) {
-      val q = transform(source(spark, dir))
+      val q = out
         .writeStream
         .format("memory")
         .queryName(queryName)

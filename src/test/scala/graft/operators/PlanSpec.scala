@@ -59,7 +59,10 @@ class PlanSpec extends SparkSpec {
   test("no oracle query plans a cartesian product") {
     // every pairwise query is bucketed (grid cells, LSH tables, bands) into
     // an equi-join; a CartesianProduct would mean a missing join condition
-    SparkEntry.queries.keys.filterNot(_ == "q_stream_hourly_complete_oracle").foreach { name =>
+    // _complete_oracle harness drains return a driver-local relation whose
+    // plan is vacuously cartesian-free — running a full streaming drain to
+    // assert on a LocalTableScan is wasted wall-clock, skip the convention
+    SparkEntry.queries.keys.filterNot(_.endsWith("_complete_oracle")).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
     }
