@@ -57,11 +57,41 @@ class FaultToleranceSpec extends SparkSpec {
       "golden README.md:103-111 output must survive chaos")
     assert(FaultToleranceSpec.crashes.get() > 0, "no crash was ever injected")
   }
+
+  test("streaming parquet sink stays exactly-once under an injected task crash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chaos_stream")
+    val input = MemoryStream[Long]
+    val flaky = input.toDS().mapPartitions { it =>
+      if (FaultToleranceSpec.streamFail.compareAndSet(true, false))
+        throw new RuntimeException("chaos: injected streaming task failure")
+      it
+    }.toDF("event_id")
+    FaultToleranceSpec.streamFail.set(true)
+    val q = flaky.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(1L to 100L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // task retry must not duplicate rows into the sink (manifest-commit
+    // protocol) nor lose any — the reference's crash-survival contract,
+    // continuous form
+    val ids = spark.read.parquet(s"$tmp/out").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (1L to 100L), "exactly-once under retry")
+    assert(!FaultToleranceSpec.streamFail.get, "the failure was never injected")
+  }
 }
 
 /** Shared flag on the (local-mode) executor JVM: first task attempt fails. */
 object FaultToleranceSpec {
   val shouldFail = new AtomicBoolean(false)
+  val streamFail = new AtomicBoolean(false)
   val crashes = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Uniform [0,1) from the first 32 bits of md5("partition:attempt") —
