@@ -61,6 +61,8 @@ object SparkEntry {
     "q_correlated_min" -> ((s, dir) =>
       Relational.cheapestOrderPerCustomer(s, Tables.orders(s, dir))),
     "q_pivot" -> ((s, dir) => Relational.ordersByPriorityPivot(Tables.orders(s, dir))),
+    "q_window_profile" -> ((s, dir) => Relational.orderWindowProfile(Tables.orders(s, dir))),
+    "q_median" -> ((s, dir) => Relational.medianOrderValue(Tables.orders(s, dir))),
     "q_rollup" -> ((s, dir) => Relational.rollupSummary(Tables.lineitem(s, dir))),
     "q_window_rank" -> ((s, dir) => Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
     "q_window_moving" -> ((s, dir) => Relational.movingAvgOrderValue(Tables.orders(s, dir))),
@@ -469,6 +471,23 @@ object SparkEntry {
         |FROM orders o
         |WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    // lag/lead/ntile/cume_dist share one total-ordered window; cume_dist
+    // is rank/n — a double division of exact ints, portable.
+    "q_window_profile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_orderkey,
+        |  lead(o_orderkey) OVER w AS next_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    // Interpolated median of integer cents: the midpoint of two ints is an
+    // exact half in double on both engines (raw-double percentiles are not
+    // portable; integer cents make them so).
+    "q_median" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0 AS median_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // Declared-values pivot == one pass of conditional aggregation.
     "q_pivot" ->
       """SELECT o_orderpriority,

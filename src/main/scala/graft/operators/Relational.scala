@@ -166,6 +166,35 @@ object Relational {
       .limit(100)
   }
 
+  /** Extended window-function suite in one pass: lag/lead (physical
+    * offsets), ntile (quartile bucketing), and cume_dist — all over the
+    * same per-customer date-ordered window, so ONE shuffle + sort serves
+    * four functions. cume_dist is an exact integer ratio (rank / n),
+    * portable across engines.
+    */
+  def orderWindowProfile(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+      lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      cume_dist().over(w).as("cdist"))
+  }
+
+  /** Exact grouped median over integer cents: both engines define the
+    * interpolated percentile as the average of the two middle elements,
+    * and on integer cents that average is an exact half — bit-portable,
+    * unlike percentiles of raw doubles. (At 100 TB swap for
+    * `percentile_approx` and verify error bounds instead — see
+    * sketchSummary.)
+    */
+  def medianOrderValue(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .agg((expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)") / 100.0)
+        .as("median_price"))
+
   /** Pivot: order counts per priority, one column per order status. The
     * pivot values are declared explicitly, so Catalyst plans ONE pass of
     * conditional aggregation (no values-discovery job, no second scan) —
