@@ -192,7 +192,7 @@ object Relational {
   def medianOrderValue(orders: DataFrame): DataFrame =
     orders
       .groupBy("o_orderpriority")
-      .agg((expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)") / 100.0)
+      .agg((percentile(cents(col("o_totalprice")), lit(0.5)) / 100.0)
         .as("median_price"))
 
   /** Pivot: order counts per priority, one column per order status. The
