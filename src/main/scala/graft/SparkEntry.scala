@@ -87,6 +87,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir))),
     "q_top_terms_per_lang" -> ((s, dir) => TextAnalysis.topTermsPerLang(Tables.documents(s, dir))),
+    "q_chunked" -> ((s, dir) => TextAnalysis.chunked(Tables.documents(s, dir))),
     // --- deterministic sampling ---
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
@@ -667,6 +668,17 @@ object SparkEntry {
         |               tf.term ASC) AS rank
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    // Chunk starts: every multiple of stride below n_tokens (n >= 1 for
+    // any string). Spark's sequence(0, n-1, 48) == DuckDB's range(0, n, 48);
+    // 1-based inclusive list slices match Spark's slice(pos, len).
+    "q_chunked" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+        |  array_to_string(toks[start+1 : start+64], ' ') AS chunk_text,
+        |  len(toks[start+1 : start+64]) AS n_tokens
+        |FROM s""".stripMargin,
     "q_top_terms_per_lang" ->
       """WITH t AS (SELECT lang,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

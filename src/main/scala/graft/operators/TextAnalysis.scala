@@ -147,6 +147,35 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /** Token-windowed document CHUNKING — the training/embedding-prep
+    * primitive: each document explodes into overlapping windows of
+    * `chunkTokens` whitespace tokens, starting every `stride` tokens
+    * (overlap = chunkTokens − stride). chunk_id is the window ordinal, so
+    * `(doc_id, chunk_id)` is a stable chunk key for downstream embedding
+    * and provenance joins.
+    *
+    * Shape: one scan, tokenize once, explode the start offsets, slice —
+    * pure narrow projection work at scan speed; output size is
+    * ~`1/stride` tokens-per-token of the corpus, the expected fan-out of
+    * chunking. Every document yields at least one chunk (short docs get
+    * one partial window), so no rows are silently dropped.
+    */
+  def chunked(documents: DataFrame, chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      "need 1 <= stride <= chunkTokens (overlap = chunkTokens - stride)")
+    graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      // starts = 0, stride, 2*stride, ... < n_tokens (n >= 1 always: the
+      // whitespace split of any string has at least one element)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_id"),
+        array_join(slice(col("toks"), col("col") + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        size(slice(col("toks"), col("col") + 1, lit(chunkTokens))).as("n_tokens"))
+  }
+
   /** Whitespace-normalized lowercase form — the canonical text for exact
     * dedup and fingerprinting.
     */

@@ -51,6 +51,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(en.map(t => (t._2, t._3)).toSeq === Seq(("apple", 3L), ("pear", 1L)))
   }
 
+  test("chunked: overlapping windows cover every token; short docs get one chunk") {
+    val d = docs(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens
+      2L -> "short doc")
+    val rows = TextAnalysis.chunked(d, chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6,9 -> windows of 4,4,4,1 tokens
+    assert(doc1.map(_._3) === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(doc1.map(_._4) === Seq(4, 4, 4, 1))
+    // consecutive chunks overlap by chunkTokens - stride = 1 token
+    val doc2 = rows.filter(_._1 == 2L)
+    assert(doc2.map(r => (r._2, r._3)) === Seq((0, "short doc")))
+  }
+
   test("tfIdfTopTerms df counts documents, not occurrences") {
     val d = docs(1L -> "w w w", 2L -> "w", 3L -> "q")
     val row = TextAnalysis.tfIdfTopTerms(d, k = 5)
