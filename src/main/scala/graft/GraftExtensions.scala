@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  private def requireArity(
+      name: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name takes $n argument(s), got ${exprs.length}")
+
   /** (identifier, info, builder) triples for every native function. */
   val descriptors: Seq[(
       FunctionIdentifier, ExpressionInfo,
@@ -29,24 +36,33 @@ object GraftFunctions {
     (
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      exprs => FloatVecDot(exprs(0), exprs(1))),
+      exprs => {
+        requireArity("vec_dot", exprs, 2)
+        FloatVecDot(exprs(0), exprs(1))
+      }),
     (
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_norm"),
-      exprs => org.apache.spark.sql.catalyst.expressions.Sqrt(
-        FloatVecDot(exprs(0), exprs(0)))),
+      exprs => {
+        // without the check, extra args would be SILENTLY ignored (a
+        // wrong-but-plausible sqrt(dot(a,a)) for vec_norm(a, b))
+        requireArity("vec_norm", exprs, 1)
+        org.apache.spark.sql.catalyst.expressions.Sqrt(
+          FloatVecDot(exprs(0), exprs(0)))
+      }),
     // hyperplane_buckets(v, tables, planes) — tables/planes must be int
     // literals (they shape the kernel, not per-row data)
     (
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       exprs => {
+        // arity FIRST — exprs(0) below would otherwise throw a bare
+        // IndexOutOfBoundsException on a 0-arg call
+        requireArity("hyperplane_buckets", exprs, 3)
         // validated here, at analysis time: a non-foldable arg would
         // otherwise crash eval() with an obscure unevaluable error, and a
         // fractional literal would silently truncate to the wrong kernel
         def intLiteral(pos: Int, name: String): Int = {
-          if (exprs.length != 3) throw new IllegalArgumentException(
-            s"hyperplane_buckets(v, tables, planes) takes 3 arguments, got ${exprs.length}")
           val e = exprs(pos)
           if (!e.foldable) throw new IllegalArgumentException(
             s"hyperplane_buckets: $name must be an integer literal, got ${e.sql}")

@@ -256,20 +256,18 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
-  /** DuckDB mirror of `Similarity.ivfTopK(nLists=8, nProbe=3)`: centroids
-    * are the first 8 vectors by vec_id; assignment/probing rank cells by
-    * (cosine DESC, cell-id DESC) exactly like the engine's
-    * array_max/reverse(array_sort) over (c, i) structs; rerank as in
-    * [[annLshOracle]].
+  /** The shared IVF candidate-generation + rerank tail: score every vector
+    * against `centCte` (a CTE named (i, c[, cn])), rank cells by
+    * (cosine DESC, cell-id DESC) like the engine, probe/assign, exact
+    * rerank — ONE definition for both the first-n and trained oracles, so
+    * a tie-rule or rerank fix cannot silently apply to only one of them.
+    * `cn` is the centroid norm; pass an expression when the CTE doesn't
+    * precompute it.
     */
-  private def annIvfOracle: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c,
-       |    sqrt(${selfDotSql("v")}) AS cn
-       |  FROM e ORDER BY vec_id ASC LIMIT 8),
-       |scores AS (SELECT e.vec_id, cent.i,
-       |    ${dotSql("e.v", "cent.c")} / (sqrt(${selfDotSql("e.v")}) * cent.cn) AS cs
-       |  FROM e CROSS JOIN cent),
+  private def annIvfTailSql(centCte: String, cnExpr: String): String =
+    s"""scores AS (SELECT e.vec_id, c.i,
+       |    ${dotSql("e.v", "c.c")} / (sqrt(${selfDotSql("e.v")}) * $cnExpr) AS cs
+       |  FROM e CROSS JOIN $centCte c),
        |ranked_cells AS (SELECT vec_id, i,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, i DESC) AS rn
        |  FROM scores),
@@ -286,6 +284,18 @@ object SparkEntry {
        |  FROM cand JOIN e q ON q.vec_id = cand.query_id
        |            JOIN e n ON n.vec_id = cand.neighbor_id)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of `Similarity.ivfTopK(nLists=8, nProbe=3)`: centroids
+    * are the first 8 vectors by vec_id; assignment/probing rank cells by
+    * (cosine DESC, cell-id DESC) exactly like the engine; rerank as in
+    * [[annLshOracle]]. Candidate/rerank tail shared via [[annIvfTailSql]].
+    */
+  private def annIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c,
+       |    sqrt(${selfDotSql("v")}) AS cn
+       |  FROM e ORDER BY vec_id ASC LIMIT 8),
+       |${annIvfTailSql("cent", "c.cn")}""".stripMargin
   /** DuckDB mirror of `Similarity.ivfTopK(trainIters = 2)` — the k-means
     * loop itself is replayed in SQL: cent0 = first-8 seeds, then per round
     * an assignment CTE (same cosine, same (cs DESC, i DESC) tie-break) and
@@ -321,25 +331,7 @@ object SparkEntry {
        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c
        |  FROM e ORDER BY vec_id ASC LIMIT $nLists),
        |${(0 until iters).map(iterCtes).mkString("\n")}
-       |scores AS (SELECT e.vec_id, c.i,
-       |    ${dotSql("e.v", "c.c")} / (sqrt(${selfDotSql("e.v")}) * sqrt(${selfDotSql("c.c")})) AS cs
-       |  FROM e CROSS JOIN cent$iters c),
-       |ranked_cells AS (SELECT vec_id, i,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, i DESC) AS rn
-       |  FROM scores),
-       |assigned AS (SELECT vec_id AS neighbor_id, i AS cell FROM ranked_cells WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked_cells
-       |  WHERE rn <= $nProbe AND vec_id < 10),
-       |cand AS (SELECT p.query_id, a.neighbor_id
-       |  FROM probes p JOIN assigned a USING (cell) WHERE a.neighbor_id <> p.query_id),
-       |ranked AS (SELECT cand.query_id, cand.neighbor_id,
-       |    row_number() OVER (PARTITION BY cand.query_id
-       |      ORDER BY ${dotSql("q.v", "n.v")}
-       |                 / (sqrt(${selfDotSql("q.v")}) * sqrt(${selfDotSql("n.v")})) DESC,
-       |               cand.neighbor_id ASC) AS rank
-       |  FROM cand JOIN e q ON q.vec_id = cand.query_id
-       |            JOIN e n ON n.vec_id = cand.neighbor_id)
-       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+       |${annIvfTailSql(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")}""".stripMargin
   }
 
   // mh(2i)/mh(2i+1) are the two independent 60-bit halves of digest i
@@ -669,27 +661,30 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
     // Chunk starts: every multiple of stride below n_tokens (n >= 1 for
-    // any string). Spark's sequence(0, n-1, 48) == DuckDB's range(0, n, 48);
-    // 1-based inclusive list slices match Spark's slice(pos, len).
-    "q_chunked" ->
-      """WITH t AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM t)
-        |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
-        |  array_to_string(toks[start+1 : start+64], ' ') AS chunk_text,
-        |  len(toks[start+1 : start+64]) AS n_tokens
-        |FROM s""".stripMargin,
+    // any string). Spark's sequence(0, n-1, stride) == DuckDB's
+    // range(0, n, stride); 1-based inclusive list slices match Spark's
+    // slice(pos, len). Stride/width interpolate the operator's constants.
+    "q_chunked" -> {
+      val (st, ct) = (TextAnalysis.DefaultStride, TextAnalysis.DefaultChunkTokens)
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), $st)) AS start FROM t)
+         |SELECT doc_id, CAST(start // $st AS INT) AS chunk_id,
+         |  array_to_string(toks[start+1 : start+$ct], ' ') AS chunk_text,
+         |  len(toks[start+1 : start+$ct]) AS n_tokens
+         |FROM s""".stripMargin
+    },
     "q_top_terms_per_lang" ->
-      """WITH t AS (SELECT lang,
-        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        |  FROM documents),
-        |c AS (SELECT lang, term, count(*) AS n FROM t
-        |  WHERE len(term) > 0 GROUP BY lang, term)
-        |SELECT lang, term, n, rank FROM (
-        |  SELECT lang, term, n,
-        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
-        |  FROM c) r
-        |WHERE rank <= 10""".stripMargin,
+      s"""WITH t AS (SELECT lang,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |c AS (SELECT lang, term, count(*) AS n FROM t
+         |  WHERE len(term) > 0 GROUP BY lang, term)
+         |SELECT lang, term, n, rank FROM (
+         |  SELECT lang, term, n,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
+         |  FROM c) r
+         |WHERE rank <= ${TextAnalysis.DefaultTopTermsK}""".stripMargin,
     // Threshold is integer floor division on both engines (Spark `div`,
     // DuckDB `//`) — the kept set is bit-reproducible.
     "q_sample_stratified" ->

@@ -126,11 +126,23 @@ object EventAnalytics {
     // the ts→long conversion is derived PER SIDE: a timestamp on one side
     // and raw numeric micros on the other must land on the same axis
     // (cast("long") on a timestamp would yield epoch SECONDS and silently
-    // shift that side's rows to bucket ~0)
+    // shift that side's rows to bucket ~0). Only TimestampType and
+    // integral ts are accepted: cast("long") on a fractional ts would
+    // TRUNCATE sub-integer ordering (diverging from the unsalted join,
+    // which orders raw values), so fractional axes are rejected loudly
+    // rather than silently reordered.
     def tn(schema: org.apache.spark.sql.types.StructType)(c: Column): Column =
       schema(ts).dataType match {
         case org.apache.spark.sql.types.TimestampType => unix_micros(c)
-        case _ => c.cast("long")
+        case dt @ (org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType) => c.cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"asOfJoinSalted: ts column '$ts' must be TimestampType or an " +
+            s"integral type (got ${dt.simpleString}) — fractional/other axes " +
+            "would lose sub-integer ordering under bucketing; use asOfJoin " +
+            "or convert the axis to integral units first")
       }
     val l = left.select(
       col(key).as("k"), tn(left.schema)(col(ts)).as("t"), col(tie).as("o"), lit(1).as("is_left"),

@@ -61,16 +61,23 @@ object Multimodal {
       n_frames = n % 30 + 1)
   }
 
+  /** THE image-format dispatch + decode, shared by [[decode]] and
+    * [[resizeImages]] so both paths always agree on which rows are images:
+    * None for non-image formats AND for undecodable image bytes.
+    */
+  private def readImage(m: MediaFile): Option[java.awt.image.BufferedImage] =
+    if (m.format != null && m.format.startsWith("image/"))
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+    else None
+
   /** REAL image decode via the JDK's `javax.imageio` (headless-safe, no
     * external dependencies): true pixel width/height, n_frames = 1. None
     * when the bytes are not a decodable image.
     */
-  private def decodeImage(m: MediaFile): Option[MediaFeatures] = {
-    val in = new java.io.ByteArrayInputStream(m.content)
-    Option(javax.imageio.ImageIO.read(in)).map { img =>
+  private def decodeImage(m: MediaFile): Option[MediaFeatures] =
+    readImage(m).map { img =>
       MediaFeatures(m.doc_id, m.content.length, m.format, img.getWidth, img.getHeight, 1)
     }
-  }
 
   /** Per-row dispatch: `image/` formats → real [[decodeImage]] (undecodable bytes
     * → explicit (0, 0, 0) marker, distinguishable from every real decode,
@@ -111,12 +118,9 @@ object Multimodal {
   def resizeImages(media: Dataset[MediaFile], width: Int, height: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it => ensureInMemoryImageIO(); it.map { m =>
-      val img =
-        if (m.format != null && m.format.startsWith("image/"))
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-        else null
-      if (img == null) m
-      else {
+      readImage(m) match {
+        case None => m
+        case Some(img) =>
         val dst = new java.awt.image.BufferedImage(
           width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = dst.createGraphics()

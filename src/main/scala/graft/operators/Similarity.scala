@@ -252,7 +252,10 @@ object Similarity {
     var cents = firstNCentroids(embeddings, nLists)
     var it = 0
     while (it < iters && cents.nonEmpty) {
-      val sums = graft.Parallelism.ensure(embeddings)
+      // NULL embeddings contribute nothing to any mean (the untrained path
+      // likewise leaves them unassigned) — without the filter the null
+      // cell group would NPE the driver-side rebuild below
+      val sums = graft.Parallelism.ensure(embeddings.where(col("embedding").isNotNull))
         .select(
           bestCellOf(cents)(col("embedding")).as("cell"),
           posexplode(col("embedding")))

@@ -136,7 +136,15 @@ object TextAnalysis {
     * vocabulary-sized — at 100 TB switch the final rank to a per-lang
     * TakeOrdered if vocabularies outgrow a partition).
     */
-  def topTermsPerLang(documents: DataFrame, k: Int = 10): DataFrame = {
+  /** Defaults shared with the registered queries' oracle SQL — the oracle
+    * interpolates THESE constants (not literals), so changing a default
+    * here cannot silently desync the two engines.
+    */
+  val DefaultTopTermsK = 10
+  val DefaultChunkTokens = 64
+  val DefaultStride = 48
+
+  def topTermsPerLang(documents: DataFrame, k: Int = DefaultTopTermsK): DataFrame = {
     val perTerm = graft.Parallelism.ensure(documents)
       .select(col("lang"), explode(toks(lower(col("text")))).as("term"))
       .where(length(col("term")) > 0)
@@ -160,7 +168,9 @@ object TextAnalysis {
     * chunking. Every document yields at least one chunk (short docs get
     * one partial window), so no rows are silently dropped.
     */
-  def chunked(documents: DataFrame, chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+  def chunked(
+      documents: DataFrame, chunkTokens: Int = DefaultChunkTokens,
+      stride: Int = DefaultStride): DataFrame = {
     require(stride >= 1 && chunkTokens >= stride,
       "need 1 <= stride <= chunkTokens (overlap = chunkTokens - stride)")
     graft.Parallelism.ensure(documents)
