@@ -1,5 +1,13 @@
 package graft
 object Bench {
+  /** Measured passes per query; the reported number is the per-query
+    * MEDIAN. One-shot timings on a contended machine mis-ranked queries
+    * three rounds running (a single GC pause or a neighbor's burst lands
+    * entirely on whichever query was running); the median of three absorbs
+    * one bad pass per query, which is the dominant noise shape here.
+    */
+  val Passes = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -10,18 +18,24 @@ object Bench {
     def clearCaches(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     // warmup pass: JIT + codegen caches + parquet footer caches, so the
-    // measured pass reflects steady-state per-query cost
+    // measured passes reflect steady-state per-query cost
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       clearCaches()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val failed = try { fn(spark, sfDir).count(); false } catch { case _: Throwable => true }
-      val dt = (System.nanoTime() - t0) / 1e9
-      clearCaches()
-      // a failed query must not report its time-to-exception as a score
-      name -> (if (failed) -1.0 else dt)
+      val times = (1 to Passes).map { _ =>
+        val t0 = System.nanoTime()
+        val failed = try { fn(spark, sfDir).count(); false } catch { case _: Throwable => true }
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearCaches()
+        // a failed pass must not report its time-to-exception as a score
+        if (failed) -1.0 else dt
+      }
+      val median =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(Passes / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

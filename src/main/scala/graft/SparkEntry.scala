@@ -481,12 +481,15 @@ object SparkEntry {
       """SELECT o_orderpriority,
         |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0 AS median_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
-    // Declared-values pivot == one pass of conditional aggregation.
+    // Declared-values pivot == one pass of conditional aggregation. Each
+    // count is CAST to BIGINT: DuckDB types a bare integer sum() as HUGEINT,
+    // which the driver's dataframe fetch materializes as float64 and the
+    // hash compare then sees 1000.0 vs Spark's int64 1000.
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -16,13 +16,16 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    # Dataframe-based on purpose: the driver compares pandas dataframes, so
+    # DuckDB's HUGEINT surfaces as float64 here exactly as it does there
+    # ("1000.0" vs "1000"). fetchall() would mask that class of oracle typing
+    # bug (HUGEINT -> Python int -> str identical to Spark's int64).
+    df = df[sorted(df.columns)]
     out = []
-    for r in rows:
+    for r in df.itertuples(index=False):
         rr = []
-        for i in order:
-            v = r[i]
+        for v in r:
             if isinstance(v, float):
                 v = round(v, 9)
             rr.append(str(v))
@@ -35,19 +38,17 @@ for name in sorted(oracle):
     if not os.path.isdir(res_dir):
         print(f"MISSING  {name} (no verify output)"); fail += 1; continue
     try:
-        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
-        grows, gcols = got.fetchall(), [d[0] for d in got.description]
-        want = con.execute(oracle[name])
-        wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+        gdf = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+        wdf = con.execute(oracle[name]).df()
     except Exception as e:
         print(f"ERROR    {name}: {e}"); fail += 1; continue
-    if sorted(gcols) != sorted(wcols):
-        print(f"SCHEMA   {name}: got {sorted(gcols)} want {sorted(wcols)}"); fail += 1; continue
-    cg, cw = canon(grows, gcols), canon(wrows, wcols)
+    if sorted(gdf.columns) != sorted(wdf.columns):
+        print(f"SCHEMA   {name}: got {sorted(gdf.columns)} want {sorted(wdf.columns)}"); fail += 1; continue
+    cg, cw = canon(gdf), canon(wdf)
     if cg == cw:
-        print(f"OK       {name} ({len(grows)} rows)"); ok += 1
+        print(f"OK       {name} ({len(cg)} rows)"); ok += 1
     else:
-        print(f"MISMATCH {name}: {len(grows)} vs {len(wrows)} rows")
+        print(f"MISMATCH {name}: {len(cg)} vs {len(cw)} rows")
         gs, ws = set(cg), set(cw)
         for x in list(gs - ws)[:3]: print(f"  spark-only: {x}")
         for x in list(ws - gs)[:3]: print(f"  oracle-only: {x}")
