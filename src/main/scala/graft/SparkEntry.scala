@@ -67,6 +67,11 @@ object SparkEntry {
     "q_window_rank" -> ((s, dir) => Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
     "q_window_moving" -> ((s, dir) => Relational.movingAvgOrderValue(Tables.orders(s, dir))),
     "q_setops" -> ((s, dir) => Relational.customerSetOps(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // Co-located bucketed join: both sides written bucketed+sorted on the
+    // customer key, then joined and aggregated with ZERO exchanges
+    // (BucketingSpec asserts the plan) — the amortized-write shape every
+    // repeated 100 TB fact join wants.
+    "q_bucketed_join" -> ((s, dir) => Bucketing.ordersPerCustomerCoLocated(s, dir)),
     "q_semijoin" -> ((s, dir) =>
       Relational.customersWithUrgentOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_antijoin" -> ((s, dir) =>
@@ -87,6 +92,10 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir))),
     "q_top_terms_per_lang" -> ((s, dir) => TextAnalysis.topTermsPerLang(Tables.documents(s, dir))),
+    // At-scale twin: per-lang TakeOrdered (bound heaps) instead of the
+    // vocabulary-wide window sort; same answer, same oracle.
+    "q_top_terms_per_lang_scalable" -> ((s, dir) =>
+      TextAnalysis.topTermsPerLangTakeOrdered(Tables.documents(s, dir))),
     "q_chunked" -> ((s, dir) => TextAnalysis.chunked(Tables.documents(s, dir))),
     // --- deterministic sampling ---
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
@@ -161,6 +170,11 @@ object SparkEntry {
     // row per distinct word; complete-mode oracle harness).
     "q_stream_wordcount_complete_oracle" -> ((s, dir) =>
       graft.streaming.DocumentStreams.wordCountsToBatch(s, dir)),
+    // Production twin: update mode + foreachBatch upsert into a keyed
+    // (log-structured parquet) store, merged on read — only changed words
+    // are written per micro-batch, nothing driver-side.
+    "q_stream_wordcount_update" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.wordCountsViaKeyedStore(s, dir)),
   )
 
   /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
@@ -170,12 +184,16 @@ object SparkEntry {
     */
   private val tokCte =
     "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents"
+  // shingling is over the first MaxShingleTokens tokens (the operator's
+  // bounded-row-size cap) — DuckDB list slicing clamps like Spark's slice
   private val shCte =
-    """SELECT doc_id,
-      |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
-      |    range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')))
-      |  ELSE CAST([] AS VARCHAR[]) END AS sh
-      |FROM (""".stripMargin + tokCte + ")"
+    s"""SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+       |    range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')))
+       |  ELSE CAST([] AS VARCHAR[]) END AS sh
+       |FROM (SELECT doc_id,
+       |  toks[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks
+       |FROM (""".stripMargin + tokCte + "))"
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
 
@@ -491,6 +509,14 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // Bucketing changes the plan (no exchanges), never the answer — the
+    // oracle is the plain join. Money sums in integer cents (see q_rollup).
+    "q_bucketed_join" ->
+      """SELECT c_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
@@ -642,6 +668,14 @@ object SparkEntry {
         |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
+    // The update-mode keyed-store twin drains the same stream, so a full
+    // drain's merged store equals the same batch counts.
+    "q_stream_wordcount_update" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
+        |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
     // One surviving row per distinct fingerprint — the batch twin's keys.
     "q_stream_dedup_docs" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
@@ -678,6 +712,19 @@ object SparkEntry {
          |FROM s""".stripMargin
     },
     "q_top_terms_per_lang" ->
+      s"""WITH t AS (SELECT lang,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |c AS (SELECT lang, term, count(*) AS n FROM t
+         |  WHERE len(term) > 0 GROUP BY lang, term)
+         |SELECT lang, term, n, rank FROM (
+         |  SELECT lang, term, n,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
+         |  FROM c) r
+         |WHERE rank <= ${TextAnalysis.DefaultTopTermsK}""".stripMargin,
+    // The TakeOrdered twin computes the identical ranking, so it shares
+    // the window form's oracle.
+    "q_top_terms_per_lang_scalable" ->
       s"""WITH t AS (SELECT lang,
          |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
          |  FROM documents),
@@ -752,7 +799,9 @@ object SparkEntry {
          |e AS (SELECT min(doc_id) AS doc_id
          |  FROM q GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
          |s AS (SELECT q.* FROM q JOIN e USING (doc_id)),
-         |st AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM s),
+         |st AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+')[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks
+         |  FROM s),
          |sh AS (SELECT doc_id,
          |    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
          |      range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')))

@@ -35,20 +35,43 @@ object TextFunctions {
   def normalizedWords(text: Column): Column =
     filter(transform(tokens(text), normalizeWord _), w => length(w) > 0)
 
-  /** Distinct word n-gram "shingles" of a document, for MinHash / Jaccard
-    * dedup. Empty array when the document has fewer than `n` tokens
-    * (guarded: Spark's `sequence(0, negative)` would count *down*).
+  /** Upper bound on tokens a single document contributes to shingling.
+    * Without it, shingle row size is linear in document length — one
+    * pathological 100 MB document materializes a ~GB-scale array row and
+    * OOMs its task. The first 10k tokens are statistically ample identity
+    * signal for MinHash/Jaccard dedup (similarity over a 10k-token prefix
+    * and over the full text agree on near-duplicate verdicts — near-dups
+    * share prefixes too); truncation only widens the (already heuristic)
+    * candidate net for megadocs. Mirrored verbatim into the DuckDB oracle
+    * shingle CTEs, so changing it here cannot silently desync the two
+    * engines.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(
-      size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  val MaxShingleTokens = 10000
+
+  /** Distinct word n-gram "shingles" of a document, for MinHash / Jaccard
+    * dedup, over the first [[MaxShingleTokens]] tokens (bounded row size —
+    * see there). Empty array when the document has fewer than `n` tokens
+    * (guarded: Spark's `sequence(0, negative)` would count *down*).
+    *
+    * The token array is bound ONCE per row through an outer lambda
+    * variable. Referencing the split expression directly inside the inner
+    * lambda would re-evaluate it per sequence element — higher-order
+    * functions are interpreted, so no common-subexpression elimination
+    * applies across the lambda boundary, and a long document would pay
+    * tokens × shingles work (measured: a 600k-token document turned into
+    * CPU-minutes; with the binding it is milliseconds).
+    */
+  def shingles(text: Column, n: Int): Column =
+    flatten(transform(
+      array(slice(split(trim(text), "\\s+"), 1, MaxShingleTokens)),
+      toks =>
+        when(
+          size(toks) >= n,
+          array_distinct(
+            transform(
+              sequence(lit(0), size(toks) - n),
+              i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+          .otherwise(array().cast("array<string>"))))
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =

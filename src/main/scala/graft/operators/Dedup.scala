@@ -187,11 +187,13 @@ object Dedup {
     * chains. The loop iterates ONLY over nodes with at least one edge — at
     * 100 TB the pair graph is a tiny fraction of the corpus, so the
     * per-round shuffles touch |pairs|-scale data, never corpus-scale;
-    * singletons join back in one final corpus-scale left join. (For graphs
+    * singletons join back in one final corpus-scale left join. For graphs
     * with genuinely long chains, the O(log n)-round large-star/small-star
     * contraction — Kiveris et al., "Connected Components in MapReduce and
-    * Beyond" — drops in here; plain propagation is the better constant for
-    * dedup's clique-shaped components.) Per-round `localCheckpoint` cuts
+    * Beyond" — kicks in automatically when propagation fails to converge
+    * ([[starContractionLabels]]); plain propagation stays the default
+    * because it has the better constant for dedup's clique-shaped
+    * components. Per-round `localCheckpoint` cuts
     * the otherwise exponentially-growing lineage; a cluster deployment
     * would use checkpoint-to-HDFS or a staged table, same idea.
     */
@@ -263,14 +265,16 @@ object Dedup {
       iter += 1
     }
     // partial labels are silently WRONG (callers and the oracle expect the
-    // transitive-closure fixpoint), so a diameter->maxIter graph must fail
-    // loudly, not surface later as a baffling hash mismatch
-    if (!converged)
-      throw new IllegalStateException(
-        s"clustersFromPairs did not converge in $maxIter rounds — the pair " +
-          "graph has a component of diameter > maxIter. Raise maxIter, or " +
-          "switch to the O(log n)-round large-star/small-star contraction " +
-          "for chain-shaped graphs.")
+    // transitive-closure fixpoint), so a diameter->maxIter graph falls back
+    // to the O(log n)-round star contraction, which converges on any shape
+    if (!converged) labels = starContractionLabels(edges)
+    labelsToClusters(documents, labels)
+  }
+
+  /** The corpus-join tail shared by both CC strategies: attach cluster ids
+    * and sizes to every document, singletons included.
+    */
+  private def labelsToClusters(documents: DataFrame, labels: DataFrame): DataFrame = {
     // sizes come from the |edge-nodes|-scale label frame, not the corpus:
     // every multi-doc cluster consists of edge nodes only, and singletons
     // (docs with no pairs) are always clusters of exactly 1 — so the
@@ -284,6 +288,81 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .join(sizes, col("cluster_id") === col("cid"), "left")
       .select(col("doc_id"), col("cluster_id"), coalesce(col("cluster_n"), lit(1L)).as("cluster_n"))
+  }
+
+  /** O(log n)-round connected components by alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — the fallback [[clustersFromPairs]] selects
+    * when min-label propagation hits maxIter, i.e. when a component's
+    * diameter exceeds the round budget (chain-shaped graphs). Rounds are
+    * O(log n) in the component size regardless of diameter, so a 10^9-node
+    * path needs ~30 rounds where propagation would need 10^9.
+    *
+    * Round shape, all |edges|-scale (never corpus-scale): LARGE-STAR links
+    * every neighbor v > u to m = min(N(u) ∪ u) — one groupBy + one
+    * re-join; SMALL-STAR links every smaller-side neighbor and u itself to
+    * the group min — same cost. The edge set only moves toward stars
+    * centered at component minima, and the fixpoint check compares round
+    * output to round input as sets. Input `edges` carries both
+    * orientations of each pair; output is one (doc_id, cluster_id) row per
+    * edge endpoint, cluster_id = component min, matching the propagation
+    * loop's label contract exactly.
+    */
+  private def starContractionLabels(edges: DataFrame): DataFrame = {
+    // state: each undirected edge once, oriented src > dst (large-star
+    // output naturally has this shape, see below)
+    var cur = edges.where(col("src") > col("dst")).distinct().localCheckpoint()
+    var converged = cur.isEmpty
+    var rounds = 0
+    // star-count halves (amortized) per round: 64 covers any Long-keyed
+    // graph; reaching it means a logic bug, not a big input — fail loudly
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR over undirected neighborhoods: both orientations from
+      // one explode (one evaluation of cur), m(u) = min(N(u) ∪ u); emit
+      // (v, m(u)) for v > u. Each undirected edge is emitted exactly once
+      // (from its smaller endpoint's group), and m(u) <= u < v keeps the
+      // src > dst orientation invariant.
+      val und = cur
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val lsMin = und.groupBy("src").agg(min("dst").as("nbr_min"))
+        .select(col("src").as("u"), least(col("src"), col("nbr_min")).as("m"))
+      val ls = und.join(lsMin, und("src") === col("u"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      // SMALL-STAR on the (bigger -> smaller) edges: per group u, link
+      // every smaller neighbor and u itself to m = min(N⁻(u)); self-links
+      // (m -> m) never arise because the m-row itself is filtered and u > m.
+      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
+      val next = ls.join(ssMin, Seq("src"))
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(ssMin.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint()
+      // set-equality fixpoint probe: both sides are distinct and cached
+      // (localCheckpoint), so this is two scans of cached blocks, no
+      // recomputation of the round
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not reach a fixpoint in $maxRounds rounds — " +
+          "impossible for any Long-keyed graph; indicates corrupt pair input")
+    // fixpoint = stars: every non-root points at its component min, roots
+    // appear only on the dst side. min() guards the (never-observed) case
+    // of a node carrying two star edges mid-collapse.
+    val nodes = cur.select(col("src").as("doc_id"))
+      .unionAll(cur.select(col("dst").as("doc_id")))
+      .distinct()
+    val parent = cur.groupBy(col("src").as("doc_id")).agg(min("dst").as("p"))
+    nodes.join(parent, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("p"), col("doc_id")).as("cluster_id"))
   }
 
   /** 32-bit SimHash per document over the (multiset) whitespace tokens:

@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * through the JDK's built-in
   * `javax.imageio` codecs (PNG, JPEG, BMP, GIF, TIFF — zero external
   * dependencies), yielding true pixel dimensions; undecodable image bytes
-  * surface as an explicit (0, 0, 0) marker row, never a silent fake.
-  * AUDIO/VIDEO DECODE REMAINS A STUB: this container has no av codecs, so
-  * non-image payloads get deterministic fake features derived from the
-  * bytes ([[fakeDecode]], clearly marked). The surrounding plumbing — the
-  * binary schema, the typed `Dataset` row shape, partition-wise batching
-  * via `mapPartitions`, and the metadata projections — is shared by both
-  * paths: dropping in an av codec is one more case in [[decodeOne]].
+  * surface as an explicit all-zero marker row, never a silent fake.
+  * AUDIO DECODE IS REAL TOO: `audio/`-prefixed payloads go through the JDK's
+  * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU headers, zero external
+  * dependencies), yielding true sample rate / channel count / frame count;
+  * undecodable audio gets the same explicit marker. VIDEO REMAINS A STUB —
+  * the one modality this container genuinely cannot decode — with
+  * deterministic fake features derived from the bytes ([[fakeDecode]],
+  * clearly marked). The surrounding plumbing — the binary schema, the typed
+  * `Dataset` row shape, partition-wise batching via `mapPartitions`, and
+  * the metadata projections — is shared by all paths: dropping in a video
+  * codec is one more case in [[decodeOne]].
   *
   * Scale notes: payload bytes never pass through a shuffle here — decode is
   * a narrow map over the scan, and the metadata-only projections prune the
@@ -30,10 +34,16 @@ object Multimodal {
   /** A multimodal row: opaque payload + minimal typed metadata. */
   case class MediaFile(doc_id: Long, content: Array[Byte], format: String)
 
-  /** Extracted features (fake — see [[decodeStub]]). */
+  /** Extracted features. Modality-dependent fields are zero where they do
+    * not apply: images fill (width, height, n_frames=1) with zero
+    * sample_rate/channels; audio fills (sample_rate, channels, n_frames)
+    * with zero width/height; the all-zero row is the explicit undecodable
+    * marker (every successful decode has at least one field >= 1).
+    */
   case class MediaFeatures(
       doc_id: Long, n_bytes: Int, format: String,
-      width: Int, height: Int, n_frames: Int)
+      width: Int, height: Int, n_frames: Int,
+      sample_rate: Int, channels: Int)
 
   /** Stand-in payload builder: encodes the documents' text as UTF-8 bytes
     * in a `binary` column (in production this column arrives already binary
@@ -45,20 +55,21 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("content"),
       concat(lit("fake/"), col("source")).as("format"))
 
-  /** STUB decode for non-image payloads: deterministic fake "dimensions"
-    * from the payload bytes. An av implementation calls the codec here
-    * (ffmpeg / soundfile) on `m.content` — per partition, so per-executor
+  /** STUB decode for video/unknown payloads: deterministic fake
+    * "dimensions" from the payload bytes. A video implementation calls the
+    * codec here (ffmpeg) on `m.content` — per partition, so per-executor
     * native resources are initialized once per batch, not once per row.
     */
   private def fakeDecode(m: MediaFile): MediaFeatures = {
     val n = m.content.length
-    // ??? real av codec goes here — fake: derive dims from byte stats
+    // ??? real video codec goes here — fake: derive dims from byte stats
     val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xFF))
     MediaFeatures(
       m.doc_id, n, m.format,
       width = (sum % 640).toInt + 1,
       height = (sum % 480).toInt + 1,
-      n_frames = n % 30 + 1)
+      n_frames = n % 30 + 1,
+      sample_rate = 0, channels = 0)
   }
 
   /** THE image-format dispatch + decode, shared by [[decode]] and
@@ -76,18 +87,45 @@ object Multimodal {
     */
   private def decodeImage(m: MediaFile): Option[MediaFeatures] =
     readImage(m).map { img =>
-      MediaFeatures(m.doc_id, m.content.length, m.format, img.getWidth, img.getHeight, 1)
+      MediaFeatures(m.doc_id, m.content.length, m.format,
+        img.getWidth, img.getHeight, 1, sample_rate = 0, channels = 0)
     }
 
-  /** Per-row dispatch: `image/` formats → real [[decodeImage]] (undecodable bytes
-    * → explicit (0, 0, 0) marker, distinguishable from every real decode,
-    * whose dims are >= 1); everything else → [[fakeDecode]] stub.
+  /** REAL audio decode via the JDK's `javax.sound.sampled.AudioSystem`
+    * (WAV/AIFF/AU containers ship with the JDK, zero external
+    * dependencies): true sample rate, channel count and frame count. None
+    * when the bytes are not a decodable audio stream. Frame counts beyond
+    * Int.MaxValue (≈13h of 44.1 kHz audio) clamp — documented, and far past
+    * any training-corpus clip length.
     */
-  private def decodeOne(m: MediaFile): MediaFeatures =
-    if (m.format != null && m.format.startsWith("image/"))
-      decodeImage(m).getOrElse(
-        MediaFeatures(m.doc_id, m.content.length, m.format, 0, 0, 0))
+  private def decodeAudio(m: MediaFile): Option[MediaFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      try {
+        val fmt = ais.getFormat
+        val frames = math.min(math.max(ais.getFrameLength, 0L), Int.MaxValue.toLong).toInt
+        Some(MediaFeatures(m.doc_id, m.content.length, m.format,
+          width = 0, height = 0, n_frames = frames,
+          sample_rate = fmt.getSampleRate.toInt, channels = fmt.getChannels))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Per-row dispatch: `image/` formats → real [[decodeImage]], `audio/`
+    * formats → real [[decodeAudio]] (undecodable bytes → explicit all-zero
+    * marker, distinguishable from every real decode, which has some field
+    * >= 1); everything else → [[fakeDecode]] stub (video-only now).
+    */
+  private def decodeOne(m: MediaFile): MediaFeatures = {
+    def marker = MediaFeatures(m.doc_id, m.content.length, m.format, 0, 0, 0, 0, 0)
+    if (m.format == null) fakeDecode(m)
+    else if (m.format.startsWith("image/")) decodeImage(m).getOrElse(marker)
+    else if (m.format.startsWith("audio/")) decodeAudio(m).getOrElse(marker)
     else fakeDecode(m)
+  }
 
   /** Disable ImageIO's disk-backed stream cache for this JVM: with the
     * default (useCache=true) EVERY decode/encode round-trips a temp file on

@@ -35,7 +35,7 @@ object Relational {
     * < 2^53; for a true 100 TB deployment these would be `DecimalType`
     * columns at the source and the scaling layer disappears.)
     */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private[operators] def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** l_extendedprice * (1 - l_discount) in exact 1e-4-dollar units. */
   private def discPriceUnits: Column =

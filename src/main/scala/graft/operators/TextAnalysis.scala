@@ -155,6 +155,56 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /** The at-scale variant of [[topTermsPerLang]] — same answer, no
+    * vocabulary-wide sort. The window form sorts each language's ENTIRE
+    * vocabulary inside one task (O(V log V) time, and the vocabulary must
+    * fit one partition); this one runs a distributed TakeOrdered per
+    * language instead: each partition of the (lang, term, n) aggregate
+    * keeps a size-k bound heap per language (O(V log k), O(langs·k)
+    * memory), and the final per-lang merge sees at most k·partitions rows
+    * — never the vocabulary. That two-phase partial top-k is exactly what
+    * `TakeOrderedAndProject` does for the global case; Spark has no
+    * grouped equivalent, hence the typed heaps.
+    *
+    * Rank order (n desc, term asc) and the output schema match the window
+    * form row for row — TextAnalysisSpec asserts equality on driver data.
+    */
+  def topTermsPerLangTakeOrdered(documents: DataFrame, k: Int = DefaultTopTermsK): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // "worst is maximal" ordering, so the bound heap's dequeue evicts the
+    // row that cannot be in the top k: smallest n, tie-break latest term
+    val worstFirst: Ordering[(String, Long)] =
+      Ordering.by { case (term, n) => (-n, term) }
+    def topK(rows: Iterator[(String, String, Long)]): Iterator[(String, String, Long)] = {
+      val heaps = scala.collection.mutable.Map.empty[String, scala.collection.mutable.PriorityQueue[(String, Long)]]
+      rows.foreach { case (lang, term, n) =>
+        val h = heaps.getOrElseUpdate(
+          lang, scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        h.enqueue((term, n))
+        if (h.size > k) { h.dequeue(); () }
+      }
+      heaps.iterator.flatMap { case (lang, h) =>
+        h.iterator.map { case (term, n) => (lang, term, n) }
+      }
+    }
+    val counts = graft.Parallelism.ensure(documents)
+      .select(col("lang"), explode(toks(lower(col("text")))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+    counts
+      .mapPartitions(topK) // partial: global top-k ⊆ ∪ per-partition top-k
+      .groupByKey(_._1)
+      .flatMapGroups { (lang, rows) =>
+        topK(rows).toSeq
+          .sortBy { case (_, term, n) => (-n, term) }
+          .zipWithIndex
+          .map { case ((_, term, n), i) => (lang, term, n, i + 1) }
+      }
+      .toDF("lang", "term", "n", "rank")
+  }
+
   /** Token-windowed document CHUNKING — the training/embedding-prep
     * primitive: each document explodes into overlapping windows of
     * `chunkTokens` whitespace tokens, starting every `stride` tokens

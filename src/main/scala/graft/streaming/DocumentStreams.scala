@@ -90,6 +90,70 @@ object DocumentStreams {
       graft.operators.WordCount.counts(rawSource(spark, dir), "text"),
       s"stream_wordcount_${System.nanoTime()}")
 
+  /** PRODUCTION shape for the streaming wordcount (the documented twin of
+    * [[wordCountsToBatch]]'s complete-mode oracle harness): UPDATE output
+    * mode + `foreachBatch` upsert into a keyed store. Update mode emits
+    * only the words whose counts changed in a micro-batch — complete mode
+    * re-emits the entire vocabulary every batch, which is sink-write
+    * amplification proportional to vocabulary size, not to batch size.
+    *
+    * The keyed store here is log-structured parquet (each batch appends its
+    * changed rows stamped with the batch id; [[readWordStore]] merges on
+    * read by taking each word's row from the highest batch id) — the
+    * offline stand-in for a real keyed sink (Delta MERGE, HBase/Cassandra
+    * upsert, or a compacting topic). Batch-id stamping also makes the
+    * upsert idempotent under foreachBatch's at-least-once replay: a
+    * re-delivered batch rewrites the same (word, batch_id, cnt) rows, and
+    * merge-on-read collapses them.
+    */
+  def wordCountsUpdateToStore(docs: DataFrame, storeDir: String, ckptDir: String): Unit = {
+    val counts = graft.operators.WordCount.counts(docs, "text")
+    EventStreams.withStreamShufflePartitions(counts.sparkSession) {
+      val q = counts.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(storeDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
+  /** Merge-on-read over the log-structured word store: each word's count
+    * from its highest batch id (`max(struct(batch_id, cnt))` — one
+    * hash-agg, distributed; nothing driver-side). This is the read half of
+    * the [[wordCountsUpdateToStore]] upsert contract.
+    */
+  def readWordStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val storeSchema = StructType(Seq(
+      StructField("word", StringType),
+      StructField("cnt", LongType),
+      StructField("batch_id", LongType)))
+    spark.read.schema(storeSchema).parquet(storeDir)
+      .groupBy("word")
+      .agg(max(struct(col("batch_id"), col("cnt"))).getField("cnt").as("cnt"))
+  }
+
+  /** [[wordCountsUpdateToStore]] + [[readWordStore]] over the driver's
+    * documents dir — the registered production-shaped wordcount (same
+    * oracle as mr_wordcount: a full drain's merged store equals the batch
+    * counts).
+    */
+  def wordCountsViaKeyedStore(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_wcstore")
+    // an empty stream never fires foreachBatch: pre-create the store dir so
+    // the read-back sees a legal (empty) store instead of a missing path
+    java.nio.file.Files.createDirectories(tmp.resolve("store"))
+    wordCountsUpdateToStore(rawSource(spark, dir), s"$tmp/store", s"$tmp/ckpt")
+    val result = readWordStore(spark, s"$tmp/store")
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    result
+  }
+
   /** Run the dedup topology over the driver's documents dir to completion
     * (append mode + exactly-once parquet sink, like the event streams) and
     * read the result back.

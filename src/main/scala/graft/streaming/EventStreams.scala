@@ -199,7 +199,7 @@ object EventStreams {
     * (children are deleted first) — repeated harness runs no longer
     * accumulate on-disk garbage past the process lifetime.
     */
-  private[streaming] def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(root)
     try walk.iterator().asScala.foreach(_.toFile.deleteOnExit())

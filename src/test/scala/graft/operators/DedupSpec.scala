@@ -81,6 +81,41 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 1L)))
   }
 
+  test("multi-MB document shingles stay bounded by the token cap") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // ~4 MB of text / ~600k tokens: uncapped shingling would materialize a
+    // ~600k-element array row; the cap bounds it at MaxShingleTokens - 2
+    val mega = (1 to 600000).map(i => s"w${i % 50000}").mkString(" ")
+    val d = Seq((1L, mega), (2L, mega.take(100))).toDF("doc_id", "text")
+    val sizes = d
+      .select(col("doc_id"), size(TextFunctions.shingles(col("text"), 3)).as("n_sh"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sizes(1L) <= TextFunctions.MaxShingleTokens - 2)
+    assert(sizes(1L) > 0 && sizes(2L) > 0)
+    // the capped shingle set still feeds the signature pipeline end to end
+    val sigs = Dedup.minhashSignatures(d)
+    assert(sigs.count() === 2)
+  }
+
+  test("diameter > maxIter falls back to star contraction and still converges") {
+    import spark.implicits._
+    // a 50-node path has diameter 49: min-label propagation cannot close it
+    // within maxIter=20 rounds, so clustersFromPairs must auto-select the
+    // O(log n)-round large-star/small-star contraction — which labels the
+    // whole chain with the component min in ~6 rounds
+    val ids = (1L to 50L)
+    val d = docs(ids.map(i => i -> s"t$i"): _*)
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("doc_a", "doc_b")
+    val got = Dedup.clustersFromPairs(d, pairs, maxIter = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === ids.map(i => (i, 1L, 50L)).toSet)
+    // same pairs but maxIter past the diameter: propagation path, same answer
+    val viaPropagation = Dedup.clustersFromPairs(d, pairs, maxIter = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPropagation === got)
+  }
+
   test("nearDupClusters equals union-find over the pair graph (driver data)") {
     val d = graft.Tables.documents(spark, sf("sf0.001"))
     val pairs = Dedup.nearDuplicatePairs(d)

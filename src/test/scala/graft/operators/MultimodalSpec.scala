@@ -49,6 +49,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L).width >= 1 && got(4L).height >= 1)
   }
 
+  test("real audio decode: synthesized WAV yields true rate/channels/frames") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    def wavBytes(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      pcm.indices.foreach(i => pcm(i) = ((i * 37) & 0x7F).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaFile(1L, wavBytes(8000f, 1, 800), "audio/wav"),
+      Multimodal.MediaFile(2L, wavBytes(44100f, 2, 441), "audio/wav"),
+      Multimodal.MediaFile(3L, Array[Byte](9, 9, 9), "audio/wav") // corrupt
+    ).toDS()
+    val got = Multimodal.decode(media).collect().map(f => f.doc_id -> f).toMap
+    assert((got(1L).sample_rate, got(1L).channels, got(1L).n_frames) === ((8000, 1, 800)))
+    assert((got(2L).sample_rate, got(2L).channels, got(2L).n_frames) === ((44100, 2, 441)))
+    assert((got(1L).width, got(1L).height) === ((0, 0))) // audio has no pixel dims
+    // undecodable audio bytes -> explicit all-zero marker, like images
+    assert((got(3L).sample_rate, got(3L).channels, got(3L).n_frames) === ((0, 0, 0)))
+  }
+
   test("real image resize: scaled PNG re-decodes at the target dimensions") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(

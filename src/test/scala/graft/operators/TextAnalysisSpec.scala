@@ -51,6 +51,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(en.map(t => (t._2, t._3)).toSeq === Seq(("apple", 3L), ("pear", 1L)))
   }
 
+  test("topTermsPerLangTakeOrdered == window form (driver data + edge ks)") {
+    // the two-phase heap variant must reproduce the window ranking row for
+    // row, including the (n desc, term asc) tie-break and the rank column
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    for (k <- Seq(1, 10, 100000)) { // k past the vocabulary: full ranking
+      val win = canon(TextAnalysis.topTermsPerLang(d, k))
+      val heap = canon(TextAnalysis.topTermsPerLangTakeOrdered(d, k))
+      assert(heap === win, s"k=$k")
+      assert(heap.nonEmpty)
+    }
+  }
+
   test("chunked: overlapping windows cover every token; short docs get one chunk") {
     val d = docs(
       1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens

@@ -31,6 +31,36 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("update-mode keyed store: cross-batch upsert merges to the batch counts") {
+    import spark.implicits._
+    // two source files + maxFilesPerTrigger=1 force (at least) two
+    // micro-batches with overlapping vocabulary, so words counted in batch
+    // 1 get UPDATED rows in batch 2 and merge-on-read must pick the later
+    val srcDir = java.nio.file.Files.createTempDirectory("wcstore_src")
+    val tmp = java.nio.file.Files.createTempDirectory("wcstore")
+    Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+      .write.parquet(s"$srcDir/f1.parquet")
+    Seq((2L, "beta gamma Alpha,")).toDF("doc_id", "text")
+      .write.parquet(s"$srcDir/f2.parquet")
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true") // each .write above is a subdir
+      .parquet(srcDir.toString)
+    DocumentStreams.wordCountsUpdateToStore(docs, s"$tmp/store", s"$tmp/ckpt")
+    // the log-structured store holds MORE rows than the vocabulary (one
+    // per word per batch that changed it) — the upsert semantics live in
+    // the merge-on-read
+    val logRows = spark.read.parquet(s"$tmp/store")
+    assert(logRows.count() > logRows.select("word").distinct().count(),
+      "expected at least one cross-batch word update in the store log")
+    val merged = DocumentStreams.readWordStore(spark, s"$tmp/store")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L))
+    EventStreams.deleteRecursivelyOnExit(srcDir)
+    EventStreams.deleteRecursivelyOnExit(tmp)
+  }
+
   test("content duplicates are dropped across batches; state evicts past the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
