@@ -123,19 +123,57 @@ object DocumentStreams {
     }
   }
 
+  /** Schema of the log-structured word store's parquet rows. */
+  private val storeSchema: StructType = StructType(Seq(
+    StructField("word", StringType),
+    StructField("cnt", LongType),
+    StructField("batch_id", LongType)))
+
+  /** One store row per word, resolved to its highest batch id — the shared
+    * merge kernel of [[readWordStore]] and [[compactWordStore]].
+    */
+  private def mergedStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.schema(storeSchema).parquet(storeDir)
+      .groupBy("word")
+      .agg(max(struct(col("batch_id"), col("cnt"))).as("s"))
+      .select(col("word"), col("s.cnt").as("cnt"), col("s.batch_id").as("batch_id"))
+
   /** Merge-on-read over the log-structured word store: each word's count
     * from its highest batch id (`max(struct(batch_id, cnt))` — one
     * hash-agg, distributed; nothing driver-side). This is the read half of
     * the [[wordCountsUpdateToStore]] upsert contract.
     */
-  def readWordStore(spark: SparkSession, storeDir: String): DataFrame = {
-    val storeSchema = StructType(Seq(
-      StructField("word", StringType),
-      StructField("cnt", LongType),
-      StructField("batch_id", LongType)))
-    spark.read.schema(storeSchema).parquet(storeDir)
-      .groupBy("word")
-      .agg(max(struct(col("batch_id"), col("cnt"))).getField("cnt").as("cnt"))
+  def readWordStore(spark: SparkSession, storeDir: String): DataFrame =
+    mergedStore(spark, storeDir).select("word", "cnt")
+
+  /** LSM-style compaction of the word store: rewrite the update log to one
+    * row per word, PRESERVING each word's batch_id so updates appended
+    * after compaction (necessarily higher batch ids) still win the
+    * merge-on-read. Run it between drains, not concurrently with one —
+    * the directory swap below is the offline stand-in for a transactional
+    * table format's atomic commit (Delta/Iceberg in production), where
+    * this whole function is a MERGE + OPTIMIZE.
+    */
+  def compactWordStore(spark: SparkSession, storeDir: String): Unit = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_wcstore_compact")
+    mergedStore(spark, storeDir).write.mode("overwrite").parquet(staged.toString)
+    // swap: clear the log dir, move the compacted files in (same-FS move
+    // for the temp-dir harness; a cluster deployment swaps a table pointer)
+    val dir = java.nio.file.Paths.get(storeDir)
+    val oldFiles = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      oldFiles.iterator().asScala.toList.foreach(p =>
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.toList.foreach(java.nio.file.Files.delete))
+    } finally oldFiles.close()
+    val newFiles = java.nio.file.Files.list(staged)
+    try {
+      import scala.jdk.CollectionConverters._
+      newFiles.iterator().asScala.toList.foreach(p =>
+        java.nio.file.Files.move(p, dir.resolve(p.getFileName.toString)))
+    } finally newFiles.close()
+    java.nio.file.Files.delete(staged)
   }
 
   /** [[wordCountsUpdateToStore]] + [[readWordStore]] over the driver's

@@ -57,6 +57,14 @@ class DocumentStreamsSpec extends SparkSpec {
     val merged = DocumentStreams.readWordStore(spark, s"$tmp/store")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged === Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L))
+    // compaction rewrites the log to one row per word and preserves the
+    // merge-on-read answer (and future, higher, batch ids still win)
+    DocumentStreams.compactWordStore(spark, s"$tmp/store")
+    val compacted = spark.read.parquet(s"$tmp/store")
+    assert(compacted.count() === 3)
+    val afterCompact = DocumentStreams.readWordStore(spark, s"$tmp/store")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterCompact === merged)
     EventStreams.deleteRecursivelyOnExit(srcDir)
     EventStreams.deleteRecursivelyOnExit(tmp)
   }
