@@ -83,6 +83,9 @@ object SparkEntry {
     // --- events: JSON, time buckets, sessionization (build plan M4/M5) ---
     "q_events_json" -> ((s, dir) => EventAnalytics.perTypeStats(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) => EventAnalytics.hourlyStats(Tables.events(s, dir))),
+    // Point-in-interval range join (no equi key) via time-bucket rewrite —
+    // never a BNLJ/cartesian (PlanSpec pins it).
+    "q_range_join" -> ((s, dir) => EventAnalytics.campaignStats(Tables.events(s, dir))),
     "q_events_sessions" -> ((s, dir) => EventAnalytics.sessionCounts(Tables.events(s, dir))),
     "q_asof_attribution" -> ((s, dir) => EventAnalytics.purchaseAttribution(Tables.events(s, dir))),
     // --- text analysis (LLM-pipeline surface) ---
@@ -582,6 +585,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    // The range join's answer is the plain theta join; bucketing only
+    // changes the plan. Window constants interpolated from the operator.
+    "q_range_join" ->
+      s"""WITH b AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+         |w AS (SELECT i AS campaign_id,
+         |    t0 + i * ${EventAnalytics.CampaignStepUs} AS start_us,
+         |    t0 + i * ${EventAnalytics.CampaignStepUs} + ${EventAnalytics.CampaignLenUs} AS end_us
+         |  FROM range(0, ${EventAnalytics.NCampaigns}) t(i), b)
+         |SELECT w.campaign_id, w.start_us, w.end_us, count(*) AS n_events,
+         |  count(DISTINCT e.user_id) AS n_users
+         |FROM w JOIN events e
+         |  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+         |GROUP BY w.campaign_id, w.start_us, w.end_us""".stripMargin,
     "q_events_sessions" ->
       """SELECT user_id,
         |  CAST(1 + sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms >= 1800000

@@ -213,4 +213,73 @@ object EventAnalytics {
         (lit(1L) + sum("new_session")).as("n_sessions"),
         count(lit(1)).as("n_events"))
   }
+
+  /** BUCKETED RANGE JOIN: point-in-interval join (`start_us <= pt_us <
+    * end_us`) with NO equi key — the join shape Spark's planner can only
+    * express as a broadcast-nested-loop (every point × every interval) or,
+    * worse, a cartesian product. The fix is the standard range-bucketing
+    * rewrite (Flink's interval join and Databricks' range-join hint do the
+    * same): quantize the time axis into `bucketUs`-wide buckets, map each
+    * point to its ONE bucket, explode each interval to the buckets it
+    * overlaps, equi-join on bucket, and re-check the exact predicate.
+    *
+    * Correctness: a (point, interval) match meets in exactly one bucket —
+    * the point's — so no post-join dedup is needed. Scale: the equi-join
+    * hash-shuffles both sides uniformly by bucket (points are never
+    * replicated; intervals replicate ×(len/bucketUs + 1), so pick
+    * `bucketUs` near the median interval length), and the planner is free
+    * to broadcast a small interval side — either way there is no
+    * all-pairs loop. PlanSpec pins the no-BNLJ/no-cartesian shape.
+    *
+    * `points` must expose `pt_us`, `intervals` must expose `start_us` /
+    * `end_us` (epoch-micros longs); all other columns pass through.
+    * Empty/negative-length intervals match nothing, like the predicate.
+    */
+  def bucketedRangeJoin(
+      points: DataFrame, intervals: DataFrame, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val pts = points.withColumn("rj_bucket", expr(s"pt_us div ${bucketUs}L"))
+    val ivs = intervals
+      .where(col("end_us") > col("start_us"))
+      .withColumn("rj_bucket", explode(sequence(
+        expr(s"start_us div ${bucketUs}L"),
+        expr(s"(end_us - 1) div ${bucketUs}L"))))
+    pts.join(ivs, Seq("rj_bucket"))
+      .where(col("pt_us") >= col("start_us") && col("pt_us") < col("end_us"))
+      .drop("rj_bucket")
+  }
+
+  /** Constants for [[campaignStats]], interpolated into the DuckDB oracle
+    * so the two engines cannot silently desync: 8 overlapping 6-hour
+    * campaign windows every 4 hours from the stream's first event, bucket
+    * width 1 hour (≈ median window length / 6 → ×7 interval replication,
+    * zero point replication).
+    */
+  val NCampaigns = 8
+  val CampaignStepUs: Long = 4L * 3600L * 1000000L
+  val CampaignLenUs: Long = 6L * 3600L * 1000000L
+  val RangeBucketUs: Long = 3600L * 1000000L
+
+  /** Per-campaign event/user counts via [[bucketedRangeJoin]]: campaign
+    * windows are derived from min(event time) (1-row agg, broadcast — the
+    * tfidf n_docs pattern), events are the points. Overlapping windows
+    * mean one event legitimately lands in up to two campaigns.
+    */
+  def campaignStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val t0 = events.agg(min(unix_micros(col("ts"))).as("t0"))
+    val windows = spark.range(NCampaigns).toDF("campaign_id")
+      .crossJoin(broadcast(t0))
+      .select(
+        col("campaign_id"),
+        (col("t0") + col("campaign_id") * CampaignStepUs).as("start_us"),
+        (col("t0") + col("campaign_id") * CampaignStepUs + CampaignLenUs).as("end_us"))
+    val points = events.select(
+      unix_micros(col("ts")).as("pt_us"), col("event_id"), col("user_id"))
+    bucketedRangeJoin(points, windows, RangeBucketUs)
+      .groupBy("campaign_id", "start_us", "end_us")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
 }
