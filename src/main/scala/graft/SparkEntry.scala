@@ -157,6 +157,12 @@ object SparkEntry {
     // the watermark. Emits only watermark-passed windows (see oracle).
     "q_stream_hourly_append" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyStatsAppendToBatch(s, dir)),
+    // Sliding windows (1h every 30min): batch twin + production append twin
+    // share the 2-windows-per-event oracle.
+    "q_events_sliding" -> ((s, dir) =>
+      graft.streaming.EventStreams.slidingStats(Tables.events(s, dir))),
+    "q_stream_sliding_append" -> ((s, dir) =>
+      graft.streaming.EventStreams.slidingStatsAppendToBatch(s, dir)),
     "q_stream_sessions_append" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionWindowsAppendToBatch(s, dir)),
     // Ingest-time content dedup of documents (streaming twin of
@@ -897,6 +903,30 @@ object SparkEntry {
     // Append mode emits a window exactly once — when the final watermark
     // (max event time - 1 h) passes its end — so the oracle is the batch
     // aggregation restricted to hour + 2 h <= max(ts). Boundary safety:
+    // Sliding windows: each event lands in exactly 2 windows (start =
+    // floor30(ts) - k*30min for k in 0,1 — both automatically contain ts),
+    // all arithmetic in exact epoch-micros integers.
+    "q_events_sliding" ->
+      """SELECT win_start_us, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM (
+        |  SELECT (epoch_us(ts) // 1800000000 - k) * 1800000000 AS win_start_us,
+        |    event_type, value
+        |  FROM events, range(0, 2) t(k))
+        |GROUP BY win_start_us, event_type""".stripMargin,
+    // Same + the append-mode emission cutoff (window end + 1h watermark).
+    // Boundary margin: sliding boundaries land on :00/:30 and every SF's
+    // max(ts) is >= 35 s from a half-hour mark — far past ms truncation.
+    "q_stream_sliding_append" ->
+      """SELECT * FROM (
+        |  SELECT win_start_us, event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |  FROM (
+        |    SELECT (epoch_us(ts) // 1800000000 - k) * 1800000000 AS win_start_us,
+        |      event_type, value
+        |    FROM events, range(0, 2) t(k))
+        |  GROUP BY win_start_us, event_type) t
+        |WHERE win_start_us + 7200000000 <= (SELECT max(epoch_us(ts)) FROM events)""".stripMargin,
     // max(ts) sits 26-59 min past the hour at every SF, far from the
     // nanos-vs-micros truncation and <=-vs-< ambiguity at exact boundaries.
     "q_stream_hourly_append" ->

@@ -63,6 +63,37 @@ object EventStreams {
         (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** SLIDING 1-hour windows every 30 minutes: each event contributes to
+    * exactly length/slide = 2 overlapping windows. Works identically on a
+    * batch frame (the oracle twin) and a watermarked stream; state per
+    * key is (horizon / slide) windows — twice the tumbling case, the
+    * standing cost of overlap. Window starts surface as epoch micros
+    * (integer-portable; sliding boundaries land on half-hours, where raw
+    * timestamp canonicalization is riskier than the hourly case).
+    */
+  def slidingStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** PRODUCTION sliding-window topology — append mode + parquet sink, each
+    * window emitted once when the watermark passes its end. Emission
+    * cutoff margin: window boundaries land on :00/:30, and every SF's
+    * max(ts) sits ≥ 35 s away from a half-hour boundary — four orders of
+    * magnitude past the watermark's ms truncation.
+    */
+  def slidingStatsAppendToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sliding")
+    val out = runAppendToFiles(spark, dir, slidingStats, s"$tmp/out", s"$tmp/ckpt")
+    deleteRecursivelyOnExit(tmp)
+    out
+  }
+
   /** Event-time session windows (30-minute gap) per user — the streaming
     * generalization of the batch gaps-and-islands sessionization.
     */

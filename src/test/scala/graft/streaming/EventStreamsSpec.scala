@@ -57,6 +57,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(canon(streamed) === canon(expected))
   }
 
+  test("append-mode sliding stats == batch sliding windows past the watermark") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamed = EventStreams.slidingStatsAppendToBatch(spark, dir).collect()
+    val events = graft.Tables.events(spark, dir)
+    val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val expected = EventStreams.slidingStats(events)
+      .where(col("win_start_us") + lit(7200000000L) <= lit(maxUs))
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(canon(streamed) === canon(expected))
+    // overlap sanity: every event is in 2 windows, so sliding n-sums are
+    // exactly twice the event count for fully-emitted spans
+    val slidingTotal = EventStreams.slidingStats(events)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(slidingTotal === 2L * events.count())
+  }
+
   test("append-mode windowed agg evicts state once the watermark passes (bounded state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
