@@ -64,6 +64,9 @@ object SparkEntry {
     "q_window_profile" -> ((s, dir) => Relational.orderWindowProfile(Tables.orders(s, dir))),
     "q_median" -> ((s, dir) => Relational.medianOrderValue(Tables.orders(s, dir))),
     "q_rollup" -> ((s, dir) => Relational.rollupSummary(Tables.lineitem(s, dir))),
+    "q_cube" -> ((s, dir) => Relational.cubeSummary(Tables.lineitem(s, dir))),
+    "q_outer_join" -> ((s, dir) =>
+      Relational.customerOrderCoverage(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_window_rank" -> ((s, dir) => Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
     "q_window_moving" -> ((s, dir) => Relational.movingAvgOrderValue(Tables.orders(s, dir))),
     "q_setops" -> ((s, dir) => Relational.customerSetOps(Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -531,6 +534,19 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    // count(column) skips the outer join's null order rows, so orderless
+    // customers report 0 orders / 0.0 spend on both engines.
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(sum(coalesce(CAST(round(o_totalprice * 100) AS BIGINT), 0)) AS DOUBLE)
+        |    / 100.0 AS total_spend
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

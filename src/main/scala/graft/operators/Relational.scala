@@ -247,6 +247,35 @@ object Relational {
         (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Grouping sets via CUBE — all 2^k grouping combinations in one pass
+    * (rollup's hierarchical subset plus the per-linestatus marginals).
+    * Same single-shuffle shape as rollup: Expand multiplies rows by the
+    * grouping-set count BEFORE the partial aggregate, so the shuffle still
+    * carries group cardinality, not the corpus.
+    */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** FULL OUTER join + per-customer order counts: customers with no
+    * orders surface with n_orders = 0 (count of a column skips its
+    * nulls), order rows with no matching customer would surface with a
+    * null name — the outer-join contract inner/semi/anti don't cover.
+    * Outer joins shuffle both sides on the key like any equi-join; the
+    * planner just cannot broadcast the preserved side(s).
+    */
+  def customerOrderCoverage(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        (sum(coalesce(cents(col("o_totalprice")), lit(0L))).cast("double") / 100.0)
+          .as("total_spend"))
+
   /** Ranking window: per-customer top-3 orders by price. The window sort is
     * per-partition (custkey) — no global sort, scales with the largest
     * single customer, not the table.

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the relational shapes whose interesting branches the
+  * driver data cannot reach: the testdata has no orderless customers and
+  * no orphan orders, so the full-outer contract needs synthetic rows.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("full outer coverage: orderless customers and orphan orders both survive") {
+    import spark.implicits._
+    val customer = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+    val orders = Seq(
+      (10L, 1L, 25.50), (11L, 1L, 10.00), // customer 1 has two orders
+      (12L, 99L, 5.25)                    // orphan: no such customer
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val got = Relational.customerOrderCoverage(customer, orders)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === Set(
+      (1L, 2L, 35.50),  // joined rows aggregate normally
+      (2L, 0L, 0.0),    // preserved left side: zero orders, zero spend
+      (-1L, 1L, 5.25))) // preserved right side groups under the null key
+  }
+
+  test("cube emits all four grouping combinations; marginals sum to the total") {
+    import spark.implicits._
+    val li = Seq(
+      ("A", "F", 2.0), ("A", "O", 3.0), ("B", "F", 5.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val rows = Relational.cubeSummary(li).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getDouble(2), r.getLong(3)))
+    // 2x2 detail cells collapse to 3 present combos + 2 flag subtotals +
+    // 2 status subtotals + 1 grand total = 8 rows (rollup would emit 6)
+    assert(rows.length === 8)
+    val byKey = rows.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byKey((None, None)) === 10.0)
+    assert(byKey((Some("A"), None)) === 5.0)
+    assert(byKey((None, Some("F"))) === 7.0) // the marginal rollup lacks
+  }
+}
