@@ -89,6 +89,11 @@ object SparkEntry {
     // Point-in-interval range join (no equi key) via time-bucket rewrite —
     // never a BNLJ/cartesian (PlanSpec pins it).
     "q_range_join" -> ((s, dir) => EventAnalytics.campaignStats(Tables.events(s, dir))),
+    // Date-partitioned layout: one day's stats off a pruned scan (29/30 of
+    // the table never read — PartitionedLayoutSpec asserts the pruning,
+    // static and DPP).
+    "q_partition_pruning" -> ((s, dir) =>
+      graft.sources.PartitionedLayout.dailyStatsPruned(s, dir)),
     "q_events_sessions" -> ((s, dir) => EventAnalytics.sessionCounts(Tables.events(s, dir))),
     "q_asof_attribution" -> ((s, dir) => EventAnalytics.purchaseAttribution(Tables.events(s, dir))),
     // --- text analysis (LLM-pipeline surface) ---
@@ -607,6 +612,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    // Partitioning changes the layout, never the answer: the oracle is the
+    // plain date-filtered aggregate (UTC on both engines).
+    "q_partition_pruning" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+         |FROM events WHERE CAST(ts AS DATE) = DATE '${graft.sources.PartitionedLayout.ProbeDate}'
+         |GROUP BY event_type""".stripMargin,
     // The range join's answer is the plain theta join; bucketing only
     // changes the plan. Window constants interpolated from the operator.
     "q_range_join" ->
