@@ -148,6 +148,11 @@ object SparkEntry {
     // replayed by the oracle (integer-quantized means are bit-portable).
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTopK(requireOracleDim(Tables.embeddings(s, dir)), trainIters = 2)),
+    // Product quantization: subspace k-means codebooks → 8-byte codes →
+    // exhaustive ADC scan → exact rerank; the whole pipeline (training
+    // included) is replayed by the oracle.
+    "ann_pq" -> ((s, dir) =>
+      ProductQuantization.pqTopK(requireOracleDim(Tables.embeddings(s, dir)))),
     // --- multimodal binary-column plumbing ---
     "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(Tables.documents(s, dir))),
     // Decode features come from the clearly-marked stub codec: rows-only.
@@ -367,6 +372,93 @@ object SparkEntry {
        |  FROM e ORDER BY vec_id ASC LIMIT $nLists),
        |${(0 until iters).map(iterCtes).mkString("\n")}
        |${annIvfTailSql(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")}""".stripMargin
+  }
+
+  /** DuckDB mirror of `ProductQuantization.pqTopK()` — the ENTIRE pipeline
+    * replayed: per-subspace k-means (same quantized-mean portability trick
+    * as [[annIvfTrainedOracle]], same (distance ASC, code ASC) assignment
+    * tie-break), final encoding, ADC scoring through the trained
+    * codebooks, top-RerankDepth recall, exact-cosine rerank. Every double
+    * chain (+, left-assoc) mirrors the engine's reduceLeft order, so the
+    * ranking agrees bit-for-bit.
+    */
+  private def annPqOracle: String = {
+    import graft.operators.ProductQuantization.{NumSubspaces => M, NumCodes => K, TrainIters, RerankDepth}
+    val q = graft.operators.ProductQuantization.MeanQuantum
+    val sub = EmbDim / M
+    def vIdx(m: Int, d: Int) = m * sub + d // 1-based SQL index of dim d (1..sub)
+    def subList(m: Int, v: String) =
+      (1 to sub).map(d => s"$v[${vIdx(m, d)}]").mkString("[", ", ", "]")
+    def l2Sql(m: Int, v: String, c: String) =
+      (1 to sub).map(d => s"($v[${vIdx(m, d)}]-$c[$d])*($v[${vIdx(m, d)}]-$c[$d])")
+        .mkString("(", " + ", ")")
+    val sumCols = (1 to sub)
+      .map(d => s"sum(CAST(round(e.v[__I$d]*$q) AS BIGINT)) AS s$d").mkString(", ")
+    val meanList = (1 to sub)
+      .map(d => s"CAST(CAST(CAST(s$d AS DOUBLE)/n/$q.0 AS FLOAT) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    def assignCte(name: String, cbName: String, m: Int): String =
+      s"""$name AS (SELECT vec_id, k AS code FROM (
+         |    SELECT e.vec_id, c.k,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql(m, "e.v", "c.c")} ASC, c.k ASC) AS rn
+         |    FROM e CROSS JOIN $cbName c) r WHERE rn = 1)""".stripMargin
+    def roundCtes(t: Int, m: Int): String = {
+      val subSums = (1 to sub).foldLeft(sumCols) { (acc, d) =>
+        acc.replace(s"__I$d", vIdx(m, d).toString)
+      }
+      s"""${assignCte(s"a${t}_$m", s"cb${t}_$m", m)},
+         |m${t}_$m AS (SELECT a.code, count(*) AS n, $subSums
+         |  FROM a${t}_$m a JOIN e USING (vec_id) GROUP BY a.code),
+         |cb${t + 1}_$m AS (SELECT c0.k, COALESCE(mm.c, c0.c) AS c
+         |  FROM cb${t}_$m c0 LEFT JOIN
+         |    (SELECT code AS k, $meanList AS c FROM m${t}_$m) mm USING (k))""".stripMargin
+    }
+    val seedCtes = (0 until M).map(m =>
+      s"""cb0_$m AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k,
+         |    ${subList(m, "v")} AS c
+         |  FROM e ORDER BY vec_id ASC LIMIT $K)""".stripMargin).mkString(",\n")
+    val trainCtes = (for (t <- 0 until TrainIters; m <- 0 until M)
+      yield roundCtes(t, m)).mkString(",\n")
+    val encCtes = (0 until M)
+      .map(m => assignCte(s"enc_$m", s"cb${TrainIters}_$m", m)).mkString(",\n")
+    val codesCte =
+      s"""codes AS (SELECT e.vec_id, ${(0 until M).map(m => s"enc_$m.code AS c$m").mkString(", ")}
+         |  FROM e ${(0 until M).map(m => s"JOIN enc_$m USING (vec_id)").mkString(" ")})""".stripMargin
+    val rnormCtes = (0 until M).map(m =>
+      s"""rn_$m AS (SELECT k, ${(1 to sub).map(d => s"c[$d]*c[$d]").mkString("(", " + ", ")")} AS ns
+         |  FROM cb${TrainIters}_$m)""".stripMargin).mkString(",\n")
+    // score: per-subspace dot(q_m, codeword) chained left-associatively,
+    // matching the engine's reduceLeft over subspaces then dims
+    val scoreSql = (0 until M).map { m =>
+      (1 to sub).map(d => s"qq.v[${vIdx(m, d)}]*w$m.c[$d]").mkString("(", " + ", ")")
+    }.mkString(" + ")
+    val nsSql = (0 until M).map(m => s"w${m}ns.ns").mkString("(", " + ", ")")
+    val cwJoins = (0 until M).map(m =>
+      s"JOIN cb${TrainIters}_$m w$m ON w$m.k = x.c$m " +
+        s"JOIN rn_$m w${m}ns ON w${m}ns.k = x.c$m").mkString(" ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |$seedCtes,
+       |$trainCtes,
+       |$encCtes,
+       |$codesCte,
+       |$rnormCtes,
+       |adc AS (SELECT qq.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY qq.vec_id
+       |      ORDER BY ($scoreSql) / (sqrt(${selfDotSql("qq.v")}) * sqrt($nsSql)) DESC,
+       |               x.vec_id ASC) AS rn
+       |  FROM e qq JOIN codes x ON qq.vec_id <> x.vec_id $cwJoins
+       |  WHERE qq.vec_id < 10),
+       |cand AS (SELECT query_id, neighbor_id FROM adc WHERE rn <= $RerankDepth),
+       |ranked AS (SELECT cand.query_id, cand.neighbor_id,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY ${dotSql("qv.v", "nv.v")}
+       |                 / (sqrt(${selfDotSql("qv.v")}) * sqrt(${selfDotSql("nv.v")})) DESC,
+       |               cand.neighbor_id ASC) AS rank
+       |  FROM cand JOIN e qv ON qv.vec_id = cand.query_id
+       |            JOIN e nv ON nv.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   // mh(2i)/mh(2i+1) are the two independent 60-bit halves of digest i
@@ -918,6 +1010,7 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_trained" -> annIvfTrainedOracle,
+    "ann_pq" -> annPqOracle,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5, 'fake/' || source AS format

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantizationSpec extends SparkSpec {
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+
+  test("codes are dense in [0, K) across every subspace") {
+    val cb = ProductQuantization.trainCodebooks(emb)
+    val codes = ProductQuantization.encode(emb, cb)
+    (0 until ProductQuantization.NumSubspaces).foreach { m =>
+      val used = codes.select(col(s"code$m")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(used.subsetOf((0 until ProductQuantization.NumCodes).toSet), s"m=$m: $used")
+      // after training, the code space is actually used (not all one code)
+      assert(used.size >= 2, s"subspace $m collapsed to $used")
+    }
+  }
+
+  test("ADC + exact rerank recovers most of the exact top-5 (recall@5)") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, 10, 5))
+    val reranked = pairs(ProductQuantization.pqTopK(emb, 5, 10))
+    val recall = (exact intersect reranked).size.toDouble / exact.size
+    println(s"PQ reranked recall@5 = $recall")
+    assert(recall >= 0.5, s"reranked recall was $recall")
+    // pure ADC (no rerank): an 8-byte sketch of a 256-byte vector — far
+    // better than chance (5/499 ~ 1%) is the claim, not near-exactness
+    val adc = pairs(ProductQuantization.pqTopK(emb, 5, 10, rerankDepth = 0))
+    val adcRecall = (exact intersect adc).size.toDouble / exact.size
+    println(s"PQ pure-ADC recall@5 = $adcRecall")
+    assert(adcRecall >= 0.1, s"pure-ADC recall was $adcRecall")
+  }
+
+  test("approximate cosine tracks exact cosine (rank correlation on one query)") {
+    // the ADC score of the reconstruction should order vectors roughly
+    // like the true cosine: check the approx-top-50's mean exact cosine
+    // beats the corpus mean by a wide margin
+    val approxTop = ProductQuantization.pqTopK(emb, 50, 1)
+      .where(col("query_id") === 0).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    val cosines = Similarity.bruteForceTopK(emb, 1, 499)
+      .where(col("query_id") === 0)
+      .select(col("neighbor_id"), col("rank"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // mean exact-cosine RANK of the approx top-50 (lower = better)
+    val meanRank = approxTop.toSeq.map(cosines(_)).sum.toDouble / approxTop.size
+    assert(meanRank < 125.0, s"approx top-50 mean exact rank $meanRank (random ~250)")
+  }
+}
