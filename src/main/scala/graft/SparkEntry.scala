@@ -108,6 +108,9 @@ object SparkEntry {
     "q_top_terms_per_lang_scalable" -> ((s, dir) =>
       TextAnalysis.topTermsPerLangTakeOrdered(Tables.documents(s, dir))),
     "q_chunked" -> ((s, dir) => TextAnalysis.chunked(Tables.documents(s, dir))),
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
+    "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
+    "q_decontam" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
     // --- deterministic sampling ---
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
@@ -792,6 +795,85 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // Repetition signals: trigram-window counts over the capped RAW token
+    // axis (mirrors shingles), token histogram over lowercase tokens.
+    // Thresholds interpolated from the operator's constants.
+    "q_repetition" ->
+      s"""WITH t AS ($tokCte),
+         |c AS (SELECT doc_id,
+         |  toks[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks FROM t),
+         |tri AS (SELECT doc_id,
+         |    CAST(greatest(len(toks) - 2, 0) AS INTEGER) AS n_trigrams,
+         |    CAST(CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+         |      range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))))
+         |      ELSE 0 END AS INTEGER) AS n_distinct_trigrams
+         |  FROM c),
+         |tok AS (SELECT doc_id, CAST(max(n) AS INTEGER) AS top_tok_n,
+         |    CAST(sum(n) AS INTEGER) AS n_tokens
+         |  FROM (SELECT doc_id, tok, count(*) AS n FROM (
+         |      SELECT doc_id,
+         |        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |      FROM documents) u GROUP BY doc_id, tok) cnts
+         |  GROUP BY doc_id)
+         |SELECT tri.doc_id, tok.n_tokens, tri.n_trigrams, tri.n_distinct_trigrams,
+         |  CASE WHEN tri.n_trigrams > 0
+         |    THEN CAST(tri.n_trigrams - tri.n_distinct_trigrams AS DOUBLE) / tri.n_trigrams
+         |    ELSE 0.0 END AS dup_trigram_ratio,
+         |  tok.top_tok_n,
+         |  CAST(tok.top_tok_n AS DOUBLE) / tok.n_tokens AS top_token_frac,
+         |  (CASE WHEN tri.n_trigrams > 0
+         |     THEN CAST(tri.n_trigrams - tri.n_distinct_trigrams AS DOUBLE) / tri.n_trigrams
+         |     ELSE 0.0 END > ${TextAnalysis.RepetitionDupTrigramMax}
+         |   OR CAST(tok.top_tok_n AS DOUBLE) / tok.n_tokens
+         |      > ${TextAnalysis.RepetitionTopTokenMax}) AS is_repetitive
+         |FROM tri JOIN tok ON tri.doc_id = tok.doc_id""".stripMargin,
+    // PII scan: the pattern strings are interpolated from the operator's
+    // constants (Java-regex ∩ RE2 subset), so both engines compile the
+    // same bytes. DuckDB regexp_replace needs the explicit 'g' flag to
+    // match Spark's replace-all.
+    "q_pii_scan" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}')) AS INTEGER) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) AS INTEGER) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.DigitRunPattern}')) AS INTEGER) AS n_digit_runs,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextAnalysis.DigitRunPattern}', '<NUM>', 'g')) AS redacted_md5,
+         |  (len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) > 0
+         |   OR len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}')) > 0
+         |   OR len(regexp_extract_all(text, '${TextAnalysis.DigitRunPattern}')) > 0) AS has_pii
+         |FROM documents""".stripMargin,
+    // Decontamination: distinct 13-gram hashes per doc (same capped shingle
+    // axis and 60-bit seeded hash as the engine), eval side collapsed to
+    // DISTINCT hashes, per-train-doc left-join stats. n/mod interpolated.
+    "q_decontam" ->
+      s"""WITH t AS ($tokCte),
+         |c AS (SELECT doc_id,
+         |  toks[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks FROM t),
+         |g AS (SELECT doc_id, ${h60(TextAnalysis.DecontamNgram, "g")} AS gh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= ${TextAnalysis.DecontamNgram}
+         |    THEN list_distinct(list_transform(
+         |      range(0, len(toks) - ${TextAnalysis.DecontamNgram - 1}),
+         |      i -> array_to_string(toks[i+1:i+${TextAnalysis.DecontamNgram}], ' ')))
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g
+         |  FROM c) u),
+         |e AS (SELECT DISTINCT gh FROM g WHERE doc_id % ${TextAnalysis.EvalHoldoutMod} = 0),
+         |s AS (SELECT g.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM g LEFT JOIN e ON g.gh = e.gh
+         |  WHERE g.doc_id % ${TextAnalysis.EvalHoldoutMod} <> 0
+         |  GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.n_grams, 0) AS INTEGER) AS n_grams,
+         |  CAST(coalesce(s.n_shared, 0) AS INTEGER) AS n_shared_ngrams,
+         |  CASE WHEN s.n_grams IS NOT NULL
+         |    THEN CAST(s.n_shared AS DOUBLE) / s.n_grams ELSE 0.0 END
+         |    AS contamination_ratio,
+         |  coalesce(s.n_shared, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |WHERE d.doc_id % ${TextAnalysis.EvalHoldoutMod} <> 0""".stripMargin,
     // The batch mirror of the streaming interval join: all same-user
     // (purchase, click) pairs with the click in [p_ts - 1h, p_ts]. Epoch
     // micros on both sides = exact integer comparisons.

@@ -236,6 +236,151 @@ object TextAnalysis {
         size(slice(col("toks"), col("col") + 1, lit(chunkTokens))).as("n_tokens"))
   }
 
+  /** Repetition-flag thresholds (shared with the oracle SQL — interpolated,
+    * not duplicated): a doc is flagged when more than 30% of its trigram
+    * windows are repeats of an earlier window, or when a single token makes
+    * up more than 20% of the document. Both ratios are exact-integer
+    * divisions, so the threshold comparison is bit-identical across engines.
+    */
+  val RepetitionDupTrigramMax = 0.30
+  val RepetitionTopTokenMax = 0.20
+
+  /** Per-document REPETITION signals — the Gopher/C4-style quality filters
+    * for generated or boilerplate text: the duplicate-trigram ratio
+    * (1 − distinct/total trigram windows) and the top-token fraction
+    * (occurrences of the most frequent token / total tokens).
+    *
+    * Shape: the trigram side is a pure per-row projection (tokenize once,
+    * count windows vs distinct shingles — scan speed, no shuffle); the
+    * top-token side is explode → (doc, tok) hash-agg → per-doc max/sum,
+    * both with map-side combine, shuffling 2 ints per (doc, token). The
+    * final join is doc_id-keyed and near-uniform. Trigrams are over the
+    * same capped raw-token axis as [[TextFunctions.shingles]]; the token
+    * histogram is over lowercase tokens like [[topTermsPerLang]].
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val capped = slice(toks(col("text")), 1, TextFunctions.MaxShingleTokens)
+    val topTok = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("top_tok_n"), sum(col("n")).as("n_tokens"))
+    documents
+      .select(
+        col("doc_id"),
+        greatest(size(capped) - lit(2), lit(0)).as("n_trigrams"),
+        size(TextFunctions.shingles(col("text"), 3)).as("n_distinct_trigrams"))
+      .join(topTok, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("n_trigrams"),
+        col("n_distinct_trigrams"),
+        when(col("n_trigrams") > 0,
+          (col("n_trigrams") - col("n_distinct_trigrams")).cast("double") / col("n_trigrams"))
+          .otherwise(lit(0.0)).as("dup_trigram_ratio"),
+        col("top_tok_n").cast("int").as("top_tok_n"),
+        (col("top_tok_n").cast("double") / col("n_tokens")).as("top_token_frac"))
+      .withColumn("is_repetitive",
+        col("dup_trigram_ratio") > RepetitionDupTrigramMax ||
+          col("top_token_frac") > RepetitionTopTokenMax)
+  }
+
+  /** PII-ish scan patterns. Deliberately inside the Java-regex ∩ RE2 common
+    * subset (no lookaround, no backreferences; `\b` and ASCII classes mean
+    * the same in both), so the DuckDB oracle runs the IDENTICAL pattern
+    * strings.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val UrlPattern = "https?://[^\\s]+"
+  val DigitRunPattern = "[0-9]{7,}"
+
+  /** Per-document PII / sensitive-pattern scan: match counts for emails,
+    * IPv4 literals, URLs, and long digit runs (phone/account-number
+    * shaped), a `has_pii` flag, and the md5 of the redacted text (emails →
+    * `<EMAIL>`, then IPs → `<IP>`, then digit runs → `<NUM>`, in that
+    * order — the md5 keeps the output row narrow while still pinning the
+    * exact redaction bytes cross-engine).
+    *
+    * Pure narrow projection — zero shuffles, scan speed at 100 TB, and the
+    * parquet reader prunes to (doc_id, text). All four regex scans run in
+    * one codegen'd stage over the same row.
+    */
+  def piiScan(documents: DataFrame): DataFrame = {
+    def hits(pattern: String): Column =
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        DigitRunPattern, "<NUM>")
+    documents
+      .select(
+        col("doc_id"),
+        hits(EmailPattern).as("n_emails"),
+        hits(Ipv4Pattern).as("n_ipv4"),
+        hits(UrlPattern).as("n_urls"),
+        hits(DigitRunPattern).as("n_digit_runs"),
+        md5(redacted).as("redacted_md5"))
+      .withColumn("has_pii",
+        col("n_emails") > 0 || col("n_ipv4") > 0 || col("n_digit_runs") > 0)
+  }
+
+  /** Decontamination n-gram length (GPT-3-style 13-gram collision) and the
+    * held-out split rule (doc_id % mod == 0 → eval). Interpolated into the
+    * oracle SQL.
+    */
+  val DecontamNgram = 13
+  val EvalHoldoutMod = 10
+
+  /** Train/eval DECONTAMINATION: flags training documents that share any
+    * `n`-gram with the held-out eval split — the standard guard against
+    * benchmark leakage into a training corpus. Output is one row per TRAIN
+    * document (zero-hit docs included, so the result is a total report):
+    * distinct n-gram count, how many of those n-grams also occur in the
+    * eval split, the contamination ratio, and the flag.
+    *
+    * Shape: both sides explode [[TextFunctions.shingles]] (distinct per
+    * doc, capped tokens) and shuffle only a 60-bit hash per n-gram — never
+    * the n-gram string. The eval side is collapsed to DISTINCT hashes
+    * before the join, so each train n-gram meets at most ONE eval row: no
+    * pair explosion on boilerplate n-grams, unlike a doc×doc join (which
+    * this deliberately is not — "which eval doc" costs a skew-prone pair
+    * join; "is it leaked" doesn't). The join is a plain hash equi-join on
+    * gh — near-uniform by construction (md5), AQE-friendly, and the
+    * per-doc re-agg reuses map-side combine. A 60-bit hash collision would
+    * produce the same verdict in engine and oracle alike (both join on the
+    * same hashes), so the gate stays exact.
+    */
+  def decontaminate(
+      documents: DataFrame, n: Int = DecontamNgram,
+      evalMod: Int = EvalHoldoutMod): DataFrame = {
+    val grams = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), HashFunctions.md5Long(col("g"), n).as("gh"))
+    val evalGrams = grams.where(col("doc_id") % evalMod === 0)
+      .select("gh").distinct().withColumn("hit", lit(1))
+    val perDoc = grams.where(col("doc_id") % evalMod =!= 0)
+      .join(evalGrams, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_shared"))
+    documents.where(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).cast("int").as("n_shared_ngrams"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("contamination_ratio"))
+      .withColumn("contaminated", col("n_shared_ngrams") > 0)
+  }
+
   /** Whitespace-normalized lowercase form — the canonical text for exact
     * dedup and fingerprinting.
     */

@@ -81,6 +81,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(doc2.map(r => (r._2, r._3)) === Seq((0, "short doc")))
   }
 
+  test("repetitionStats flags duplicate trigrams and dominant tokens") {
+    val d = docs(
+      1L -> "a a a a a",                 // 3 windows, 1 distinct, top frac 1.0
+      2L -> "one two three four five",   // all distinct, top frac 0.2 (not >)
+      3L -> "solo")                      // 0 windows; single token -> frac 1.0
+    val rows = TextAnalysis.repetitionStats(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(6), r.getBoolean(7)))
+      .toMap
+    assert(rows(1L) === ((5, 3, 1, 2.0 / 3.0, 1.0, true)))
+    assert(rows(2L) === ((5, 3, 3, 0.0, 0.2, false)))
+    // a one-token doc is trivially top-token-dominated: flagged by design
+    assert(rows(3L) === ((1, 0, 0, 0.0, 1.0, true)))
+  }
+
+  test("piiScan counts emails/ips/urls/digit runs; redaction changes the md5") {
+    val d = docs(
+      1L -> "mail john.doe@example.com ip 192.168.0.1 see https://x.io/p id 12345678",
+      2L -> "a perfectly clean document")
+    val rows = TextAnalysis.piiScan(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5), r.getBoolean(6)))
+      .toMap
+    assert(rows(1L)._1 === 1); assert(rows(1L)._2 === 1)
+    assert(rows(1L)._3 === 1); assert(rows(1L)._4 === 1)
+    assert(rows(1L)._6 === true)
+    assert(rows(2L) === ((0, 0, 0, 0,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("a perfectly clean document".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, false)))
+    // doc 1's redaction replaced bytes, so its md5 differs from the raw md5
+    assert(rows(1L)._5 !== rows(2L)._5)
+  }
+
+  test("decontaminate flags train docs sharing a 13-gram with the eval split") {
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val clean = (1 to 20).map(i => s"c$i").mkString(" ")
+    val d = docs(
+      10L -> shared, // eval (10 % 10 == 0)
+      1L -> shared,  // train, fully contaminated
+      2L -> clean,   // train, no overlap
+      3L -> "tiny doc") // train, too short for any 13-gram
+    val rows = TextAnalysis.decontaminate(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(rows.keySet === Set(1L, 2L, 3L)) // eval doc excluded
+    assert(rows(1L) === ((8, 8, 1.0, true))) // 20 tokens -> 8 distinct 13-grams
+    assert(rows(2L) === ((8, 0, 0.0, false)))
+    assert(rows(3L) === ((0, 0, 0.0, false)))
+  }
+
   test("tfIdfTopTerms df counts documents, not occurrences") {
     val d = docs(1L -> "w w w", 2L -> "w", 3L -> "q")
     val row = TextAnalysis.tfIdfTopTerms(d, k = 5)
