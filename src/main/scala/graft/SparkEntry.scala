@@ -83,6 +83,10 @@ object SparkEntry {
     "q_topk_global" -> ((s, dir) => Relational.topRevenueLineitems(Tables.lineitem(s, dir))),
     // Sketches are approximate: rows-only here, error-bounded in SketchSpec.
     "sketch_summary" -> ((s, dir) => Relational.sketchSummary(Tables.lineitem(s, dir))),
+    // Hand-rolled order-independent sketches: deterministic, fully
+    // oracle-replayed (unlike the built-in HLL++/percentile sketches).
+    "q_hll_vocab" -> ((s, dir) => Sketches.hllVocabByLang(Tables.documents(s, dir))),
+    "q_countmin_probe" -> ((s, dir) => Sketches.countMinProbe(Tables.documents(s, dir))),
     // --- events: JSON, time buckets, sessionization (build plan M4/M5) ---
     "q_events_json" -> ((s, dir) => EventAnalytics.perTypeStats(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) => EventAnalytics.hourlyStats(Tables.events(s, dir))),
@@ -795,6 +799,64 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // From-scratch HLL, replayed register-exactly: same 60-bit seeded
+    // hash, same bit-length ranks (Spark bin == DuckDB bin), same exact
+    // BIGINT denominator; the estimate is one double division of the
+    // interpolated numerator constant by that integer — bit-portable.
+    "q_hll_vocab" -> {
+      import graft.operators.Sketches._
+      s"""WITH t AS (SELECT lang,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |tt AS (SELECT lang, tok FROM t WHERE length(tok) > 0),
+         |g AS (SELECT lang, ${h60(HllHashSeed, "tok")} AS gh FROM tt),
+         |r AS (SELECT lang, gh % $HllM AS j,
+         |    CASE WHEN (gh // $HllM) = 0 THEN 0
+         |         ELSE length(bin(gh // $HllM)) END AS bl
+         |  FROM g),
+         |rb AS (SELECT lang, j, min(bl) AS minb FROM r GROUP BY lang, j),
+         |p AS (SELECT lang,
+         |    CAST(sum(CAST(1 AS BIGINT) << minb) AS BIGINT) AS denom_present,
+         |    count(*) AS n_present
+         |  FROM rb GROUP BY lang),
+         |e AS (SELECT lang, count(DISTINCT tok) AS exact_distinct
+         |  FROM tt GROUP BY lang)
+         |SELECT p.lang,
+         |  CAST($HllM - p.n_present AS INTEGER) AS n_zero_registers,
+         |  CAST(p.denom_present
+         |    + ($HllM - p.n_present) * (CAST(1 AS BIGINT) << ${HllW + 1})
+         |    AS BIGINT) AS denom,
+         |  $HllNumerator / (p.denom_present
+         |    + ($HllM - p.n_present) * (CAST(1 AS BIGINT) << ${HllW + 1}))
+         |    AS hll_raw_estimate,
+         |  e.exact_distinct
+         |FROM p JOIN e ON p.lang = e.lang""".stripMargin
+    },
+    // Count-min: counters are exact integer sums per (row, bucket); the
+    // point estimate is a min over 4 rows. Per-row seeds mirror
+    // md5Long(tok, CmsSeedBase + row).
+    "q_countmin_probe" -> {
+      import graft.operators.Sketches._
+      val probeList = CmsProbes.map(w => s"'$w'").mkString(", ")
+      def bucketSql(x: String): String =
+        s"CAST(('0x' || substr(md5(CAST($CmsSeedBase + r.i AS VARCHAR) || ':' || $x), 1, 15)) AS BIGINT) % $CmsWidth"
+      s"""WITH t AS (SELECT
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |tt AS (SELECT tok FROM t WHERE length(tok) > 0),
+         |c AS (SELECT r.i AS row, ${bucketSql("tok")} AS bucket, count(*) AS c
+         |  FROM tt CROSS JOIN range(0, $CmsDepth) r(i) GROUP BY 1, 2),
+         |w AS (SELECT unnest([$probeList]) AS word),
+         |pb AS (SELECT w.word, r.i AS row, ${bucketSql("w.word")} AS bucket
+         |  FROM w CROSS JOIN range(0, $CmsDepth) r(i)),
+         |est AS (SELECT word, min(coalesce(c.c, 0)) AS est_count
+         |  FROM pb LEFT JOIN c ON pb.row = c.row AND pb.bucket = c.bucket
+         |  GROUP BY word),
+         |ex AS (SELECT tok AS word, count(*) AS exact_count FROM tt GROUP BY tok)
+         |SELECT est.word, est.est_count,
+         |  coalesce(ex.exact_count, 0) AS exact_count
+         |FROM est LEFT JOIN ex ON est.word = ex.word""".stripMargin
+    },
     // Repetition signals: trigram-window counts over the capped RAW token
     // axis (mirrors shingles), token histogram over lowercase tokens.
     // Thresholds interpolated from the operator's constants.

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Hand-rolled, ORDER-INDEPENDENT sketches whose every output bit is
+  * deterministic — unlike Spark's built-in `approx_count_distinct` /
+  * `approx_percentile` (covered by `sketch_summary` with error-bound
+  * specs), these replay exactly in the DuckDB oracle and hash-match.
+  *
+  * The trick is to keep all sketch state in integers combined only by
+  * `sum` / `min` / `max` (associative + commutative, so partition order
+  * cannot change the answer) and to defer the single float operation to
+  * one final division of exact integers. That is also precisely what
+  * makes them scale: each is an explode → hash-agg pipeline with map-side
+  * combine whose state is a fixed O(registers) per group regardless of
+  * input size — the 100 TB replacement for exact distinct counting.
+  */
+object Sketches {
+
+  // ---- HyperLogLog ----------------------------------------------------
+
+  /** 2^P registers per group. */
+  val HllP = 8
+  val HllM: Int = 1 << HllP
+  /** Hash-bit budget: md5Long gives 60 bits; P index bits leave W = 52 for
+    * the rank, so rho ∈ [1, 53] and the scaled register term 2^(W+1-rho)
+    * = 2^minb fits a BIGINT (sum ≤ M·2^53 = 2^61).
+    */
+  val HllW: Int = 52
+  val HllHashSeed = 42
+  /** Standard bias constant for m ≥ 128. */
+  val HllAlpha: Double = 0.7213 / (1 + 1.079 / HllM)
+  /** alpha · m² · 2^(W+1), folded into ONE double literal interpolated
+    * into both engines, so the estimate is literally a single division of
+    * that constant by the exact integer denominator — bit-portable.
+    */
+  val HllNumerator: Double = HllAlpha * HllM.toDouble * HllM.toDouble * math.pow(2.0, HllW + 1)
+
+  /** Per-language vocabulary-size estimate over lowercase whitespace
+    * tokens: a from-scratch HyperLogLog with the register state exposed
+    * (`denom` = Σ_j 2^(W+1−M[j]) as an exact BIGINT, `n_zero_registers`),
+    * plus the exact distinct count for error visibility.
+    *
+    * The output carries the RAW estimator only (`hll_raw_estimate`): the
+    * small-range linear-counting correction `m·ln(m/V)` needs `ln`, which
+    * is 1-ulp-accurate on the JVM vs correctly-rounded in libm — not
+    * hash-portable. Clients apply it from the exposed `n_zero_registers`
+    * (exactly what SketchSpec does, and bounds the corrected error); the
+    * registered columns stay bit-exact across engines.
+    *
+    * Shape: explode → (lang, register) hash-agg taking `min` of the
+    * bit-length (≡ max of rho), then a per-lang sum of 2^minb — state is
+    * 256 ints per language no matter the corpus size; every agg combines
+    * map-side. The exact count rides the same exploded scan.
+    */
+  def hllVocabByLang(documents: DataFrame): DataFrame = {
+    val toks = graft.Parallelism.ensure(documents)
+      .select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val g = toks.select(col("lang"),
+      HashFunctions.md5Long(col("tok"), HllHashSeed).as("gh"))
+    // register index = low P bits; remaining W bits feed the rank. A rank
+    // of rho ≡ bit-length minb = W + 1 - rho (0 for b = 0, i.e. rho max).
+    val regs = g
+      .select(col("lang"),
+        (col("gh") % lit(HllM.toLong)).as("j"),
+        shiftright(col("gh"), HllP).as("b"))
+      .select(col("lang"), col("j"),
+        when(col("b") === 0, 0).otherwise(length(bin(col("b")))).as("bl"))
+      .groupBy("lang", "j").agg(min(col("bl")).as("minb"))
+    val perLang = regs.groupBy("lang")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), minb)")).as("denom_present"),
+        count(lit(1)).as("n_present"))
+      .select(col("lang"),
+        (lit(HllM.toLong) - col("n_present")).cast("int").as("n_zero_registers"),
+        (col("denom_present") +
+          (lit(HllM.toLong) - col("n_present")) * lit(1L << (HllW + 1))).as("denom"))
+      .withColumn("hll_raw_estimate", lit(HllNumerator) / col("denom"))
+    val exact = toks.groupBy("lang")
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    perLang.join(exact, "lang")
+      .select("lang", "n_zero_registers", "denom", "hll_raw_estimate", "exact_distinct")
+  }
+
+  // ---- Count-min sketch ----------------------------------------------
+
+  val CmsDepth = 4
+  val CmsWidth = 256
+  val CmsSeedBase = 101
+
+  /** Probe words for the registered count-min query: the stopword list
+    * (guaranteed hits in any English-ish corpus) plus one absent word to
+    * exercise the overestimate-only property on a true zero.
+    */
+  val CmsProbes: Seq[String] = TextAnalysis.Stopwords :+ "absentwordzzz"
+
+  /** Count-min sketch over the corpus token stream: `CmsDepth` rows of
+    * `CmsWidth` counters (counter = exact sum of hits in its bucket), and
+    * the point-query estimate for each probe word = min over rows of its
+    * bucket's counter. CMS guarantees est ≥ exact always, and the exact
+    * count (same exploded scan, plain group-by) rides along to show the
+    * collision overhead.
+    *
+    * Shape: the counter build shuffles (row, bucket) — at most
+    * depth × width = 1024 groups whatever the corpus size — with map-side
+    * combine doing virtually all the work; the probe side is a ≤
+    * |probes|·depth-row broadcast join against those 1024 counters.
+    */
+  def countMinProbe(documents: DataFrame,
+      probes: Seq[String] = CmsProbes): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def buckets(c: Column): Column = array(
+      (0 until CmsDepth).map(s =>
+        HashFunctions.md5Long(c, CmsSeedBase + s) % CmsWidth): _*)
+    val toks = graft.Parallelism.ensure(documents)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val counters = toks
+      .select(posexplode(buckets(col("tok"))).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+    val probeDf = probes.toDF("word")
+    val est = probeDf
+      .select(col("word"), posexplode(buckets(col("word"))).as(Seq("row", "bucket")))
+      .join(counters, Seq("row", "bucket"), "left")
+      .groupBy("word").agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+    val exact = toks.groupBy(col("tok").as("word"))
+      .agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("word"), "left")
+      .select(col("word"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+  }
+}

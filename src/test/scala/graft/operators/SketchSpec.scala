@@ -6,6 +6,51 @@ import org.apache.spark.sql.functions._
 /** Error bounds for the sketch aggregates against exact answers. */
 class SketchSpec extends SparkSpec {
 
+  test("hllVocabByLang: linear-counting correction from exposed state is accurate") {
+    val d = Tables.documents(spark, sf("sf0.01"))
+    val rows = Sketches.hllVocabByLang(d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val zeros = r.getInt(1)
+      val denom = r.getLong(2)
+      val raw = r.getDouble(3)
+      val exact = r.getLong(4)
+      // raw estimator == numerator / denom by construction
+      assert(math.abs(raw - Sketches.HllNumerator / denom) < 1e-9 * raw)
+      // denom accounts at least for the empty registers' 2^(W+1) terms
+      assert(denom >= zeros.toLong * (1L << (Sketches.HllW + 1)))
+      // small-range regime here: the client-side linear-counting
+      // correction m*ln(m/V) from the exposed zero count lands near exact
+      assert(zeros > 0)
+      val corrected = Sketches.HllM * math.log(Sketches.HllM.toDouble / zeros)
+      assert(math.abs(corrected - exact) / exact <= 0.2,
+        s"${r.getString(0)}: corrected $corrected vs exact $exact")
+    }
+  }
+
+  test("countMinProbe: overestimate-only, zero for absent word, mostly exact") {
+    val d = Tables.documents(spark, sf("sf0.01"))
+    val rows = Sketches.countMinProbe(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet === Sketches.CmsProbes.toSet)
+    rows.foreach { case (w, est, exact) =>
+      assert(est >= exact, s"$w: CMS must never underestimate ($est < $exact)")
+    }
+    val (_, absentEst, absentExact) =
+      rows.find(_._1 == "absentwordzzz").get
+    assert(absentExact === 0L)
+    // with ~31 distinct tokens in 256 buckets x 4 rows, at least one of
+    // the absent word's rows should dodge every occupied bucket... but a
+    // collision with ANY token in all 4 rows is possible in principle;
+    // the hard guarantee is only est >= 0. The vocab-size argument makes
+    // all-4-collide vanishingly unlikely AND deterministic for this data:
+    assert(absentEst === 0L)
+    // the real probes should be exactly counted for most words (tiny
+    // vocab -> collisions rare; min-over-4-rows removes the rest)
+    val exactHits = rows.count { case (_, est, exact) => est === exact }
+    assert(exactHits >= rows.length - 1)
+  }
+
   test("HLL distinct counts within 3x rsd; percentile sketch near exact") {
     val li = Tables.lineitem(spark, sf("sf0.01"))
     val approx = Relational.sketchSummary(li, rsd = 0.02)
