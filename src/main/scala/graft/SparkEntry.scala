@@ -146,6 +146,8 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_n"))
     }),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+    // JL random projection: exploded (vec_id, k, component) reduced vectors
+    "q_embed_rp" -> ((s, dir) => Similarity.randomProjections(Tables.embeddings(s, dir))),
     // ANN paths are approximate by design, but their bucketing/assignment
     // is deterministic (md5 hyperplanes, first-n centroids), so the full
     // candidate generation + rerank is mirrored in DuckDB SQL below.
@@ -1249,6 +1251,22 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id < 10) t
         |WHERE rank <= 5""".stripMargin,
+    // JL random projection: each component is one of the engine's ±v[d]
+    // signed sums (same md5 hyperplane family, same left-to-right order),
+    // emitted per (vec_id, k) via the same explode shape.
+    "q_embed_rp" -> {
+      import graft.operators.Similarity.{RpPlanes, RpTable}
+      val hps = graft.operators.Similarity.hyperplanes(RpTable, RpPlanes, EmbDim)
+      val cases = (0 until RpPlanes)
+        .map(p => s"WHEN $p THEN ${signedSumSql("v", hps(p))}")
+        .mkString("\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT e.vec_id, CAST(k.i AS INTEGER) AS k,
+         |  CASE k.i
+         |    $cases
+         |  END AS rp_value
+         |FROM e CROSS JOIN range(0, $RpPlanes) k(i)""".stripMargin
+    },
   )
 
   private def stopList: String =

@@ -211,6 +211,91 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int)
     copy(child = newChild)
 }
 
+/** Johnson–Lindenstrauss random projection: the `planes` signed sums
+  * `out[k] = v · r_k` over the md5-derived ±1 vectors `r_k` (same
+  * deterministic family as [[HyperplaneBuckets]], seeded by `table` — in
+  * fact [[HyperplaneBuckets]] IS the sign bit of this projection). Keeping
+  * the real-valued sums instead of the sign turns the LSH bucketer into a
+  * dimensionality reducer: distances/dots in the reduced space estimate
+  * the originals within the JL bound, at planes/dim the bytes per row.
+  *
+  * One kernel expression for the same reason as [[HyperplaneBuckets]]
+  * (janino method-size + codegen survival), and the same left-to-right
+  * ±1.0 accumulation, so each component replays exactly as the oracle's
+  * `(+v[1] -v[2] …)` signed sums.
+  */
+case class RandomProjection(child: Expression, table: Int, planes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_projection"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument, got ${dt.simpleString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def signs(dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent(dim, d => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(planes) { p =>
+        Array.tabulate(d) { i =>
+          val h = md.digest(s"$table:$p:$i".getBytes("UTF-8"))
+          if ((h(0) & 1) == 1) 1.0 else -1.0
+        }
+      }
+    })
+
+  /** Per-row kernel; a null element nulls the whole projection (the
+    * expression is null-propagating like vec_dot, not bit-defaulting like
+    * the bucketer — a reduced VECTOR with a fabricated component would
+    * silently skew every downstream distance).
+    */
+  def compute(v: ArrayData): Any = {
+    val n = v.numElements()
+    val sg = signs(n)
+    val fl = isFloat
+    val out = new Array[Any](planes)
+    var p = 0
+    while (p < planes) {
+      val row = sg(p)
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        if (v.isNullAt(d)) return null
+        s += (if (fl) v.getFloat(d).toDouble else v.getDouble(d)) * row(d)
+        d += 1
+      }
+      out(p) = s
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rproj", this, classOf[RandomProjection].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""Object r = $ref.compute($v);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The `nProbe` nearest IVF cells of a vector, by (cosine DESC, cell-id
   * DESC), as one expression returning `array<int>` in probe order (element
   * 1 = the assignment cell).
@@ -348,6 +433,12 @@ object VectorExpressions {
     */
   def hyperplaneBuckets(v: Column, tables: Int, planes: Int): Column =
     ColumnBridge.column(HyperplaneBuckets(ColumnBridge.expression(v), tables, planes))
+
+  /** JL random projection to `planes` signed-sum components (see
+    * [[RandomProjection]]).
+    */
+  def randomProjection(v: Column, table: Int, planes: Int): Column =
+    ColumnBridge.column(RandomProjection(ColumnBridge.expression(v), table, planes))
 
   /** Top-`nProbe` IVF cells of a vector in probe order (see
     * [[CentroidProbes]]).

@@ -61,6 +61,37 @@ object Similarity {
     * guard: the per-pair dot products run at the probe side's partitioning,
     * which on a single-row-group input would otherwise be one partition.
     */
+  /** JL random-projection defaults: 16 components (dim/4 here), sign
+    * family seeded by a table id disjoint from the LSH tables' 0..7 so
+    * the reducer and the bucketer draw independent hyperplanes.
+    */
+  val RpPlanes = 16
+  val RpTable = 101
+
+  /** Johnson–Lindenstrauss dimensionality REDUCTION of the embedding
+    * column: each vector maps to `planes` signed sums against the
+    * deterministic md5 ±1 hyperplane family ([[hyperplanes]] — the same
+    * family whose sign bit drives LSH bucketing). Dots/distances in the
+    * reduced space estimate the originals within the JL bound at
+    * `planes/dim` of the bytes — the standard pre-filter in front of an
+    * exact rerank when even the IVF/PQ scan is dominated by vector I/O.
+    *
+    * Output is the EXPLODED (vec_id, k, rp_value) form: one kernel call
+    * per row ([[graft.functions.RandomProjection]] — reference-object
+    * matrix, no janino recompiles), and the generator boundary stops
+    * CollapseProject from inlining the kernel into 16 wide columns (the
+    * measured NumHashes×-recompute trap). Pure narrow map at scan speed;
+    * reassembling a wide vector downstream is a pivot on (vec_id, k).
+    */
+  def randomProjections(
+      embeddings: DataFrame, planes: Int = RpPlanes,
+      table: Int = RpTable): DataFrame =
+    graft.Parallelism.ensure(embeddings)
+      .select(col("vec_id"),
+        posexplode(graft.functions.VectorExpressions
+          .randomProjection(col("embedding"), table, planes))
+          .as(Seq("k", "rp_value")))
+
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val queries = embeddings
       .where(col("vec_id") < nQueries)

@@ -144,4 +144,62 @@ class SimilaritySpec extends SparkSpec {
   test("LSH near-dup pairs equal the brute-force threshold join (recall-1 amplification)") {
     assert(pairSet(Similarity.cosineNearDupPairs(emb)) === bruteForcePairs(0.45))
   }
+
+  test("randomProjections components equal the hyperplane signed sums exactly") {
+    val planes = Similarity.RpPlanes
+    val hps = Similarity.hyperplanes(Similarity.RpTable, planes, 64)
+    val truth = emb.collect().flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      (0 until planes).map { p =>
+        var s = 0.0
+        var d = 0
+        while (d < v.length) { s += v(d).toDouble * hps(p)(d); d += 1 }
+        (id, p) -> s
+      }
+    }.toMap
+    val got = Similarity.randomProjections(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === truth.keySet)
+    // exact equality: identical double accumulation order on both sides
+    got.foreach { case (k, v) => assert(v === truth(k), s"component $k") }
+  }
+
+  test("randomProjections preserve dot products within the JL error (corpus-level)") {
+    val planes = Similarity.RpPlanes
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1).take(40)
+    val rp = Similarity.randomProjections(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i)).sum
+    def rpDot(a: Long, b: Long): Double =
+      (0 until planes).map(k => rp((a, k)) * rp((b, k))).sum / planes
+    val (xs, ys) = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+    } yield (dot(vecs(i)._2, vecs(j)._2), rpDot(vecs(i)._1, vecs(j)._1))).unzip
+    // The JL guarantee is ADDITIVE: rpDot - dot has std ~ ||a||·||b||/sqrt(k),
+    // so the corpus-mean |error| must sit near sqrt(2/pi)/sqrt(16) ~ 0.20
+    // of the mean norm product (deterministic data + hyperplanes => the
+    // statistic is a stable constant; 0.35 leaves ~75% headroom).
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val normProducts = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+    } yield nrm(vecs(i)._2) * nrm(vecs(j)._2)
+    val meanAbsErr = xs.zip(ys).map { case (x, y) => math.abs(y - x) }.sum / xs.length
+    val meanNp = normProducts.sum / normProducts.length
+    assert(meanAbsErr / meanNp < 0.35,
+      s"JL additive error too large: ${meanAbsErr / meanNp} of the norm product")
+    // and the estimates still track the truth directionally: with this
+    // near-isotropic corpus (true dots clustered near 0, signal variance
+    // comparable to JL noise at k=16) the Pearson correlation is a weak
+    // but decisively positive deterministic 0.448
+    val n = xs.length
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+    val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+    val corr = cov / (sx * sy)
+    assert(corr > 0.3, s"JL dot-product correlation too weak: $corr")
+  }
 }
