@@ -50,6 +50,8 @@ object SparkEntry {
         Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q14_promo_revenue" -> ((s, dir) =>
       Relational.promoRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q19_disjunctive" -> ((s, dir) =>
+      Relational.disjunctiveRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q10_returned_item" -> ((s, dir) =>
       Relational.returnedItemRevenue(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir),
@@ -86,6 +88,9 @@ object SparkEntry {
     // Hand-rolled order-independent sketches: deterministic, fully
     // oracle-replayed (unlike the built-in HLL++/percentile sketches).
     "q_hll_vocab" -> ((s, dir) => Sketches.hllVocabByLang(Tables.documents(s, dir))),
+    // The same HLL through the typed-Aggregator/udaf surface
+    // (ObjectHashAggregate path) — identical frame, shared oracle.
+    "q_hll_vocab_agg" -> ((s, dir) => Sketches.hllVocabByLangUdaf(Tables.documents(s, dir))),
     "q_countmin_probe" -> ((s, dir) => Sketches.countMinProbe(Tables.documents(s, dir))),
     // --- events: JSON, time buckets, sessionization (build plan M4/M5) ---
     "q_events_json" -> ((s, dir) => EventAnalytics.perTypeStats(Tables.events(s, dir))),
@@ -570,6 +575,20 @@ object SparkEntry {
         |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
         |  FROM lineitem JOIN part ON l_partkey = p_partkey) t
         |GROUP BY CAST(year(l_shipdate) AS INTEGER)""".stripMargin,
+    // OR-of-ANDs disjunction, money in integer cents like q14/q6.
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q10_returned_item" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -805,35 +824,10 @@ object SparkEntry {
     // hash, same bit-length ranks (Spark bin == DuckDB bin), same exact
     // BIGINT denominator; the estimate is one double division of the
     // interpolated numerator constant by that integer — bit-portable.
-    "q_hll_vocab" -> {
-      import graft.operators.Sketches._
-      s"""WITH t AS (SELECT lang,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-         |  FROM documents),
-         |tt AS (SELECT lang, tok FROM t WHERE length(tok) > 0),
-         |g AS (SELECT lang, ${h60(HllHashSeed, "tok")} AS gh FROM tt),
-         |r AS (SELECT lang, gh % $HllM AS j,
-         |    CASE WHEN (gh // $HllM) = 0 THEN 0
-         |         ELSE length(bin(gh // $HllM)) END AS bl
-         |  FROM g),
-         |rb AS (SELECT lang, j, min(bl) AS minb FROM r GROUP BY lang, j),
-         |p AS (SELECT lang,
-         |    CAST(sum(CAST(1 AS BIGINT) << minb) AS BIGINT) AS denom_present,
-         |    count(*) AS n_present
-         |  FROM rb GROUP BY lang),
-         |e AS (SELECT lang, count(DISTINCT tok) AS exact_distinct
-         |  FROM tt GROUP BY lang)
-         |SELECT p.lang,
-         |  CAST($HllM - p.n_present AS INTEGER) AS n_zero_registers,
-         |  CAST(p.denom_present
-         |    + ($HllM - p.n_present) * (CAST(1 AS BIGINT) << ${HllW + 1})
-         |    AS BIGINT) AS denom,
-         |  $HllNumerator / (p.denom_present
-         |    + ($HllM - p.n_present) * (CAST(1 AS BIGINT) << ${HllW + 1}))
-         |    AS hll_raw_estimate,
-         |  e.exact_distinct
-         |FROM p JOIN e ON p.lang = e.lang""".stripMargin
-    },
+    // The UDAF twin produces the identical frame, so ONE oracle serves
+    // both registrations.
+    "q_hll_vocab" -> hllVocabOracle,
+    "q_hll_vocab_agg" -> hllVocabOracle,
     // Count-min: counters are exact integer sums per (row, bucket); the
     // point estimate is a min over 4 rows. Per-row seeds mirror
     // md5Long(tok, CmsSeedBase + row).
@@ -1268,6 +1262,37 @@ object SparkEntry {
          |FROM e CROSS JOIN range(0, $RpPlanes) k(i)""".stripMargin
     },
   )
+
+  /** HLL vocabulary oracle, shared by the relational and UDAF forms. */
+  private def hllVocabOracle: String = {
+    import graft.operators.Sketches._
+    s"""WITH t AS (SELECT lang,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |tt AS (SELECT lang, tok FROM t WHERE length(tok) > 0),
+       |g AS (SELECT lang, ${h60(HllHashSeed, "tok")} AS gh FROM tt),
+       |r AS (SELECT lang, gh % $HllM AS j,
+       |    CASE WHEN (gh // $HllM) = 0 THEN 0
+       |         ELSE length(bin(gh // $HllM)) END AS bl
+       |  FROM g),
+       |rb AS (SELECT lang, j, min(bl) AS minb FROM r GROUP BY lang, j),
+       |p AS (SELECT lang,
+       |    CAST(sum(CAST(1 AS BIGINT) << minb) AS BIGINT) AS denom_present,
+       |    count(*) AS n_present
+       |  FROM rb GROUP BY lang),
+       |e AS (SELECT lang, count(DISTINCT tok) AS exact_distinct
+       |  FROM tt GROUP BY lang)
+       |SELECT p.lang,
+       |  CAST($HllM - p.n_present AS INTEGER) AS n_zero_registers,
+       |  CAST(p.denom_present
+       |    + ($HllM - p.n_present) * (CAST(1 AS BIGINT) << ${HllW + 1})
+       |    AS BIGINT) AS denom,
+       |  $HllNumerator / (p.denom_present
+       |    + ($HllM - p.n_present) * (CAST(1 AS BIGINT) << ${HllW + 1}))
+       |    AS hll_raw_estimate,
+       |  e.exact_distinct
+       |FROM p JOIN e ON p.lang = e.lang""".stripMargin
+  }
 
   private def stopList: String =
     graft.operators.TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` UDAFs — the third extension surface next to the
+  * codegen'd Catalyst expressions (`GraftExtensions`) and the operator
+  * library: a user-defined AGGREGATE carries mergeable state through
+  * Spark's ObjectHashAggregate, with map-side partial aggregation and the
+  * same shuffle contract as a built-in agg.
+  */
+object Aggregators {
+
+  /** HyperLogLog register state as a typed Aggregator: buffer = one Int
+    * per register holding the MIN bit-length seen (the [[graft.operators.Sketches]]
+    * encoding: min bit-length ≡ max rho; `HllW + 1` = empty sentinel, so
+    * `merge` is elementwise min with no special cases). Same 60-bit seeded
+    * md5 hash as `HashFunctions.md5Long(tok, HllHashSeed)`, computed here
+    * on the JVM (hex-prefix parse — byte-identical to the SQL `conv`
+    * path), so this UDAF and the relational explode→agg form
+    * ([[graft.operators.Sketches.hllVocabByLang]]) produce the SAME
+    * registers and share one DuckDB oracle.
+    *
+    * Why both forms exist: the relational form is pure `functions._`
+    * (codegen, no object state); this one demonstrates the
+    * `Aggregator`/`udaf` API and wins when the input is already typed or
+    * the sketch must ride inside `Dataset.groupByKey(...).agg(...)`.
+    * State is O(registers) per group either way — the 100 TB shuffle
+    * carries 256 ints per (group, map task), not the tokens.
+    */
+  class HllRegisters(p: Int, w: Int, hashSeed: Int)
+      extends Aggregator[String, Array[Int], (Int, Long)] {
+    private val m = 1 << p
+    private val sentinel = w + 1
+
+    override def zero: Array[Int] = Array.fill(m)(sentinel)
+
+    override def reduce(buf: Array[Int], tok: String): Array[Int] = {
+      val gh = HllRegisters.hash60(hashSeed, tok)
+      val j = (gh % m).toInt
+      val b = gh >>> p
+      val bl = if (b == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(b)
+      if (bl < buf(j)) buf(j) = bl
+      buf
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < m) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+      a
+    }
+
+    /** (n_zero_registers, denom = Σ_j 2^minb_j) — the exact-integer state
+      * the raw estimate divides into; identical to the relational form's
+      * columns.
+      */
+    override def finish(buf: Array[Int]): (Int, Long) = {
+      var zeros = 0
+      var denom = 0L
+      var j = 0
+      while (j < m) {
+        if (buf(j) == sentinel) zeros += 1
+        denom += 1L << buf(j)
+        j += 1
+      }
+      (zeros, denom)
+    }
+
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[(Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+  }
+
+  object HllRegisters {
+    /** JVM mirror of `HashFunctions.md5Long(c, seed)`: first 15 hex chars
+      * of md5("seed:x") parsed base-16 — 60 bits, always non-negative.
+      */
+    def hash60(seed: Int, x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"$seed:$x".getBytes("UTF-8"))
+      val hex = new StringBuilder(15)
+      var i = 0
+      while (hex.length < 15) {
+        hex.append(f"${d(i) & 0xff}%02x")
+        i += 1
+      }
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+  }
+}

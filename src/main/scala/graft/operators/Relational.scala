@@ -120,6 +120,30 @@ object Relational {
         (sum(promoUnits).cast("double") / sum(discPriceUnits)).as("promo_share"))
   }
 
+  /** TPC-H Q19-style disjunctive predicate (OR of brand/size/quantity
+    * conjunctions). What this exercises is the OPTIMIZER, not the agg:
+    * Catalyst distributes the disjunction so the parts common to every
+    * branch reach the scans — the `p_brand IN (...)`, `p_size` and
+    * `l_quantity` envelope predicates push into the parquet readers
+    * (`PushedFilters` shows the Or tree), and only survivors meet the
+    * broadcast join; the exact OR-of-ANDs then filters residually. A
+    * naive engine evaluates the whole disjunction post-join.
+    */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    def branch(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .where(
+        branch("Brand#12", 5, 1, 11) ||
+        branch("Brand#23", 10, 10, 20) ||
+        branch("Brand#34", 15, 20, 30))
+      .agg(
+        (sum(discPriceUnits).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q10-style returned-item reporting: one quarter's returned ('R')
     * lineitems → orders → customer, nation broadcast; top-20 customers by
     * lost revenue. The selective fact filters (returnflag + date window)

@@ -55,11 +55,15 @@ object Sketches {
     * 256 ints per language no matter the corpus size; every agg combines
     * map-side. The exact count rides the same exploded scan.
     */
-  def hllVocabByLang(documents: DataFrame): DataFrame = {
-    val toks = graft.Parallelism.ensure(documents)
+  /** (lang, tok) stream shared by both HLL forms and the exact count. */
+  private def langTokens(documents: DataFrame): DataFrame =
+    graft.Parallelism.ensure(documents)
       .select(col("lang"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .where(length(col("tok")) > 0)
+
+  def hllVocabByLang(documents: DataFrame): DataFrame = {
+    val toks = langTokens(documents)
     val g = toks.select(col("lang"),
       HashFunctions.md5Long(col("tok"), HllHashSeed).as("gh"))
     // register index = low P bits; remaining W bits feed the rank. A rank
@@ -79,6 +83,30 @@ object Sketches {
         (lit(HllM.toLong) - col("n_present")).cast("int").as("n_zero_registers"),
         (col("denom_present") +
           (lit(HllM.toLong) - col("n_present")) * lit(1L << (HllW + 1))).as("denom"))
+      .withColumn("hll_raw_estimate", lit(HllNumerator) / col("denom"))
+    val exact = toks.groupBy("lang")
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    perLang.join(exact, "lang")
+      .select("lang", "n_zero_registers", "denom", "hll_raw_estimate", "exact_distinct")
+  }
+
+  /** The SAME HLL through the typed-`Aggregator` UDAF surface
+    * ([[graft.functions.Aggregators.HllRegisters]]): identical hash,
+    * identical register encoding, identical output columns — so it shares
+    * `hllVocabByLang`'s DuckDB oracle verbatim while executing through
+    * ObjectHashAggregate (typed buffer + map-side partial merge) instead
+    * of the relational explode→min→sum pipeline. SketchSpec asserts the
+    * two frames are equal row for row.
+    */
+  def hllVocabByLangUdaf(documents: DataFrame): DataFrame = {
+    val toks = langTokens(documents)
+    val hll = udaf(
+      new graft.functions.Aggregators.HllRegisters(HllP, HllW, HllHashSeed),
+      org.apache.spark.sql.Encoders.STRING)
+    val perLang = toks.groupBy("lang").agg(hll(col("tok")).as("st"))
+      .select(col("lang"),
+        col("st._1").as("n_zero_registers"),
+        col("st._2").as("denom"))
       .withColumn("hll_raw_estimate", lit(HllNumerator) / col("denom"))
     val exact = toks.groupBy("lang")
       .agg(countDistinct(col("tok")).as("exact_distinct"))

@@ -26,6 +26,26 @@ class RelationalSpec extends SparkSpec {
       (-1L, 1L, 5.25))) // preserved right side groups under the null key
   }
 
+  test("disjunctiveRevenue: only rows inside one OR branch count") {
+    import spark.implicits._
+    val part = Seq(
+      (1L, "Brand#12", 3),  // in branch 1's size window
+      (2L, "Brand#23", 8),  // in branch 2's size window
+      (3L, "Brand#12", 20), // size outside every window for its brand
+      (4L, "Brand#55", 1)   // brand outside every branch
+    ).toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 5.0, 100.0, 0.10),  // branch 1: qty 5 in [1,11]  -> counted
+      (1L, 15.0, 100.0, 0.10), // qty 15 outside [1,11]      -> dropped
+      (2L, 12.0, 200.0, 0.00), // branch 2: qty 12 in [10,20] -> counted
+      (3L, 5.0, 999.0, 0.00),  // part size disqualifies      -> dropped
+      (4L, 5.0, 999.0, 0.00)   // brand disqualifies          -> dropped
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val r = Relational.disjunctiveRevenue(li, part).collect().head
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(0) === (100.0 * 0.90) + 200.0)
+  }
+
   test("cube emits all four grouping combinations; marginals sum to the total") {
     import spark.implicits._
     val li = Seq(

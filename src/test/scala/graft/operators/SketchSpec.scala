@@ -28,6 +28,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hllVocabByLangUdaf equals the relational form row for row") {
+    val d = Tables.documents(spark, sf("sf0.01"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+    val rel = canon(Sketches.hllVocabByLang(d))
+    val agg = canon(Sketches.hllVocabByLangUdaf(d))
+    assert(agg === rel)
+    assert(agg.nonEmpty)
+  }
+
   test("countMinProbe: overestimate-only, zero for absent word, mostly exact") {
     val d = Tables.documents(spark, sf("sf0.01"))
     val rows = Sketches.countMinProbe(d).collect()
