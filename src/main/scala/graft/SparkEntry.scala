@@ -65,6 +65,8 @@ object SparkEntry {
     "q_pivot" -> ((s, dir) => Relational.ordersByPriorityPivot(Tables.orders(s, dir))),
     "q_window_profile" -> ((s, dir) => Relational.orderWindowProfile(Tables.orders(s, dir))),
     "q_median" -> ((s, dir) => Relational.medianOrderValue(Tables.orders(s, dir))),
+    // fixed-width histogram percentile sketch (deterministic approx form)
+    "q_histogram_quantile" -> ((s, dir) => Relational.histogramQuantiles(Tables.orders(s, dir))),
     "q_rollup" -> ((s, dir) => Relational.rollupSummary(Tables.lineitem(s, dir))),
     "q_cube" -> ((s, dir) => Relational.cubeSummary(Tables.lineitem(s, dir))),
     "q_outer_join" -> ((s, dir) =>
@@ -131,6 +133,8 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
     // the full retention pipeline: quality gate -> exact dedup -> near-dup
     "q_pipeline_retained" -> ((s, dir) => Pipeline.retainedCorpus(Tables.documents(s, dir))),
+    // per-ingest-feed curation rollup (corpus-wide dup contamination)
+    "q_source_stats" -> ((s, dir) => Pipeline.sourceCurationStats(Tables.documents(s, dir))),
     // --- similarity search over embeddings ---
     // Default = the exact grid-blocked join: recall 1 by construction, and
     // the cheaper plan on this data's margin-free threshold (the LSH path
@@ -636,6 +640,36 @@ object SparkEntry {
       """SELECT o_orderpriority,
         |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0 AS median_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // Histogram percentile sketch: all-integer bucket/rank arithmetic
+    // (DIV == //), estimate = first bucket reaching ceil(pct*n/100).
+    // Buckets/pcts interpolated from the operator's constants.
+    "q_histogram_quantile" -> {
+      import graft.operators.Relational.{HistogramBuckets => HB, HistogramPcts}
+      val pctList = HistogramPcts.mkString(", ")
+      s"""WITH base AS (SELECT o_orderpriority AS grp,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+         |r AS (SELECT grp, min(x) AS mn, max(x) AS mx, count(*) AS n
+         |  FROM base GROUP BY grp),
+         |bk AS (SELECT base.grp, r.n, r.mn, r.mx,
+         |    ((base.x - r.mn) * $HB) // (r.mx - r.mn + 1) AS b
+         |  FROM base JOIN r ON base.grp = r.grp),
+         |c AS (SELECT grp, n, mn, mx, b, count(*) AS c
+         |  FROM bk GROUP BY grp, n, mn, mx, b),
+         |cum AS (SELECT grp, n, mn, mx, b,
+         |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY b
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM c),
+         |px AS (SELECT cum.*, p.pct FROM cum
+         |  CROSS JOIN (SELECT unnest([$pctList]) AS pct) p),
+         |sel AS (SELECT grp, pct, n, mn, mx, min(b) AS qb
+         |  FROM px WHERE cum >= (pct * n + 99) // 100
+         |  GROUP BY grp, pct, n, mn, mx)
+         |SELECT grp AS o_orderpriority, pct, n, qb,
+         |  mn + (qb * (mx - mn + 1) + ${HB - 1}) // $HB AS est_cents,
+         |  CAST(mn + (qb * (mx - mn + 1) + ${HB - 1}) // $HB AS DOUBLE) / 100.0
+         |    AS est
+         |FROM sel""".stripMargin
+    },
     // Declared-values pivot == one pass of conditional aggregation. Each
     // count is CAST to BIGINT: DuckDB types a bare integer sum() as HUGEINT,
     // which the driver's dataframe fetch materializes as float64 and the
@@ -820,6 +854,21 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // Per-source curation rollup: corpus-wide fp counts joined back, then
+    // per-source aggregation; avg is one division of exact BIGINTs.
+    "q_source_stats" ->
+      """WITH f AS (SELECT doc_id, source, lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT fp, count(*) AS n_copies FROM f GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_toks) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM f JOIN c ON f.fp = c.fp
+        |GROUP BY source""".stripMargin,
     // From-scratch HLL, replayed register-exactly: same 60-bit seeded
     // hash, same bit-length ranks (Spark bin == DuckDB bin), same exact
     // BIGINT denominator; the estimate is one double division of the

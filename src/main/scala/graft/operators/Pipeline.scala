@@ -25,6 +25,33 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Per-SOURCE curation rollup — the dashboard a data-curation team
+    * watches per ingest feed: document count, how many of a source's docs
+    * are corpus-wide exact duplicates (fp_md5 seen > 1×, the cross-source
+    * contamination signal), language spread, and exact token totals /
+    * mean. Everything downstream of two hash-aggs: a corpus-wide fp
+    * count (state = one row per distinct text) joined back on fp, then a
+    * per-source agg with map-side combine — both keys near-uniform, so
+    * the 100 TB shuffle carries (fp, count) pairs and per-source partial
+    * states, never documents.
+    */
+  def sourceCurationStats(documents: DataFrame): DataFrame = {
+    val withFp = graft.Parallelism.ensure(documents).select(
+      col("doc_id"), col("source"), col("lang"),
+      md5(TextAnalysis.normalized(col("text"))).as("fp"),
+      size(split(trim(col("text")), "\\s+")).as("n_toks"))
+    val fpCounts = withFp.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    withFp.join(fpCounts, "fp")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks").cast("long")).as("total_tokens"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+  }
+
   def retainedCorpus(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val nStopwords = size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))

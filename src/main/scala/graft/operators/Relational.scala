@@ -219,6 +219,59 @@ object Relational {
       .agg((percentile(cents(col("o_totalprice")), lit(0.5)) / 100.0)
         .as("median_price"))
 
+  /** Percentile targets and resolution for [[histogramQuantiles]] —
+    * interpolated into the oracle SQL.
+    */
+  val HistogramBuckets = 1000
+  val HistogramPcts: Seq[Int] = Seq(50, 90, 99)
+
+  /** SCALABLE approximate percentiles as a fixed-width histogram sketch —
+    * the deterministic counterpart to `approx_percentile` (whose
+    * interpolation is not engine-portable; cf. [[medianOrderValue]] for
+    * the exact form). Per group: equi-width histogram over integer cents
+    * (`buckets` integer counters, merged by plain sum — order-independent,
+    * so bit-exact in the oracle), quantile rank `ceil(pct·n/100)` in pure
+    * integer arithmetic, estimate = lower bound of the first bucket whose
+    * cumulative count reaches the rank. The estimate is within one bucket
+    * width of the true quantile by construction (spec-asserted).
+    *
+    * Scale shape: one narrow pass to (group, bucket) counts with map-side
+    * combine — ≤ groups × buckets rows of state regardless of input — a
+    * tiny min/max pre-agg to fix the bucket axis, and a window over ≤
+    * `buckets` rows per group for the cumulative sum. At 100 TB the data
+    * is touched twice (range + counts), never sorted — `percentile_cont`
+    * would sort every group.
+    */
+  def histogramQuantiles(
+      orders: DataFrame, buckets: Int = HistogramBuckets,
+      pcts: Seq[Int] = HistogramPcts): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be integers in [1, 100]")
+    val base = orders.select(
+      col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("x"))
+    val ranges = base.groupBy("grp")
+      .agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("n"))
+    val bucketed = base.join(ranges, "grp")
+      .select(col("grp"), col("n"), col("mn"), col("mx"),
+        expr(s"((x - mn) * $buckets) DIV (mx - mn + 1)").as("b"))
+    val wCum = Window.partitionBy("grp").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .groupBy("grp", "n", "mn", "mx", "b").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+    cum
+      .select(col("grp"), col("n"), col("mn"), col("mx"), col("b"), col("cum"),
+        explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      .where(col("cum") >= expr("(pct * n + 99) DIV 100"))
+      .groupBy("grp", "pct", "n", "mn", "mx")
+      .agg(min("b").as("qb"))
+      .select(
+        col("grp").as("o_orderpriority"), col("pct"), col("n"), col("qb"),
+        expr(s"mn + (qb * (mx - mn + 1) + ${buckets - 1}) DIV $buckets")
+          .as("est_cents"))
+      .withColumn("est", col("est_cents").cast("double") / 100.0)
+  }
+
   /** Pivot: order counts per priority, one column per order status. The
     * pivot values are declared explicitly, so Catalyst plans ONE pass of
     * conditional aggregation (no values-discovery job, no second scan) —

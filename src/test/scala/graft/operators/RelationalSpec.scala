@@ -46,6 +46,27 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(0) === (100.0 * 0.90) + 200.0)
   }
 
+  test("histogramQuantiles: estimate brackets the exact quantile within one bucket") {
+    import spark.implicits._
+    // two groups with different spreads; values are exact cents/100
+    val xs = (1 to 100).map(i => ("A", i.toDouble)) ++
+      (1 to 37).map(i => ("B", 1000.0 + 7.5 * i))
+    val df = xs.toDF("o_orderpriority", "o_totalprice")
+    val rows = Relational.histogramQuantiles(df, buckets = 10, pcts = Seq(50, 90))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(rows.keySet === Set(("A", 50), ("A", 90), ("B", 50), ("B", 90)))
+    for (((grp, pct), (n, estCents)) <- rows) {
+      val sorted = xs.filter(_._1 == grp).map(t => math.round(t._2 * 100)).sorted
+      assert(n === sorted.length)
+      val exact = sorted(((pct * n + 99) / 100 - 1).toInt) // ceil-rank order statistic
+      val width = (sorted.last - sorted.head + 1) / 10 + 1
+      assert(estCents <= exact, s"$grp p$pct: lower bound $estCents above exact $exact")
+      assert(exact <= estCents + width, s"$grp p$pct: exact $exact beyond $estCents + $width")
+    }
+  }
+
   test("cube emits all four grouping combinations; marginals sum to the total") {
     import spark.implicits._
     val li = Seq(
