@@ -120,6 +120,8 @@ object SparkEntry {
       TextAnalysis.topTermsPerLangTakeOrdered(Tables.documents(s, dir))),
     "q_chunked" -> ((s, dir) => TextAnalysis.chunked(Tables.documents(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
+    "q_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir))),
+    "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramNextTokens(Tables.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
     "q_decontam" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
     // --- deterministic sampling ---
@@ -934,6 +936,35 @@ object SparkEntry {
          |   OR CAST(tok.top_tok_n AS DOUBLE) / tok.n_tokens
          |      > ${TextAnalysis.RepetitionTopTokenMax}) AS is_repetitive
          |FROM tri JOIN tok ON tri.doc_id = tok.doc_id""".stripMargin,
+    // BPE step-one merge candidates: adjacent character pairs inside
+    // lowercase tokens; substr is character-based in both engines and the
+    // offset axes match (sequence 1..len-1 inclusive == range(1, len)).
+    "q_bpe_merges" ->
+      s"""SELECT pair, count(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, length(tok)),
+         |                i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |        FROM documents) t
+         |  WHERE length(tok) >= 2) p
+         |GROUP BY pair
+         |ORDER BY n DESC, pair ASC LIMIT ${TextAnalysis.DefaultBpeK}""".stripMargin,
+    // Bigram LM: Spark arrays are 0-based (ts[i-1], ts[i]); DuckDB lists
+    // are 1-based (ts[i], ts[i+1]) — both enumerate pairs 1..len-1.
+    "q_bigram_lm" ->
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
+         |  FROM ts WHERE len(ts) >= 2),
+         |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM bgidx),
+         |c AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2),
+         |t AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM c GROUP BY w1),
+         |r AS (SELECT c.w1, c.w2, c.n_pair, t.n_w1,
+         |    row_number() OVER (PARTITION BY c.w1
+         |      ORDER BY c.n_pair DESC, c.w2 ASC) AS rank
+         |  FROM c JOIN t ON c.w1 = t.w1)
+         |SELECT w1, w2, n_pair, n_w1,
+         |  CAST(n_pair AS DOUBLE) / n_w1 AS p, rank
+         |FROM r WHERE rank <= ${TextAnalysis.DefaultBigramK}""".stripMargin,
     // PII scan: the pattern strings are interpolated from the operator's
     // constants (Java-regex ∩ RE2 subset), so both engines compile the
     // same bytes. DuckDB regexp_replace needs the explicit 'g' flag to

@@ -381,6 +381,65 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
   }
 
+  /** Top-k candidate pool size for [[bpeMergeCandidates]]. */
+  val DefaultBpeK = 20
+
+  /** BPE vocabulary induction, step one: corpus-wide counts of adjacent
+    * CHARACTER pairs inside lowercase tokens — the statistic a byte-pair
+    * tokenizer trainer maximizes for its first merge. Top-k pairs by
+    * (count desc, pair asc) is the deterministic merge-candidate list.
+    *
+    * Shape: explode tokens → explode the per-token pair list (a lambda
+    * over a sequence of offsets; `tok` is a plain attribute so the HOF
+    * re-evaluation trap doesn't apply) → hash-agg with map-side combine →
+    * global top-k as TakeOrderedAndProject. State is the character-pair
+    * alphabet (≤ |chars|²), independent of corpus size.
+    */
+  def bpeMergeCandidates(documents: DataFrame, k: Int = DefaultBpeK): DataFrame =
+    graft.Parallelism.ensure(documents)
+      .select(explode(toks(lower(col("text")))).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(k)
+
+  /** Next-token candidates per [[bigramNextTokens]] prefix. */
+  val DefaultBigramK = 3
+
+  /** Bigram language model: conditional next-token counts over adjacent
+    * lowercase token pairs, with `p = n(w1,w2) / n(w1)` as an exact
+    * integer ratio and the top-k continuations per prefix by
+    * (count desc, token asc). The 2-gram flavor of the n-gram LM statistics
+    * a data pipeline exports for corpus inspection and filtering.
+    *
+    * Shape: tokenize once per doc (projection boundary binds the array),
+    * explode the per-doc pair list, (w1, w2) hash-agg with map-side
+    * combine, a w1-keyed re-agg for the denominators, and a per-w1 window
+    * rank over each prefix's continuation set (vocabulary-bounded, same
+    * scale argument as [[topTermsPerLang]] — switch to the bound-heap
+    * TakeOrdered twin if a prefix's continuation set outgrows a
+    * partition).
+    */
+  def bigramNextTokens(documents: DataFrame, k: Int = DefaultBigramK): DataFrame = {
+    val ts = graft.Parallelism.ensure(documents)
+      .select(toks(lower(col("text"))).as("ts"))
+      .where(size(col("ts")) >= 2)
+    val pairs = ts
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val totals = counts.groupBy("w1").agg(sum("n_pair").as("n_w1"))
+    val w = Window.partitionBy("w1").orderBy(desc("n_pair"), asc("w2"))
+    counts.join(totals, "w1")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        (col("n_pair").cast("double") / col("n_w1")).as("p"), col("rank"))
+  }
+
   /** Whitespace-normalized lowercase form — the canonical text for exact
     * dedup and fingerprinting.
     */

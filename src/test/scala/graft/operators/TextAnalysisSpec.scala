@@ -132,6 +132,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) === ((0, 0, 0.0, false)))
   }
 
+  test("bpeMergeCandidates counts adjacent char pairs; ties break by pair asc") {
+    val d = docs(1L -> "abc ab", 2L -> "BC x") // x too short; BC lowercases
+    val rows = TextAnalysis.bpeMergeCandidates(d, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // abc -> ab, bc; ab -> ab; bc -> bc  =>  ab:2, bc:2 (tie, asc order)
+    assert(rows.toSeq === Seq(("ab", 2L), ("bc", 2L)))
+  }
+
+  test("bigramNextTokens: conditional counts, exact ratios, per-prefix rank") {
+    val d = docs(1L -> "a b a b a c", 2L -> "b z")
+    val rows = TextAnalysis.bigramNextTokens(d, k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
+      .toMap
+    // prefix a: continuations b (2x), c (1x) out of 3
+    assert(rows(("a", "b")) === ((2L, 3L, 2.0 / 3.0, 1)))
+    assert(rows(("a", "c")) === ((1L, 3L, 1.0 / 3.0, 2)))
+    // prefix b: a (2x), z (1x) out of 3 — doc 2 contributes across docs
+    assert(rows(("b", "a")) === ((2L, 3L, 2.0 / 3.0, 1)))
+    assert(rows(("b", "z")) === ((1L, 3L, 1.0 / 3.0, 2)))
+    // c is a final token only: never a prefix
+    assert(!rows.keySet.exists(_._1 == "c"))
+  }
+
   test("tfIdfTopTerms df counts documents, not occurrences") {
     val d = docs(1L -> "w w w", 2L -> "w", 3L -> "q")
     val row = TextAnalysis.tfIdfTopTerms(d, k = 5)
