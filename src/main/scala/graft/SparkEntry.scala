@@ -203,6 +203,9 @@ object SparkEntry {
     // though the surviving copy depends on arrival order.
     "q_stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocumentStreams.dedupToBatch(s, dir)),
+    // Stateless ingest-time quality+PII gate: append == batch filter.
+    "q_stream_quality" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.qualityFilteredToBatch(s, dir)),
     // Stream-stream interval join (watermark-evicted two-sided state);
     // inner-join emission is not watermark-gated, so a full drain equals
     // the batch interval join exactly.
@@ -1042,6 +1045,18 @@ object SparkEntry {
     "q_stream_dedup_docs" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents GROUP BY 1""".stripMargin,
+    // The stateless gate's full drain equals the batch filter row for row;
+    // token/stopword rule mirrors docStats' is_quality, PII patterns are
+    // the operator's constants.
+    "q_stream_quality" ->
+      s"""WITH t AS ($tokCte)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN t ON d.doc_id = t.doc_id
+         |WHERE len(t.toks) >= 10
+         |  AND len(list_filter(t.toks, w -> list_contains($stopList, w))) > 0
+         |  AND len(regexp_extract_all(d.text, '${TextAnalysis.EmailPattern}')) = 0
+         |  AND len(regexp_extract_all(d.text, '${TextAnalysis.Ipv4Pattern}')) = 0
+         |  AND len(regexp_extract_all(d.text, '${TextAnalysis.DigitRunPattern}')) = 0""".stripMargin,
     // The linear-idf score is a single division of exact integers — see
     // TextAnalysis.tfIdfTopTerms for why ln() is not hash-portable.
     "q_tfidf_topterms" ->

@@ -211,4 +211,40 @@ object DocumentStreams {
     EventStreams.deleteRecursivelyOnExit(tmp)
     result
   }
+
+  /** Ingest-time QUALITY + PII gate — the streaming twin of the retention
+    * pipeline's stage 1 plus the PII scan: admit a document only if it has
+    * ≥ 10 whitespace tokens, ≥ 1 stopword, and zero email/IPv4/digit-run
+    * hits. Every predicate is a pure per-row projection, so the operator
+    * is STATELESS (no aggregation, no watermark, no state store — the
+    * cheapest streaming shape there is) and its append output is
+    * batch-identical row for row, not merely set-equal. This is why
+    * quality gating belongs at the ingest front door: it costs one
+    * codegen'd scan per micro-batch and shrinks everything downstream.
+    */
+  def qualityFiltered(docs: DataFrame): DataFrame = {
+    val ts = split(trim(col("text")), "\\s+")
+    val nStop = size(filter(ts, t => t.isin(TextAnalysis.Stopwords: _*)))
+    def noHit(pattern: String) =
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0))) === 0
+    docs
+      .where(size(ts) >= 10 && nStop > 0 &&
+        noHit(TextAnalysis.EmailPattern) &&
+        noHit(TextAnalysis.Ipv4Pattern) &&
+        noHit(TextAnalysis.DigitRunPattern))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Run the quality gate over the driver's documents dir to completion
+    * and read back the admitted rows (append + exactly-once parquet sink).
+    */
+  def qualityFilteredToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_docquality")
+    val out = qualityFiltered(rawSource(spark, dir))
+    val result = EventStreams
+      .drainAppendToParquet(spark, out, s"$tmp/out", s"$tmp/ckpt")
+      .select("doc_id", "lang", "source")
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    result
+  }
 }

@@ -20,6 +20,32 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming quality gate admits exactly the batch filter's rows") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("quality_src")
+    val good = "the quick brown fox jumps over a lazy dog today" // 10 toks + stopwords
+    Seq(
+      (1L, good, "en", "s1", 0L),
+      (2L, "too short", "en", "s1", 0L),                        // < 10 tokens
+      (3L, good + " mail me at a.b@c.io ok", "en", "s2", 0L),   // PII: email
+      (4L, good + " from 10.0.0.1 server", "en", "s2", 0L),     // PII: ipv4
+      (5L, good + " account 12345678 please", "en", "s3", 0L),  // PII: digits
+      (6L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp", "en", "s3", 0L)) // no stopword
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$srcDir/stage")
+    // rawSource's pathGlobFilter expects the testdata layout: ONE file
+    // literally named documents.parquet, not a directory of part files
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/stage"))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().get()
+    java.nio.file.Files.copy(
+      part, java.nio.file.Paths.get(s"$srcDir/documents.parquet"))
+    val admitted = DocumentStreams.qualityFilteredToBatch(spark, srcDir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(admitted === Set((1L, "en", "s1")))
+    EventStreams.deleteRecursivelyOnExit(srcDir)
+  }
+
   test("streaming word count == batch word count (reference flagship, continuous)") {
     val dir = sf("sf0.001")
     val streamed = DocumentStreams.wordCountsToBatch(spark, dir)
