@@ -59,6 +59,14 @@ object SparkEntry {
     "q18_large_volume" -> ((s, dir) =>
       Relational.largeVolumeCustomers(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q4_order_priority" -> ((s, dir) =>
+      Relational.latePriorityOrders(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q13_order_distribution" -> ((s, dir) =>
+      Relational.customerOrderDistribution(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q17_small_qty_revenue" -> ((s, dir) =>
+      Relational.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q22_dormant_rich" -> ((s, dir) =>
+      Relational.dormantRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctCustomers(Tables.orders(s, dir))),
     "q_correlated_min" -> ((s, dir) =>
       Relational.cheapestOrderPerCustomer(s, Tables.orders(s, dir))),
@@ -105,7 +113,19 @@ object SparkEntry {
     // static and DPP).
     "q_partition_pruning" -> ((s, dir) =>
       graft.sources.PartitionedLayout.dailyStatsPruned(s, dir)),
+    // Z-order (Morton) interleave of (user_id, value-cents) — the
+    // multi-dimensional clustering key; file-skipping asserted in
+    // ZOrderLayoutSpec, the key itself oracle-checked here.
+    "q_zorder" -> ((s, dir) => graft.sources.ZOrderLayout.eventZ(Tables.events(s, dir))),
+    // Bloom runtime filter: probe pruned by k broadcast semi joins on the
+    // build digest, exact join after — shares the plain join's oracle.
+    "q_bloom_join" -> ((s, dir) =>
+      RuntimeFilter.urgentRevenue(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_events_sessions" -> ((s, dir) => EventAnalytics.sessionCounts(Tables.events(s, dir))),
+    // Ordered conversion funnel (view -> click -> purchase, strictly after)
+    "q_funnel" -> ((s, dir) => EventAnalytics.funnelSteps(Tables.events(s, dir))),
+    // Weekly cohort retention cells (integer epoch-week arithmetic)
+    "q_cohort_retention" -> ((s, dir) => EventAnalytics.cohortRetention(Tables.events(s, dir))),
     "q_asof_attribution" -> ((s, dir) => EventAnalytics.purchaseAttribution(Tables.events(s, dir))),
     // --- text analysis (LLM-pipeline surface) ---
     "q_text_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
@@ -123,9 +143,21 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir))),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramNextTokens(Tables.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
+    // TextRank keyword ranking: all-integer PageRank (3 rounds, unrolled
+    // in the oracle) over the word-bigram graph.
+    "q_pagerank_words" -> ((s, dir) => GraphAnalytics.wordPageRank(Tables.documents(s, dir))),
+    // Phrase search over the positional inverted index.
+    "q_phrase_search" -> ((s, dir) => TextAnalysis.phraseSearch(Tables.documents(s, dir))),
     "q_decontam" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    // CDC apply: latest-wins MERGE INTO (update matched, keep unmatched)
+    "q_merge_upsert" -> ((s, dir) =>
+      Relational.upsertLatestOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // SCD2 versioned history from the same change log
+    "q_scd2_history" -> ((s, dir) => Relational.scd2OrderHistory(Tables.orders(s, dir))),
     // --- deterministic sampling ---
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
+    // quality-weighted Bernoulli (keep prob ∝ token count, content-hash draw)
+    "q_sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDuplicates(Tables.documents(s, dir))),
     "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
@@ -623,6 +655,52 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    // count(o_orderkey) skips the left join's null rows → the N=0 bucket.
+    "q13_order_distribution" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY n_orders""".stripMargin,
+    // The correlated-average threshold is cross-multiplied into exact
+    // integers (qty·den·n < num·Σqty) — brand/fraction interpolated from
+    // the operator's defaults.
+    "q17_small_qty_revenue" -> {
+      import graft.operators.Relational.{SmallQtyBrand, SmallQtyNum, SmallQtyDen}
+      s"""WITH bl AS (
+         |  SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = '$SmallQtyBrand')),
+         |a AS (SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS sum_qc, count(*) AS n_li
+         |  FROM bl GROUP BY l_partkey)
+         |SELECT CAST(sum(bl.pc) AS DOUBLE) / 100.0 AS revenue, count(*) AS n_items
+         |FROM bl JOIN a USING (l_partkey)
+         |WHERE bl.qc * $SmallQtyDen * a.n_li < $SmallQtyNum * a.sum_qc""".stripMargin
+    },
+    // Global avg positive balance compared by integer cross-multiplication
+    // (bal·n > Σbal); dormancy = no order within the interpolated window of
+    // the corpus max date, all in exact epoch micros.
+    "q22_dormant_rich" ->
+      s"""WITH ap AS (
+         |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal,
+         |    count(*) AS n_pos
+         |  FROM customer WHERE c_acctbal > 0),
+         |cut AS (SELECT max(epoch_us(o_orderdate))
+         |    - ${Relational.DormantDays.toLong * 86400000000L} AS cutoff_us FROM orders),
+         |recent AS (SELECT DISTINCT o_custkey FROM orders, cut
+         |  WHERE epoch_us(o_orderdate) >= cut.cutoff_us)
+         |SELECT c_nationkey, count(*) AS n_customers,
+         |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
+         |FROM customer, ap
+         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * ap.n_pos > ap.sum_bal
+         |  AND NOT EXISTS (SELECT 1 FROM recent WHERE recent.o_custkey = c_custkey)
+         |GROUP BY c_nationkey""".stripMargin,
     "q_correlated_min" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM orders o
@@ -778,6 +856,29 @@ object SparkEntry {
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
          |FROM events WHERE CAST(ts AS DATE) = DATE '${graft.sources.PartitionedLayout.ProbeDate}'
          |GROUP BY event_type""".stripMargin,
+    // Morton interleave replayed bit-for-bit: same clamp, same 32
+    // shift/mask terms (DuckDB >> & == Spark shiftright/bitwiseAND on
+    // BIGINT).
+    "q_zorder" -> {
+      import graft.sources.ZOrderLayout.ZBits
+      val terms = (0 until ZBits).flatMap(b => Seq(
+        s"((zx >> $b) & 1) * ${1L << (2 * b)}",
+        s"((zy >> $b) & 1) * ${1L << (2 * b + 1)}")).mkString(" + ")
+      s"""WITH c AS (SELECT event_id,
+         |    greatest(0, least(user_id, ${(1L << ZBits) - 1})) AS zx,
+         |    greatest(0, least(CAST(round(value * 100) AS BIGINT), ${(1L << ZBits) - 1})) AS zy
+         |  FROM events)
+         |SELECT event_id, zx, zy, $terms AS z FROM c""".stripMargin
+    },
+    // The Bloom runtime filter is a pass-through optimization: the oracle
+    // is the plain selective join (threshold interpolated).
+    "q_bloom_join" ->
+      s"""SELECT count(*) AS n_items,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         |    AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |  AND o_totalprice > ${graft.operators.RuntimeFilter.UrgentMinPrice}""".stripMargin,
     // The range join's answer is the plain theta join; bucketing only
     // changes the plan. Window constants interpolated from the operator.
     "q_range_join" ->
@@ -822,6 +923,41 @@ object SparkEntry {
         |SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us,
         |  click_id, click_value
         |FROM f WHERE is_left = 1""".stripMargin,
+    // Ordered funnel: each step's first time strictly after the previous
+    // step's — step names interpolated from the operator's constant; all
+    // comparisons in exact epoch micros.
+    "q_funnel" -> {
+      val steps = EventAnalytics.FunnelSteps
+      val stepCtes = steps.zipWithIndex.map { case (step, i) =>
+        val name = s"s${i + 1}"
+        if (i == 0)
+          s"""$name AS (SELECT user_id, min(epoch_us(ts)) AS step1_us
+             |  FROM events WHERE event_type = '$step' GROUP BY user_id)""".stripMargin
+        else
+          s"""$name AS (SELECT e.user_id, min(epoch_us(e.ts)) AS step${i + 1}_us
+             |  FROM events e JOIN s$i ON e.user_id = s$i.user_id
+             |  WHERE e.event_type = '$step' AND epoch_us(e.ts) > s$i.step${i}_us
+             |  GROUP BY e.user_id)""".stripMargin
+      }.mkString(",\n")
+      val joins = steps.indices
+        .map(i => s"LEFT JOIN s${i + 1} USING (user_id)").mkString(" ")
+      val cols = steps.indices.map(i => s"s${i + 1}.step${i + 1}_us").mkString(", ")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |$stepCtes
+         |SELECT u.user_id, $cols
+         |FROM u $joins""".stripMargin
+    },
+    // Cohort cells are exact integer epoch-week floor-divisions (Spark
+    // `div` == DuckDB `//` on non-negative longs).
+    "q_cohort_retention" ->
+      s"""WITH f AS (SELECT user_id,
+         |    min(epoch_us(ts) // ${EventAnalytics.WeekUs}) AS cohort_week
+         |  FROM events GROUP BY user_id)
+         |SELECT f.cohort_week,
+         |  (epoch_us(e.ts) // ${EventAnalytics.WeekUs}) - f.cohort_week AS week_offset,
+         |  count(DISTINCT e.user_id) AS n_active
+         |FROM events e JOIN f USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS ($tokCte)
          |SELECT d.doc_id, length(d.text) AS n_chars_txt, len(t.toks) AS n_tokens,
@@ -968,6 +1104,52 @@ object SparkEntry {
          |SELECT w1, w2, n_pair, n_w1,
          |  CAST(n_pair AS DOUBLE) / n_w1 AS p, rank
          |FROM r WHERE rank <= ${TextAnalysis.DefaultBigramK}""".stripMargin,
+    // All-integer PageRank, 3 rounds unrolled: same bigram edge axis as
+    // q_bigram_lm, per-source weights normalized to 1/2^20 units, per-edge
+    // contributions floored BEFORE summing (order-independent integers),
+    // damped update base + (17·Σ)//20 — every constant interpolated from
+    // GraphAnalytics, so both engines compute identical BIGINT scores.
+    "q_pagerank_words" -> {
+      import graft.operators.GraphAnalytics.{PrQ, WQ, DampNum, DampDen, PrIters, WordRankK}
+      val iterCtes = (0 until PrIters).map { t =>
+        s"""c${t + 1} AS (SELECT en.dst, CAST(sum((p.pr * en.wq) // $WQ) AS BIGINT) AS c
+           |  FROM en JOIN pr$t p ON p.id = en.src GROUP BY en.dst),
+           |pr${t + 1} AS (SELECT nodes.id,
+           |    (${DampDen - DampNum} * $PrQ) // ($DampDen * nn.n)
+           |      + ($DampNum * coalesce(c${t + 1}.c, 0)) // $DampDen AS pr
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN c${t + 1} ON c${t + 1}.dst = nodes.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
+         |  FROM ts WHERE len(ts) >= 2),
+         |e AS (SELECT ts[i] AS src, ts[i+1] AS dst, count(*) AS w
+         |  FROM bgidx GROUP BY 1, 2),
+         |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY src),
+         |en AS (SELECT e.src, e.dst, (e.w * $WQ) // ws.wsum AS wq
+         |  FROM e JOIN ws USING (src)),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (SELECT id, $PrQ // nn.n AS pr FROM nodes CROSS JOIN nn),
+         |$iterCtes
+         |SELECT id AS word, pr FROM pr$PrIters
+         |ORDER BY pr DESC, id ASC LIMIT $WordRankK""".stripMargin
+    },
+    // Phrase occurrences on the raw whitespace-split axis: DuckDB's
+    // 1-based toks[p] vs the engine's 0-based posexplode positions differ
+    // by exactly the emitted `p - 1`; out-of-range list indexes are NULL
+    // and fail the equality like the engine's absent posting.
+    "q_phrase_search" -> {
+      val conds = graft.operators.TextAnalysis.PhraseTokens.zipWithIndex
+        .map { case (w, j) => s"toks[p + $j] = '$w'" }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |i AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM t)
+         |SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos
+         |FROM i WHERE $conds""".stripMargin
+    },
     // PII scan: the pattern strings are interpolated from the operator's
     // constants (Java-regex ∩ RE2 subset), so both engines compile the
     // same bytes. DuckDB regexp_replace needs the explicit 'g' flag to
@@ -1112,6 +1294,30 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
          |  FROM c) r
          |WHERE rank <= ${TextAnalysis.DefaultTopTermsK}""".stripMargin,
+    // Latest-wins upsert: the oracle resolves "latest" with the same total
+    // (date DESC, orderkey DESC) order via a window instead of max_by.
+    "q_merge_upsert" ->
+      """WITH r AS (SELECT o_custkey, o_orderpriority, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders),
+        |l AS (SELECT * FROM r WHERE rn = 1)
+        |SELECT c_custkey, c_mktsegment,
+        |  coalesce(l.o_orderpriority, 'NONE') AS cur_priority,
+        |  coalesce(l.o_orderstatus, 'NONE') AS cur_status,
+        |  CAST(coalesce(l.n, 0) AS BIGINT) AS n_changes
+        |FROM customer LEFT JOIN l ON l.o_custkey = c_custkey""".stripMargin,
+    // SCD2 validity intervals in exact epoch micros; (date, orderkey) is a
+    // total order so version numbering is deterministic.
+    "q_scd2_history" ->
+      """SELECT o_custkey, o_orderpriority AS attr,
+        |  epoch_us(o_orderdate) AS valid_from_us,
+        |  lead(epoch_us(o_orderdate)) OVER w AS valid_to_us,
+        |  row_number() OVER w AS version,
+        |  lead(epoch_us(o_orderdate)) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
     // Threshold is integer floor division on both engines (Spark `div`,
     // DuckDB `//`) — the kept set is bit-reproducible.
     "q_sample_stratified" ->
@@ -1121,6 +1327,15 @@ object SparkEntry {
          |FROM documents d JOIN c USING (lang)
          |WHERE ${h60(Sampling.DefaultSeed, "d.doc_id")} % ${Sampling.Buckets}
          |  < (${Sampling.DefaultTargetPerStratum * Sampling.Buckets} // c.n_lang)""".stripMargin,
+    // Weighted Bernoulli: keep iff md5-draw mod cap < min(weight, cap);
+    // seed/cap interpolated from the operator's constants.
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, lang, weight, draw FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS weight,
+         |    ${h60(Sampling.WeightedSeed, "doc_id")} % ${Sampling.WeightCap} AS draw
+         |  FROM documents) t
+         |WHERE draw < least(weight, ${Sampling.WeightCap})""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH sh AS ($shCte)
          |SELECT doc_id,

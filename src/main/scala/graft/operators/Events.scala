@@ -260,6 +260,74 @@ object EventAnalytics {
   val CampaignLenUs: Long = 6L * 3600L * 1000000L
   val RangeBucketUs: Long = 3600L * 1000000L
 
+  /** Ordered conversion funnel: for each user, the time of their first
+    * step-1 event, then the first step-2 event STRICTLY AFTER it, then the
+    * first step-3 event strictly after that, and so on — NULL from the
+    * first step the user never completes. This is the order-sensitive
+    * funnel (a purchase before any view does not count), not a mere
+    * per-type min.
+    *
+    * Shape: one keyed aggregation per step plus one keyed join per step —
+    * every shuffle is on `user_id`, no window over raw events is needed, so
+    * the bound is the busiest user's per-type event count under a hash
+    * aggregate (map-side combined), never a whole-history sort. Timestamps
+    * surface as epoch micros — exact integer comparisons on both engines.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      steps: Seq[String] = FunnelSteps): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: need at least one step")
+    val us = unix_micros(col("ts"))
+    val users = events.select(col("user_id")).distinct()
+    // stepFrames(i) = (user_id, step{i+1}_us) for users who reached step i+1
+    val stepFrames = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val name = s"step${i + 1}_us"
+        val ev = events.where(col("event_type") === step)
+          .select(col("user_id"), us.as("e_us"))
+        val reached = acc match {
+          case Nil => ev
+          case prev :: _ =>
+            val prevName = s"step${i}_us"
+            ev.join(prev, "user_id").where(col("e_us") > col(prevName))
+              .select(col("user_id"), col("e_us"))
+        }
+        reached.groupBy("user_id").agg(min(col("e_us")).as(name)) :: acc
+    }.reverse
+    stepFrames.foldLeft(users)((acc, f) => acc.join(f, Seq("user_id"), "left"))
+  }
+
+  /** Default funnel: the product's view → click → purchase path. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Epoch-week length in micros for [[cohortRetention]]. */
+  val WeekUs: Long = 7L * 86400L * 1000000L
+
+  /** Cohort retention: users are grouped into weekly cohorts by their FIRST
+    * event (integer epoch-week index), and each (cohort, week-offset) cell
+    * counts the distinct users of that cohort active that many weeks later.
+    * Week indexes are exact integer floor-divisions of epoch micros, so the
+    * cells are bit-identical across engines.
+    *
+    * Two shuffles: min-per-user (map-side combined), then the cell
+    * count-distinct — both keyed, both uniform (cohort cells can't be
+    * skewed beyond the cohort's own size). At 100 TB the first-event frame
+    * is |users| rows, ~3 orders below the event count.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    // exact integral floor-div (Spark `/` on longs is DOUBLE division —
+    // lossless today but not an integer-axis contract; `div` is)
+    val week = expr(s"unix_micros(ts) div ${WeekUs}L")
+    val firsts = events
+      .groupBy("user_id")
+      .agg(min(week).as("cohort_week"))
+    events
+      .select(col("user_id"), week.as("event_week"))
+      .join(firsts, "user_id")
+      .groupBy(col("cohort_week"), (col("event_week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   /** Per-campaign event/user counts via [[bucketedRangeJoin]]: campaign
     * windows are derived from min(event time) (1-row agg, broadcast — the
     * tfidf n_docs pattern), events are the points. Overlapping windows

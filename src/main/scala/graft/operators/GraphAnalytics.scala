@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — PageRank with fixed
+  * iteration count, in ALL-INTEGER arithmetic so the whole loop (seed,
+  * per-edge contribution, damping) replays bit-exactly in the DuckDB
+  * oracle (the same portability trick as the quantized k-means in
+  * [[Similarity]]). Applied to the word-bigram graph this is
+  * TextRank-style keyword ranking — the graph-centrality signal an
+  * LLM-data pipeline exports next to TF-IDF.
+  *
+  * Reference lineage: generalizes the reference's key/value aggregation
+  * loop (`mapreduce/mapreduce.go:48-56`) to a fixed-point iteration — each
+  * round is one keyed join + one keyed aggregation, the canonical BSP
+  * superstep (Pregel's PageRank lowered onto DataFrames).
+  */
+object GraphAnalytics {
+
+  /** Score quantum: ranks live in units of 2⁻⁴⁰ of total mass. */
+  val PrQ: Long = 1L << 40
+
+  /** Edge-weight quantum: normalized out-weights live in units of 2⁻²⁰. */
+  val WQ: Long = 1L << 20
+
+  /** Damping factor 0.85 as the exact ratio 17/20. */
+  val DampNum = 17
+  val DampDen = 20
+
+  /** Fixed iteration count for the registered query (unrolled in the
+    * oracle, so it must stay small and static).
+    */
+  val PrIters = 3
+
+  /** PageRank over a weighted directed edge list (`src`, `dst`, `w`),
+    * `iters` rounds, damping = [[DampNum]]/[[DampDen]]. Returns
+    * (`id`, `pr`) with `pr` an integer in [[PrQ]] units.
+    *
+    * INTEGER CONTRACT (what makes this oracle-replayable): edge weights
+    * are first normalized per source to integer units of 1/[[WQ]]
+    * (`wq = w·WQ div Σw`), every per-edge contribution is
+    * `(pr·wq) div WQ` (floored BEFORE the sum, so the sum is an
+    * order-independent integer), and the damped update is
+    * `base + (DampNum·Σ) div DampDen` with
+    * `base = (DampDen−DampNum)·PrQ div (DampDen·N)`. No doubles anywhere;
+    * floor-division truncation (≤ 1 unit per edge per round) is the
+    * documented, deterministic approximation. Mass lost to dangling nodes
+    * (no out-edges) and to flooring is NOT redistributed — scores are
+    * comparable within a run, which is what ranking needs.
+    *
+    * Overflow bounds: `pr ≤ PrQ = 2⁴⁰`, `wq ≤ WQ = 2²⁰` → per-edge product
+    * ≤ 2⁶⁰; normalization needs `w·WQ < 2⁶³`, i.e. raw weights < 2⁴³.
+    *
+    * Scale shape: each round is one shuffle-join of the rank frame
+    * (|nodes| rows) with the normalized edge list on `src` and one
+    * hash-agg on `dst` (map-side combined) — the BSP superstep. Per-round
+    * `localCheckpoint` keeps the plan (and codegen) identical across
+    * rounds instead of growing a 3-round lineage. `N` is one scalar
+    * driver-side count, same bounded-action class as the reference
+    * master's merge step.
+    */
+  def pageRank(edges: DataFrame, iters: Int = PrIters): DataFrame = {
+    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
+    val norm = edges.join(wsum, "src")
+      .select(col("src"), col("dst"), expr(s"(w * ${WQ}L) div wsum").as("wq"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = (DampDen - DampNum) * PrQ / (DampDen * n)
+    var pr = nodes.withColumn("pr", lit(PrQ / n))
+    for (_ <- 1 to iters) {
+      val contrib = norm.join(pr, norm("src") === pr("id"))
+        .select(col("dst"), expr(s"(pr * wq) div ${WQ}L").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("c"))
+      pr = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(
+          col("id"),
+          (lit(base) +
+            expr(s"($DampNum * coalesce(c, 0L)) div ${DampDen}L")).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
+  /** Top words of the registered TextRank query. */
+  val WordRankK = 50
+
+  /** TextRank-style keyword ranking: the word-bigram graph (lowercase
+    * adjacent-token pairs, edge weight = pair count — the same axis as
+    * [[TextAnalysis.bigramNextTokens]]) run through [[pageRank]], top-k
+    * words by (pr DESC, word ASC). High-rank words are the corpus's
+    * connective tissue — the signal TextRank inverts for keyword
+    * extraction and a pipeline uses for stopword induction.
+    */
+  def wordPageRank(documents: DataFrame, k: Int = WordRankK): DataFrame = {
+    val ts = graft.Parallelism.ensure(documents)
+      .select(split(trim(lower(col("text"))), "\\s+").as("ts"))
+      .where(size(col("ts")) >= 2)
+    val edges = ts
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS src, ts[i] AS dst))")).as("bg"))
+      .select(col("bg.src").as("src"), col("bg.dst").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+    pageRank(edges)
+      .orderBy(desc("pr"), asc("id"))
+      .limit(k)
+      .select(col("id").as("word"), col("pr"))
+  }
+}

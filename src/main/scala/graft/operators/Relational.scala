@@ -190,6 +190,164 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q4-style priority check: orders with at least one lineitem
+    * shipped after the order date, counted per priority. The correlated
+    * `EXISTS` is a LEFT SEMI join with a non-equi conjunct riding the
+    * orderkey equality — Catalyst keeps the equality as the shuffle key
+    * and evaluates the date comparison inside the join, so the shape stays
+    * a hash join (never a BNLJ), and the semi join short-circuits on the
+    * first match instead of materializing duplicates.
+    */
+  def latePriorityOrders(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** TPC-H Q13-style customer order-count distribution: how many customers
+    * placed exactly N orders, INCLUDING the zero-order customers — the
+    * classic two-level aggregate over a preserved outer join. `count(col)`
+    * (not `count(*)`) skips the null rows the left join injects, so
+    * orderless customers land in the N=0 bucket on both engines. First agg
+    * shuffles on custkey, second on the (tiny) distinct-count domain.
+    */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand's parts
+    * whose quantity is below a fraction of that part's average quantity.
+    * The correlated AVG decorrelates to a per-part aggregate joined back to
+    * the fact. The fractional-average comparison is CROSS-MULTIPLIED into
+    * exact integers — `qty · den · n < num · Σqty` — so the qualifying set
+    * is bit-identical across engines (a double `avg()` would not be).
+    * Fraction = num/den, default 1/2.
+    */
+  /** [[smallQuantityRevenue]] defaults, interpolated into the DuckDB oracle
+    * so the two sides cannot silently desync.
+    */
+  val SmallQtyBrand = "Brand#23"
+  val SmallQtyNum = 1
+  val SmallQtyDen = 2
+
+  def smallQuantityRevenue(
+      lineitem: DataFrame, part: DataFrame,
+      brand: String = SmallQtyBrand,
+      num: Int = SmallQtyNum, den: Int = SmallQtyDen): DataFrame = {
+    // restrict the fact ONCE to the brand's partkeys (broadcast semi join)
+    // before the per-part aggregate: the correlated average is per-part, so
+    // dropping other parts' rows can't change it — and at 100 TB it is the
+    // difference between aggregating the whole fact and ~1/|brands| of it
+    val brandLi = lineitem.join(
+      broadcast(part.where(col("p_brand") === brand).select("p_partkey")),
+      col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = brandLi
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qc"), count(lit(1)).as("n_li"))
+    brandLi
+      .join(perPart, col("l_partkey") === col("a_partkey"))
+      .where(cents(col("l_quantity")) * den * col("n_li") < lit(num) * col("sum_qc"))
+      .agg(
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Dormancy window for [[dormantRichCustomers]], interpolated into the
+    * oracle.
+    */
+  val DormantDays = 365
+
+  /** TPC-H Q22-style dormant high-balance customers: customers whose
+    * balance exceeds the global average positive balance and who placed no
+    * order in the last [[DormantDays]] days of the corpus, grouped by
+    * nation. Both global scalars (the average, the recency cutoff) are
+    * one-row aggregates broadcast to every row (the tfidf n_docs pattern);
+    * the average is compared by exact integer cross-multiplication
+    * (`bal · n > Σbal`) and the cutoff in exact epoch micros; the dormancy
+    * side is a LEFT ANTI join on custkey against the recent-order keys.
+    */
+  def dormantRichCustomers(customer: DataFrame, orders: DataFrame,
+      dormantDays: Int = DormantDays): DataFrame = {
+    val us = unix_micros(col("o_orderdate").cast("timestamp"))
+    val cutoff = orders
+      .agg((max(us) - lit(dormantDays.toLong * 86400000000L)).as("cutoff_us"))
+    val recent = orders
+      .crossJoin(broadcast(cutoff))
+      .where(us >= col("cutoff_us"))
+      .select(col("o_custkey"))
+    val avgPos = customer
+      .where(col("c_acctbal") > 0.0)
+      .agg(sum(cents(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("n_pos"))
+    customer
+      .crossJoin(broadcast(avgPos))
+      .where(cents(col("c_acctbal")) * col("n_pos") > col("sum_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("total_bal"))
+  }
+
+  /** Latest-wins CDC upsert — the batch MERGE INTO shape: apply the order
+    * stream as a change log onto the customer dimension. Each matched
+    * customer is "updated" with their latest order's attributes (latest =
+    * max (date, orderkey), a total deterministic order); unmatched
+    * customers keep a sentinel row — i.e. WHEN MATCHED THEN UPDATE / WHEN
+    * NOT MATCHED BY SOURCE THEN KEEP, resolved in one pass.
+    *
+    * Shape: `max_by` over a struct is ONE keyed hash-agg with map-side
+    * combine (each partition keeps only its latest change per key — the
+    * log compacts before it shuffles), then one outer equi-join on the
+    * key. This is the merge-on-read compaction every log-structured table
+    * format runs; the streaming twin is
+    * [[graft.streaming.DocumentStreams]]'s keyed-store upsert.
+    */
+  def upsertLatestOrders(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val latest = orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(
+          struct(col("o_orderpriority"), col("o_orderstatus")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("u"),
+        count(lit(1)).as("n_changes"))
+    customer.join(latest, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("u.o_orderpriority"), lit("NONE")).as("cur_priority"),
+        coalesce(col("u.o_orderstatus"), lit("NONE")).as("cur_status"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+  }
+
+  /** SCD2 (type-2 slowly-changing-dimension) history build from the same
+    * change log: each order opens a new version of its customer's tracked
+    * attribute, valid from its date until the next change (NULL = still
+    * current). One per-key window (sort by date, then orderkey — total
+    * order) yields version numbers, closing timestamps, and the current
+    * flag in a single pass; validity bounds surface as exact epoch micros.
+    */
+  def scd2OrderHistory(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    // the parquet date is TIMESTAMP_NTZ; pin it to the session's UTC axis
+    // before unix_micros (which rejects NTZ) — same integers as DuckDB's
+    // naive epoch_us
+    val from = unix_micros(col("o_orderdate").cast("timestamp"))
+    orders.select(
+      col("o_custkey"),
+      col("o_orderpriority").as("attr"),
+      from.as("valid_from_us"),
+      lead(from, 1).over(w).as("valid_to_us"),
+      row_number().over(w).as("version"),
+      lead(from, 1).over(w).isNull.as("is_current"))
+  }
+
   /** Extended window-function suite in one pass: lag/lead (physical
     * offsets), ntile (quartile bucketing), and cume_dist — all over the
     * same per-customer date-ordered window, so ONE shuffle + sort serves

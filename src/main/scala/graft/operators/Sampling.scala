@@ -54,4 +54,31 @@ object Sampling {
       .where(col("bucket") < expr(s"${targetPerStratum * Buckets} div n_lang"))
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
+
+  /** Weight cap for [[weightedSample]]: keep probability saturates at 1
+    * once a document reaches this many tokens.
+    */
+  val WeightCap: Long = 256L
+  val WeightedSeed: Int = 11
+
+  /** Quality-weighted Bernoulli sample: each document is kept with
+    * probability `min(n_tokens, cap) / cap` — longer (higher-signal)
+    * documents are proportionally more likely to survive, the
+    * importance-sampling shape a data-mixing pipeline uses to tilt a
+    * corpus toward its quality signal without hard thresholds.
+    *
+    * Determinism: the draw is `md5₆₀(seed:doc_id) mod cap < weight` — a
+    * pure function of the key, so the kept set is identical across
+    * partitionings, engines, and re-runs (same contract as
+    * [[stratifiedSample]], integer arithmetic end to end). Scan-speed:
+    * per-row hash + filter, no shuffle at all.
+    */
+  def weightedSample(documents: DataFrame, cap: Long = WeightCap,
+      seed: Int = WeightedSeed): DataFrame =
+    documents
+      .select(
+        col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("weight"),
+        (HashFunctions.md5Long(col("doc_id").cast("string"), seed) % cap).as("draw"))
+      .where(col("draw") < least(col("weight"), lit(cap)))
 }

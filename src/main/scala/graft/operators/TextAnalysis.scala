@@ -440,6 +440,50 @@ object TextAnalysis {
         (col("n_pair").cast("double") / col("n_w1")).as("p"), col("rank"))
   }
 
+  /** Registered phrase for [[phraseSearch]] — present at every SF of the
+    * driver data (verified at sf0.001/0.01/0.1), interpolated into the
+    * oracle.
+    */
+  val PhraseTokens: Seq[String] = Seq("order", "fast")
+
+  /** Positional inverted index: one (`doc_id`, `pos`, `term`) posting per
+    * token, positions on the raw whitespace-split axis (0-based). The
+    * positional generalization of the reference's inverted-index job
+    * (`MapReduce.invertedIndexJob`): storing positions is what upgrades
+    * membership queries to phrase/adjacency queries. Pure narrow explode —
+    * scan-speed, no shuffle.
+    */
+  def positionalIndex(documents: DataFrame): DataFrame =
+    graft.Parallelism.ensure(documents)
+      .select(
+        col("doc_id"),
+        posexplode(toks(lower(col("text")))).as(Seq("pos", "term")))
+
+  /** Phrase search via the positional index: occurrences of `phrase` as
+    * adjacent tokens, returned as (`doc_id`, `pos`) of each match start.
+    *
+    * Shape: one postings fetch per phrase token (term-filtered index —
+    * with the index materialized and partitioned by term, each fetch is a
+    * pruned scan touching only that term's postings, never the corpus),
+    * then equi-joins on (doc_id, pos − offset). That join-on-shifted-
+    * position is the classic phrase-query plan over positional postings;
+    * candidate cardinality is bounded by the rarest token's posting list,
+    * and no row ever fans out (positions are unique per doc). A window
+    * `lead()` over full documents would rescan every token of every doc
+    * instead.
+    */
+  def phraseSearch(
+      documents: DataFrame, phrase: Seq[String] = PhraseTokens): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val idx = positionalIndex(documents)
+    def postings(term: String, offset: Int) =
+      idx.where(col("term") === term)
+        .select(col("doc_id"), (col("pos") - offset).as("pos"))
+    phrase.zipWithIndex.tail.foldLeft(postings(phrase.head, 0)) {
+      case (acc, (term, j)) => acc.join(postings(term, j), Seq("doc_id", "pos"))
+    }
+  }
+
   /** Whitespace-normalized lowercase form — the canonical text for exact
     * dedup and fingerprinting.
     */

@@ -41,6 +41,12 @@ object IO {
   def text(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.text(paths: _*)
 
+  /** ORC — the other columnar format with predicate pushdown + column
+    * pruning; same scan parallelization as parquet.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ---- writers -------------------------------------------------------
 
   def writeParquet(df: DataFrame, path: String,
@@ -51,6 +57,9 @@ object IO {
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Structural (non-circular) checks on the integer PageRank: symmetry,
+  * centrality ordering, dangling-node handling, mass bounds, and
+  * partitioning-invariance — properties the oracle replay can't
+  * distinguish from a consistently-wrong formula.
+  */
+class GraphAnalyticsSpec extends SparkSpec {
+  import GraphAnalytics._
+
+  private def edges(rows: Seq[(String, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "w")
+  }
+
+  private def ranks(rows: Seq[(String, String, Long)], iters: Int = PrIters) =
+    pageRank(edges(rows), iters).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("symmetric cycle: all nodes rank equally, near 1/N of total mass") {
+    val pr = ranks(Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)))
+    assert(pr.values.toSet.size === 1, s"cycle ranks diverged: $pr")
+    // flooring loses a few units per round; stay within 100 of PrQ/3
+    assert(math.abs(pr("a") - PrQ / 3) <= 100)
+  }
+
+  test("star graph: the hub everyone points at outranks every leaf") {
+    val pr = ranks(Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L)))
+    assert(pr("hub") > pr("a"))
+    assert(pr("a") === pr("b"))
+    assert(pr("a") === pr("c"))
+  }
+
+  test("dangling node keeps receiving rank; total mass never exceeds PrQ") {
+    // d has no out-edges: its inbound rank is retained, not redistributed
+    val pr = ranks(Seq(("a", "d", 1L), ("b", "d", 1L), ("a", "b", 1L)))
+    assert(pr.keySet === Set("a", "b", "d"))
+    assert(pr("d") > 0L)
+    assert(pr.values.sum <= PrQ)
+    assert(pr.values.sum > 0L)
+  }
+
+  test("weighted edges: the heavier continuation gets the larger share") {
+    val pr = ranks(Seq(("a", "x", 9L), ("a", "y", 1L), ("x", "a", 1L), ("y", "a", 1L)))
+    assert(pr("x") > pr("y"))
+  }
+
+  test("deterministic under repartitioning") {
+    val es = (1 to 40).map(i => (s"n${i % 7}", s"n${(i * 3) % 7}", (i % 4) + 1L))
+    val a = ranks(es)
+    val b = pageRank(edges(es).repartition(7), PrIters).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("wordPageRank: connective words outrank rare ones") {
+    import spark.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, s"common glue common glue rare$i"))
+      .toDF("doc_id", "text")
+    val top = GraphAnalytics.wordPageRank(docs, k = 2).collect().map(_.getString(0))
+    assert(top.toSet === Set("common", "glue"))
+  }
+}

@@ -82,4 +82,106 @@ class RelationalSpec extends SparkSpec {
     assert(byKey((Some("A"), None)) === 5.0)
     assert(byKey((None, Some("F"))) === 7.0) // the marginal rollup lacks
   }
+
+  test("upsertLatestOrders: latest change wins; unmatched keys keep the sentinel") {
+    import spark.implicits._
+    val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "3-MEDIUM", "F", "2024-01-01"),
+      (11L, 1L, "1-URGENT", "O", "2024-02-01"), // later date wins
+      (12L, 1L, "5-LOW", "P", "2024-02-01")     // same date: higher orderkey wins
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val got = Relational.upsertLatestOrders(customer, orders)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === (("5-LOW", "P", 3L)))
+    assert(got(2L) === (("NONE", "NONE", 0L)))
+  }
+
+  test("scd2OrderHistory: contiguous validity chain with one current version per key") {
+    import spark.implicits._
+    val orders = Seq(
+      (10L, 1L, "A", "2024-01-01"), (11L, 1L, "B", "2024-02-01"), (12L, 1L, "C", "2024-03-01"),
+      (20L, 2L, "X", "2024-01-15")
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val rows = Relational.scd2OrderHistory(orders).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getString(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(5))))
+      .toMap
+    // versions are chained: each valid_to equals the next version's valid_from
+    assert(rows((1L, 1))._1 === "A")
+    assert(rows((1L, 1))._3 === Some(rows((1L, 2))._2))
+    assert(rows((1L, 2))._3 === Some(rows((1L, 3))._2))
+    assert(rows((1L, 3))._3 === None)
+    assert(rows.collect { case ((1L, _), v) if v._4 => v._1 } === Seq("C"))
+    assert(rows((2L, 1))._4 === true)
+  }
+
+  test("latePriorityOrders: EXISTS counts each order once, regardless of match count") {
+    import spark.implicits._
+    val d0 = "2024-01-10"
+    val orders = Seq(
+      (1L, "1-URGENT", d0), // two late lineitems -> still one order
+      (2L, "1-URGENT", d0), // one on-time lineitem only -> excluded
+      (3L, "2-HIGH", d0),   // one late lineitem
+      (4L, "2-HIGH", d0)    // no lineitems at all -> excluded
+    ).toDF("o_orderkey", "o_orderpriority", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val li = Seq(
+      (1L, "2024-01-15"), (1L, "2024-01-20"),
+      (2L, "2024-01-10"), // equal ts is NOT strictly after
+      (3L, "2024-02-01")
+    ).toDF("l_orderkey", "sd")
+      .withColumn("l_shipdate", to_timestamp(col("sd"))).drop("sd")
+    val got = Relational.latePriorityOrders(orders, li)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1-URGENT" -> 1L, "2-HIGH" -> 1L))
+  }
+
+  test("customerOrderDistribution: zero-order customers land in the N=0 bucket") {
+    import spark.implicits._
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+    val got = Relational.customerOrderDistribution(customer, orders)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("smallQuantityRevenue: cross-multiplied threshold equals the brute-force average rule") {
+    import spark.implicits._
+    val part = Seq((1L, "Brand#23"), (2L, "Brand#23"), (3L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+    // part 1: quantities 2,10,12 -> avg 8, half = 4: only qty 2 qualifies
+    // part 2: single lineitem can never be below half its own average
+    // part 3: wrong brand, never counted
+    val li = Seq(
+      (1L, 2.0, 100.0), (1L, 10.0, 200.0), (1L, 12.0, 300.0),
+      (2L, 1.0, 500.0),
+      (3L, 0.5, 900.0)
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val r = Relational.smallQuantityRevenue(li, part).collect().head
+    assert(r.getDouble(0) === 100.0)
+    assert(r.getLong(1) === 1L)
+  }
+
+  test("dormantRichCustomers: above positive-average balance AND no recent order") {
+    import spark.implicits._
+    // positive balances: 10, 20, 60 -> avg 30; negative balance excluded
+    // from the average but also can never pass the > avg test
+    val customer = Seq(
+      (1L, 10.0, 7), (2L, 20.0, 7), (3L, 60.0, 8), (4L, -5.0, 8), (5L, 40.0, 9)
+    ).toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val orders = Seq(
+      (100L, 3L, "2024-06-01"), // recent: cust 3 is active
+      (101L, 5L, "2020-01-01")  // ancient: cust 5 is dormant despite ordering
+    ).toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    // candidates > 30: cust 3 (60, recent order -> dropped), cust 5 (40, kept)
+    val got = Relational.dormantRichCustomers(customer, orders)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((9, 1L, 40.0)))
+  }
 }

@@ -42,4 +42,17 @@ class SamplingSpec extends SparkSpec {
       assert(n <= 3 * math.min(20L, total(lang)))
     }
   }
+
+  test("weightedSample: saturated docs always survive, light docs thin out, draw is content-keyed") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, "en", ("tok " * 300).trim)) ++ // weight 300 ≥ cap → kept
+      (1001L to 1200L).map(i => (i, "en", "one two three"))             // weight 3 → p = 3/256
+    val d = rows.toDF("doc_id", "lang", "text")
+    val kept = Sampling.weightedSample(d).collect().map(_.getLong(0)).toSet
+    assert((1L to 200L).forall(kept.contains))
+    // Binomial(200, 3/256): ~2.3 expected; 30 is a >10-sigma ceiling
+    assert(kept.count(_ > 1000L) < 30)
+    val again = Sampling.weightedSample(d.repartition(5)).collect().map(_.getLong(0)).toSet
+    assert(kept === again)
+  }
 }

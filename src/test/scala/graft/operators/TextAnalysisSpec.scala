@@ -157,6 +157,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!rows.keySet.exists(_._1 == "c"))
   }
 
+  test("phraseSearch: adjacency on the raw token axis, overlaps included") {
+    val d = docs(
+      1L -> "order fast order fast",  // matches at 0 and 2
+      2L -> "order slow fast order",  // 'order'/'fast' present but never adjacent
+      3L -> "Order FAST",             // case-folded match at 0
+      4L -> "fast order")             // reversed: no match
+    val got = TextAnalysis.phraseSearch(d, Seq("order", "fast"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 0), (1L, 2), (3L, 0)))
+  }
+
+  test("phraseSearch: overlapping self-similar phrase and 3-token phrases") {
+    val d = docs(1L -> "a a a b c a")
+    assert(TextAnalysis.phraseSearch(d, Seq("a", "a"))
+      .collect().map(_.getInt(1)).toSet === Set(0, 1))
+    assert(TextAnalysis.phraseSearch(d, Seq("a", "b", "c"))
+      .collect().map(_.getInt(1)).toSet === Set(2))
+    // phrase running off the document end never matches
+    assert(TextAnalysis.phraseSearch(d, Seq("c", "a", "a")).count() === 0L)
+  }
+
   test("tfIdfTopTerms df counts documents, not occurrences") {
     val d = docs(1L -> "w w w", 2L -> "w", 3L -> "q")
     val row = TextAnalysis.tfIdfTopTerms(d, k = 5)

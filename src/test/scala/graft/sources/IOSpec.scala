@@ -45,6 +45,15 @@ class IOSpec extends SparkSpec {
     assert(lines === Set("hello 3", "test 3"))
   }
 
+  test("orc round-trip preserves rows; predicates push to the orc scan") {
+    val dir = tmp() + "/orc"
+    IO.writeOrc(sample(), dir)
+    val back = IO.orc(spark, dir).where(org.apache.spark.sql.functions.col("id") > 1L)
+    assert(back.collect().map(_.getAs[Long]("id")).toSet === Set(2L, 3L))
+    val f = back.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(f.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)"), f)
+  }
+
   test("partitioned parquet write produces partition pruning on read") {
     val dir = tmp() + "/part"
     IO.writeParquet(sample(), dir, partitionBy = Seq("name"))
