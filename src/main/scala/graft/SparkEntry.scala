@@ -81,6 +81,10 @@ object SparkEntry {
       Relational.customerOrderCoverage(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_window_rank" -> ((s, dir) => Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
     "q_window_moving" -> ((s, dir) => Relational.movingAvgOrderValue(Tables.orders(s, dir))),
+    // RANGE (value-based) frame: trailing 7-day spend in exact epoch micros
+    "q_window_range" -> ((s, dir) => Relational.trailingSpend(Tables.orders(s, dir))),
+    // order-independent XOR integrity digest per source
+    "q_table_digest" -> ((s, dir) => Sketches.tableDigest(Tables.documents(s, dir))),
     "q_setops" -> ((s, dir) => Relational.customerSetOps(Tables.customer(s, dir), Tables.orders(s, dir))),
     // Co-located bucketed join: both sides written bucketed+sorted on the
     // customer key, then joined and aggregated with ZERO exchanges
@@ -127,6 +131,8 @@ object SparkEntry {
     // Weekly cohort retention cells (integer epoch-week arithmetic)
     "q_cohort_retention" -> ((s, dir) => EventAnalytics.cohortRetention(Tables.events(s, dir))),
     "q_asof_attribution" -> ((s, dir) => EventAnalytics.purchaseAttribution(Tables.events(s, dir))),
+    // per-session event-type paths, most common patterns
+    "q_session_paths" -> ((s, dir) => EventAnalytics.sessionPaths(Tables.events(s, dir))),
     // --- text analysis (LLM-pipeline surface) ---
     "q_text_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -142,6 +148,8 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "q_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir))),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramNextTokens(Tables.documents(s, dir))),
+    // top-p (nucleus) truncation of the bigram LM, integer threshold
+    "q_bigram_nucleus" -> ((s, dir) => TextAnalysis.bigramNucleus(Tables.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
     // TextRank keyword ranking: all-integer PageRank (3 rounds, unrolled
     // in the oracle) over the word-bigram graph.
@@ -191,6 +199,16 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     // JL random projection: exploded (vec_id, k, component) reduced vectors
     "q_embed_rp" -> ((s, dir) => Similarity.randomProjections(Tables.embeddings(s, dir))),
+    // int8 scalar quantization: per-dim ranges -> codes + midpoint error
+    "q_embed_sq8" -> ((s, dir) => Similarity.scalarQuantize(Tables.embeddings(s, dir))),
+    // per-label class prototypes (quantized-portable means)
+    "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
+    // nearest-centroid confusion matrix over the label prototypes
+    "q_nearest_centroid" -> ((s, dir) =>
+      Similarity.nearestCentroidConfusion(Tables.embeddings(s, dir))),
+    // hourly stats off a fragmented-then-compacted copy (layout-only op,
+    // same oracle as q_events_hourly)
+    "q_compacted_scan" -> ((s, dir) => graft.sources.Compaction.hourlyStatsCompacted(s, dir)),
     // ANN paths are approximate by design, but their bucketing/assignment
     // is deterministic (md5 hyperplanes, first-n centroids), so the full
     // candidate generation + rerank is mirrored in DuckDB SQL below.
@@ -804,6 +822,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // RANGE frame bounds in exact epoch micros; same-timestamp rows are
+    // peers (included in each other's frame) on both engines.
+    "q_window_range" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+         |    / 100.0 AS trailing_spend
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+         |  RANGE BETWEEN ${Relational.TrailingDays.toLong * 86400000000L} PRECEDING
+         |            AND CURRENT ROW)""".stripMargin,
+    // XOR of 60-bit canonical-row hashes: same md5 axis, same '|' join;
+    // bit_xor == the engine's XorDigest fold (order-independent both ways).
+    "q_table_digest" ->
+      s"""SELECT source, bit_xor(h) AS digest, count(*) AS n_rows FROM (
+         |  SELECT source,
+         |    ${h60(0, "concat_ws('|', doc_id, lang, source, md5(text))")} AS h
+         |  FROM documents) t
+         |GROUP BY source""".stripMargin,
     "q_setops" ->
       """SELECT 'both' AS tag, custkey FROM (
         |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -923,6 +959,25 @@ object SparkEntry {
         |SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us,
         |  click_id, click_value
         |FROM f WHERE is_left = 1""".stripMargin,
+    // Session paths: same gaps-and-islands sessionization as
+    // q_events_sessions, paths joined in (ms, event_id) order — a total
+    // order on both engines; top-k cut is (count DESC, path ASC), total.
+    "q_session_paths" ->
+      s"""WITH o AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+         |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+         |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         |s AS (SELECT user_id, event_id, event_type, ms,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o),
+         |p AS (SELECT user_id, sid,
+         |    string_agg(event_type, '>' ORDER BY ms ASC, event_id ASC) AS path
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+         |ORDER BY n_sessions DESC, path ASC LIMIT ${EventAnalytics.SessionPathsK}""".stripMargin,
     // Ordered funnel: each step's first time strictly after the previous
     // step's — step names interpolated from the operator's constant; all
     // comparisons in exact epoch micros.
@@ -1150,6 +1205,25 @@ object SparkEntry {
          |SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos
          |FROM i WHERE $conds""".stripMargin
     },
+    // Nucleus truncation: cumulative mass in (count DESC, token ASC)
+    // order; keep iff preceding mass is under num/den of the prefix total
+    // (integer cross-multiplication — no float thresholds).
+    "q_bigram_nucleus" ->
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
+         |  FROM ts WHERE len(ts) >= 2),
+         |c AS (SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS n_pair
+         |  FROM bgidx GROUP BY 1, 2),
+         |t AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM c GROUP BY w1),
+         |r AS (SELECT c.w1, c.w2, c.n_pair, t.n_w1,
+         |    CAST(sum(c.n_pair) OVER (PARTITION BY c.w1
+         |      ORDER BY c.n_pair DESC, c.w2 ASC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM c JOIN t ON c.w1 = t.w1)
+         |SELECT w1, w2, n_pair, n_w1, cum FROM r
+         |WHERE (cum - n_pair) * ${TextAnalysis.NucleusDen}
+         |      < ${TextAnalysis.NucleusNum} * n_w1""".stripMargin,
     // PII scan: the pattern strings are interpolated from the operator's
     // constants (Java-regex ∩ RE2 subset), so both engines compile the
     // same bytes. DuckDB regexp_replace needs the explicit 'g' flag to
@@ -1457,6 +1531,66 @@ object SparkEntry {
         |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY 1)
         |SELECT l.vec_id, l.cluster_id, s.cluster_n
         |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
+    // Scalar quantization replayed exactly: same per-dim ranges, same
+    // pinned double-op order for codes and midpoint error, same 255 clamp.
+    "q_embed_sq8" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS d, v[i] AS v
+         |  FROM e CROSS JOIN range(1, ${EmbDim + 1}) t(i)),
+         |r AS (SELECT d, min(v) AS mn, max(v) AS mx FROM c GROUP BY d),
+         |qt AS (SELECT c.vec_id, c.d, c.v, r.mn, r.mx,
+         |    CASE WHEN r.mx = r.mn THEN 0
+         |         ELSE least(CAST(floor(((c.v - r.mn) * 255.0) / (r.mx - r.mn)) AS BIGINT),
+         |                    255) END AS q
+         |  FROM c JOIN r USING (d))
+         |SELECT vec_id, d, q,
+         |  abs(v - (mn + ((q + 0.5) * (mx - mn)) / 255.0)) AS err
+         |FROM qt""".stripMargin,
+    // Label prototypes: the k-means quantized-mean portability trick
+    // (integer sums, pinned division order, FLOAT round-trip).
+    "q_label_centroids" -> {
+      val q = graft.operators.Similarity.MeanQuantum
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT label, CAST(i - 1 AS INTEGER) AS d, v[i] AS v
+         |  FROM e CROSS JOIN range(1, ${EmbDim + 1}) t(i)),
+         |m AS (SELECT label, d,
+         |    CAST(sum(CAST(round(v * $q) AS BIGINT)) AS BIGINT) AS s, count(*) AS n
+         |  FROM c GROUP BY label, d)
+         |SELECT label, d,
+         |  CAST(CAST(CAST(s AS DOUBLE) / n / $q.0 AS FLOAT) AS DOUBLE) AS c
+         |FROM m""".stripMargin
+    },
+    // Nearest-centroid assignment: same quantized prototypes, same
+    // left-assoc dot chains, same (cos DESC, label ASC) tie-break.
+    "q_nearest_centroid" -> {
+      val q = graft.operators.Similarity.MeanQuantum
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT label, CAST(i - 1 AS INTEGER) AS d, v[i] AS v
+         |  FROM e CROSS JOIN range(1, ${EmbDim + 1}) t(i)),
+         |m AS (SELECT label, d,
+         |    CAST(sum(CAST(round(v * $q) AS BIGINT)) AS BIGINT) AS s, count(*) AS n
+         |  FROM c GROUP BY label, d),
+         |cent AS (SELECT label, d,
+         |    CAST(CAST(CAST(s AS DOUBLE) / n / $q.0 AS FLOAT) AS DOUBLE) AS c
+         |  FROM m),
+         |cl AS (SELECT label AS pred_label, list(c ORDER BY d ASC) AS cv
+         |  FROM cent GROUP BY label),
+         |score AS (SELECT e.vec_id, e.label, cl.pred_label,
+         |    ${dotSql("e.v", "cl.cv")}
+         |      / (sqrt(${selfDotSql("e.v")}) * sqrt(${selfDotSql("cl.cv")})) AS cos
+         |  FROM e CROSS JOIN cl),
+         |a AS (SELECT vec_id, label, pred_label,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, pred_label ASC) AS rn
+         |  FROM score)
+         |SELECT label, pred_label, count(*) AS n
+         |FROM a WHERE rn = 1 GROUP BY label, pred_label""".stripMargin
+    },
+    // Compaction is a pure layout rewrite — same oracle as q_events_hourly.
+    "q_compacted_scan" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_trained" -> annIvfTrainedOracle,

@@ -72,6 +72,23 @@ object Aggregators {
       Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
   }
 
+  /** Order-independent XOR fold of 60-bit row hashes — the table-digest
+    * aggregate. XOR is commutative, associative, and cannot overflow, so
+    * the digest is identical at any parallelism and any row order: two
+    * copies of a 100 TB table can be compared by exchanging 8 bytes per
+    * group instead of re-reading either side. (A plain `sum` of hashes
+    * would overflow Long at ~2^3 rows × 2^60 and ANSI mode makes overflow
+    * an error, not a wrap.)
+    */
+  class XorDigest extends Aggregator[Long, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(acc: Long, h: Long): Long = acc ^ h
+    override def merge(a: Long, b: Long): Long = a ^ b
+    override def finish(acc: Long): Long = acc
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   object HllRegisters {
     /** JVM mirror of `HashFunctions.md5Long(c, seed)`: first 15 hex chars
       * of md5("seed:x") parsed base-16 — 60 bits, always non-negative.

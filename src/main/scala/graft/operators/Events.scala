@@ -201,6 +201,46 @@ object EventAnalytics {
         col("asof.click_value").as("click_value"))
   }
 
+  /** Top patterns returned by [[sessionPaths]]. */
+  val SessionPathsK = 20
+
+  /** Session path mining: each session's ordered event-type sequence as a
+    * `">"`-joined string, with the most common patterns ranked — the "what
+    * do users actually do in a visit" rollup funnels are built from. Same
+    * gaps-and-islands sessionization (and gap rule) as [[sessionCounts]];
+    * within a session events order by (ms, event_id) — a total,
+    * engine-portable order.
+    *
+    * Shape: two per-user windows (lag, running sum — one shuffle, the
+    * sessionization cost already paid by any session query), a per-session
+    * hash-agg whose state is the session's own events, and a pattern
+    * count + top-k (TakeOrdered). Path strings are bounded by session
+    * length, never by user history.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+      k: Int = SessionPathsK): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val ms = unix_millis(col("ts"))
+    val prevMs = lag(ms, 1).over(w)
+    val newSession =
+      when(prevMs.isNotNull && ms - prevMs >= gapMinutes * 60000L, 1L).otherwise(0L)
+    val tagged = events.select(
+      col("user_id"), col("event_id"), col("event_type"),
+      ms.as("ms"), newSession.as("new_s"))
+    val w2 = Window.partitionBy("user_id").orderBy(asc("ms"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("sid", sum("new_s").over(w2))
+      .groupBy("user_id", "sid")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ms"), col("event_id"), col("event_type")))),
+        x => x("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(k)
+  }
+
   def sessionCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
     val ms = unix_millis(col("ts"))

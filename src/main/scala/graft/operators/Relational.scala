@@ -542,6 +542,27 @@ object Relational {
         / count(lit(1)).over(w) / 100.0).as("mavg"))
   }
 
+  /** Time window for [[trailingSpend]], interpolated into the oracle. */
+  val TrailingDays = 7
+
+  /** Analytic window with a RANGE (value-based) frame — the complement of
+    * [[movingAvgOrderValue]]'s ROWS frame: each order's trailing
+    * [[TrailingDays]]-day spend for its customer, frame bounds in exact
+    * epoch micros so peers and boundaries agree across engines. RANGE
+    * frames are what time-decayed features actually need (a ROWS frame
+    * silently changes meaning with event density); rows at the same
+    * timestamp are peers and include each other on both engines.
+    */
+  def trailingSpend(orders: DataFrame): DataFrame = {
+    val us = unix_micros(col("o_orderdate").cast("timestamp"))
+    val w = Window.partitionBy("o_custkey").orderBy(us)
+      .rangeBetween(-TrailingDays.toLong * 86400000000L, 0L)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0)
+        .as("trailing_spend"))
+  }
+
   /** Set operations: INTERSECT / EXCEPT branches tagged and unioned. */
   def customerSetOps(customer: DataFrame, orders: DataFrame): DataFrame = {
     val building = customer.where(col("c_mktsegment") === "BUILDING")

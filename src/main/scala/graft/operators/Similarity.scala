@@ -92,6 +92,81 @@ object Similarity {
           .randomProjection(col("embedding"), table, planes))
           .as(Seq("k", "rp_value")))
 
+  /** Scalar (int8) quantization of embeddings — the memory side of the ANN
+    * story: per-dimension [min, max] ranges over the corpus, each component
+    * mapped to floor((v−mn)·255/(mx−mn)) in [0, 255], plus the midpoint
+    * reconstruction error. 4× smaller vectors for candidate generation
+    * (exact rerank stays on the originals, as in [[ProductQuantization]]).
+    *
+    * Shape: one posexplode scan, a 64-row per-dimension min/max agg
+    * broadcast back, then a narrow map — no corpus-scale shuffle. Every
+    * arithmetic step is a single IEEE double op in a pinned order, so the
+    * codes AND the error column replay bit-for-bit in the DuckDB oracle.
+    */
+  def scalarQuantize(embeddings: DataFrame): DataFrame = {
+    val comp = graft.Parallelism.ensure(embeddings)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"), col("v").cast("double").as("v"))
+    val ranges = comp.groupBy("d").agg(min("v").as("mn"), max("v").as("mx"))
+    comp.join(broadcast(ranges), "d")
+      .withColumn("q",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor(((col("v") - col("mn")) * lit(255.0)) / (col("mx") - col("mn"))),
+            lit(255L))))
+      .select(col("vec_id"), col("d"), col("q"),
+        abs(col("v") - (col("mn") +
+          ((col("q") + lit(0.5)) * (col("mx") - col("mn"))) / lit(255.0)))
+          .as("err"))
+  }
+
+  /** Per-label mean embedding — class prototypes for the labeled corpus
+    * (nearest-class-mean classification, label-drift monitoring, per-class
+    * ANN seeding). Means use the same integer-quantization portability
+    * trick as the k-means training: per-dimension sums of round(v·2²⁰)
+    * (order-independent BIGINTs), one pinned-order division, rounded back
+    * to FLOAT — so the DuckDB oracle recomputes identical bits. Exploded
+    * (label, d, c) output; one keyed agg, |labels|·dim rows out.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    graft.Parallelism.ensure(embeddings)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(
+        sum(round(col("v").cast("double") * MeanQuantum).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("d"),
+        (col("s").cast("double") / col("n") / lit(MeanQuantum.toDouble))
+          .cast("float").cast("double").as("c"))
+
+  /** Nearest-centroid confusion matrix: assign every vector to its
+    * highest-cosine class prototype (ties broken by smaller label) and
+    * count (true label, predicted label) cells — the classification-eval
+    * rollup a labeled-embedding pipeline reports. The 10×dim centroid
+    * frame broadcasts; assignment is one scan with a |labels|-way fan-out
+    * and a per-vector argmax window; cosine goes through the codegen'd
+    * [[dot]] kernel so the oracle's left-assoc chains replay it exactly.
+    */
+  def nearestCentroidConfusion(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .groupBy(col("label").as("pred_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("c")))), x => x("c")).as("cv"))
+      .select(col("pred_label"), col("cv"),
+        norm(col("cv")).as("cn"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("pred_label"))
+    graft.Parallelism.ensure(embeddings)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("en"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        (dot(col("embedding"), col("cv")) / (col("en") * col("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
+
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val queries = embeddings
       .where(col("vec_id") < nQueries)

@@ -162,4 +162,25 @@ object Sketches {
       .select(col("word"), col("est_count"),
         coalesce(col("exact_count"), lit(0L)).as("exact_count"))
   }
+
+  /** Per-source table digest: an order-independent XOR fold of canonical
+    * row hashes plus a row count — the 8-bytes-per-group integrity
+    * checksum that lets two copies of a 100 TB table (a migration, a
+    * replica, a rerun of this very pipeline) be compared WITHOUT moving
+    * or re-sorting either side. Canonical row = '|'-joined business
+    * columns with the text collapsed to its md5 (so the digest is
+    * insensitive to column-internal storage but sensitive to every value).
+    * XOR cannot overflow and commutes, so any partitioning and any row
+    * order produce the same BIGINT — the property a sum of hashes loses
+    * at the 4th row under ANSI arithmetic.
+    */
+  def tableDigest(documents: DataFrame): DataFrame = {
+    val canonical = concat_ws("|",
+      col("doc_id"), col("lang"), col("source"), md5(col("text")))
+    val xorAgg = udaf(new graft.functions.Aggregators.XorDigest)
+    documents
+      .select(col("source"), HashFunctions.md5Long(canonical).as("h"))
+      .groupBy("source")
+      .agg(xorAgg(col("h")).as("digest"), count(lit(1)).as("n_rows"))
+  }
 }

@@ -440,6 +440,43 @@ object TextAnalysis {
         (col("n_pair").cast("double") / col("n_w1")).as("p"), col("rank"))
   }
 
+  /** Nucleus mass for [[bigramNucleus]] as the exact ratio
+    * [[NucleusNum]]/[[NucleusDen]] (= top-p 0.9), interpolated into the
+    * oracle.
+    */
+  val NucleusNum = 9
+  val NucleusDen = 10
+
+  /** Top-p (nucleus) filtering of the bigram LM: for each prefix, the
+    * smallest set of continuations — taken in (count DESC, token ASC)
+    * order — whose cumulative mass reaches [[NucleusNum]]/[[NucleusDen]]
+    * of the prefix total. A continuation survives iff the mass BEFORE it
+    * is still under the threshold, tested by integer cross-multiplication
+    * (`(cum − n)·den < num·total`) so the kept set is bit-identical across
+    * engines. This is the sampling-time truncation rule (Holtzman et al.)
+    * applied corpus-side, where a pipeline prunes its n-gram tables.
+    *
+    * Shape: the [[bigramNextTokens]] aggregates plus one per-prefix
+    * cumulative-sum window — vocabulary-bounded, same scale argument.
+    */
+  def bigramNucleus(documents: DataFrame): DataFrame = {
+    val ts = graft.Parallelism.ensure(documents)
+      .select(toks(lower(col("text"))).as("ts"))
+      .where(size(col("ts")) >= 2)
+    val counts = ts
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val totals = counts.groupBy("w1").agg(sum("n_pair").as("n_w1"))
+    val w = Window.partitionBy("w1").orderBy(desc("n_pair"), asc("w2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(totals, "w1")
+      .withColumn("cum", sum("n_pair").over(w))
+      .where((col("cum") - col("n_pair")) * NucleusDen < lit(NucleusNum.toLong) * col("n_w1"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("cum"))
+  }
+
   /** Registered phrase for [[phraseSearch]] — present at every SF of the
     * driver data (verified at sf0.001/0.01/0.1), interpolated into the
     * oracle.

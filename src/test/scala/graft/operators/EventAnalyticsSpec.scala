@@ -41,6 +41,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size === 5)
   }
 
+  test("sessionPaths: ordered per-session type sequences, ranked by frequency") {
+    val gapUs = 31L * 60L * 1000000L // > 30 min => new session
+    val events = ev(Seq(
+      // user 1, session 1: view > click ; session 2 (after the gap): view
+      (1L, 1000000L, 1L, "view"), (2L, 2000000L, 1L, "click"),
+      (3L, 2000000L + gapUs, 1L, "view"),
+      // user 2, one session: view > click (same pattern as user 1's first)
+      (4L, 1000000L, 2L, "view"), (5L, 3000000L, 2L, "click"),
+      // user 3: same-timestamp events order by event_id
+      (6L, 5000000L, 3L, "purchase"), (7L, 5000000L, 3L, "error")))
+    val got = EventAnalytics.sessionPaths(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "view>click" -> 2L,
+      "view" -> 1L,
+      "purchase>error" -> 1L))
+  }
+
   test("cohortRetention: cells count distinct users per (cohort week, offset)") {
     val wk = EventAnalytics.WeekUs
     val events = ev(Seq(

@@ -83,6 +83,24 @@ class RelationalSpec extends SparkSpec {
     assert(byKey((None, Some("F"))) === 7.0) // the marginal rollup lacks
   }
 
+  test("trailingSpend: RANGE frame is value-based — peers included, gaps excluded") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 1L, 100.0, "2024-01-01"),
+      (2L, 1L, 50.0, "2024-01-05"),  // within 7 days of #1
+      (3L, 1L, 25.0, "2024-01-20"),  // a 15-day gap: frame restarts
+      (4L, 1L, 10.0, "2024-01-20"),  // same ts as #3: peers include each other
+      (5L, 2L, 7.0, "2024-01-01")
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val got = Relational.trailingSpend(orders).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got === Map(
+      1L -> 100.0, 2L -> 150.0,
+      3L -> 35.0, 4L -> 35.0, // value-based frame: both peers see both rows
+      5L -> 7.0))
+  }
+
   test("upsertLatestOrders: latest change wins; unmatched keys keep the sentinel") {
     import spark.implicits._
     val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")

@@ -202,4 +202,63 @@ class SimilaritySpec extends SparkSpec {
     val corr = cov / (sx * sy)
     assert(corr > 0.3, s"JL dot-product correlation too weak: $corr")
   }
+
+  test("labelCentroids: quantized means of a known cluster") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 3.0f), 7), (1L, Array(3.0f, 5.0f), 7), // label 7: mean (2, 4)
+      (2L, Array(10.0f, 0.0f), 8)                             // label 8: itself
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(vecs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(
+      (7, 0) -> 2.0, (7, 1) -> 4.0,
+      (8, 0) -> 10.0, (8, 1) -> 0.0))
+  }
+
+  test("nearestCentroidConfusion: separable clusters give a diagonal matrix") {
+    import spark.implicits._
+    // two tight clusters along orthogonal axes + one planted mislabel
+    val rows =
+      (0 until 20).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), 0)) ++
+      (0 until 20).map(i => (100L + i, Array(0.0f, 1.0f + i * 0.01f), 1)) :+
+      ((999L, Array(1.0f, 0.0f), 1)) // labeled 1 but sits in cluster 0
+    val got = Similarity.nearestCentroidConfusion(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((0, 0)) === 20L)
+    assert(got((1, 1)) === 20L)
+    assert(got((1, 0)) === 1L) // the planted point is "misclassified"
+    assert(got.values.sum === 41L)
+  }
+
+  test("scalar quantization: codes in [0,255], error within one step, constants -> 0") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.0f, 5.0f, 7.5f)),
+      (1L, Array(10.0f, 5.0f, 2.5f)),
+      (2L, Array(5.0f, 5.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.scalarQuantize(vecs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.size === 9)
+    // dim 0 spans [0,10]: endpoints quantize to the extreme codes
+    assert(rows((0L, 0))._1 === 0L)
+    assert(rows((1L, 0))._1 === 255L)
+    // dim 1 is constant: code 0, zero error
+    assert(Seq(0L, 1L, 2L).forall(id => rows((id, 1)) === ((0L, 0.0))))
+    // every error is within one quantization step of its dimension
+    val step0 = 10.0 / 255.0
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(rows((id, 0))._2 <= step0 + 1e-12)
+      assert(rows((id, 2))._2 <= 7.5 / 255.0 + 1e-12)
+    }
+  }
+
+  test("scalar quantization is invariant to repartitioning on driver data") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      Similarity.scalarQuantize(df).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(snap(emb) === snap(emb.repartition(7)))
+  }
 }

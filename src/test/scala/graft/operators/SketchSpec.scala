@@ -85,4 +85,26 @@ class SketchSpec extends SparkSpec {
       assert(relP50 <= 0.01, s"$flag p50 off by $relP50")
     }
   }
+
+  test("tableDigest: order/partitioning-invariant; any single-value change flips it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha text", "en", "web"),
+      (2L, "beta text", "de", "web"),
+      (3L, "gamma text", "en", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      Sketches.tableDigest(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = digests(docs)
+    assert(base.keySet === Set("web", "books"))
+    assert(base("web")._2 === 2L)
+    // invariant under row order and partitioning
+    assert(digests(docs.orderBy(desc("doc_id")).repartition(5)) === base)
+    // sensitive to any value change
+    val tweaked = docs.withColumn("text",
+      when(col("doc_id") === 2L, lit("beta text!")).otherwise(col("text")))
+    assert(digests(tweaked)("web")._1 !== base("web")._1)
+    assert(digests(tweaked)("books") === base("books"))
+  }
 }

@@ -157,6 +157,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!rows.keySet.exists(_._1 == "c"))
   }
 
+  test("bigramNucleus keeps the smallest 90% prefix set in (count desc, token asc) order") {
+    // prefix 'a': continuations b:6 c:3 d:1 (total 10). Cumulative in
+    // order b,c,d: before-b=0, before-c=6, before-d=9. Keep iff
+    // before*10 < 9*10 = 90: b (0) yes, c (60) yes, d (90) NO.
+    val d = docs(1L -> ("a b " * 6 + "a c " * 3 + "a d").trim)
+    val got = TextAnalysis.bigramNucleus(d).collect()
+      .filter(_.getString(0) == "a")
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got === Map("b" -> ((6L, 6L)), "c" -> ((3L, 9L))))
+  }
+
   test("phraseSearch: adjacency on the raw token axis, overlaps included") {
     val d = docs(
       1L -> "order fast order fast",  // matches at 0 and 2

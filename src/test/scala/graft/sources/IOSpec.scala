@@ -45,6 +45,24 @@ class IOSpec extends SparkSpec {
     assert(lines === Set("hello 3", "test 3"))
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val dir = tmp() + "/evolve"
+    // generation 1: (id, name); generation 2 adds a column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(dir)
+    Seq((3L, "c", 0.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "name", "score"))
+    val byId = merged.collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("score")).map(_.toDouble))
+      .toMap
+    // old-generation rows surface the new column as NULL
+    assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+  }
+
   test("orc round-trip preserves rows; predicates push to the orc scan") {
     val dir = tmp() + "/orc"
     IO.writeOrc(sample(), dir)
