@@ -32,16 +32,20 @@ object Bench {
         // a failed pass must not report its time-to-exception as a score
         if (failed) -1.0 else dt
       }
-      val median =
-        if (times.exists(_ < 0)) -1.0
-        else times.sorted.apply(Passes / 2)
-      name -> median
+      name -> (if (times.exists(_ < 0)) Seq(-1.0) else times.sorted)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians = results.map { case (name, ts) => name -> ts(ts.size / 2) }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val nFailed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    // per-query [min, median, max] of the passes: lets a later round tell
+    // run-to-run noise (wide spread) from a real regression (shifted
+    // median, tight spread) without a judge rerun
+    val spread = results.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.head + "," + ts(ts.size / 2) + "," + ts.last + "]"
+    }.mkString("{", ",", "}")
+    val total = medians.values.filter(_ >= 0).sum
+    val nFailed = medians.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

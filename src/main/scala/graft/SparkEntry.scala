@@ -223,6 +223,11 @@ object SparkEntry {
     // included) is replayed by the oracle.
     "ann_pq" -> ((s, dir) =>
       ProductQuantization.pqTopK(requireOracleDim(Tables.embeddings(s, dir)))),
+    // IVF-ADC: the composed production ANN shape — IVF cells prune the
+    // candidate set, PQ codes compress the scan, exact rerank finishes.
+    // Both training loops replayed by the oracle.
+    "ann_ivfpq" -> ((s, dir) =>
+      ProductQuantization.ivfPqTopK(requireOracleDim(Tables.embeddings(s, dir)))),
     // --- multimodal binary-column plumbing ---
     "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(Tables.documents(s, dir))),
     // Decode features come from the clearly-marked stub codec: rows-only.
@@ -369,15 +374,15 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
-  /** The shared IVF candidate-generation + rerank tail: score every vector
-    * against `centCte` (a CTE named (i, c[, cn])), rank cells by
-    * (cosine DESC, cell-id DESC) like the engine, probe/assign, exact
-    * rerank — ONE definition for both the first-n and trained oracles, so
-    * a tie-rule or rerank fix cannot silently apply to only one of them.
-    * `cn` is the centroid norm; pass an expression when the CTE doesn't
-    * precompute it.
+  /** The IVF cell-assignment + probe CTEs: score every vector against
+    * `centCte` (a CTE named (i, c[, cn])), rank cells by (cosine DESC,
+    * cell-id DESC) like the engine, emit `assigned` (every vector's one
+    * cell) and `probes` (each query's nProbe cells) — ONE definition for
+    * the first-n, trained, and IVF-PQ oracles, so a tie-rule fix cannot
+    * silently apply to only one of them. `cn` is the centroid norm; pass
+    * an expression when the CTE doesn't precompute it.
     */
-  private def annIvfTailSql(centCte: String, cnExpr: String): String =
+  private def ivfProbeCtes(centCte: String, cnExpr: String): String =
     s"""scores AS (SELECT e.vec_id, c.i,
        |    ${dotSql("e.v", "c.c")} / (sqrt(${selfDotSql("e.v")}) * $cnExpr) AS cs
        |  FROM e CROSS JOIN $centCte c),
@@ -386,10 +391,11 @@ object SparkEntry {
        |  FROM scores),
        |assigned AS (SELECT vec_id AS neighbor_id, i AS cell FROM ranked_cells WHERE rn = 1),
        |probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked_cells
-       |  WHERE rn <= 3 AND vec_id < 10),
-       |cand AS (SELECT p.query_id, a.neighbor_id
-       |  FROM probes p JOIN assigned a USING (cell) WHERE a.neighbor_id <> p.query_id),
-       |ranked AS (SELECT cand.query_id, cand.neighbor_id,
+       |  WHERE rn <= 3 AND vec_id < 10)""".stripMargin
+
+  /** Shared exact-rerank tail over a `cand(query_id, neighbor_id)` CTE. */
+  private def exactRerankSql: String =
+    s"""ranked AS (SELECT cand.query_id, cand.neighbor_id,
        |    row_number() OVER (PARTITION BY cand.query_id
        |      ORDER BY ${dotSql("q.v", "n.v")}
        |                 / (sqrt(${selfDotSql("q.v")}) * sqrt(${selfDotSql("n.v")})) DESC,
@@ -397,6 +403,15 @@ object SparkEntry {
        |  FROM cand JOIN e q ON q.vec_id = cand.query_id
        |            JOIN e n ON n.vec_id = cand.neighbor_id)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** IVF candidate-generation + rerank tail (probe CTEs, then every vector
+    * in a probed cell reranked exactly) — the first-n / trained oracles.
+    */
+  private def annIvfTailSql(centCte: String, cnExpr: String): String =
+    s"""${ivfProbeCtes(centCte, cnExpr)},
+       |cand AS (SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell) WHERE a.neighbor_id <> p.query_id),
+       |$exactRerankSql""".stripMargin
 
   /** DuckDB mirror of `Similarity.ivfTopK(nLists=8, nProbe=3)`: centroids
     * are the first 8 vectors by vec_id; assignment/probing rank cells by
@@ -419,8 +434,13 @@ object SparkEntry {
     * downstream cosine/rank agrees at hash level. Empty cells keep the
     * previous round's centroid (COALESCE over a LEFT JOIN).
     */
-  private def annIvfTrainedOracle: String = {
-    val (nLists, nProbe, iters) = (8, 3, 2)
+  /** The k-means training-loop CTEs against a vector CTE `e`: `cent0` =
+    * first-`nLists` seeds, then per round an assignment CTE (same cosine,
+    * same (cs DESC, i DESC) tie-break as the engine) and a quantized-mean
+    * CTE — yielding `cent<iters>` as the trained centroids. Shared by the
+    * trained-IVF and IVF-PQ oracles.
+    */
+  private def ivfTrainCtes(nLists: Int, iters: Int): String = {
     val q = graft.operators.Similarity.MeanQuantum
     val sumCols = (1 to EmbDim)
       .map(d => s"sum(CAST(round(e.v[$d]*$q) AS BIGINT)) AS s$d")
@@ -439,24 +459,32 @@ object SparkEntry {
          |  FROM a$t a JOIN e USING (vec_id) GROUP BY a.cell),
          |cent${t + 1} AS (SELECT c0.i, COALESCE(m.c, c0.c) AS c
          |  FROM cent$t c0 LEFT JOIN
-         |    (SELECT cell AS i, $meanList AS c FROM m$t) m USING (i)),""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c
+         |    (SELECT cell AS i, $meanList AS c FROM m$t) m USING (i))""".stripMargin
+    s"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c
        |  FROM e ORDER BY vec_id ASC LIMIT $nLists),
-       |${(0 until iters).map(iterCtes).mkString("\n")}
+       |${(0 until iters).map(iterCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private def annIvfTrainedOracle: String = {
+    val (nLists, iters) = (8, 2)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${ivfTrainCtes(nLists, iters)},
        |${annIvfTailSql(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")}""".stripMargin
   }
 
-  /** DuckDB mirror of `ProductQuantization.pqTopK()` — the ENTIRE pipeline
-    * replayed: per-subspace k-means (same quantized-mean portability trick
-    * as [[annIvfTrainedOracle]], same (distance ASC, code ASC) assignment
-    * tie-break), final encoding, ADC scoring through the trained
-    * codebooks, top-RerankDepth recall, exact-cosine rerank. Every double
-    * chain (+, left-assoc) mirrors the engine's reduceLeft order, so the
-    * ranking agrees bit-for-bit.
+  /** The PQ pipeline CTEs (per-subspace codebook training, encoding,
+    * codeword-norm lookups) plus the ADC scoring fragments that reference
+    * them — shared by the flat-PQ and IVF-PQ oracles.
+    * `ctes` defines `cb<TrainIters>_m`, `codes(vec_id, c0..cM-1)` and
+    * `rn_m(k, ns)`; `scoreSql` is the ADC score for query alias `qq` with
+    * codeword aliases `w<m>`; `nsSql` the reconstruction norm²; `cwJoins`
+    * the codeword/norm joins keyed on a codes alias `x`.
     */
-  private def annPqOracle: String = {
-    import graft.operators.ProductQuantization.{NumSubspaces => M, NumCodes => K, TrainIters, RerankDepth}
+  private case class PqSqlParts(
+      ctes: String, scoreSql: String, nsSql: String, cwJoins: String)
+
+  private def pqSqlParts: PqSqlParts = {
+    import graft.operators.ProductQuantization.{NumSubspaces => M, NumCodes => K, TrainIters}
     val q = graft.operators.ProductQuantization.MeanQuantum
     val sub = EmbDim / M
     def vIdx(m: Int, d: Int) = m * sub + d // 1-based SQL index of dim d (1..sub)
@@ -510,28 +538,69 @@ object SparkEntry {
     val cwJoins = (0 until M).map(m =>
       s"JOIN cb${TrainIters}_$m w$m ON w$m.k = x.c$m " +
         s"JOIN rn_$m w${m}ns ON w${m}ns.k = x.c$m").mkString(" ")
+    PqSqlParts(
+      s"""$seedCtes,
+         |$trainCtes,
+         |$encCtes,
+         |$codesCte,
+         |$rnormCtes""".stripMargin,
+      scoreSql, nsSql, cwJoins)
+  }
+
+  /** DuckDB mirror of `ProductQuantization.pqTopK()` — the ENTIRE pipeline
+    * replayed: per-subspace k-means (same quantized-mean portability trick
+    * as [[annIvfTrainedOracle]], same (distance ASC, code ASC) assignment
+    * tie-break), final encoding, exhaustive ADC scoring through the
+    * trained codebooks, top-RerankDepth recall, exact-cosine rerank. Every
+    * double chain (+, left-assoc) mirrors the engine's reduceLeft order,
+    * so the ranking agrees bit-for-bit.
+    */
+  private def annPqOracle: String = {
+    import graft.operators.ProductQuantization.RerankDepth
+    val p = pqSqlParts
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
-       |$seedCtes,
-       |$trainCtes,
-       |$encCtes,
-       |$codesCte,
-       |$rnormCtes,
+       |${p.ctes},
        |adc AS (SELECT qq.vec_id AS query_id, x.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY qq.vec_id
-       |      ORDER BY ($scoreSql) / (sqrt(${selfDotSql("qq.v")}) * sqrt($nsSql)) DESC,
+       |      ORDER BY (${p.scoreSql}) / (sqrt(${selfDotSql("qq.v")}) * sqrt(${p.nsSql})) DESC,
        |               x.vec_id ASC) AS rn
-       |  FROM e qq JOIN codes x ON qq.vec_id <> x.vec_id $cwJoins
+       |  FROM e qq JOIN codes x ON qq.vec_id <> x.vec_id ${p.cwJoins}
        |  WHERE qq.vec_id < 10),
        |cand AS (SELECT query_id, neighbor_id FROM adc WHERE rn <= $RerankDepth),
-       |ranked AS (SELECT cand.query_id, cand.neighbor_id,
-       |    row_number() OVER (PARTITION BY cand.query_id
-       |      ORDER BY ${dotSql("qv.v", "nv.v")}
-       |                 / (sqrt(${selfDotSql("qv.v")}) * sqrt(${selfDotSql("nv.v")})) DESC,
-       |               cand.neighbor_id ASC) AS rank
-       |  FROM cand JOIN e qv ON qv.vec_id = cand.query_id
-       |            JOIN e nv ON nv.vec_id = cand.neighbor_id)
-       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+       |$exactRerankSql""".stripMargin
+  }
+
+  /** DuckDB mirror of `ProductQuantization.ivfPqTopK()` — IVF-ADC, the
+    * composed production shape, with BOTH training loops replayed: the
+    * k-means centroid CTEs ([[ivfTrainCtes]], the exact loop of
+    * `ann_ivf_trained`) give every vector its one cell and every query its
+    * 3 probe cells; the PQ CTEs ([[pqSqlParts]], the exact loop of
+    * `ann_pq`) give every vector its codes; the ADC scan then scores ONLY
+    * (probe cell ∩ assigned cell) pairs — the candidate equi-join on cell
+    * id that replaces `ann_pq`'s exhaustive corpus×queries join — and the
+    * shared exact rerank finishes.
+    */
+  private def annIvfPqOracle: String = {
+    import graft.operators.ProductQuantization.{RerankDepth, IvfLists, IvfIters}
+    val p = pqSqlParts
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |${ivfTrainCtes(IvfLists, IvfIters)},
+       |${ivfProbeCtes(s"cent$IvfIters", s"sqrt(${selfDotSql("c.c")})")},
+       |${p.ctes},
+       |adc AS (SELECT pr.query_id, a.neighbor_id,
+       |    row_number() OVER (PARTITION BY pr.query_id
+       |      ORDER BY (${p.scoreSql}) / (sqrt(${selfDotSql("qq.v")}) * sqrt(${p.nsSql})) DESC,
+       |               a.neighbor_id ASC) AS rn
+       |  FROM probes pr
+       |    JOIN assigned a USING (cell)
+       |    JOIN e qq ON qq.vec_id = pr.query_id
+       |    JOIN codes x ON x.vec_id = a.neighbor_id
+       |    ${p.cwJoins}
+       |  WHERE a.neighbor_id <> pr.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM adc WHERE rn <= $RerankDepth),
+       |$exactRerankSql""".stripMargin
   }
 
   // mh(2i)/mh(2i+1) are the two independent 60-bit halves of digest i
@@ -1595,6 +1664,7 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_trained" -> annIvfTrainedOracle,
     "ann_pq" -> annPqOracle,
+    "ann_ivfpq" -> annIvfPqOracle,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5, 'fake/' || source AS format

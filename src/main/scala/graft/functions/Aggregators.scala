@@ -89,6 +89,63 @@ object Aggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Dyadic-histogram state for the fixed-universe quantile sketch
+    * ([[graft.operators.Sketches.quantileSketch]]): for every level
+    * `l ∈ [lMin, u]` count values by bucket `v >> l` — a complete binary
+    * tree over the universe `[0, 2^u)` truncated at resolution `2^lMin`.
+    * The buffer is ONE flat Long array of Σ_l 2^(u−l) = 2^(u−lMin+1) − 1
+    * counters (8191 at u=26, lMin=14 — 64 KB per group, fixed whatever
+    * the input size); merge is elementwise addition, so the state is
+    * order-independent and the finished (level, bucket, count) rows are
+    * bit-identical at any parallelism — the property that lets DuckDB
+    * replay every downstream rank/quantile answer exactly.
+    *
+    * Values outside the universe are clamped to its edges by the CALLER
+    * (documented contract — the clamp must be mirrored in the oracle).
+    */
+  class DyadicHistogram(lMin: Int, u: Int)
+      extends Aggregator[Long, Array[Long], Seq[(Int, Long, Long)]] {
+    private val nLevels = u - lMin + 1
+    /** offsets(i) = start of level (lMin + i) in the flat buffer. */
+    private val offsets: Array[Int] = {
+      val o = new Array[Int](nLevels)
+      var i = 1
+      while (i < nLevels) { o(i) = o(i - 1) + (1 << (u - (lMin + i - 1))); i += 1 }
+      o
+    }
+    private val size = offsets(nLevels - 1) + 1 // level u has one bucket
+
+    override def zero: Array[Long] = new Array[Long](size)
+
+    override def reduce(buf: Array[Long], v: Long): Array[Long] = {
+      var i = 0
+      while (i < nLevels) {
+        buf(offsets(i) + (v >> (lMin + i)).toInt) += 1L
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < size) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    /** Non-empty nodes as (level, bucket, count) rows. */
+    override def finish(buf: Array[Long]): Seq[(Int, Long, Long)] =
+      (0 until nLevels).flatMap { i =>
+        val w = 1 << (u - (lMin + i))
+        (0 until w).collect {
+          case b if buf(offsets(i) + b) != 0L =>
+            (lMin + i, b.toLong, buf(offsets(i) + b))
+        }
+      }
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Int, Long, Long)]] = ExpressionEncoder()
+  }
+
   object HllRegisters {
     /** JVM mirror of `HashFunctions.md5Long(c, seed)`: first 15 hex chars
       * of md5("seed:x") parsed base-16 — 60 bits, always non-negative.

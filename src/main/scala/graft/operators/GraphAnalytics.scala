@@ -70,7 +70,11 @@ object GraphAnalytics {
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
+    // Empty graph (e.g. an empty lake partition) is a legitimate input:
+    // return the empty (id, pr) frame with the right schema instead of
+    // throwing — same guard pattern as ProductQuantization's empty-seed
+    // early return.
+    if (n == 0) return nodes.withColumn("pr", lit(0L))
     val base = (DampDen - DampNum) * PrQ / (DampDen * n)
     var pr = nodes.withColumn("pr", lit(PrQ / n))
     for (_ <- 1 to iters) {

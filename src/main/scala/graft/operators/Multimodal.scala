@@ -36,14 +36,16 @@ object Multimodal {
 
   /** Extracted features. Modality-dependent fields are zero where they do
     * not apply: images fill (width, height, n_frames=1) with zero
-    * sample_rate/channels; audio fills (sample_rate, channels, n_frames)
-    * with zero width/height; the all-zero row is the explicit undecodable
-    * marker (every successful decode has at least one field >= 1).
+    * sample_rate/channels; audio fills (sample_rate, channels, n_frames,
+    * duration_ms) with zero width/height; video container headers fill
+    * (width, height, n_frames, duration_ms); the all-zero row is the
+    * explicit undecodable marker (every successful decode has at least one
+    * field >= 1).
     */
   case class MediaFeatures(
       doc_id: Long, n_bytes: Int, format: String,
       width: Int, height: Int, n_frames: Int,
-      sample_rate: Int, channels: Int)
+      sample_rate: Int, channels: Int, duration_ms: Long = 0L)
 
   /** Stand-in payload builder: encodes the documents' text as UTF-8 bytes
     * in a `binary` column (in production this column arrives already binary
@@ -55,14 +57,16 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("content"),
       concat(lit("fake/"), col("source")).as("format"))
 
-  /** STUB decode for video/unknown payloads: deterministic fake
-    * "dimensions" from the payload bytes. A video implementation calls the
-    * codec here (ffmpeg) on `m.content` — per partition, so per-executor
-    * native resources are initialized once per batch, not once per row.
+  /** STUB decode for unknown payloads (the testdata's `fake/` stand-ins):
+    * deterministic fake "dimensions" from the payload bytes. Video
+    * container HEADERS are parsed for real ([[decodeVideo]]); decoding
+    * frame pixels would call the codec here (ffmpeg) on `m.content` — per
+    * partition, so per-executor native resources are initialized once per
+    * batch, not once per row.
     */
   private def fakeDecode(m: MediaFile): MediaFeatures = {
     val n = m.content.length
-    // ??? real video codec goes here — fake: derive dims from byte stats
+    // ??? a real frame-pixel codec goes here — fake: dims from byte stats
     val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xFF))
     MediaFeatures(
       m.doc_id, n, m.format,
@@ -105,25 +109,173 @@ object Multimodal {
       try {
         val fmt = ais.getFormat
         val frames = math.min(math.max(ais.getFrameLength, 0L), Int.MaxValue.toLong).toInt
+        val rate = fmt.getSampleRate.toInt
         Some(MediaFeatures(m.doc_id, m.content.length, m.format,
           width = 0, height = 0, n_frames = frames,
-          sample_rate = fmt.getSampleRate.toInt, channels = fmt.getChannels))
+          sample_rate = rate, channels = fmt.getChannels,
+          duration_ms = if (rate > 0) frames.toLong * 1000L / rate else 0L))
       } finally ais.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
 
+  // --- video container-header parsing (pure-JDK byte walks; no codec) ---
+
+  /** Big-endian unsigned 32-bit read (as Long, so 2^31..2^32-1 survive). */
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+  /** Little-endian unsigned 32-bit read (RIFF/AVI byte order). */
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "ISO-8859-1")
+
+  /** ISO-BMFF (MP4/MOV) box walk over `[start, end)`: yields
+    * (type, payloadStart, payloadEnd) per well-formed box, stopping at the
+    * first corrupt size field (so truncated/garbage bytes parse to nothing
+    * instead of throwing).
+    */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var off = start
+      private var nextBox: (String, Int, Int) = advance()
+      private def advance(): (String, Int, Int) = {
+        if (off + 8 > end) return null
+        val size32 = be32(b, off)
+        val typ = fourcc(b, off + 4)
+        val (hdr, size) =
+          if (size32 == 1L && off + 16 <= end) (16L, be64(b, off + 8))
+          else if (size32 == 0L) (8L, (end - off).toLong) // box runs to end
+          else (8L, size32)
+        if (size < hdr || off + size > end) return null // corrupt size
+        val res = (typ, off + hdr.toInt, off + size.toInt)
+        off += size.toInt
+        res
+      }
+      def hasNext: Boolean = nextBox != null
+      def next(): (String, Int, Int) = {
+        val r = nextBox; nextBox = advance(); r
+      }
+    }
+
+  /** MP4/MOV container-header parse — `moov/mvhd` (timescale + duration →
+    * duration_ms) and the first video `moov/trak/tkhd` (16.16 fixed-point
+    * presentation width/height). Pure byte walking, handles version-0 and
+    * version-1 boxes and 64-bit box sizes. None when the bytes are not a
+    * plausible ISO-BMFF stream (no `ftyp`/`moov` top level).
+    */
+  private[operators] def parseMp4(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    val top = mp4Boxes(b, 0, b.length).toSeq
+    if (!top.exists(_._1 == "ftyp") && !top.exists(_._1 == "moov")) return None
+    top.find(_._1 == "moov").map { case (_, ms, me) =>
+      val kids = mp4Boxes(b, ms, me).toSeq
+      val durMs = kids.find(_._1 == "mvhd").map { case (_, p, pe) =>
+        if (pe - p < 20) 0L
+        else {
+          val v = b(p) & 0xFF
+          val (ts, dur) =
+            if (v == 1 && pe - p >= 32) (be32(b, p + 20), be64(b, p + 24))
+            else (be32(b, p + 12), be32(b, p + 16))
+          if (ts > 0) dur * 1000L / ts else 0L
+        }
+      }.getOrElse(0L)
+      val dims = kids.iterator.filter(_._1 == "trak").flatMap { case (_, ts, te) =>
+        mp4Boxes(b, ts, te).find(_._1 == "tkhd").flatMap { case (_, p, pe) =>
+          if (pe - p < 4) None
+          else {
+            val v = b(p) & 0xFF
+            val wOff = if (v == 1) p + 88 else p + 76 // 16.16 fixed point
+            if (pe - wOff < 8) None
+            else {
+              val (w, h) = ((be32(b, wOff) >> 16).toInt, (be32(b, wOff + 4) >> 16).toInt)
+              if (w > 0 && h > 0) Some((w, h)) else None // audio traks are 0×0
+            }
+          }
+        }
+      }.nextOption().getOrElse((0, 0))
+      (dims._1, dims._2, durMs)
+    }
+  }
+
+  /** RIFF/AVI chunk walk: yields (fourcc, listType-or-"", payloadStart,
+    * payloadEnd); chunks are word-aligned (odd sizes pad one byte).
+    */
+  private def riffChunks(b: Array[Byte], start: Int, end: Int): Iterator[(String, String, Int, Int)] =
+    new Iterator[(String, String, Int, Int)] {
+      private var off = start
+      private var nextChunk: (String, String, Int, Int) = advance()
+      private def advance(): (String, String, Int, Int) = {
+        if (off + 8 > end) return null
+        val cc = fourcc(b, off)
+        val size = le32(b, off + 4)
+        if (off + 8 + size > end) return null
+        val isList = cc == "LIST" || cc == "RIFF"
+        val listType = if (isList && size >= 4) fourcc(b, off + 8) else ""
+        val ps = if (isList) off + 12 else off + 8
+        val res = (cc, listType, ps, off + 8 + size.toInt)
+        off += 8 + size.toInt + (size.toInt & 1) // pad to even
+        res
+      }
+      def hasNext: Boolean = nextChunk != null
+      def next(): (String, String, Int, Int) = {
+        val r = nextChunk; nextChunk = advance(); r
+      }
+    }
+
+  /** AVI container-header parse — the `hdrl` list's `avih` main header:
+    * dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight. None when the
+    * bytes are not `RIFF....AVI `.
+    */
+  private[operators] def parseAvi(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    val inRiff = riffChunks(b, 12, math.min(b.length, 8 + le32(b, 4).toInt))
+    inRiff.collectFirst { case ("LIST", "hdrl", ps, pe) =>
+      riffChunks(b, ps, pe).collectFirst { case ("avih", _, ap, ae) if ae - ap >= 40 =>
+        val usPerFrame = le32(b, ap)
+        val frames = le32(b, ap + 16).toInt
+        val (w, h) = (le32(b, ap + 32).toInt, le32(b, ap + 36).toInt)
+        (w, h, frames, usPerFrame * frames / 1000L)
+      }
+    }.flatten
+  }
+
+  /** REAL video container-header decode (MP4/MOV `moov` boxes, AVI `avih`)
+    * — width/height/frame-count/duration from pure-JDK byte parsing of the
+    * container, no codec required (frame PIXELS still need one; that
+    * remains the documented seam). None when the bytes match neither
+    * container.
+    */
+  private def decodeVideo(m: MediaFile): Option[MediaFeatures] =
+    try {
+      parseMp4(m.content).map { case (w, h, durMs) =>
+        MediaFeatures(m.doc_id, m.content.length, m.format,
+          width = w, height = h, n_frames = 0,
+          sample_rate = 0, channels = 0, duration_ms = durMs)
+      }.orElse(parseAvi(m.content).map { case (w, h, frames, durMs) =>
+        MediaFeatures(m.doc_id, m.content.length, m.format,
+          width = w, height = h, n_frames = frames,
+          sample_rate = 0, channels = 0, duration_ms = durMs)
+      })
+    } catch { case _: IndexOutOfBoundsException => None }
+
   /** Per-row dispatch: `image/` formats → real [[decodeImage]], `audio/`
-    * formats → real [[decodeAudio]] (undecodable bytes → explicit all-zero
-    * marker, distinguishable from every real decode, which has some field
-    * >= 1); everything else → [[fakeDecode]] stub (video-only now).
+    * formats → real [[decodeAudio]], `video/` formats → real container-
+    * header [[decodeVideo]] (MP4/AVI; undecodable bytes → explicit
+    * all-zero marker, distinguishable from every real decode, which has
+    * some field >= 1); everything else — the testdata's `fake/` stand-ins
+    * and unknown formats — → [[fakeDecode]] stub.
     */
   private def decodeOne(m: MediaFile): MediaFeatures = {
     def marker = MediaFeatures(m.doc_id, m.content.length, m.format, 0, 0, 0, 0, 0)
     if (m.format == null) fakeDecode(m)
     else if (m.format.startsWith("image/")) decodeImage(m).getOrElse(marker)
     else if (m.format.startsWith("audio/")) decodeAudio(m).getOrElse(marker)
+    else if (m.format.startsWith("video/")) decodeVideo(m).getOrElse(marker)
     else fakeDecode(m)
   }
 

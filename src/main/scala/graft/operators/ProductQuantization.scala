@@ -141,19 +141,54 @@ object ProductQuantization {
     * This frame IS the compressed index — 8 small ints + 1 double per
     * vector.
     */
-  def encode(embeddings: DataFrame, cb: Codebooks): DataFrame = {
-    val subDim = cb.head.head.length
-    val codeCols = (0 until NumSubspaces)
+  private def codeColsOf(cb: Codebooks, subDim: Int): Seq[Column] =
+    (0 until NumSubspaces)
       .map(m => bestCode(subCol(m, subDim), cb(m)).as(s"code$m"))
-    val normSq = (0 until NumSubspaces).map { m =>
+
+  /** Σ_m |codeword(m, code_m)|² via per-subspace norm lookup arrays —
+    * the cached reconstruction norm of an encoded vector.
+    */
+  private def reconNormSqCol(cb: Codebooks): Column =
+    (0 until NumSubspaces).map { m =>
       val norms = cb(m).map(cw =>
         cw.map(c => c.toDouble * c.toDouble).reduceLeft(_ + _))
       element_at(array(norms.map(lit(_)): _*), col(s"code$m") + 1)
     }.reduceLeft(_ + _)
+
+  def encode(embeddings: DataFrame, cb: Codebooks): DataFrame = {
+    val subDim = cb.head.head.length
     embeddings.where(col("embedding").isNotNull)
-      .select(col("vec_id") +: codeCols: _*)
-      .withColumn("recon_norm_sq", normSq)
+      .select(col("vec_id") +: codeColsOf(cb, subDim): _*)
+      .withColumn("recon_norm_sq", reconNormSqCol(cb))
   }
+
+  /** Per-query ADC lookup tables: for subspace m an array over codes k of
+    * dot(q_m, codeword_k) — built once per query row, left-to-right like
+    * every other double chain here.
+    */
+  private def lutColsOf(cb: Codebooks, subDim: Int): Seq[Column] =
+    (0 until NumSubspaces).map { m =>
+      array(cb(m).map { cw =>
+        cw.zipWithIndex.map { case (c, d) =>
+          element_at(subCol(m, subDim), d + 1).cast("double") * lit(c.toDouble)
+        }.reduceLeft(_ + _)
+      }: _*).as(s"lut$m")
+    }
+
+  /** Exact query norm (full-precision side of the asymmetric distance). */
+  private def qNormCol(dim: Int): Column =
+    sqrt((0 until dim).map { d =>
+      val x = element_at(col("embedding"), d + 1).cast("double")
+      x * x
+    }.reduceLeft(_ + _))
+
+  /** The ADC score: M lookups into the per-query tables, summed
+    * left-associatively over subspaces.
+    */
+  private def adcScoreCol: Column =
+    (0 until NumSubspaces)
+      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
+      .reduceLeft(_ + _)
 
   /** ADC ranking: queries (vec_id < nQueries, full precision) precompute
     * their M×K dot-product lookup arrays once; the exhaustive scan over
@@ -165,32 +200,38 @@ object ProductQuantization {
   def adcTopK(embeddings: DataFrame, cb: Codebooks, k: Int, nQueries: Int): DataFrame = {
     val subDim = cb.head.head.length
     val codes = encode(embeddings, cb)
-    // per-query LUT: for subspace m an array over codes k of dot(q_m, cw)
-    val lutCols = (0 until NumSubspaces).map { m =>
-      array(cb(m).map { cw =>
-        cw.zipWithIndex.map { case (c, d) =>
-          element_at(subCol(m, subDim), d + 1).cast("double") * lit(c.toDouble)
-        }.reduceLeft(_ + _)
-      }: _*).as(s"lut$m")
-    }
-    val qNorm = sqrt((0 until NumSubspaces * subDim).map { d =>
-      val x = element_at(col("embedding"), d + 1).cast("double")
-      x * x
-    }.reduceLeft(_ + _))
     val queries = embeddings
       .where(col("embedding").isNotNull && col("vec_id") < nQueries)
-      .select(Seq(col("vec_id").as("query_id"), qNorm.as("q_norm")) ++ lutCols: _*)
-    val score = (0 until NumSubspaces)
-      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
-      .reduceLeft(_ + _)
+      .select(Seq(col("vec_id").as("query_id"),
+        qNormCol(NumSubspaces * subDim).as("q_norm")) ++ lutColsOf(cb, subDim): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("vec_id").asc)
     codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("approx_cos", score / (col("q_norm") * sqrt(col("recon_norm_sq"))))
+      .withColumn("approx_cos", adcScoreCol / (col("q_norm") * sqrt(col("recon_norm_sq"))))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Exact-cosine rerank of (query_id, neighbor_id) candidate pairs to the
+    * final top k — shared tail of the flat-PQ and IVF-PQ paths; exact math
+    * touches only queries×depth rows.
+    */
+  private def exactRerank(cand: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.where(col("embedding").isNotNull)
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val cos = Similarity.dot(col("qv"), col("nv")) /
+      (sqrt(Similarity.dot(col("qv"), col("qv"))) * sqrt(Similarity.dot(col("nv"), col("nv"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
   }
 
   /** PQ ANN, production shape: ADC over the compressed codes recalls the
@@ -213,18 +254,66 @@ object ProductQuantization {
     if (rerankDepth <= 0) return adcTopK(embeddings, cb, k, nQueries)
     val cand = adcTopK(embeddings, cb, rerankDepth, nQueries)
       .select("query_id", "neighbor_id")
-    val e = embeddings.where(col("embedding").isNotNull)
-    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
-    val cos = Similarity.dot(col("qv"), col("nv")) /
-      (sqrt(Similarity.dot(col("qv"), col("qv"))) * sqrt(Similarity.dot(col("nv"), col("nv"))))
+    exactRerank(cand, embeddings, k)
+  }
+
+  /** IVF nProbe dial for the composed index (same as `Similarity.ivfTopK`). */
+  val IvfProbe = 3
+  val IvfLists = 8
+  val IvfIters = 2
+
+  /** IVF-ADC (IVF-PQ): the production 100-TB ANN shape — BOTH scale levers
+    * at once. The IVF side prunes candidates (each query touches only its
+    * `nProbe` nearest cells, not the corpus); the PQ side compresses what
+    * remains (the probed cells are scanned as 8-byte codes via the same
+    * ADC lookup tables as [[adcTopK]], never as float vectors). Exact math
+    * is confined to the final rerank of `rerankDepth` candidates per
+    * query. Versus the flat ADC scan this replaces the one deliberately
+    * exhaustive corpus×queries join in the suite with a keyed equi-join on
+    * cell id; versus `ivfTopK` the probed cells stream as codes, not
+    * floats.
+    *
+    * Determinism: IVF centroids come from [[Similarity.trainedCentroids]]
+    * (quantized-mean portable k-means, cells tie-broken (cos DESC, id
+    * DESC)) and codebooks from [[trainCodebooks]] (same trick per
+    * subspace, codes tie-broken (L2 ASC, code ASC)); both training loops,
+    * the cell probe, the restricted ADC scan, and the rerank are replayed
+    * bit-for-bit by the `ann_ivfpq` oracle.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nLists: Int = IvfLists, nProbe: Int = IvfProbe, ivfIters: Int = IvfIters,
+      rerankDepth: Int = RerankDepth): DataFrame = {
+    val cents = Similarity.trainedCentroids(embeddings, nLists, ivfIters)
+    val cb = trainCodebooks(embeddings)
+    if (cents.isEmpty || cb.head.isEmpty)
+      return embeddings.where(lit(false)).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank"))
+    val subDim = cb.head.head.length
+    // the compressed index: cell id + M codes + cached reconstruction norm²
+    // per vector — ONE scan builds all of it (cell assignment and code
+    // assignment side by side), nothing full-precision survives it
+    val indexed = graft.Parallelism.ensure(embeddings.where(col("embedding").isNotNull))
+      .select(Seq(col("vec_id"),
+        Similarity.bestCellOf(cents)(col("embedding")).as("cell")) ++
+        codeColsOf(cb, subDim): _*)
+      .withColumn("recon_norm_sq", reconNormSqCol(cb))
+    val queries = embeddings
+      .where(col("embedding").isNotNull && col("vec_id") < nQueries)
+      .select(Seq(col("vec_id").as("query_id"),
+        qNormCol(NumSubspaces * subDim).as("q_norm"),
+        explode(Similarity.probeCellsOf(cents, nProbe)(col("embedding"))).as("cell")) ++
+        lutColsOf(cb, subDim): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.join(q, "query_id").join(n, "neighbor_id")
-      .withColumn("cos", cos)
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val cand = indexed.join(broadcast(queries), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cos", adcScoreCol / (col("q_norm") * sqrt(col("recon_norm_sq"))))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+      .where(col("rank") <= rerankDepth)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    exactRerank(cand, embeddings, k)
   }
 }

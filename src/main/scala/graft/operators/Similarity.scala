@@ -332,10 +332,10 @@ object Similarity {
     * per-centroid literal-array struct form this replaced did. Cell choice
     * is (cosine DESC, cell-id DESC), bit-equal to the oracle.
     */
-  private def bestCellOf(centroids: Array[(Int, Array[Float])])(v: Column): Column =
+  private[graft] def bestCellOf(centroids: Array[(Int, Array[Float])])(v: Column): Column =
     element_at(
       graft.functions.VectorExpressions.centroidProbes(v, centroids.map(_._2), 1), 1)
-  private def probeCellsOf(
+  private[graft] def probeCellsOf(
       centroids: Array[(Int, Array[Float])], nProbe: Int)(v: Column): Column =
     graft.functions.VectorExpressions.centroidProbes(v, centroids.map(_._2), nProbe)
 

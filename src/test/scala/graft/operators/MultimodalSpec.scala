@@ -75,6 +75,59 @@ class MultimodalSpec extends SparkSpec {
     assert((got(3L).sample_rate, got(3L).channels, got(3L).n_frames) === ((0, 0, 0)))
   }
 
+  test("real video container-header decode: synthesized MP4 and AVI yield true dims/duration") {
+    import spark.implicits._
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def le32(v: Long): Array[Byte] = be32(v).reverse
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ cc(typ) ++ payload
+    // mvhd v0: version/flags(4) created(4) modified(4) timescale(4) duration(4) + trailer
+    def mvhd(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", Array.fill[Byte](12)(0) ++ be32(timescale) ++ be32(duration) ++
+        Array.fill[Byte](80)(0))
+    // tkhd v0: width/height as 16.16 fixed point at payload offsets 76/80
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      box("tkhd", Array.fill[Byte](76)(0) ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val mp4 = box("ftyp", cc("isom") ++ be32(0)) ++
+      box("moov", mvhd(1000, 7500) ++ box("trak", tkhd(640, 360)))
+    // avih: usPerFrame @0, totalFrames @16, width @32, height @36 (40 bytes)
+    val avih = cc("avih") ++ le32(40) ++
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(90) ++ le32(0) ++
+      le32(1) ++ le32(0) ++ le32(320) ++ le32(240)
+    val hdrl = cc("LIST") ++ le32(4L + avih.length) ++ cc("hdrl") ++ avih
+    val avi = cc("RIFF") ++ le32(4L + hdrl.length) ++ cc("AVI ") ++ hdrl
+    val media = Seq(
+      Multimodal.MediaFile(1L, mp4, "video/mp4"),
+      Multimodal.MediaFile(2L, avi, "video/x-msvideo"),
+      Multimodal.MediaFile(3L, Array[Byte](5, 5, 5, 5), "video/mp4") // corrupt
+    ).toDS()
+    val got = Multimodal.decode(media).collect().map(f => f.doc_id -> f).toMap
+    // MP4: tkhd 16.16 dims, mvhd duration 7500/1000 s = 7500 ms
+    assert((got(1L).width, got(1L).height, got(1L).duration_ms) === ((640, 360, 7500L)))
+    // AVI: avih dims, 90 frames at 33333 us/frame = 2999 ms
+    assert((got(2L).width, got(2L).height, got(2L).n_frames, got(2L).duration_ms) ===
+      ((320, 240, 90, 2999L)))
+    // undecodable video bytes -> explicit all-zero marker, like images/audio
+    assert((got(3L).width, got(3L).height, got(3L).n_frames, got(3L).duration_ms) ===
+      ((0, 0, 0, 0L)))
+  }
+
+  test("video parsers refuse hostile/truncated containers without throwing") {
+    // direct unit coverage of the byte walkers: truncated boxes, lying
+    // sizes, zero-size boxes, empty arrays
+    assert(Multimodal.parseMp4(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseAvi(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseMp4("RIFFgarbage not mp4 at all".getBytes).isEmpty)
+    assert(Multimodal.parseAvi("RIFFxxxxNOTA".getBytes).isEmpty)
+    // a box claiming a size far beyond the buffer must parse to nothing
+    val lying = Array[Byte](0x7F, -1, -1, -1) ++ "moov".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](16)(0)
+    assert(Multimodal.parseMp4(lying).isEmpty)
+  }
+
   test("real image resize: scaled PNG re-decodes at the target dimensions") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(
