@@ -67,6 +67,19 @@ object SparkEntry {
       Relational.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q22_dormant_rich" -> ((s, dir) =>
       Relational.dormantRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // EXISTS + NOT EXISTS on the same fact with an inequality residual —
+    // two keyed semi/anti self-joins, the hardest standard decorrelation.
+    "q21_waiting_supplier" -> ((s, dir) =>
+      Relational.waitingSuppliers(
+        Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Aggregate view consumed twice (global max + selection) — q15 shape.
+    "q15_top_supplier" -> ((s, dir) =>
+      Relational.topRevenueSupplier(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // Correlated MIN across a join (region-restricted offers) — q2 shape.
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      Relational.minCostSuppliers(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.supplier(s, dir),
+        Tables.part(s, dir), Tables.lineitem(s, dir))),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctCustomers(Tables.orders(s, dir))),
     "q_correlated_min" -> ((s, dir) =>
       Relational.cheapestOrderPerCustomer(s, Tables.orders(s, dir))),
@@ -106,6 +119,9 @@ object SparkEntry {
     // (ObjectHashAggregate path) — identical frame, shared oracle.
     "q_hll_vocab_agg" -> ((s, dir) => Sketches.hllVocabByLangUdaf(Tables.documents(s, dir))),
     "q_countmin_probe" -> ((s, dir) => Sketches.countMinProbe(Tables.documents(s, dir))),
+    // Mergeable fixed-universe dyadic quantile sketch (typed-Aggregator
+    // state, order-independent) — rank + quantile answers hash-replayed.
+    "q_quantile_sketch" -> ((s, dir) => Sketches.quantileSketch(Tables.orders(s, dir))),
     // --- events: JSON, time buckets, sessionization (build plan M4/M5) ---
     "q_events_json" -> ((s, dir) => EventAnalytics.perTypeStats(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) => EventAnalytics.hourlyStats(Tables.events(s, dir))),
@@ -603,6 +619,50 @@ object SparkEntry {
        |$exactRerankSql""".stripMargin
   }
 
+  /** DuckDB mirror of `Sketches.quantileSketch` — the dyadic node build
+    * (one (level, bucket) count per kept level), the per-probe canonical
+    * prefix decompositions (node lists generated by the same
+    * [[graft.operators.Sketches.prefixNodes]] and embedded as literals —
+    * the hyperplane pattern), the cumulative-sum quantile extraction with
+    * the integer ceil target (pct·n+99)//100, and the exact-rank /
+    * exact-value columns. All integers; hash-exact.
+    */
+  private def quantileSketchOracle: String = {
+    import graft.operators.Sketches._
+    val decompVals = QsProbeCents.flatMap(p =>
+      prefixNodes(p).map { case (l, b) =>
+        s"(CAST($p AS BIGINT), $l, CAST($b AS BIGINT))"
+      }).mkString(", ")
+    val res = 1L << QsLMin
+    s"""WITH cents AS (SELECT least(CAST(round(o_totalprice * 100) AS BIGINT), $QsMax) AS c
+       |  FROM orders),
+       |lv AS (SELECT unnest(range($QsLMin, ${QsU + 1})) AS l),
+       |nodes AS (SELECT l, c >> l AS b, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cents CROSS JOIN lv GROUP BY l, c >> l),
+       |decomp AS (SELECT * FROM (VALUES $decompVals) AS d(key, l, b)),
+       |ranks AS (SELECT d.key, CAST(COALESCE(sum(n.cnt), 0) AS BIGINT) AS est
+       |  FROM decomp d LEFT JOIN nodes n ON n.l = d.l AND n.b = d.b GROUP BY d.key),
+       |exact_ranks AS (SELECT p.key,
+       |    CAST(count(*) FILTER (WHERE s.c < p.key) AS BIGINT) AS exact
+       |  FROM (SELECT DISTINCT key FROM decomp) p CROSS JOIN cents s GROUP BY p.key),
+       |rank_rows AS (SELECT 'rank' AS kind, r.key, r.est, e.exact
+       |  FROM ranks r JOIN exact_ranks e USING (key)),
+       |nt AS (SELECT cnt AS n FROM nodes WHERE l = $QsU AND b = 0),
+       |cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum FROM nodes WHERE l = $QsLMin),
+       |targets AS (SELECT unnest([${QsTargetPct.mkString(", ")}]) AS pct),
+       |qb AS (SELECT t.pct,
+       |    min(CASE WHEN cu.cum >= (t.pct * nt.n + 99) // 100 THEN cu.b END) AS qb
+       |  FROM targets t CROSS JOIN nt CROSS JOIN cum cu GROUP BY t.pct),
+       |rc AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM cents),
+       |eq AS (SELECT t.pct,
+       |    min(CASE WHEN rc.rn = (t.pct * nt.n + 99) // 100 THEN rc.c END) AS exact
+       |  FROM targets t CROSS JOIN nt CROSS JOIN rc GROUP BY t.pct),
+       |quant_rows AS (SELECT 'quantile' AS kind, CAST(q.pct AS BIGINT) AS key,
+       |    CAST(q.qb * $res AS BIGINT) AS est, e.exact FROM qb q JOIN eq e USING (pct))
+       |SELECT kind, CAST(key AS BIGINT) AS key, est, exact FROM rank_rows
+       |UNION ALL SELECT kind, key, est, exact FROM quant_rows""".stripMargin
+  }
+
   // mh(2i)/mh(2i+1) are the two independent 60-bit halves of digest i
   // (hex chars [1,15] and [17,31]) — mirrors HashFunctions.md5LongHalves
   private val minhashCols = (0 until Dedup.NumHashes)
@@ -793,6 +853,60 @@ object SparkEntry {
         |FROM orders o
         |WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    // EXISTS + NOT EXISTS over the same fact with the suppkey inequality —
+    // written as the textbook correlated form here; the engine runs the
+    // decorrelated semi/anti joins. Lateness in exact epoch micros.
+    "q21_waiting_supplier" ->
+      s"""WITH late AS (
+         |  SELECT l.l_orderkey, l.l_suppkey
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_orderstatus = 'F'
+         |    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+         |      + ${Relational.WaitingLateDays.toLong * 86400000000L})
+         |SELECT s.s_name, count(*) AS numwait
+         |FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+         |WHERE EXISTS (SELECT 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM late l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey)
+         |GROUP BY s.s_name
+         |ORDER BY numwait DESC, s.s_name ASC LIMIT 100""".stripMargin,
+    // Aggregate view + global-max scalar subquery; revenue compared in
+    // exact integer units, divided to dollars only in the projection.
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_units
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '${Relational.TopRevStart}'
+         |    AND l_shipdate < TIMESTAMP '${Relational.TopRevEnd}'
+         |  GROUP BY l_suppkey)
+         |SELECT s.s_suppkey, s.s_name, CAST(r.rev_units AS DOUBLE) / 10000.0 AS total_revenue
+         |FROM revenue r JOIN supplier s ON r.supplier_no = s.s_suppkey
+         |WHERE r.rev_units = (SELECT max(rev_units) FROM revenue)""".stripMargin,
+    // Correlated MIN across the region-restricted offer join; the per-unit
+    // cost is ONE double division of two exact integers, so the min and
+    // the equality probe agree bit-for-bit.
+    "q2_min_cost_supplier" ->
+      s"""WITH regsup AS (
+         |  SELECT s.s_suppkey, s.s_name, n.n_name
+         |  FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+         |                JOIN supplier s ON n.n_nationkey = s.s_nationkey
+         |  WHERE r.r_name = '${Relational.MinCostRegion}'),
+         |offers AS (
+         |  SELECT p.p_partkey, rs.s_suppkey, rs.s_name, rs.n_name,
+         |    CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(round(l.l_quantity * 100) AS BIGINT) AS DOUBLE) AS unit_cost
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size = ${Relational.MinCostSize}
+         |  JOIN regsup rs ON l.l_suppkey = rs.s_suppkey)
+         |SELECT DISTINCT o.p_partkey, o.s_suppkey, o.s_name, o.n_name, o.unit_cost
+         |FROM offers o
+         |WHERE o.unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+         |                     WHERE o2.p_partkey = o.p_partkey)""".stripMargin,
     // lag/lead/ntile/cume_dist share one total-ordered window; cume_dist
     // is rank/n — a double division of exact ints, portable.
     "q_window_profile" ->
@@ -1142,6 +1256,7 @@ object SparkEntry {
     // both registrations.
     "q_hll_vocab" -> hllVocabOracle,
     "q_hll_vocab_agg" -> hllVocabOracle,
+    "q_quantile_sketch" -> quantileSketchOracle,
     // Count-min: counters are exact integer sums per (row, bucket); the
     // point estimate is a min over 4 rows. Per-row seeds mirror
     // md5Long(tok, CmsSeedBase + row).

@@ -296,6 +296,130 @@ object Relational {
         (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("total_bal"))
   }
 
+  /** Lateness threshold (days) for [[waitingSuppliers]], interpolated into
+    * the oracle. This schema has no commit/receipt dates, so "late" =
+    * shipped more than this many days after the order date (the same
+    * lateness axis as [[latePriorityOrders]]).
+    */
+  val WaitingLateDays = 90
+
+  /** TPC-H Q21-style waiting suppliers — the hardest standard
+    * decorrelation shape: EXISTS and NOT EXISTS against the SAME fact
+    * table with an inequality conjunct. For 'F'-status orders, count per
+    * supplier the late lineitems on orders where ANOTHER supplier also
+    * shipped (EXISTS → LEFT SEMI on orderkey with a `suppkey <>` residual)
+    * and where NO other supplier was late (NOT EXISTS → LEFT ANTI on
+    * orderkey with the same residual, probing the already-restricted late
+    * set). Both sub-joins are hash joins keyed on l_orderkey with the
+    * inequality evaluated as a residual condition — never a BNLJ
+    * (PlanSpec's suite-wide lock covers this query too). The supplier dim
+    * broadcasts; top-100 by (numwait DESC, s_name ASC) runs as
+    * TakeOrderedAndProject.
+    *
+    * Lateness compares exact epoch micros, so the qualifying set is
+    * bit-identical across engines.
+    */
+  def waitingSuppliers(
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      lateDays: Int = WaitingLateDays): DataFrame = {
+    val lateUs = lit(lateDays.toLong * 86400000000L)
+    val fOrders = orders.where(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    // late lineitems of 'F' orders — both the counted set and the NOT
+    // EXISTS probe set (l3 shares l1's order, so its order is 'F' too)
+    val late = lineitem
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .where(unix_micros(col("l_shipdate").cast("timestamp")) >
+        unix_micros(col("o_orderdate").cast("timestamp")) + lateUs)
+      .select("l_orderkey", "l_suppkey")
+      .localCheckpoint() // probed twice (count side + anti side): one build
+    val withOther = late.join(
+      lineitem.select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey")),
+      col("l_orderkey") === col("x_orderkey") && col("l_suppkey") =!= col("x_suppkey"),
+      "left_semi")
+    val waiting = withOther.join(
+      late.select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey")),
+      col("l_orderkey") === col("y_orderkey") && col("l_suppkey") =!= col("y_suppkey"),
+      "left_anti")
+    waiting
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(100)
+  }
+
+  /** Revenue window for [[topRevenueSupplier]], interpolated into the
+    * oracle.
+    */
+  val TopRevStart = "1996-01-01"
+  val TopRevEnd = "1996-04-01"
+
+  /** TPC-H Q15-style top supplier: an aggregate view (per-supplier revenue
+    * over a 3-month ship window) consumed twice — once for the global MAX
+    * scalar, once to select the supplier(s) achieving it. The view is
+    * computed ONCE and localCheckpointed; the max is a 1-row broadcast
+    * (the n_docs pattern) compared in exact integer revenue units, so the
+    * qualifying supplier set is bit-identical across engines. The supplier
+    * dim broadcasts into the final lookup.
+    */
+  def topRevenueSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .where(
+        col("l_shipdate") >= to_timestamp(lit(TopRevStart)) &&
+          col("l_shipdate") < to_timestamp(lit(TopRevEnd)))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(discPriceUnits).as("rev_units"))
+      .localCheckpoint() // one scan feeds both the max and the filter
+    val maxRev = rev.agg(max("rev_units").as("max_units"))
+    rev.crossJoin(broadcast(maxRev))
+      .where(col("rev_units") === col("max_units"))
+      .join(broadcast(supplier), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_units").cast("double") / 10000.0).as("total_revenue"))
+  }
+
+  /** Region/size dials for [[minCostSuppliers]], interpolated into the
+    * oracle.
+    */
+  val MinCostRegion = "EUROPE"
+  val MinCostSize = 15
+
+  /** TPC-H Q2-style minimum-cost supplier: a correlated MIN across a JOIN.
+    * This schema has no partsupp, so the "supply cost" of (part, supplier)
+    * offers is the per-unit price of the supplier's lineitems for that
+    * part (exact-integer cents ratio — ONE double division of two exact
+    * integers, bit-portable), restricted to suppliers of one region and
+    * parts of one size. The correlated `cost = (SELECT min(cost) ...)`
+    * decorrelates to a per-part MIN aggregate joined back on
+    * (partkey, cost-equality residual). The region→nation→supplier chain
+    * and the sized part slice all broadcast; only lineitem scans at scale.
+    */
+  def minCostSuppliers(
+      region: DataFrame, nation: DataFrame, supplier: DataFrame,
+      part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val regSup = broadcast(
+      region.where(col("r_name") === MinCostRegion)
+        .join(nation, col("r_regionkey") === col("n_regionkey"))
+        .join(supplier, col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name")))
+    val offers = lineitem
+      .join(broadcast(part.where(col("p_size") === MinCostSize).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(regSup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"),
+        (cents(col("l_extendedprice")).cast("double") /
+          cents(col("l_quantity")).cast("double")).as("unit_cost"))
+      .localCheckpoint() // consumed by the min view and the equality probe
+    val mins = offers.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    offers
+      .join(mins,
+        col("p_partkey") === col("m_partkey") && col("unit_cost") === col("min_cost"))
+      .select("p_partkey", "s_suppkey", "s_name", "n_name", "unit_cost")
+      .distinct()
+  }
+
   /** Latest-wins CDC upsert — the batch MERGE INTO shape: apply the order
     * stream as a change log onto the customer dimension. Each matched
     * customer is "updated" with their latest order's attributes (latest =

@@ -163,6 +163,142 @@ object Sketches {
         coalesce(col("exact_count"), lit(0L)).as("exact_count"))
   }
 
+  // ---- Dyadic quantile sketch ----------------------------------------
+
+  /** Universe bits: order totalprice in integer cents < 2^26 (~$671k —
+    * comfortably above TPC-H's ~$555k max; larger values clamp to the top
+    * bucket, mirrored in the oracle).
+    */
+  val QsU = 26
+  /** Per-level bucket budget: 2^B buckets at the finest kept level. */
+  val QsB = 12
+  /** Finest level kept — value resolution 2^QsLMin cents ($163.84). */
+  val QsLMin: Int = QsU - QsB
+  val QsMax: Long = (1L << QsU) - 1
+  /** Rank probes (cents): $5k, $20k, $50k, $100k, $200k, $400k. */
+  val QsProbeCents: Seq[Long] =
+    Seq(500000L, 2000000L, 5000000L, 10000000L, 20000000L, 40000000L)
+  /** Quantile targets (percent). */
+  val QsTargetPct: Seq[Int] = Seq(25, 50, 75, 90, 99)
+
+  /** Canonical dyadic decomposition of the prefix `[0, trunc(x))` (x
+    * truncated down to the 2^QsLMin resolution): one node per set bit j of
+    * `x >> QsLMin` — level `QsLMin + j`, bucket `2·(x >> QsLMin >> (j+1))`
+    * — at most QsB nodes whatever the probe. `private[graft]` so the
+    * SparkEntry oracle mirrors the same node lists as SQL literals (the
+    * hyperplane pattern).
+    */
+  private[graft] def prefixNodes(x: Long): Seq[(Int, Long)] = {
+    val xx = x >> QsLMin
+    (0 until QsB).flatMap { j =>
+      if (((xx >> j) & 1L) == 1L) Some((QsLMin + j, 2L * (xx >> (j + 1))))
+      else None
+    }
+  }
+
+  /** Fixed-universe dyadic quantile sketch over order totalprice (integer
+    * cents, universe [0, 2^QsU)): counts per (level, bucket) for levels
+    * QsLMin..QsU — a truncated complete binary tree whose state is ≤
+    * 2^(QsB+1)−1 integer counters REGARDLESS of input size, merged by
+    * elementwise addition (the typed [[graft.functions.Aggregators.DyadicHistogram]]
+    * UDAF riding ObjectHashAggregate with map-side partial merge). Unlike
+    * `percentile_approx` (whose result depends on merge order), every
+    * output bit here is order-independent, so the whole query — sketch
+    * build, rank answers, quantile answers — hash-matches the DuckDB
+    * replay.
+    *
+    * Output rows (kind, key, est, exact):
+    *  - kind='rank': key = probe cents; est = the sketch's rank answer
+    *    (Σ counts over the probe's ≤ QsB canonical prefix nodes — the
+    *    dyadic decomposition that makes range counts O(log U) lookups at
+    *    serving time); exact = true `count(c < probe)` from the same scan.
+    *    Contract: est is EXACTLY the rank of the probe truncated to the
+    *    2^QsLMin resolution, so 0 ≤ exact − est ≤ population of the
+    *    probe's finest bucket (SketchSpec asserts both).
+    *  - kind='quantile': key = target percent; est = lower bound (cents)
+    *    of the finest-level bucket containing the target rank
+    *    ceil(pct·n/100) — cumulative-sum extraction over ≤ 2^QsB buckets;
+    *    exact = the true value at that rank. Contract:
+    *    est ≤ exact < est + 2^QsLMin.
+    *
+    * Scale shape: ONE scan builds the sketch (map-side-combined fixed
+    * state); the exact columns ride two more scans (a conditional agg and
+    * a global-sort window — the error-visibility side, same role as
+    * `exact_distinct` in the HLL query, droppable at 100 TB where the
+    * sketch IS the answer). The rank probe join broadcasts the ≤ 8191-row
+    * node frame; nothing corpus-sized shuffles.
+    */
+  def quantileSketch(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = graft.Parallelism.ensure(orders)
+      .select(least(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        lit(QsMax)).as("c"))
+      .localCheckpoint()
+    val dy = udaf(new graft.functions.Aggregators.DyadicHistogram(QsLMin, QsU),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val nodes = cents.agg(dy(col("c")).as("ns"))
+      .select(explode(col("ns")).as("n"))
+      .select(col("n._1").as("l"), col("n._2").as("b"), col("n._3").as("cnt"))
+      .localCheckpoint()
+    // rank probes: decomposition nodes are per-probe literals; the ≤
+    // 8191-row node frame broadcasts into the equi-join
+    val decomp = QsProbeCents
+      .flatMap(p => prefixNodes(p).map { case (l, b) => (p, l, b) })
+      .toDF("key", "l", "b")
+    val ranks = decomp.join(broadcast(nodes), Seq("l", "b"), "left")
+      .groupBy("key")
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exactRanks = cents
+      .agg(
+        sum(when(col("c") < QsProbeCents.head, 1L).otherwise(0L)).as(s"er_${QsProbeCents.head}"),
+        QsProbeCents.tail.map(p =>
+          sum(when(col("c") < p, 1L).otherwise(0L)).as(s"er_$p")): _*)
+      .select(expr(
+        s"stack(${QsProbeCents.size}, " +
+          QsProbeCents.map(p => s"CAST($p AS BIGINT), er_$p").mkString(", ") +
+          ") AS (key, exact)"))
+    val rankRows = ranks.join(exactRanks, "key")
+      .select(lit("rank").as("kind"), col("key"), col("est"), col("exact"))
+    // quantiles: cumulative counts over the ≤ 2^QsB finest-level buckets;
+    // n comes from the root node (level QsU bucket 0 covers the universe)
+    val nTotal = nodes.where(col("l") === QsU && col("b") === 0)
+      .select(col("cnt").as("n"))
+    val cum = nodes.where(col("l") === QsLMin)
+      .withColumn("cum", sum("cnt").over(Window.orderBy("b")))
+      .crossJoin(broadcast(nTotal))
+    val qAgg = cum.agg(
+      min(when(col("cum") >= expr(s"(${QsTargetPct.head} * n + 99) div 100"), col("b")))
+        .as(s"qb_${QsTargetPct.head}"),
+      QsTargetPct.tail.map(pct =>
+        min(when(col("cum") >= expr(s"($pct * n + 99) div 100"), col("b")))
+          .as(s"qb_$pct")): _*)
+      .select(expr(
+        s"stack(${QsTargetPct.size}, " +
+          QsTargetPct.map(pct =>
+            s"CAST($pct AS BIGINT), qb_$pct * CAST(${1L << QsLMin} AS BIGINT)")
+            .mkString(", ") +
+          ") AS (key, est)"))
+    // exact quantile values: the global-sort window is the documented
+    // error-visibility side (single-partition sort of the cents column)
+    val rc = cents.crossJoin(broadcast(nTotal))
+      .withColumn("rn", row_number().over(Window.orderBy("c")))
+    val eqAgg = rc.agg(
+      min(when(col("rn") === expr(s"(${QsTargetPct.head} * n + 99) div 100"), col("c")))
+        .as(s"eq_${QsTargetPct.head}"),
+      QsTargetPct.tail.map(pct =>
+        min(when(col("rn") === expr(s"($pct * n + 99) div 100"), col("c")))
+          .as(s"eq_$pct")): _*)
+      .select(expr(
+        s"stack(${QsTargetPct.size}, " +
+          QsTargetPct.map(pct => s"CAST($pct AS BIGINT), eq_$pct").mkString(", ") +
+          ") AS (key, exact)"))
+    val quantRows = qAgg.join(eqAgg, "key")
+      .select(lit("quantile").as("kind"), col("key"), col("est"), col("exact"))
+    rankRows.unionByName(quantRows)
+  }
+
   /** Per-source table digest: an order-independent XOR fold of canonical
     * row hashes plus a row count — the 8-bytes-per-group integrity
     * checksum that lets two copies of a 100 TB table (a migration, a

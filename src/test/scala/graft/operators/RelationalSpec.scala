@@ -185,6 +185,77 @@ class RelationalSpec extends SparkSpec {
     assert(r.getLong(1) === 1L)
   }
 
+  test("waitingSuppliers equals the brute-force EXISTS/NOT-EXISTS evaluation") {
+    import spark.implicits._
+    // deterministic fixture: 6 orders x up to 3 suppliers, lateness varied;
+    // the brute-force reference evaluates the two correlated predicates
+    // literally over the collected rows
+    val rnd = new scala.util.Random(7)
+    val supplier = (1L to 4L).map(k => (k, s"S#$k")).toDF("s_suppkey", "s_name")
+    val orders = (1L to 12L).map { k =>
+      (k, if (k % 3 == 0) "O" else "F", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val liRows = (1L to 12L).flatMap { ok =>
+      (1L to (1 + rnd.nextInt(3))).map { sk =>
+        val daysAfter = rnd.nextInt(200) // late iff > WaitingLateDays (90)
+        (ok, sk, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(daysAfter)
+            .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))))
+      }
+    }
+    val li = liRows.toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    // brute force
+    val fOrders = (1L to 12L).filter(_ % 3 != 0).toSet
+    def lateRow(r: (Long, Long, java.sql.Timestamp)): Boolean =
+      fOrders.contains(r._1) &&
+        r._3.getTime > java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+          Relational.WaitingLateDays.toLong * 86400000L
+    val lateSet = liRows.filter(lateRow)
+    val expected = lateSet
+      .filter(l1 => liRows.exists(l2 => l2._1 == l1._1 && l2._2 != l1._2))
+      .filter(l1 => !lateSet.exists(l3 => l3._1 == l1._1 && l3._2 != l1._2))
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      .map { case (sk, n) => s"S#$sk" -> n }
+    val got = Relational.waitingSuppliers(supplier, orders, li)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, s"got $got expected $expected")
+    assert(expected.nonEmpty, "fixture produced no waiting suppliers — widen it")
+  }
+
+  test("topRevenueSupplier returns every supplier tied at the window max") {
+    import spark.implicits._
+    val supplier = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("s_suppkey", "s_name")
+    val inWin = java.sql.Timestamp.valueOf("1996-02-01 00:00:00")
+    val outWin = java.sql.Timestamp.valueOf("1997-02-01 00:00:00")
+    val li = Seq(
+      (1L, 100.0, 0.0, inWin), // supplier 1: 100 in window
+      (2L, 60.0, 0.0, inWin), (2L, 40.0, 0.0, inWin), // supplier 2: 100, tied
+      (3L, 500.0, 0.0, outWin) // outside the window: ignored
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val got = Relational.topRevenueSupplier(supplier, li)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "A", 100.0), (2L, "B", 100.0)))
+  }
+
+  test("minCostSuppliers: only region suppliers compete; all min-cost ties returned") {
+    import spark.implicits._
+    val region = Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "N_EU", 0), (11, "N_AS", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, "EU1", 10), (2L, "EU2", 10), (3L, "AS1", 11))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val part = Seq((100L, Relational.MinCostSize), (200L, 99)).toDF("p_partkey", "p_size")
+    val li = Seq(
+      (100L, 1L, 10.0, 2.0),  // unit cost 5.0
+      (100L, 2L, 10.0, 2.0),  // unit cost 5.0 — tie, both returned
+      (100L, 2L, 30.0, 2.0),  // unit cost 15 — not the min
+      (100L, 3L, 1.0, 2.0),   // cheapest but ASIA — out of region
+      (200L, 1L, 1.0, 1.0)    // wrong size part
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val got = Relational.minCostSuppliers(region, nation, supplier, part, li)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(4))).toSet
+    assert(got === Set((100L, "EU1", 5.0), (100L, "EU2", 5.0)))
+  }
+
   test("dormantRichCustomers: above positive-average balance AND no recent order") {
     import spark.implicits._
     // positive balances: 10, 20, 60 -> avg 30; negative balance excluded

@@ -40,6 +40,44 @@ class SketchSpec extends SparkSpec {
     assert(agg.nonEmpty)
   }
 
+  test("quantileSketch: rank answers exact at resolution, quantiles within one bucket") {
+    val o = Tables.orders(spark, sf("sf0.01"))
+    val rows = Sketches.quantileSketch(o).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size === Sketches.QsProbeCents.size + Sketches.QsTargetPct.size)
+    val cents = o.select(
+      least(expr("CAST(round(o_totalprice * 100) AS BIGINT)"), lit(Sketches.QsMax)).as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val res = 1L << Sketches.QsLMin
+    Sketches.QsProbeCents.foreach { p =>
+      val (est, exact) = rows(("rank", p))
+      // the contract: est IS the exact rank of the probe truncated to the
+      // sketch resolution — dyadic decomposition loses nothing above it
+      assert(est === cents.count(_ < (p / res) * res).toLong, s"probe $p")
+      assert(exact === cents.count(_ < p).toLong, s"probe $p")
+      assert(est <= exact && exact - est <= cents.count(c => c / res === p / res),
+        s"probe $p: est=$est exact=$exact")
+    }
+    Sketches.QsTargetPct.foreach { pct =>
+      val (est, exact) = rows(("quantile", pct.toLong))
+      val target = (pct.toLong * cents.length + 99) / 100
+      assert(exact === cents(target.toInt - 1), s"pct $pct")
+      // est = lower bound of the bucket holding the target rank
+      assert(est <= exact && exact < est + res, s"pct $pct: est=$est exact=$exact")
+    }
+  }
+
+  test("quantileSketch is partitioning-invariant (mergeable state)") {
+    val o = Tables.orders(spark, sf("sf0.001"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val one = canon(Sketches.quantileSketch(o.repartition(1)))
+    val many = canon(Sketches.quantileSketch(o.repartition(13)))
+    assert(one === many)
+    assert(one.nonEmpty)
+  }
+
   test("countMinProbe: overestimate-only, zero for absent word, mostly exact") {
     val d = Tables.documents(spark, sf("sf0.01"))
     val rows = Sketches.countMinProbe(d).collect()
