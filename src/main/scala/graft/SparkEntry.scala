@@ -282,6 +282,12 @@ object SparkEntry {
     // the batch interval join exactly.
     "q_stream_attribution" -> ((s, dir) =>
       graft.streaming.EventStreams.attributionPairsToBatch(s, dir)),
+    // Append-mode ordered funnel via flatMapGroupsWithState: per-user
+    // keyed state, steps resolve only once the watermark passes them
+    // (arrival-order independent), 24h conversion window, emission at
+    // completion / window close / GC — the streaming twin of q_funnel.
+    "q_stream_funnel_append" -> ((s, dir) =>
+      graft.streaming.EventStreams.funnelAppendToBatch(s, dir)),
     // The reference's flagship query as a continuous query (state = one
     // row per distinct word; complete-mode oracle harness).
     "q_stream_wordcount_complete_oracle" -> ((s, dir) =>
@@ -1257,6 +1263,38 @@ object SparkEntry {
     "q_hll_vocab" -> hllVocabOracle,
     "q_hll_vocab_agg" -> hllVocabOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
+    // The append-mode funnel's full semantic replay: per-step first-after
+    // minima confined to the 24h conversion window AND the final watermark
+    // (resolution ≡ presence under `us <= wm`), then the three-way
+    // emission rule (complete | window closed | never-started GC). The
+    // watermark mirrors Spark's ms floor: ((max_us // 1000) - 3600000) * 1000.
+    "q_stream_funnel_append" -> {
+      import graft.streaming.EventStreams.FunnelWindowUs
+      val steps = graft.operators.EventAnalytics.FunnelSteps
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         |wm AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS wm_us FROM e),
+         |mx AS (SELECT user_id, max(us) AS max_us FROM e GROUP BY user_id),
+         |s1 AS (SELECT user_id, min(us) AS t1 FROM e, wm
+         |  WHERE event_type = '${steps(0)}' AND us <= wm.wm_us GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id), wm
+         |  WHERE event_type = '${steps(1)}' AND us > s1.t1
+         |    AND us <= s1.t1 + $FunnelWindowUs AND us <= wm.wm_us
+         |  GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(us) AS t3
+         |  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id), wm
+         |  WHERE event_type = '${steps(2)}' AND us > s2.t2
+         |    AND us <= s1.t1 + $FunnelWindowUs AND us <= wm.wm_us
+         |  GROUP BY e.user_id)
+         |SELECT u.user_id, s1.t1 AS step1_us, s2.t2 AS step2_us, s3.t3 AS step3_us
+         |FROM (SELECT DISTINCT user_id FROM e) u
+         |LEFT JOIN s1 USING (user_id)
+         |LEFT JOIN s2 USING (user_id)
+         |LEFT JOIN s3 USING (user_id)
+         |JOIN mx USING (user_id) CROSS JOIN wm
+         |WHERE s3.t3 IS NOT NULL
+         |   OR (s1.t1 IS NOT NULL AND s1.t1 + $FunnelWindowUs <= wm.wm_us)
+         |   OR (s1.t1 IS NULL AND mx.max_us + $FunnelWindowUs <= wm.wm_us)""".stripMargin
+    },
     // Count-min: counters are exact integer sums per (row, bucket); the
     // point estimate is a min over 4 rows. Per-row seeds mirror
     // md5Long(tok, CmsSeedBase + row).

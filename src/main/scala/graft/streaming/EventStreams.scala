@@ -323,6 +323,152 @@ object EventStreams {
     result
   }
 
+  /** Conversion window for [[funnelRows]]: steps 2..n must land within
+    * this span of the user's (resolved) first step-1 event — the standard
+    * product-analytics funnel contract, and what makes an append-mode
+    * funnel possible at all: an unlimited-window funnel can emit its
+    * incomplete (NULL-step) rows only at end-of-stream, which an unbounded
+    * stream never reaches.
+    */
+  val FunnelWindowUs: Long = 24L * 3600L * 1000000L
+
+  /** Per-user funnel state: `resolved` = watermark-finalized step times so
+    * far (in order); `buf` = step-index → buffered candidate event times
+    * not yet finalizable; `maxTs` = max event time seen for the user
+    * (drives the never-started GC emission). Buffered times are pruned at
+    * every resolution, and on a live stream are bounded by the user's
+    * events inside the watermark horizon — rate × horizon, never history.
+    */
+  case class FunnelBuf(resolved: Seq[Long], buf: Map[Int, Seq[Long]], maxTs: Long)
+
+  /** One emitted funnel row — the batch [[graft.operators.EventAnalytics.funnelSteps]]
+    * shape (fixed three steps, epoch-micro times, NULL from the first
+    * unreached step).
+    */
+  case class FunnelRow(
+      user_id: Long, step1_us: Option[Long], step2_us: Option[Long],
+      step3_us: Option[Long])
+
+  /** APPEND-MODE ORDERED FUNNEL — the streaming twin of `q_funnel`, with
+    * per-step keyed state via `flatMapGroupsWithState` (the custom-state
+    * API; windows/sessions can't express "first click strictly after the
+    * first view"). Semantics, replayed exactly by the oracle:
+    *
+    *   - step 1 = the user's first 'view'; step k>1 = the first step-k
+    *     event STRICTLY AFTER the resolved step k−1 and within
+    *     [[FunnelWindowUs]] of step 1 (the conversion window);
+    *   - a step RESOLVES only once the watermark passes its candidate time
+    *     (no earlier event can still arrive — this is what makes the fold
+    *     arrival-order-independent and hash-deterministic);
+    *   - a user's single row EMITS when the funnel completes, or when the
+    *     watermark passes step1 + window (NULLs for unreached steps), or —
+    *     for users whose step 1 never resolves — when the watermark passes
+    *     their last activity + window (all-NULL row). State is removed at
+    *     emission; un-emitted users at end of drain are suppressed, the
+    *     same contract as un-emitted append windows.
+    *
+    * Timeouts: one event-time timeout per user, set to the earliest
+    * instant that could force progress (earliest unresolved candidate,
+    * window close, or GC point) — the no-data finalization batch then
+    * drives the resolution cascade without new events.
+    */
+  def funnelRows(
+      events: DataFrame,
+      steps: Seq[String] = graft.operators.EventAnalytics.FunnelSteps,
+      windowUs: Long = FunnelWindowUs): org.apache.spark.sql.Dataset[FunnelRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(steps.size == 3, "funnelRows emits the fixed 3-step row shape")
+    val idx = steps.zipWithIndex.toMap
+    // the watermarked `ts` column must ride INTO the stateful operator
+    // unchanged (event-time timeout requires it); micros are derived
+    // inside the handler, exactly as unix_micros would
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[FunnelBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          var st = state.getOption.getOrElse(FunnelBuf(Nil, Map.empty, Long.MinValue))
+          // ingest this batch's events (arrival order irrelevant: only
+          // watermark-passed minima ever resolve)
+          it.foreach { case (_, tsRaw, tpe) =>
+            val ts = micros(tsRaw)
+            idx.get(tpe).foreach { k =>
+              if (k >= st.resolved.size)
+                st = st.copy(buf =
+                  st.buf.updated(k, st.buf.getOrElse(k, Vector.empty) :+ ts))
+            }
+            if (ts > st.maxTs) st = st.copy(maxTs = ts)
+          }
+          // resolution cascade under the current watermark
+          var advanced = true
+          while (advanced && st.resolved.size < steps.size) {
+            advanced = false
+            val k = st.resolved.size
+            val frontier = st.resolved.lastOption.getOrElse(Long.MinValue)
+            val limit = st.resolved.headOption.map(_ + windowUs).getOrElse(Long.MaxValue)
+            val cand = st.buf.getOrElse(k, Nil)
+              .filter(t => t > frontier && t <= limit)
+              .minOption
+            cand.filter(_ <= wmUs).foreach { t =>
+              // buffered times <= t can never qualify for any later step
+              st = FunnelBuf(
+                st.resolved :+ t,
+                (st.buf - k).view.mapValues(_.filter(_ > t)).toMap
+                  .filter(_._2.nonEmpty),
+                st.maxTs)
+              advanced = true
+            }
+          }
+          val t1 = st.resolved.headOption
+          val done = st.resolved.size == steps.size
+          val windowClosed = t1.exists(_ + windowUs <= wmUs)
+          val neverStarted =
+            t1.isEmpty && st.maxTs != Long.MinValue && st.maxTs + windowUs <= wmUs
+          if (done || windowClosed || neverStarted) {
+            state.remove()
+            val r = st.resolved
+            Iterator.single(FunnelRow(user, r.lift(0), r.lift(1), r.lift(2)))
+          } else {
+            state.update(st)
+            val k = st.resolved.size
+            val due = Seq(
+              st.buf.getOrElse(k, Nil).minOption,
+              t1.map(_ + windowUs),
+              if (t1.isEmpty && st.maxTs != Long.MinValue) Some(st.maxTs + windowUs)
+              else None).flatten.minOption
+            due.foreach { d =>
+              state.setTimeoutTimestamp(
+                math.max(d / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run the append-mode funnel over the driver's events dir to a parquet
+    * sink and read it back (the [[hourlyStatsAppendToBatch]] harness
+    * shape). The oracle replays the windowed, watermark-gated semantics
+    * exactly — see `q_stream_funnel_append` in SparkEntry.
+    */
+  def funnelAppendToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_funnel")
+    val out = withStreamShufflePartitions(spark) {
+      val frame = funnelRows(source(spark, dir)).toDF()
+      drainAppendToParquet(spark, frame, s"$tmp/out", s"$tmp/ckpt")
+    }
+    deleteRecursivelyOnExit(tmp)
+    out
+  }
+
   /** Streaming exactly-once ingest dedup: drop duplicate event ids within
     * the watermark horizon — the standard at-least-once → exactly-once
     * repair at the front of an ingest pipeline. Input must be watermarked

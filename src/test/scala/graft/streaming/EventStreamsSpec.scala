@@ -138,6 +138,76 @@ class EventStreamsSpec extends SparkSpec {
         "the ms-truncation ambiguity band; the append-mode oracle is unsafe")
   }
 
+  test("append-mode funnel: out-of-order steps resolve via watermark; state evicts at emission") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(86400000L + min * 60000L)
+    def us(min: Int) = (86400000L + min * 60000L) * 1000L
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.funnelRows(
+      input.toDF().toDF("user_id", "ts", "event_type").withWatermark("ts", "1 hour"))
+      .toDF().writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1's purchase ARRIVES first (watermark moves to 180-60=120),
+      // then the view and click arrive out of order but still inside the
+      // 1h lateness horizon — a naive incremental fold would lose them
+      input.addData((1L, ts(180), "purchase"))
+      q.processAllAvailable()
+      input.addData((1L, ts(130), "click"), (1L, ts(125), "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_evict").count() === 0,
+        "nothing may emit before the watermark passes the candidates")
+      // a far-future event pushes the watermark past user 1's whole funnel
+      input.addData((2L, ts(60 * 24 * 3), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_evict").collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), opt(1), opt(2), opt(3))
+      }
+      assert(rows.toSet ===
+        Set((1L, Some(us(125)), Some(us(130)), Some(us(180)))),
+        "the ordered funnel must resolve despite reverse arrival")
+      // user 1's state row evicted at emission; only user 2 remains live
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 1,
+        "emitted funnels must not retain state")
+    } finally q.stop()
+  }
+
+  test("funnel conversion window cuts off late steps; NULL and never-started rows emit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(86400000L + min * 60000L)
+    def us(min: Int) = (86400000L + min * 60000L) * 1000L
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.funnelRows(
+      input.toDF().toDF("user_id", "ts", "event_type").withWatermark("ts", "1 hour"))
+      .toDF().writeStream.format("memory").queryName("funnel_window")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        (1L, ts(10), "view"),
+        (1L, ts(10 + 25 * 60), "click"), // 25h after the view: outside 24h
+        (3L, ts(20), "click")) // user 3 never views
+      q.processAllAvailable()
+      // watermark far past every window-close and GC point
+      input.addData((2L, ts(10 + 24 * 60 * 4), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_window").collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), opt(1), opt(2), opt(3))
+      }.toSet
+      assert(rows === Set(
+        (1L, Some(us(10)), None, None), // click outside the window: NULL
+        (3L, None, None, None)), // never-started GC row
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join on a full drain") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
