@@ -122,6 +122,9 @@ object SparkEntry {
     // Mergeable fixed-universe dyadic quantile sketch (typed-Aggregator
     // state, order-independent) — rank + quantile answers hash-replayed.
     "q_quantile_sketch" -> ((s, dir) => Sketches.quantileSketch(Tables.orders(s, dir))),
+    // KMV distinct sketches + pairwise Jaccard estimation between
+    // language vocabularies (the set-operation estimator HLL lacks).
+    "q_kmv_overlap" -> ((s, dir) => Sketches.kmvLangOverlap(Tables.documents(s, dir))),
     // --- events: JSON, time buckets, sessionization (build plan M4/M5) ---
     "q_events_json" -> ((s, dir) => EventAnalytics.perTypeStats(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) => EventAnalytics.hourlyStats(Tables.events(s, dir))),
@@ -153,6 +156,17 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    // Sequence packing (concat-and-chunk): per-doc global token offsets
+    // via a two-level distributed prefix sum, then fixed-length training
+    // example spans/rollups. All-integer, fully oracle-replayed.
+    "q_pack_offsets" -> ((s, dir) => Packing.packedDocSpans(Tables.documents(s, dir))),
+    "q_pack_chunks" -> ((s, dir) => Packing.packedChunkStats(Tables.documents(s, dir))),
+    // BM25-style ranked retrieval (rational k1/b cross-multiplied to exact
+    // integers, linear idf, fixed-order term sum) — full oracle replay.
+    "q_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir))),
+    // Degree-ordered triangle counting on the word co-occurrence graph
+    // (each triangle enumerated once at its (deg, id)-min vertex).
+    "q_word_triangles" -> ((s, dir) => GraphAnalytics.wordTriangles(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir))),
     "q_top_terms_per_lang" -> ((s, dir) => TextAnalysis.topTermsPerLang(Tables.documents(s, dir))),
@@ -667,6 +681,29 @@ object SparkEntry {
        |    CAST(q.qb * $res AS BIGINT) AS est, e.exact FROM qb q JOIN eq e USING (pct))
        |SELECT kind, CAST(key AS BIGINT) AS key, est, exact FROM rank_rows
        |UNION ALL SELECT kind, key, est, exact FROM quant_rows""".stripMargin
+  }
+
+  /** Shared CTEs of the sequence-packing oracles — the two-level prefix
+    * sum (block cumsum + intra-block cumsum) replayed with the same
+    * exclusive ROWS frames, then the span arithmetic. All integers.
+    */
+  private def packCtes: String = {
+    import graft.operators.Packing.{SeqLen, OffsetBucket}
+    s"""perdoc AS (SELECT doc_id, doc_id // $OffsetBucket AS bkt,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |bsum AS (SELECT bkt, CAST(sum(n_tok) AS BIGINT) AS b_tok FROM perdoc GROUP BY bkt),
+       |boff AS (SELECT bkt, CAST(COALESCE(sum(b_tok) OVER (ORDER BY bkt
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b_off
+       |  FROM bsum),
+       |offs AS (SELECT p.doc_id, p.n_tok,
+       |    b.b_off + CAST(COALESCE(sum(p.n_tok) OVER (PARTITION BY p.bkt ORDER BY p.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM perdoc p JOIN boff b USING (bkt)),
+       |spans AS (SELECT doc_id, n_tok, tok_start,
+       |    tok_start // $SeqLen AS first_chunk,
+       |    (tok_start + n_tok - 1) // $SeqLen AS last_chunk
+       |  FROM offs)""".stripMargin
   }
 
   // mh(2i)/mh(2i+1) are the two independent 60-bit halves of digest i
@@ -1263,6 +1300,117 @@ object SparkEntry {
     "q_hll_vocab" -> hllVocabOracle,
     "q_hll_vocab_agg" -> hllVocabOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
+    // KMV sketches replayed: same 60-bit seeded hash, same per-lang k
+    // smallest, same k-smallest-of-union estimator, exact Jaccard beside.
+    "q_kmv_overlap" -> {
+      import graft.operators.Sketches.{KmvK, KmvSeed}
+      s"""WITH t AS (SELECT lang,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |lt AS (SELECT DISTINCT lang, tok FROM t WHERE length(tok) > 0),
+         |lh AS (SELECT DISTINCT lang, ${h60(KmvSeed, "tok")} AS h FROM lt),
+         |sk AS (SELECT lang, h FROM (
+         |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |    FROM lh) r WHERE rn <= $KmvK),
+         |langs AS (SELECT DISTINCT lang FROM sk),
+         |pairs AS (SELECT a.lang AS la, b.lang AS lb
+         |  FROM langs a JOIN langs b ON a.lang < b.lang),
+         |sides AS (SELECT la, lb, la AS lang FROM pairs
+         |  UNION ALL SELECT la, lb, lb AS lang FROM pairs),
+         |u AS (SELECT s.la, s.lb, k.h,
+         |    max(CASE WHEN k.lang = s.la THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN k.lang = s.lb THEN 1 ELSE 0 END) AS in_b
+         |  FROM sides s JOIN sk k USING (lang) GROUP BY s.la, s.lb, k.h),
+         |uk AS (SELECT * FROM (
+         |    SELECT u.*, row_number() OVER (PARTITION BY la, lb ORDER BY h) AS rn
+         |    FROM u) r WHERE rn <= $KmvK),
+         |est AS (SELECT la, lb,
+         |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |    CAST(count(*) AS BIGINT) AS n_union_k
+         |  FROM uk GROUP BY la, lb),
+         |inter AS (SELECT a.lang AS la, b.lang AS lb,
+         |    CAST(count(*) AS BIGINT) AS exact_inter
+         |  FROM lt a JOIN lt b ON a.tok = b.tok AND a.lang < b.lang GROUP BY 1, 2),
+         |sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS nv FROM lt GROUP BY lang)
+         |SELECT e.la, e.lb, e.n_both, e.n_union_k,
+         |  CAST(e.n_both AS DOUBLE) / CAST(e.n_union_k AS DOUBLE) AS est_jaccard,
+         |  CAST(COALESCE(i.exact_inter, 0) AS DOUBLE)
+         |    / CAST(sa.nv + sb.nv - COALESCE(i.exact_inter, 0) AS DOUBLE) AS exact_jaccard
+         |FROM est e
+         |LEFT JOIN inter i ON i.la = e.la AND i.lb = e.lb
+         |JOIN sizes sa ON sa.lang = e.la
+         |JOIN sizes sb ON sb.lang = e.lb""".stripMargin
+    },
+    "q_pack_offsets" ->
+      s"""WITH $packCtes
+         |SELECT doc_id, n_tok, tok_start, first_chunk, last_chunk FROM spans""".stripMargin,
+    // Degree-ordered triangle enumeration replayed: same canonical edges,
+    // same (degree, id) orientation rule, same wedge-close join.
+    "q_word_triangles" -> {
+      import graft.operators.GraphAnalytics.TriangleK
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
+         |  FROM ts WHERE len(ts) >= 2),
+         |edges AS (SELECT DISTINCT least(ts[i], ts[i+1]) AS a, greatest(ts[i], ts[i+1]) AS b
+         |  FROM bgidx WHERE ts[i] <> ts[i+1]),
+         |deg AS (SELECT w, count(*) AS d FROM (
+         |    SELECT a AS w FROM edges UNION ALL SELECT b FROM edges) GROUP BY w),
+         |orient AS (SELECT
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS v
+         |  FROM edges e JOIN deg da ON da.w = e.a JOIN deg db ON db.w = e.b),
+         |tri AS (SELECT x.u, x.v AS vv, y.v AS ww
+         |  FROM orient x JOIN orient y ON x.u = y.u AND x.v < y.v
+         |  JOIN edges ed ON ed.a = x.v AND ed.b = y.v)
+         |SELECT word, count(*) AS n_triangles FROM (
+         |  SELECT u AS word FROM tri
+         |  UNION ALL SELECT vv FROM tri
+         |  UNION ALL SELECT ww FROM tri) t
+         |GROUP BY word ORDER BY n_triangles DESC, word ASC LIMIT $TriangleK""".stripMargin
+    },
+    "q_bm25_topk" -> {
+      import graft.operators.TextAnalysis._
+      val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen
+      val denTf = Bm25K1Den * Bm25BDen
+      val denS = Bm25K1Num * (Bm25BDen - Bm25BNum)
+      val denDl = Bm25K1Num * Bm25BNum
+      val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+      val pivot = Bm25Query
+        .map(t => s"COALESCE(max(CASE WHEN tok = '$t' THEN ts END), 0)")
+        .mkString(" + ")
+      s"""WITH dl AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS s_tok FROM dl),
+         |tk AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |  WHERE tok IN ($inList) GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |per AS (SELECT t.doc_id, t.tok,
+         |    (CAST(t.tf * $numF * sc.s_tok AS DOUBLE)
+         |      / CAST(t.tf * $denTf * sc.s_tok + $denS * sc.s_tok
+         |             + $denDl * d.dl * sc.n_docs AS DOUBLE))
+         |    * (CAST(sc.n_docs AS DOUBLE) / CAST(q.df + 1 AS DOUBLE)) AS ts
+         |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (tok) CROSS JOIN sc)
+         |SELECT doc_id, $pivot AS score
+         |FROM per GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+    },
+    "q_pack_chunks" -> {
+      val L = graft.operators.Packing.SeqLen
+      s"""WITH $packCtes,
+         |ex AS (SELECT doc_id, n_tok, tok_start,
+         |    unnest(range(first_chunk, last_chunk + 1)) AS chunk_id FROM spans)
+         |SELECT chunk_id, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN tok_start >= chunk_id * $L THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+         |  CAST(sum(least(tok_start + n_tok, (chunk_id + 1) * $L)
+         |         - greatest(tok_start, chunk_id * $L)) AS BIGINT) AS n_tokens
+         |FROM ex GROUP BY chunk_id""".stripMargin
+    },
     // The append-mode funnel's full semantic replay: per-step first-after
     // minima confined to the 24h conversion window AND the final watermark
     // (resolution ≡ presence under `us <= wm`), then the three-way

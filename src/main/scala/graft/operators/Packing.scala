@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the LLM-pretraining batch layout step: concatenate
+  * the corpus in deterministic doc_id order and slice the token stream
+  * into fixed-length training examples (`SeqLen` tokens), documents
+  * crossing example boundaries (the standard concat-and-chunk regime; the
+  * alternative, per-example greedy bin packing, trades boundary loss for
+  * an inherently sequential packing order that cannot be replayed
+  * bit-for-bit by an external engine).
+  *
+  * The load-bearing piece is the DISTRIBUTED PREFIX SUM that assigns every
+  * document its global token offset without a global sort or a
+  * single-partition window:
+  *
+  *   1. per-doc token counts (scan-speed, whitespace tokenizer — the same
+  *      `ws_tokens` contract as [[TextAnalysis.tokenCounts]]);
+  *   2. docs group into contiguous id blocks (`doc_id div OffsetBucket`);
+  *      per-block sums are ONE map-side-combined hash-agg;
+  *   3. block-level exclusive cumsum — a window over |corpus|/bucket rows
+  *      (the only ordered step, 100k rows at 100 TB with a 10^6 bucket —
+  *      and the pattern nests to three levels if that ever grows);
+  *   4. intra-block exclusive cumsum — windows PARTITIONED by block, fully
+  *      parallel — plus the broadcast block offsets.
+  *
+  * Every number is an exact integer, so offsets, spans, and chunk stats
+  * replay bit-for-bit in the DuckDB oracle.
+  */
+object Packing {
+
+  /** Tokens per packed training example. */
+  val SeqLen = 512
+
+  /** Documents per offset block of the two-level prefix sum. At this
+    * test scale that makes ~8 blocks at sf0.01; at 100 TB set ~10^6 so
+    * the block-level window stays ~10^5 rows.
+    */
+  val OffsetBucket = 64L
+
+  /** (doc_id, n_tok, tok_start): each document's token count and exclusive
+    * global token offset in doc_id concatenation order — the two-level
+    * prefix sum described above.
+    */
+  def docOffsets(documents: DataFrame, bucket: Long = OffsetBucket): DataFrame = {
+    val perDoc = graft.Parallelism.ensure(documents).select(
+      col("doc_id"),
+      expr(s"doc_id div ${bucket}L").as("bkt"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val blockSums = perDoc.groupBy("bkt").agg(sum("n_tok").as("b_tok"))
+    // exclusive cumsum over blocks: the ONLY global-ordered window, sized
+    // |corpus| / bucket
+    val blockOffsets = blockSums
+      .withColumn("b_off",
+        coalesce(
+          sum("b_tok").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bkt", "b_off")
+    val intra = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("i_off", coalesce(sum("n_tok").over(intra), lit(0L)))
+      .join(broadcast(blockOffsets), "bkt")
+      .select(col("doc_id"), col("n_tok"),
+        (col("b_off") + col("i_off")).as("tok_start"))
+  }
+
+  /** Per-document packed spans: which training examples (chunks) each
+    * document's tokens land in. `n_tok >= 1` always (the whitespace
+    * tokenizer yields [""] for empty text, same as `ws_tokens`), so every
+    * document has a well-defined [first_chunk, last_chunk].
+    */
+  def packedDocSpans(documents: DataFrame, seqLen: Int = SeqLen): DataFrame =
+    docOffsets(documents)
+      .select(col("doc_id"), col("n_tok"), col("tok_start"),
+        expr(s"tok_start div $seqLen").as("first_chunk"),
+        expr(s"(tok_start + n_tok - 1) div $seqLen").as("last_chunk"))
+
+  /** Per-chunk (training-example) rollup: how many documents overlap the
+    * example, how many START in it, and its token fill (= seqLen for all
+    * but the final chunk — the invariant PackingSpec asserts). One explode
+    * of ≤ (n_tok/seqLen + 1) rows per doc, one keyed hash-agg.
+    */
+  def packedChunkStats(documents: DataFrame, seqLen: Int = SeqLen): DataFrame =
+    packedDocSpans(documents, seqLen)
+      .select(col("doc_id"), col("n_tok"), col("tok_start"),
+        explode(expr("sequence(first_chunk, last_chunk)")).as("chunk_id"))
+      .groupBy("chunk_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("tok_start") >= col("chunk_id") * seqLen, 1L).otherwise(0L))
+          .as("n_starts"),
+        sum(
+          least(col("tok_start") + col("n_tok"), (col("chunk_id") + 1) * seqLen) -
+            greatest(col("tok_start"), col("chunk_id") * seqLen))
+          .as("n_tokens"))
+}

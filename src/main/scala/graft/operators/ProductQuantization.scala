@@ -157,9 +157,17 @@ object ProductQuantization {
 
   def encode(embeddings: DataFrame, cb: Codebooks): DataFrame = {
     val subDim = cb.head.head.length
-    embeddings.where(col("embedding").isNotNull)
+    // materialize the code columns BEFORE deriving recon_norm_sq: without
+    // the barrier CollapseProject inlines each code's full argmin tree
+    // into the norm lookup — every code computed twice, and the single
+    // fused projection is big enough to threaten janino's method limit
+    // (interpreted fallback = a silent 2-3x on the corpus scan). The
+    // materialized frame IS the compressed index (vec_id + M small ints),
+    // the artifact a production IVF-PQ build writes to storage.
+    val codes = embeddings.where(col("embedding").isNotNull)
       .select(col("vec_id") +: codeColsOf(cb, subDim): _*)
-      .withColumn("recon_norm_sq", reconNormSqCol(cb))
+      .localCheckpoint()
+    codes.withColumn("recon_norm_sq", reconNormSqCol(cb))
   }
 
   /** Per-query ADC lookup tables: for subspace m an array over codes k of
@@ -244,17 +252,21 @@ object ProductQuantization {
   def pqTopK(
       embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
       rerankDepth: Int = RerankDepth): DataFrame = {
-    val cb = trainCodebooks(embeddings)
+    // one parquet read feeds the training rounds, the encode scan, the
+    // query LUT build and the rerank (~8 passes otherwise); at 100 TB the
+    // training passes run on a sample and the cache is the sample
+    val emb = embeddings.localCheckpoint()
+    val cb = trainCodebooks(emb)
     // empty corpus → no seeds → no codebooks: return the empty result
     // frame (same schema) instead of building zero-arm argmin expressions
     if (cb.head.isEmpty)
       return embeddings.where(lit(false)).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         lit(1).as("rank"))
-    if (rerankDepth <= 0) return adcTopK(embeddings, cb, k, nQueries)
-    val cand = adcTopK(embeddings, cb, rerankDepth, nQueries)
+    if (rerankDepth <= 0) return adcTopK(emb, cb, k, nQueries)
+    val cand = adcTopK(emb, cb, rerankDepth, nQueries)
       .select("query_id", "neighbor_id")
-    exactRerank(cand, embeddings, k)
+    exactRerank(cand, emb, k)
   }
 
   /** IVF nProbe dial for the composed index (same as `Similarity.ivfTopK`). */
@@ -284,8 +296,12 @@ object ProductQuantization {
       embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
       nLists: Int = IvfLists, nProbe: Int = IvfProbe, ivfIters: Int = IvfIters,
       rerankDepth: Int = RerankDepth): DataFrame = {
-    val cents = Similarity.trainedCentroids(embeddings, nLists, ivfIters)
-    val cb = trainCodebooks(embeddings)
+    // one parquet read feeds BOTH training loops, the index build, the
+    // query LUTs and the rerank; at 100 TB the training passes run on a
+    // sample and the cache is the sample
+    val emb = embeddings.localCheckpoint()
+    val cents = Similarity.trainedCentroids(emb, nLists, ivfIters)
+    val cb = trainCodebooks(emb)
     if (cents.isEmpty || cb.head.isEmpty)
       return embeddings.where(lit(false)).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
@@ -293,13 +309,16 @@ object ProductQuantization {
     val subDim = cb.head.head.length
     // the compressed index: cell id + M codes + cached reconstruction norm²
     // per vector — ONE scan builds all of it (cell assignment and code
-    // assignment side by side), nothing full-precision survives it
-    val indexed = graft.Parallelism.ensure(embeddings.where(col("embedding").isNotNull))
+    // assignment side by side), materialized as the index artifact (same
+    // anti-CollapseProject barrier rationale as [[encode]]), and nothing
+    // full-precision survives it
+    val indexed = graft.Parallelism.ensure(emb.where(col("embedding").isNotNull))
       .select(Seq(col("vec_id"),
         Similarity.bestCellOf(cents)(col("embedding")).as("cell")) ++
         codeColsOf(cb, subDim): _*)
+      .localCheckpoint()
       .withColumn("recon_norm_sq", reconNormSqCol(cb))
-    val queries = embeddings
+    val queries = emb
       .where(col("embedding").isNotNull && col("vec_id") < nQueries)
       .select(Seq(col("vec_id").as("query_id"),
         qNormCol(NumSubspaces * subDim).as("q_norm"),
@@ -314,6 +333,6 @@ object ProductQuantization {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= rerankDepth)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    exactRerank(cand, embeddings, k)
+    exactRerank(cand, emb, k)
   }
 }

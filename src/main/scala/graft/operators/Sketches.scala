@@ -163,6 +163,81 @@ object Sketches {
         coalesce(col("exact_count"), lit(0L)).as("exact_count"))
   }
 
+  // ---- KMV (k-minimum-values) distinct sketch + set overlap -----------
+
+  /** Sketch size: the k smallest 60-bit token hashes per language. */
+  val KmvK = 64
+  val KmvSeed = 7
+
+  /** Pairwise vocabulary overlap between languages via KMV sketches — the
+    * set-OPERATION estimator HLL cannot provide: per language keep the
+    * [[KmvK]] smallest md5 token hashes (a uniform sample of the distinct
+    * domain; state = k longs per group, merged by "k smallest of the
+    * union" — order-independent and fully deterministic, so unlike
+    * theta-style sketches with RNG seeds this replays bit-for-bit in
+    * DuckDB). For a pair (A, B): take the k smallest of A ∪ B, count how
+    * many of those live in BOTH sketches — `n_both / |U_k|` is the
+    * standard KMV Jaccard estimator (exact when the union fits in k). The
+    * exact Jaccard rides along for error visibility (SketchSpec bounds
+    * the estimate); at 100 TB the exact side is dropped and the sketch IS
+    * the answer — |langs|·k longs instead of the vocabularies.
+    *
+    * Shape: one exploded scan → distinct (lang, hash) → per-lang top-k
+    * window (groups = |langs|, rows ≤ vocab); everything after runs on
+    * ≤ |langs|·k rows. The lang-pair enumeration is a broadcast join over
+    * the tiny distinct-lang domain (the dimension-cross class, like the
+    * 1-row scalar broadcasts); pair membership re-keys through an
+    * equi-join on lang, never an OR-join.
+    */
+  def kmvLangOverlap(documents: DataFrame, k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = langTokens(documents).distinct().localCheckpoint()
+    val lh = lt
+      .select(col("lang"), HashFunctions.md5Long(col("tok"), KmvSeed).as("h"))
+      .distinct()
+    val sk = lh
+      .withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy("h")))
+      .where(col("rn") <= k)
+      .select("lang", "h")
+      .localCheckpoint()
+    val langs = sk.select("lang").distinct()
+    val pairs = langs.select(col("lang").as("la"))
+      .join(broadcast(langs.select(col("lang").as("lb"))), col("la") < col("lb"))
+    val sides = pairs.select(col("la"), col("lb"),
+      explode(array(col("la"), col("lb"))).as("lang"))
+    val u = sides.join(sk, "lang")
+      .groupBy("la", "lb", "h")
+      .agg(
+        max(when(col("lang") === col("la"), 1).otherwise(0)).as("in_a"),
+        max(when(col("lang") === col("lb"), 1).otherwise(0)).as("in_b"))
+    val uk = u
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("la", "lb").orderBy("h")))
+      .where(col("rn") <= k)
+    val est = uk.groupBy("la", "lb")
+      .agg(
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"),
+        count(lit(1)).as("n_union_k"))
+    val inter = lt.select(col("lang").as("la"), col("tok"))
+      .join(lt.select(col("lang").as("lb"), col("tok")), Seq("tok"))
+      .where(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(count(lit(1)).as("exact_inter"))
+    val sizes = lt.groupBy("lang").agg(count(lit(1)).as("nv"))
+    est
+      .join(inter, Seq("la", "lb"), "left")
+      .join(broadcast(sizes.select(col("lang").as("la"), col("nv").as("nva"))), "la")
+      .join(broadcast(sizes.select(col("lang").as("lb"), col("nv").as("nvb"))), "lb")
+      .select(
+        col("la"), col("lb"), col("n_both"), col("n_union_k"),
+        (col("n_both").cast("double") / col("n_union_k").cast("double"))
+          .as("est_jaccard"),
+        (coalesce(col("exact_inter"), lit(0L)).cast("double") /
+          (col("nva") + col("nvb") - coalesce(col("exact_inter"), lit(0L)))
+            .cast("double")).as("exact_jaccard"))
+  }
+
   // ---- Dyadic quantile sketch ----------------------------------------
 
   /** Universe bits: order totalprice in integer cents < 2^26 (~$671k —

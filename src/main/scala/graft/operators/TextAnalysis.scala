@@ -129,6 +129,80 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
 
+  /** BM25 constants as exact ratios: k1 = 3/2, b = 3/4 — the standard
+    * Robertson defaults, kept rational so the saturation term reduces to
+    * ONE division of two exact integers (see [[bm25TopK]]). Interpolated
+    * into the oracle.
+    */
+  val Bm25K1Num = 3
+  val Bm25K1Den = 2
+  val Bm25BNum = 3
+  val Bm25BDen = 4
+  /** Fixed retrieval query for the registered BM25 ranking. */
+  val Bm25Query: Seq[String] = Seq("hash", "join", "vector")
+  val Bm25K = 50
+
+  /** BM25-style ranked retrieval for a fixed term query: per-(doc, term)
+    * saturated tf with document-length normalization, the LINEAR idf
+    * (`n_docs / (df+1)`, same `ln`-portability rationale as
+    * [[tfIdfTopTerms]]), summed over the query terms in FIXED term order,
+    * top-k docs by (score DESC, doc_id ASC).
+    *
+    * Portability: with k1 = K1N/K1D and b = BN/BD rational and
+    * avgdl = S/N (total tokens / doc count, exact integers), the
+    * saturation term
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * cross-multiplies to
+    *   tf·(K1N+K1D)·BD·S  /  (tf·K1D·BD·S + K1N·(BD−BN)·S + K1N·BN·dl·N)
+    * — ONE double division of two exact int64s; the idf is a second; the
+    * product and the fixed-order sum are then bit-identical across
+    * engines, so the full ranking hash-matches the oracle. (Bound check:
+    * numerator ≤ tf·20·S — at 10^13 corpus tokens that is ~2^57·tf; at
+    * larger S swap the int64s for DECIMAL(38), nothing else changes.)
+    *
+    * Shape: the tf filter (`tok IN query`) prunes the exploded stream at
+    * scan speed BEFORE any shuffle; df/tf are map-side-combined keyed
+    * aggs; the per-term frame joins the tiny df and 1-row corpus scalars
+    * by broadcast; the final top-k is a TakeOrderedAndProject. The pivot
+    * to one row per doc exists because floating ADDITION is not
+    * associative — summing term scores via sum() would be
+    * partition-order-dependent; the fixed left-associated chain is not.
+    */
+  def bm25TopK(
+      documents: DataFrame, terms: Seq[String] = Bm25Query,
+      k: Int = Bm25K): DataFrame = {
+    require(terms.nonEmpty)
+    val dl = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+      .localCheckpoint() // feeds the scalars, the join, and nothing else
+    val scalars = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tok"))
+    val tf = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("tok"))
+      .where(col("tok").isInCollection(terms))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen        // 20
+    val denTf = Bm25K1Den * Bm25BDen                     // 8
+    val denS = Bm25K1Num * (Bm25BDen - Bm25BNum)         // 3
+    val denDl = Bm25K1Num * Bm25BNum                     // 9
+    val core = (col("tf") * numF * col("s_tok")).cast("double") /
+      (col("tf") * denTf * col("s_tok") + lit(denS.toLong) * col("s_tok") +
+        lit(denDl.toLong) * col("dl") * col("n_docs")).cast("double")
+    val idf = col("n_docs").cast("double") / (col("df") + lit(1L)).cast("double")
+    val perTerm = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("tok"), (core * idf).as("ts"))
+    val score = terms
+      .map(t => coalesce(max(when(col("tok") === t, col("ts"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    perTerm.groupBy("doc_id")
+      .agg(score.as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus-level top-k terms PER LANGUAGE (SURVEY §7 M4's grouped top-k):
     * explode → (lang, term) hash-agg with map-side combine → per-lang
     * window rank. The shuffle width is |langs × vocabulary|, not the

@@ -63,4 +63,41 @@ class GraphAnalyticsSpec extends SparkSpec {
     val top = GraphAnalytics.wordPageRank(docs, k = 2).collect().map(_.getString(0))
     assert(top.toSet === Set("common", "glue"))
   }
+
+  test("wordTriangles equals brute-force triangle enumeration (shared-edge case)") {
+    import spark.implicits._
+    // co-occurrence graph: triangle (a,b,c) and triangle (b,c,d) sharing
+    // edge b-c, plus a pendant edge d-e that joins no triangle
+    val docs = Seq(
+      (1L, "a b c a"), // edges a-b, b-c, a-c
+      (2L, "c d b c"), // edges c-d, b-d, b-c (dup)
+      (3L, "d e")      // pendant
+    ).toDF("doc_id", "text")
+    // brute force over the canonical edge set
+    val edgeSet = Set(("a","b"),("b","c"),("a","c"),("c","d"),("b","d"),("d","e"))
+    val words = edgeSet.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triples = for {
+      i <- words.indices; j <- (i + 1) until words.size; l <- (j + 1) until words.size
+      u = words(i); v = words(j); w = words(l)
+      if edgeSet((u, v)) && edgeSet((v, w)) && edgeSet((u, w))
+    } yield Seq(u, v, w)
+    val expected = triples.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphAnalytics.wordTriangles(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, s"got $got expected $expected")
+    assert(expected === Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("wordTriangles is partitioning-invariant and never double-counts") {
+    import spark.implicits._
+    // deterministic pseudo-random graph text
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 30).map { i =>
+      (i.toLong, (1 to 12).map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(canon(GraphAnalytics.wordTriangles(docs.repartition(1))) ===
+      canon(GraphAnalytics.wordTriangles(docs.repartition(13))))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001"))
+
+  test("docOffsets is the exact exclusive prefix sum in doc_id order") {
+    val rows = Packing.docOffsets(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    var expected = 0L
+    rows.foreach { case (id, nTok, start) =>
+      assert(start === expected, s"doc $id offset")
+      assert(nTok >= 1L) // whitespace tokenizer yields [""] for empty text
+      expected += nTok
+    }
+  }
+
+  test("docOffsets is invariant to input partitioning (the prefix sum is, too)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(canon(Packing.docOffsets(docs.repartition(1))) ===
+      canon(Packing.docOffsets(docs.repartition(17))))
+  }
+
+  test("every packed chunk is exactly seqLen tokens except the final one; ids contiguous") {
+    val chunks = Packing.packedChunkStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val ids = chunks.map(_._1)
+    assert(ids === (0L until ids.length).toArray, "chunk ids must be dense from 0")
+    chunks.init.foreach { case (id, _, _, nTokens) =>
+      assert(nTokens === Packing.SeqLen.toLong, s"chunk $id under-filled")
+    }
+    assert(chunks.last._4 >= 1L && chunks.last._4 <= Packing.SeqLen.toLong)
+    // token conservation: chunks partition the concatenated stream
+    val totalTok = Packing.docOffsets(docs).agg(sum("n_tok")).collect()(0).getLong(0)
+    assert(chunks.map(_._4).sum === totalTok)
+    // doc conservation: per-chunk starts sum to the corpus size
+    assert(chunks.map(_._3).sum === docs.count())
+  }
+
+  test("packed spans tile each document's tokens exactly once") {
+    val spans = Packing.packedDocSpans(docs).collect()
+    spans.foreach { r =>
+      val (nTok, start, first, last) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(first === start / Packing.SeqLen)
+      assert(last === (start + nTok - 1) / Packing.SeqLen)
+      assert(first <= last)
+    }
+  }
+}

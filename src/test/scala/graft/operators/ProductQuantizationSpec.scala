@@ -63,6 +63,30 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(ivfpq >= 0.9, s"ivfpq recall was $ivfpq")
   }
 
+  test("IVF-ADC scores only the probed cells' candidates (the 100 TB term)") {
+    import org.apache.spark.sql.functions._
+    // measure the candidate-pair count the ADC scan touches: flat PQ
+    // scores queries x (n-1); IVF-ADC scores only probed-cell members —
+    // at bench SF the training loops dominate wall-clock, so THIS is the
+    // scale-side quantity to pin (it is what grows with the corpus)
+    val cents = Similarity.trainedCentroids(emb,
+      ProductQuantization.IvfLists, ProductQuantization.IvfIters)
+    val assigned = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        Similarity.bestCellOf(cents)(col("embedding")).as("cell"))
+    val probes = emb.where(col("embedding").isNotNull && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        explode(Similarity.probeCellsOf(cents, ProductQuantization.IvfProbe)(
+          col("embedding"))).as("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id")).count()
+    val n = emb.where(col("embedding").isNotNull).count()
+    val flat = 10L * (n - 1)
+    println(s"ADC candidate pairs: ivf-pq=$scored flat=$flat (${scored.toDouble / flat}x)")
+    assert(scored < flat * 6 / 10,
+      s"IVF probe pruned too little: $scored of $flat pairs scored")
+  }
+
   test("IVF-ADC on the driver corpus agrees with flat PQ within the pruning budget") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -40,6 +40,40 @@ class SketchSpec extends SparkSpec {
     assert(agg.nonEmpty)
   }
 
+  test("kmvLangOverlap: exact when the union fits in k; bounded error on driver data") {
+    import spark.implicits._
+    // tiny fixture: vocabularies small enough that U_k is the full union,
+    // where the KMV estimator must be EXACTLY the true Jaccard
+    val d = Seq(
+      (1L, "a b c d", "aa"), (2L, "c d e f", "bb"), (3L, "x y c", "cc")
+    ).toDF("doc_id", "text", "lang")
+    val rows = Sketches.kmvLangOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.size === 3)
+    rows.foreach { case (pair, (_, _, est, exact)) =>
+      assert(est === exact, s"$pair: union fits in k but est $est != exact $exact")
+    }
+    // aa={a,b,c,d}, bb={c,d,e,f}: inter 2, union 6
+    assert(rows(("aa", "bb"))._4 === 2.0 / 6.0)
+    // driver data: estimator within the k=64 error envelope
+    val driver = Sketches.kmvLangOverlap(Tables.documents(spark, sf("sf0.01")))
+      .collect().map(r => (r.getDouble(4), r.getDouble(5)))
+    assert(driver.nonEmpty)
+    driver.foreach { case (est, exact) =>
+      assert(math.abs(est - exact) <= 0.25, s"est $est vs exact $exact")
+    }
+  }
+
+  test("kmvLangOverlap is partitioning-invariant (k smallest is order-free)") {
+    val d = Tables.documents(spark, sf("sf0.001"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(canon(Sketches.kmvLangOverlap(d.repartition(1))) ===
+      canon(Sketches.kmvLangOverlap(d.repartition(11))))
+  }
+
   test("quantileSketch: rank answers exact at resolution, quantiles within one bucket") {
     val o = Tables.orders(spark, sf("sf0.01"))
     val rows = Sketches.quantileSketch(o).collect()

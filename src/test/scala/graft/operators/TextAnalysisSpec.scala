@@ -189,6 +189,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.phraseSearch(d, Seq("c", "a", "a")).count() === 0L)
   }
 
+  test("bm25TopK equals a brute-force recompute of the rational formula") {
+    import TextAnalysis._
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val raw = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toksOf = raw.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+    }.toMap
+    val n = raw.length.toLong
+    val s = toksOf.valuesIterator.map(_.length.toLong).sum
+    val terms = Bm25Query
+    val tf = toksOf.map { case (id, ts) =>
+      id -> terms.map(t => t -> ts.count(_ == t).toLong).toMap
+    }
+    val df = terms.map(t => t -> tf.valuesIterator.count(_(t) > 0).toLong).toMap
+    val (numF, denTf, denS, denDl) = (
+      (Bm25K1Num + Bm25K1Den) * Bm25BDen, Bm25K1Den * Bm25BDen,
+      Bm25K1Num * (Bm25BDen - Bm25BNum), Bm25K1Num * Bm25BNum)
+    val scores = tf.collect { case (id, m) if m.valuesIterator.exists(_ > 0) =>
+      val dl = toksOf(id).length.toLong
+      val sc = terms.map { t =>
+        val f = m(t)
+        if (f == 0L) 0.0
+        else ((f * numF * s).toDouble / (f * denTf * s + denS * s + denDl * dl * n).toDouble) *
+          (n.toDouble / (df(t) + 1L).toDouble)
+      }.reduceLeft(_ + _)
+      (id, sc)
+    }.toSeq
+    val expected = scores.sortBy { case (id, sc) => (-sc, id) }.take(Bm25K)
+    val got = TextAnalysis.bm25TopK(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    assert(got.size === Bm25K)
+  }
+
   test("tfIdfTopTerms df counts documents, not occurrences") {
     val d = docs(1L -> "w w w", 2L -> "w", 3L -> "q")
     val row = TextAnalysis.tfIdfTopTerms(d, k = 5)
