@@ -302,6 +302,11 @@ object SparkEntry {
     // completion / window close / GC — the streaming twin of q_funnel.
     "q_stream_funnel_append" -> ((s, dir) =>
       graft.streaming.EventStreams.funnelAppendToBatch(s, dir)),
+    // Streaming maintenance of the dyadic quantile sketch: update-mode
+    // node counts upserted into a keyed store (state structurally bounded
+    // at <= 8191 rows — no watermark needed); shares the batch oracle.
+    "q_stream_quantile_update" -> ((s, dir) =>
+      graft.streaming.SketchStreams.quantileSketchViaStore(s, dir)),
     // The reference's flagship query as a continuous query (state = one
     // row per distinct word; complete-mode oracle harness).
     "q_stream_wordcount_complete_oracle" -> ((s, dir) =>
@@ -1300,6 +1305,9 @@ object SparkEntry {
     "q_hll_vocab" -> hllVocabOracle,
     "q_hll_vocab_agg" -> hllVocabOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
+    // the streaming keyed-store twin drains to the identical node frame,
+    // so it shares the batch sketch's oracle verbatim
+    "q_stream_quantile_update" -> quantileSketchOracle,
     // KMV sketches replayed: same 60-bit seeded hash, same per-lang k
     // smallest, same k-smallest-of-union estimator, exact Jaccard beside.
     "q_kmv_overlap" -> {

@@ -303,20 +303,34 @@ object Sketches {
     * sketch IS the answer). The rank probe join broadcasts the ≤ 8191-row
     * node frame; nothing corpus-sized shuffles.
     */
-  def quantileSketch(orders: DataFrame): DataFrame = {
-    val spark = orders.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val cents = graft.Parallelism.ensure(orders)
+  /** Clamped integer-cents column of the orders table — the sketch input
+    * axis, shared with the streaming twin.
+    */
+  def quantileCents(orders: DataFrame): DataFrame =
+    graft.Parallelism.ensure(orders)
       .select(least(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
         lit(QsMax)).as("c"))
-      .localCheckpoint()
+
+  def quantileSketch(orders: DataFrame): DataFrame = {
+    val cents = quantileCents(orders).localCheckpoint()
     val dy = udaf(new graft.functions.Aggregators.DyadicHistogram(QsLMin, QsU),
       org.apache.spark.sql.Encoders.scalaLong)
     val nodes = cents.agg(dy(col("c")).as("ns"))
       .select(explode(col("ns")).as("n"))
       .select(col("n._1").as("l"), col("n._2").as("b"), col("n._3").as("cnt"))
       .localCheckpoint()
+    quantileAnswers(nodes, cents)
+  }
+
+  /** The rank/quantile answer stage over a materialized (l, b, cnt) node
+    * frame plus the raw cents column (exact-side error visibility) —
+    * shared by the batch UDAF build and the streaming keyed-store twin,
+    * so both paths answer identically and share one oracle.
+    */
+  def quantileAnswers(nodes: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     // rank probes: decomposition nodes are per-probe literals; the ≤
     // 8191-row node frame broadcasts into the equi-join
     val decomp = QsProbeCents
