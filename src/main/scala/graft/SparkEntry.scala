@@ -164,6 +164,9 @@ object SparkEntry {
     // BM25-style ranked retrieval (rational k1/b cross-multiplied to exact
     // integers, linear idf, fixed-order term sum) — full oracle replay.
     "q_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir))),
+    // Vocabulary induction + id encoding: top-V tokens by (count DESC,
+    // tok ASC) get ids 1..V, every position encoded, OOV -> 0.
+    "q_token_ids" -> ((s, dir) => TextAnalysis.tokenIdSequences(Tables.documents(s, dir))),
     // Degree-ordered triangle counting on the word co-occurrence graph
     // (each triangle enumerated once at its (deg, id)-min vertex).
     "q_word_triangles" -> ((s, dir) => GraphAnalytics.wordTriangles(Tables.documents(s, dir))),
@@ -1352,6 +1355,18 @@ object SparkEntry {
     "q_pack_offsets" ->
       s"""WITH $packCtes
          |SELECT doc_id, n_tok, tok_start, first_chunk, last_chunk FROM spans""".stripMargin,
+    "q_token_ids" -> {
+      import graft.operators.TextAnalysis.{VocabSize, UnkId}
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+         |pos AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tok FROM (
+         |    SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t) x),
+         |vocab AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS token_id
+         |  FROM (SELECT tok, count(*) AS n FROM pos GROUP BY tok
+         |        ORDER BY n DESC, tok ASC LIMIT $VocabSize) f)
+         |SELECT p.doc_id, p.pos, COALESCE(v.token_id, $UnkId) AS token_id
+         |FROM pos p LEFT JOIN vocab v USING (tok)""".stripMargin
+    },
     // Degree-ordered triangle enumeration replayed: same canonical edges,
     // same (degree, id) orientation rule, same wedge-close join.
     "q_word_triangles" -> {

@@ -129,6 +129,44 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
 
+  /** Vocabulary size cap for [[tokenIdSequences]]; rarer tokens map to
+    * [[UnkId]] (the OOV bucket), ids 1..VocabSize by (count DESC, token
+    * ASC) rank — deterministic, so the id assignment is part of the
+    * oracle contract.
+    */
+  val VocabSize = 96
+  val UnkId = 0
+
+  /** Vocabulary induction + id encoding — the tokenize-to-ids step of a
+    * training pipeline: rank tokens by corpus frequency (count DESC,
+    * token ASC), keep the top [[VocabSize]] as ids 1..V, map every
+    * position of every document to its token id (OOV → [[UnkId]]).
+    * Output is the exploded (doc_id, pos, token_id) sequence frame — the
+    * form [[Packing]] consumes downstream.
+    *
+    * Shape: one exploded scan builds the frequency table (map-side
+    * combined; vocabulary-sized, not corpus-sized), the top-V ranking is
+    * a TakeOrdered-class sort over the vocabulary, and the encode pass is
+    * the same exploded scan joined to the BROADCAST vocabulary — at
+    * 100 TB the vocabulary is a few MB against petabytes of positions,
+    * the canonical map-side-join asymmetry.
+    */
+  def tokenIdSequences(documents: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
+    val positions = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"),
+        posexplode(toks(lower(col("text")))).as(Seq("pos", "tok")))
+    val vocab = positions
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok"))
+      .limit(vocabSize)
+      .select(col("tok"),
+        row_number().over(Window.orderBy(desc("n"), asc("tok"))).as("token_id"))
+    positions
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(UnkId)).as("token_id"))
+  }
+
   /** BM25 constants as exact ratios: k1 = 3/2, b = 3/4 — the standard
     * Robertson defaults, kept rational so the saturation term reduces to
     * ONE division of two exact integers (see [[bm25TopK]]). Interpolated

@@ -189,6 +189,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.phraseSearch(d, Seq("c", "a", "a")).count() === 0L)
   }
 
+  test("tokenIdSequences: ids follow frequency rank; OOV positions get UnkId") {
+    val d = docs(
+      1L -> "b b b a a c",
+      2L -> "a b rare")
+    // counts: b=4, a=3, c=1, rare=1 -> rank: b=1, a=2, c=3, rare=4
+    val got = TextAnalysis.tokenIdSequences(d, vocabSize = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 0)) === 1) // b
+    assert(got((1L, 3)) === 2) // a
+    assert(got((1L, 5)) === 3) // c
+    assert(got((2L, 2)) === TextAnalysis.UnkId) // "rare" fell outside V=3
+    // every position encoded exactly once
+    assert(got.size === 9)
+  }
+
   test("bm25TopK equals a brute-force recompute of the rational formula") {
     import TextAnalysis._
     val d = graft.Tables.documents(spark, sf("sf0.001"))
