@@ -170,6 +170,8 @@ object SparkEntry {
     // Degree-ordered triangle counting on the word co-occurrence graph
     // (each triangle enumerated once at its (deg, id)-min vertex).
     "q_word_triangles" -> ((s, dir) => GraphAnalytics.wordTriangles(Tables.documents(s, dir))),
+    // k-core peeling (fixed BSP rounds, loop unrolled in the oracle).
+    "q_kcore_words" -> ((s, dir) => GraphAnalytics.kCoreWords(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir))),
     "q_top_terms_per_lang" -> ((s, dir) => TextAnalysis.topTermsPerLang(Tables.documents(s, dir))),
@@ -1366,6 +1368,29 @@ object SparkEntry {
          |        ORDER BY n DESC, tok ASC LIMIT $VocabSize) f)
          |SELECT p.doc_id, p.pos, COALESCE(v.token_id, $UnkId) AS token_id
          |FROM pos p LEFT JOIN vocab v USING (tok)""".stripMargin
+    },
+    // k-core peel replayed round by round: same canonical edges, same
+    // simultaneous degree-< k drop per round, degrees of the survivor set.
+    "q_kcore_words" -> {
+      import graft.operators.GraphAnalytics.{KCoreK, KCoreRounds}
+      val roundCtes = (1 to KCoreRounds).map { r =>
+        s"""d$r AS (SELECT w, count(*) AS d FROM (
+           |    SELECT a AS w FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) u
+           |  GROUP BY w),
+           |k$r AS (SELECT w FROM d$r WHERE d >= $KCoreK),
+           |e$r AS (SELECT a, b FROM e${r - 1}
+           |  WHERE a IN (SELECT w FROM k$r) AND b IN (SELECT w FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
+         |  FROM ts WHERE len(ts) >= 2),
+         |e0 AS (SELECT DISTINCT least(ts[i], ts[i+1]) AS a, greatest(ts[i], ts[i+1]) AS b
+         |  FROM bgidx WHERE ts[i] <> ts[i+1]),
+         |$roundCtes
+         |SELECT w AS word, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT a AS w FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds) u
+         |GROUP BY w""".stripMargin
     },
     // Degree-ordered triangle enumeration replayed: same canonical edges,
     // same (degree, id) orientation rule, same wedge-close join.

@@ -98,6 +98,58 @@ object GraphAnalytics {
   /** Top words of the registered triangle query. */
   val TriangleK = 20
 
+  /** k-core threshold / fixed peel rounds for the registered query (the
+    * same fixed-iteration contract as [[PrIters]]: the loop is unrolled
+    * in the oracle, so it must stay small and static — on most graphs
+    * peeling converges in a handful of rounds; un-converged residue is
+    * part of the documented "after R peels" semantics, not an error).
+    */
+  val KCoreK = 3
+  val KCoreRounds = 4
+
+  /** Canonical undirected co-occurrence edges (a < b) of the word-bigram
+    * graph — shared by [[wordTriangles]] and [[kCoreWords]].
+    */
+  private def cooccurrenceEdges(documents: DataFrame): DataFrame = {
+    val ts = graft.Parallelism.ensure(documents)
+      .select(split(trim(lower(col("text"))), "\\s+").as("ts"))
+      .where(size(col("ts")) >= 2)
+    ts
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS src, ts[i] AS dst))")).as("bg"))
+      .select(
+        least(col("bg.src"), col("bg.dst")).as("a"),
+        greatest(col("bg.src"), col("bg.dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Degree frame of an (a, b) edge list. */
+  private def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("a"), col("b"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("d"))
+
+  /** k-core peeling, [[KCoreRounds]] fixed rounds: each round drops every
+    * node of degree < k (and its edges), simultaneously — the BSP variant
+    * of the sequential min-degree peel. Returns every surviving node with
+    * its post-peel degree. Each round is one exploded degree agg
+    * (map-side combined) + two semi-joins keyed on the endpoint — the
+    * same per-round shape as [[pageRank]]'s superstep, with per-round
+    * localCheckpoint keeping plans constant.
+    */
+  def kCoreWords(
+      documents: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
+    var edges = cooccurrenceEdges(documents).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degreesOf(edges).where(col("d") >= k).select("w")
+      edges = edges
+        .join(keep.select(col("w").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("w").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    degreesOf(edges).select(col("w").as("word"), col("d").as("degree"))
+  }
+
   /** Per-word triangle participation counts over the UNDIRECTED word
     * co-occurrence graph (canonical `a < b` edges from the bigram stream),
     * top-k words by (triangles DESC, word ASC) — the clustering-structure
@@ -114,20 +166,9 @@ object GraphAnalytics {
     * equi-joins on word keys; no windows, no driver state.
     */
   def wordTriangles(documents: DataFrame, k: Int = TriangleK): DataFrame = {
-    val ts = graft.Parallelism.ensure(documents)
-      .select(split(trim(lower(col("text"))), "\\s+").as("ts"))
-      .where(size(col("ts")) >= 2)
-    val edges = ts
-      .select(explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS src, ts[i] AS dst))")).as("bg"))
-      .select(
-        least(col("bg.src"), col("bg.dst")).as("a"),
-        greatest(col("bg.src"), col("bg.dst")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint() // reused: degrees, orientation, wedge closing
-    val deg = edges.select(explode(array(col("a"), col("b"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("d"))
+    // reused three ways: degrees, orientation, wedge closing
+    val edges = cooccurrenceEdges(documents).localCheckpoint()
+    val deg = degreesOf(edges)
     val oriented = edges
       .join(deg.select(col("w").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("w").as("b"), col("d").as("db")), "b")

@@ -88,6 +88,20 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(expected === Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("kCoreWords peels low-degree periphery; the dense core survives with its degrees") {
+    import spark.implicits._
+    // K4 core {a,b,c,d} (degree 3 each) + pendant chain e-f hanging off a:
+    // the chain and the a-e edge peel away within two rounds
+    val docs = Seq(
+      (1L, "a b c d a c"), // edges a-b, b-c, c-d, a-d, a-c
+      (2L, "b d"),         // edge b-d completes K4
+      (3L, "a e f")        // pendant chain: e, f never reach degree 3
+    ).toDF("doc_id", "text")
+    val got = GraphAnalytics.kCoreWords(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $got")
+  }
+
   test("wordTriangles is partitioning-invariant and never double-counts") {
     import spark.implicits._
     // deterministic pseudo-random graph text
