@@ -301,6 +301,10 @@ object SparkEntry {
     // the batch interval join exactly.
     "q_stream_attribution" -> ((s, dir) =>
       graft.streaming.EventStreams.attributionPairsToBatch(s, dir)),
+    // Stream-static dimension enrichment: purchases joined to the
+    // broadcast customer dim — stateless append, batch-join oracle.
+    "q_stream_enriched" -> ((s, dir) =>
+      graft.streaming.EventStreams.enrichedPurchasesToBatch(s, dir)),
     // Append-mode ordered funnel via flatMapGroupsWithState: per-user
     // keyed state, steps resolve only once the watermark passes them
     // (arrival-order independent), 24h conversion window, emission at
@@ -1459,6 +1463,12 @@ object SparkEntry {
          |         - greatest(tok_start, chunk_id * $L)) AS BIGINT) AS n_tokens
          |FROM ex GROUP BY chunk_id""".stripMargin
     },
+    "q_stream_enriched" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  CAST(round(e.value * 100) AS BIGINT) AS value_cents,
+        |  c.c_mktsegment, c.c_nationkey
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'""".stripMargin,
     // The append-mode funnel's full semantic replay: per-step first-after
     // minima confined to the 24h conversion window AND the final watermark
     // (resolution ≡ presence under `us <= wm`), then the three-way

@@ -469,6 +469,36 @@ object EventStreams {
     out
   }
 
+  /** STREAM-STATIC ENRICHMENT JOIN — the dimension-lookup topology every
+    * ingest pipeline runs: the purchase stream joins the static customer
+    * dimension (broadcast — the dim re-reads per micro-batch, so slowly
+    * changing dimensions pick up updates between batches), completely
+    * STATELESS: no watermark, no state store, append mode — a full drain
+    * equals the batch join exactly (the oracle). Money rides as integer
+    * cents for hash portability.
+    */
+  def enrichedPurchases(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .where(col("event_type") === "purchase")
+      .join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"),
+        col("c_mktsegment"), col("c_nationkey"))
+
+  /** Drain [[enrichedPurchases]] over the driver's events dir to a parquet
+    * sink and read it back.
+    */
+  def enrichedPurchasesToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_enrich")
+    val out = drainAppendToParquet(spark,
+      enrichedPurchases(rawSource(spark, dir), graft.Tables.customer(spark, dir)),
+      s"$tmp/out", s"$tmp/ckpt")
+    deleteRecursivelyOnExit(tmp)
+    out
+  }
+
   /** Streaming exactly-once ingest dedup: drop duplicate event ids within
     * the watermark horizon — the standard at-least-once → exactly-once
     * repair at the front of an ingest pipeline. Input must be watermarked

@@ -208,6 +208,21 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join is stateless and equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamed = EventStreams.enrichedPurchasesToBatch(spark, dir)
+    val batch = graft.Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .join(graft.Tables.customer(spark, dir), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"),
+        col("c_mktsegment"), col("c_nationkey"))
+    assert(streamed.count() > 0)
+    assert(canon(streamed.collect()) === canon(batch.collect()))
+  }
+
   test("stream-stream interval join equals the batch interval join on a full drain") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
