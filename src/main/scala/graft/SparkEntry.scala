@@ -125,6 +125,19 @@ object SparkEntry {
     // KMV distinct sketches + pairwise Jaccard estimation between
     // language vocabularies (the set-operation estimator HLL lacks).
     "q_kmv_overlap" -> ((s, dir) => Sketches.kmvLangOverlap(Tables.documents(s, dir))),
+    // Bucket-level digest reconciliation: localize the planted change to
+    // its doc-id block by exchanging per-bucket XOR digests.
+    "q_digest_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Sketches.digestDiffBuckets(d, Sketches.tamperedReplica(d))
+    }),
+    // Explicit GROUPING SETS (marginals + grand total) with grouping_id.
+    "q_grouping_sets" -> ((s, dir) =>
+      Relational.groupingSetsSummary(Tables.lineitem(s, dir))),
+    // Dead-letter-queue split: the quality gate's reject side with the
+    // first-failing-rule reason, two-sink idempotent foreachBatch routing.
+    "q_stream_dlq" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.dlqSplitToBatch(s, dir)),
     // --- events: JSON, time buckets, sessionization (build plan M4/M5) ---
     "q_events_json" -> ((s, dir) => EventAnalytics.perTypeStats(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) => EventAnalytics.hourlyStats(Tables.events(s, dir))),
@@ -1317,6 +1330,49 @@ object SparkEntry {
     // the streaming keyed-store twin drains to the identical node frame,
     // so it shares the batch sketch's oracle verbatim
     "q_stream_quantile_update" -> quantileSketchOracle,
+    // Per-bucket XOR digests of both sides, null-safe full-join diff.
+    "q_digest_diff" -> {
+      import graft.operators.Sketches.{DiffBucket, TamperedDocId}
+      val h = h60(0, "concat_ws('|', doc_id, lang, source, md5(text))")
+      s"""WITH a AS (SELECT doc_id // $DiffBucket AS bkt, bit_xor($h) AS digest,
+         |    count(*) AS n_rows FROM documents GROUP BY 1),
+         |rep AS (SELECT doc_id, lang, source,
+         |    CASE WHEN doc_id = $TamperedDocId THEN text || ' tampered' ELSE text END AS text
+         |  FROM documents),
+         |b AS (SELECT doc_id // $DiffBucket AS bkt, bit_xor($h) AS digest,
+         |    count(*) AS n_rows FROM rep GROUP BY 1)
+         |SELECT COALESCE(a.bkt, b.bkt) AS bkt,
+         |  a.digest AS digest_a, a.n_rows AS n_a,
+         |  b.digest AS digest_b, b.n_rows AS n_b
+         |FROM a FULL JOIN b ON a.bkt = b.bkt
+         |WHERE a.digest IS DISTINCT FROM b.digest
+         |   OR a.n_rows IS DISTINCT FROM b.n_rows""".stripMargin
+    },
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    // The gate's negation with first-failing-rule reasons (same check
+    // order as the engine's when-chain; ELSE is provably pii_digit_run).
+    "q_stream_dlq" -> {
+      val stopFilter = s"len(list_filter(t.toks, w -> list_contains($stopList, w)))"
+      s"""WITH t AS ($tokCte)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  CASE WHEN len(t.toks) < 10 THEN 'too_short'
+         |       WHEN $stopFilter = 0 THEN 'no_stopwords'
+         |       WHEN len(regexp_extract_all(d.text, '${TextAnalysis.EmailPattern}')) > 0 THEN 'pii_email'
+         |       WHEN len(regexp_extract_all(d.text, '${TextAnalysis.Ipv4Pattern}')) > 0 THEN 'pii_ipv4'
+         |       ELSE 'pii_digit_run' END AS reason
+         |FROM documents d JOIN t ON d.doc_id = t.doc_id
+         |WHERE NOT (len(t.toks) >= 10
+         |  AND $stopFilter > 0
+         |  AND len(regexp_extract_all(d.text, '${TextAnalysis.EmailPattern}')) = 0
+         |  AND len(regexp_extract_all(d.text, '${TextAnalysis.Ipv4Pattern}')) = 0
+         |  AND len(regexp_extract_all(d.text, '${TextAnalysis.DigitRunPattern}')) = 0)""".stripMargin
+    },
     // KMV sketches replayed: same 60-bit seeded hash, same per-lang k
     // smallest, same k-smallest-of-union estimator, exact Jaccard beside.
     "q_kmv_overlap" -> {

@@ -619,6 +619,23 @@ object Relational {
         (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Explicit GROUPING SETS — the third grouping-combination surface next
+    * to rollup (hierarchical prefixes) and cube (all 2^k): an ARBITRARY
+    * set list, here the two single-column marginals plus the grand total,
+    * with `grouping_id()` disambiguating which set produced each row
+    * (standard-SQL bit encoding, so the oracle's GROUPING(a, b) matches
+    * bit for bit). Same single-shuffle Expand shape as rollup/cube.
+    */
+  def groupingSetsSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+        count(lit(1)).as("n"))
+
   /** FULL OUTER join + per-customer order counts: customers with no
     * orders surface with n_orders = 0 (count of a column skips its
     * nulls), order rows with no matching customer would surface with a

@@ -163,6 +163,58 @@ object Sketches {
         coalesce(col("exact_count"), lit(0L)).as("exact_count"))
   }
 
+  // ---- bucket-level digest diff (table reconciliation) ----------------
+
+  /** Doc-id block width for [[digestDiffBuckets]] and the planted change
+    * the registered demo localizes. At 100 TB pick the bucket so each
+    * holds ~1 GB of rows: the diff exchange is then |table|/bucket tiny
+    * digests, and only differing buckets get re-read.
+    */
+  val DiffBucket = 64L
+  val TamperedDocId = 42L
+
+  /** Bucket-level table reconciliation — the localization step
+    * [[tableDigest]]'s whole-table checksum enables: compute per-bucket
+    * (doc_id block) XOR digests + row counts for a table and a replica,
+    * and report ONLY the buckets whose 16-byte summaries disagree. Two
+    * 100 TB copies are compared by exchanging |table|/bucket digests; the
+    * differing buckets (and nothing else) are then re-read row by row.
+    * The null-safe full outer join also catches buckets present on one
+    * side only (dropped/extra blocks, not just changed rows).
+    *
+    * The registered demo diffs the documents table against a replica with
+    * ONE planted change (doc [[TamperedDocId]]'s text amended), so the
+    * expected output is exactly that doc's bucket — deterministic and
+    * oracle-replayed (DuckDB's bit_xor over the same 60-bit row hashes).
+    */
+  def digestDiffBuckets(
+      documents: DataFrame, replica: DataFrame, bucket: Long = DiffBucket): DataFrame = {
+    val canonical = concat_ws("|",
+      col("doc_id"), col("lang"), col("source"), md5(col("text")))
+    def bucketDigests(df: DataFrame) = {
+      val xorAgg = udaf(new graft.functions.Aggregators.XorDigest)
+      graft.Parallelism.ensure(df)
+        .select(expr(s"doc_id div ${bucket}L").as("bkt"),
+          HashFunctions.md5Long(canonical).as("h"))
+        .groupBy("bkt")
+        .agg(xorAgg(col("h")).as("digest"), count(lit(1)).as("n_rows"))
+    }
+    bucketDigests(documents)
+      .select(col("bkt"), col("digest").as("digest_a"), col("n_rows").as("n_a"))
+      .join(
+        bucketDigests(replica)
+          .select(col("bkt"), col("digest").as("digest_b"), col("n_rows").as("n_b")),
+        Seq("bkt"), "full")
+      .where(!(col("digest_a") <=> col("digest_b")) ||
+        !(col("n_a") <=> col("n_b")))
+  }
+
+  /** The registered demo's replica: the same table with one planted edit. */
+  def tamperedReplica(documents: DataFrame): DataFrame =
+    documents.withColumn("text",
+      when(col("doc_id") === TamperedDocId, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+
   // ---- KMV (k-minimum-values) distinct sketch + set overlap -----------
 
   /** Sketch size: the k smallest 60-bit token hashes per language. */

@@ -235,6 +235,66 @@ object DocumentStreams {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** DLQ reason of a rejected document — the FIRST failing rule in the
+    * gate's check order; NULL for admitted docs, so this column IS the
+    * router of [[dlqSplitToBatch]] and the gate predicate's negation.
+    */
+  def rejectionReason: org.apache.spark.sql.Column = {
+    val ts = split(trim(col("text")), "\\s+")
+    val nStop = size(filter(ts, t => t.isin(TextAnalysis.Stopwords: _*)))
+    def hits(p: String) =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))) > 0
+    when(size(ts) < 10, "too_short")
+      .when(nStop === 0, "no_stopwords")
+      .when(hits(TextAnalysis.EmailPattern), "pii_email")
+      .when(hits(TextAnalysis.Ipv4Pattern), "pii_ipv4")
+      .when(hits(TextAnalysis.DigitRunPattern), "pii_digit_run")
+  }
+
+  /** DEAD-LETTER-QUEUE split — the production shape of the quality gate:
+    * ONE foreachBatch routes every micro-batch to TWO sinks (admitted →
+    * main, rejected + reason → DLQ), each batch written to its own
+    * `batch=<id>` subdirectory with overwrite so a RETRIED batch
+    * idempotently replaces itself on both sinks — the two-sink
+    * exactly-once recipe when a single transactional commit isn't
+    * available. Stateless (per-row predicates only). Returns the DLQ
+    * side read back; the admitted side is `q_stream_quality`'s frame.
+    */
+  def dlqSplitToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dlq")
+    val (main, dlq) = (tmp.resolve("main"), tmp.resolve("dlq"))
+    java.nio.file.Files.createDirectories(main)
+    java.nio.file.Files.createDirectories(dlq)
+    val annotated = rawSource(spark, dir).withColumn("reason", rejectionReason)
+    EventStreams.withStreamShufflePartitions(spark) {
+      val q = annotated.writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.persist()
+          try {
+            b.where(col("reason").isNull)
+              .select("doc_id", "lang", "source")
+              .write.mode("overwrite").parquet(s"$main/batch=$id")
+            b.where(col("reason").isNotNull)
+              .select("doc_id", "lang", "source", "reason")
+              .write.mode("overwrite").parquet(s"$dlq/batch=$id")
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("reason", org.apache.spark.sql.types.StringType)))
+    val result = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dlq.toString)
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    result
+  }
+
   /** Run the quality gate over the driver's documents dir to completion
     * and read back the admitted rows (append + exactly-once parquet sink).
     */

@@ -185,6 +185,23 @@ class RelationalSpec extends SparkSpec {
     assert(r.getLong(1) === 1L)
   }
 
+  test("groupingSetsSummary: exactly the requested sets; marginals sum to the grand total") {
+    import spark.implicits._
+    val li = Seq(
+      ("A", "F", 1.0), ("A", "O", 2.0), ("R", "F", 3.0), ("R", "F", 4.0)
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val rows = Relational.groupingSetsSummary(li).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // sets: per-returnflag (gid 1: linestatus aggregated), per-linestatus
+    // (gid 2), grand total (gid 3) — no (flag, status) detail rows
+    assert(rows.map(_._3).toSet === Set(1L, 2L, 3L))
+    val total = rows.filter(_._3 == 3L)
+    assert(total === Array((None, None, 3L, 10.0, 4L)))
+    assert(rows.filter(_._3 == 1L).map(_._4).sum === 10.0)
+    assert(rows.filter(_._3 == 2L).map(_._4).sum === 10.0)
+  }
+
   test("waitingSuppliers equals the brute-force EXISTS/NOT-EXISTS evaluation") {
     import spark.implicits._
     // deterministic fixture: 6 orders x up to 3 suppliers, lateness varied;

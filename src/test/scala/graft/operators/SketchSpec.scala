@@ -40,6 +40,23 @@ class SketchSpec extends SparkSpec {
     assert(agg.nonEmpty)
   }
 
+  test("digestDiffBuckets: identical replicas diff empty; changes/drops localize to their bucket") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf("sf0.001"))
+    // identical sides -> no differing bucket
+    assert(Sketches.digestDiffBuckets(d, d).count() === 0L)
+    // one planted edit -> exactly that doc's bucket flagged, counts equal
+    val edited = Sketches.digestDiffBuckets(d, Sketches.tamperedReplica(d)).collect()
+    assert(edited.length === 1)
+    assert(edited.head.getLong(0) ===
+      Sketches.TamperedDocId / Sketches.DiffBucket)
+    assert(edited.head.getLong(2) === edited.head.getLong(4)) // n_a == n_b
+    // a dropped row -> its bucket flagged via the row-count side
+    val dropped = Sketches.digestDiffBuckets(d, d.where(col("doc_id") =!= 7L)).collect()
+    assert(dropped.length === 1 && dropped.head.getLong(0) === 7L / Sketches.DiffBucket)
+    assert(dropped.head.getLong(2) === dropped.head.getLong(4) + 1L)
+  }
+
   test("kmvLangOverlap: exact when the union fits in k; bounded error on driver data") {
     import spark.implicits._
     // tiny fixture: vocabularies small enough that U_k is the full union,

@@ -46,6 +46,32 @@ class DocumentStreamsSpec extends SparkSpec {
     EventStreams.deleteRecursivelyOnExit(srcDir)
   }
 
+  test("DLQ split partitions the corpus: admitted + rejected = all, reasons by priority") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val dlq = DocumentStreams.dlqSplitToBatch(spark, dir).collect()
+    val admitted = DocumentStreams.qualityFilteredToBatch(spark, dir).collect()
+    val total = graft.Tables.documents(spark, dir).count()
+    assert(dlq.length + admitted.length === total.toInt,
+      "every document must land in exactly one sink")
+    assert(dlq.nonEmpty && admitted.nonEmpty)
+    val dlqIds = dlq.map(_.getLong(0)).toSet
+    assert(admitted.map(_.getLong(0)).toSet.intersect(dlqIds).isEmpty)
+    // reasons come from the fixed priority chain and nothing else
+    val reasons = dlq.map(_.getString(3)).toSet
+    assert(reasons.subsetOf(Set(
+      "too_short", "no_stopwords", "pii_email", "pii_ipv4", "pii_digit_run")))
+    // priority: a doc that is BOTH short and PII must report too_short
+    val shortPii = graft.Tables.documents(spark, dir)
+      .where(size(split(trim(col("text")), "\\s+")) < 10 &&
+        size(regexp_extract_all(col("text"),
+          lit(graft.operators.TextAnalysis.EmailPattern), lit(0))) > 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    shortPii.foreach { id =>
+      assert(dlq.find(_.getLong(0) == id).get.getString(3) === "too_short")
+    }
+  }
+
   test("streaming word count == batch word count (reference flagship, continuous)") {
     val dir = sf("sf0.001")
     val streamed = DocumentStreams.wordCountsToBatch(spark, dir)
