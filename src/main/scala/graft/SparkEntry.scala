@@ -131,6 +131,14 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       Sketches.digestDiffBuckets(d, Sketches.tamperedReplica(d))
     }),
+    // Row-level drill-down of the digest diff: classify added / removed /
+    // changed keys (demo replica: one edit + one dropped row).
+    "q_row_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      import org.apache.spark.sql.functions.col
+      Sketches.rowDiff(d,
+        Sketches.tamperedReplica(d).where(col("doc_id") =!= Sketches.DroppedDocId))
+    }),
     // Explicit GROUPING SETS (marginals + grand total) with grouping_id.
     "q_grouping_sets" -> ((s, dir) =>
       Relational.groupingSetsSummary(Tables.lineitem(s, dir))),
@@ -1347,6 +1355,21 @@ object SparkEntry {
          |FROM a FULL JOIN b ON a.bkt = b.bkt
          |WHERE a.digest IS DISTINCT FROM b.digest
          |   OR a.n_rows IS DISTINCT FROM b.n_rows""".stripMargin
+    },
+    "q_row_diff" -> {
+      import graft.operators.Sketches.{TamperedDocId, DroppedDocId}
+      val h = h60(0, "concat_ws('|', doc_id, lang, source, md5(text))")
+      s"""WITH a AS (SELECT doc_id, $h AS ha FROM documents),
+         |rep AS (SELECT doc_id, lang, source,
+         |    CASE WHEN doc_id = $TamperedDocId THEN text || ' tampered' ELSE text END AS text
+         |  FROM documents WHERE doc_id <> $DroppedDocId),
+         |b AS (SELECT doc_id, $h AS hb FROM rep)
+         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN b.hb IS NULL THEN 'removed'
+         |       WHEN a.ha IS NULL THEN 'added'
+         |       ELSE 'changed' END AS change
+         |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+         |WHERE a.ha IS DISTINCT FROM b.hb""".stripMargin
     },
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

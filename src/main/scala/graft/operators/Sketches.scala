@@ -215,6 +215,31 @@ object Sketches {
       when(col("doc_id") === TamperedDocId, concat(col("text"), lit(" tampered")))
         .otherwise(col("text")))
 
+  /** Dropped-row dial for the registered row-diff demo. */
+  val DroppedDocId = 7L
+
+  /** Row-level table diff — the drill-down [[digestDiffBuckets]] feeds:
+    * classify every key as added / removed / changed by comparing the
+    * same canonical row hashes through a null-safe full outer join on the
+    * key. At 100 TB this runs ONLY on the buckets the digest diff
+    * flagged; here the registered demo diffs against a replica with one
+    * edit and one dropped row and must output exactly those two keys.
+    */
+  def rowDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val canonical = concat_ws("|",
+      col("doc_id"), col("lang"), col("source"), md5(col("text")))
+    def hashed(df: DataFrame, name: String) =
+      graft.Parallelism.ensure(df)
+        .select(col("doc_id"), HashFunctions.md5Long(canonical).as(name))
+    hashed(a, "ha")
+      .join(hashed(b, "hb"), Seq("doc_id"), "full")
+      .where(!(col("ha") <=> col("hb")))
+      .select(col("doc_id"),
+        when(col("hb").isNull, "removed")
+          .when(col("ha").isNull, "added")
+          .otherwise("changed").as("change"))
+  }
+
   // ---- KMV (k-minimum-values) distinct sketch + set overlap -----------
 
   /** Sketch size: the k smallest 60-bit token hashes per language. */

@@ -57,6 +57,23 @@ class SketchSpec extends SparkSpec {
     assert(dropped.head.getLong(2) === dropped.head.getLong(4) + 1L)
   }
 
+  test("rowDiff classifies added / removed / changed keys exactly") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf("sf0.001"))
+    assert(Sketches.rowDiff(d, d).count() === 0L)
+    val replica = Sketches.tamperedReplica(d)
+      .where(col("doc_id") =!= Sketches.DroppedDocId)
+    val diff = Sketches.rowDiff(d, replica).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(
+      Sketches.TamperedDocId -> "changed",
+      Sketches.DroppedDocId -> "removed"))
+    // symmetric direction: the dropped row reads as added
+    val rev = Sketches.rowDiff(replica, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev(Sketches.DroppedDocId) === "added")
+  }
+
   test("kmvLangOverlap: exact when the union fits in k; bounded error on driver data") {
     import spark.implicits._
     // tiny fixture: vocabularies small enough that U_k is the full union,
