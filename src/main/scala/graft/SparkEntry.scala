@@ -511,7 +511,7 @@ object SparkEntry {
     * CTE — yielding `cent<iters>` as the trained centroids. Shared by the
     * trained-IVF and IVF-PQ oracles.
     */
-  private def ivfTrainCtes(nLists: Int, iters: Int): String = {
+  private def ivfTrainCtes(nLists: Int, iters: Int, src: String = "e"): String = {
     val q = graft.operators.Similarity.MeanQuantum
     val sumCols = (1 to EmbDim)
       .map(d => s"sum(CAST(round(e.v[$d]*$q) AS BIGINT)) AS s$d")
@@ -522,17 +522,17 @@ object SparkEntry {
     def iterCtes(t: Int): String =
       s"""s$t AS (SELECT e.vec_id, c.i,
          |    ${dotSql("e.v", "c.c")} / (sqrt(${selfDotSql("e.v")}) * sqrt(${selfDotSql("c.c")})) AS cs
-         |  FROM e CROSS JOIN cent$t c),
+         |  FROM $src e CROSS JOIN cent$t c),
          |a$t AS (SELECT vec_id, i AS cell FROM (
          |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, i DESC) AS rn
          |    FROM s$t) r WHERE rn = 1),
          |m$t AS (SELECT a.cell, count(*) AS n, $sumCols
-         |  FROM a$t a JOIN e USING (vec_id) GROUP BY a.cell),
+         |  FROM a$t a JOIN $src e USING (vec_id) GROUP BY a.cell),
          |cent${t + 1} AS (SELECT c0.i, COALESCE(m.c, c0.c) AS c
          |  FROM cent$t c0 LEFT JOIN
          |    (SELECT cell AS i, $meanList AS c FROM m$t) m USING (i))""".stripMargin
     s"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c
-       |  FROM e ORDER BY vec_id ASC LIMIT $nLists),
+       |  FROM $src ORDER BY vec_id ASC LIMIT $nLists),
        |${(0 until iters).map(iterCtes).mkString(",\n")}""".stripMargin
   }
 
@@ -554,7 +554,7 @@ object SparkEntry {
   private case class PqSqlParts(
       ctes: String, scoreSql: String, nsSql: String, cwJoins: String)
 
-  private def pqSqlParts: PqSqlParts = {
+  private def pqSqlParts(trainSrc: String = "e"): PqSqlParts = {
     import graft.operators.ProductQuantization.{NumSubspaces => M, NumCodes => K, TrainIters}
     val q = graft.operators.ProductQuantization.MeanQuantum
     val sub = EmbDim / M
@@ -569,19 +569,19 @@ object SparkEntry {
     val meanList = (1 to sub)
       .map(d => s"CAST(CAST(CAST(s$d AS DOUBLE)/n/$q.0 AS FLOAT) AS DOUBLE)")
       .mkString("[", ", ", "]")
-    def assignCte(name: String, cbName: String, m: Int): String =
+    def assignCte(name: String, cbName: String, m: Int, src: String): String =
       s"""$name AS (SELECT vec_id, k AS code FROM (
          |    SELECT e.vec_id, c.k,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${l2Sql(m, "e.v", "c.c")} ASC, c.k ASC) AS rn
-         |    FROM e CROSS JOIN $cbName c) r WHERE rn = 1)""".stripMargin
+         |    FROM $src e CROSS JOIN $cbName c) r WHERE rn = 1)""".stripMargin
     def roundCtes(t: Int, m: Int): String = {
       val subSums = (1 to sub).foldLeft(sumCols) { (acc, d) =>
         acc.replace(s"__I$d", vIdx(m, d).toString)
       }
-      s"""${assignCte(s"a${t}_$m", s"cb${t}_$m", m)},
+      s"""${assignCte(s"a${t}_$m", s"cb${t}_$m", m, trainSrc)},
          |m${t}_$m AS (SELECT a.code, count(*) AS n, $subSums
-         |  FROM a${t}_$m a JOIN e USING (vec_id) GROUP BY a.code),
+         |  FROM a${t}_$m a JOIN $trainSrc e USING (vec_id) GROUP BY a.code),
          |cb${t + 1}_$m AS (SELECT c0.k, COALESCE(mm.c, c0.c) AS c
          |  FROM cb${t}_$m c0 LEFT JOIN
          |    (SELECT code AS k, $meanList AS c FROM m${t}_$m) mm USING (k))""".stripMargin
@@ -589,11 +589,12 @@ object SparkEntry {
     val seedCtes = (0 until M).map(m =>
       s"""cb0_$m AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k,
          |    ${subList(m, "v")} AS c
-         |  FROM e ORDER BY vec_id ASC LIMIT $K)""".stripMargin).mkString(",\n")
+         |  FROM $trainSrc ORDER BY vec_id ASC LIMIT $K)""".stripMargin).mkString(",\n")
     val trainCtes = (for (t <- 0 until TrainIters; m <- 0 until M)
       yield roundCtes(t, m)).mkString(",\n")
+    // the final ENCODE pass always covers the full corpus CTE `e`
     val encCtes = (0 until M)
-      .map(m => assignCte(s"enc_$m", s"cb${TrainIters}_$m", m)).mkString(",\n")
+      .map(m => assignCte(s"enc_$m", s"cb${TrainIters}_$m", m, "e")).mkString(",\n")
     val codesCte =
       s"""codes AS (SELECT e.vec_id, ${(0 until M).map(m => s"enc_$m.code AS c$m").mkString(", ")}
          |  FROM e ${(0 until M).map(m => s"JOIN enc_$m USING (vec_id)").mkString(" ")})""".stripMargin
@@ -627,10 +628,11 @@ object SparkEntry {
     * so the ranking agrees bit-for-bit.
     */
   private def annPqOracle: String = {
-    import graft.operators.ProductQuantization.RerankDepth
-    val p = pqSqlParts
+    import graft.operators.ProductQuantization.{RerankDepth, TrainSampleN}
+    val p = pqSqlParts(trainSrc = "et")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
+       |et AS (SELECT * FROM e WHERE vec_id < $TrainSampleN),
        |${p.ctes},
        |adc AS (SELECT qq.vec_id AS query_id, x.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY qq.vec_id
@@ -653,11 +655,12 @@ object SparkEntry {
     * shared exact rerank finishes.
     */
   private def annIvfPqOracle: String = {
-    import graft.operators.ProductQuantization.{RerankDepth, IvfLists, IvfIters}
-    val p = pqSqlParts
+    import graft.operators.ProductQuantization.{RerankDepth, IvfLists, IvfIters, TrainSampleN}
+    val p = pqSqlParts(trainSrc = "et")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
-       |${ivfTrainCtes(IvfLists, IvfIters)},
+       |et AS (SELECT * FROM e WHERE vec_id < $TrainSampleN),
+       |${ivfTrainCtes(IvfLists, IvfIters, src = "et")},
        |${ivfProbeCtes(s"cent$IvfIters", s"sqrt(${selfDotSql("c.c")})")},
        |${p.ctes},
        |adc AS (SELECT pr.query_id, a.neighbor_id,

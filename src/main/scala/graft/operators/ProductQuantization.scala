@@ -35,6 +35,15 @@ object ProductQuantization {
   val NumSubspaces = 8
   val NumCodes = 8
   val TrainIters = 2
+  /** Deterministic training sample: both k-means loops (IVF cells and PQ
+    * codebooks) train on the first [[TrainSampleN]] vectors by id — the
+    * FAISS practice: codebook quality saturates long before the corpus
+    * does, so training cost must not scale with it. The full corpus is
+    * still encoded and scanned; only the Lloyd's passes are sampled. The
+    * same `vec_id < N` predicate is mirrored into the oracles, so the
+    * sampled training replays exactly.
+    */
+  val TrainSampleN = 4000
   /** ADC candidate depth before the exact rerank in [[pqTopK]]. */
   val RerankDepth = 50
   /** Same quantum as Similarity.MeanQuantum — shared mean-portability trick. */
@@ -253,10 +262,9 @@ object ProductQuantization {
       embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
       rerankDepth: Int = RerankDepth): DataFrame = {
     // one parquet read feeds the training rounds, the encode scan, the
-    // query LUT build and the rerank (~8 passes otherwise); at 100 TB the
-    // training passes run on a sample and the cache is the sample
+    // query LUT build and the rerank (~8 passes otherwise)
     val emb = embeddings.localCheckpoint()
-    val cb = trainCodebooks(emb)
+    val cb = trainCodebooks(emb.where(col("vec_id") < TrainSampleN))
     // empty corpus → no seeds → no codebooks: return the empty result
     // frame (same schema) instead of building zero-arm argmin expressions
     if (cb.head.isEmpty)
@@ -297,11 +305,11 @@ object ProductQuantization {
       nLists: Int = IvfLists, nProbe: Int = IvfProbe, ivfIters: Int = IvfIters,
       rerankDepth: Int = RerankDepth): DataFrame = {
     // one parquet read feeds BOTH training loops, the index build, the
-    // query LUTs and the rerank; at 100 TB the training passes run on a
-    // sample and the cache is the sample
+    // query LUTs and the rerank; the Lloyd's passes see only the sample
     val emb = embeddings.localCheckpoint()
-    val cents = Similarity.trainedCentroids(emb, nLists, ivfIters)
-    val cb = trainCodebooks(emb)
+    val sample = emb.where(col("vec_id") < TrainSampleN)
+    val cents = Similarity.trainedCentroids(sample, nLists, ivfIters)
+    val cb = trainCodebooks(sample)
     if (cents.isEmpty || cb.head.isEmpty)
       return embeddings.where(lit(false)).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
