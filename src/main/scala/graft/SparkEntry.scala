@@ -80,6 +80,17 @@ object SparkEntry {
       Relational.minCostSuppliers(
         Tables.region(s, dir), Tables.nation(s, dir), Tables.supplier(s, dir),
         Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // Symmetric nation-pair revenue flows per ship year — q7 shape.
+    "q7_volume_shipping" -> ((s, dir) =>
+      Relational.volumeShipping(
+        Tables.nation(s, dir), Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Conditional-sum ratio per order year (one nation's share) — q8 shape.
+    "q8_market_share" -> ((s, dir) =>
+      Relational.marketShare(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.part(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctCustomers(Tables.orders(s, dir))),
     "q_correlated_min" -> ((s, dir) =>
       Relational.cheapestOrderPerCustomer(s, Tables.orders(s, dir))),
@@ -934,6 +945,48 @@ object SparkEntry {
         |FROM orders o
         |WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    // Symmetric nation-pair disjunction over the 5-way join; revenue in
+    // exact integer units.
+    "q7_volume_shipping" -> {
+      import graft.operators.Relational._
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l.l_shipdate) AS l_year,
+         |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         |         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         |WHERE l.l_shipdate >= TIMESTAMP '$VolShipStart'
+         |  AND l.l_shipdate < TIMESTAMP '$VolShipEnd'
+         |  AND ((n1.n_name = '$VolShipNationA' AND n2.n_name = '$VolShipNationB')
+         |    OR (n1.n_name = '$VolShipNationB' AND n2.n_name = '$VolShipNationA'))
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+    // Conditional-sum ratio: one nation's share of typed-part revenue to
+    // region customers per order year — one double division of int sums.
+    "q8_market_share" -> {
+      import graft.operators.Relational._
+      s"""WITH f AS (
+         |  SELECT year(o.o_orderdate) AS o_year, sn.n_name AS supp_nation,
+         |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS units
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '$MktType'
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = '$MktRegion'
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+         |SELECT o_year,
+         |  CAST(sum(CASE WHEN supp_nation = '$MktNation' THEN units ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(units) AS DOUBLE) AS mkt_share,
+         |  CAST(sum(units) AS DOUBLE) / 10000.0 AS total_revenue
+         |FROM f GROUP BY o_year""".stripMargin
+    },
     // EXISTS + NOT EXISTS over the same fact with the suppkey inequality —
     // written as the textbook correlated form here; the engine runs the
     // decorrelated semi/anti joins. Lateness in exact epoch micros.

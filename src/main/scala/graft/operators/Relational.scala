@@ -619,6 +619,86 @@ object Relational {
         (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Nation pair / window dials for [[volumeShipping]] (q7 shape). */
+  val VolShipNationA = "NATION_1"
+  val VolShipNationB = "NATION_2"
+  val VolShipStart = "1996-01-01"
+  val VolShipEnd = "1998-01-01"
+
+  /** TPC-H Q7-style volume shipping: revenue flowing between two nations
+    * in BOTH directions (supplier nation → customer nation), per ship
+    * year — the symmetric-pair predicate `(n1=A AND n2=B) OR (n1=B AND
+    * n2=A)` over a 5-way join. Both nation dims broadcast pre-filtered to
+    * the pair, so the disjunction runs over 2×2 combinations, not the
+    * nation cross; revenue in exact integer units; the ship year is an
+    * integer extraction, portable.
+    */
+  def volumeShipping(
+      nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pair = Seq(VolShipNationA, VolShipNationB)
+    val n1 = broadcast(nation.where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(nation.where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    lineitem
+      .where(col("l_shipdate") >= to_timestamp(lit(VolShipStart)) &&
+        col("l_shipdate") < to_timestamp(lit(VolShipEnd)))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .where(
+        (col("supp_nation") === VolShipNationA && col("cust_nation") === VolShipNationB) ||
+          (col("supp_nation") === VolShipNationB && col("cust_nation") === VolShipNationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg((sum(discPriceUnits).cast("double") / 10000.0).as("revenue"))
+  }
+
+  /** Region / part-type / target-nation dials for [[marketShare]]. */
+  val MktRegion = "ASIA"
+  val MktType = "PROMO"
+  val MktNation = "NATION_2"
+
+  /** TPC-H Q8-style market share: of all revenue from one part type sold
+    * to customers of one region per order year, the fraction supplied by
+    * one nation — a RATIO OF TWO CONDITIONAL SUMS computed in the same
+    * pass (sum(when)/sum), both in exact integer units with ONE double
+    * division, so the share is bit-portable. Region→nation→customer
+    * chain and the typed part slice broadcast; only the facts shuffle.
+    */
+  def marketShare(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, part: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val regCust = broadcast(
+      region.where(col("r_name") === MktRegion)
+        .join(nation, col("r_regionkey") === col("n_regionkey"))
+        .join(customer, col("n_nationkey") === col("c_nationkey"))
+        .select("c_custkey"))
+    val suppNation = broadcast(
+      supplier.join(nation, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    lineitem
+      .join(broadcast(part.where(col("p_type") === MktType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(regCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === MktNation, discPriceUnits)
+          .otherwise(lit(0L))).cast("double") /
+          sum(discPriceUnits).cast("double")).as("mkt_share"),
+        (sum(discPriceUnits).cast("double") / 10000.0).as("total_revenue"))
+  }
+
   /** Explicit GROUPING SETS — the third grouping-combination surface next
     * to rollup (hierarchical prefixes) and cube (all 2^k): an ARBITRARY
     * set list, here the two single-column marginals plus the grand total,

@@ -185,6 +185,32 @@ class RelationalSpec extends SparkSpec {
     assert(r.getLong(1) === 1L)
   }
 
+  test("volumeShipping flows both directions; marketShare stays a valid fraction") {
+    import graft.Tables
+    // sf0.01: the nation-pair x date-window slice is empty at sf0.001
+    val dir = sf("sf0.01")
+    val v = Relational.volumeShipping(
+      Tables.nation(spark, dir), Tables.customer(spark, dir),
+      Tables.supplier(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir)).collect()
+    assert(v.nonEmpty)
+    val pairs = v.map(r => (r.getString(0), r.getString(1))).toSet
+    val (a, b) = (Relational.VolShipNationA, Relational.VolShipNationB)
+    assert(pairs.subsetOf(Set((a, b), (b, a))))
+    assert(pairs.size === 2, s"only one direction present: $pairs")
+    val m = Relational.marketShare(
+      Tables.region(spark, dir), Tables.nation(spark, dir),
+      Tables.customer(spark, dir), Tables.supplier(spark, dir),
+      Tables.part(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir)).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0, s"share $share out of range")
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
   test("groupingSetsSummary: exactly the requested sets; marginals sum to the grand total") {
     import spark.implicits._
     val li = Seq(
