@@ -5,6 +5,15 @@ object Bench {
     * three rounds running (a single GC pause or a neighbor's burst lands
     * entirely on whichever query was running); the median of three absorbs
     * one bad pass per query, which is the dominant noise shape here.
+    *
+    * The passes are INTERLEAVED across the suite (pass 1 of every query,
+    * then pass 2, then pass 3) rather than back-to-back per query: a
+    * contention window shorter than a full suite pass can then taint at
+    * most ONE of a query's three samples, which the median absorbs.
+    * Back-to-back passes let a single burst own all three samples and
+    * produce a confidently-wrong tight spread — round 6's
+    * `q1_pricing_summary` reported [1.32, 1.48, 1.50] under a driver-side
+    * burst yet reruns at 0.25 s idle.
     */
   val Passes = 3
 
@@ -29,15 +38,20 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       clearCaches()
     }
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to Passes).map { _ =>
+    // pass p of EVERY query before pass p+1 of any — per-query samples land
+    // in well-separated time windows (see [[Passes]])
+    val samples = (1 to Passes).flatMap { _ =>
+      queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val failed = try { fn(spark, sfDir).count(); false } catch { case _: Throwable => true }
         val dt = (System.nanoTime() - t0) / 1e9
         clearCaches()
         // a failed pass must not report its time-to-exception as a score
-        if (failed) -1.0 else dt
+        name -> (if (failed) -1.0 else dt)
       }
+    }
+    val results = queries.map { case (name, _) =>
+      val times = samples.collect { case (n, t) if n == name => t }
       name -> (if (times.exists(_ < 0)) Seq(-1.0) else times.sorted)
     }
     val medians = results.map { case (name, ts) => name -> ts(ts.size / 2) }

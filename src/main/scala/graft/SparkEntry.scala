@@ -464,7 +464,7 @@ object SparkEntry {
     * silently apply to only one of them. `cn` is the centroid norm; pass
     * an expression when the CTE doesn't precompute it.
     */
-  private def ivfProbeCtes(centCte: String, cnExpr: String): String =
+  private def ivfProbeCtes(centCte: String, cnExpr: String, nQueries: Int = 10): String =
     s"""scores AS (SELECT e.vec_id, c.i,
        |    ${dotSql("e.v", "c.c")} / (sqrt(${selfDotSql("e.v")}) * $cnExpr) AS cs
        |  FROM e CROSS JOIN $centCte c),
@@ -473,7 +473,7 @@ object SparkEntry {
        |  FROM scores),
        |assigned AS (SELECT vec_id AS neighbor_id, i AS cell FROM ranked_cells WHERE rn = 1),
        |probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked_cells
-       |  WHERE rn <= 3 AND vec_id < 10)""".stripMargin
+       |  WHERE rn <= 3 AND vec_id < $nQueries)""".stripMargin
 
   /** Shared exact-rerank tail over a `cand(query_id, neighbor_id)` CTE. */
   private def exactRerankSql: String =
@@ -639,7 +639,7 @@ object SparkEntry {
     * so the ranking agrees bit-for-bit.
     */
   private def annPqOracle: String = {
-    import graft.operators.ProductQuantization.{RerankDepth, TrainSampleN}
+    import graft.operators.ProductQuantization.{RerankDepth, TrainSampleN, NumQueries}
     val p = pqSqlParts(trainSrc = "et")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
@@ -650,7 +650,7 @@ object SparkEntry {
        |      ORDER BY (${p.scoreSql}) / (sqrt(${selfDotSql("qq.v")}) * sqrt(${p.nsSql})) DESC,
        |               x.vec_id ASC) AS rn
        |  FROM e qq JOIN codes x ON qq.vec_id <> x.vec_id ${p.cwJoins}
-       |  WHERE qq.vec_id < 10),
+       |  WHERE qq.vec_id < $NumQueries),
        |cand AS (SELECT query_id, neighbor_id FROM adc WHERE rn <= $RerankDepth),
        |$exactRerankSql""".stripMargin
   }
@@ -666,13 +666,13 @@ object SparkEntry {
     * shared exact rerank finishes.
     */
   private def annIvfPqOracle: String = {
-    import graft.operators.ProductQuantization.{RerankDepth, IvfLists, IvfIters, TrainSampleN}
+    import graft.operators.ProductQuantization.{RerankDepth, IvfLists, IvfIters, TrainSampleN, NumQueries}
     val p = pqSqlParts(trainSrc = "et")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |et AS (SELECT * FROM e WHERE vec_id < $TrainSampleN),
        |${ivfTrainCtes(IvfLists, IvfIters, src = "et")},
-       |${ivfProbeCtes(s"cent$IvfIters", s"sqrt(${selfDotSql("c.c")})")},
+       |${ivfProbeCtes(s"cent$IvfIters", s"sqrt(${selfDotSql("c.c")})", NumQueries)},
        |${p.ctes},
        |adc AS (SELECT pr.query_id, a.neighbor_id,
        |    row_number() OVER (PARTITION BY pr.query_id
@@ -703,7 +703,7 @@ object SparkEntry {
         s"(CAST($p AS BIGINT), $l, CAST($b AS BIGINT))"
       }).mkString(", ")
     val res = 1L << QsLMin
-    s"""WITH cents AS (SELECT least(CAST(round(o_totalprice * 100) AS BIGINT), $QsMax) AS c
+    s"""WITH cents AS (SELECT greatest(least(CAST(round(o_totalprice * 100) AS BIGINT), $QsMax), 0) AS c
        |  FROM orders),
        |lv AS (SELECT unnest(range($QsLMin, ${QsU + 1})) AS l),
        |nodes AS (SELECT l, c >> l AS b, CAST(count(*) AS BIGINT) AS cnt

@@ -417,6 +417,227 @@ case class CentroidProbes(child: Expression, centroids: Array[Array[Float]], nPr
     copy(child = newChild)
 }
 
+/** All `NumSubspaces` PQ code assignments of a vector in ONE expression:
+  * `code[m] = argmin_k L2²(v[m·subDim .. (m+1)·subDim), codebook(m)(k))`,
+  * ties to the lowest code id.
+  *
+  * Why a kernel instead of per-codebook literal expressions: the
+  * `array_min(array(K literal structs))` form generates M × K × subDim
+  * literal stores of Java source that janino recompiles for EVERY distinct
+  * codebook — each Lloyd's round, the encode scan, and the LUT build each
+  * paid seconds of driver JIT for BOTH `ann_pq` and `ann_ivfpq` (the same
+  * anti-pattern [[CentroidProbes]]' docstring names for IVF centroids).
+  * Here the codebooks ride as a reference object, the generated source is
+  * identical across codebook sets (compiles once ever), and the hot loop
+  * is one JIT-compiled pass.
+  *
+  * Arithmetic parity with the replaced form and the DuckDB oracle: each
+  * distance is `((v1−c1)² + (v2−c2)²) + …` summed left-to-right in double
+  * (float elements promoted), and the argmin scans codes ascending with a
+  * strict `Double.compare` improvement test — exactly the
+  * `array_min(struct(d, k))` lexicographic rule, including NaN-greater
+  * ordering. Null vector elements read as 0 (the driver tables carry
+  * none — schema-level nullable only).
+  */
+case class SubspaceCodes(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "subspace_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument, got ${dt.simpleString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  /** The per-row kernel — called from both eval paths. */
+  def compute(v: ArrayData): ArrayData = {
+    val fl = isFloat
+    val m0 = codebooks.length
+    val subDim = if (m0 > 0 && codebooks(0).nonEmpty) codebooks(0)(0).length else 0
+    val out = new Array[Int](m0)
+    var m = 0
+    while (m < m0) {
+      val cws = codebooks(m)
+      val base = m * subDim
+      var best = 0
+      var bestD = Double.NaN
+      var k = 0
+      while (k < cws.length) {
+        val cw = cws(k)
+        var s = 0.0
+        var d = 0
+        while (d < subDim) {
+          val i = base + d
+          val x =
+            if (i >= v.numElements() || v.isNullAt(i)) 0.0
+            else if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+          val diff = x - cw(d)
+          s += diff * diff
+          d += 1
+        }
+        // strict-less via Double.compare, scanning k ascending: keeps the
+        // LOWEST code id among ties and treats NaN as greater than every
+        // number — the array_min(struct(d ASC, k ASC)) rule exactly
+        if (k == 0 || java.lang.Double.compare(s, bestD) < 0) { best = k; bestD = s }
+        k += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subspaceCodes", this, classOf[SubspaceCodes].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The per-query ADC lookup tables as ONE expression: `lut[m][k] =
+  * dot(v[m·subDim .. ), codebook(m)(k))` — an M×K nested array built once
+  * per query row. Same reference-object rationale as [[SubspaceCodes]]
+  * (the literal form recompiled M × K × subDim expression terms per
+  * codebook), and the same left-to-right double accumulation as the
+  * `element_at(sub, d).cast(double) * lit(c)` chains it replaces, so every
+  * table entry replays bit-for-bit in the oracle.
+  */
+case class SubspaceLuts(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "subspace_luts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument, got ${dt.simpleString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  /** The per-row kernel — called from both eval paths. */
+  def compute(v: ArrayData): ArrayData = {
+    val fl = isFloat
+    val m0 = codebooks.length
+    val subDim = if (m0 > 0 && codebooks(0).nonEmpty) codebooks(0)(0).length else 0
+    val out = new Array[Any](m0)
+    var m = 0
+    while (m < m0) {
+      val cws = codebooks(m)
+      val base = m * subDim
+      val luts = new Array[Any](cws.length)
+      var k = 0
+      while (k < cws.length) {
+        val cw = cws(k)
+        var s = 0.0
+        var d = 0
+        while (d < subDim) {
+          val i = base + d
+          val x =
+            if (i >= v.numElements() || v.isNullAt(i)) 0.0
+            else if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+          s += x * cw(d)
+          d += 1
+        }
+        luts(k) = s
+        k += 1
+      }
+      out(m) = new GenericArrayData(luts)
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subspaceLuts", this, classOf[SubspaceLuts].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Σ_m ‖codebook(m)(code_m)‖² — the cached reconstruction norm² of an
+  * encoded vector, from its `array<int>` code column. Norms are
+  * precomputed per (m, k) with the same left-to-right double accumulation
+  * as the literal-array lookup form this replaces, and summed ascending
+  * over subspaces; codebooks ride as a reference object for the same
+  * recompile reason as [[SubspaceCodes]]. An out-of-range code yields NULL
+  * (can't happen for codes this engine produced — defensive only, the
+  * column is user-visible in the index artifact).
+  */
+case class CodesReconNorm(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "codes_recon_norm"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<int> argument, got ${dt.simpleString}")
+  }
+
+  /** normSq(m)(k) = ((c1² + c2²) + …) left-to-right, like the oracle. */
+  @transient private lazy val normSq: Array[Array[Double]] =
+    codebooks.map(_.map { cw =>
+      var s = 0.0
+      var d = 0
+      while (d < cw.length) { s += cw(d).toDouble * cw(d); d += 1 }
+      s
+    })
+
+  /** The per-row kernel — called from both eval paths. */
+  def compute(codes: ArrayData): Any = {
+    val m0 = codebooks.length
+    if (codes.numElements() < m0) return null
+    var s = 0.0
+    var m = 0
+    while (m < m0) {
+      if (codes.isNullAt(m)) return null
+      val k = codes.getInt(m)
+      if (k < 0 || k >= normSq(m).length) return null
+      s += normSq(m)(k)
+      m += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codesReconNorm", this, classOf[CodesReconNorm].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""Object r = $ref.compute($v);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Codegen'd Σ aᵢbᵢ in double over two float arrays. */
@@ -445,4 +666,18 @@ object VectorExpressions {
     */
   def centroidProbes(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     ColumnBridge.column(CentroidProbes(ColumnBridge.expression(v), centroids, nProbe))
+
+  /** All PQ subspace code assignments of a vector (see [[SubspaceCodes]]). */
+  def subspaceCodes(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(SubspaceCodes(ColumnBridge.expression(v), codebooks))
+
+  /** Per-query M×K ADC lookup tables (see [[SubspaceLuts]]). */
+  def subspaceLuts(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(SubspaceLuts(ColumnBridge.expression(v), codebooks))
+
+  /** Reconstruction norm² of an encoded vector from its code array (see
+    * [[CodesReconNorm]]).
+    */
+  def codesReconNorm(codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(CodesReconNorm(ColumnBridge.expression(codes), codebooks))
 }

@@ -237,10 +237,18 @@ object Multimodal {
     inRiff.collectFirst { case ("LIST", "hdrl", ps, pe) =>
       riffChunks(b, ps, pe).collectFirst { case ("avih", _, ap, ae) if ae - ap >= 40 =>
         val usPerFrame = le32(b, ap)
-        val frames = le32(b, ap + 16).toInt
-        val (w, h) = (le32(b, ap + 32).toInt, le32(b, ap + 36).toInt)
-        (w, h, frames, usPerFrame * frames / 1000L)
-      }
+        val frames = le32(b, ap + 16)
+        val (w, h) = (le32(b, ap + 32), le32(b, ap + 36))
+        // don't trust hostile avih fields: a frame count or frame period
+        // ≥ 2³¹ (or a duration product past Long) would surface as
+        // NEGATIVE n_frames/duration_ms instead of the documented all-zero
+        // undecodable marker every other decoder path guarantees. le32
+        // returns the unsigned value in a Long, so the checks are exact.
+        val insane = frames > Int.MaxValue || w > Int.MaxValue || h > Int.MaxValue ||
+          usPerFrame > Long.MaxValue / math.max(frames, 1L)
+        if (insane) None
+        else Some((w.toInt, h.toInt, frames.toInt, usPerFrame * frames / 1000L))
+      }.flatten
     }.flatten
   }
 

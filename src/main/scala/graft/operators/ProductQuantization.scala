@@ -46,6 +46,16 @@ object ProductQuantization {
   val TrainSampleN = 4000
   /** ADC candidate depth before the exact rerank in [[pqTopK]]. */
   val RerankDepth = 50
+  /** Default query-batch size for the two PQ ANN queries (the other ANN
+    * family members use 10). Raised 10 → 40 in round 7: with the janino
+    * recompiles killed and both training loops fused, a 10-query batch
+    * measured ONLY the shared sample-bounded training floor — the scan,
+    * which is the term the IVF index exists to prune (and the term that
+    * scales with the corpus), was ~10% of either query's time. At 40
+    * queries the bench exercises what the two shapes actually trade:
+    * `ann_pq` scores corpus × queries, `ann_ivfpq` only the probed 3/8.
+    */
+  val NumQueries = 40
   /** Same quantum as Similarity.MeanQuantum — shared mean-portability trick. */
   val MeanQuantum: Long = Similarity.MeanQuantum
 
@@ -58,42 +68,32 @@ object ProductQuantization {
     dim / NumSubspaces
   }
 
-  /** Subvector m of the embedding column (1-based slice). */
-  private def subCol(m: Int, subDim: Int): Column =
-    slice(col("embedding"), m * subDim + 1, subDim)
-
-  /** Left-to-right squared L2 distance between a subvector column and a
-    * codeword literal, all in double (float element reads cast up, like
-    * FloatVecDot): ((v1−c1)² + (v2−c2)²) + … — the SQL mirror chains +
-    * left-associatively over the same operands.
+  /** All M code assignments in one codegen'd kernel call — argmin_k
+    * L2²(sub_m, codeword_k) per subspace, ties to the lowest code id, with
+    * the codebooks riding as a reference object so the generated code is
+    * identical across codebook sets. The per-codebook
+    * `array_min(array(K literal structs))` form this replaced was
+    * re-janino-compiled for every Lloyd's round / encode scan / LUT build
+    * of BOTH `ann_pq` and `ann_ivfpq` (the round-6 `ann_ivfpq` bench
+    * finding); arithmetic is bit-identical — see
+    * [[graft.functions.SubspaceCodes]].
     */
-  private def l2Sq(sub: Column, cw: Array[Float]): Column =
-    cw.zipWithIndex.map { case (c, d) =>
-      val diff = element_at(sub, d + 1).cast("double") - lit(c.toDouble)
-      diff * diff
-    }.reduceLeft(_ + _)
+  private def codesCol(cb: Codebooks): Column =
+    graft.functions.VectorExpressions.subspaceCodes(col("embedding"), cb)
 
-  /** Code assignment: argmin_k L2²(sub, codeword_k), ties to the lowest
-    * code id — `array_min` over (distance, k) structs compares
-    * lexicographically, which is exactly that rule.
+  /** First `NumCodes` non-null corpus vectors by vec_id — the codebook
+    * seeds, and (sliced per subspace) the same deterministic seeding rule
+    * as IVF's first-n centroids. Bounded collect (K rows).
     */
-  private def bestCode(sub: Column, cws: Array[Array[Float]]): Column =
-    array_min(array(cws.zipWithIndex.map { case (cw, k) =>
-      struct(l2Sq(sub, cw).as("d"), lit(k).as("k"))
-    }: _*)).getField("k")
-
-  /** First `NumCodes` corpus vectors (by vec_id), sliced into per-subspace
-    * seed codewords — the same deterministic seeding rule as IVF's
-    * first-n centroids, applied per subspace. Bounded collect (K rows).
-    */
-  private def seedCodebooks(embeddings: DataFrame, subDim: Int): Codebooks = {
-    val rows = embeddings.where(col("embedding").isNotNull)
+  private def seedVectors(embeddings: DataFrame): Array[Array[Float]] =
+    embeddings.where(col("embedding").isNotNull)
       .orderBy(col("vec_id").asc).limit(NumCodes)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
+
+  private def sliceCodebooks(rows: Array[Array[Float]], subDim: Int): Codebooks =
     Array.tabulate(NumSubspaces)(m =>
       rows.map(v => v.slice(m * subDim, (m + 1) * subDim)))
-  }
 
   /** Per-subspace Lloyd's loop, all subspaces trained in ONE scan per
     * round: assign every vector its M codes, explode dimensions, and
@@ -103,22 +103,21 @@ object ProductQuantization {
     * previous codeword, like empty IVF cells.
     */
   def trainCodebooks(embeddings: DataFrame, iters: Int = TrainIters): Codebooks = {
-    val dim = embeddings.where(col("embedding").isNotNull)
-      .select(size(col("embedding"))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(NumSubspaces)
-    val subDim = subDimOf(dim)
-    var cb = seedCodebooks(embeddings, subDim)
+    // dim comes from the seed vectors themselves — the separate
+    // `select(size(embedding)).head(1)` job this replaces was pure
+    // scheduler overhead (training fixed cost is what dominates these
+    // queries at bench SF)
+    val seeds = seedVectors(embeddings)
+    if (seeds.isEmpty) return Array.fill(NumSubspaces)(Array.empty)
+    val subDim = subDimOf(seeds.head.length)
+    var cb = sliceCodebooks(seeds, subDim)
     var it = 0
     while (it < iters && cb.head.nonEmpty) {
-      val codeCols = (0 until NumSubspaces)
-        .map(m => bestCode(subCol(m, subDim), cb(m)).as(s"code$m"))
       val sums = graft.Parallelism.ensure(embeddings.where(col("embedding").isNotNull))
-        .select(codeCols :+ posexplode(col("embedding")).as(Seq("pos", "x")): _*)
+        .select(codesCol(cb).as("codes"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .select(
           (col("pos") / subDim).cast("int").as("m"),
-          element_at(
-            array((0 until NumSubspaces).map(m => col(s"code$m")): _*),
-            (col("pos") / subDim).cast("int") + 1).as("code"),
+          element_at(col("codes"), (col("pos") / subDim).cast("int") + 1).as("code"),
           (col("pos") % subDim).as("d"),
           col("x"))
         .groupBy("m", "code", "d")
@@ -145,52 +144,26 @@ object ProductQuantization {
     cb
   }
 
-  /** Encode the corpus: M code columns + the cached reconstruction norm²
-    * (Σ_m |codeword(m, code_m)|², via per-subspace norm lookup arrays).
-    * This frame IS the compressed index — 8 small ints + 1 double per
-    * vector.
-    */
-  private def codeColsOf(cb: Codebooks, subDim: Int): Seq[Column] =
-    (0 until NumSubspaces)
-      .map(m => bestCode(subCol(m, subDim), cb(m)).as(s"code$m"))
-
-  /** Σ_m |codeword(m, code_m)|² via per-subspace norm lookup arrays —
-    * the cached reconstruction norm of an encoded vector.
-    */
-  private def reconNormSqCol(cb: Codebooks): Column =
-    (0 until NumSubspaces).map { m =>
-      val norms = cb(m).map(cw =>
-        cw.map(c => c.toDouble * c.toDouble).reduceLeft(_ + _))
-      element_at(array(norms.map(lit(_)): _*), col(s"code$m") + 1)
-    }.reduceLeft(_ + _)
-
   def encode(embeddings: DataFrame, cb: Codebooks): DataFrame = {
-    val subDim = cb.head.head.length
-    // materialize the code columns BEFORE deriving recon_norm_sq: without
-    // the barrier CollapseProject inlines each code's full argmin tree
-    // into the norm lookup — every code computed twice, and the single
-    // fused projection is big enough to threaten janino's method limit
-    // (interpreted fallback = a silent 2-3x on the corpus scan). The
-    // materialized frame IS the compressed index (vec_id + M small ints),
-    // the artifact a production IVF-PQ build writes to storage.
+    // materialize the code array, then derive recon_norm_sq from the codes
+    // alone — the materialized frame IS the compressed index (vec_id + an
+    // array of M small ints), the artifact a production IVF-PQ build
+    // writes to storage, and the barrier keeps the norm lookup reading
+    // codes instead of re-running the assignment kernel per subspace
     val codes = embeddings.where(col("embedding").isNotNull)
-      .select(col("vec_id") +: codeColsOf(cb, subDim): _*)
+      .select(col("vec_id"), codesCol(cb).as("codes"))
       .localCheckpoint()
-    codes.withColumn("recon_norm_sq", reconNormSqCol(cb))
+    codes.withColumn("recon_norm_sq",
+      graft.functions.VectorExpressions.codesReconNorm(col("codes"), cb))
   }
 
-  /** Per-query ADC lookup tables: for subspace m an array over codes k of
-    * dot(q_m, codeword_k) — built once per query row, left-to-right like
-    * every other double chain here.
+  /** Per-query ADC lookup tables: `luts[m][k] = dot(q_m, codeword_k)`,
+    * built once per query row as ONE kernel call (same reference-object
+    * rationale as [[codesCol]]), left-to-right like every other double
+    * chain here — see [[graft.functions.SubspaceLuts]].
     */
-  private def lutColsOf(cb: Codebooks, subDim: Int): Seq[Column] =
-    (0 until NumSubspaces).map { m =>
-      array(cb(m).map { cw =>
-        cw.zipWithIndex.map { case (c, d) =>
-          element_at(subCol(m, subDim), d + 1).cast("double") * lit(c.toDouble)
-        }.reduceLeft(_ + _)
-      }: _*).as(s"lut$m")
-    }
+  private def lutsCol(cb: Codebooks): Column =
+    graft.functions.VectorExpressions.subspaceLuts(col("embedding"), cb)
 
   /** Exact query norm (full-precision side of the asymmetric distance). */
   private def qNormCol(dim: Int): Column =
@@ -204,7 +177,7 @@ object ProductQuantization {
     */
   private def adcScoreCol: Column =
     (0 until NumSubspaces)
-      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
+      .map(m => element_at(element_at(col("luts"), m + 1), element_at(col("codes"), m + 1) + 1))
       .reduceLeft(_ + _)
 
   /** ADC ranking: queries (vec_id < nQueries, full precision) precompute
@@ -219,8 +192,8 @@ object ProductQuantization {
     val codes = encode(embeddings, cb)
     val queries = embeddings
       .where(col("embedding").isNotNull && col("vec_id") < nQueries)
-      .select(Seq(col("vec_id").as("query_id"),
-        qNormCol(NumSubspaces * subDim).as("q_norm")) ++ lutColsOf(cb, subDim): _*)
+      .select(col("vec_id").as("query_id"),
+        qNormCol(NumSubspaces * subDim).as("q_norm"), lutsCol(cb).as("luts"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("vec_id").asc)
@@ -259,7 +232,7 @@ object ProductQuantization {
     * both: raw ADC ordering quality, and post-rerank recall).
     */
   def pqTopK(
-      embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      embeddings: DataFrame, k: Int = 5, nQueries: Int = NumQueries,
       rerankDepth: Int = RerankDepth): DataFrame = {
     // one parquet read feeds the training rounds, the encode scan, the
     // query LUT build and the rerank (~8 passes otherwise)
@@ -275,6 +248,109 @@ object ProductQuantization {
     val cand = adcTopK(emb, cb, rerankDepth, nQueries)
       .select("query_id", "neighbor_id")
     exactRerank(cand, emb, k)
+  }
+
+  /** IVF centroids AND PQ codebooks trained together — the fixed-cost
+    * lever behind `ann_ivfpq`'s bench time. Both Lloyd's loops are the
+    * same shape (assign → integer-quantized per-dimension sums → bounded
+    * driver rebuild), so each round runs as ONE job over the sample: the
+    * cell-keyed rows and the code-keyed rows are tagged, unioned, and
+    * aggregated through a single shuffle, and one seed collect serves
+    * both loops. Run separately (round 6), the two loops paid ~7
+    * scheduler round-trips of fixed cost each on a 4k-row sample, which
+    * kept `ann_ivfpq` ABOVE flat PQ despite scanning only 3/8 of the
+    * corpus.
+    *
+    * Bit-identical to `Similarity.trainedCentroids` + [[trainCodebooks]]:
+    * integer sums are order-independent so the union changes nothing, each
+    * round's assignments read the previous round's state exactly as the
+    * separate loops do, and the rebuild divisions are pinned in the same
+    * order — the `ann_ivfpq` oracle replays unchanged. Seeds are shared
+    * only when the first rows carry no null embedding (always true for
+    * the driver tables); any null falls back to the two exact seed
+    * queries so edge semantics stay identical too.
+    */
+  private[graft] def trainIvfAndCodebooks(
+      sample: DataFrame, nLists: Int, ivfIters: Int, cbIters: Int = TrainIters):
+      (Array[(Int, Array[Float])], Codebooks) = {
+    val first = sample.orderBy(col("vec_id").asc)
+      .limit(math.max(nLists, NumCodes))
+      .select(col("embedding")).collect()
+    if (first.isEmpty)
+      return (Array.empty, Array.fill(NumSubspaces)(Array.empty))
+    if (first.exists(_.isNullAt(0)))
+      return (Similarity.trainedCentroids(sample, nLists, ivfIters),
+        trainCodebooks(sample, cbIters))
+    val vecs = first.map(_.getSeq[Float](0).toArray)
+    val subDim = subDimOf(vecs.head.length)
+    var cents = vecs.take(nLists).zipWithIndex.map(_.swap)
+    var cb = sliceCodebooks(vecs.take(NumCodes), subDim)
+    var it = 0
+    while (it < math.max(ivfIters, cbIters)) {
+      val doCells = it < ivfIters && cents.nonEmpty
+      val doCodes = it < cbIters
+      val base = graft.Parallelism.ensure(sample.where(col("embedding").isNotNull))
+        .select(
+          Similarity.bestCellOf(cents)(col("embedding")).as("cell"),
+          codesCol(cb).as("codes"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+      // ONE aggregation serves both loops: group by the JOINT key
+      // (cell, code-at-pos, pos) — cells × codes × dim = 4096 bounded
+      // rows — and marginalize driver-side with exact integer adds:
+      // cell sums collapse the code axis, code sums collapse the cell
+      // axis. Integer partial sums re-sum to the same totals in any
+      // grouping, so both rebuilt states are bit-identical to the
+      // separate loops', and the round costs no more than a single
+      // loop's round (same exploded rows, one shuffle).
+      val mCol = (col("pos") / subDim).cast("int")
+      val cellKey = if (doCells) col("cell") else lit(0)
+      val codeKey = if (doCodes) element_at(col("codes"), mCol + 1) else lit(0)
+      val sums = base
+        .groupBy(cellKey.as("cell"), codeKey.as("code"), col("pos"))
+        .agg(
+          sum(round(col("x").cast("double") * MeanQuantum).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      if (doCells) {
+        val cellAgg = new scala.collection.mutable.HashMap[(Int, Int), (Long, Long)]()
+        sums.foreach { r =>
+          val k = (r.getInt(0), r.getInt(2))
+          val (s0, n0) = cellAgg.getOrElse(k, (0L, 0L))
+          cellAgg(k) = (s0 + r.getLong(3), n0 + r.getLong(4))
+        }
+        cents = cents.map { case (i, old) =>
+          val dims = cellAgg.keys.filter(_._1 == i).map(_._2).toArray.sorted
+          if (dims.isEmpty) (i, old)
+          else (i, dims.map { pos =>
+            val (s, n) = cellAgg((i, pos))
+            // pinned order: toDouble, / n, / quantum — as the oracle
+            (s.toDouble / n / MeanQuantum.toDouble).toFloat
+          })
+        }
+      }
+      if (doCodes) {
+        val codeAgg = new scala.collection.mutable.HashMap[(Int, Int, Int), (Long, Long)]()
+        sums.foreach { r =>
+          val pos = r.getInt(2)
+          val k = (pos / subDim, r.getInt(1), pos % subDim)
+          val (s0, n0) = codeAgg.getOrElse(k, (0L, 0L))
+          codeAgg(k) = (s0 + r.getLong(3), n0 + r.getLong(4))
+        }
+        cb = Array.tabulate(NumSubspaces) { m =>
+          Array.tabulate(NumCodes) { k =>
+            val dims = codeAgg.keys.filter(t => t._1 == m && t._2 == k)
+              .map(_._3).toArray.sorted
+            if (dims.isEmpty) cb(m)(k)
+            else dims.map { d =>
+              val (s, n) = codeAgg((m, k, d))
+              (s.toDouble / n / MeanQuantum.toDouble).toFloat
+            }
+          }
+        }
+      }
+      it += 1
+    }
+    (cents, cb)
   }
 
   /** IVF nProbe dial for the composed index (same as `Similarity.ivfTopK`). */
@@ -301,15 +377,14 @@ object ProductQuantization {
     * bit-for-bit by the `ann_ivfpq` oracle.
     */
   def ivfPqTopK(
-      embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      embeddings: DataFrame, k: Int = 5, nQueries: Int = NumQueries,
       nLists: Int = IvfLists, nProbe: Int = IvfProbe, ivfIters: Int = IvfIters,
       rerankDepth: Int = RerankDepth): DataFrame = {
     // one parquet read feeds BOTH training loops, the index build, the
     // query LUTs and the rerank; the Lloyd's passes see only the sample
     val emb = embeddings.localCheckpoint()
     val sample = emb.where(col("vec_id") < TrainSampleN)
-    val cents = Similarity.trainedCentroids(sample, nLists, ivfIters)
-    val cb = trainCodebooks(sample)
+    val (cents, cb) = trainIvfAndCodebooks(sample, nLists, ivfIters)
     if (cents.isEmpty || cb.head.isEmpty)
       return embeddings.where(lit(false)).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
@@ -320,18 +395,27 @@ object ProductQuantization {
     // assignment side by side), materialized as the index artifact (same
     // anti-CollapseProject barrier rationale as [[encode]]), and nothing
     // full-precision survives it
-    val indexed = graft.Parallelism.ensure(emb.where(col("embedding").isNotNull))
-      .select(Seq(col("vec_id"),
-        Similarity.bestCellOf(cents)(col("embedding")).as("cell")) ++
-        codeColsOf(cb, subDim): _*)
-      .localCheckpoint()
-      .withColumn("recon_norm_sq", reconNormSqCol(cb))
+    // no checkpoint barrier here (unlike [[encode]]): recon_norm_sq reads
+    // the codes COLUMN, so after CollapseProject the code-assignment
+    // kernel appears twice in one projection and codegen's subexpression
+    // elimination evaluates it once — the single-pass index build feeds
+    // the probe join directly. No Parallelism.ensure either: the
+    // assignment kernels are ~1 µs/row (not the shingling-class work that
+    // guard exists for), a production corpus arrives already split, and
+    // on the single-row-group bench files the round-robin shuffle of the
+    // whole corpus cost more than the scan it parallelized
+    val indexed = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        Similarity.bestCellOf(cents)(col("embedding")).as("cell"),
+        codesCol(cb).as("codes"))
+      .withColumn("recon_norm_sq",
+        graft.functions.VectorExpressions.codesReconNorm(col("codes"), cb))
     val queries = emb
       .where(col("embedding").isNotNull && col("vec_id") < nQueries)
-      .select(Seq(col("vec_id").as("query_id"),
+      .select(col("vec_id").as("query_id"),
         qNormCol(NumSubspaces * subDim).as("q_norm"),
-        explode(Similarity.probeCellsOf(cents, nProbe)(col("embedding"))).as("cell")) ++
-        lutColsOf(cb, subDim): _*)
+        explode(Similarity.probeCellsOf(cents, nProbe)(col("embedding"))).as("cell"),
+        lutsCol(cb).as("luts"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("vec_id").asc)

@@ -381,12 +381,17 @@ object Sketches {
     * node frame; nothing corpus-sized shuffles.
     */
   /** Clamped integer-cents column of the orders table — the sketch input
-    * axis, shared with the streaming twin.
+    * axis, shared with the streaming twin. Clamped at BOTH universe edges:
+    * DyadicHistogram's contract says the caller clamps, and without the
+    * lower edge a negative amount would index below bucket 0 and throw
+    * mid-aggregation instead of registering at the edge (TPC-H prices are
+    * positive, so the lower clamp is hash-neutral on the driver data —
+    * the oracle mirrors it all the same).
     */
   def quantileCents(orders: DataFrame): DataFrame =
     graft.Parallelism.ensure(orders)
-      .select(least(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
-        lit(QsMax)).as("c"))
+      .select(greatest(least(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        lit(QsMax)), lit(0L)).as("c"))
 
   def quantileSketch(orders: DataFrame): DataFrame = {
     val cents = quantileCents(orders).localCheckpoint()

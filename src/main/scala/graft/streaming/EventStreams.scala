@@ -339,7 +339,16 @@ object EventStreams {
     * every resolution, and on a live stream are bounded by the user's
     * events inside the watermark horizon — rate × horizon, never history.
     */
-  case class FunnelBuf(resolved: Seq[Long], buf: Map[Int, Seq[Long]], maxTs: Long)
+  /** `emitted` is the post-emission tombstone: a user whose row is out
+    * must never produce a second one, even if stragglers (or duplicate
+    * replays) arrive in later micro-batches — without it, new events
+    * would recreate empty state and eventually emit an all-NULL GC row
+    * for an already-reported user. The tombstone itself is GC'd by its
+    * own event-time timeout one conversion window past the watermark.
+    */
+  case class FunnelBuf(
+      resolved: Seq[Long], buf: Map[Int, Seq[Long]], maxTs: Long,
+      emitted: Boolean = false)
 
   /** One emitted funnel row — the batch [[graft.operators.EventAnalytics.funnelSteps]]
     * shape (fixed three steps, epoch-micro times, NULL from the first
@@ -397,6 +406,16 @@ object EventStreams {
             state: GroupState[FunnelBuf]) =>
           val wmUs = state.getCurrentWatermarkMs * 1000L
           var st = state.getOption.getOrElse(FunnelBuf(Nil, Map.empty, Long.MinValue))
+          if (st.emitted) {
+            // tombstone: this user's one row is already out. Drop any
+            // straggler events; drop the tombstone itself once no more
+            // can arrive (its GC timeout fired), else re-arm the timeout.
+            it.size // drain the iterator (required by the contract)
+            if (state.hasTimedOut) state.remove()
+            else state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs + windowUs / 1000L + 1L)
+            Iterator.empty
+          } else {
           // ingest this batch's events (arrival order irrelevant: only
           // watermark-passed minima ever resolve)
           it.foreach { case (_, tsRaw, tpe) =>
@@ -434,7 +453,10 @@ object EventStreams {
           val neverStarted =
             t1.isEmpty && st.maxTs != Long.MinValue && st.maxTs + windowUs <= wmUs
           if (done || windowClosed || neverStarted) {
-            state.remove()
+            // leave the tombstone, not nothing (see [[FunnelBuf]])
+            state.update(FunnelBuf(Nil, Map.empty, Long.MinValue, emitted = true))
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs + windowUs / 1000L + 1L)
             val r = st.resolved
             Iterator.single(FunnelRow(user, r.lift(0), r.lift(1), r.lift(2)))
           } else {
@@ -450,6 +472,7 @@ object EventStreams {
                 math.max(d / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
             }
             Iterator.empty
+          }
           }
       }
   }

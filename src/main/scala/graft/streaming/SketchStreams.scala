@@ -51,8 +51,9 @@ object SketchStreams {
   def nodeCounts(orders: DataFrame): DataFrame = {
     import graft.operators.Sketches.{QsLMin, QsU, QsMax}
     orders
-      .select(least(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
-        lit(QsMax)).as("c"))
+      // both-edge clamp, as in the batch twin (DyadicHistogram's contract)
+      .select(greatest(least(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        lit(QsMax)), lit(0L)).as("c"))
       .select(explode(array((QsLMin to QsU).map(l =>
         struct(lit(l).as("l"), shiftright(col("c"), l).as("b"))): _*)).as("n"))
       .select(col("n.l").as("l"), col("n.b").as("b"))

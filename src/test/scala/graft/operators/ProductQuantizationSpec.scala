@@ -11,7 +11,7 @@ class ProductQuantizationSpec extends SparkSpec {
     val cb = ProductQuantization.trainCodebooks(emb)
     val codes = ProductQuantization.encode(emb, cb)
     (0 until ProductQuantization.NumSubspaces).foreach { m =>
-      val used = codes.select(col(s"code$m")).distinct()
+      val used = codes.select(element_at(col("codes"), m + 1)).distinct()
         .collect().map(_.getInt(0)).toSet
       assert(used.subsetOf((0 until ProductQuantization.NumCodes).toSet), s"m=$m: $used")
       // after training, the code space is actually used (not all one code)

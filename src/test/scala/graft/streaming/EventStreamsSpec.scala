@@ -170,9 +170,32 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows.toSet ===
         Set((1L, Some(us(125)), Some(us(130)), Some(us(180)))),
         "the ordered funnel must resolve despite reverse arrival")
-      // user 1's state row evicted at emission; only user 2 remains live
-      assert(q.lastProgress.stateOperators(0).numRowsTotal === 1,
-        "emitted funnels must not retain state")
+      // user 1's buffer state collapsed to a tombstone at emission; user 2
+      // remains live
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 2,
+        "emitted funnels must retain only a tombstone")
+      // a RECENT straggler for the already-emitted user 1 (not late — its
+      // ts is ahead of the watermark) must be swallowed by the tombstone:
+      // without it, fresh state would emit a second user-1 row at GC
+      input.addData((1L, ts(60 * 24 * 3 + 10), "view"))
+      q.processAllAvailable()
+      // push the watermark past every GC point: user 1's tombstone drops,
+      // user 2's funnel window closes (one row), user 99 stays live
+      input.addData((99L, ts(60 * 24 * 10), "view"))
+      q.processAllAvailable()
+      val finalRows = spark.table("funnel_evict").collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), opt(1), opt(2), opt(3))
+      }
+      assert(finalRows.count(_._1 == 1L) === 1,
+        s"user 1 must emit exactly once (tombstone), got ${finalRows.toSeq}")
+      assert(finalRows.toSet ===
+        Set((1L, Some(us(125)), Some(us(130)), Some(us(180))),
+          (2L, Some(us(60 * 24 * 3)), None, None)),
+        s"got ${finalRows.toSeq}")
+      // user 99 live + user 2's fresh tombstone; user 1's tombstone GC'd
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 2,
+        "expired tombstones must be dropped by their own timeout")
     } finally q.stop()
   }
 
