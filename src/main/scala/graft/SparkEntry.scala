@@ -91,6 +91,27 @@ object SparkEntry {
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         Tables.supplier(s, dir), Tables.part(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    // Widest star rollup: profit per (nation, year) — q9 shape.
+    "q9_product_profit" -> ((s, dir) =>
+      Relational.productTypeProfit(
+        Tables.nation(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Grouped agg vs global scalar threshold, cross-multiplied — q11 shape.
+    "q11_important_parts" -> ((s, dir) =>
+      Relational.importantParts(
+        Tables.nation(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // Cross-table date band + two conditional counts — q12 shape.
+    "q12_ship_lag_priority" -> ((s, dir) =>
+      Relational.shippingLagPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // DISTINCT agg over an anti-joined (part, supplier) pair set — q16 shape.
+    "q16_part_supplier_counts" -> ((s, dir) =>
+      Relational.partSupplierCounts(
+        Tables.supplier(s, dir), Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // Correlated agg inside a semi join, fully decorrelated — q20 shape.
+    "q20_excess_stock" -> ((s, dir) =>
+      Relational.excessStockSuppliers(
+        Tables.nation(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctCustomers(Tables.orders(s, dir))),
     "q_correlated_min" -> ((s, dir) =>
       Relational.cheapestOrderPerCustomer(s, Tables.orders(s, dir))),
@@ -1041,6 +1062,92 @@ object SparkEntry {
          |FROM offers o
          |WHERE o.unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
          |                     WHERE o2.p_partkey = o.p_partkey)""".stripMargin,
+    // Profit = Σ(disc price − retailprice·qty) in exact 1e-4 units over the
+    // widest star join, per (supplier nation, order year).
+    "q9_product_profit" -> {
+      import graft.operators.Relational.ProfitNamePrefix
+      s"""SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         |         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+         |       - CAST(round(p.p_retailprice * 100) AS BIGINT)
+         |         * CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '$ProfitNamePrefix%'
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1, 2""".stripMargin
+    },
+    // Per-part value vs 1/den of the global total, cross-multiplied into
+    // exact integer cents (the q17/q22 trick).
+    "q11_important_parts" -> {
+      import graft.operators.Relational.{ImportantNation, ImportantDen}
+      s"""WITH vals AS (
+         |  SELECT l.l_partkey,
+         |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+         |  FROM lineitem l
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = '$ImportantNation'
+         |  GROUP BY l.l_partkey),
+         |tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM vals)
+         |SELECT v.l_partkey AS p_partkey, CAST(v.value_c AS DOUBLE) / 100.0 AS value
+         |FROM vals v, tot
+         |WHERE v.value_c * $ImportantDen > tot.total_c""".stripMargin
+    },
+    // Ship-lag band in exact epoch micros; high/low priority split as
+    // conditional counts.
+    "q12_ship_lag_priority" -> {
+      import graft.operators.Relational.{LagStart, LagEnd, LagMinDays, LagMaxDays}
+      s"""SELECT l.l_returnflag,
+         |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE l.l_shipdate >= TIMESTAMP '$LagStart'
+         |  AND l.l_shipdate < TIMESTAMP '$LagEnd'
+         |  AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+         |    >= ${LagMinDays.toLong * 86400000000L}
+         |  AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+         |    < ${LagMaxDays.toLong * 86400000000L}
+         |GROUP BY 1""".stripMargin
+    },
+    // DISTINCT supplier count per part slice with the literal NOT IN form
+    // (the engine plans the equivalent broadcast anti join).
+    "q16_part_supplier_counts" -> {
+      import graft.operators.Relational.{PscExcludeBrand, PscExcludeType, PscSizes}
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         |SELECT p.p_brand, p.p_type, p.p_size,
+         |  count(DISTINCT pr.l_suppkey) AS supplier_cnt
+         |FROM pairs pr JOIN part p ON pr.l_partkey = p.p_partkey
+         |WHERE p.p_brand <> '$PscExcludeBrand'
+         |  AND p.p_type NOT LIKE '$PscExcludeType%'
+         |  AND p.p_size IN (${PscSizes.mkString(", ")})
+         |  AND pr.l_suppkey NOT IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+    // The correlated year-sum vs lifetime-sum comparison written as the
+    // textbook IN + grouped HAVING-style subquery; the engine runs the
+    // single-pass conditional-agg decorrelation.
+    "q20_excess_stock" -> {
+      import graft.operators.Relational.{ExcessNation, ExcessNamePrefix, ExcessYearStart, ExcessYearEnd}
+      s"""WITH movers AS (
+         |  SELECT l.l_suppkey, l.l_partkey,
+         |    CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '$ExcessYearStart'
+         |        AND l.l_shipdate < TIMESTAMP '$ExcessYearEnd'
+         |      THEN CAST(round(l.l_quantity * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS year_qc,
+         |    CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qc
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '$ExcessNamePrefix%'
+         |  GROUP BY l.l_suppkey, l.l_partkey)
+         |SELECT s.s_suppkey, s.s_name
+         |FROM supplier s
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = '$ExcessNation'
+         |WHERE s.s_suppkey IN
+         |  (SELECT l_suppkey FROM movers WHERE year_qc * 2 > total_qc)
+         |ORDER BY s.s_name ASC""".stripMargin
+    },
     // lag/lead/ntile/cume_dist share one total-ordered window; cume_dist
     // is rank/n — a double division of exact ints, portable.
     "q_window_profile" ->

@@ -860,4 +860,190 @@ object Relational {
         (discPriceUnits.cast("double") / 10000.0).as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
       .limit(k)
+
+  // ----- the final six TPC-H shapes (q9, q11, q12, q16, q20), adapted to
+  // this schema like q2/q21 before them: no partsupp table, so supply cost
+  // = p_retailprice, availability = shipment history, and the complaint
+  // filter = negative account balance. All money/quantity comparisons in
+  // exact integer cents.
+
+  /** Part-name prefix for [[productTypeProfit]], interpolated into the oracle. */
+  val ProfitNamePrefix = "red"
+
+  /** TPC-H Q9-style product-type profit: the widest star join in the
+    * suite — lineitem against FOUR broadcast dims (filtered part with its
+    * per-unit cost, supplier, nation) plus the orders fact for the year
+    * axis, rolled up per (nation, order year). This schema has no
+    * partsupp, so a part's per-unit supply cost is its `p_retailprice`
+    * (the axis TPC-H's own generator derives ps_supplycost from);
+    * profit = Σ (discounted price − cost·quantity) in exact 1e-4-dollar
+    * integer units, one double division at the end.
+    *
+    * Plan shape: every dimension broadcasts (part slice, supplier,
+    * nation); the only shuffles are the lineitem ⋈ orders fact join on
+    * orderkey and the final ~(nations × years)-group aggregate — at 100 TB
+    * both facts would be bucketed on orderkey and the join shuffle
+    * disappears too.
+    */
+  def productTypeProfit(
+      nation: DataFrame, supplier: DataFrame, part: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.where(col("p_name").like(s"$ProfitNamePrefix%"))
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("cost_c"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg((sum(discPriceUnits - col("cost_c") * cents(col("l_quantity")))
+        .cast("double") / 10000.0).as("sum_profit"))
+
+  /** Supplier nation and threshold denominator for [[importantParts]]:
+    * a part qualifies when its value exceeds 1/[[ImportantDen]] of the
+    * nation's total (TPC-H q11's FRACTION, scaled to this data size).
+    */
+  val ImportantNation = "NATION_7"
+  val ImportantDen = 1000L
+
+  /** TPC-H Q11-style important stock: a grouped aggregate compared against
+    * a GLOBAL scalar aggregate of the same view. A part's "stock value"
+    * for one nation's suppliers is the extended price those suppliers
+    * shipped of it (no partsupp — shipment history is the availability
+    * record). The per-part view is computed ONCE (localCheckpoint) and
+    * consumed twice: summed into the 1-row global total (broadcast back —
+    * the q15/n_docs pattern), and filtered by the threshold with the
+    * fraction CROSS-MULTIPLIED into exact integers (value·den > total, the
+    * q17/q22 trick) so the qualifying set is bit-identical across engines.
+    */
+  def importantParts(
+      nation: DataFrame, supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val natSup = broadcast(
+      nation.where(col("n_name") === ImportantNation)
+        .join(supplier, col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey")))
+    val vals = lineitem
+      .join(natSup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+      .localCheckpoint() // consumed by the global total AND the filter
+    val total = vals.agg(sum(col("value_c")).as("total_c"))
+    vals.crossJoin(broadcast(total))
+      .where(col("value_c") * ImportantDen > col("total_c"))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("value_c").cast("double") / 100.0).as("value"))
+  }
+
+  /** Ship window + lag band (days) for [[shippingLagPriority]],
+    * interpolated into the oracle.
+    */
+  val LagStart = "1996-01-01"
+  val LagEnd = "1997-01-01"
+  val LagMinDays = 30
+  val LagMaxDays = 90
+
+  /** TPC-H Q12-style shipmode/priority split: one orders ⋈ lineitem join,
+    * a cross-table date-arithmetic band, and TWO conditional counts per
+    * tiny group. This schema has no l_shipmode/commit/receipt dates, so
+    * the band is the ship LAG (shipped [[LagMinDays]], [[LagMaxDays]])
+    * days after ordering — q4/q21's lateness axis) and the group key is
+    * l_returnflag; the high/low split on o_orderpriority is q12's
+    * verbatim. Lag compares exact epoch micros; the counts are exact
+    * longs — hash-stable with no float anywhere.
+    */
+  def shippingLagPriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lagUs = unix_micros(col("l_shipdate").cast("timestamp")) -
+      unix_micros(col("o_orderdate").cast("timestamp"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .where(col("l_shipdate") >= to_timestamp(lit(LagStart)) &&
+        col("l_shipdate") < to_timestamp(lit(LagEnd)))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(lagUs >= lit(LagMinDays.toLong * 86400000000L) &&
+        lagUs < lit(LagMaxDays.toLong * 86400000000L))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** Brand/type/size slice for [[partSupplierCounts]], interpolated into
+    * the oracle.
+    */
+  val PscExcludeBrand = "Brand#13"
+  val PscExcludeType = "PROMO"
+  val PscSizes: Seq[Int] = Seq(1, 4, 9, 16, 25, 36, 49)
+
+  /** TPC-H Q16-style supplier counts per part slice: a DISTINCT aggregate
+    * over an anti-joined pair set. The (part, supplier) offer pairs come
+    * from distinct lineitem pairs (no partsupp); the NOT IN exclusion —
+    * TPC-H's complaint suppliers — is suppliers with negative account
+    * balance, planned as a broadcast LEFT ANTI join (suppkeys are non-null
+    * so NOT IN ≡ anti join; the oracle keeps the literal NOT IN form).
+    * count(DISTINCT suppkey) per (brand, type, size) is a two-phase
+    * distinct-agg: Catalyst expands to a (keys, suppkey) dedup then a
+    * count — both map-side-combined hash aggs.
+    */
+  def partSupplierCounts(
+      supplier: DataFrame, part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val excluded = supplier.where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val slice = part
+      .where(col("p_brand") =!= PscExcludeBrand &&
+        !col("p_type").like(s"$PscExcludeType%") &&
+        col("p_size").isin(PscSizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Nation, part-name prefix, and surge year for [[excessStockSuppliers]],
+    * interpolated into the oracle.
+    */
+  val ExcessNation = "NATION_3"
+  val ExcessNamePrefix = "blue"
+  val ExcessYearStart = "1996-01-01"
+  val ExcessYearEnd = "1997-01-01"
+
+  /** TPC-H Q20-style excess stock: the hardest remaining decorrelation —
+    * a correlated aggregate inside a semi join ("suppliers who moved more
+    * than half of a part's lifetime volume in one year"; without
+    * ps_availqty the stock axis is shipment history). The textbook form
+    * correlates `(SELECT sum(qty) ... WHERE same supplier AND same part
+    * AND in-year)` against each (supplier, part) pair; here BOTH the
+    * correlated year sum and the lifetime sum decorrelate into ONE keyed
+    * hash aggregate with conditional sums (map-side combined, single
+    * shuffle on (suppkey, partkey)) — no per-row subquery, no BNLJ
+    * anywhere (PlanSpec's suite-wide lock). The half-threshold compares
+    * exact integer centi-quantities cross-multiplied by 2. Qualifying
+    * suppkeys semi-join INTO the supplier dim, restricted to one nation
+    * (broadcast), ordered by name.
+    */
+  def excessStockSuppliers(
+      nation: DataFrame, supplier: DataFrame, part: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val namedParts = broadcast(
+      part.where(col("p_name").like(s"$ExcessNamePrefix%")).select(col("p_partkey")))
+    val inYear = col("l_shipdate") >= to_timestamp(lit(ExcessYearStart)) &&
+      col("l_shipdate") < to_timestamp(lit(ExcessYearEnd))
+    val movers = lineitem
+      .join(namedParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(inYear, cents(col("l_quantity"))).otherwise(0L)).as("year_qc"),
+        sum(cents(col("l_quantity"))).as("total_qc"))
+      .where(col("year_qc") * 2 > col("total_qc"))
+      .select(col("l_suppkey"))
+    supplier
+      .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.where(col("n_name") === ExcessNation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(asc("s_name"))
+  }
 }

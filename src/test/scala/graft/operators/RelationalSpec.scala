@@ -316,4 +316,137 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === Set((9, 1L, 40.0)))
   }
+
+  test("excessStockSuppliers equals the brute-force correlated evaluation") {
+    import spark.implicits._
+    // randomized fixture, literal correlated-subquery evaluation as the
+    // reference: for each (supplier, part-with-prefix) pair, the in-year
+    // quantity sum must exceed half the lifetime sum; suppliers with any
+    // qualifying pair and the right nation survive
+    val nation = Seq((0, Relational.ExcessNation), (1, "NATION_OTHER"))
+      .toDF("n_nationkey", "n_name")
+    // suppliers 2, 4, 6 are in the target nation; 1 is not
+    val supplier = Seq((1L, 1), (2L, 0), (4L, 0), (6L, 0))
+      .map { case (k, n) => (k, s"S#$k", n) }
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val part = Seq(
+      (1L, s"${Relational.ExcessNamePrefix} thing"),
+      (2L, s"${Relational.ExcessNamePrefix} gadget"),
+      (3L, "red thing")) // outside the name slice
+      .toDF("p_partkey", "p_name")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val liRows = Seq(
+      // supplier 2, part 1: 10 of 13 units in 1996 -> qualifies
+      (2L, 1L, 10.0, ts("1996-06-01 00:00:00")),
+      (2L, 1L, 3.0, ts("1997-06-01 00:00:00")),
+      // supplier 4, part 1: 2 of 10 in 1996 -> no; part 2: all outside -> no
+      (4L, 1L, 2.0, ts("1996-06-01 00:00:00")),
+      (4L, 1L, 8.0, ts("1995-06-01 00:00:00")),
+      (4L, 2L, 9.0, ts("1997-06-01 00:00:00")),
+      // supplier 1 qualifies on volume but is in the wrong nation
+      (1L, 2L, 5.0, ts("1996-06-01 00:00:00")),
+      // supplier 6 moved everything in-year but only of a non-slice part
+      (6L, 3L, 7.0, ts("1996-06-01 00:00:00")))
+    val li = liRows.zipWithIndex.map { case ((sk, pk, q, t), i) => (i.toLong, sk, pk, q, t) }
+      .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+    // literal correlated evaluation as the reference
+    val prefixed = Set(1L, 2L)
+    def centsOf(q: Double) = math.round(q * 100)
+    val qualifies = (for {
+      sk <- Seq(1L, 2L, 4L, 6L)
+      pk <- prefixed
+      shipped = liRows.filter(r => r._1 == sk && r._2 == pk)
+      if shipped.nonEmpty
+      yearQ = shipped.filter(_._4.toString.startsWith("1996")).map(r => centsOf(r._3)).sum
+      totQ = shipped.map(r => centsOf(r._3)).sum
+      if yearQ * 2 > totQ
+    } yield sk).toSet
+    val expected = Seq(2L, 4L, 6L).filter(qualifies).map(k => (k, s"S#$k")).toSet
+    val got = Relational.excessStockSuppliers(nation, supplier, part, li)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected, s"got $got expected $expected")
+    assert(expected === Set((2L, "S#2")), "fixture must be discriminating")
+  }
+
+  test("productTypeProfit: profit is disc price minus retail cost, per nation-year") {
+    import spark.implicits._
+    val nation = Seq((0, "N_A"), (1, "N_B")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((1L, 0), (2L, 1)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq(
+      (1L, s"${Relational.ProfitNamePrefix} bolt", 10.0), // in the slice
+      (2L, "green bolt", 10.0) // filtered out by name
+    ).toDF("p_partkey", "p_name", "p_retailprice")
+    val orders = Seq(
+      (100L, "1996-03-01"), (101L, "1997-03-01")
+    ).toDF("o_orderkey", "d").withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val li = Seq(
+      // 27.00 discounted minus 2x10.00 cost -> 7.00 profit
+      (100L, 1L, 1L, 2.0, 30.0, 0.10),
+      (101L, 1L, 1L, 1.0, 30.0, 0.0), // 1997: 30 - 10 = 20.00
+      (100L, 2L, 1L, 1.0, 30.0, 0.0), // other nation: same 20.00
+      (100L, 1L, 2L, 9.0, 90.0, 0.0) // filtered part: no contribution
+    ).toDF("l_orderkey", "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val got = Relational.productTypeProfit(nation, supplier, part, orders, li)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got === Set(("N_A", 1996, 7.0), ("N_A", 1997, 20.0), ("N_B", 1996, 20.0)))
+  }
+
+  test("importantParts: threshold is strict and cross-multiplied exactly") {
+    import spark.implicits._
+    val nation = Seq((0, Relational.ImportantNation), (1, "NATION_OTHER"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((1L, 0), (2L, 1)).toDF("s_suppkey", "s_nationkey")
+    // part 1: exactly total/1000 -> excluded (strict >); part 2: above
+    // total = 1000.00 -> 100000 cents; threshold value_c * 1000 > 100000
+    val li = Seq(
+      (1L, 1L, 1.00), // exactly at the boundary: 100 * 1000 == 100000
+      (2L, 1L, 995.00),
+      (3L, 1L, 4.00), // above: 400 * 1000 > 100000
+      (2L, 2L, 1000000.0) // other nation: not counted anywhere
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val got = Relational.importantParts(nation, supplier, li)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((2L, 995.0), (3L, 4.0)),
+      "boundary part must be excluded by the strict inequality")
+  }
+
+  test("shippingLagPriority: lag band is [min, max) in exact micros") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val orders = Seq(
+      (1L, "1-URGENT"), (2L, "5-LOW")
+    ).map { case (k, p) => (k, ts("1996-01-01 00:00:00"), p) }
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, "A", ts("1996-01-31 00:00:00")), // lag 30d: included (>=)
+      (1L, "A", ts("1996-03-31 00:00:00")), // lag 90d: excluded (<)
+      (2L, "A", ts("1996-02-15 00:00:00")), // low priority, in band
+      (2L, "R", ts("1996-01-02 00:00:00")) // lag 1d: below band
+    ).toDF("l_orderkey", "l_returnflag", "l_shipdate")
+    val got = Relational.shippingLagPriority(orders, li)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("A", 1L, 1L)))
+  }
+
+  test("partSupplierCounts: distinct pairs, excluded suppliers anti-joined") {
+    import spark.implicits._
+    val sz = Relational.PscSizes.head
+    val supplier = Seq((1L, 100.0), (2L, -5.0), (3L, 50.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val part = Seq(
+      (1L, "Brand#1", "LARGE", sz),
+      (2L, Relational.PscExcludeBrand, "LARGE", sz), // excluded brand
+      (3L, "Brand#1", s"${Relational.PscExcludeType}X", sz), // excluded type
+      (4L, "Brand#1", "LARGE", 9999) // excluded size
+    ).toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val li = Seq(
+      (1L, 1L), (1L, 1L), // duplicate pair counts once
+      (1L, 2L), // negative-balance supplier: anti-joined away
+      (1L, 3L),
+      (2L, 1L), (3L, 1L), (4L, 1L) // all on excluded parts
+    ).toDF("l_partkey", "l_suppkey")
+    val got = Relational.partSupplierCounts(supplier, part, li)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === Set(("Brand#1", "LARGE", sz, 2L)))
+  }
 }
