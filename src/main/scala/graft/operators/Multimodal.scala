@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * AUDIO DECODE IS REAL TOO: `audio/`-prefixed payloads go through the JDK's
   * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU headers, zero external
   * dependencies), yielding true sample rate / channel count / frame count;
-  * undecodable audio gets the same explicit marker. VIDEO REMAINS A STUB —
-  * the one modality this container genuinely cannot decode — with
-  * deterministic fake features derived from the bytes ([[fakeDecode]],
-  * clearly marked). The surrounding plumbing — the binary schema, the typed
+  * undecodable audio gets the same explicit marker. VIDEO decodes container
+  * headers (MP4/AVI) AND first-frame PIXELS for MJPEG-in-AVI — the movi
+  * chunks of an MJPEG AVI are plain JPEGs, fed through the same imageio
+  * path as images. Only INTER-FRAME codecs (H.264 etc.) remain stubbed
+  * with deterministic fake features ([[fakeDecode]], clearly marked) —
+  * the one decode this container genuinely cannot run without ffmpeg.
+  * The surrounding plumbing — the binary schema, the typed
   * `Dataset` row shape, partition-wise batching via `mapPartitions`, and
   * the metadata projections — is shared by all paths: dropping in a video
   * codec is one more case in [[decodeOne]].
@@ -40,12 +43,15 @@ object Multimodal {
     * duration_ms) with zero width/height; video container headers fill
     * (width, height, n_frames, duration_ms); the all-zero row is the
     * explicit undecodable marker (every successful decode has at least one
-    * field >= 1).
+    * field >= 1). `luma_mean` is the mean BT.601 luminance of the decoded
+    * PIXELS — real for images and for MJPEG-in-AVI first frames, 0 where
+    * no pixel decode exists (audio, header-only video codecs).
     */
   case class MediaFeatures(
       doc_id: Long, n_bytes: Int, format: String,
       width: Int, height: Int, n_frames: Int,
-      sample_rate: Int, channels: Int, duration_ms: Long = 0L)
+      sample_rate: Int, channels: Int, duration_ms: Long = 0L,
+      luma_mean: Double = 0.0)
 
   /** Stand-in payload builder: encodes the documents' text as UTF-8 bytes
     * in a `binary` column (in production this column arrives already binary
@@ -59,14 +65,14 @@ object Multimodal {
 
   /** STUB decode for unknown payloads (the testdata's `fake/` stand-ins):
     * deterministic fake "dimensions" from the payload bytes. Video
-    * container HEADERS are parsed for real ([[decodeVideo]]); decoding
-    * frame pixels would call the codec here (ffmpeg) on `m.content` — per
-    * partition, so per-executor native resources are initialized once per
-    * batch, not once per row.
+    * container HEADERS and MJPEG-in-AVI frame pixels are decoded for real
+    * ([[decodeVideo]], [[mjpegFirstFrame]]); the remaining genuine seam is
+    * inter-frame codecs (H.264 etc.), whose decoder (ffmpeg) would be
+    * called per partition, so per-executor native resources are
+    * initialized once per batch, not once per row.
     */
   private def fakeDecode(m: MediaFile): MediaFeatures = {
     val n = m.content.length
-    // ??? a real frame-pixel codec goes here — fake: dims from byte stats
     val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xFF))
     MediaFeatures(
       m.doc_id, n, m.format,
@@ -85,14 +91,39 @@ object Multimodal {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
     else None
 
+  /** Mean BT.601 luminance of a decoded image, in integer milliluma units
+    * summed as a Long before ONE double division — deterministic given the
+    * decoded pixels (and JDK JPEG/PNG decoding is deterministic for given
+    * bytes, so the spec asserts exact equality against an independent
+    * decode of the same payload).
+    */
+  private def lumaMeanOf(img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return 0.0
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        sum += 299L * r + 587L * g + 114L * b
+        x += 1
+      }
+      y += 1
+    }
+    sum.toDouble / (w.toLong * h) / 1000.0
+  }
+
   /** REAL image decode via the JDK's `javax.imageio` (headless-safe, no
-    * external dependencies): true pixel width/height, n_frames = 1. None
-    * when the bytes are not a decodable image.
+    * external dependencies): true pixel width/height, n_frames = 1, mean
+    * pixel luminance. None when the bytes are not a decodable image.
     */
   private def decodeImage(m: MediaFile): Option[MediaFeatures] =
     readImage(m).map { img =>
       MediaFeatures(m.doc_id, m.content.length, m.format,
-        img.getWidth, img.getHeight, 1, sample_rate = 0, channels = 0)
+        img.getWidth, img.getHeight, 1, sample_rate = 0, channels = 0,
+        luma_mean = lumaMeanOf(img))
     }
 
   /** REAL audio decode via the JDK's `javax.sound.sampled.AudioSystem`
@@ -252,11 +283,32 @@ object Multimodal {
     }.flatten
   }
 
+  /** First video frame of an MJPEG AVI, decoded to PIXELS for real: the
+    * `movi` list's `##dc`/`##db` chunks of an MJPEG AVI are complete
+    * JPEGs, so the first one decodes with the SAME `javax.imageio` path
+    * the image modality uses — no external codec. None when there is no
+    * movi list, no video chunk, or the chunk bytes are not a decodable
+    * JPEG (i.e. an inter-frame codec — the one seam that genuinely needs
+    * ffmpeg; see [[fakeDecode]]).
+    */
+  private[operators] def mjpegFirstFrame(b: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    val end = math.min(b.length, 8 + le32(b, 4).toInt)
+    riffChunks(b, 12, end).collectFirst { case ("LIST", "movi", ps, pe) =>
+      riffChunks(b, ps, pe).collectFirst {
+        case (cc, _, fs, fe) if cc.endsWith("dc") || cc.endsWith("db") =>
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(java.util.Arrays.copyOfRange(b, fs, fe))))
+          catch { case _: java.io.IOException => None }
+      }.flatten
+    }.flatten
+  }
+
   /** REAL video container-header decode (MP4/MOV `moov` boxes, AVI `avih`)
     * — width/height/frame-count/duration from pure-JDK byte parsing of the
-    * container, no codec required (frame PIXELS still need one; that
-    * remains the documented seam). None when the bytes match neither
-    * container.
+    * container — plus REAL first-frame pixel decode for MJPEG-in-AVI
+    * ([[mjpegFirstFrame]]; `luma_mean` stays 0 for inter-frame codecs).
+    * None when the bytes match neither container.
     */
   private def decodeVideo(m: MediaFile): Option[MediaFeatures] =
     try {
@@ -267,7 +319,8 @@ object Multimodal {
       }.orElse(parseAvi(m.content).map { case (w, h, frames, durMs) =>
         MediaFeatures(m.doc_id, m.content.length, m.format,
           width = w, height = h, n_frames = frames,
-          sample_rate = 0, channels = 0, duration_ms = durMs)
+          sample_rate = 0, channels = 0, duration_ms = durMs,
+          luma_mean = mjpegFirstFrame(m.content).map(lumaMeanOf).getOrElse(0.0))
       })
     } catch { case _: IndexOutOfBoundsException => None }
 

@@ -115,6 +115,55 @@ class MultimodalSpec extends SparkSpec {
       ((0, 0, 0, 0L)))
   }
 
+  test("MJPEG-in-AVI first-frame pixels decode for real (exact luma round-trip)") {
+    import spark.implicits._
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def le32(v: Long): Array[Byte] = be32(v).reverse
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // paint a deterministic gradient, JPEG-encode it — the movi payload
+    val img = new java.awt.image.BufferedImage(
+      32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, ((x * 8) << 16) | ((y * 10) << 8) | ((x + y) & 0xFF))
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", jout)
+    val jpeg = jout.toByteArray
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    val avih = cc("avih") ++ le32(40) ++
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(1) ++ le32(0) ++ le32(32) ++ le32(24)
+    val hdrl = cc("LIST") ++ le32(4L + avih.length) ++ cc("hdrl") ++ avih
+    val frame = chunk("00dc", jpeg)
+    val movi = cc("LIST") ++ le32(4L + frame.length) ++ cc("movi") ++ frame
+    val body = hdrl ++ movi
+    val avi = cc("RIFF") ++ le32(4L + body.length) ++ cc("AVI ") ++ body
+    // independent expectation: decode OUR OWN jpeg bytes and apply the
+    // documented BT.601 integer-milliluma mean — must match EXACTLY
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    var sum = 0L
+    for (y <- 0 until decoded.getHeight; x <- 0 until decoded.getWidth) {
+      val rgb = decoded.getRGB(x, y)
+      sum += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+    }
+    val expected = sum.toDouble / (decoded.getWidth.toLong * decoded.getHeight) / 1000.0
+    // a header-only AVI (no movi list) is the inter-frame-codec shape:
+    // real container fields, luma 0
+    val headerOnly = cc("RIFF") ++ le32(4L + hdrl.length) ++ cc("AVI ") ++ hdrl
+    val media = Seq(
+      Multimodal.MediaFile(1L, avi, "video/x-msvideo"),
+      Multimodal.MediaFile(2L, headerOnly, "video/x-msvideo")).toDS()
+    val got = Multimodal.decode(media).collect().map(f => f.doc_id -> f).toMap
+    assert((got(1L).width, got(1L).height, got(1L).n_frames) === ((32, 24, 1)))
+    assert(got(1L).luma_mean === expected, "frame pixels must round-trip exactly")
+    assert(expected > 1.0, "gradient frame must have non-trivial luminance")
+    assert(got(2L).luma_mean === 0.0, "no movi frame -> no pixel stats")
+    assert(got(2L).width === 32, "header fields still decode without frames")
+  }
+
   test("video parsers refuse hostile/truncated containers without throwing") {
     // direct unit coverage of the byte walkers: truncated boxes, lying
     // sizes, zero-size boxes, empty arrays
