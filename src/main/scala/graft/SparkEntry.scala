@@ -154,6 +154,9 @@ object SparkEntry {
     // Mergeable fixed-universe dyadic quantile sketch (typed-Aggregator
     // state, order-independent) — rank + quantile answers hash-replayed.
     "q_quantile_sketch" -> ((s, dir) => Sketches.quantileSketch(Tables.orders(s, dir))),
+    // Float-universe quantile sketch: deterministic level-sampling (KLL's
+    // weight ladder, content-hashed coin) — multiset-invariant state.
+    "q_kll_quantile" -> ((s, dir) => Sketches.kllQuantile(Tables.orders(s, dir))),
     // KMV distinct sketches + pairwise Jaccard estimation between
     // language vocabularies (the set-operation estimator HLL lacks).
     "q_kmv_overlap" -> ((s, dir) => Sketches.kmvLangOverlap(Tables.documents(s, dir))),
@@ -717,6 +720,48 @@ object SparkEntry {
     * the integer ceil target (pct·n+99)//100, and the exact-rank /
     * exact-value columns. All integers; hash-exact.
     */
+  /** DuckDB mirror of `Sketches.kllQuantile` — the deterministic
+    * level-sampling sketch replayed in CLOSED FORM: the aggregator's
+    * invariance contract says the final state is exactly (n, lMin =
+    * min{l : count(level ≥ l) ≤ cap}, {rows with level ≥ lMin}), so the
+    * oracle computes that characterization directly (same 60-bit md5 row
+    * hash via the `conv` mirror, trailing-zero level as a CASE chain,
+    * cutoff by level counts, sample probe at ceil(target/2^lMin) clamped
+    * to the sample top, exact value at the integer target rank under the
+    * same (v, h) total order). A hash match here PROVES the merge-order
+    * invariance the engine claims.
+    */
+  private def kllQuantileOracle: String = {
+    import graft.operators.Sketches.{KllCap, KllMaxLevel, KllPcts}
+    val h60 = "CAST(('0x' || substr(md5('0:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val levelCase = "CASE " +
+      (0 until KllMaxLevel).map(l => s"WHEN (h >> $l) % 2 = 1 THEN $l").mkString(" ") +
+      s" ELSE $KllMaxLevel END"
+    val perPct = KllPcts.map { pct =>
+      s"""SELECT CAST($pct AS BIGINT) AS key,
+         |  (SELECT s.v FROM samp s, params pr
+         |   WHERE s.p = least(((($pct * pr.n + 99) // 100) + pr.w - 1) // pr.w, pr.m)) AS est,
+         |  (SELECT e.v FROM exact e, params pr
+         |   WHERE e.rn = ($pct * pr.n + 99) // 100) AS exact""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH src AS (SELECT $h60 AS h, o_totalprice AS v FROM orders),
+       |lv AS (SELECT h, v, $levelCase AS l FROM src),
+       |lm AS (SELECT min(l0) AS lm FROM (
+       |    SELECT g.l0 AS l0, count(*) FILTER (WHERE lv.l >= g.l0) AS c
+       |    FROM (SELECT unnest(range(0, ${KllMaxLevel + 2})) AS l0) g CROSS JOIN lv
+       |    GROUP BY g.l0) t
+       |  WHERE c <= $KllCap),
+       |samp0 AS (SELECT v, h FROM lv, lm WHERE lv.l >= lm.lm),
+       |samp AS (SELECT v, h, row_number() OVER (ORDER BY v, h) AS p FROM samp0),
+       |params AS (SELECT (SELECT count(*) FROM src) AS n, lm.lm AS lm,
+       |    (CAST(1 AS BIGINT) << lm.lm) AS w,
+       |    (SELECT count(*) FROM samp0) AS m FROM lm),
+       |exact AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn FROM src)
+       |SELECT key, est, exact FROM (
+       |$perPct
+       |) q WHERE (SELECT n FROM params) > 0 AND (SELECT m FROM params) > 0""".stripMargin
+  }
+
   private def quantileSketchOracle: String = {
     import graft.operators.Sketches._
     val decompVals = QsProbeCents.flatMap(p =>
@@ -1498,6 +1543,7 @@ object SparkEntry {
     "q_hll_vocab" -> hllVocabOracle,
     "q_hll_vocab_agg" -> hllVocabOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
+    "q_kll_quantile" -> kllQuantileOracle,
     // the streaming keyed-store twin drains to the identical node frame,
     // so it shares the batch sketch's oracle verbatim
     "q_stream_quantile_update" -> quantileSketchOracle,

@@ -103,6 +103,71 @@ object Aggregators {
     * Values outside the universe are clamped to its edges by the CALLER
     * (documented contract — the clamp must be mirrored in the oracle).
     */
+  /** Deterministic level-sampling quantile sketch over FLOAT values — the
+    * KLL-style geometric-weight ladder with the compaction coin replaced
+    * by a fixed content hash, which is what makes the state a pure
+    * function of the input MULTISET (order- and partition-invariant,
+    * hence externally hash-checkable — the property random-coin KLL
+    * fundamentally lacks).
+    *
+    * Each row carries a 60-bit hash `h` of its stable key; its LEVEL is
+    * the number of trailing zero bits of `h` (capped at `maxLevel`), so
+    * P(level ≥ l) = 2^-l — exactly the survival probability l rounds of
+    * KLL compaction give an item. State = (exact n, cutoff lMin, the
+    * items with level ≥ lMin); when the kept set exceeds `cap`, the
+    * cutoff rises one level (halving the survivors in expectation) —
+    * deterministic compaction. Every kept item represents 2^lMin input
+    * rows.
+    *
+    * Invariance contract (what the DuckDB oracle replays in closed form):
+    * the final state is EXACTLY n, lMin = min{l : |{x : level(x) ≥ l}| ≤
+    * cap}, and the kept set {x : level(x) ≥ lMin} — regardless of row
+    * order, partitioning, or merge tree. Proof shape: items are only ever
+    * dropped when strictly below the current cutoff, the cutoff only
+    * rises while the kept set overflows, and a partition's overflow count
+    * lower-bounds the global count at the same level — so no merge order
+    * can overshoot the closed-form cutoff. SketchSpec asserts the
+    * invariance; rank error is O(sqrt(rank · 2^lMin)) w.h.p. over the
+    * hash family (the error-envelope case).
+    */
+  class LevelSample(cap: Int, maxLevel: Int)
+      extends Aggregator[(Long, Double), (Long, Int, Seq[(Double, Long)]), (Long, Int, Seq[(Double, Long)])] {
+
+    private def levelOf(h: Long): Int =
+      math.min(java.lang.Long.numberOfTrailingZeros(h), maxLevel)
+
+    private def prune(st: (Long, Int, Seq[(Double, Long)])): (Long, Int, Seq[(Double, Long)]) = {
+      var (n, lMin, items) = st
+      while (items.size > cap) {
+        lMin += 1
+        items = items.filter { case (_, h) => levelOf(h) >= lMin }
+      }
+      (n, lMin, items)
+    }
+
+    override def zero: (Long, Int, Seq[(Double, Long)]) = (0L, 0, Vector.empty)
+
+    override def reduce(
+        st: (Long, Int, Seq[(Double, Long)]), row: (Long, Double)): (Long, Int, Seq[(Double, Long)]) = {
+      val (h, v) = row
+      val (n, lMin, items) = st
+      if (levelOf(h) >= lMin) prune((n + 1, lMin, items :+ ((v, h))))
+      else (n + 1, lMin, items)
+    }
+
+    override def merge(
+        a: (Long, Int, Seq[(Double, Long)]), b: (Long, Int, Seq[(Double, Long)])): (Long, Int, Seq[(Double, Long)]) = {
+      val lMin = math.max(a._2, b._2)
+      val items = (a._3 ++ b._3).filter { case (_, h) => levelOf(h) >= lMin }
+      prune((a._1 + b._1, lMin, items))
+    }
+
+    override def finish(st: (Long, Int, Seq[(Double, Long)])): (Long, Int, Seq[(Double, Long)]) = st
+
+    override def bufferEncoder: Encoder[(Long, Int, Seq[(Double, Long)])] = ExpressionEncoder()
+    override def outputEncoder: Encoder[(Long, Int, Seq[(Double, Long)])] = ExpressionEncoder()
+  }
+
   class DyadicHistogram(lMin: Int, u: Int)
       extends Aggregator[Long, Array[Long], Seq[(Int, Long, Long)]] {
     private val nLevels = u - lMin + 1

@@ -470,6 +470,79 @@ object Sketches {
     rankRows.unionByName(quantRows)
   }
 
+  // ---- Float-universe quantile sketch (deterministic level sampling) --
+
+  /** Kept-sample capacity; the cutoff rises one level per overflow. */
+  val KllCap = 512
+  /** Level cap — far past any real n/cap ratio (2^24 · cap rows). */
+  val KllMaxLevel = 24
+  /** Quantile targets (percent). */
+  val KllPcts: Seq[Int] = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)
+
+  /** FLOAT-universe quantile sketch — the companion the fixed-universe
+    * dyadic sketch ([[quantileSketch]]) can't replace: metrics that don't
+    * quantize to integer cents. KLL-style geometric-weight ladder with
+    * DETERMINISTIC compaction (the [[graft.functions.Aggregators.LevelSample]]
+    * typed Aggregator: survival = trailing-zero bits of a fixed 60-bit
+    * md5 row hash, so the state is a pure function of the input multiset —
+    * mergeable, partition-invariant, and replayed in closed form by the
+    * DuckDB oracle, which random-coin KLL could never be).
+    *
+    * Output rows (key = target percent, est, exact): est = the sketch's
+    * quantile answer — the kept sample sorted by (value, hash) and probed
+    * at position ceil(target / 2^lMin) (each kept item represents 2^lMin
+    * rows), clamped to the sample top; exact = the true value at rank
+    * ceil(pct·n/100) under the same total (value, hash) order — the
+    * error-visibility side (a global-sort window, droppable at 100 TB),
+    * same role as the dyadic sketch's exact column. SketchSpec pins the
+    * rank-error envelope O(sqrt(rank · 2^lMin)) and the partition
+    * invariance.
+    *
+    * Scale shape: ONE scan builds the sketch (map-side-combined ≤ cap+1
+    * state per partial); the driver collects exactly one ≤ cap-item
+    * state — a parameter-bounded collect like the centroid fetches.
+    */
+  def kllQuantile(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val src = graft.Parallelism.ensure(orders).select(
+      graft.functions.HashFunctions.md5Long(col("o_orderkey").cast("string")).as("h"),
+      col("o_totalprice").as("v"))
+      .localCheckpoint() // sketch build + exact side share one scan
+    val ls = udaf(new graft.functions.Aggregators.LevelSample(KllCap, KllMaxLevel),
+      ExpressionEncoder[(Long, Double)]())
+    val st = src.agg(ls(col("h"), col("v")).as("s")).select(col("s")).head().getStruct(0)
+    val n = st.getLong(0)
+    val lMin = st.getInt(1)
+    val items = st.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    if (n == 0L || items.isEmpty)
+      return Seq.empty[(Long, Double, Double)].toDF("key", "est", "exact")
+    val w = 1L << lMin
+    val sorted = items.sortBy { case (v, h) => (v, h) }.toIndexedSeq
+    val ests = KllPcts.map { pct =>
+      val target = (pct.toLong * n + 99L) / 100L
+      val p = ((target + w - 1L) / w).toInt // smallest p with p·w >= target
+      (pct.toLong, sorted(math.min(p, sorted.size) - 1)._1)
+    }
+    // exact values at the same integer targets, under the same total
+    // (v, h) order — ties broken identically in both engines
+    val rc = src.withColumn("rn", row_number().over(Window.orderBy("v", "h")))
+    val targets = KllPcts.map(pct => pct.toLong -> (pct.toLong * n + 99L) / 100L)
+    val eq = rc.agg(
+      min(when(col("rn") === targets.head._2, col("v"))).as(s"eq_${targets.head._1}"),
+      targets.tail.map { case (pct, t) =>
+        min(when(col("rn") === t, col("v"))).as(s"eq_$pct")
+      }: _*)
+      .select(expr(
+        s"stack(${targets.size}, " +
+          targets.map { case (pct, _) => s"CAST($pct AS BIGINT), eq_$pct" }.mkString(", ") +
+          ") AS (key, exact)"))
+    ests.toDF("key", "est").join(eq, "key")
+  }
+
   /** Per-source table digest: an order-independent XOR fold of canonical
     * row hashes plus a row count — the 8-bytes-per-group integrity
     * checksum that lets two copies of a 100 TB table (a migration, a

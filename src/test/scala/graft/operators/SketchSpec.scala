@@ -146,6 +146,46 @@ class SketchSpec extends SparkSpec {
     assert(one.nonEmpty)
   }
 
+  test("kllQuantile: rank-error envelope O(sqrt(rank * 2^lMin)) holds") {
+    val o = Tables.orders(spark, sf("sf0.01"))
+    val rows = Sketches.kllQuantile(o).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows.size === Sketches.KllPcts.size)
+    // exact reference: all values sorted (ties can't matter for rank
+    // counts below, which use strict/non-strict value comparisons)
+    val vs = o.select(col("o_totalprice")).collect().map(_.getDouble(0)).sorted
+    val n = vs.length.toLong
+    // recover the cutoff the sketch used from the closed-form contract
+    def level(h: Long) = math.min(java.lang.Long.numberOfTrailingZeros(h), Sketches.KllMaxLevel)
+    val hs = o.select(graft.functions.HashFunctions.md5Long(col("o_orderkey").cast("string")))
+      .collect().map(_.getLong(0))
+    val lMin = (0 to Sketches.KllMaxLevel + 1)
+      .find(l => hs.count(level(_) >= l) <= Sketches.KllCap).get
+    val w = 1L << lMin
+    Sketches.KllPcts.foreach { pct =>
+      val (est, exact) = (rows(pct)._1, rows(pct)._2)
+      val target = (pct * n + 99) / 100
+      assert(exact === vs(target.toInt - 1), s"pct $pct exact side")
+      // est's true rank interval [count(< est), count(<= est)] must sit
+      // within the level-sampling deviation of the target
+      val lo = vs.count(_ < est).toLong
+      val hi = vs.count(_ <= est).toLong
+      val envelope = 8.0 * math.sqrt(w.toDouble * target) + w
+      val dist = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+      assert(dist <= envelope, s"pct $pct: rank dist $dist > envelope $envelope (w=$w)")
+    }
+  }
+
+  test("kllQuantile is partitioning/order-invariant (deterministic compaction)") {
+    val o = Tables.orders(spark, sf("sf0.001"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val one = canon(Sketches.kllQuantile(o.repartition(1)))
+    val many = canon(Sketches.kllQuantile(o.orderBy(desc("o_totalprice")).repartition(13)))
+    assert(one === many)
+    assert(one.nonEmpty)
+  }
+
   test("countMinProbe: overestimate-only, zero for absent word, mostly exact") {
     val d = Tables.documents(spark, sf("sf0.01"))
     val rows = Sketches.countMinProbe(d).collect()
