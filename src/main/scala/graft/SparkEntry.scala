@@ -147,6 +147,10 @@ object SparkEntry {
     // Hand-rolled order-independent sketches: deterministic, fully
     // oracle-replayed (unlike the built-in HLL++/percentile sketches).
     "q_hll_vocab" -> ((s, dir) => Sketches.hllVocabByLang(Tables.documents(s, dir))),
+    // Streaming HLL register maintenance (update-mode keyed store, no
+    // watermark — structurally bounded state); same answers as the batch.
+    "q_stream_hll_update" -> ((s, dir) =>
+      graft.streaming.SketchStreams.hllVocabViaStore(s, dir)),
     // The same HLL through the typed-Aggregator/udaf surface
     // (ObjectHashAggregate path) — identical frame, shared oracle.
     "q_hll_vocab_agg" -> ((s, dir) => Sketches.hllVocabByLangUdaf(Tables.documents(s, dir))),
@@ -1542,6 +1546,9 @@ object SparkEntry {
     // both registrations.
     "q_hll_vocab" -> hllVocabOracle,
     "q_hll_vocab_agg" -> hllVocabOracle,
+    // the streaming register store reconstructs the batch registers
+    // exactly (monotone min + latest-batch-wins), so the oracle is shared
+    "q_stream_hll_update" -> hllVocabOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
     "q_kll_quantile" -> kllQuantileOracle,
     // the streaming keyed-store twin drains to the identical node frame,

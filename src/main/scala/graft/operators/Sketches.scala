@@ -55,26 +55,43 @@ object Sketches {
     * 256 ints per language no matter the corpus size; every agg combines
     * map-side. The exact count rides the same exploded scan.
     */
-  /** (lang, tok) stream shared by both HLL forms and the exact count. */
-  private def langTokens(documents: DataFrame): DataFrame =
-    graft.Parallelism.ensure(documents)
+  /** Lowercase whitespace tokenization of the documents frame — shared
+    * verbatim by the batch HLL forms (behind the parallelism guard) and
+    * the streaming register twin (where `Parallelism.ensure` cannot run:
+    * it inspects plan statistics a streaming frame doesn't expose).
+    */
+  private[graft] def tokenize(documents: DataFrame): DataFrame =
+    documents
       .select(col("lang"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .where(length(col("tok")) > 0)
 
-  def hllVocabByLang(documents: DataFrame): DataFrame = {
-    val toks = langTokens(documents)
-    val g = toks.select(col("lang"),
+  /** (lang, tok) stream shared by both HLL forms and the exact count. */
+  private def langTokens(documents: DataFrame): DataFrame =
+    tokenize(graft.Parallelism.ensure(documents))
+
+  /** Pre-aggregation register arithmetic: (lang, register index j,
+    * bit-length bl) per token occurrence. Register index = low P bits of
+    * the seeded 60-bit hash; remaining W bits feed the rank (rank rho ≡
+    * bit-length minb = W + 1 − rho; 0 for b = 0, i.e. rho max). Shared
+    * verbatim by the batch build and the streaming keyed-store twin so
+    * both maintain bit-identical registers off one oracle.
+    */
+  private[graft] def hllRegisterRows(langToks: DataFrame): DataFrame =
+    langToks.select(col("lang"),
       HashFunctions.md5Long(col("tok"), HllHashSeed).as("gh"))
-    // register index = low P bits; remaining W bits feed the rank. A rank
-    // of rho ≡ bit-length minb = W + 1 - rho (0 for b = 0, i.e. rho max).
-    val regs = g
       .select(col("lang"),
         (col("gh") % lit(HllM.toLong)).as("j"),
         shiftright(col("gh"), HllP).as("b"))
       .select(col("lang"), col("j"),
         when(col("b") === 0, 0).otherwise(length(bin(col("b")))).as("bl"))
-      .groupBy("lang", "j").agg(min(col("bl")).as("minb"))
+
+  /** The estimate stage over a materialized (lang, j, minb) register frame
+    * plus the (lang, tok) stream (exact-side error visibility) — shared by
+    * the batch build and the streaming keyed-store twin, so both paths
+    * answer identically and share one oracle.
+    */
+  private[graft] def hllAnswers(regs: DataFrame, toks: DataFrame): DataFrame = {
     val perLang = regs.groupBy("lang")
       .agg(
         sum(expr("shiftleft(CAST(1 AS BIGINT), minb)")).as("denom_present"),
@@ -88,6 +105,13 @@ object Sketches {
       .agg(countDistinct(col("tok")).as("exact_distinct"))
     perLang.join(exact, "lang")
       .select("lang", "n_zero_registers", "denom", "hll_raw_estimate", "exact_distinct")
+  }
+
+  def hllVocabByLang(documents: DataFrame): DataFrame = {
+    val toks = langTokens(documents)
+    val regs = hllRegisterRows(toks)
+      .groupBy("lang", "j").agg(min(col("bl")).as("minb"))
+    hllAnswers(regs, toks)
   }
 
   /** The SAME HLL through the typed-`Aggregator` UDAF surface

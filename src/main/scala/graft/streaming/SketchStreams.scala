@@ -110,4 +110,73 @@ object SketchStreams {
       nodes,
       Sketches.quantileCents(graft.Tables.orders(spark, dir)).localCheckpoint())
   }
+
+  // ---- Streaming HLL register maintenance ----------------------------
+
+  /** Continuous per-(lang, register) minimum bit-length over the document
+    * stream — the SAME register arithmetic as the batch HLL
+    * ([[graft.operators.Sketches.hllRegisterRows]], shared verbatim).
+    * Like the dyadic node counts, this needs NO watermark: state is
+    * STRUCTURALLY bounded at languages × 2^P register rows whatever the
+    * stream length — the second sketch the no-watermark argument applies
+    * to. `min` is monotone non-increasing, so update mode emits each
+    * register's new running minimum and latest-batch-wins merge-on-read
+    * reconstructs the exact batch registers.
+    */
+  def hllRegisterMins(docs: DataFrame): DataFrame =
+    graft.operators.Sketches.hllRegisterRows(graft.operators.Sketches.tokenize(docs))
+      .groupBy("lang", "j")
+      .agg(min(col("bl")).as("minb"))
+
+  /** Drain the stream in update mode, upserting changed registers into the
+    * store (append-only log + merge-on-read, the LSM shape).
+    */
+  def hllRegistersUpdateToStore(
+      docs: DataFrame, storeDir: String, ckptDir: String): Unit = {
+    val mins = hllRegisterMins(docs)
+    EventStreams.withStreamShufflePartitions(mins.sparkSession) {
+      val q = mins.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(storeDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
+  /** Merge-on-read of the register store: latest batch's min wins. */
+  def readRegisterStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("lang", StringType), StructField("j", LongType),
+      StructField("minb", IntegerType), StructField("batch_id", LongType)))
+    spark.read.schema(schema).parquet(storeDir)
+      .groupBy("lang", "j")
+      .agg(max_by(struct(col("batch_id"), col("minb")), col("batch_id"))
+        .getField("minb").as("minb"))
+  }
+
+  /** End-to-end twin: stream the documents table into the register store,
+    * then estimate per-language vocabulary off the drained store with the
+    * SAME answer stage — and therefore the same DuckDB oracle — as the
+    * batch `q_hll_vocab` (the exact-distinct column reads the batch
+    * table: the error-visibility rail, not sketch state).
+    */
+  def hllVocabViaStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hll")
+    java.nio.file.Files.createDirectories(tmp.resolve("store"))
+    hllRegistersUpdateToStore(
+      DocumentStreams.rawSource(spark, dir), s"$tmp/store", s"$tmp/ckpt")
+    val regs = readRegisterStore(spark, s"$tmp/store").localCheckpoint()
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    Sketches.hllAnswers(
+      regs,
+      Sketches.tokenize(
+        graft.Parallelism.ensure(graft.Tables.documents(spark, dir))))
+  }
 }

@@ -47,6 +47,60 @@ class SketchStreamsSpec extends SparkSpec {
     EventStreams.deleteRecursivelyOnExit(tmp)
   }
 
+  test("update-mode HLL register store equals the batch registers after a multi-batch drain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll_spec")
+    val store = tmp.resolve("store").toString
+    java.nio.file.Files.createDirectories(tmp.resolve("store"))
+    val input = MemoryStream[(String, String)]
+    val q = SketchStreams.hllRegisterMins(input.toDF().toDF("lang", "text"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(store)
+        ()
+      }
+      .start()
+    try {
+      input.addData(("en", "alpha beta gamma"), ("de", "eins zwei"))
+      q.processAllAvailable()
+      // second batch revisits tokens (min unchanged) and adds new ones
+      input.addData(("en", "beta delta epsilon zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = SketchStreams.readRegisterStore(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // batch-side expectation: the same register arithmetic over the full
+    // corpus, via the shared hllRegisterRows helper
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "eins zwei", "de"),
+      (3L, "beta delta epsilon zeta", "en")).toDF("doc_id", "text", "lang")
+    val expected = graft.operators.Sketches
+      .hllRegisterRows(graft.operators.Sketches.tokenize(docs))
+      .groupBy("lang", "j").agg(min(col("bl")).as("minb"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === expected, s"got $got expected $expected")
+    assert(got.nonEmpty)
+    EventStreams.deleteRecursivelyOnExit(tmp)
+  }
+
+  test("streaming HLL twin answers equal the batch q_hll_vocab frame exactly") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    val streamed = canon(SketchStreams.hllVocabViaStore(spark, dir))
+    val batch = canon(graft.operators.Sketches.hllVocabByLang(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("state is structurally bounded by the node universe, not the stream length") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
