@@ -265,6 +265,14 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDuplicates(Tables.documents(s, dir))),
     "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
     "q_dedup_neardup" -> ((s, dir) => Dedup.nearDuplicatePairs(Tables.documents(s, dir))),
+    // Incoming shard probed against the corpus's persisted LSH index —
+    // the continuous-ingestion dedup shape (no corpus self-join).
+    "q_dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalNearDups(Tables.documents(s, dir))),
+    // Per-ingest-batch distribution drift report (fixed histogram + TVD
+    // contributions, no ln — bit-portable).
+    "q_drift_report" -> ((s, dir) =>
+      TextAnalysis.tokenDriftReport(Tables.documents(s, dir))),
     "q_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
@@ -2154,6 +2162,44 @@ object SparkEntry {
          |WHERE len(a.sh) > 0 AND len(b.sh) > 0
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // Asymmetric brute force (corpus side x shard side only), same
+    // banding-vs-brute-force equivalence argument as q_dedup_neardup;
+    // split = floor(4*(max_id+1)/5) like the engine's scalar broadcast.
+    "q_dedup_incremental" ->
+      s"""WITH sh AS ($shCte),
+         |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents)
+         |SELECT a.doc_id AS corpus_doc, b.doc_id AS shard_doc,
+         |  len(list_intersect(a.sh, b.sh)) AS inter,
+         |  len(list_distinct(a.sh || b.sh)) AS uni,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM sh a, sh b, sp
+         |WHERE a.doc_id < sp.split AND b.doc_id >= sp.split
+         |  AND len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // Fixed power-of-two-width histogram (shift), exact counts, fractions
+    // as single divisions, TVD contribution without ln.
+    "q_drift_report" -> {
+      import graft.operators.TextAnalysis.{DriftBuckets}
+      s"""WITH sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+         |b AS (SELECT doc_id >= sp.split AS is_shard,
+         |    least(len(regexp_split_to_array(trim(text), '\\s+')) >> 4,
+         |      ${DriftBuckets - 1}) AS bucket
+         |  FROM documents, sp),
+         |h AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN is_shard THEN 0 ELSE 1 END) AS BIGINT) AS cnt_corpus,
+         |    CAST(sum(CASE WHEN is_shard THEN 1 ELSE 0 END) AS BIGINT) AS cnt_shard
+         |  FROM b GROUP BY bucket),
+         |t AS (SELECT CAST(sum(cnt_corpus) AS BIGINT) AS n_corpus,
+         |    CAST(sum(cnt_shard) AS BIGINT) AS n_shard FROM h)
+         |SELECT h.bucket, h.cnt_corpus, h.cnt_shard,
+         |  CAST(h.cnt_corpus AS DOUBLE) / t.n_corpus AS frac_corpus,
+         |  CAST(h.cnt_shard AS DOUBLE) / t.n_shard AS frac_shard,
+         |  abs(CAST(h.cnt_corpus AS DOUBLE) / t.n_corpus
+         |    - CAST(h.cnt_shard AS DOUBLE) / t.n_shard) / 2.0 AS tvd_contrib
+         |FROM h, t""".stripMargin
+    },
     // Connected components via transitive closure: the recursive CTE
     // computes every (node, reachable-root) pair; min(root) per node is the
     // component's minimum doc_id — exactly the engine's min-label

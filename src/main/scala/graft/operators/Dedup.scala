@@ -115,14 +115,12 @@ object Dedup {
     banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
   }
 
-  /** LSH candidate pairs (a < b) from banded minhash signatures: docs
-    * collide iff all RowsPerBand minhashes of some band agree. The join is
-    * an equi-join on (band, key) — no cross join anywhere — with buckets
-    * above `maxBucketSize` dropped first (see [[dropOversizedBuckets]]).
+  /** (doc_id, band, key) bucket rows of a signature frame — the LSH index
+    * layout, shared by the self-join pair generator and the incremental
+    * shard-vs-corpus probe.
     */
-  def lshCandidatePairs(
-      signatures: DataFrame, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val banded = signatures
+  private def bandedKeys(signatures: DataFrame): DataFrame =
+    signatures
       .where(col("mh0").isNotNull)
       .select(
         col("doc_id"),
@@ -133,9 +131,17 @@ object Dedup {
               (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      // self-joined below: materialize so the signature pipeline above
-      // runs once, not once per join side
-      .localCheckpoint()
+
+  /** LSH candidate pairs (a < b) from banded minhash signatures: docs
+    * collide iff all RowsPerBand minhashes of some band agree. The join is
+    * an equi-join on (band, key) — no cross join anywhere — with buckets
+    * above `maxBucketSize` dropped first (see [[dropOversizedBuckets]]).
+    */
+  def lshCandidatePairs(
+      signatures: DataFrame, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // self-joined below: materialize so the signature pipeline above
+    // runs once, not once per join side
+    val banded = bandedKeys(signatures).localCheckpoint()
     val kept = dropOversizedBuckets(banded, maxBucketSize)
     kept.as("l")
       .join(kept.as("r"),
@@ -165,6 +171,52 @@ object Dedup {
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup: dedup an INCOMING shard against the existing
+    * corpus WITHOUT re-pairing the corpus against itself — the
+    * continuous-ingestion shape every production dedup pipeline runs
+    * (each crawl batch probes the index; the corpus is never self-joined
+    * again). The shard here is the top fifth of the doc_id range (split =
+    * ⌊4·(max_id+1)/5⌋, a 1-row scalar broadcast — the n_docs pattern);
+    * in production the split is the ingest boundary.
+    *
+    * Shape: the corpus's banded signature rows ARE the persisted LSH
+    * index (built once — localCheckpoint stands in for the maintained
+    * table); the shard computes only its own signatures and probes the
+    * index with a banded equi-join, so a batch costs O(shard + matched
+    * buckets) — never corpus × corpus, and never corpus-scale per batch.
+    * The bucket-size cap applies to the index side (a curated artifact;
+    * crowded buckets are degenerate shingles there, same rationale as
+    * [[lshCandidatePairs]]). Candidates verify with the exact shingle
+    * Jaccard like [[nearDuplicatePairs]].
+    */
+  def incrementalNearDups(
+      documents: DataFrame, threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sh = shingled(documents).localCheckpoint()
+    val split = documents.agg(max(col("doc_id")).as("mx"))
+      .select(expr("(mx + 1) * 4 div 5").as("split"))
+    val banded = bandedKeys(signaturesFromShingled(sh))
+      .crossJoin(broadcast(split))
+      .localCheckpoint() // feeds both the index side and the shard probe
+    val corpusIdx = dropOversizedBuckets(
+      banded.where(col("doc_id") < col("split")), maxBucketSize)
+    val shardKeys = banded.where(col("doc_id") >= col("split"))
+    val cand = corpusIdx.as("l")
+      .join(shardKeys.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.doc_id").as("corpus_doc"), col("r.doc_id").as("shard_doc"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_a")), "corpus_doc")
+      .join(sh.select(col("doc_id").as("shard_doc"), col("sh").as("sh_b")), "shard_doc")
+      .select(
+        col("corpus_doc"), col("shard_doc"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
         size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))

@@ -652,4 +652,57 @@ object TextAnalysis {
       array_min(transform(
         TextFunctions.shingles(col("text"), 3),
         s => HashFunctions.md5Long(s, 1))).as("fp_min_shingle"))
+
+  /** Bucket geometry for [[tokenDriftReport]], interpolated into the
+    * oracle: token counts land in `DriftBuckets` buckets of width
+    * `DriftBucketWidth`, top bucket open-ended.
+    */
+  val DriftBucketWidth = 16
+  val DriftBuckets = 32
+
+  /** Distribution-drift report between an incoming shard and the corpus —
+    * the monitoring rollup a training-data pipeline runs on every ingest
+    * batch ("did the new crawl change the shape of the data?"). The shard
+    * is the top fifth of the doc_id range, the SAME ingest boundary as
+    * `Dedup.incrementalNearDups`; the drift axis is the whitespace token
+    * count, histogrammed into [[DriftBuckets]] fixed buckets.
+    *
+    * Per bucket: exact corpus/shard counts, their fractions (ONE double
+    * division of exact integers each — no `ln`, so unlike PSI/KL this
+    * stays bit-portable across engines; total-variation distance is the
+    * sum of the `tvd_contrib` column, same information content for a
+    * drift alarm), via a full outer merge so one-sided buckets surface
+    * with an explicit zero instead of disappearing.
+    *
+    * Shape: one narrow scan → two fixed-width histograms (map-side
+    * combined, ≤ DriftBuckets groups) → a broadcast-sized outer join +
+    * two 1-row scalar broadcasts for the totals. Nothing corpus-scale
+    * shuffles; the report is O(buckets) whatever the corpus size.
+    */
+  def tokenDriftReport(documents: DataFrame): DataFrame = {
+    val split = documents.agg(max(col("doc_id")).as("mx"))
+      .select(expr("(mx + 1) * 4 div 5").as("split"))
+    val bucketed = documents
+      .crossJoin(broadcast(split))
+      .select(
+        (col("doc_id") >= col("split")).as("is_shard"),
+        // width is a power of two so the bucket is a shift — integer
+        // arithmetic end to end (a `/` here would be a double division)
+        least(shiftright(size(toks(col("text"))), 4).cast("long"),
+          lit(DriftBuckets - 1L)).as("bucket"))
+    val hist = bucketed.groupBy("bucket")
+      .agg(
+        sum(when(col("is_shard"), 0L).otherwise(1L)).as("cnt_corpus"),
+        sum(when(col("is_shard"), 1L).otherwise(0L)).as("cnt_shard"))
+      .localCheckpoint() // consumed by the totals and the report
+    val totals = hist.agg(
+      sum(col("cnt_corpus")).as("n_corpus"), sum(col("cnt_shard")).as("n_shard"))
+    hist.crossJoin(broadcast(totals))
+      .select(
+        col("bucket"), col("cnt_corpus"), col("cnt_shard"),
+        (col("cnt_corpus").cast("double") / col("n_corpus")).as("frac_corpus"),
+        (col("cnt_shard").cast("double") / col("n_shard")).as("frac_shard"))
+      .withColumn("tvd_contrib",
+        abs(col("frac_corpus") - col("frac_shard")) / 2.0)
+  }
 }

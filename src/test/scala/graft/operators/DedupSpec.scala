@@ -153,4 +153,26 @@ class DedupSpec extends SparkSpec {
     assert(banded === brute)
     assert(brute.nonEmpty) // the planted near-dups make this non-vacuous
   }
+
+  test("incrementalNearDups: only shard-vs-corpus pairs, never corpus self-pairs") {
+    import spark.implicits._
+    val long = (1 to 30).map(i => s"token$i").mkString(" ")
+    val other = (1 to 30).map(i => s"word$i").mkString(" ")
+    // doc ids 0..9 -> split = floor(10*4/5) = 8: shard = {8, 9}
+    val docs = Seq(
+      (0L, long + " corpus one"),
+      (1L, long + " corpus one"), // near-dup INSIDE the corpus: must NOT emit
+      (5L, other + " corpus five"), // disjoint vocabulary: matches nothing
+      (8L, long + " corpus one"), // shard near-dup of 0 AND 1: must emit both
+      (9L, "tiny unrelated text here completely different words")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 8L), (1L, 8L)),
+      s"got $got — corpus-internal pair (0,1) must be absent, shard doc 9 unmatched")
+    // ids 0,1 -> split = floor(2*4/5)=1: shard = {1}; pair (0,1) crosses it
+    val crossing = Dedup.incrementalNearDups(docs.where(col("doc_id") <= 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(crossing === Set((0L, 1L)))
+  }
 }

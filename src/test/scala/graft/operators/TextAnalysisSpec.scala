@@ -248,4 +248,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getLong(3) === 2L) // df: two docs contain it
     assert(row.getDouble(4) === 3.0 * 3.0 / 3.0) // tf * n_docs / (df+1)
   }
+
+  test("tokenDriftReport: counts split at the ingest boundary; TVD bounded and non-negative") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // ids 0..4 -> split = 4: corpus = {0..3}, shard = {4}
+    val docs = Seq(
+      (0L, words(5)), (1L, words(5)), (2L, words(20)), (3L, words(40)),
+      (4L, words(40))).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenDriftReport(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // buckets: 5 tokens -> 0, 20 -> 1, 40 -> 2
+    assert(rows.keySet === Set(0L, 1L, 2L))
+    assert((rows(0L)._1, rows(0L)._2) === ((2L, 0L))) // shard has no tiny docs
+    assert((rows(1L)._1, rows(1L)._2) === ((1L, 0L)))
+    assert((rows(2L)._1, rows(2L)._2) === ((1L, 1L)))
+    // fractions are per-side; TVD contributions sum to TVD in [0, 1]
+    val tvd = rows.values.map(_._5).sum
+    assert(rows.values.forall(_._5 >= 0.0))
+    assert(tvd >= 0.0 && tvd <= 1.0)
+    assert(math.abs(rows(2L)._3 - 0.25) < 1e-12) // corpus frac of bucket 2
+    assert(math.abs(rows(2L)._4 - 1.0) < 1e-12) // the whole shard sits there
+  }
 }
