@@ -242,6 +242,12 @@ object SparkEntry {
     "q_chunked" -> ((s, dir) => TextAnalysis.chunked(Tables.documents(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "q_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir))),
+    // REAL iterative BPE: k rounds of weighted pair-count + merge over the
+    // evolving segmentation (vocabulary-scale rounds, kernel-applied rules).
+    "q_bpe_trained" -> ((s, dir) => TextAnalysis.bpeTrainedMerges(Tables.documents(s, dir))),
+    // The tokenizer's APPLY step: every distinct word segmented under the
+    // trained rules (positions join this table by word at corpus scale).
+    "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir))),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramNextTokens(Tables.documents(s, dir))),
     // top-p (nucleus) truncation of the bigram LM, integer threshold
     "q_bigram_nucleus" -> ((s, dir) => TextAnalysis.bigramNucleus(Tables.documents(s, dir))),
@@ -414,6 +420,41 @@ object SparkEntry {
        |FROM (""".stripMargin + tokCte + "))"
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
+
+  /** The k-round BPE training CTE chain (see `q_bpe_trained`): `w` =
+    * weighted vocabulary, `s0` = per-word code-point pieces, then per
+    * round `m<i>` (the top weighted pair of segmentation `s<i-1>`, ties
+    * (count DESC, a ASC, b ASC)) and `s<i>` (the `list_reduce`
+    * leftmost-first fold of that merge — bit-equal to the
+    * [[graft.functions.BpeSegments]] kernel rule). The LEFT JOIN ON true
+    * keeps `s<i>` total when a round finds no pairs (fully merged
+    * vocabulary), matching the engine's early stop.
+    */
+  private def bpeRoundCtes(k: Int): String = {
+    val head =
+      s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         |  FROM documents) t
+         |  WHERE length(word) >= 1 GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT word, freq,
+         |  list_transform(range(1, length(word) + 1),
+         |    i -> substr(word, CAST(i AS INTEGER), 1)) AS pieces
+         |  FROM w)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT a, b, n FROM (
+         |  SELECT pieces[j] AS a, pieces[j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, pieces, unnest(range(1, len(pieces))) AS j FROM s${i - 1}) t
+         |  GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1)),
+         |s$i AS MATERIALIZED (SELECT word, freq,
+         |  CASE WHEN m$i.a IS NULL THEN pieces ELSE
+         |    list_reduce(list_transform(pieces, p -> [p]),
+         |      (acc, x) -> CASE WHEN acc[-1] = m$i.a AND x[1] = m$i.b
+         |        THEN acc[1:len(acc)-1] || [m$i.a || m$i.b] ELSE acc || x END)
+         |  END AS pieces
+         |  FROM s${i - 1} LEFT JOIN m$i ON true)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** Embedding dimensionality of the driver's testdata (all SFs). The
     * engine reads the dim dynamically; the static oracle SQL is generated
@@ -1861,6 +1902,19 @@ object SparkEntry {
          |   OR CAST(tok.top_tok_n AS DOUBLE) / tok.n_tokens
          |      > ${TextAnalysis.RepetitionTopTokenMax}) AS is_repetitive
          |FROM tri JOIN tok ON tri.doc_id = tok.doc_id""".stripMargin,
+    // The full k-round BPE training loop replayed: per round a weighted
+    // pair count over the current segmentation (top-1 by count DESC, pair
+    // ASC) and a list_reduce fold identical to the kernel's leftmost-first
+    // merge. CTEs are MATERIALIZED: each round's state feeds two
+    // consumers, and inlining would blow up exponentially.
+    "q_bpe_trained" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + "\n" +
+      (1 to TextAnalysis.DefaultBpeK)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM m$i")
+        .mkString("\nUNION ALL\n")),
+    "q_bpe_encode" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + "\n" +
+      s"""SELECT word, freq, array_to_string(pieces, ' ') AS pieces,
+         |  CAST(len(pieces) AS BIGINT) AS n_pieces
+         |FROM s${TextAnalysis.DefaultBpeK}""".stripMargin),
     // BPE step-one merge candidates: adjacent character pairs inside
     // lowercase tokens; substr is character-based in both engines and the
     // offset axes match (sequence 1..len-1 inclusive == range(1, len)).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class TextAnalysisSpec extends SparkSpec {
 
@@ -247,6 +248,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getLong(2) === 3L) // tf: three occurrences in doc 1
     assert(row.getLong(3) === 2L) // df: two docs contain it
     assert(row.getDouble(4) === 3.0 * 3.0 / 3.0) // tf * n_docs / (df+1)
+  }
+
+  test("BpeSegments: leftmost-first fold, rules in training order") {
+    import spark.implicits._
+    def seg(word: String, rules: (String, String)*): Seq[String] =
+      Seq(word).toDF("w")
+        .select(graft.functions.BpeExpressions.bpeSegments(col("w"), rules.toArray))
+        .collect().head.getSeq[String](0)
+    // overlap: "aaa" under (a,a) merges LEFTMOST-first
+    assert(seg("aaa", ("a", "a")) === Seq("aa", "a"))
+    // rules apply sequentially: later rules see earlier merges
+    assert(seg("abab", ("a", "b")) === Seq("ab", "ab"))
+    assert(seg("abab", ("a", "b"), ("ab", "ab")) === Seq("abab"))
+    // a rule whose left side was consumed earlier no longer fires
+    assert(seg("abc", ("a", "b"), ("b", "c")) === Seq("ab", "c"))
+    assert(seg("x") === Seq("x"))
+  }
+
+  test("bpeTrainedMerges/bpeEncode: iterative rounds re-count over merged pieces") {
+    import spark.implicits._
+    // 'abab' x3, 'ab' x2: round 1 picks (a,b) n=3*2+2=8; round 2 sees
+    // pieces [ab, ab] and picks (ab,ab) n=3 — a pair that EXISTS only
+    // after the first merge, which the single-round candidate statistic
+    // can never produce
+    val docs = Seq((0L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainedMerges(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(merges === Set((1L, "a", "b", 8L), (2L, "ab", "ab", 3L)))
+    val enc = TextAnalysis.bpeEncode(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(enc === Set(("abab", 3L, "abab", 1L), ("ab", 2L, "ab", 1L)))
   }
 
   test("tokenDriftReport: counts split at the ingest boundary; TVD bounded and non-negative") {
