@@ -161,6 +161,10 @@ object SparkEntry {
     // Float-universe quantile sketch: deterministic level-sampling (KLL's
     // weight ladder, content-hashed coin) — multiset-invariant state.
     "q_kll_quantile" -> ((s, dir) => Sketches.kllQuantile(Tables.orders(s, dir))),
+    // Per-group sketch states through ONE hash-agg — grouped quantiles
+    // with group-partitioned exact ranks (no global sort anywhere).
+    "q_kll_segment" -> ((s, dir) =>
+      Sketches.kllQuantileBySegment(Tables.customer(s, dir), Tables.orders(s, dir))),
     // KMV distinct sketches + pairwise Jaccard estimation between
     // language vocabularies (the set-operation estimator HLL lacks).
     "q_kmv_overlap" -> ((s, dir) => Sketches.kmvLangOverlap(Tables.documents(s, dir))),
@@ -813,6 +817,47 @@ object SparkEntry {
        |SELECT key, est, exact FROM (
        |$perPct
        |) q WHERE (SELECT n FROM params) > 0 AND (SELECT m FROM params) > 0""".stripMargin
+  }
+
+  /** DuckDB mirror of `Sketches.kllQuantileBySegment` — the grouped
+    * closed form: every CTE of [[kllQuantileOracle]] gains the segment
+    * key (per-(seg, level) survivor counts, per-seg cutoff/width/total,
+    * seg-partitioned sample and exact rank windows), and the probe
+    * targets join per segment. Segments with no rows or an empty sample
+    * emit nothing, matching the engine.
+    */
+  private def kllSegmentOracle: String = {
+    import graft.operators.Sketches.{KllCap, KllMaxLevel, KllPcts}
+    val h60o = "CAST(('0x' || substr(md5('0:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val levelCase = "CASE " +
+      (0 until KllMaxLevel).map(l => s"WHEN (h >> $l) % 2 = 1 THEN $l").mkString(" ") +
+      s" ELSE $KllMaxLevel END"
+    val pctValues = KllPcts.map(p => s"($p)").mkString(", ")
+    s"""WITH src AS (SELECT c.c_mktsegment AS seg, $h60o AS h, o.o_totalprice AS v
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |lv AS (SELECT seg, h, v, $levelCase AS l FROM src),
+       |lm AS (SELECT seg, min(l0) AS lm FROM (
+       |    SELECT lv.seg, g.l0 AS l0, count(*) FILTER (WHERE lv.l >= g.l0) AS c
+       |    FROM (SELECT unnest(range(0, ${KllMaxLevel + 2})) AS l0) g CROSS JOIN lv
+       |    GROUP BY lv.seg, g.l0) t
+       |  WHERE c <= $KllCap GROUP BY seg),
+       |samp0 AS (SELECT lv.seg, v, h FROM lv JOIN lm USING (seg) WHERE lv.l >= lm.lm),
+       |samp AS (SELECT seg, v, h,
+       |    row_number() OVER (PARTITION BY seg ORDER BY v, h) AS p FROM samp0),
+       |params AS (SELECT n.seg, n.n, lm.lm, (CAST(1 AS BIGINT) << lm.lm) AS w, m.m
+       |  FROM (SELECT seg, count(*) AS n FROM src GROUP BY seg) n
+       |  JOIN lm USING (seg)
+       |  JOIN (SELECT seg, count(*) AS m FROM samp0 GROUP BY seg) m USING (seg)),
+       |tgt AS (SELECT pr.seg, k.pct,
+       |    (k.pct * pr.n + 99) // 100 AS target,
+       |    least(((k.pct * pr.n + 99) // 100 + pr.w - 1) // pr.w, pr.m) AS p_t
+       |  FROM params pr CROSS JOIN (VALUES $pctValues) k(pct)),
+       |est AS (SELECT t.seg, t.pct, t.target, s.v AS est
+       |  FROM tgt t JOIN samp s ON s.seg = t.seg AND s.p = t.p_t),
+       |exact AS (SELECT seg, v,
+       |    row_number() OVER (PARTITION BY seg ORDER BY v, h) AS rn FROM src)
+       |SELECT e.seg, CAST(e.pct AS BIGINT) AS key, e.est, x.v AS exact
+       |FROM est e JOIN exact x ON x.seg = e.seg AND x.rn = e.target""".stripMargin
   }
 
   private def quantileSketchOracle: String = {
@@ -1600,6 +1645,7 @@ object SparkEntry {
     "q_stream_hll_update" -> hllVocabOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
     "q_kll_quantile" -> kllQuantileOracle,
+    "q_kll_segment" -> kllSegmentOracle,
     // the streaming keyed-store twin drains to the identical node frame,
     // so it shares the batch sketch's oracle verbatim
     "q_stream_quantile_update" -> quantileSketchOracle,

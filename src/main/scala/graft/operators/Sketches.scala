@@ -567,6 +567,61 @@ object Sketches {
     ests.toDF("key", "est").join(eq, "key")
   }
 
+  /** GROUPED float quantiles — the per-group form of [[kllQuantile]]
+    * ("p50/p99 order value per market segment"), which is what the typed
+    * Aggregator exists for: ONE hash-agg carries an independent ≤ cap-item
+    * level-sampling state PER GROUP (map-side combined like any built-in
+    * agg), the driver collects groups × state (parameter-bounded), and the
+    * exact side's rank window partitions BY GROUP — no global
+    * single-partition sort anywhere, unlike the global twin's
+    * error-visibility rail. Per-group cutoffs are independent (a small
+    * segment keeps a finer sample than a large one — exactly the adaptive
+    * behavior you want), and each group's closed form replays in the
+    * oracle independently.
+    */
+  def kllQuantileBySegment(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val src = graft.Parallelism.ensure(orders)
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"),
+        graft.functions.HashFunctions.md5Long(col("o_orderkey").cast("string")).as("h"),
+        col("o_totalprice").as("v"))
+      .localCheckpoint() // sketch build + exact side share one scan
+    val ls = udaf(new graft.functions.Aggregators.LevelSample(KllCap, KllMaxLevel),
+      ExpressionEncoder[(Long, Double)]())
+    val states = src.groupBy("seg").agg(ls(col("h"), col("v")).as("s")).collect()
+    val ests = states.toSeq.flatMap { row =>
+      val seg = row.getString(0)
+      val st = row.getStruct(1)
+      val n = st.getLong(0)
+      val lMin = st.getInt(1)
+      val items = st.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      if (n == 0L || items.isEmpty) Nil
+      else {
+        val w = 1L << lMin
+        val sorted = items.sortBy { case (v, h) => (v, h) }.toIndexedSeq
+        KllPcts.map { pct =>
+          val target = (pct.toLong * n + 99L) / 100L
+          val p = ((target + w - 1L) / w).toInt
+          (seg, pct.toLong, sorted(math.min(p, sorted.size) - 1)._1, target)
+        }
+      }
+    }
+    if (ests.isEmpty)
+      return Seq.empty[(String, Long, Double, Double)].toDF("seg", "key", "est", "exact")
+    val targets = ests.toDF("seg", "key", "est", "target")
+    val rc = src
+      .withColumn("rn", row_number().over(Window.partitionBy("seg").orderBy("v", "h")))
+      .select(col("seg").as("rseg"), col("rn"), col("v"))
+    targets.join(rc, col("seg") === col("rseg") && col("rn") === col("target"))
+      .select(col("seg"), col("key"), col("est"), col("v").as("exact"))
+  }
+
   /** Per-source table digest: an order-independent XOR fold of canonical
     * row hashes plus a row count — the 8-bytes-per-group integrity
     * checksum that lets two copies of a 100 TB table (a migration, a

@@ -176,6 +176,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("kllQuantileBySegment: each group equals the global sketch on that group's rows") {
+    val dir = sf("sf0.001")
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val grouped = Sketches.kllQuantileBySegment(customer, orders).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(grouped.nonEmpty)
+    val segs = grouped.keys.map(_._1).toSeq.distinct.sorted
+    // the per-group level-sampling state depends only on the group's rows,
+    // so filtering first and sketching globally must agree exactly
+    segs.take(2).foreach { seg =>
+      val segOrders = orders.join(
+        customer.where(col("c_mktsegment") === seg).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val global = Sketches.kllQuantile(segOrders).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      global.foreach { case (pct, ee) =>
+        assert(grouped((seg, pct)) === ee, s"seg $seg pct $pct")
+      }
+    }
+  }
+
   test("kllQuantile is partitioning/order-invariant (deterministic compaction)") {
     val o = Tables.orders(spark, sf("sf0.001"))
     def canon(df: org.apache.spark.sql.DataFrame) =
