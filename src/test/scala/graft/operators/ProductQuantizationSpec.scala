@@ -19,6 +19,26 @@ class ProductQuantizationSpec extends SparkSpec {
     }
   }
 
+  test("fused IVF+codebook training is bit-identical to the separate loops") {
+    import org.apache.spark.sql.functions._
+    val sample = emb.where(col("vec_id") < ProductQuantization.TrainSampleN)
+    val (fusedCents, fusedCb) = ProductQuantization.trainIvfAndCodebooks(sample, 8, 2)
+    val cents = Similarity.trainedCentroids(sample, 8, 2)
+    val cb = ProductQuantization.trainCodebooks(sample)
+    // the joint-keyed round + driver marginalization must reproduce every
+    // float BIT of both separately-trained states (integer sums re-sum to
+    // the same totals under any grouping; pinned division order)
+    assert(fusedCents.map(_._1) === cents.map(_._1))
+    fusedCents.zip(cents).foreach { case ((i, a), (_, b)) =>
+      assert(a.toSeq === b.toSeq, s"centroid $i diverged")
+    }
+    (0 until ProductQuantization.NumSubspaces).foreach { m =>
+      (0 until ProductQuantization.NumCodes).foreach { k =>
+        assert(fusedCb(m)(k).toSeq === cb(m)(k).toSeq, s"codebook ($m, $k) diverged")
+      }
+    }
+  }
+
   test("ADC + exact rerank recovers most of the exact top-5 (recall@5)") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
