@@ -279,6 +279,10 @@ object SparkEntry {
     // the continuous-ingestion dedup shape (no corpus self-join).
     "q_dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalNearDups(Tables.documents(s, dir))),
+    // The same probe running as continuous ingestion: per-micro-batch
+    // foreachBatch against the static corpus index (stateless).
+    "q_stream_dedup_incremental" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.incrementalNearDupsToBatch(s, dir)),
     // Per-ingest-batch distribution drift report (fixed histogram + TVD
     // contributions, no ln — bit-portable).
     "q_drift_report" -> ((s, dir) =>
@@ -2266,6 +2270,22 @@ object SparkEntry {
     // banding-vs-brute-force equivalence argument as q_dedup_neardup;
     // split = floor(4*(max_id+1)/5) like the engine's scalar broadcast.
     "q_dedup_incremental" ->
+      s"""WITH sh AS ($shCte),
+         |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents)
+         |SELECT a.doc_id AS corpus_doc, b.doc_id AS shard_doc,
+         |  len(list_intersect(a.sh, b.sh)) AS inter,
+         |  len(list_distinct(a.sh || b.sh)) AS uni,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM sh a, sh b, sp
+         |WHERE a.doc_id < sp.split AND b.doc_id >= sp.split
+         |  AND len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // Per-micro-batch probe of the static index emits the same pair set
+    // as the batch operator (per-doc signatures, shard-vs-corpus only),
+    // so the oracle is shared verbatim.
+    "q_stream_dedup_incremental" ->
       s"""WITH sh AS ($shCte),
          |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents)
          |SELECT a.doc_id AS corpus_doc, b.doc_id AS shard_doc,

@@ -195,26 +195,39 @@ object Dedup {
     * [[lshCandidatePairs]]). Candidates verify with the exact shingle
     * Jaccard like [[nearDuplicatePairs]].
     */
-  def incrementalNearDups(
-      documents: DataFrame, threshold: Double = 0.5,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val sh = shingled(documents).localCheckpoint()
-    val split = documents.agg(max(col("doc_id")).as("mx"))
-      .select(expr("(mx + 1) * 4 div 5").as("split"))
-    val banded = bandedKeys(signaturesFromShingled(sh))
-      .crossJoin(broadcast(split))
-      .localCheckpoint() // feeds both the index side and the shard probe
-    val corpusIdx = dropOversizedBuckets(
-      banded.where(col("doc_id") < col("split")), maxBucketSize)
-    val shardKeys = banded.where(col("doc_id") >= col("split"))
+  /** The ingest boundary: ⌊4·(max_id+1)/5⌋, collected once (a 1-row
+    * bounded head). None on an empty table.
+    */
+  private[graft] def ingestSplitOf(documents: DataFrame): Option[Long] = {
+    val mx = documents.agg(max(col("doc_id"))).head()
+    if (mx.isNullAt(0)) None else Some((mx.getLong(0) + 1L) * 4L / 5L)
+  }
+
+  /** The persisted corpus-side LSH index: capped banded signature rows of
+    * the documents below the split (built ONCE; probed by every batch).
+    */
+  private[graft] def corpusBandIndex(
+      corpusSh: DataFrame, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    dropOversizedBuckets(bandedKeys(signaturesFromShingled(corpusSh)), maxBucketSize)
+
+  /** One shard batch probed against the index: the shard computes only its
+    * own signatures, candidates come from the banded equi-join, and the
+    * exact shingle Jaccard verifies — shared verbatim by the batch
+    * operator and the streaming per-micro-batch twin, so both answer
+    * identically off one oracle.
+    */
+  private[graft] def probeCorpusIndex(
+      shardSh: DataFrame, corpusIdx: DataFrame, corpusSh: DataFrame,
+      threshold: Double): DataFrame = {
+    val shardKeys = bandedKeys(signaturesFromShingled(shardSh))
     val cand = corpusIdx.as("l")
       .join(shardKeys.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .select(col("l.doc_id").as("corpus_doc"), col("r.doc_id").as("shard_doc"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_a")), "corpus_doc")
-      .join(sh.select(col("doc_id").as("shard_doc"), col("sh").as("sh_b")), "shard_doc")
+      .join(corpusSh.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_a")), "corpus_doc")
+      .join(shardSh.select(col("doc_id").as("shard_doc"), col("sh").as("sh_b")), "shard_doc")
       .select(
         col("corpus_doc"), col("shard_doc"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
@@ -222,6 +235,27 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Empty result frame with the incremental-pair schema. */
+  private[graft] def emptyIncrementalPairs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    Seq.empty[(Long, Long, Int, Int, Double)]
+      .toDF("corpus_doc", "shard_doc", "inter", "uni", "jaccard")
+  }
+
+  def incrementalNearDups(
+      documents: DataFrame, threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    ingestSplitOf(documents) match {
+      case None => emptyIncrementalPairs(documents)
+      case Some(split) =>
+        // shingles computed ONCE for both sides (index build + both ends
+        // of the verification join)
+        val sh = shingled(documents).localCheckpoint()
+        val idx = corpusBandIndex(sh.where(col("doc_id") < split), maxBucketSize)
+        probeCorpusIndex(sh.where(col("doc_id") >= split), idx, sh, threshold)
+    }
 
   /** Near-duplicate CLUSTERS: connected components over the
     * [[nearDuplicatePairs]] graph, labeled by the component's minimum

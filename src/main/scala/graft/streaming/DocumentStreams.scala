@@ -307,4 +307,51 @@ object DocumentStreams {
     EventStreams.deleteRecursivelyOnExit(tmp)
     result
   }
+
+  /** STREAMING incremental near-dup — `Dedup.incrementalNearDups` running
+    * as continuous ingestion: the corpus's shingles and capped LSH band
+    * index are built ONCE as static frames, and each micro-batch of
+    * arriving shard documents probes them through the SAME
+    * `probeCorpusIndex` the batch operator uses (signatures are per-doc,
+    * so per-batch batch-semantics inside foreachBatch need no cross-batch
+    * state — a shard doc is processed in exactly one batch, and the
+    * contract is shard-vs-CORPUS pairs only, exactly like the batch twin,
+    * whose oracle this query shares verbatim). Appending the per-batch
+    * pairs to a parquet log is the production sink; exactly-once comes
+    * from the checkpointed batch ids as everywhere else.
+    */
+  def incrementalNearDupsToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None => Dedup.emptyIncrementalPairs(docs)
+      case Some(split) =>
+        val corpusSh = Dedup.shingled(docs.where(col("doc_id") < split)).localCheckpoint()
+        val idx = Dedup.corpusBandIndex(corpusSh).localCheckpoint()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_incdedup")
+        java.nio.file.Files.createDirectories(tmp.resolve("out"))
+        val stream = rawSource(spark, dir).where(col("doc_id") >= split)
+        EventStreams.withStreamShufflePartitions(spark) {
+          val q = stream.writeStream
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              Dedup.probeCorpusIndex(Dedup.shingled(batch), idx, corpusSh, 0.5)
+                .write.mode("append").parquet(tmp.resolve("out").toString)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("corpus_doc", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("shard_doc", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("inter", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("uni", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType)))
+        val result = spark.read.schema(schema).parquet(tmp.resolve("out").toString)
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        result
+    }
+  }
 }

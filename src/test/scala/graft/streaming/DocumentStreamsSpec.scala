@@ -154,4 +154,39 @@ class DocumentStreamsSpec extends SparkSpec {
         s"evicted fingerprints must leave state, got $stateAfter rows")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup equals the batch operator (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toSet
+    val streamed = canon(DocumentStreams.incrementalNearDupsToBatch(spark, dir))
+    val batch = canon(graft.operators.Dedup.incrementalNearDups(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("per-batch index probes compose: two shard batches union to the batch answer") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val split = Dedup.ingestSplitOf(docs).get
+    val corpusSh = Dedup.shingled(docs.where(col("doc_id") < split)).localCheckpoint()
+    val idx = Dedup.corpusBandIndex(corpusSh).localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the shard arrives as two disjoint micro-batches (split by parity):
+    // probing each against the STATIC index and unioning must equal the
+    // one-shot batch probe — no cross-batch state is needed
+    val shard = docs.where(col("doc_id") >= split)
+    val b1 = canon(Dedup.probeCorpusIndex(
+      Dedup.shingled(shard.where(col("doc_id") % 2 === 0)), idx, corpusSh, 0.5))
+    val b2 = canon(Dedup.probeCorpusIndex(
+      Dedup.shingled(shard.where(col("doc_id") % 2 === 1)), idx, corpusSh, 0.5))
+    val whole = canon(Dedup.incrementalNearDups(docs))
+    assert((b1 ++ b2) === whole)
+    assert(b1.intersect(b2).isEmpty, "a shard doc lives in exactly one batch")
+    assert(whole.nonEmpty)
+  }
 }
