@@ -2301,10 +2301,10 @@ object SparkEntry {
     // Fixed power-of-two-width histogram (shift), exact counts, fractions
     // as single divisions, TVD contribution without ln.
     "q_drift_report" -> {
-      import graft.operators.TextAnalysis.{DriftBuckets}
+      import graft.operators.TextAnalysis.{DriftBuckets, DriftBucketShift}
       s"""WITH sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
          |b AS (SELECT doc_id >= sp.split AS is_shard,
-         |    least(len(regexp_split_to_array(trim(text), '\\s+')) >> 4,
+         |    least(len(regexp_split_to_array(trim(text), '\\s+')) >> $DriftBucketShift,
          |      ${DriftBuckets - 1}) AS bucket
          |  FROM documents, sp),
          |h AS (SELECT bucket,
@@ -2314,10 +2314,14 @@ object SparkEntry {
          |t AS (SELECT CAST(sum(cnt_corpus) AS BIGINT) AS n_corpus,
          |    CAST(sum(cnt_shard) AS BIGINT) AS n_shard FROM h)
          |SELECT h.bucket, h.cnt_corpus, h.cnt_shard,
-         |  CAST(h.cnt_corpus AS DOUBLE) / t.n_corpus AS frac_corpus,
-         |  CAST(h.cnt_shard AS DOUBLE) / t.n_shard AS frac_shard,
-         |  abs(CAST(h.cnt_corpus AS DOUBLE) / t.n_corpus
-         |    - CAST(h.cnt_shard AS DOUBLE) / t.n_shard) / 2.0 AS tvd_contrib
+         |  CASE WHEN t.n_corpus > 0
+         |    THEN CAST(h.cnt_corpus AS DOUBLE) / t.n_corpus ELSE 0.0 END AS frac_corpus,
+         |  CASE WHEN t.n_shard > 0
+         |    THEN CAST(h.cnt_shard AS DOUBLE) / t.n_shard ELSE 0.0 END AS frac_shard,
+         |  abs(CASE WHEN t.n_corpus > 0
+         |      THEN CAST(h.cnt_corpus AS DOUBLE) / t.n_corpus ELSE 0.0 END
+         |    - CASE WHEN t.n_shard > 0
+         |      THEN CAST(h.cnt_shard AS DOUBLE) / t.n_shard ELSE 0.0 END) / 2.0 AS tvd_contrib
          |FROM h, t""".stripMargin
     },
     // Connected components via transitive closure: the recursive CTE

@@ -286,9 +286,13 @@ case class RandomProjection(child: Expression, table: Int, planes: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("rproj", this, classOf[RandomProjection].getName)
+    // freshName: the non-nullable-child path of nullSafeCodeGen emits no
+    // braces, so a fixed local would collide if two of these expressions
+    // land in the same codegen scope.
+    val r = ctx.freshName("rprojOut")
     nullSafeCodeGen(ctx, ev, v =>
-      s"""Object r = $ref.compute($v);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      s"""Object $r = $ref.compute($v);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          |""".stripMargin)
   }
 
@@ -628,9 +632,11 @@ case class CodesReconNorm(child: Expression, codebooks: Array[Array[Array[Float]
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("codesReconNorm", this, classOf[CodesReconNorm].getName)
+    // freshName for the same duplicate-local reason as RandomProjection.
+    val r = ctx.freshName("reconNorm")
     nullSafeCodeGen(ctx, ev, v =>
-      s"""Object r = $ref.compute($v);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+      s"""Object $r = $ref.compute($v);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
          |""".stripMargin)
   }
 

@@ -417,23 +417,33 @@ object Sketches {
       .select(greatest(least(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
         lit(QsMax)), lit(0L)).as("c"))
 
-  def quantileSketch(orders: DataFrame): DataFrame = {
-    val cents = quantileCents(orders).localCheckpoint()
+  def quantileSketch(orders: DataFrame, verify: Boolean = true): DataFrame = {
+    val cents0 = quantileCents(orders)
+    // only the verify rail re-reads the cents column; the sketch-only
+    // path is a single pass and needs no checkpoint
+    val cents = if (verify) cents0.localCheckpoint() else cents0
     val dy = udaf(new graft.functions.Aggregators.DyadicHistogram(QsLMin, QsU),
       org.apache.spark.sql.Encoders.scalaLong)
     val nodes = cents.agg(dy(col("c")).as("ns"))
       .select(explode(col("ns")).as("n"))
       .select(col("n._1").as("l"), col("n._2").as("b"), col("n._3").as("cnt"))
       .localCheckpoint()
-    quantileAnswers(nodes, cents)
+    quantileAnswers(nodes, cents, verify)
   }
 
   /** The rank/quantile answer stage over a materialized (l, b, cnt) node
     * frame plus the raw cents column (exact-side error visibility) —
     * shared by the batch UDAF build and the streaming keyed-store twin,
     * so both paths answer identically and share one oracle.
+    *
+    * `verify=false` is the production (100 TB) shape: the `exact` columns
+    * — a full-scan conditional agg and a single-partition rank window over
+    * the raw cents — are error-visibility rails, not part of the sketch
+    * answer; with the flag off, no corpus-sized Sort/Window appears in the
+    * plan (PlanSpec asserts this) and the output is (kind, key, est) only.
     */
-  def quantileAnswers(nodes: DataFrame, cents: DataFrame): DataFrame = {
+  def quantileAnswers(nodes: DataFrame, cents: DataFrame,
+      verify: Boolean = true): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -445,17 +455,21 @@ object Sketches {
     val ranks = decomp.join(broadcast(nodes), Seq("l", "b"), "left")
       .groupBy("key")
       .agg(sum(coalesce(col("cnt"), lit(0L))).as("est"))
-    val exactRanks = cents
-      .agg(
-        sum(when(col("c") < QsProbeCents.head, 1L).otherwise(0L)).as(s"er_${QsProbeCents.head}"),
-        QsProbeCents.tail.map(p =>
-          sum(when(col("c") < p, 1L).otherwise(0L)).as(s"er_$p")): _*)
-      .select(expr(
-        s"stack(${QsProbeCents.size}, " +
-          QsProbeCents.map(p => s"CAST($p AS BIGINT), er_$p").mkString(", ") +
-          ") AS (key, exact)"))
-    val rankRows = ranks.join(exactRanks, "key")
-      .select(lit("rank").as("kind"), col("key"), col("est"), col("exact"))
+    val rankRows = if (!verify)
+      ranks.select(lit("rank").as("kind"), col("key"), col("est"))
+    else {
+      val exactRanks = cents
+        .agg(
+          sum(when(col("c") < QsProbeCents.head, 1L).otherwise(0L)).as(s"er_${QsProbeCents.head}"),
+          QsProbeCents.tail.map(p =>
+            sum(when(col("c") < p, 1L).otherwise(0L)).as(s"er_$p")): _*)
+        .select(expr(
+          s"stack(${QsProbeCents.size}, " +
+            QsProbeCents.map(p => s"CAST($p AS BIGINT), er_$p").mkString(", ") +
+            ") AS (key, exact)"))
+      ranks.join(exactRanks, "key")
+        .select(lit("rank").as("kind"), col("key"), col("est"), col("exact"))
+    }
     // quantiles: cumulative counts over the ≤ 2^QsB finest-level buckets;
     // n comes from the root node (level QsU bucket 0 covers the universe)
     val nTotal = nodes.where(col("l") === QsU && col("b") === 0)
@@ -475,22 +489,26 @@ object Sketches {
             s"CAST($pct AS BIGINT), qb_$pct * CAST(${1L << QsLMin} AS BIGINT)")
             .mkString(", ") +
           ") AS (key, est)"))
-    // exact quantile values: the global-sort window is the documented
-    // error-visibility side (single-partition sort of the cents column)
-    val rc = cents.crossJoin(broadcast(nTotal))
-      .withColumn("rn", row_number().over(Window.orderBy("c")))
-    val eqAgg = rc.agg(
-      min(when(col("rn") === expr(s"(${QsTargetPct.head} * n + 99) div 100"), col("c")))
-        .as(s"eq_${QsTargetPct.head}"),
-      QsTargetPct.tail.map(pct =>
-        min(when(col("rn") === expr(s"($pct * n + 99) div 100"), col("c")))
-          .as(s"eq_$pct")): _*)
-      .select(expr(
-        s"stack(${QsTargetPct.size}, " +
-          QsTargetPct.map(pct => s"CAST($pct AS BIGINT), eq_$pct").mkString(", ") +
-          ") AS (key, exact)"))
-    val quantRows = qAgg.join(eqAgg, "key")
-      .select(lit("quantile").as("kind"), col("key"), col("est"), col("exact"))
+    val quantRows = if (!verify)
+      qAgg.select(lit("quantile").as("kind"), col("key"), col("est"))
+    else {
+      // exact quantile values: the global-sort window is the documented
+      // error-visibility side (single-partition sort of the cents column)
+      val rc = cents.crossJoin(broadcast(nTotal))
+        .withColumn("rn", row_number().over(Window.orderBy("c")))
+      val eqAgg = rc.agg(
+        min(when(col("rn") === expr(s"(${QsTargetPct.head} * n + 99) div 100"), col("c")))
+          .as(s"eq_${QsTargetPct.head}"),
+        QsTargetPct.tail.map(pct =>
+          min(when(col("rn") === expr(s"($pct * n + 99) div 100"), col("c")))
+            .as(s"eq_$pct")): _*)
+        .select(expr(
+          s"stack(${QsTargetPct.size}, " +
+            QsTargetPct.map(pct => s"CAST($pct AS BIGINT), eq_$pct").mkString(", ") +
+            ") AS (key, exact)"))
+      qAgg.join(eqAgg, "key")
+        .select(lit("quantile").as("kind"), col("key"), col("est"), col("exact"))
+    }
     rankRows.unionByName(quantRows)
   }
 
@@ -518,23 +536,25 @@ object Sketches {
     * rows), clamped to the sample top; exact = the true value at rank
     * ceil(pct·n/100) under the same total (value, hash) order — the
     * error-visibility side (a global-sort window, droppable at 100 TB),
-    * same role as the dyadic sketch's exact column. SketchSpec pins the
-    * rank-error envelope O(sqrt(rank · 2^lMin)) and the partition
-    * invariance.
+    * same role as the dyadic sketch's exact column. `verify=false` IS that
+    * drop: output (key, est) only, single pass, no Sort/Window in the plan
+    * (PlanSpec asserts it). SketchSpec pins the rank-error envelope
+    * O(sqrt(rank · 2^lMin)) and the partition invariance.
     *
     * Scale shape: ONE scan builds the sketch (map-side-combined ≤ cap+1
     * state per partial); the driver collects exactly one ≤ cap-item
     * state — a parameter-bounded collect like the centroid fetches.
     */
-  def kllQuantile(orders: DataFrame): DataFrame = {
+  def kllQuantile(orders: DataFrame, verify: Boolean = true): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val src = graft.Parallelism.ensure(orders).select(
+    val src0 = graft.Parallelism.ensure(orders).select(
       graft.functions.HashFunctions.md5Long(col("o_orderkey").cast("string")).as("h"),
       col("o_totalprice").as("v"))
-      .localCheckpoint() // sketch build + exact side share one scan
+    // only the verify rail re-reads src; sketch-only is a single pass
+    val src = if (verify) src0.localCheckpoint() else src0
     val ls = udaf(new graft.functions.Aggregators.LevelSample(KllCap, KllMaxLevel),
       ExpressionEncoder[(Long, Double)]())
     val st = src.agg(ls(col("h"), col("v")).as("s")).select(col("s")).head().getStruct(0)
@@ -543,7 +563,10 @@ object Sketches {
     val items = st.getSeq[org.apache.spark.sql.Row](2)
       .map(r => (r.getDouble(0), r.getLong(1)))
     if (n == 0L || items.isEmpty)
-      return Seq.empty[(Long, Double, Double)].toDF("key", "est", "exact")
+      return {
+        if (verify) Seq.empty[(Long, Double, Double)].toDF("key", "est", "exact")
+        else Seq.empty[(Long, Double)].toDF("key", "est")
+      }
     val w = 1L << lMin
     val sorted = items.sortBy { case (v, h) => (v, h) }.toIndexedSeq
     val ests = KllPcts.map { pct =>
@@ -551,6 +574,9 @@ object Sketches {
       val p = ((target + w - 1L) / w).toInt // smallest p with p·w >= target
       (pct.toLong, sorted(math.min(p, sorted.size) - 1)._1)
     }
+    // production (100 TB) path: the sketch IS the answer — no global-sort
+    // rank window anywhere in the plan (PlanSpec asserts this)
+    if (!verify) return ests.toDF("key", "est")
     // exact values at the same integer targets, under the same total
     // (v, h) order — ties broken identically in both engines
     val rc = src.withColumn("rn", row_number().over(Window.orderBy("v", "h")))
@@ -579,18 +605,20 @@ object Sketches {
     * behavior you want), and each group's closed form replays in the
     * oracle independently.
     */
-  def kllQuantileBySegment(customer: DataFrame, orders: DataFrame): DataFrame = {
+  def kllQuantileBySegment(customer: DataFrame, orders: DataFrame,
+      verify: Boolean = true): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val src = graft.Parallelism.ensure(orders)
+    val src0 = graft.Parallelism.ensure(orders)
       .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment").as("seg"))),
         col("o_custkey") === col("c_custkey"))
       .select(col("seg"),
         graft.functions.HashFunctions.md5Long(col("o_orderkey").cast("string")).as("h"),
         col("o_totalprice").as("v"))
-      .localCheckpoint() // sketch build + exact side share one scan
+    // only the verify rail re-reads src; sketch-only is a single pass
+    val src = if (verify) src0.localCheckpoint() else src0
     val ls = udaf(new graft.functions.Aggregators.LevelSample(KllCap, KllMaxLevel),
       ExpressionEncoder[(Long, Double)]())
     val states = src.groupBy("seg").agg(ls(col("h"), col("v")).as("s")).collect()
@@ -613,7 +641,15 @@ object Sketches {
       }
     }
     if (ests.isEmpty)
-      return Seq.empty[(String, Long, Double, Double)].toDF("seg", "key", "est", "exact")
+      return {
+        if (verify) Seq.empty[(String, Long, Double, Double)].toDF("seg", "key", "est", "exact")
+        else Seq.empty[(String, Long, Double)].toDF("seg", "key", "est")
+      }
+    // production (100 TB) path: per-group sketch states are the answer —
+    // no rank window, no second scan of src
+    if (!verify)
+      return ests.map { case (seg, key, est, _) => (seg, key, est) }
+        .toDF("seg", "key", "est")
     val targets = ests.toDF("seg", "key", "est", "target")
     val rc = src
       .withColumn("rn", row_number().over(Window.partitionBy("seg").orderBy("v", "h")))

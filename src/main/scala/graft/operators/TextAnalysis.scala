@@ -743,6 +743,16 @@ object TextAnalysis {
   val DriftBucketWidth = 16
   val DriftBuckets = 32
 
+  /** Shift equivalent of dividing by [[DriftBucketWidth]] (which must stay
+    * a power of two) — derived, so changing the width changes the bucketing
+    * in both the engine and the interpolated oracle.
+    */
+  val DriftBucketShift: Int = {
+    require(Integer.bitCount(DriftBucketWidth) == 1,
+      "DriftBucketWidth must be a power of two (bucketing is a shift)")
+    Integer.numberOfTrailingZeros(DriftBucketWidth)
+  }
+
   /** Distribution-drift report between an incoming shard and the corpus —
     * the monitoring rollup a training-data pipeline runs on every ingest
     * batch ("did the new crawl change the shape of the data?"). The shard
@@ -771,7 +781,7 @@ object TextAnalysis {
         (col("doc_id") >= col("split")).as("is_shard"),
         // width is a power of two so the bucket is a shift — integer
         // arithmetic end to end (a `/` here would be a double division)
-        least(shiftright(size(toks(col("text"))), 4).cast("long"),
+        least(shiftright(size(toks(col("text"))), DriftBucketShift).cast("long"),
           lit(DriftBuckets - 1L)).as("bucket"))
     val hist = bucketed.groupBy("bucket")
       .agg(
@@ -780,11 +790,15 @@ object TextAnalysis {
       .localCheckpoint() // consumed by the totals and the report
     val totals = hist.agg(
       sum(col("cnt_corpus")).as("n_corpus"), sum(col("cnt_shard")).as("n_shard"))
+    // Zero-total guard: on a degenerate corpus where one side of the split
+    // is empty, report fraction 0 rather than NULL (Spark's divide-by-zero).
+    def frac(cnt: String, total: String) =
+      when(col(total) > 0L, col(cnt).cast("double") / col(total)).otherwise(0.0)
     hist.crossJoin(broadcast(totals))
       .select(
         col("bucket"), col("cnt_corpus"), col("cnt_shard"),
-        (col("cnt_corpus").cast("double") / col("n_corpus")).as("frac_corpus"),
-        (col("cnt_shard").cast("double") / col("n_shard")).as("frac_shard"))
+        frac("cnt_corpus", "n_corpus").as("frac_corpus"),
+        frac("cnt_shard", "n_shard").as("frac_shard"))
       .withColumn("tvd_contrib",
         abs(col("frac_corpus") - col("frac_shard")) / 2.0)
   }

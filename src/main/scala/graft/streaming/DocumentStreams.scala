@@ -316,9 +316,11 @@ object DocumentStreams {
     * so per-batch batch-semantics inside foreachBatch need no cross-batch
     * state — a shard doc is processed in exactly one batch, and the
     * contract is shard-vs-CORPUS pairs only, exactly like the batch twin,
-    * whose oracle this query shares verbatim). Appending the per-batch
-    * pairs to a parquet log is the production sink; exactly-once comes
-    * from the checkpointed batch ids as everywhere else.
+    * whose oracle this query shares verbatim). Each micro-batch overwrites
+    * its own `batch=<id>` directory, so a batch retried after a crash
+    * replaces rather than duplicates its pairs — idempotent per batch id,
+    * which with the checkpointed batch ids gives exactly-once in the log
+    * (the same contract as the DLQ and HLL-register sinks).
     */
   def incrementalNearDupsToBatch(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
@@ -337,7 +339,8 @@ object DocumentStreams {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
               Dedup.probeCorpusIndex(Dedup.shingled(batch), idx, corpusSh, 0.5)
-                .write.mode("append").parquet(tmp.resolve("out").toString)
+                .write.mode("overwrite")
+                .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
               ()
             }
             .start()
@@ -349,7 +352,11 @@ object DocumentStreams {
           org.apache.spark.sql.types.StructField("inter", org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("uni", org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType)))
-        val result = spark.read.schema(schema).parquet(tmp.resolve("out").toString)
+        // recursiveFileLookup: read across the per-batch directories without
+        // partition inference, so `batch=` never becomes a result column.
+        val result = spark.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(tmp.resolve("out").toString)
         EventStreams.deleteRecursivelyOnExit(tmp)
         result
     }

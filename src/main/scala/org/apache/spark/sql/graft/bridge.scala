@@ -14,6 +14,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the shared listener bus (`private[spark]`) — lets tests that
+    * capture executed plans via a QueryExecutionListener assert after all
+    * in-flight events have been delivered, without sleeps.
+    */
+  def waitForListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a function into a live session's registry (the registry is
     * `private[sql]`; SparkSessionExtensions covers the at-startup path).
     */

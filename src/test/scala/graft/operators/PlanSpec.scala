@@ -97,4 +97,60 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_multimodal_meta")
     assert(!p.contains("Exchange"), p)
   }
+
+  test("quantile sketches with verify=false run sketch-only: no rank window, no global sort") {
+    // verify=true carries exact-rank error-visibility rails (row_number over
+    // a corpus-scale sort); verify=false is the production 100 TB path and
+    // must execute WITHOUT them. Capture every plan executed during the
+    // calls (the KLL forms run their sketch agg eagerly) and assert none
+    // contains a Window/row_number/Sort.
+    val plans = scala.collection.mutable.Buffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val orders = Tables.orders(spark, sf("sf0.001"))
+      val customer = Tables.customer(spark, sf("sf0.001"))
+      // phase 1: the two KLL forms — sketch agg runs eagerly inside the
+      // call; every executed plan (and the returned driver-built frames)
+      // must be entirely Window/Sort-free
+      val kg = Sketches.kllQuantile(orders, verify = false)
+      val ks = Sketches.kllQuantileBySegment(customer, orders, verify = false)
+      assert(kg.columns.toSeq === Seq("key", "est"))
+      assert(ks.columns.toSeq === Seq("seg", "key", "est"))
+      assert(kg.count() === Sketches.KllPcts.size.toLong)
+      assert(ks.count() > 0L)
+      Seq(kg, ks).map(_.queryExecution.executedPlan.toString).foreach { p =>
+        assert(!p.contains("Window") && !p.contains("Sort"), p)
+      }
+      org.apache.spark.sql.graft.ColumnBridge.waitForListenerBus(spark)
+      plans.synchronized {
+        assert(plans.nonEmpty)
+        plans.foreach { p =>
+          assert(!p.contains("row_number"), p)
+          assert(!p.contains("Window"), p)
+        }
+        plans.clear()
+      }
+      // phase 2: the dyadic sketch — its answer plan keeps one cum-sum
+      // window over the checkpointed ≤2^QsB finest-level buckets (bounded,
+      // not corpus-scale), so here the assertion is: no rank rail
+      // (row_number) and no re-scan of the cents column anywhere
+      val dy = Sketches.quantileSketch(orders, verify = false)
+      assert(dy.columns.toSeq === Seq("kind", "key", "est"))
+      assert(dy.count() > 0L)
+      val dyPlan = dy.queryExecution.executedPlan.toString
+      assert(!dyPlan.contains("row_number"), dyPlan)
+      assert(!dyPlan.contains("FileScan"), dyPlan)
+      org.apache.spark.sql.graft.ColumnBridge.waitForListenerBus(spark)
+      plans.synchronized {
+        plans.foreach { p => assert(!p.contains("row_number"), p) }
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -59,7 +59,11 @@ def main():
                 regressions.append(q)
         def fmt(s):
             return "[" + " ".join(f"{x:.2f}" for x in s) + "]"
-        r = nb[1] / ob[1] if ob[1] > 0 and nb[1] >= 0 else float("nan")
+        # A failed pass is recorded as a single-element [-1.0] spread, so
+        # the median index only exists on healthy passes.
+        r = (nb[1] / ob[1]
+             if len(ob) > 1 and len(nb) > 1 and ob[1] > 0 and nb[1] >= 0
+             else float("nan"))
         print(f"{q:40s} {fmt(ob):>26s} {fmt(nb):>26s} {r:9.2f}  {verdict}")
     for q in added:
         print(f"{q:40s} {'-':>26s} {str(new_spread[q]):>26s} {'':9s}  new (no baseline)")
