@@ -142,7 +142,9 @@ object SparkEntry {
       Relational.customersWithoutUrgentOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_scalar_funcs" -> ((s, dir) => Relational.scalarShowcase(Tables.orders(s, dir))),
     "q_topk_global" -> ((s, dir) => Relational.topRevenueLineitems(Tables.lineitem(s, dir))),
-    // Sketches are approximate: rows-only here, error-bounded in SketchSpec.
+    // Built-in sketches are approximate and not engine-portable, so the
+    // oracle form is a hashable tolerance band: exact counts + in-band
+    // booleans (TRUE rows replayed by DuckDB).
     "sketch_summary" -> ((s, dir) => Relational.sketchSummary(Tables.lineitem(s, dir))),
     // Hand-rolled order-independent sketches: deterministic, fully
     // oracle-replayed (unlike the built-in HLL++/percentile sketches).
@@ -349,6 +351,10 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(Tables.documents(s, dir))),
     // Decode features come from the clearly-marked stub codec: rows-only.
     "mm_features" -> ((s, dir) => Multimodal.featuresOf(s, Tables.documents(s, dir))),
+    // The deterministically-decodable half of the multimodal surface,
+    // full-oracle: real MP4/AVI/BMP containers built per doc id, decoded by
+    // the production parsers, every field a closed form of doc_id.
+    "q_mm_decoded" -> ((s, dir) => Multimodal.decodedFeatures(s, Tables.documents(s, dir))),
     // --- structured streaming (event-time windows, run to completion) ---
     // The `_complete_oracle` pair is the ORACLE HARNESS form (complete
     // output mode + memory sink = a driver-side materialization by
@@ -991,6 +997,19 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // Tolerance band made hashable: the engine emits exact counts plus one
+    // boolean per approximation asserting it sits inside its published
+    // error band; the oracle replays the exact side and literal TRUEs —
+    // the hash match IS the bounds check (the raw HLL++/quantile-sketch
+    // estimates themselves are not engine-portable).
+    "sketch_summary" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS hll_orders_in_band, TRUE AS hll_parts_in_band,
+        |  TRUE AS p50_in_band, TRUE AS p99_in_band
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -2493,6 +2512,25 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5, 'fake/' || source AS format
         |FROM documents""".stripMargin,
+    // Closed-form replay of the real-container round-trip: the engine
+    // builds MP4/AVI/BMP payloads whose every header field is a fixed
+    // arithmetic function of doc_id and decodes them with the production
+    // parsers; the oracle computes the same functions directly. Luma is a
+    // solid-color BMP, so (299r+587g+114b)/1000.0 is exact in both engines
+    // (one double division of an exact integer).
+    "q_mm_decoded" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS m,
+        |    doc_id % 31 + 2 AS w, doc_id % 17 + 2 AS h,
+        |    299*((doc_id*37)%256) + 587*((doc_id*59)%256) + 114*((doc_id*83)%256) AS k,
+        |    doc_id % 50 + 1 AS frames, 20000 + (doc_id % 100)*100 AS uspf
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CASE m WHEN 0 THEN 0 WHEN 1 THEN frames ELSE 1 END AS n_frames,
+        |  CASE m WHEN 0 THEN doc_id % 9000 + 500
+        |    WHEN 1 THEN (uspf * frames) // 1000 ELSE 0 END AS duration_ms,
+        |  CASE WHEN m = 0 THEN 0.0
+        |    ELSE CAST(k AS DOUBLE) / 1000.0 END AS luma_mean
+        |FROM p""".stripMargin,
     // Streaming twin of q_events_hourly: same grouping, same aggregates,
     // same oracle — window(ts, '1 hour').start == date_trunc('hour', ts).
     "q_stream_hourly_complete_oracle" ->

@@ -417,4 +417,114 @@ object Multimodal {
     import spark.implicits._
     decodeStub(attachPayload(documents).as[MediaFile]).toDF()
   }
+
+  // ---- deterministic real-container round-trip (oracle-checkable) -----
+
+  private def be32a(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def le32a(v: Long): Array[Byte] = be32a(v).reverse
+  private def le16a(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def cca(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32a(payload.length + 8L) ++ cca(typ) ++ payload
+  private def aviChunk(id: String, payload: Array[Byte]): Array[Byte] =
+    cca(id) ++ le32a(payload.length.toLong) ++ payload ++
+      (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+
+  /** Uncompressed 24-bit BI_RGB BMP of one solid color — byte-exact by
+    * construction (no codec on the write side), losslessly decoded by the
+    * JDK's built-in BMP reader on the read side. Solid color makes the
+    * luminance mean a CLOSED FORM of (r, g, b): every pixel contributes
+    * the same integer milliluma 299r+587g+114b, so
+    * `luma_mean = (299r+587g+114b)/1000.0` exactly (the per-pixel sum and
+    * its division by the pixel count are exact in double at these sizes).
+    */
+  private[operators] def solidBmp(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val pixelBytes = rowSize * h
+    val header = cca("BM") ++ le32a(54L + pixelBytes) ++ le16a(0) ++ le16a(0) ++ le32a(54L)
+    val info = le32a(40L) ++ le32a(w.toLong) ++ le32a(h.toLong) ++ le16a(1) ++ le16a(24) ++
+      le32a(0L) ++ le32a(pixelBytes.toLong) ++ le32a(2835L) ++ le32a(2835L) ++
+      le32a(0L) ++ le32a(0L)
+    val row = new Array[Byte](rowSize)
+    var x = 0
+    while (x < w) { // BGR pixel order, zero pad to the word boundary
+      row(3 * x) = b.toByte; row(3 * x + 1) = g.toByte; row(3 * x + 2) = r.toByte
+      x += 1
+    }
+    header ++ info ++ Array.fill(h)(row).flatten
+  }
+
+  /** Deterministic REAL container payload for a doc id — the engine-side
+    * half of the [[decodedFeatures]] round-trip. Cycles the three decodable
+    * modalities; every header field is a fixed arithmetic function of
+    * `doc_id`, so the oracle predicts the decode output in closed form:
+    *
+    *  - doc_id % 3 == 0: MP4 — `ftyp` + `moov(mvhd(ts=1000, dur), trak
+    *    (tkhd(w,h)))`, exercising the ISO-BMFF box walk ([[parseMp4]]).
+    *  - doc_id % 3 == 1: AVI — `hdrl(avih)` + `movi` holding ONE solid-BMP
+    *    frame, exercising the RIFF walk ([[parseAvi]]) AND the first-frame
+    *    pixel path ([[mjpegFirstFrame]] reads any ImageIO-decodable frame;
+    *    BMP instead of JPEG keeps the pixels lossless, so the luma is
+    *    oracle-checkable where a JPEG round-trip would only be
+    *    spec-checkable).
+    *  - doc_id % 3 == 2: BMP image — the `image/` ImageIO path with exact
+    *    pixel dims and closed-form luma.
+    */
+  private[operators] def syntheticMedia(docId: Long): MediaFile = {
+    val w = (docId % 31 + 2).toInt
+    val h = (docId % 17 + 2).toInt
+    val r = ((docId * 37) % 256).toInt
+    val g = ((docId * 59) % 256).toInt
+    val b = ((docId * 83) % 256).toInt
+    (docId % 3).toInt match {
+      case 0 =>
+        val mvhd = mp4Box("mvhd", Array.fill[Byte](12)(0) ++ be32a(1000L) ++
+          be32a(docId % 9000 + 500) ++ Array.fill[Byte](80)(0))
+        val tkhd = mp4Box("tkhd",
+          Array.fill[Byte](76)(0) ++ be32a(w.toLong << 16) ++ be32a(h.toLong << 16))
+        val bytes = mp4Box("ftyp", cca("isom") ++ be32a(0L)) ++
+          mp4Box("moov", mvhd ++ mp4Box("trak", tkhd))
+        MediaFile(docId, bytes, "video/mp4")
+      case 1 =>
+        val usPerFrame = 20000L + (docId % 100) * 100L
+        val frames = (docId % 50 + 1).toInt
+        val avih = cca("avih") ++ le32a(40L) ++
+          le32a(usPerFrame) ++ le32a(0L) ++ le32a(0L) ++ le32a(0L) ++
+          le32a(frames.toLong) ++ le32a(0L) ++ le32a(1L) ++ le32a(0L) ++
+          le32a(w.toLong) ++ le32a(h.toLong)
+        val hdrl = cca("LIST") ++ le32a(4L + avih.length) ++ cca("hdrl") ++ avih
+        val frame = aviChunk("00db", solidBmp(w, h, r, g, b))
+        val movi = cca("LIST") ++ le32a(4L + frame.length) ++ cca("movi") ++ frame
+        val body = hdrl ++ movi
+        val bytes = cca("RIFF") ++ le32a(4L + body.length) ++ cca("AVI ") ++ body
+        MediaFile(docId, bytes, "video/x-msvideo")
+      case _ =>
+        MediaFile(docId, solidBmp(w, h, r, g, b), "image/bmp")
+    }
+  }
+
+  /** The DETERMINISTICALLY-DECODABLE half of the multimodal surface as a
+    * full-oracle query: build real MP4/AVI/BMP containers from each doc id
+    * ([[syntheticMedia]]), push them through the SAME production decode
+    * path ([[decode]] → moov/RIFF walkers, ImageIO pixel decode), and emit
+    * the extracted features. Every output value is a closed-form function
+    * of doc_id that the DuckDB oracle replays exactly — so the container
+    * parsers and the pixel-stats rail are hash-checked end to end, and
+    * only the inter-frame-codec stub columns of `mm_features` remain
+    * rows-only.
+    *
+    * Scale shape: identical to [[featuresOf]] — a narrow map over the
+    * scan (payload build + decode per row, no shuffle at all).
+    */
+  def decodedFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = documents.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(syntheticMedia))
+    decode(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("duration_ms"), col("luma_mean"))
+  }
 }

@@ -833,21 +833,63 @@ object Relational {
       log(col("o_totalprice") + 1).as("ln_price"),
       (col("o_orderkey") % 7).as("mod7"))
 
+  /** Relative-error margin for the HLL++ band checks (3× the requested
+    * rsd) and rank-fraction margin for the percentile_approx band checks
+    * (5× the 1/accuracy guarantee) — interpolated into nothing; the oracle
+    * only sees the resulting booleans.
+    */
+  val SketchRsdMargin = 3.0
+  val SketchPctAccuracy = 10000
+  val SketchPctMargin = 5.0 / SketchPctAccuracy
+
   /** Sketch aggregates — the fixed-size-state approximations that replace
     * exact distinct/percentile at 100 TB: HyperLogLog++ distinct counts
     * (`approx_count_distinct`, mergeable across partitions, ~few KB of
     * state vs a hash table of every key) and quantile sketches
-    * (`approx_percentile`). Approximate results are not oracle-hashable —
-    * SketchSpec bounds them against exact answers instead.
+    * (`approx_percentile`). The raw estimates are deterministic per input
+    * but NOT engine-portable (DuckDB's HLL/quantile sketches differ), so
+    * the oracle-facing form is a TOLERANCE BAND made hashable: alongside
+    * the exact counts, emit one boolean per approximation asserting it
+    * sits inside its published error band (|approx−exact| ≤ 3·rsd·exact
+    * for HLL++; percentile_approx between the exact percentiles at the
+    * target rank ± 5× the 1/accuracy rank guarantee). The oracle replays
+    * the exact columns and literal TRUEs — a hash match IS the bounds
+    * check, run by the driver instead of only by SketchSpec. The exact
+    * sides are the usual error-visibility rail: at 100 TB production emits
+    * the approx values alone (that being the point of the sketches).
     */
-  def sketchSummary(lineitem: DataFrame, rsd: Double = 0.02): DataFrame =
+  def sketchSummary(lineitem: DataFrame, rsd: Double = 0.02): DataFrame = {
+    val p50Lo = 0.5 - SketchPctMargin
+    val p50Hi = 0.5 + SketchPctMargin
+    val p99Lo = 0.99 - SketchPctMargin
+    val p99Hi = math.min(0.99 + SketchPctMargin, 1.0)
     lineitem
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(SketchPctAccuracy))
+          .as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(SketchPctAccuracy))
+          .as("p99_price"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"),
+        percentile(col("l_extendedprice"), lit(p50Lo)).as("p50_lo"),
+        percentile(col("l_extendedprice"), lit(p50Hi)).as("p50_hi"),
+        percentile(col("l_extendedprice"), lit(p99Lo)).as("p99_lo"),
+        percentile(col("l_extendedprice"), lit(p99Hi)).as("p99_hi"))
+      .select(
+        col("l_returnflag"), col("exact_orders"), col("exact_parts"), col("n_rows"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= lit(SketchRsdMargin * rsd) * col("exact_orders")).as("hll_orders_in_band"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= lit(SketchRsdMargin * rsd) * col("exact_parts")).as("hll_parts_in_band"),
+        (col("p50_price") >= col("p50_lo") && col("p50_price") <= col("p50_hi"))
+          .as("p50_in_band"),
+        (col("p99_price") >= col("p99_lo") && col("p99_price") <= col("p99_hi"))
+          .as("p99_in_band"))
+  }
 
   /** Global top-k over a computed measure — TakeOrderedAndProject again,
     * the distributed generalization of the reference's master-side sort+k

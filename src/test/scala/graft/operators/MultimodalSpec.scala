@@ -23,6 +23,39 @@ class MultimodalSpec extends SparkSpec {
     f1.foreach { case (k, r) => assert(r === f2(k)) }
   }
 
+  test("deterministic container round-trip matches its closed form per modality") {
+    import spark.implicits._
+    // ids cover each modality several times, incl. 0 and a 4-digit id
+    val ids = (0L to 11L) :+ 1234L
+    val docsDf = ids.map(i => (i, s"doc $i", "en", "srcA", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.decodedFeatures(spark, docsDf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === ids.toSet)
+    ids.foreach { id =>
+      val (w, h) = ((id % 31 + 2).toInt, (id % 17 + 2).toInt)
+      val k = 299 * ((id * 37) % 256) + 587 * ((id * 59) % 256) + 114 * ((id * 83) % 256)
+      val r = got(id)
+      assert((r.getInt(1), r.getInt(2)) === ((w, h)), s"dims of $id")
+      (id % 3).toInt match {
+        case 0 => // MP4: header-only, duration from mvhd
+          assert(r.getInt(3) === 0)
+          assert(r.getLong(4) === id % 9000 + 500)
+          assert(r.getDouble(5) === 0.0)
+        case 1 => // AVI: avih fields + lossless first-frame luma
+          val frames = (id % 50 + 1).toInt
+          val uspf = 20000L + (id % 100) * 100L
+          assert(r.getInt(3) === frames)
+          assert(r.getLong(4) === uspf * frames / 1000L)
+          assert(r.getDouble(5) === k / 1000.0, s"solid-BMP frame luma of $id")
+        case _ => // BMP image
+          assert(r.getInt(3) === 1)
+          assert(r.getLong(4) === 0L)
+          assert(r.getDouble(5) === k / 1000.0, s"solid-BMP luma of $id")
+      }
+    }
+  }
+
   test("real image decode: synthesized PNG/JPEG bytes yield true pixel dims") {
     import spark.implicits._
     def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
