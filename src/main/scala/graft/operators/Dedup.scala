@@ -98,6 +98,54 @@ object Dedup {
   def minhashSignatures(documents: DataFrame, numHashes: Int = NumHashes): DataFrame =
     signaturesFromShingled(shingled(documents), numHashes)
 
+  /** The full per-document dedup artifact — (doc_id, sh, mh0..mh{N-1}) in
+    * one frame: the shingle set AND the MinHash signature, i.e. everything
+    * any dedup-family operator needs downstream of the raw text. This is
+    * the frame [[SignatureStore]] persists once per corpus: in production
+    * it is computed at INGEST (per new document, exactly once) and every
+    * dedup/retention job probes the table instead of re-shingling raw
+    * text — see [[nearDuplicatePairsFromTable]] /
+    * [[incrementalNearDupsFromTable]] / `Pipeline.retainedCorpus`.
+    */
+  def shingleSignatureTable(documents: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+    val sh = shingled(documents).localCheckpoint()
+    signaturesFromShingled(sh, numHashes).join(sh, Seq("doc_id"))
+      .select(col("doc_id") +: col("sh") +:
+        (0 until numHashes).map(i => col(s"mh$i")): _*)
+  }
+
+  /** Signature-column projection of a [[shingleSignatureTable]] frame. */
+  private def sigCols(tbl: DataFrame): DataFrame =
+    tbl.select(col("doc_id") +: (0 until NumHashes).map(i => col(s"mh$i")): _*)
+
+  /** Exact-Jaccard verification of candidate pairs against the true
+    * shingle sets — the tail shared by the from-text and from-table pair
+    * generators.
+    */
+  private def verifyPairs(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+
+  /** [[nearDuplicatePairs]] over a persisted signature table instead of
+    * raw text: candidates from the stored signatures, verification from
+    * the stored shingle sets — zero re-shingling. Identical output to the
+    * from-text form (signatures are pure functions of the text), which is
+    * why both share one oracle.
+    */
+  def nearDuplicatePairsFromTable(
+      tbl: DataFrame, threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    verifyPairs(
+      lshCandidatePairs(sigCols(tbl), maxBucketSize),
+      tbl.select(col("doc_id"), col("sh")), threshold)
+
   /** Skew guard for band self-joins: anti-join away every (band, key)
     * bucket larger than `cap` before the bucket join goes quadratic on it.
     * The oversized set is tiny by construction (it IS the skew), so the
@@ -166,15 +214,7 @@ object Dedup {
     // MEMORY_AND_DISK persist — same idea, longer-lived.
     val sh = shingled(documents).localCheckpoint()
     val pairs = lshCandidatePairs(signaturesFromShingled(sh), maxBucketSize)
-    pairs
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .where(col("jaccard") >= threshold)
+    verifyPairs(pairs, sh, threshold)
   }
 
   /** Incremental near-dup: dedup an INCOMING shard against the existing
@@ -255,6 +295,38 @@ object Dedup {
         val sh = shingled(documents).localCheckpoint()
         val idx = corpusBandIndex(sh.where(col("doc_id") < split), maxBucketSize)
         probeCorpusIndex(sh.where(col("doc_id") >= split), idx, sh, threshold)
+    }
+
+  /** [[incrementalNearDups]] over a persisted signature table: the corpus
+    * band index derives from STORED signatures (no re-shingling of the
+    * corpus — the part that must never be reprocessed per batch at 100 TB)
+    * and the shard side probes with its stored rows too. Identical pairs
+    * to the from-text form, same oracle.
+    */
+  def incrementalNearDupsFromTable(
+      tbl: DataFrame, threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    ingestSplitOf(tbl) match {
+      case None => emptyIncrementalPairs(tbl)
+      case Some(split) =>
+        val sh = tbl.select(col("doc_id"), col("sh"))
+        val idx = dropOversizedBuckets(
+          bandedKeys(sigCols(tbl.where(col("doc_id") < split))), maxBucketSize)
+        val shardKeys = bandedKeys(sigCols(tbl.where(col("doc_id") >= split)))
+        val cand = idx.as("l")
+          .join(shardKeys.as("r"),
+            col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+          .select(col("l.doc_id").as("corpus_doc"), col("r.doc_id").as("shard_doc"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_a")), "corpus_doc")
+          .join(sh.select(col("doc_id").as("shard_doc"), col("sh").as("sh_b")), "shard_doc")
+          .select(
+            col("corpus_doc"), col("shard_doc"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+            size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+          .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+          .where(col("jaccard") >= threshold)
     }
 
   /** Near-duplicate CLUSTERS: connected components over the
@@ -501,5 +573,46 @@ object Dedup {
         HashFunctions.hamming(col("l.simhash"), col("r.simhash")).as("dist"))
       .distinct()
       .where(col("dist") <= maxDist)
+  }
+}
+
+/** Session-persisted per-corpus signature table — the production shape
+  * where MinHash signatures are computed ONCE at ingest and every
+  * dedup-family job (pair mining, clustering, retention, incremental
+  * probes) reads the stored artifact instead of re-shingling raw text.
+  * Locally the store is a temp-dir parquet table built on first request
+  * per source directory and reused for the life of the JVM (deleted on
+  * exit); on a cluster it would be a catalog table maintained by the
+  * ingest job — same contract, longer-lived.
+  *
+  * Reuse is the scale argument: shingling + hashing is the dedup family's
+  * CPU-dominant step, and at 100 TB recomputing it per downstream job
+  * multiplies the most expensive scan in the pipeline by the number of
+  * consumers. The store makes that cost once-per-document-ever.
+  */
+object SignatureStore {
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+  private lazy val root = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sigstore")
+    graft.streaming.EventStreams.deleteRecursivelyOnExit(p)
+    p
+  }
+
+  /** The (doc_id, sh, mh0..mh15) table for a source directory's documents,
+    * built+persisted on first call, read back from parquet afterwards.
+    * The explicit schema on read keeps an empty corpus working (an empty
+    * parquet write leaves no footer to infer from).
+    */
+  def table(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (path, schema) = built.computeIfAbsent(dir, d => {
+      val df = Dedup.shingleSignatureTable(graft.Tables.documents(spark, d))
+      val out = root.resolve(
+        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString).toString
+      df.write.mode("overwrite").parquet(out)
+      (out, df.schema)
+    })
+    spark.read.schema(schema).parquet(path)
   }
 }

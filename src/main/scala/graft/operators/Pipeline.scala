@@ -52,17 +52,44 @@ object Pipeline {
         col("total_tokens").cast("double") / col("n_docs"))
   }
 
-  def retainedCorpus(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** `sigTable`: a persisted [[Dedup.shingleSignatureTable]] frame (see
+    * [[Dedup$ SignatureStore]]). When present, the near-dup stage probes
+    * the stored per-document signatures semi-joined down to the survivor
+    * set instead of re-shingling survivor text — the production shape
+    * (signatures are an ingest-time artifact; retention is one of several
+    * consumers) and the reason this pipeline's cost no longer includes the
+    * corpus-wide shingling pass. Output is identical either way: a doc's
+    * signature does not depend on which other docs survived.
+    */
+  def retainedCorpus(
+      documents: DataFrame, threshold: Double = 0.5,
+      sigTable: Option[DataFrame] = None): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val nStopwords = size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))
     val quality = documents.where(size(toks) >= 10 && nStopwords > 0)
     val exactKeepers = Dedup.exactDuplicates(quality)
       .select(col("keeper_id").as("doc_id"))
+    // with a signature table, nothing downstream reads survivor TEXT (the
+    // near-dup stage probes stored shingles/signatures) — so the
+    // materialized survivor set carries only (doc_id, lang), not the
+    // corpus bytes; the from-text fallback still needs the text column
+    val survivorCols =
+      if (sigTable.isDefined) Seq(col("doc_id"), col("lang"))
+      else Seq(col("doc_id"), col("lang"), col("text"))
     val survivors = quality
       .join(exactKeepers, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("text"))
+      .select(survivorCols: _*)
       .localCheckpoint()
-    val keepers = Dedup.nearDupClusters(survivors, threshold)
+    val pairs = sigTable match {
+      case Some(tbl) =>
+        val survivorSigs = tbl.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+        Dedup.nearDuplicatePairsFromTable(survivorSigs, threshold)
+          .select(col("doc_a"), col("doc_b"))
+      case None =>
+        Dedup.nearDuplicatePairs(survivors, threshold)
+          .select(col("doc_a"), col("doc_b"))
+    }
+    val keepers = Dedup.clustersFromPairs(survivors, pairs)
       .where(col("doc_id") === col("cluster_id"))
       .select("doc_id")
     survivors.join(keepers, Seq("doc_id"), "left_semi")

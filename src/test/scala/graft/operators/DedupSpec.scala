@@ -175,4 +175,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(crossing === Set((0L, 1L)))
   }
+
+  test("signature-table operators emit exactly what the from-text operators emit") {
+    // the persisted-store contract: a doc's signature/shingles are pure
+    // functions of its text, so probing the stored table must reproduce
+    // the from-text pipelines bit for bit (shared oracles rely on this)
+    val documents = graft.Tables.documents(spark, sf("sf0.001"))
+    val tbl = Dedup.shingleSignatureTable(documents).localCheckpoint()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(pairSet(Dedup.nearDuplicatePairsFromTable(tbl)) ===
+      pairSet(Dedup.nearDuplicatePairs(documents)))
+    assert(pairSet(Dedup.incrementalNearDupsFromTable(tbl)) ===
+      pairSet(Dedup.incrementalNearDups(documents)))
+    val sigT = tbl.drop("sh").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val sigD = Dedup.minhashSignatures(documents).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sigT === sigD)
+  }
 }
