@@ -358,6 +358,11 @@ object SparkEntry {
     // Both training loops replayed by the oracle.
     "ann_ivfpq" -> ((s, dir) =>
       ProductQuantization.ivfPqTopK(requireOracleDim(Tables.embeddings(s, dir)))),
+    // Exact recall@k of LSH/IVF/IVF-PQ vs the brute-force top-k — the
+    // acceptance gate an ANN index ships behind; deterministic, so the
+    // whole report (all four result sets + intersections) is oracle-checked.
+    "q_ann_recall" -> ((s, dir) =>
+      Similarity.annRecallReport(requireOracleDim(Tables.embeddings(s, dir)))),
     // --- multimodal binary-column plumbing ---
     "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(Tables.documents(s, dir))),
     // Decode features come from the clearly-marked stub codec: rows-only.
@@ -537,6 +542,19 @@ object SparkEntry {
     * neighbor ASC) tie-break. All arithmetic is double with the engine's
     * evaluation order, so bucket bits — sign comparisons — agree exactly.
     */
+  /** Exact brute-force top-k oracle — standalone query AND the `exact`
+    * side of the recall report.
+    */
+  private def annBruteforceOracle: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+      |               b.vec_id ASC) AS rank
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 10) t
+      |WHERE rank <= 5""".stripMargin
+
   private def annLshOracle: String = {
     val tables = 8
     val bucketCols = (0 until tables)
@@ -2623,15 +2641,29 @@ object SparkEntry {
         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
         |  FROM events) t
         |GROUP BY user_id""".stripMargin,
-    "q_ann_bruteforce" ->
-      """SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
-        |               b.vec_id ASC) AS rank
-        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-        |  WHERE a.vec_id < 10) t
-        |WHERE rank <= 5""".stripMargin,
+    "q_ann_bruteforce" -> annBruteforceOracle,
+    // Recall report: recompute all four ANN result sets (the same oracles
+    // as their standalone queries, nested as derived tables) and intersect
+    // — deterministic inputs make the recall EXACT, not an estimate.
+    "q_ann_recall" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annBruteforceOracle) x),
+         |lsh_r AS (SELECT query_id, neighbor_id FROM (${annLshOracle}) x),
+         |ivf_r AS (SELECT query_id, neighbor_id FROM (${annIvfOracle}) x),
+         |ivfpq_r AS (SELECT query_id, neighbor_id FROM (${annIvfPqOracle}) x),
+         |poss AS (SELECT CAST(count(*) AS BIGINT) AS n_possible FROM exact),
+         |h AS (
+         |  SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM exact JOIN lsh_r USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 'ivf', CAST(count(*) AS BIGINT)
+         |  FROM exact JOIN ivf_r USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 'ivfpq', CAST(count(*) AS BIGINT)
+         |  FROM exact JOIN ivfpq_r USING (query_id, neighbor_id))
+         |SELECT h.method, h.n_hits, poss.n_possible,
+         |  CASE WHEN poss.n_possible > 0
+         |    THEN CAST(h.n_hits AS DOUBLE) / poss.n_possible ELSE 0.0 END AS recall
+         |FROM h, poss""".stripMargin,
     // JL random projection: each component is one of the engine's ±v[d]
     // signed sums (same md5 hyperplane family, same left-to-right order),
     // emitted per (vec_id, k) via the same explode shape.

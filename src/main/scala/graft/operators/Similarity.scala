@@ -470,4 +470,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
       .where(col("rank") <= k)
   }
+
+  /** Recall@k report for the approximate ANN paths against the exact
+    * brute-force top-k on the same corpus — the acceptance gate an ANN
+    * index ships behind in production (a recall floor per method before a
+    * cheaper index replaces a costlier one). One row per method:
+    * `n_hits` = |approx ∩ exact| over the brute-force query set,
+    * `n_possible` = |exact|, `recall` their single-division ratio. Every
+    * input is deterministic (md5 hyperplanes, first-n / quantized-mean
+    * training), so unlike typical recall ESTIMATES this report is exact
+    * and fully oracle-checkable — the DuckDB replay recomputes all four
+    * result sets and the same intersections.
+    *
+    * Scale shape: the brute-force side is the one corpus×queries scan
+    * (bounded query set, the usual recall-evaluation cost everywhere);
+    * each method adds its own query cost; the intersections join k·queries
+    * rows. At 100 TB the brute side runs over a fixed evaluation sample —
+    * exactly what this is, with `nQueries` pinned by `bruteForceTopK`.
+    */
+  def annRecallReport(embeddings: DataFrame): DataFrame = {
+    // one materialization feeds the brute-force pass + all three methods
+    val emb = embeddings.localCheckpoint()
+    val exact = bruteForceTopK(emb)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // joined against by every method
+    val methods: Seq[(String, DataFrame)] = Seq(
+      ("lsh", lshTopK(emb)),
+      ("ivf", ivfTopK(emb)),
+      ("ivfpq", ProductQuantization.ivfPqTopK(emb)))
+    val possible = exact.agg(count(lit(1)).as("n_possible"))
+    methods.map { case (name, approx) =>
+      exact
+        .join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(possible))
+        .select(
+          lit(name).as("method"), col("n_hits"), col("n_possible"),
+          when(col("n_possible") > 0L,
+            col("n_hits").cast("double") / col("n_possible")).otherwise(0.0)
+            .as("recall"))
+    }.reduce(_.unionByName(_))
+  }
 }
