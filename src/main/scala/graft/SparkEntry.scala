@@ -250,10 +250,14 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir))),
     // REAL iterative BPE: k rounds of weighted pair-count + merge over the
     // evolving segmentation (vocabulary-scale rounds, kernel-applied rules).
-    "q_bpe_trained" -> ((s, dir) => TextAnalysis.bpeTrainedMerges(Tables.documents(s, dir))),
-    // The tokenizer's APPLY step: every distinct word segmented under the
-    // trained rules (positions join this table by word at corpus scale).
-    "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir))),
+    // Trained ONCE per corpus into the persisted TokenizerStore table;
+    // this query reads the artifact back.
+    "q_bpe_trained" -> ((s, dir) => TokenizerStore.mergesTable(s, dir)),
+    // The tokenizer's APPLY step: every distinct word segmented under
+    // rules RELOADED from the persisted table (train-once/apply-everywhere
+    // — encode never retrains).
+    "q_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeWithRules(Tables.documents(s, dir), TokenizerStore.rules(s, dir))),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramNextTokens(Tables.documents(s, dir))),
     // top-p (nucleus) truncation of the bigram LM, integer threshold
     "q_bigram_nucleus" -> ((s, dir) => TextAnalysis.bigramNucleus(Tables.documents(s, dir))),

@@ -592,13 +592,25 @@ object TextAnalysis {
   def bpeEncode(documents: DataFrame, k: Int = DefaultBpeK): DataFrame = {
     val words = wordFreqs(documents).localCheckpoint()
     val rules = trainBpeRules(words, k).map(r => (r._2, r._3)).toArray
+    encodeWithRules(words, rules)
+  }
+
+  /** ENCODE under an externally-supplied merge-rule list — the
+    * apply-everywhere half of the train-once contract: production encodes
+    * with rules loaded from the persisted tokenizer table
+    * ([[TokenizerStore]]), never by retraining. One pass over the
+    * vocabulary, no checkpoint needed (nothing else consumes the words).
+    */
+  def bpeEncodeWithRules(documents: DataFrame, rules: Array[(String, String)]): DataFrame =
+    encodeWithRules(wordFreqs(documents), rules)
+
+  private def encodeWithRules(words: DataFrame, rules: Array[(String, String)]): DataFrame =
     words
       .select(col("word"), col("freq"),
         graft.functions.BpeExpressions.bpeSegments(col("word"), rules).as("ps"))
       .select(col("word"), col("freq"),
         array_join(col("ps"), " ").as("pieces"),
         size(col("ps")).cast("long").as("n_pieces"))
-  }
 
   /** Next-token candidates per [[bigramNextTokens]] prefix. */
   val DefaultBigramK = 3
@@ -802,4 +814,54 @@ object TextAnalysis {
       .withColumn("tvd_contrib",
         abs(col("frac_corpus") - col("frac_shard")) / 2.0)
   }
+}
+
+/** Session-persisted trained tokenizer — the train-once/apply-everywhere
+  * seam: BPE merge rules are trained ONCE per corpus, written to a parquet
+  * table (the tokenizer artifact a training pipeline versions and ships),
+  * and every encode step LOADS the table instead of retraining. Locally
+  * the table lives under a temp dir for the JVM's life (like
+  * [[SignatureStore]]); in production it is the published tokenizer file
+  * every job and the serving stack share — the contract that makes token
+  * ids comparable across the whole system.
+  */
+object TokenizerStore {
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private lazy val root = {
+    val p = java.nio.file.Files.createTempDirectory("graft_tokenizer")
+    graft.streaming.EventStreams.deleteRecursivelyOnExit(p)
+    p
+  }
+
+  /** The persisted merge table (rank, a, b, n) for a corpus directory,
+    * trained+written on first call, parquet-read afterwards. Schema is
+    * fixed, so the explicit read schema keeps an empty corpus working.
+    */
+  def mergesTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = TextAnalysis.DefaultBpeK): DataFrame = {
+    val path = built.computeIfAbsent((dir, k), { case (d, kk) =>
+      val df = TextAnalysis.bpeTrainedMerges(graft.Tables.documents(spark, d), kk)
+      val out = root.resolve(
+        java.security.MessageDigest.getInstance("MD5").digest(s"$d#$kk".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString).toString
+      df.write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))))
+      .parquet(path)
+  }
+
+  /** The reloaded rule list in training order — the bounded (≤ k rows)
+    * collect every encode job starts with.
+    */
+  def rules(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = TextAnalysis.DefaultBpeK): Array[(String, String)] =
+    mergesTable(spark, dir, k).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
 }

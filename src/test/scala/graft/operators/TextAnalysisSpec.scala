@@ -281,6 +281,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc === Set(("abab", 3L, "abab", 1L), ("ab", 2L, "ab", 1L)))
   }
 
+  test("TokenizerStore round-trip: persisted merges reload in order; encode matches") {
+    // the train-once/apply-everywhere contract: rules written to parquet
+    // and reloaded must reproduce the in-session trainer bit for bit, and
+    // encoding under reloaded rules must equal encoding under fresh ones
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir)
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val fresh = TextAnalysis.bpeTrainedMerges(docs)
+    val stored = TokenizerStore.mergesTable(spark, dir)
+    assert(rowSet(stored) === rowSet(fresh))
+    // second call reads the same artifact (no retrain): still identical
+    assert(rowSet(TokenizerStore.mergesTable(spark, dir)) === rowSet(fresh))
+    val rules = TokenizerStore.rules(spark, dir)
+    assert(rules.length === fresh.count())
+    assert(rowSet(TextAnalysis.bpeEncodeWithRules(docs, rules)) ===
+      rowSet(TextAnalysis.bpeEncode(docs)))
+  }
+
   test("tokenDriftReport: counts split at the ingest boundary; TVD bounded and non-negative") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
