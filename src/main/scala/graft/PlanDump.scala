@@ -61,7 +61,21 @@ object PlanDump {
     "q_kll_segment" ->
       "grouped sketch extraction: the exact-rank Window is PARTITIONED by segment (parallel), no global single-partition sort; probe targets ride as a literal broadcast frame",
     "q_pack_chunks" ->
-      "two-level distributed prefix sum: tiny block-level cumsum window, intra-block windows PARTITIONED by block (parallel), broadcast block offsets — no corpus-wide single-partition window")
+      "two-level distributed prefix sum: tiny block-level cumsum window, intra-block windows PARTITIONED by block (parallel), broadcast block offsets — no corpus-wide single-partition window",
+    "q_kll_quantile" ->
+      "float-universe sketch: state built by ONE eager ObjectHashAggregate pass (parameter-bounded collect); the dumped plan is the returned frame — driver-built estimates joined to the exact-rank rail, which verify=false drops entirely (PlanSpec asserts the rail-free plans)",
+    "q_bpe_trained" ->
+      "reads the persisted TokenizerStore artifact: a k-row parquet scan — the k training rounds are paid once per corpus (eager, top-1 collects), never per consumer",
+    "q_bpe_encode" ->
+      "bpe_segments kernel (rules RELOADED from the tokenizer table, riding as a reference object) inside WholeStageCodegen over the map-side-combined word-frequency agg",
+    "q_stream_dedup_incremental" ->
+      "AvailableNow drain already ran per-batch probes of the static corpus index; the dumped plan reads the exactly-once per-batch parquet log (batch=N overwrite dirs, recursive lookup, no partition-column leak)",
+    "q_stream_hll_update" ->
+      "answers computed off the checkpointed keyed register store (latest-batch-wins dedup on batch_id); register maintenance happened inside the micro-batch loop",
+    "q_mm_decoded" ->
+      "deterministic container round-trip: payload build + production decode as a narrow typed map over the scan — zero Exchange, binary bytes never shuffle",
+    "q_ann_recall" ->
+      "three bounded intersect-aggregates unioned over the brute-force frame; each ANN side is its own bucketed pipeline — the only BNLJ nodes are the 1-row n_possible scalar broadcasts (the documented crossJoin(broadcast) idiom), never a corpus-scale cross join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
