@@ -227,4 +227,30 @@ object Aggregators {
       java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
   }
+
+  /** Bloom bitmap as a typed Aggregator: the buffer is the bitmap itself
+    * (`m/64` Long words), `reduce` sets one bit per input POSITION row,
+    * `merge` is word-wise OR — commutative, associative, idempotent, so
+    * the finished bitmap is identical at any parallelism and row order.
+    * This is the distributed-build half of a planner-injected runtime
+    * filter (Spark's own `BloomFilterAggregate` has the same shape): the
+    * executors fold their partitions into local bitmaps, the shuffle
+    * carries one `m`-bit blob per map task, and the driver receives
+    * exactly one bitmap — transfer bounded by m, never by the build-side
+    * row count. See [[graft.operators.RuntimeFilter.bloomBitmap]].
+    */
+  class BitmapOr(words: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](words)
+    override def reduce(buf: Array[Long], p: Long): Array[Long] = {
+      buf((p >>> 6).toInt) |= 1L << (p & 63); buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < words) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
 }

@@ -548,31 +548,80 @@ object Dedup {
     * any pair within Hamming distance 3 matches on at least one byte, so
     * the band join is EXACT for maxDist <= 3 — same result as the O(n²)
     * scan, at bucket-join cost. Exactness assumes no bucket exceeds
-    * `maxBucketSize` (the cap is the skew escape hatch for degenerate
-    * identical-signature clusters; see [[dropOversizedBuckets]]).
+    * `maxBucketSize` documents (the cap is the skew escape hatch for
+    * degenerate identical-signature clusters; see
+    * [[dropOversizedBuckets]]).
+    *
+    * COLLAPSE IDENTICAL SIGNATURES FIRST (r8): Hamming distance is a pure
+    * function of the two signatures, so a signature group shares one
+    * verdict — band-join and score DISTINCT signatures only, then expand
+    * group cross products. Without this, duplicated corpora (the crawl
+    * shape) square the bucket-join volume: every copy of a document shares
+    * every one of its 4 byte-buckets with every other copy, and the
+    * candidate join went 13× super-linear at the 10× scale-up. With it,
+    * band-join work scales with distinct signatures; the duplication
+    * factor survives only in the (unavoidable) output expansion. The
+    * bucket cap still counts DOCUMENTS (sum of group sizes per bucket), so
+    * exactly the buckets the uncollapsed join would drop are dropped.
     */
   def simhashNearDupPairs(
       documents: DataFrame, maxDist: Int = 3,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxDist <= 3, "byte-banding over 32 bits is only exact for maxDist <= 3")
     val sigs = simhashSignatures(documents)
-    val banded = sigs.select(
-      col("doc_id"), col("simhash"),
+      .localCheckpoint() // feeds groups, intra pairs, and both expansions
+    val groups = sigs.groupBy("simhash").agg(count(lit(1)).as("members"))
+    // EXPLICIT round-robin repartition before the self-join: groups is an
+    // aggregation output that AQE coalesces to few partitions when
+    // distinct signatures are few, and the band join's candidate
+    // expansion inherits the stream side's partitioning — with one stream
+    // partition the expansion runs in one task (Parallelism.ensure can't
+    // see this: post-aggregation/checkpoint stats are unknown)
+    val banded = groups.select(
+      col("simhash"), col("members"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .localCheckpoint() // self-joined: compute the signatures once
-    val kept = dropOversizedBuckets(banded, maxBucketSize)
-    kept.as("l")
+      .select(col("simhash"), col("members"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint() // self-joined: compute the banding once
+    // document-weighted cap: a bucket's population is the sum of its
+    // signature-group sizes, which is exactly the uncollapsed bucket size
+    val oversized = banded
+      .groupBy("band", "key")
+      .agg(sum("members").as("bucket_n"))
+      .where(col("bucket_n") > maxBucketSize)
+      .select("band", "key")
+    val kept = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+    // one Hamming evaluation per DISTINCT signature pair
+    val repPairs = kept.as("l")
       .join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(
-        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        HashFunctions.hamming(col("l.simhash"), col("r.simhash")).as("dist"))
+          col("l.simhash") < col("r.simhash"))
+      .select(col("l.simhash").as("sig_a"), col("r.simhash").as("sig_b"))
       .distinct()
+      .withColumn("dist", HashFunctions.hamming(col("sig_a"), col("sig_b")))
       .where(col("dist") <= maxDist)
+    // expand each qualifying signature pair to its groups' cross product
+    val inter = repPairs
+      .join(sigs.select(col("simhash").as("sig_a"), col("doc_id").as("id_a")), "sig_a")
+      .join(sigs.select(col("simhash").as("sig_b"), col("doc_id").as("id_b")), "sig_b")
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("dist"))
+    // intra-group pairs: identical signatures, dist 0 — emitted iff the
+    // group survives in at least one of its 4 buckets, the same condition
+    // under which the uncollapsed join would have met the pair
+    val keptSigs = kept.select("simhash").distinct()
+    val m = sigs.join(keptSigs, Seq("simhash"))
+    val intra = m.as("a")
+      .join(m.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        HashFunctions.hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+    inter.unionByName(intra)
   }
 }
 

@@ -219,31 +219,83 @@ object Similarity {
   def cosineNearDupPairs(
       embeddings: DataFrame, threshold: Double = 0.45,
       planes: Int = NearDupPlanes, tables: Int = NearDupTables): DataFrame = {
-    // bucket the corpus ONCE (the sign-pattern projection is the CPU-heavy
-    // per-row step → parallelism guard first), keeping only ids: the
-    // self-joined materialization must not carry the vectors
+    // COLLAPSE EXACT-DUPLICATE VECTORS FIRST (r8): cosine is a pure
+    // function of the two vectors, so a duplicate group shares one verdict
+    // — bucket/pair/score REPRESENTATIVES only, then expand group cross
+    // products. Without this, duplicated corpora (the crawl shape: the
+    // 10× scale-up gives every vector 10 identical copies) square the
+    // bucket-join volume: every group shares every one of its `tables`
+    // buckets, and the candidate join went 39× super-linear at 10× data.
+    // With it, LSH work scales with DISTINCT vectors; the duplication
+    // factor survives only in the (unavoidable) output expansion.
+    // the md5 fingerprint exists ONLY to form the groups; every frame on
+    // the hot candidate path is keyed by the numeric rep_id (the group's
+    // min vec_id) — the band self-join emits millions of candidate rows
+    // at the default 96-table/5-plane recall setting, and carrying two
+    // 32-char strings per row through that join + distinct measured 7×
+    // slower than two longs
+    val keyed = graft.Parallelism.ensure(embeddings)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        md5(col("embedding").cast("string")).as("fp"),
+        norm(col("embedding")).as("nrm"))
+      .localCheckpoint() // feeds members + reps (grouped) below
+    val reps = keyed.groupBy("fp")
+      .agg(min("vec_id").as("rep_id"), first("embedding").as("embedding"),
+        first("nrm").as("nrm"))
+      .localCheckpoint() // bucketed (self-joined) + vector-joined below
+    val members = keyed.select(col("fp"), col("vec_id"), col("nrm"))
+      .join(reps.select(col("fp"), col("rep_id")), Seq("fp"))
+      .select(col("rep_id"), col("vec_id"), col("nrm"))
+      .localCheckpoint() // intra pairs + both expansions below
+    // intra-group pairs: identical vectors — the engine's cosine of an
+    // identical pair is v·v/(‖v‖·‖v‖) ∈ [1−ε, 1+ε], ≥ any practical
+    // threshold when the vector is nonzero (zero vectors divide 0/0 →
+    // null → dropped, matching the pre-collapse operator exactly)
+    val nz = members.where(col("nrm") > 0.0)
+    val intra = nz.as("a")
+      .join(nz.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // inter-group: LSH over representatives, ONE cosine per rep pair.
+    // EXPLICIT round-robin repartition before the self-join: reps is an
+    // aggregation output that AQE coalesces to few partitions when
+    // distinct vectors are few, and the broadcast self-join's multi-
+    // million-row candidate expansion inherits the stream side's
+    // partitioning — with one stream partition the expansion runs in ONE
+    // task (measured 8.5 s vs ~1 s for the 32-way spread at sf0.1).
+    // Parallelism.ensure can't see this: post-checkpoint stats are
+    // unknown, so its size heuristic assumes the frame is already wide.
+    val sc = embeddings.sparkSession.sparkContext
     val buckets = withTableBuckets(
-      graft.Parallelism.ensure(embeddings).select(col("vec_id"), col("embedding")),
-      tables, planes)
-      .select(col("vec_id"), col("table"), col("bucket"))
+      reps.select(col("rep_id").as("vec_id"), col("embedding")), tables, planes)
+      .select(col("vec_id").as("rep_id"), col("table"), col("bucket"))
+      .repartition(sc.defaultParallelism)
       .localCheckpoint()
     // dedup candidate ids BEFORE fetching vectors: the distinct shuffles
-    // two longs per candidate, and each unique pair costs one dot product
+    // two longs per candidate, and each unique rep pair costs one dot product
     val candidates = buckets.as("l")
       .join(buckets.as("r"),
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+          col("l.rep_id") < col("r.rep_id"))
+      .select(col("l.rep_id").as("rep_a"), col("r.rep_id").as("rep_b"))
       .distinct()
-    val withVecs = embeddings
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    candidates
+    val withVecs = reps.select(col("rep_id"), col("embedding"), col("nrm"))
+    val repPairs = candidates
       .join(withVecs.select(
-        col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na")), "vec_a")
+        col("rep_id").as("rep_a"), col("embedding").as("va"), col("nrm").as("na")), "rep_a")
       .join(withVecs.select(
-        col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb")), "vec_b")
+        col("rep_id").as("rep_b"), col("embedding").as("vb"), col("nrm").as("nb")), "rep_b")
       .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
-      .select(col("vec_a"), col("vec_b"))
+      .select(col("rep_a"), col("rep_b"))
+    // expand each qualifying rep pair to its groups' member cross product
+    val inter = repPairs
+      .join(members.select(col("rep_id").as("rep_a"), col("vec_id").as("id_a")), "rep_a")
+      .join(members.select(col("rep_id").as("rep_b"), col("vec_id").as("id_b")), "rep_b")
+      .select(
+        least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"))
+    intra.unionByName(inter)
   }
 
   /** Exact near-duplicate pairs via a grid-blocked self-join: block each
@@ -299,7 +351,7 @@ object Similarity {
     * `vec_dot` form blew janino's 64 KB method limit at 96×5 and fell back
     * to interpreted evaluation), then `posexplode` fans them out.
     */
-  private def withTableBuckets(df: DataFrame, tables: Int, planes: Int): DataFrame =
+  private[graft] def withTableBuckets(df: DataFrame, tables: Int, planes: Int): DataFrame =
     df.select(
       col("*"),
       posexplode(graft.functions.VectorExpressions

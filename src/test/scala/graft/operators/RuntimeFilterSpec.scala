@@ -23,6 +23,34 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(viaBloom === (1L to 1000L by 50).toSet)
   }
 
+  test("bloomBitmap/bloomPruneBitmap: zero false negatives, real pruning, adaptive m") {
+    import spark.implicits._
+    val build = (1L to 1000L by 50).toDF("k")
+    val probe = (1L to 5000L).toDF("k")
+    val m = RuntimeFilter.bloomBitsFor(20)
+    val bits = RuntimeFilter.bloomBitmap(build, "k", m)
+    assert(bits.length === ((m + 63) >>> 6).toInt)
+    val kept = RuntimeFilter.bloomPruneBitmap(probe, "k", bits, m)
+      .collect().map(_.getLong(0)).toSet
+    // every true key survives (no false negatives)
+    assert((1L to 1000L by 50).forall(kept.contains))
+    // the bitmap prunes the overwhelming majority of non-matches
+    assert(kept.size < 500, s"bitmap kept ${kept.size} of 5000 probe rows")
+    // sizing: m grows with the build count and floors at BloomBits
+    assert(RuntimeFilter.bloomBitsFor(20) === RuntimeFilter.BloomBits.toLong)
+    assert(RuntimeFilter.bloomBitsFor(1000000) >=
+      RuntimeFilter.BloomBitsPerKey.toLong * 1000000L)
+  }
+
+  test("bitmap build is parallelism-invariant (OR-merge)") {
+    import spark.implicits._
+    val m = RuntimeFilter.BloomBits.toLong
+    val keys = (1L to 997L).toDF("k")
+    val one = RuntimeFilter.bloomBitmap(keys.repartition(1), "k", m)
+    val many = RuntimeFilter.bloomBitmap(keys.repartition(17), "k", m)
+    assert(one.toSeq === many.toSeq)
+  }
+
   test("urgentRevenue equals the plain join on driver data") {
     val dir = sf("sf0.001")
     val orders = graft.Tables.orders(spark, dir)
