@@ -41,7 +41,11 @@ object PlanDump {
     "q19_disjunctive" ->
       "OR-of-ANDs distributed: brand/size Or tree in part's PushedFilters, quantity Or in lineitem's",
     "q_bloom_join" ->
-      "runtime filter: 3 broadcast LEFT SEMI probes on the Bloom digest BEFORE the exact join",
+      "runtime filter, production shape: ONE scan-stage bloom_positions_set filter over the driver-built OR-merged bitmap (reference object, m-bounded) BEFORE the exact join — no digest joins in the plan",
+    "q_embed_neardup_lsh" ->
+      "duplicate-collapsed LSH: fingerprint groupBy, long-keyed rep band self-join (explicitly repartitioned, never one task), one cosine per distinct pair, member expansion joins at the end",
+    "q_simhash_pairs" ->
+      "duplicate-collapsed band join over DISTINCT signatures with the document-weighted bucket cap; hamming once per signature pair, member expansion after",
     "q4_order_priority" ->
       "correlated EXISTS as LeftSemi hash join; date conjunct evaluated inside the join",
     "q21_waiting_supplier" ->
