@@ -283,13 +283,18 @@ object SparkEntry {
     // probed by every consumer below — never re-shingled per query.
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDuplicates(Tables.documents(s, dir))),
     "q_minhash_sig" -> ((s, dir) =>
-      SignatureStore.table(s, dir).drop("sh")),
+      SignatureStore.table(s, dir).drop("sh", "group_id", "members")),
     "q_dedup_neardup" -> ((s, dir) =>
       Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir))),
     // Incoming shard probed against the corpus's persisted LSH index —
     // the continuous-ingestion dedup shape (no corpus self-join).
     "q_dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalNearDupsFromTable(SignatureStore.table(s, dir))),
+    // Exact-substring dedup (Lee et al. 2022, window formulation): maximal
+    // per-doc token spans covered by any 8-token window occurring twice
+    // anywhere in the corpus — counting, not pairing, so no candidate join.
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedNgramSpans(Tables.documents(s, dir))),
     // The same probe running as continuous ingestion: per-micro-batch
     // foreachBatch against the static corpus index (stateless).
     "q_stream_dedup_incremental" -> ((s, dir) =>
@@ -1673,6 +1678,28 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // Exact-substring dedup replay: the oracle carries the literal 8-token
+    // window text where the engine carries a 128-bit fingerprint — the
+    // grouping key differs, the grouped SETS are identical (fingerprint
+    // collisions aside, ~1e-20/pair), so positions and merged spans match.
+    // Same gaps-and-islands interval merge, 0-based starts, exclusive ends.
+    "q_dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (SELECT doc_id, i - 1 AS start, array_to_string(tk[i:i+7], ' ') AS g
+        |  FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |spans AS (SELECT doc_id, start, start + 8 AS "end"
+        |  FROM grams WHERE g IN (SELECT g FROM dup)),
+        |flagged AS (SELECT doc_id, start, "end",
+        |    CASE WHEN start > COALESCE(max("end") OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS opens
+        |  FROM spans),
+        |islands AS (SELECT doc_id, start, "end",
+        |    sum(opens) OVER (PARTITION BY doc_id ORDER BY start) AS island
+        |  FROM flagged)
+        |SELECT doc_id, min(start) AS span_start, max("end") AS span_end,
+        |  max("end") - min(start) AS span_tokens
+        |FROM islands GROUP BY doc_id, island""".stripMargin,
     // Per-source curation rollup: corpus-wide fp counts joined back, then
     // per-source aggregation; avg is one division of exact BIGINTs.
     "q_source_stats" ->

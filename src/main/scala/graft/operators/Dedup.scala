@@ -133,18 +133,123 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .where(col("jaccard") >= threshold)
 
+  /** Content-group assignment for a signature frame: `group_id` = the
+    * smallest doc_id sharing this row's exact shingle ARRAY (order
+    * included), `members` = that group's size. Keying the window on the
+    * array itself beats a fingerprint column both ways: zero collision
+    * surface, and the shuffle row carries the array as payload
+    * regardless, so there is nothing extra to compute or ship.
+    *
+    * This is an INGEST-TIME artifact, like the signatures: a pure
+    * function of the corpus, computed once when [[SignatureStore]]
+    * builds, so no per-query shuffle pays for it (the per-query window
+    * formulation of the same collapse cost ~2× at sf0.1 purely in
+    * fixed stage overheads). The columns describe THE WHOLE FRAME —
+    * callers that filter rows out must drop them and let
+    * [[nearDuplicatePairsFromTable]] regroup (or, better, mine pairs on
+    * the full frame and restrict endpoints afterwards, as
+    * `Pipeline.retainedCorpus` does — pair verdicts are pure functions
+    * of the two docs, so the restriction is exact).
+    */
+  def withContentGroups(tbl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("sh")
+    tbl
+      .withColumn("group_id", min("doc_id").over(w))
+      .withColumn("members", count(lit(1)).over(w))
+  }
+
   /** [[nearDuplicatePairs]] over a persisted signature table instead of
     * raw text: candidates from the stored signatures, verification from
     * the stored shingle sets — zero re-shingling. Identical output to the
     * from-text form (signatures are pure functions of the text), which is
     * why both share one oracle.
+    *
+    * COLLAPSE IDENTICAL SHINGLE SETS FIRST (r8, same move as
+    * [[simhashNearDupPairs]] and `Similarity.cosineNearDupPairs`): every
+    * output column (inter, uni, jaccard) is a pure function of the two
+    * shingle sets, and the signature is a pure function of the shingle
+    * set, so a group of identical documents shares bucket membership AND
+    * verdict. Band-join and exact-verify DISTINCT content only, then
+    * expand group cross products. On crawl-shaped corpora this is the
+    * difference between work ∝ distinct documents and work ∝ copies² —
+    * and it retires the bucket-cap caveat for exact duplicates: an
+    * identical-doc cluster of ANY size is now one banded row (never a
+    * degenerate bucket), its intra pairs emitted exactly instead of
+    * being dropped past the cap. The cap still counts member DOCUMENTS
+    * (weighted), so drop behavior for genuinely-shared shingle content
+    * across DIFFERENT texts is unchanged.
     */
   def nearDuplicatePairsFromTable(
       tbl: DataFrame, threshold: Double = 0.5,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
-    verifyPairs(
-      lshCandidatePairs(sigCols(tbl), maxBucketSize),
-      tbl.select(col("doc_id"), col("sh")), threshold)
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sigC = (0 until NumHashes).map(i => col(s"mh$i"))
+    // group columns come free from the store; frames without them (the
+    // from-text path, ad-hoc tests) pay the window once here
+    val keyed =
+      if (tbl.columns.contains("group_id")) tbl else withContentGroups(tbl)
+    val reps = keyed.where(col("doc_id") === col("group_id"))
+    val members = keyed.select(col("group_id").as("rep_id"), col("doc_id"))
+    // banded rows over DISTINCT content, carrying the member count so the
+    // cap still drops exactly the buckets the uncollapsed join would;
+    // explicit repartition for the same AQE-coalescing reason as the
+    // simhash path. The ONE slim materialization is `kept` (post-cap),
+    // read by both self-join sides and the intra-pair gate.
+    val banded = bandedKeys(
+      reps.select(col("group_id").as("doc_id") +: col("members") +: sigC: _*),
+      passThrough = Seq("members"))
+      .withColumnRenamed("doc_id", "rep_id")
+      .repartition(tbl.sparkSession.sparkContext.defaultParallelism)
+    val oversized = banded
+      .groupBy("band", "key")
+      .agg(sum("members").as("bucket_n"))
+      .where(col("bucket_n") > maxBucketSize)
+      .select("band", "key")
+    val kept = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+      .localCheckpoint()
+    val candidates = kept.as("l")
+      .join(kept.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.rep_id") < col("r.rep_id"))
+      .select(col("l.rep_id").as("rep_a"), col("r.rep_id").as("rep_b"))
+      .distinct()
+    // ONE exact-jaccard evaluation per distinct content pair
+    val repSh = reps.select(col("group_id").as("rep_id"), col("sh"))
+    val repPairs = candidates
+      .join(repSh.select(col("rep_id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
+      .join(repSh.select(col("rep_id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
+      .select(
+        col("rep_a"), col("rep_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+    // Intra-group pairs need NO verification join: for an identical
+    // shingle set, inter = uni = |set| and jaccard is IDENTICALLY 1.0
+    // (|A∩A| = |A∪A|), so a group qualifies iff it has ≥ 2 members, a
+    // non-empty shingle set (empty sets never band — the uncollapsed join
+    // never meets shingle-less docs either), the caller's threshold
+    // admits jaccard 1 (constant-folds), and the group survives the cap
+    // in ≥ 1 band — the same condition under which the uncollapsed join
+    // would have met the pair. A qualifying group rides as a SELF-pair
+    // (rep, rep) through the one shared member expansion below, where
+    // the id_a < id_b guard turns it into the group's C(members, 2)
+    // distinct doc pairs.
+    val selfPairs = reps
+      .where(col("members") > 1 && size(col("sh")) > 0 && lit(1.0) >= threshold)
+      .select(col("group_id").as("rep_a"), col("group_id").as("rep_b"),
+        size(col("sh")).as("inter"), size(col("sh")).as("uni"),
+        lit(1.0).as("jaccard"))
+      .join(kept.select(col("rep_id").as("rep_a")), Seq("rep_a"), "left_semi")
+    repPairs.unionByName(selfPairs)
+      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("id_a")), "rep_a")
+      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("id_b")), "rep_b")
+      .where(col("rep_a") =!= col("rep_b") || col("id_a") < col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("inter"), col("uni"), col("jaccard"))
+  }
 
   /** Skew guard for band self-joins: anti-join away every (band, key)
     * bucket larger than `cap` before the bucket join goes quadratic on it.
@@ -165,20 +270,23 @@ object Dedup {
 
   /** (doc_id, band, key) bucket rows of a signature frame — the LSH index
     * layout, shared by the self-join pair generator and the incremental
-    * shard-vs-corpus probe.
+    * shard-vs-corpus probe. `passThrough` columns ride along unchanged
+    * (e.g. the collapsed form's per-content member count).
     */
-  private def bandedKeys(signatures: DataFrame): DataFrame =
+  private def bandedKeys(
+      signatures: DataFrame, passThrough: Seq[String] = Nil): DataFrame =
     signatures
       .where(col("mh0").isNotNull)
       .select(
-        col("doc_id"),
+        col("doc_id") +: passThrough.map(col) :+
         explode(array((0 until Bands).map { b =>
           struct(
             lit(b).as("band"),
             HashFunctions.bandKey(
               (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))).as("key"))
-        }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        }: _*)).as("bk"): _*)
+      .select(col("doc_id") +: passThrough.map(col) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
 
   /** LSH candidate pairs (a < b) from banded minhash signatures: docs
     * collide iff all RowsPerBand minhashes of some band agree. The join is
@@ -213,8 +321,11 @@ object Dedup {
     // At cluster scale this would be an explicit staged table or
     // MEMORY_AND_DISK persist — same idea, longer-lived.
     val sh = shingled(documents).localCheckpoint()
-    val pairs = lshCandidatePairs(signaturesFromShingled(sh), maxBucketSize)
-    verifyPairs(pairs, sh, threshold)
+    // assemble the signature-table shape and share the duplicate-collapsed
+    // pair generator with the from-table form (one implementation, one
+    // oracle for both)
+    nearDuplicatePairsFromTable(
+      signaturesFromShingled(sh).join(sh, Seq("doc_id")), threshold, maxBucketSize)
   }
 
   /** Incremental near-dup: dedup an INCOMING shard against the existing
@@ -623,6 +734,60 @@ object Dedup {
         HashFunctions.hamming(col("a.simhash"), col("b.simhash")).as("dist"))
     inter.unionByName(intra)
   }
+
+  /** Exact-substring dedup, the token-window formulation (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * k-token window that occurs at least `minOccurrences` times ANYWHERE in
+    * the corpus (across documents or repeated inside one) marks its span,
+    * and overlapping marked spans per document merge into maximal
+    * (span_start, span_end) token ranges — the ranges a training-data
+    * pipeline cuts out of the text. Complements MinHash (whole-document
+    * near-dup): this catches shared boilerplate/quotation RUNS inside
+    * otherwise-distinct documents.
+    *
+    * Scale shape (the published approach uses a single-machine suffix
+    * array — inherently not distributable; the window formulation is):
+    * one pass computes per-row window fingerprints
+    * ([[graft.functions.NgramFingerprints]] — 128-bit, so the shuffle
+    * carries 16 bytes per window, never the k-token text), one
+    * hash-aggregate counts occurrences (map-side combine absorbs
+    * intra-partition repeats), a semi-join keeps duplicated windows, and
+    * the interval merge is a per-document sort — partitions bounded by
+    * document length, never by corpus size. Everything is linear in total
+    * tokens; there is no pairwise term at all (unlike LSH there is not
+    * even a candidate join — counting, not pairing).
+    */
+  def duplicatedNgramSpans(
+      documents: DataFrame, k: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    import graft.functions.NgramExpressions.ngramFingerprints
+    import org.apache.spark.sql.expressions.Window
+    // raw single-space tokenization: substring dedup must see the text the
+    // pipeline would actually cut, not a normalized shadow of it
+    val grams = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"),
+        posexplode(ngramFingerprints(split(col("text"), " "), k)).as(Seq("start", "h")))
+      .select(col("doc_id"), col("start"), col("h.h1").as("h1"), col("h.h2").as("h2"))
+    val dupKeys = grams
+      .groupBy("h1", "h2")
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOccurrences)
+      .select("h1", "h2")
+    val spans = grams
+      .join(dupKeys, Seq("h1", "h2"), "left_semi")
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        (col("start") + k).cast("long").as("end"))
+    // classic interval merge as two window passes over one per-doc sort:
+    // a span opens an island iff it starts past everything seen before it
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    val prevMax = max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("opens", when(prevMax.isNull || col("start") > prevMax, 1).otherwise(0))
+      .withColumn("island", sum("opens").over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("start").as("span_start"), max("end").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
 }
 
 /** Session-persisted per-corpus signature table — the production shape
@@ -648,14 +813,19 @@ object SignatureStore {
     p
   }
 
-  /** The (doc_id, sh, mh0..mh15) table for a source directory's documents,
-    * built+persisted on first call, read back from parquet afterwards.
-    * The explicit schema on read keeps an empty corpus working (an empty
-    * parquet write leaves no footer to infer from).
+  /** The (doc_id, sh, mh0..mh15, group_id, members) table for a source
+    * directory's documents, built+persisted on first call, read back from
+    * parquet afterwards. `group_id`/`members` are the identical-content
+    * group assignment ([[Dedup.withContentGroups]]) — paying that window
+    * once at ingest is what lets every downstream dedup consumer band
+    * DISTINCT content with zero per-query grouping work. The explicit
+    * schema on read keeps an empty corpus working (an empty parquet
+    * write leaves no footer to infer from).
     */
   def table(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val (path, schema) = built.computeIfAbsent(dir, d => {
-      val df = Dedup.shingleSignatureTable(graft.Tables.documents(spark, d))
+      val df = Dedup.withContentGroups(
+        Dedup.shingleSignatureTable(graft.Tables.documents(spark, d)))
       val out = root.resolve(
         java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString).toString

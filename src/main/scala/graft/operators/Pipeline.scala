@@ -82,8 +82,17 @@ object Pipeline {
       .localCheckpoint()
     val pairs = sigTable match {
       case Some(tbl) =>
-        val survivorSigs = tbl.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
-        Dedup.nearDuplicatePairsFromTable(survivorSigs, threshold)
+        // mine pairs on the FULL store (its ingest-time group_id/members
+        // columns stay valid — they describe the whole frame), then
+        // restrict both ENDPOINTS to survivors. Exact: a pair's verdict
+        // (jaccard of the two docs) does not depend on which other docs
+        // survived, so all-pairs ∩ survivors² == survivor pairs. This is
+        // also the production shape — the corpus pair set is mined once
+        // and every retention policy filters it, rather than re-mining
+        // per policy.
+        Dedup.nearDuplicatePairsFromTable(tbl, threshold)
+          .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
           .select(col("doc_a"), col("doc_b"))
       case None =>
         Dedup.nearDuplicatePairs(survivors, threshold)

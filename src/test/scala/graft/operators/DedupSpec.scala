@@ -194,4 +194,60 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(sigT === sigD)
   }
+
+  /** Brute-force twin of [[Dedup.duplicatedNgramSpans]]: literal k-gram
+    * strings, hash-map counting, linear interval merge.
+    */
+  private def bruteSpans(
+      rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] = {
+    val grams = rows.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      (0 to tk.length - k).map(i => (id, i.toLong, tk.slice(i, i + k).toSeq))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    grams.filter(g => dup(g._3))
+      .groupBy(_._1).toSeq
+      .flatMap { case (id, ss) =>
+        val sorted = ss.map(_._2).sorted
+        val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: rest, st) if st <= e => (s, math.max(e, st + k)) :: rest
+          case (acc, st)                       => (st, st + k) :: acc
+        }
+        merged.map { case (s, e) => (id, s, e, e - s) }
+      }.toSet
+  }
+
+  test("substring dedup marks exactly the brute-force duplicated-window spans") {
+    val shared = "the quick brown fox jumps over the lazy dog today"     // 10 tokens
+    val d = docs(
+      1L -> s"intro words here $shared trailing tail bits",
+      2L -> s"$shared completely different ending text follows now",
+      3L -> "nothing in this document repeats anywhere at all clearly",
+      // intra-doc repeat: the same 8-token run twice inside ONE doc
+      4L -> s"pad $shared mid filler pad2 $shared closing")
+    val got = Dedup.duplicatedNgramSpans(d, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = bruteSpans(
+      Seq(1L -> s"intro words here $shared trailing tail bits",
+        2L -> s"$shared completely different ending text follows now",
+        3L -> "nothing in this document repeats anywhere at all clearly",
+        4L -> s"pad $shared mid filler pad2 $shared closing"), 8)
+    assert(got === want)
+    // sanity on the shape itself: doc 3 untouched; docs 1/2/4 each carry
+    // MERGED maximal spans (the 10-token shared run = 3 overlapping
+    // 8-windows -> ONE span of >= 10 tokens), never per-window fragments
+    assert(!got.exists(_._1 == 3L))
+    assert(got.count(_._1 == 1L) === 1 && got.count(_._1 == 4L) === 2)
+    assert(got.filter(_._1 == 1L).head._4 >= 10)
+  }
+
+  test("substring dedup == brute force on the sf0.001 corpus") {
+    val documents = graft.Tables.documents(spark, sf("sf0.001"))
+    val rows = documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = Dedup.duplicatedNgramSpans(documents, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === bruteSpans(rows, 8))
+    assert(got.nonEmpty) // the sf corpora plant near-dups: spans must exist
+  }
 }
