@@ -374,7 +374,8 @@ object SparkEntry {
       Similarity.annRecallReport(requireOracleDim(Tables.embeddings(s, dir)))),
     // --- multimodal binary-column plumbing ---
     "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(Tables.documents(s, dir))),
-    // Decode features come from the clearly-marked stub codec: rows-only.
+    // Undecodable payloads surface as NULL features + decodable=false —
+    // closed-form for the oracle (testdata payloads are all `fake/*`).
     "mm_features" -> ((s, dir) => Multimodal.featuresOf(s, Tables.documents(s, dir))),
     // The deterministically-decodable half of the multimodal surface,
     // full-oracle: real MP4/AVI/BMP containers built per doc id, decoded by
@@ -2571,6 +2572,20 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5, 'fake/' || source AS format
+        |FROM documents""".stripMargin,
+    // The testdata's payloads all carry `fake/*` formats, which no shipped
+    // codec decodes — so every row is honestly marked undecodable: NULL
+    // features + decodable=false, all predictable in closed form (the
+    // container metadata — byte length, format — stays real).
+    "mm_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  'fake/' || source AS format, FALSE AS decodable,
+        |  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+        |  CAST(NULL AS INTEGER) AS n_frames,
+        |  CAST(NULL AS INTEGER) AS sample_rate,
+        |  CAST(NULL AS INTEGER) AS channels,
+        |  CAST(NULL AS BIGINT) AS duration_ms,
+        |  CAST(NULL AS DOUBLE) AS luma_mean
         |FROM documents""".stripMargin,
     // Closed-form replay of the real-container round-trip: the engine
     // builds MP4/AVI/BMP payloads whose every header field is a fixed

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * undecodable audio gets the same explicit marker. VIDEO decodes container
   * headers (MP4/AVI) AND first-frame PIXELS for MJPEG-in-AVI — the movi
   * chunks of an MJPEG AVI are plain JPEGs, fed through the same imageio
-  * path as images. Only INTER-FRAME codecs (H.264 etc.) remain stubbed
-  * with deterministic fake features ([[fakeDecode]], clearly marked) —
-  * the one decode this container genuinely cannot run without ffmpeg.
+  * path as images. Only INTER-FRAME codecs (H.264 etc.) remain
+  * undecodable — the one decode this container genuinely cannot run
+  * without ffmpeg — and those rows surface as NULL features with
+  * `decodable = false` ([[featuresOf]]), never as synthetic values.
   * The surrounding plumbing — the binary schema, the typed
   * `Dataset` row shape, partition-wise batching via `mapPartitions`, and
   * the metadata projections — is shared by all paths: dropping in a video
@@ -62,25 +63,6 @@ object Multimodal {
       col("doc_id"),
       encode(col("text"), "UTF-8").as("content"),
       concat(lit("fake/"), col("source")).as("format"))
-
-  /** STUB decode for unknown payloads (the testdata's `fake/` stand-ins):
-    * deterministic fake "dimensions" from the payload bytes. Video
-    * container HEADERS and MJPEG-in-AVI frame pixels are decoded for real
-    * ([[decodeVideo]], [[mjpegFirstFrame]]); the remaining genuine seam is
-    * inter-frame codecs (H.264 etc.), whose decoder (ffmpeg) would be
-    * called per partition, so per-executor native resources are
-    * initialized once per batch, not once per row.
-    */
-  private def fakeDecode(m: MediaFile): MediaFeatures = {
-    val n = m.content.length
-    val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xFF))
-    MediaFeatures(
-      m.doc_id, n, m.format,
-      width = (sum % 640).toInt + 1,
-      height = (sum % 480).toInt + 1,
-      n_frames = n % 30 + 1,
-      sample_rate = 0, channels = 0)
-  }
 
   /** THE image-format dispatch + decode, shared by [[decode]] and
     * [[resizeImages]] so both paths always agree on which rows are images:
@@ -289,7 +271,7 @@ object Multimodal {
     * the image modality uses — no external codec. None when there is no
     * movi list, no video chunk, or the chunk bytes are not a decodable
     * JPEG (i.e. an inter-frame codec — the one seam that genuinely needs
-    * ffmpeg; see [[fakeDecode]]).
+    * ffmpeg; those rows decode to the container-header features only).
     */
   private[operators] def mjpegFirstFrame(b: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
@@ -326,18 +308,21 @@ object Multimodal {
 
   /** Per-row dispatch: `image/` formats → real [[decodeImage]], `audio/`
     * formats → real [[decodeAudio]], `video/` formats → real container-
-    * header [[decodeVideo]] (MP4/AVI; undecodable bytes → explicit
-    * all-zero marker, distinguishable from every real decode, which has
-    * some field >= 1); everything else — the testdata's `fake/` stand-ins
-    * and unknown formats — → [[fakeDecode]] stub.
+    * header [[decodeVideo]] (MP4/AVI). Undecodable bytes AND formats no
+    * shipped codec handles — the testdata's `fake/` stand-ins, inter-frame
+    * video codecs, unknown formats — all get the explicit all-zero marker,
+    * distinguishable from every real decode (which has some field >= 1).
+    * No synthetic feature values anywhere: a row either decoded for real
+    * or is marked undecodable ([[featuresOf]] surfaces the marker as NULL
+    * features + `decodable = false`).
     */
   private def decodeOne(m: MediaFile): MediaFeatures = {
     def marker = MediaFeatures(m.doc_id, m.content.length, m.format, 0, 0, 0, 0, 0)
-    if (m.format == null) fakeDecode(m)
+    if (m.format == null) marker
     else if (m.format.startsWith("image/")) decodeImage(m).getOrElse(marker)
     else if (m.format.startsWith("audio/")) decodeAudio(m).getOrElse(marker)
     else if (m.format.startsWith("video/")) decodeVideo(m).getOrElse(marker)
-    else fakeDecode(m)
+    else marker
   }
 
   /** Disable ImageIO's disk-backed stream cache for this JVM: with the
@@ -412,10 +397,31 @@ object Multimodal {
       md5(col("content")).as("content_md5"),
       col("format"))
 
-  /** End-to-end typed pipeline: attach → decode (stub) → features DF. */
+  /** End-to-end typed pipeline: attach → decode → features DF, with the
+    * undecodable marker surfaced HONESTLY: a `decodable` boolean plus NULL
+    * feature columns for rows no shipped codec can decode (the container
+    * metadata — doc_id, byte length, declared format — stays real). NULLs
+    * instead of deterministic fakes keep every column oracle-checkable:
+    * the testdata's `fake/`-prefixed payloads are all undecodable here,
+    * so the oracle predicts `decodable = false` + NULLs in closed form,
+    * and no synthetic number ever masquerades as a decoded pixel.
+    */
   def featuresOf(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    decodeStub(attachPayload(documents).as[MediaFile]).toDF()
+    val raw = decode(attachPayload(documents).as[MediaFile]).toDF()
+    // the all-zero marker is the undecodable signal (every real decode has
+    // some field >= 1 — see MediaFeatures scaladoc)
+    val dec = col("width") > 0 || col("height") > 0 || col("n_frames") > 0 ||
+      col("sample_rate") > 0 || col("channels") > 0 || col("duration_ms") > 0
+    raw.select(
+      col("doc_id"), col("n_bytes"), col("format"), dec.as("decodable"),
+      when(dec, col("width")).as("width"),
+      when(dec, col("height")).as("height"),
+      when(dec, col("n_frames")).as("n_frames"),
+      when(dec, col("sample_rate")).as("sample_rate"),
+      when(dec, col("channels")).as("channels"),
+      when(dec, col("duration_ms")).as("duration_ms"),
+      when(dec, col("luma_mean")).as("luma_mean"))
   }
 
   // ---- deterministic real-container round-trip (oracle-checkable) -----

@@ -19,8 +19,31 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.keySet === Set(1L, 2L))
     assert(f1(1L).getInt(1) === 11) // n_bytes = utf8 length
     assert(f1(2L).getInt(1) === 3)
-    // deterministic across runs (stub decode is a pure function of bytes)
+    // deterministic across runs
     f1.foreach { case (k, r) => assert(r === f2(k)) }
+  }
+
+  test("undecodable payloads surface as NULL features + decodable=false, never fakes") {
+    val rows = Multimodal.featuresOf(spark, docs()).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      // container metadata stays real
+      assert(r.getInt(1) > 0, "n_bytes")
+      assert(r.getString(2).startsWith("fake/"), "format")
+      // no shipped codec decodes fake/* payloads: honest NULLs
+      assert(!r.getBoolean(3), "decodable")
+      (4 to 10).foreach(i => assert(r.isNullAt(i), s"feature col $i must be NULL"))
+    }
+  }
+
+  test("real decodes keep their feature values; only markers become NULL") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaFile(7L, Multimodal.solidBmp(5, 4, 10, 20, 30), "image/bmp"),
+      Multimodal.MediaFile(8L, Array[Byte](1, 2), "fake/srcA")).toDS()
+    val got = Multimodal.decode(media).collect().map(f => f.doc_id -> f).toMap
+    assert((got(7L).width, got(7L).height, got(7L).n_frames) === ((5, 4, 1)))
+    assert((got(8L).width, got(8L).height, got(8L).n_frames) === ((0, 0, 0)))
   }
 
   test("deterministic container round-trip matches its closed form per modality") {
@@ -78,8 +101,8 @@ class MultimodalSpec extends SparkSpec {
     assert((got(2L).width, got(2L).height, got(2L).n_frames) === ((33, 21, 1)))
     // undecodable image bytes -> explicit (0,0,0) marker, not a silent fake
     assert((got(3L).width, got(3L).height, got(3L).n_frames) === ((0, 0, 0)))
-    // non-image payloads still take the deterministic stub path (dims >= 1)
-    assert(got(4L).width >= 1 && got(4L).height >= 1)
+    // formats no shipped codec handles get the same marker — no fake dims
+    assert((got(4L).width, got(4L).height, got(4L).n_frames) === ((0, 0, 0)))
   }
 
   test("real audio decode: synthesized WAV yields true rate/channels/frames") {
