@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * through the JDK's built-in
   * `javax.imageio` codecs (PNG, JPEG, BMP, GIF, TIFF — zero external
   * dependencies), yielding true pixel dimensions; undecodable image bytes
-  * surface as an explicit all-zero marker row, never a silent fake.
+  * surface as an explicit `decoded = false` marker row, never a silent
+  * fake.
   * AUDIO DECODE IS REAL TOO: `audio/`-prefixed payloads go through the JDK's
   * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU headers, zero external
   * dependencies), yielding true sample rate / channel count / frame count;
@@ -42,17 +43,20 @@ object Multimodal {
     * not apply: images fill (width, height, n_frames=1) with zero
     * sample_rate/channels; audio fills (sample_rate, channels, n_frames,
     * duration_ms) with zero width/height; video container headers fill
-    * (width, height, n_frames, duration_ms); the all-zero row is the
-    * explicit undecodable marker (every successful decode has at least one
-    * field >= 1). `luma_mean` is the mean BT.601 luminance of the decoded
-    * PIXELS — real for images and for MJPEG-in-AVI first frames, 0 where
-    * no pixel decode exists (audio, header-only video codecs).
+    * (width, height, n_frames, duration_ms). `decoded` is the EXPLICIT
+    * success flag carried out of the decoder itself — not inferred from
+    * the feature values, because a real container parse can legitimately
+    * yield all-zero fields (an AVI whose avih header is zeroed but whose
+    * first frame still decodes, an MP4 with a moov but no mvhd/tkhd).
+    * `luma_mean` is the mean BT.601 luminance of the decoded PIXELS —
+    * real for images and for MJPEG-in-AVI first frames, 0 where no pixel
+    * decode exists (audio, header-only video codecs).
     */
   case class MediaFeatures(
       doc_id: Long, n_bytes: Int, format: String,
       width: Int, height: Int, n_frames: Int,
       sample_rate: Int, channels: Int, duration_ms: Long = 0L,
-      luma_mean: Double = 0.0)
+      luma_mean: Double = 0.0, decoded: Boolean = false)
 
   /** Stand-in payload builder: encodes the documents' text as UTF-8 bytes
     * in a `binary` column (in production this column arrives already binary
@@ -105,7 +109,7 @@ object Multimodal {
     readImage(m).map { img =>
       MediaFeatures(m.doc_id, m.content.length, m.format,
         img.getWidth, img.getHeight, 1, sample_rate = 0, channels = 0,
-        luma_mean = lumaMeanOf(img))
+        luma_mean = lumaMeanOf(img), decoded = true)
     }
 
   /** REAL audio decode via the JDK's `javax.sound.sampled.AudioSystem`
@@ -126,7 +130,8 @@ object Multimodal {
         Some(MediaFeatures(m.doc_id, m.content.length, m.format,
           width = 0, height = 0, n_frames = frames,
           sample_rate = rate, channels = fmt.getChannels,
-          duration_ms = if (rate > 0) frames.toLong * 1000L / rate else 0L))
+          duration_ms = if (rate > 0) frames.toLong * 1000L / rate else 0L,
+          decoded = true))
       } finally ais.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
@@ -254,9 +259,10 @@ object Multimodal {
         val (w, h) = (le32(b, ap + 32), le32(b, ap + 36))
         // don't trust hostile avih fields: a frame count or frame period
         // ≥ 2³¹ (or a duration product past Long) would surface as
-        // NEGATIVE n_frames/duration_ms instead of the documented all-zero
-        // undecodable marker every other decoder path guarantees. le32
-        // returns the unsigned value in a Long, so the checks are exact.
+        // NEGATIVE n_frames/duration_ms instead of the documented
+        // `decoded = false` marker every other decoder path guarantees.
+        // le32 returns the unsigned value in a Long, so the checks are
+        // exact.
         val insane = frames > Int.MaxValue || w > Int.MaxValue || h > Int.MaxValue ||
           usPerFrame > Long.MaxValue / math.max(frames, 1L)
         if (insane) None
@@ -297,12 +303,13 @@ object Multimodal {
       parseMp4(m.content).map { case (w, h, durMs) =>
         MediaFeatures(m.doc_id, m.content.length, m.format,
           width = w, height = h, n_frames = 0,
-          sample_rate = 0, channels = 0, duration_ms = durMs)
+          sample_rate = 0, channels = 0, duration_ms = durMs, decoded = true)
       }.orElse(parseAvi(m.content).map { case (w, h, frames, durMs) =>
         MediaFeatures(m.doc_id, m.content.length, m.format,
           width = w, height = h, n_frames = frames,
           sample_rate = 0, channels = 0, duration_ms = durMs,
-          luma_mean = mjpegFirstFrame(m.content).map(lumaMeanOf).getOrElse(0.0))
+          luma_mean = mjpegFirstFrame(m.content).map(lumaMeanOf).getOrElse(0.0),
+          decoded = true)
       })
     } catch { case _: IndexOutOfBoundsException => None }
 
@@ -310,10 +317,11 @@ object Multimodal {
     * formats → real [[decodeAudio]], `video/` formats → real container-
     * header [[decodeVideo]] (MP4/AVI). Undecodable bytes AND formats no
     * shipped codec handles — the testdata's `fake/` stand-ins, inter-frame
-    * video codecs, unknown formats — all get the explicit all-zero marker,
-    * distinguishable from every real decode (which has some field >= 1).
-    * No synthetic feature values anywhere: a row either decoded for real
-    * or is marked undecodable ([[featuresOf]] surfaces the marker as NULL
+    * video codecs, unknown formats — all get `decoded = false`, the
+    * explicit flag the decoder itself sets (never inferred from feature
+    * values, which a real parse can legitimately leave all-zero). No
+    * synthetic feature values anywhere: a row either decoded for real or
+    * is marked undecodable ([[featuresOf]] surfaces the flag as NULL
     * features + `decodable = false`).
     */
   private def decodeOne(m: MediaFile): MediaFeatures = {
@@ -409,10 +417,9 @@ object Multimodal {
   def featuresOf(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     val raw = decode(attachPayload(documents).as[MediaFile]).toDF()
-    // the all-zero marker is the undecodable signal (every real decode has
-    // some field >= 1 — see MediaFeatures scaladoc)
-    val dec = col("width") > 0 || col("height") > 0 || col("n_frames") > 0 ||
-      col("sample_rate") > 0 || col("channels") > 0 || col("duration_ms") > 0
+    // the decoder's own success flag — NOT inferred from feature values,
+    // which a real container parse can legitimately leave all-zero
+    val dec = col("decoded")
     raw.select(
       col("doc_id"), col("n_bytes"), col("format"), dec.as("decodable"),
       when(dec, col("width")).as("width"),
@@ -518,9 +525,11 @@ object Multimodal {
     * path ([[decode]] → moov/RIFF walkers, ImageIO pixel decode), and emit
     * the extracted features. Every output value is a closed-form function
     * of doc_id that the DuckDB oracle replays exactly — so the container
-    * parsers and the pixel-stats rail are hash-checked end to end, and
-    * only the inter-frame-codec stub columns of `mm_features` remain
-    * rows-only.
+    * parsers and the pixel-stats rail are hash-checked end to end. (The
+    * `mm_features` query over the testdata's undecodable `fake/*` payloads
+    * is ALSO fully oracle-checked since its features became honest NULLs
+    * with `decodable = false` — between the two, nothing multimodal is
+    * rows-only.)
     *
     * Scale shape: identical to [[featuresOf]] — a narrow map over the
     * scan (payload build + decode per row, no shuffle at all).
