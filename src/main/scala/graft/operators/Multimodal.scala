@@ -416,7 +416,14 @@ object Multimodal {
     */
   def featuresOf(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    val raw = decode(attachPayload(documents).as[MediaFile]).toDF()
+    featuresOfMedia(decode(attachPayload(documents).as[MediaFile]))
+  }
+
+  /** The decode→honest-features projection over an already-attached media
+    * dataset — the half of [[featuresOf]] that is payload-source-agnostic.
+    */
+  def featuresOfMedia(decoded: Dataset[MediaFeatures]): DataFrame = {
+    val raw = decoded.toDF()
     // the decoder's own success flag — NOT inferred from feature values,
     // which a real container parse can legitimately leave all-zero
     val dec = col("decoded")
@@ -526,7 +533,7 @@ object Multimodal {
     * the extracted features. Every output value is a closed-form function
     * of doc_id that the DuckDB oracle replays exactly — so the container
     * parsers and the pixel-stats rail are hash-checked end to end. (The
-    * `mm_features` query over the testdata's undecodable `fake/*` payloads
+    * `mm_features` query over the testdata's undecodable `fake`-format payloads
     * is ALSO fully oracle-checked since its features became honest NULLs
     * with `decodable = false` — between the two, nothing multimodal is
     * rows-only.)

@@ -19,33 +19,50 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw schema of the events parquet — `ts` is INT64 TIMESTAMP(NANOS),
-    * surfaced as long nanos (see [[graft.Tables.events]]).
+  /** Raw schema of the events parquet, parameterized on the file's actual
+    * `ts` layout (see [[graft.Tables.events]] — the driver has generated
+    * both INT64 TIMESTAMP(NANOS), surfaced as long nanos, and
+    * TIMESTAMP(MICROS) NTZ across rounds).
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType = LongType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Un-watermarked streaming source over the events parquet with the
-    * nanos→micros conversion applied — callers that rename `ts` (e.g. the
+  /** Un-watermarked streaming source over the events parquet with `ts`
+    * normalized to TIMESTAMP_LTZ — callers that rename `ts` (e.g. the
     * two sides of a stream-stream join) watermark AFTER renaming, since a
     * watermark attaches to a specific column. (The nanosAsLong conf is set
     * statically in [[graft.Sessions.local]]; the set here is an idempotent
     * safety net — see [[graft.Tables.events]].)
+    *
+    * A streaming source needs its schema declared up front, so the file's
+    * `ts` layout is sniffed with one batch footer read; the per-layout
+    * conversion then mirrors the batch reader exactly (shared oracle).
     */
   def rawSource(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType =
+      try spark.read
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .schema("ts").dataType
+      catch { // no file to sniff (empty dir): any declared layout yields
+        case _: org.apache.spark.sql.AnalysisException => LongType
+      } // the same (empty) stream, so default to the legacy long-nanos one
+    val src = spark.readStream
+      .schema(rawSchema(tsType))
       // the file stream source wants a directory; events.parquet is a
       // single file, so stream the table dir filtered down to it
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => src
+      case _ => src.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** [[rawSource]] watermarked on event time. */

@@ -99,9 +99,12 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.decode(media).collect().map(f => f.doc_id -> f).toMap
     assert((got(1L).width, got(1L).height, got(1L).n_frames) === ((17, 9, 1)))
     assert((got(2L).width, got(2L).height, got(2L).n_frames) === ((33, 21, 1)))
-    // undecodable image bytes -> explicit (0,0,0) marker, not a silent fake
+    assert(got(1L).decoded && got(2L).decoded)
+    // undecodable image bytes -> explicit decoded=false marker, not a fake
+    assert(!got(3L).decoded)
     assert((got(3L).width, got(3L).height, got(3L).n_frames) === ((0, 0, 0)))
     // formats no shipped codec handles get the same marker — no fake dims
+    assert(!got(4L).decoded)
     assert((got(4L).width, got(4L).height, got(4L).n_frames) === ((0, 0, 0)))
   }
 
@@ -127,7 +130,9 @@ class MultimodalSpec extends SparkSpec {
     assert((got(1L).sample_rate, got(1L).channels, got(1L).n_frames) === ((8000, 1, 800)))
     assert((got(2L).sample_rate, got(2L).channels, got(2L).n_frames) === ((44100, 2, 441)))
     assert((got(1L).width, got(1L).height) === ((0, 0))) // audio has no pixel dims
-    // undecodable audio bytes -> explicit all-zero marker, like images
+    assert(got(1L).decoded && got(2L).decoded)
+    // undecodable audio bytes -> explicit decoded=false marker, like images
+    assert(!got(3L).decoded)
     assert((got(3L).sample_rate, got(3L).channels, got(3L).n_frames) === ((0, 0, 0)))
   }
 
@@ -166,9 +171,43 @@ class MultimodalSpec extends SparkSpec {
     // AVI: avih dims, 90 frames at 33333 us/frame = 2999 ms
     assert((got(2L).width, got(2L).height, got(2L).n_frames, got(2L).duration_ms) ===
       ((320, 240, 90, 2999L)))
-    // undecodable video bytes -> explicit all-zero marker, like images/audio
+    assert(got(1L).decoded && got(2L).decoded)
+    // undecodable video bytes -> explicit decoded=false marker, like
+    // images/audio
+    assert(!got(3L).decoded)
     assert((got(3L).width, got(3L).height, got(3L).n_frames, got(3L).duration_ms) ===
       ((0, 0, 0, 0L)))
+  }
+
+  test("a real parse with all-zero header fields still reports decoded=true") {
+    import spark.implicits._
+    def le32(v: Long): Array[Byte] = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // the motivating case for the explicit flag: a VALID AVI whose avih
+    // fields are ALL ZERO — inferring decodability from feature values
+    // would misreport this as undecodable
+    val avih = cc("avih") ++ le32(40) ++ Array.fill[Byte](40)(0)
+    val hdrl = cc("LIST") ++ le32(4L + avih.length) ++ cc("hdrl") ++ avih
+    val avi = cc("RIFF") ++ le32(4L + hdrl.length) ++ cc("AVI ") ++ hdrl
+    val media = Seq(
+      Multimodal.MediaFile(1L, avi, "video/x-msvideo"),
+      Multimodal.MediaFile(2L, Array[Byte](1, 2, 3), "video/x-msvideo")).toDS()
+    val decoded = Multimodal.decode(media)
+    val got = decoded.collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L).decoded, "zeroed avih is still a successful parse")
+    assert((got(1L).width, got(1L).height, got(1L).n_frames, got(1L).duration_ms) ===
+      ((0, 0, 0, 0L)))
+    assert(!got(2L).decoded)
+    // and through the features projection: decodable=true keeps the (zero)
+    // fields while decodable=false rows get NULLs — same zero values,
+    // distinguished only by the decoder's own flag
+    val feats = Multimodal.featuresOfMedia(decoded).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getBoolean(3), "decodable must follow the flag")
+    assert(feats(1L).getInt(4) === 0)
+    assert(!feats(2L).getBoolean(3))
+    (4 to 10).foreach(i => assert(feats(2L).isNullAt(i)))
   }
 
   test("MJPEG-in-AVI first-frame pixels decode for real (exact luma round-trip)") {
