@@ -79,7 +79,11 @@ object PlanDump {
     "q_mm_decoded" ->
       "deterministic container round-trip: payload build + production decode as a narrow typed map over the scan — zero Exchange, binary bytes never shuffle",
     "q_ann_recall" ->
-      "three bounded intersect-aggregates unioned over the brute-force frame; each ANN side is its own bucketed pipeline — the only BNLJ nodes are the 1-row n_possible scalar broadcasts (the documented crossJoin(broadcast) idiom), never a corpus-scale cross join")
+      "three bounded intersect-aggregates unioned over the brute-force frame; each ANN side is its own bucketed pipeline — the only BNLJ nodes are the 1-row n_possible scalar broadcasts (the documented crossJoin(broadcast) idiom), never a corpus-scale cross join",
+    "q_dedup_substring" ->
+      "linear token-window counting (no pairwise term at all): 128-bit window fingerprints, map-side-combined occurrence counts, a semi-join keeping duplicated windows, and the interval merge as a Window PARTITIONED by doc_id — bounded by document length, never corpus size",
+    "sketch_summary" ->
+      "one-pass sketch showcase: fused percentile-array aggregate alongside the HLL/CMS states in a single partial->final pair — no per-percentile re-aggregation, no Window/global Sort in the production (verify=false) path")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

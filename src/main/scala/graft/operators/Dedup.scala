@@ -268,6 +268,49 @@ object Dedup {
     banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
   }
 
+  /** Ops diagnostic: the document-weighted (band, key) bucket-load profile
+    * the MinHash-LSH skew guard evaluates — one row per occupied bucket
+    * with its summed member count (`bucket_n`, what the cap compares),
+    * its DISTINCT-content row count (`distinct_n`, what the band join
+    * actually self-joins), and whether the cap would drop it. In
+    * production this is the monitoring query a dedup pipeline runs per
+    * corpus snapshot to catch degenerate boilerplate before it costs a
+    * quadratic join; here it also evidences the guards ENGAGING on the
+    * skewed scale-up corpora (SCALING.md / [[graft.SkewReport]]).
+    */
+  def minhashBucketLoads(
+      documents: DataFrame, cap: Int = DefaultMaxBucketSize): DataFrame = {
+    val sh = shingled(documents).localCheckpoint()
+    val keyed = withContentGroups(signaturesFromShingled(sh).join(sh, Seq("doc_id")))
+    val reps = keyed.where(col("doc_id") === col("group_id"))
+    val sigC = (0 until NumHashes).map(i => col(s"mh$i"))
+    bandedKeys(
+      reps.select(col("group_id").as("doc_id") +: col("members") +: sigC: _*),
+      passThrough = Seq("members"))
+      .groupBy("band", "key")
+      .agg(sum("members").as("bucket_n"), count(lit(1)).as("distinct_n"))
+      .withColumn("oversized", col("bucket_n") > cap)
+  }
+
+  /** [[minhashBucketLoads]]' SimHash twin: byte-band buckets of the 32-bit
+    * signatures, weighted by signature-group size (the population the
+    * weighted cap in [[simhashNearDupPairs]] compares against).
+    */
+  def simhashBucketLoads(
+      documents: DataFrame, cap: Int = DefaultMaxBucketSize): DataFrame =
+    simhashSignatures(documents)
+      .groupBy("simhash").agg(count(lit(1)).as("members"))
+      .select(
+        col("members"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("members"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy("band", "key")
+      .agg(sum("members").as("bucket_n"), count(lit(1)).as("distinct_n"))
+      .withColumn("oversized", col("bucket_n") > cap)
+
   /** (doc_id, band, key) bucket rows of a signature frame — the LSH index
     * layout, shared by the self-join pair generator and the incremental
     * shard-vs-corpus probe. `passThrough` columns ride along unchanged

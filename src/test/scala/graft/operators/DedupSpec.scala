@@ -64,6 +64,28 @@ class DedupSpec extends SparkSpec {
     assert(!cappedSim.exists(p => p._1 >= 10L && p._2 >= 10L))
   }
 
+  test("bucket-load diagnostics flag exactly the buckets the caps would drop") {
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    // 30 identical boilerplate docs (one content group of members=30) + 2
+    // distinct normal docs; with cap 20 the boilerplate buckets must read
+    // oversized by the WEIGHTED count while holding ONE distinct row (the
+    // collapse), and the normal docs' buckets must not
+    val d = docs((10L until 40L).map(i => i -> boiler) ++
+      Seq(1L -> base, 2L -> ("totally different words here " * 6)): _*)
+    val mh = Dedup.minhashBucketLoads(d, cap = 20).collect()
+    val mhOver = mh.filter(_.getBoolean(4))
+    assert(mhOver.nonEmpty, "weighted cap must flag the boilerplate buckets")
+    assert(mhOver.forall(r => r.getLong(2) === 30L && r.getLong(3) === 1L),
+      "oversized buckets hold the 30-doc group collapsed to ONE banded row")
+    assert(mh.filter(!_.getBoolean(4)).forall(_.getLong(2) <= 20L))
+    val sh = Dedup.simhashBucketLoads(d, cap = 20).collect()
+    val shOver = sh.filter(_.getBoolean(4))
+    assert(shOver.nonEmpty && shOver.forall(r => r.getLong(2) >= 30L && r.getLong(3) >= 1L))
+    // an unskewed corpus reports nothing oversized at the default cap
+    assert(Dedup.minhashBucketLoads(docs(1L -> base)).where(col("oversized")).count() === 0)
+  }
+
   test("clustersFromPairs closes a transitive chain and labels by min doc_id") {
     import spark.implicits._
     // path 3–5–8: node 8's only neighbor is 5, so the min label 3 reaches 8
