@@ -18,10 +18,15 @@ object Sessions {
   def local(
       cores: Int = 4,
       shufflePartitions: Int = 32,
-      appName: String = "graft"): SparkSession = {
+      appName: String = "graft",
+      maxTaskFailures: Int = 1): SparkSession = {
     val spark = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      // local[c, f]: f = maxTaskFailures — retries on so the chaos parity
+      // run (ChaosRun) can exercise lineage-based task re-execution
+      .master(
+        if (maxTaskFailures > 1) s"local[$cores, $maxTaskFailures]"
+        else s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")

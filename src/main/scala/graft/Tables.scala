@@ -16,8 +16,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** All table reads funnel through here, so [[Chaos]]'s conf-gated
+    * fault-injection stage (off by default; [[ChaosRun]] only) covers
+    * every query without touching any operator.
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    Chaos.maybe(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

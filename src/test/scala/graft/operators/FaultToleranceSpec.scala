@@ -86,6 +86,32 @@ class FaultToleranceSpec extends SparkSpec {
     assert(ids === (1L to 100L), "exactly-once under retry")
     assert(!FaultToleranceSpec.streamFail.get, "the failure was never injected")
   }
+
+  test("conf-gated chaos stage at the table-scan seam is an identity (and engages)") {
+    import graft.{Chaos, Tables}
+    val dir = sf("sf0.001")
+    val clean = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // delay-only rates keep this deterministic under the test session's
+    // maxFailures=2 (crash-retry parity at scale is ChaosRun's job); the
+    // seam must inject — counter moves — and must not change any value
+    spark.conf.set(Chaos.EnabledKey, "true")
+    spark.conf.set(Chaos.CrashRateKey, "0.0")
+    spark.conf.set(Chaos.DelayRateKey, "1.0")
+    val before = Chaos.delays.get()
+    try {
+      val chaotic = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(chaotic === clean, "chaos stage must be a value-level identity")
+      assert(Chaos.delays.get() > before, "the chaos stage never engaged")
+    } finally {
+      spark.conf.set(Chaos.EnabledKey, "false")
+      spark.conf.unset(Chaos.CrashRateKey)
+      spark.conf.unset(Chaos.DelayRateKey)
+    }
+  }
 }
 
 /** Shared flag on the (local-mode) executor JVM: first task attempt fails. */
