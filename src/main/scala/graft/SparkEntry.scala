@@ -277,6 +277,9 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     // quality-weighted Bernoulli (keep prob ∝ token count, content-hash draw)
     "q_sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
+    // source-mixture schedule: equal token share per source, epochs for
+    // small sources, content-hash thinning for big ones
+    "q_mixture_schedule" -> ((s, dir) => Sampling.mixtureSchedule(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
     // The MinHash family reads the session-persisted SignatureStore (the
     // ingest-time artifact): signatures/shingles computed once per corpus,
@@ -2325,6 +2328,31 @@ object SparkEntry {
          |    ${h60(Sampling.WeightedSeed, "doc_id")} % ${Sampling.WeightCap} AS draw
          |  FROM documents) t
          |WHERE draw < least(weight, ${Sampling.WeightCap})""".stripMargin,
+    // Mixture schedule: all-integer epochs+fraction per source (uniform
+    // thousandth-shares, budget = corpus total), md5 Bernoulli on the
+    // fractional arm. Every constant interpolated from the operator.
+    "q_mixture_schedule" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
+         |  FROM t GROUP BY source),
+         |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_sources FROM s),
+         |r AS (SELECT source, src_tokens,
+         |    ((total_tokens * (${Sampling.MixShareScale} // n_sources))
+         |      // ${Sampling.MixShareScale}) AS want
+         |  FROM s, g)
+         |SELECT t.doc_id, t.source, t.n_toks,
+         |  (r.want // r.src_tokens) +
+         |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
+         |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
+         |    THEN 1 ELSE 0 END AS n_repeats
+         |FROM t JOIN r USING (source)
+         |WHERE (r.want // r.src_tokens) +
+         |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
+         |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
+         |    THEN 1 ELSE 0 END > 0""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH sh AS ($shCte)
          |SELECT doc_id,

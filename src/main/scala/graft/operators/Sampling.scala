@@ -81,4 +81,72 @@ object Sampling {
         size(split(trim(col("text")), "\\s+")).cast("long").as("weight"),
         (HashFunctions.md5Long(col("doc_id").cast("string"), seed) % cap).as("draw"))
       .where(col("draw") < least(col("weight"), lit(cap)))
+
+  /** Share resolution for [[mixtureSchedule]]: target shares are granted
+    * in THOUSANDTHS (0.1% steps). Coarser than the draw buckets on
+    * purpose: `budget × share` must stay inside int64, and thousandths
+    * keep that product exact up to ~9.2e15 budget tokens (≈ tens of PB of
+    * text) where millionth-shares would cap out three decades earlier.
+    */
+  val MixShareScale: Long = 1000L
+  val MixtureSeed: Int = 13
+
+  /** Deterministic source-mixture schedule — the data-mixing step a
+    * training pipeline runs before packing: given target token shares per
+    * source (thousandths; default = equal share per source) and a token
+    * budget (default = the corpus's own total, i.e. re-balance at
+    * constant size), emit per-document REPEAT COUNTS realizing the mix:
+    *
+    *   want_s   = (budget × share_s) div 1000          (target tokens)
+    *   epochs_s = want_s div tokens_s                  (full passes)
+    *   frac_s   = ((want_s mod tokens_s) × 1e6) div tokens_s
+    *   n_repeats(doc) = epochs_s + [md5₆₀(seed:doc_id) mod 1e6 < frac_s]
+    *
+    * Under-represented sources EPOCH (whole-corpus repeats — the
+    * standard up-sampling), over-represented ones thin by the same
+    * content-hash Bernoulli as [[weightedSample]]; both arms are one
+    * integer formula, reproducible across engines and partitionings.
+    * Mixed tokens per source land within one document of
+    * `budget × share_s` in expectation. A source absent from an explicit
+    * `shares` map gets share 0 and drops out of the schedule.
+    *
+    * Shape: one |sources|-row aggregate crossed with a 1-row total
+    * (broadcast both), then a scan-speed hash + filter — no corpus-scale
+    * shuffle, and emitting (doc, n_repeats) instead of materialized
+    * repeats keeps the output linear in the corpus. Int64 bounds: the
+    * per-source `(want mod tokens_s) × 1e6` term requires
+    * tokens_s ≤ 9.2e12 per source (≈ 37 TB of text); shard the schedule
+    * per source group beyond that.
+    */
+  def mixtureSchedule(documents: DataFrame,
+      shares: Map[String, Long] = Map.empty,
+      budgetTokens: Option[Long] = None,
+      seed: Int = MixtureSeed): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    val bySrc = toks.groupBy("source").agg(sum("n_toks").as("src_tokens"))
+    val totals = bySrc.agg(
+      sum("src_tokens").cast("long").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val shareCol: org.apache.spark.sql.Column =
+      if (shares.isEmpty) expr(s"$MixShareScale div n_sources")
+      else shares.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+        when(col("source") === s, lit(w)).otherwise(acc)
+      }
+    val rates = bySrc.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        budgetTokens.map(lit(_)).getOrElse(col("total_tokens")))
+      .withColumn("share", shareCol)
+      .withColumn("want", expr(s"(budget * share) div $MixShareScale"))
+      .withColumn("epochs", expr("want div src_tokens"))
+      .withColumn("frac", expr(s"((want % src_tokens) * $Buckets) div src_tokens"))
+      .select("source", "epochs", "frac")
+    toks.join(broadcast(rates), "source")
+      .withColumn("draw",
+        HashFunctions.md5Long(col("doc_id").cast("string"), seed) % Buckets)
+      .withColumn("n_repeats",
+        col("epochs") + when(col("draw") < col("frac"), 1L).otherwise(0L))
+      .where(col("n_repeats") > 0)
+      .select("doc_id", "source", "n_toks", "n_repeats")
+  }
 }

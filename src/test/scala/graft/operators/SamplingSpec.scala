@@ -55,4 +55,54 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.weightedSample(d.repartition(5)).collect().map(_.getLong(0)).toSet
     assert(kept === again)
   }
+
+  test("mixtureSchedule: small sources epoch, big ones thin, integral rates are exact") {
+    import spark.implicits._
+    // srcSmall: 10 docs x 5 tokens = 50; srcBig: 50 docs x 5 tokens = 250.
+    // budget 300, uniform shares (500 thousandths each) -> want 150 per
+    // source: srcSmall rate = 3.0 exactly (epochs 3, frac 0 -> every doc
+    // repeats exactly 3x, no randomness), srcBig rate = 0.6 (epochs 0,
+    // frac 600000 -> content-hash Bernoulli keep)
+    val five = "a b c d e"
+    val rows = (1L to 10L).map(i => (i, "srcSmall", five)) ++
+      (101L to 150L).map(i => (i, "srcBig", five))
+    val d = rows.toDF("doc_id", "source", "text")
+    val got = Sampling.mixtureSchedule(d, budgetTokens = Some(300L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    (1L to 10L).foreach(i => assert(got(i) === 3L, s"srcSmall doc $i"))
+    val bigKept = got.keys.count(_ > 100L)
+    // Binomial(50, 0.6): mean 30, sigma ~3.5 — 10..48 is a wide rail
+    assert(bigKept > 10 && bigKept < 49, s"srcBig kept $bigKept")
+    got.keys.filter(_ > 100L).foreach(i => assert(got(i) === 1L))
+    // content-keyed: identical under repartitioning
+    val again = Sampling.mixtureSchedule(d.repartition(7), budgetTokens = Some(300L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === again)
+  }
+
+  test("mixtureSchedule: explicit shares drop unlisted sources; default re-balances the corpus") {
+    import spark.implicits._
+    val five = "a b c d e"
+    val rows = (1L to 10L).map(i => (i, "srcA", five)) ++
+      (101L to 110L).map(i => (i, "srcB", five))
+    val d = rows.toDF("doc_id", "source", "text")
+    // all weight on srcA at double budget -> srcA epochs 2, srcB absent
+    val got = Sampling.mixtureSchedule(
+      d, shares = Map("srcA" -> 1000L), budgetTokens = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.keySet === (1L to 10L).toSet)
+    got.values.foreach(v => assert(v === 2L))
+    // default on the driver corpus: every source contributes, and the
+    // realized mixed token mass stays near the budget (= corpus total)
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val sched = Sampling.mixtureSchedule(docs)
+    val srcs = sched.select("source").distinct().count()
+    assert(srcs === docs.select("source").distinct().count())
+    val mixed = sched.selectExpr("sum(n_toks * n_repeats)").head().getLong(0)
+    val total = docs
+      .selectExpr("sum(cast(size(split(trim(text), '\\\\s+')) as long))")
+      .head().getLong(0)
+    // floor-division shortfall + Bernoulli noise stay within 20%
+    assert(mixed > total * 8 / 10 && mixed < total * 12 / 10, s"$mixed vs $total")
+  }
 }
