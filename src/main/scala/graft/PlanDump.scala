@@ -83,7 +83,9 @@ object PlanDump {
     "q_dedup_substring" ->
       "linear token-window counting (no pairwise term at all): 128-bit window fingerprints, map-side-combined occurrence counts, a semi-join keeping duplicated windows, and the interval merge as a Window PARTITIONED by doc_id — bounded by document length, never corpus size",
     "sketch_summary" ->
-      "one-pass sketch showcase: fused percentile-array aggregate alongside the HLL/CMS states in a single partial->final pair — no per-percentile re-aggregation, no Window/global Sort in the production (verify=false) path")
+      "one-pass sketch showcase: fused percentile-array aggregate alongside the HLL/CMS states in a single partial->final pair — no per-percentile re-aggregation, no Window/global Sort in the production (verify=false) path",
+    "q_mixture_schedule" ->
+      "source-mixture schedule: |sources|-row rate frame (epochs+fraction) built from two tiny aggregates, broadcast onto the token scan — per-doc repeat counts at scan speed, no corpus-scale shuffle anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

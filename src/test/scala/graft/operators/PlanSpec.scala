@@ -93,6 +93,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("mixture schedule: rate frame broadcasts onto the scan; corpus never shuffle-joins") {
+    val p = plan("q_mixture_schedule")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("metadata-only multimodal projection does not shuffle") {
     val p = plan("q_multimodal_meta")
     assert(!p.contains("Exchange"), p)
