@@ -280,6 +280,10 @@ object SparkEntry {
     // source-mixture schedule: equal token share per source, epochs for
     // small sources, content-hash thinning for big ones
     "q_mixture_schedule" -> ((s, dir) => Sampling.mixtureSchedule(Tables.documents(s, dir))),
+    // mixture ∘ packing: stream offsets for the mixed corpus, repeats as
+    // counts (never materialized) through the two-level prefix sum
+    "q_mixture_packed" -> ((s, dir) =>
+      Packing.scheduleOffsets(Sampling.mixtureSchedule(Tables.documents(s, dir)))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
     // The MinHash family reads the session-persisted SignatureStore (the
     // ingest-time artifact): signatures/shingles computed once per corpus,
@@ -463,6 +467,32 @@ object SparkEntry {
        |FROM (""".stripMargin + tokCte + "))"
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
+
+  /** The q_mixture_schedule oracle body — also the CTE the packed
+    * composition (`q_mixture_packed`) wraps, so the two can never drift.
+    */
+  private def mixtureScheduleSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
+       |  FROM t GROUP BY source),
+       |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_sources FROM s),
+       |r AS (SELECT source, src_tokens,
+       |    ((total_tokens * (${Sampling.MixShareScale} // n_sources))
+       |      // ${Sampling.MixShareScale}) AS want
+       |  FROM s, g)
+       |SELECT t.doc_id, t.source, t.n_toks,
+       |  (r.want // r.src_tokens) +
+       |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
+       |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
+       |    THEN 1 ELSE 0 END AS n_repeats
+       |FROM t JOIN r USING (source)
+       |WHERE (r.want // r.src_tokens) +
+       |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
+       |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
+       |    THEN 1 ELSE 0 END > 0""".stripMargin
 
   /** The k-round BPE training CTE chain (see `q_bpe_trained`): `w` =
     * weighted vocabulary, `s0` = per-word code-point pieces, then per
@@ -2331,28 +2361,17 @@ object SparkEntry {
     // Mixture schedule: all-integer epochs+fraction per source (uniform
     // thousandth-shares, budget = corpus total), md5 Bernoulli on the
     // fractional arm. Every constant interpolated from the operator.
-    "q_mixture_schedule" ->
-      s"""WITH t AS (SELECT doc_id, source,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
-         |  FROM documents),
-         |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
-         |  FROM t GROUP BY source),
-         |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
-         |    CAST(count(*) AS BIGINT) AS n_sources FROM s),
-         |r AS (SELECT source, src_tokens,
-         |    ((total_tokens * (${Sampling.MixShareScale} // n_sources))
-         |      // ${Sampling.MixShareScale}) AS want
-         |  FROM s, g)
-         |SELECT t.doc_id, t.source, t.n_toks,
-         |  (r.want // r.src_tokens) +
-         |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
-         |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
-         |    THEN 1 ELSE 0 END AS n_repeats
-         |FROM t JOIN r USING (source)
-         |WHERE (r.want // r.src_tokens) +
-         |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
-         |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
-         |    THEN 1 ELSE 0 END > 0""".stripMargin,
+    "q_mixture_schedule" -> mixtureScheduleSql,
+    // Mixture ∘ packing: exclusive prefix sum of n_toks×n_repeats in
+    // doc_id order over the schedule CTE (shared verbatim above).
+    "q_mixture_packed" ->
+      s"""WITH sched AS ($mixtureScheduleSql)
+         |SELECT doc_id,
+         |  CAST(n_toks * n_repeats AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(SUM(n_toks * n_repeats) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tok_start
+         |FROM sched""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH sh AS ($shCte)
          |SELECT doc_id,

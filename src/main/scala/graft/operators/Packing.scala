@@ -44,11 +44,17 @@ object Packing {
     * global token offset in doc_id concatenation order — the two-level
     * prefix sum described above.
     */
-  def docOffsets(documents: DataFrame, bucket: Long = OffsetBucket): DataFrame = {
-    val perDoc = graft.Parallelism.ensure(documents).select(
+  def docOffsets(documents: DataFrame, bucket: Long = OffsetBucket): DataFrame =
+    prefixOffsets(graft.Parallelism.ensure(documents).select(
       col("doc_id"),
       expr(s"doc_id div ${bucket}L").as("bkt"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")))
+
+  /** The two-level distributed prefix sum over a (doc_id, bkt, n_tok)
+    * frame — shared by the raw-corpus offsets and the mixture-schedule
+    * composition ([[scheduleOffsets]]).
+    */
+  private def prefixOffsets(perDoc: DataFrame): DataFrame = {
     val blockSums = perDoc.groupBy("bkt").agg(sum("n_tok").as("b_tok"))
     // exclusive cumsum over blocks: the ONLY global-ordered window, sized
     // |corpus| / bucket
@@ -67,6 +73,22 @@ object Packing {
       .select(col("doc_id"), col("n_tok"),
         (col("b_off") + col("i_off")).as("tok_start"))
   }
+
+  /** Packing offsets for a MIXED corpus — [[docOffsets]] composed with
+    * [[Sampling.mixtureSchedule]]: the mixed training stream concatenates
+    * documents in doc_id order with each document's `n_repeats` copies
+    * adjacent, so a document contributes `n_toks × n_repeats` consecutive
+    * tokens and its stream offset is the exclusive prefix sum of that
+    * product. The repeats NEVER materialize — the schedule stays linear in
+    * the corpus and the same two-level prefix sum assigns offsets, which
+    * is the whole point of scheduling repeats as counts rather than rows.
+    * Output: (doc_id, n_tok (mixed = n_toks×n_repeats), tok_start).
+    */
+  def scheduleOffsets(schedule: DataFrame, bucket: Long = OffsetBucket): DataFrame =
+    prefixOffsets(schedule.select(
+      col("doc_id"),
+      expr(s"doc_id div ${bucket}L").as("bkt"),
+      (col("n_toks") * col("n_repeats")).as("n_tok")))
 
   /** Per-document packed spans: which training examples (chunks) each
     * document's tokens land in. `n_tok >= 1` always (the whitespace

@@ -54,4 +54,23 @@ class PackingSpec extends SparkSpec {
       assert(first <= last)
     }
   }
+
+  test("mixture-schedule offsets equal the brute-force prefix sum of repeats x tokens") {
+    val sched = Sampling.mixtureSchedule(docs)
+    val got = Packing.scheduleOffsets(sched).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // brute-force expectation in one ordered pass on the driver
+    val expect = sched.collect()
+      .map(r => r.getLong(0) -> r.getLong(2) * r.getLong(3)).sortBy(_._1)
+    var off = 0L
+    expect.zip(got).foreach { case ((id, m), (gid, gm, gstart)) =>
+      assert(gid === id && gm === m)
+      assert(gstart === off, s"offset of doc $id")
+      off += m
+    }
+    // partition invariance of the two-level sum over the schedule
+    val again = Packing.scheduleOffsets(sched.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(again === got)
+  }
 }
