@@ -85,7 +85,9 @@ object PlanDump {
     "sketch_summary" ->
       "one-pass sketch showcase: fused percentile-array aggregate alongside the HLL/CMS states in a single partial->final pair — no per-percentile re-aggregation, no Window/global Sort in the production (verify=false) path",
     "q_mixture_schedule" ->
-      "source-mixture schedule: |sources|-row rate frame (epochs+fraction) built from two tiny aggregates, broadcast onto the token scan — per-doc repeat counts at scan speed, no corpus-scale shuffle anywhere")
+      "source-mixture schedule: |sources|-row rate frame (epochs+fraction) built from two tiny aggregates, broadcast onto the token scan — per-doc repeat counts at scan speed, no corpus-scale shuffle anywhere",
+    "q_mixture_packed" ->
+      "mixture-weighted packing offsets: repeats ride as counts through the two-level prefix sum — tiny block-level cumsum window, intra-block windows PARTITIONED by block, broadcast block offsets; no materialized repeats, no corpus-wide single-partition window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
