@@ -60,4 +60,25 @@ class ProgressListenerSpec extends SparkSpec {
     assert(graft.Sessions.clusterProfile("spark.speculation") === "true")
     assert(graft.Sessions.clusterProfile("spark.sql.adaptive.skewJoin.enabled") === "true")
   }
+
+  test("cluster profile's SQL confs apply to a live session without changing answers") {
+    // spark.speculation is a core (context-wide) conf a shared-JVM test
+    // cannot flip; every SQL-settable profile entry must both TAKE and
+    // leave query semantics untouched — the contract that makes the
+    // profile safe to apply wholesale on a real cluster
+    val base = graft.operators.WordCount.topK(
+      graft.operators.WordCount.counts(
+        graft.Tables.documents(spark, sf("sf0.001")).select("text"), "text"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val profiled = spark.newSession()
+    val sqlSettable = graft.Sessions.clusterProfile.filter(_._1.startsWith("spark.sql."))
+    assert(sqlSettable.nonEmpty)
+    sqlSettable.foreach { case (k, v) => profiled.conf.set(k, v) }
+    sqlSettable.foreach { case (k, v) => assert(profiled.conf.get(k) === v, k) }
+    val got = graft.operators.WordCount.topK(
+      graft.operators.WordCount.counts(
+        graft.Tables.documents(profiled, sf("sf0.001")).select("text"), "text"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === base, "profile confs must not change query answers")
+  }
 }
