@@ -311,6 +311,9 @@ object SparkEntry {
     "q_drift_report" -> ((s, dir) =>
       TextAnalysis.tokenDriftReport(Tables.documents(s, dir))),
     "q_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir))),
+    // Zipf/hapax frequency-of-frequencies corpus diagnostic
+    "q_token_spectrum" -> ((s, dir) =>
+      TextAnalysis.tokenFrequencySpectrum(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clustersFromPairs(
@@ -1700,6 +1703,14 @@ object SparkEntry {
         |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
         |FROM documents""".stripMargin,
+    // Frequency-of-frequencies: two group-bys over the exploded lowercase
+    // whitespace tokens; all-integer.
+    "q_token_spectrum" ->
+      """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok <> '' GROUP BY tok)
+        |SELECT tf, CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY tf""".stripMargin,
     "q_fingerprint" ->
       s"""WITH sh AS ($shCte)
          |SELECT d.doc_id,

@@ -95,6 +95,25 @@ object TextAnalysis {
       size(toks(col("text"))).as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(BpeishPattern), lit(0))).as("bpeish_tokens"))
 
+  /** Token frequency SPECTRUM (frequency-of-frequencies): for each corpus
+    * term frequency `tf`, how many distinct lowercase whitespace tokens
+    * occur exactly `tf` times — the Zipf/hapax-legomena diagnostic a
+    * corpus-curation pipeline watches per snapshot (a hapax surge flags
+    * OCR noise / boilerplate churn; a fat high-tf head flags template
+    * floods before dedup even runs).
+    *
+    * Shape: two map-side-combined hash-aggs — the shuffle carries
+    * (token, partial count) then (tf, partial count), never documents;
+    * output is at most the number of DISTINCT corpus frequencies
+    * (≤ O(√total_tokens), tiny at any scale).
+    */
+  def tokenFrequencySpectrum(documents: DataFrame): DataFrame =
+    graft.Parallelism.ensure(documents)
+      .select(explode(toks(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .groupBy("tf").agg(count(lit(1)).as("n_types"))
+
   /** Top-k TF-IDF terms per document over lowercase whitespace tokens.
     *
     * The idf is the LINEAR form `n_docs / (df + 1)`, not the log form:

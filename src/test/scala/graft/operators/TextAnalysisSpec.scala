@@ -10,6 +10,22 @@ class TextAnalysisSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("tokenFrequencySpectrum: exact frequency-of-frequencies on a known corpus") {
+    // corpus tokens: a×4, b×2, c×1, d×1 (case-folded, cross-document)
+    val d = docs(
+      1L -> "a A b c",
+      2L -> "a a B d",
+      3L -> "")
+    val got = TextAnalysis.tokenFrequencySpectrum(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(4L -> 1L, 2L -> 1L, 1L -> 2L)) // a@4; b@2; c,d hapax
+    // invariant: sum(tf * n_types) = total non-empty tokens
+    assert(got.map { case (tf, n) => tf * n }.sum === 8L)
+    val again = TextAnalysis.tokenFrequencySpectrum(d.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("tfIdfTopTerms ranks a distinctive term above ubiquitous ones") {
     // "the" appears in every doc (df=3 -> low idf); "zebra" only in doc 1
     val d = docs(
