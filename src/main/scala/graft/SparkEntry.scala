@@ -324,6 +324,10 @@ object SparkEntry {
     "q_pipeline_retained" -> ((s, dir) =>
       Pipeline.retainedCorpus(Tables.documents(s, dir),
         sigTable = Some(SignatureStore.table(s, dir)))),
+    // quality-ranked keeper per near-dup cluster (longest member, min-id tie)
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Pipeline.bestOfClusterKeepers(Tables.documents(s, dir),
+        Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir)))),
     // per-ingest-feed curation rollup (corpus-wide dup contamination)
     "q_source_stats" -> ((s, dir) => Pipeline.sourceCurationStats(Tables.documents(s, dir))),
     // --- similarity search over embeddings ---
@@ -2484,6 +2488,34 @@ object SparkEntry {
          |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, s.cluster_n
          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
+    // Keep-best retention: the clusters CTE (identical to q_dedup_clusters)
+    // plus the portable two-agg argmax — per-cluster max token count, then
+    // min doc_id among the members achieving it.
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS ($shCte),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |m AS (SELECT l.cluster_id, l.doc_id, q.n_toks
+         |  FROM labels l JOIN q USING (doc_id)),
+         |s AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |    max(n_toks) AS best_toks FROM m GROUP BY cluster_id)
+         |SELECT m.cluster_id, min(m.doc_id) AS keeper_id, s.best_toks, s.n_members
+         |FROM m JOIN s USING (cluster_id)
+         |WHERE m.n_toks = s.best_toks
+         |GROUP BY m.cluster_id, s.best_toks, s.n_members""".stripMargin,
     // The retention pipeline's oracle chains the same three stages: quality
     // filter, exact-dedup min-keeper, then the recursive-CTE connected
     // components over the SURVIVORS' pair graph, keeping representatives.

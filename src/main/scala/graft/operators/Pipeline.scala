@@ -52,6 +52,36 @@ object Pipeline {
         col("total_tokens").cast("double") / col("n_docs"))
   }
 
+  /** Quality-ranked cluster keepers — the retention policy production
+    * pipelines actually run: within each near-dup cluster keep the HIGHEST
+    * QUALITY member (here: most whitespace tokens, the same signal the
+    * weighted sampler uses), not the smallest id — the min-id rule is the
+    * right CLUSTER LABEL but the wrong survivor when copies differ (the
+    * longest copy of a templated page is usually the full one). Ties break
+    * to the smallest doc_id, keeping the choice total and deterministic.
+    *
+    * Portable argmax: per-cluster (size, max quality) in one hash-agg,
+    * then min doc_id among the members achieving the max — two keyed aggs
+    * and a join, no engine-specific argmax/struct-ordering semantics to
+    * replicate in the oracle. All shuffles are keyed by cluster_id, so the
+    * partitioning is computed once and reused.
+    */
+  def bestOfClusterKeepers(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = Dedup.clustersFromPairs(documents, pairs)
+      .select("doc_id", "cluster_id")
+    val withQ = clusters.join(
+      documents.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks")),
+      "doc_id")
+    val stats = withQ.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_members"), max("n_toks").as("best_toks"))
+    withQ.join(stats, "cluster_id")
+      .where(col("n_toks") === col("best_toks"))
+      .groupBy("cluster_id", "best_toks", "n_members")
+      .agg(min("doc_id").as("keeper_id"))
+      .select("cluster_id", "keeper_id", "best_toks", "n_members")
+  }
+
   /** `sigTable`: a persisted [[Dedup.shingleSignatureTable]] frame (see
     * [[Dedup$ SignatureStore]]). When present, the near-dup stage probes
     * the stored per-document signatures semi-joined down to the survivor

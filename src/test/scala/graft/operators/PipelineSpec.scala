@@ -20,4 +20,26 @@ class PipelineSpec extends SparkSpec {
     // s2: its single doc is a duplicate of s1's
     assert(rows("s2") === ((1L, 1L, 1L, 3L, 3.0)))
   }
+
+  test("bestOfClusterKeepers keeps the longest member, min-id on ties, singletons whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5).trim
+    val other = ("one two three four five six seven eight nine ten " * 5).trim
+    val docs = Seq(
+      1L -> base,                                  // cluster {1,2,3}:
+      2L -> (base + " " + base),                   //   longest -> keeper
+      3L -> base.replace("delta", "DELTA-EDIT"),
+      7L -> "solitary words matching nothing else", // singleton
+      10L -> other, 11L -> other)                  // tie cluster -> min id
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(docs, threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"))
+    val got = Pipeline.bestOfClusterKeepers(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 100L, 3L)), "longest member wins its 3-cluster")
+    assert(got(7L) === ((7L, 5L, 1L)), "singleton keeps itself")
+    assert(got(10L) === ((10L, 50L, 2L)), "equal lengths tie-break to min id")
+    assert(got.keySet === Set(1L, 7L, 10L), "one keeper row per cluster")
+  }
 }
