@@ -87,7 +87,11 @@ object PlanDump {
     "q_mixture_schedule" ->
       "source-mixture schedule: |sources|-row rate frame (epochs+fraction) built from two tiny aggregates, broadcast onto the token scan — per-doc repeat counts at scan speed, no corpus-scale shuffle anywhere",
     "q_mixture_packed" ->
-      "mixture-weighted packing offsets: repeats ride as counts through the two-level prefix sum — tiny block-level cumsum window, intra-block windows PARTITIONED by block, broadcast block offsets; no materialized repeats, no corpus-wide single-partition window")
+      "mixture-weighted packing offsets: repeats ride as counts through the two-level prefix sum — tiny block-level cumsum window, intra-block windows PARTITIONED by block, broadcast block offsets; no materialized repeats, no corpus-wide single-partition window",
+    "q_token_spectrum" ->
+      "frequency-of-frequencies: two map-side-combined HashAggregate pairs back to back — the shuffle carries (token, partial count) then (tf, partial count), never documents",
+    "q_dedup_keep_best" ->
+      "keep-best retention: clustering output joined to token counts with every shuffle keyed by cluster_id (partitioning computed once, reused by stats agg + join + final argmax agg); no argmax-specific physical operator to trust")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
