@@ -314,6 +314,9 @@ object SparkEntry {
     // Zipf/hapax frequency-of-frequencies corpus diagnostic
     "q_token_spectrum" -> ((s, dir) =>
       TextAnalysis.tokenFrequencySpectrum(Tables.documents(s, dir))),
+    // top collocations by all-integer scaled PMI
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.topCollocations(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clustersFromPairs(
@@ -1707,6 +1710,26 @@ object SparkEntry {
         |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
         |FROM documents""".stripMargin,
+    // Scaled-PMI collocations: same bigram axis as q_bigram_lm, unigram
+    // counts over the full token stream, two floor divisions, LIMIT k
+    // under a total (score, w1, w2) order. Constants interpolated.
+    "q_collocations" ->
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
+         |  FROM ts WHERE len(ts) >= 2),
+         |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM bgidx),
+         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bg
+         |  GROUP BY w1, w2 HAVING count(*) >= ${TextAnalysis.CollocationMinCount}),
+         |uni AS (SELECT unnest(ts) AS tok FROM ts),
+         |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM uni
+         |  WHERE tok <> '' GROUP BY tok)
+         |SELECT c.w1, c.w2, c.n_pair, a.n_tok AS n_w1, b.n_tok AS n_w2,
+         |  (((c.n_pair * ${TextAnalysis.PmiScale}) // a.n_tok)
+         |    * ${TextAnalysis.PmiScale}) // b.n_tok AS pmi_scaled
+         |FROM c JOIN u a ON c.w1 = a.tok JOIN u b ON c.w2 = b.tok
+         |ORDER BY pmi_scaled DESC, c.w1 ASC, c.w2 ASC
+         |LIMIT ${TextAnalysis.CollocationK}""".stripMargin,
     // Frequency-of-frequencies: two group-bys over the exploded lowercase
     // whitespace tokens; all-integer.
     "q_token_spectrum" ->

@@ -114,6 +114,53 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("tf"))
       .groupBy("tf").agg(count(lit(1)).as("n_types"))
 
+  /** Integer scale for [[topCollocations]]' PMI score. */
+  val PmiScale: Long = 1000000L
+  val CollocationMinCount: Long = 5L
+  val CollocationK: Int = 50
+
+  /** Top collocations by SCALED pointwise mutual information: bigrams
+    * whose joint count is large relative to both unigram counts ("new
+    * york" outranks "of the" even at a fraction of its frequency). For a
+    * FIXED corpus, PMI's total-token constant multiplies every score
+    * equally, so the ranking drops it and the score stays bounded:
+    *
+    *   pmi_scaled = ((n_pair × S) div n_w1 × S) div n_w2,   S = 10⁶
+    *
+    * — all-integer (two floor divisions, reproducible in any engine),
+    * monotone in the true PMI up to the documented floor-division
+    * granularity. `minCount` kills hapax pairs (the classic PMI caveat:
+    * rare pairs score spuriously high). Ties break on (w1, w2), keeping
+    * the top-k total and deterministic.
+    *
+    * Shape: one bigram hash-agg + one unigram hash-agg, both map-side
+    * combined and vocabulary-keyed; two vocabulary joins; global top-k as
+    * TakeOrderedAndProject. Int64 bound: n_pair × S needs a single bigram
+    * below 9.2e12 occurrences.
+    */
+  def topCollocations(documents: DataFrame, k: Int = CollocationK,
+      minCount: Long = CollocationMinCount): DataFrame = {
+    val ts = graft.Parallelism.ensure(documents)
+      .select(toks(lower(col("text"))).as("ts"))
+    val bi = ts.where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val uni = ts.select(explode(col("ts")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    bi
+      .join(uni.select(col("tok").as("w1"), col("n_tok").as("n_w1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_w2")), "w2")
+      .withColumn("pmi_scaled",
+        expr(s"(((n_pair * ${PmiScale}L) div n_w1) * ${PmiScale}L) div n_w2"))
+      .orderBy(desc("pmi_scaled"), asc("w1"), asc("w2"))
+      .limit(k)
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi_scaled")
+  }
+
   /** Top-k TF-IDF terms per document over lowercase whitespace tokens.
     *
     * The idf is the LINEAR form `n_docs / (df + 1)`, not the log form:

@@ -26,6 +26,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("topCollocations: a planted collocation outranks frequent-word pairs") {
+    // "new york" always co-occurs (8 pairs, each word only in the pair);
+    // "the of" co-occurs as often but both words flood the corpus
+    val filler = ("the of " * 20).trim
+    val d = docs(
+      1L -> ("new york " * 8).trim,
+      2L -> filler,
+      3L -> (filler + " alpha beta"))
+    val got = TextAnalysis.topCollocations(d, k = 5, minCount = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(5)))
+    val rank = got.map(_._1)
+    assert(rank.head === (("new", "york")), s"got $rank")
+    // PMI of the exclusive pair beats every filler pair's
+    val scores = got.toMap
+    assert(scores(("new", "york")) > scores.getOrElse(("the", "of"), 0L))
+    // determinism under repartitioning
+    val again = TextAnalysis.topCollocations(d.repartition(5), k = 5, minCount = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(5)))
+    assert(again.toSeq.sorted === got.toSeq.sorted)
+  }
+
   test("tfIdfTopTerms ranks a distinctive term above ubiquitous ones") {
     // "the" appears in every doc (df=3 -> low idf); "zebra" only in doc 1
     val d = docs(
