@@ -352,6 +352,9 @@ object SparkEntry {
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_n"))
     }),
+    // SemDeDup: k-means cells bound the pair search; smaller-id in-cell
+    // near-dups drop the vector (deterministic keep-one rule)
+    "q_semdedup" -> ((s, dir) => Similarity.semDeDup(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     // JL random projection: exploded (vec_id, k, component) reduced vectors
     "q_embed_rp" -> ((s, dir) => Similarity.randomProjections(Tables.embeddings(s, dir))),
@@ -725,6 +728,31 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${ivfTrainCtes(nLists, iters)},
        |${annIvfTailSql(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")}""".stripMargin
+  }
+
+  /** DuckDB mirror of `Similarity.semDeDup` — the `ann_ivf_trained`
+    * k-means/assignment CTEs verbatim (same centroids, same (cosine DESC,
+    * cell DESC) argmax), then brute-force in-cell pairs at the
+    * margin-protected 0.45 threshold (the `q_embed_neardup` idiom — the
+    * oracle needs no rep collapse because the collapse is a pure
+    * optimization: identical vectors pair at cosine ≈ 1) and the
+    * smaller-id drop rule as a NOT IN.
+    */
+  private def semDeDupOracle: String = {
+    val (nLists, iters) = (8, 2)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |${ivfTrainCtes(nLists, iters)},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")},
+       |pairs AS (SELECT a.neighbor_id AS i, b.neighbor_id AS j
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+       |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+       |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+       |  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.45)
+       |SELECT a.neighbor_id AS vec_id, a.cell AS cell,
+       |  a.neighbor_id NOT IN (SELECT j FROM pairs) AS kept
+       |FROM assigned a""".stripMargin
   }
 
   /** The PQ pipeline CTEs (per-subspace codebook training, encoding,
@@ -2680,6 +2708,7 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_trained" -> annIvfTrainedOracle,
+    "q_semdedup" -> semDeDupOracle,
     "ann_pq" -> annPqOracle,
     "ann_ivfpq" -> annIvfPqOracle,
     "q_multimodal_meta" ->

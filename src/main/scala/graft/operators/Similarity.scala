@@ -331,6 +331,83 @@ object Similarity {
         greatest(col("id_a"), col("id_b")).as("vec_b"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then dedup
+    * ONLY within each cluster — the cluster assignment bounds the
+    * quadratic pair search the way LSH bands do for MinHash, turning
+    * all-pairs O(n²) into Σ|cell|². A vector is dropped iff some
+    * SMALLER-id vector in the same cell has cosine ≥ `threshold` to it
+    * (the deterministic stand-in for the paper's keep-one-per-duplicate-
+    * group rule), so the kept set is reproducible across runs, engines,
+    * and partitionings.
+    *
+    * Centroids are [[trainedCentroids]] with the exact parameters of the
+    * oracle-pinned `ann_ivf_trained` loop, so the cell assignment reuses
+    * that query's bit-portability argument verbatim. Exact-duplicate
+    * vectors are collapsed to min-id representatives BEFORE the in-cell
+    * pair join (the r8 scale lesson: identical vectors always share a
+    * cell, so a crawl-duplicated corpus would otherwise square the cell
+    * join; cosine is a pure function of the two vectors, so the rep
+    * verdict is the group verdict). Zero vectors never pair (cosine is
+    * undefined; they are excluded from the pair join before the division,
+    * which ANSI sessions would reject) and are always kept.
+    *
+    * Scale shape: one training loop (parameter-bounded driver state), one
+    * map-only assignment scan, one equi-join keyed by cell over distinct
+    * vectors, one hash-agg for neighbor minima, one member expansion. At
+    * 100 TB, size `nLists` ∝ corpus so cells stay task-sized — the paper
+    * runs k ≈ 0.1‰ of n; fixed small k here only because the oracle
+    * replays the training loop in SQL.
+    */
+  def semDeDup(
+      embeddings: DataFrame, threshold: Double = 0.45,
+      nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+    val cents = trainedCentroids(embeddings, nLists, trainIters)
+    if (cents.isEmpty) {
+      return embeddings.select(
+        col("vec_id"), lit(0).as("cell"), lit(true).as("kept")).limit(0)
+    }
+    val keyed = graft.Parallelism.ensure(embeddings)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        col("embedding"),
+        md5(col("embedding").cast("string")).as("fp"),
+        norm(col("embedding")).as("nrm"),
+        bestCellOf(cents)(col("embedding")).as("cell"))
+      .localCheckpoint() // feeds reps AND the member expansion below
+    val reps = keyed.groupBy("fp")
+      .agg(min("vec_id").as("rep_id"), first("embedding").as("embedding"),
+        first("nrm").as("nrm"), first("cell").as("cell"))
+    // qualifying rep pairs inside one cell: identical vectors share a cell
+    // (same argmax input), so groups never straddle the join key. Zero
+    // vectors are excluded BEFORE the division (ANSI sessions throw on
+    // 0/0): they can never reach the threshold, so exclusion == the
+    // null-cosine drop contract
+    val nzReps = reps.where(col("nrm") > 0.0)
+    val l = nzReps.select(col("cell"), col("rep_id").as("rep_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val r = nzReps.select(col("cell"), col("rep_id").as("rep_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val repPairs = l.join(r, Seq("cell"))
+      .where(col("rep_a") < col("rep_b"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("rep_a"), col("rep_b"))
+    // the smallest id adjacent to each rep, both directions — member a of
+    // group A has a smaller-id near-dup in group B iff min(B) < a, so the
+    // min over neighbor groups' reps decides every member at once
+    val neighborMin = repPairs
+      .select(col("rep_a").as("rep_id"), col("rep_b").as("nb"))
+      .unionByName(repPairs.select(col("rep_b").as("rep_id"), col("rep_a").as("nb")))
+      .groupBy("rep_id").agg(min("nb").as("min_nb"))
+    keyed.select(col("fp"), col("vec_id"), col("cell"), col("nrm"))
+      .join(reps.select(col("fp"), col("rep_id")), Seq("fp"))
+      .join(neighborMin, Seq("rep_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (col("nrm") === 0.0 ||
+          (col("vec_id") === col("rep_id") &&
+            (col("min_nb").isNull || col("min_nb") > col("vec_id")))).as("kept"))
+  }
+
   /** Deterministic ±1 random hyperplanes from md5 — reproducible across
     * runs and engines, no RNG state. One set per (table, plane).
     * `private[graft]` so [[graft.SparkEntry]] can mirror the same planes

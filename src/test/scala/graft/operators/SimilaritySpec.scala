@@ -145,6 +145,59 @@ class SimilaritySpec extends SparkSpec {
     assert(pairSet(Similarity.cosineNearDupPairs(emb)) === bruteForcePairs(0.45))
   }
 
+  test("semDeDup equals the brute-force within-cell smaller-id rule on driver data") {
+    // reference: the engine's own trained assignment (bit-pinned by
+    // ann_ivf_trained's oracle), then all-pairs cosine per cell in Scala
+    val cents = Similarity.trainedCentroids(emb, nLists = 8, iters = 2)
+    val base = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.bestCellOf(cents)(col("embedding")).as("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) s += a(i).toDouble * b(i)
+      s
+    }
+    val dropped = scala.collection.mutable.Set[Long]()
+    for {
+      (_, vs) <- base.groupBy(_._3)
+      sorted = vs.sortBy(_._1)
+      i <- sorted.indices; j <- (i + 1) until sorted.length
+    } {
+      val (na, nb) = (math.sqrt(dot(sorted(i)._2, sorted(i)._2)),
+        math.sqrt(dot(sorted(j)._2, sorted(j)._2)))
+      if (na > 0 && nb > 0 && dot(sorted(i)._2, sorted(j)._2) / (na * nb) >= 0.45)
+        dropped += sorted(j)._1
+    }
+    val expected = base.map { case (id, _, cell) => (id, cell, !dropped.contains(id)) }.toSet
+    val got = Similarity.semDeDup(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(got === expected)
+    assert(got.exists(!_._3), "driver data should contain at least one semantic duplicate")
+  }
+
+  test("semDeDup planted cases: duplicate group keeps min id, sub-threshold pair survives, " +
+    "zero vectors never pair") {
+    import spark.implicits._
+    val planted = Seq(
+      // identical triplet -> only id 10 kept
+      10L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      11L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      12L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      // near-orthogonal to everything -> kept
+      20L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      // zero vectors: cosine is 0/0 -> null -> no pair; both kept
+      30L -> Array(0.0f, 0.0f, 0.0f, 0.0f),
+      31L -> Array(0.0f, 0.0f, 0.0f, 0.0f)
+    ).toDF("vec_id", "embedding")
+    // nLists = 1 -> a single cell: pure pairwise semantics
+    val got = Similarity.semDeDup(planted, nLists = 1, trainIters = 0).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(10L -> true, 11L -> false, 12L -> false,
+      20L -> true, 30L -> true, 31L -> true))
+  }
+
   test("randomProjections components equal the hyperplane signed sums exactly") {
     val planes = Similarity.RpPlanes
     val hps = Similarity.hyperplanes(Similarity.RpTable, planes, 64)
