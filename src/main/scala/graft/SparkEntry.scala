@@ -259,6 +259,9 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncodeWithRules(Tables.documents(s, dir), TokenizerStore.rules(s, dir))),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramNextTokens(Tables.documents(s, dir))),
+    // rare-transition share per doc: the log-free perplexity-filter proxy
+    "q_rare_bigram_rate" -> ((s, dir) =>
+      TextAnalysis.rareBigramRate(Tables.documents(s, dir))),
     // top-p (nucleus) truncation of the bigram LM, integer threshold
     "q_bigram_nucleus" -> ((s, dir) => TextAnalysis.bigramNucleus(Tables.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
@@ -2173,6 +2176,27 @@ object SparkEntry {
          |SELECT w1, w2, n_pair, n_w1,
          |  CAST(n_pair AS DOUBLE) / n_w1 AS p, rank
          |FROM r WHERE rank <= ${TextAnalysis.DefaultBigramK}""".stripMargin,
+    // Rare-bigram fluency: same bigram axis as q_bigram_lm; rarity and the
+    // flag are integer cross-multiplications (n_corpus·RareDen < total;
+    // n_rare·100 > pct·n_bigrams) — no floats anywhere
+    "q_rare_bigram_rate" ->
+      s"""WITH ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bgidx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+         |  FROM ts WHERE len(ts) >= 2),
+         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM bgidx),
+         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_corpus
+         |  FROM bg GROUP BY w1, w2),
+         |tot AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS t FROM c),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(count(*) FILTER (WHERE c.n_corpus * ${TextAnalysis.RareDen} < tot.t)
+         |      AS BIGINT) AS n_rare
+         |  FROM bg JOIN c USING (w1, w2) CROSS JOIN tot GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(p.n_rare, 0) AS n_rare,
+         |  coalesce(p.n_rare, 0) * 100 > ${TextAnalysis.RareFlagPct} * coalesce(p.n_bigrams, 0)
+         |    AS flagged
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
     // All-integer PageRank, 3 rounds unrolled: same bigram edge axis as
     // q_bigram_lm, per-source weights normalized to 1/2^20 units, per-edge
     // contributions floored BEFORE summing (order-independent integers),

@@ -750,6 +750,65 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("cum"))
   }
 
+  /** Rarity denominator for [[rareBigramRate]]: a bigram is rare iff its
+    * corpus count × RareDen < total bigram instances — i.e. its corpus
+    * frequency is below 1/RareDen. Frequency-relative on purpose: an
+    * absolute count cutoff silently stops meaning anything when the corpus
+    * grows (every count scales with the data), while this ratio is
+    * invariant under uniform replication, so the operator's semantics
+    * survive the 10×/100× scale-ups unchanged.
+    */
+  val RareDen = 1000L
+
+  /** Flag share for [[rareBigramRate]]: a document is flagged iff
+    * n_rare × 100 > RareFlagPct × n_bigrams (rare share > 30%; the
+    * corpus-wide median share is ~22% on the driver data, so the flag
+    * marks the genuinely-unusual tail, not half the corpus).
+    */
+  val RareFlagPct = 30L
+
+  /** KenLM-free fluency proxy: each document's share of bigram instances
+    * that are RARE in the corpus-wide bigram table (frequency below
+    * 1/[[RareDen]]). The production counterpart is CCNet-style LM
+    * perplexity filtering — a document whose transitions are mostly
+    * low-probability under the corpus model is boilerplate, word salad,
+    * or wrong-language; the unseen/rare-transition rate is the
+    * deterministic, log-free stand-in (exact integers cross-multiplied,
+    * so verdicts are bit-identical across engines — a float perplexity
+    * would not be).
+    *
+    * Shape: one bigram explode, a per-(doc, bigram) pre-aggregation (the
+    * bigram-keyed join then carries one row per DISTINCT doc-bigram, not
+    * per instance — and the corpus table derives from the same frame, so
+    * the explode is scanned once), a vocabulary²-bounded corpus count
+    * table, a 1-row total broadcast, and a doc-keyed re-aggregation. The
+    * corpus join is bigram-keyed and skew-safe under AQE; nothing driver-
+    * side scales with the corpus.
+    */
+  def rareBigramRate(documents: DataFrame): DataFrame = {
+    val bg = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val docPair = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_doc"))
+      .localCheckpoint() // scanned twice: corpus counts + the rarity join
+    val corpus = docPair.groupBy("w1", "w2").agg(sum("n_doc").as("n_corpus"))
+    val total = corpus.agg(sum("n_corpus").as("t"))
+    val perDoc = docPair.join(corpus, Seq("w1", "w2"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("n_doc").as("n_bigrams"),
+        sum(when(col("n_corpus") * RareDen < col("t"), col("n_doc"))
+          .otherwise(0L)).as("n_rare"))
+    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("flagged", col("n_rare") * 100 > col("n_bigrams") * RareFlagPct)
+  }
+
   /** Registered phrase for [[phraseSearch]] — present at every SF of the
     * driver data (verified at sf0.001/0.01/0.1), interpolated into the
     * oracle.

@@ -195,6 +195,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!rows.keySet.exists(_._1 == "c"))
   }
 
+  test("rareBigramRate: frequency-relative rarity on a known corpus; empty docs ride along") {
+    // doc 4 is a (c,c)-run that pushes total instances past RareDen, so
+    // rare means corpus count < total/1000 — i.e. exactly the count-1
+    // bigrams here: (b,c) and the run's final (c,x)
+    val d = docs(
+      1L -> "a b a b a b",              // (a,b)x3 (b,a)x2 -> 5, none rare
+      2L -> "a b c",                    // (a,b) (b,c)     -> 2, (b,c) rare
+      3L -> "x",                        // no bigrams
+      4L -> (("c " * 1200).trim + " x") // (c,c)x1199 (c,x)x1 -> 1200, 1 rare
+    )
+    val got = TextAnalysis.rareBigramRate(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // total instances t = 5 + 2 + 1200 = 1207; rare iff n*1000 < 1207 -> n = 1
+    assert(got(1L) === ((5L, 0L, false)))
+    assert(got(2L) === ((2L, 1L, true))) // 1*100 > 30*2
+    assert(got(3L) === ((0L, 0L, false)))
+    assert(got(4L) === ((1200L, 1L, false))) // 100 < 30*1200
+    val again = TextAnalysis.rareBigramRate(d.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(again === got)
+  }
+
   test("bigramNucleus keeps the smallest 90% prefix set in (count desc, token asc) order") {
     // prefix 'a': continuations b:6 c:3 d:1 (total 10). Cumulative in
     // order b,c,d: before-b=0, before-c=6, before-d=9. Keep iff
