@@ -287,6 +287,9 @@ object SparkEntry {
     // counts (never materialized) through the two-level prefix sum
     "q_mixture_packed" -> ((s, dir) =>
       Packing.scheduleOffsets(Sampling.mixtureSchedule(Tables.documents(s, dir)))),
+    // training-export manifest: hash-sharded deterministic shuffle order,
+    // per-shard counts/tokens/XOR digest/order head
+    "q_shard_manifest" -> ((s, dir) => Packing.shardManifest(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
     // The MinHash family reads the session-persisted SignatureStore (the
     // ingest-time artifact): signatures/shingles computed once per corpus,
@@ -1937,6 +1940,27 @@ object SparkEntry {
     "q_pack_offsets" ->
       s"""WITH $packCtes
          |SELECT doc_id, n_tok, tok_start, first_chunk, last_chunk FROM spans""".stripMargin,
+    // Shard manifest: same keyed-hash shard + within-shard (h, doc_id)
+    // order, row digests XOR-folded per shard (the q_table_digest idiom)
+    "q_shard_manifest" -> {
+      import graft.operators.Packing.{ShardCount, ShardSeed}
+      s"""WITH d AS (SELECT doc_id,
+         |    ${h60(ShardSeed, "doc_id")} AS h,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |    ${h60(0, "concat_ws('|', doc_id, lang, source, md5(text))")} AS rh
+         |  FROM documents),
+         |s AS (SELECT h % $ShardCount AS shard, h, doc_id, n_tok, rh FROM d),
+         |m AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens, bit_xor(rh) AS digest
+         |  FROM s GROUP BY shard),
+         |hd AS (SELECT shard, doc_id AS first_doc FROM (
+         |    SELECT shard, doc_id,
+         |      row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+         |    FROM s) t
+         |  WHERE rn = 1)
+         |SELECT m.shard, m.n_docs, m.n_tokens, m.digest, hd.first_doc
+         |FROM m JOIN hd USING (shard)""".stripMargin
+    },
     "q_token_ids" -> {
       import graft.operators.TextAnalysis.{VocabSize, UnkId}
       s"""WITH t AS (SELECT doc_id,

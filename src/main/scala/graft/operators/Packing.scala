@@ -119,4 +119,52 @@ object Packing {
           least(col("tok_start") + col("n_tok"), (col("chunk_id") + 1) * seqLen) -
             greatest(col("tok_start"), col("chunk_id") * seqLen))
           .as("n_tokens"))
+
+  /** Shards for [[shardManifest]] — small here so every shard is populated
+    * at sf0.001; a real export sizes shards to the file-size target
+    * (n_tokens × bytes/token ≈ the parquet/record-io file size).
+    */
+  val ShardCount = 8
+  val ShardSeed = 17
+
+  /** Training-export shard manifest — the LAST pipeline step before the
+    * trainer: every document is assigned a shard by content-independent
+    * keyed hash (`md5₆₀(seed:doc_id) mod nShards`) and ordered WITHIN its
+    * shard by that same hash — a deterministic global shuffle (Fisher-
+    * Yates-quality mixing without any RNG state), so consecutive training
+    * examples are decorrelated while remaining bit-reproducible across
+    * engines, partitionings, and re-runs. The manifest row per shard
+    * carries what a trainer (and an auditor) needs: document count, token
+    * total, an order-independent XOR content digest (the
+    * [[Sketches.tableDigest]] contract — any post-manifest corruption or
+    * drop flips the digest), and the deterministic head of the shard's
+    * training order.
+    *
+    * Shape: one scan with per-row hashes, one |nShards|-row hash-agg.
+    * The within-shard ORDER is declared by the (h, doc_id) sort key and
+    * costs nothing here (min_by suffices for the manifest); the actual
+    * export writes `repartition(nShards, shard).sortWithinPartitions(h,
+    * doc_id)` — one shuffle, no global sort.
+    */
+  def shardManifest(documents: DataFrame,
+      nShards: Int = ShardCount, seed: Int = ShardSeed): DataFrame = {
+    val xorAgg = udaf(new graft.functions.Aggregators.XorDigest)
+    graft.Parallelism.ensure(documents)
+      .select(
+        pmod(graft.functions.HashFunctions.md5Long(col("doc_id").cast("string"), seed),
+          lit(nShards.toLong)).as("shard"),
+        graft.functions.HashFunctions.md5Long(col("doc_id").cast("string"), seed).as("h"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        graft.functions.HashFunctions.md5Long(concat_ws("|",
+          col("doc_id"), col("lang"), col("source"), md5(col("text")))).as("rh"),
+        col("doc_id"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        xorAgg(col("rh")).as("digest"),
+        min(struct(col("h"), col("doc_id"))).as("head"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("digest"),
+        col("head.doc_id").as("first_doc"))
+  }
 }

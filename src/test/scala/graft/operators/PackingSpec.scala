@@ -73,4 +73,41 @@ class PackingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(again === got)
   }
+
+  test("shardManifest conserves the corpus, orders heads by hash, and is " +
+    "partition-invariant") {
+    val got = Packing.shardManifest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every shard populated at this scale; totals conserve the corpus
+    assert(got.map(_._1).sorted.toSeq === (0L until Packing.ShardCount.toLong))
+    assert(got.map(_._2).sum === docs.count())
+    val totalToks = docs.select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(got.map(_._3).sum === totalToks)
+    // the head doc really is the shard's (h, doc_id) minimum
+    val hs = docs.select(col("doc_id"),
+      graft.functions.HashFunctions.md5Long(col("doc_id").cast("string"),
+        Packing.ShardSeed).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val headByShard = hs.groupBy { case (_, h) => h % Packing.ShardCount }
+      .map { case (s, rows) => s -> rows.map { case (id, h) => (h, id) }.min._2 }
+    got.foreach { case (shard, _, _, _, firstDoc) =>
+      assert(firstDoc === headByShard(shard), s"head of shard $shard")
+    }
+    // digest flips when a document's content changes, only in its shard
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === hs.head._1, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val editedShard = hs.head._2 % Packing.ShardCount
+    val after = Packing.shardManifest(edited).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach { case (shard, _, _, digest, _) =>
+      if (shard == editedShard) assert(after(shard) !== digest)
+      else assert(after(shard) === digest)
+    }
+    // partition invariance
+    val again = Packing.shardManifest(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }
