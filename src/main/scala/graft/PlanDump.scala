@@ -91,7 +91,13 @@ object PlanDump {
     "q_token_spectrum" ->
       "frequency-of-frequencies: two map-side-combined HashAggregate pairs back to back — the shuffle carries (token, partial count) then (tf, partial count), never documents",
     "q_dedup_keep_best" ->
-      "keep-best retention: clustering output joined to token counts with every shuffle keyed by cluster_id (partitioning computed once, reused by stats agg + join + final argmax agg); no argmax-specific physical operator to trust")
+      "keep-best retention: clustering output joined to token counts with every shuffle keyed by cluster_id (partitioning computed once, reused by stats agg + join + final argmax agg); no argmax-specific physical operator to trust",
+    "q_semdedup" ->
+      "SemDeDup: centroid_probes assignment kernel inside WholeStageCodegen, in-cell pair search as an equi-join on cell id over duplicate-collapsed reps (never all-pairs), neighbor minima as one keyed agg, member expansion last",
+    "q_rare_bigram_rate" ->
+      "rare-transition fluency: bigram-keyed join carries per-(doc, bigram) counts (pre-aggregated, localCheckpointed so the explode is scanned once), corpus total rides as a 1-row broadcast, verdicts all-integer",
+    "q_shard_manifest" ->
+      "export manifest: one scan computing shard/order/row hashes, one 8-row hash-agg (XOR digest + struct-min head) — no corpus-scale shuffle, the within-shard order is declared by the (h, doc_id) key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
