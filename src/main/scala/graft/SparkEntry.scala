@@ -362,6 +362,8 @@ object SparkEntry {
     // near-dups drop the vector (deterministic keep-one rule)
     "q_semdedup" -> ((s, dir) => Similarity.semDeDup(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+    // hard negatives: top-k most-similar vectors with a DIFFERENT label
+    "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir))),
     // JL random projection: exploded (vec_id, k, component) reduced vectors
     "q_embed_rp" -> ((s, dir) => Similarity.randomProjections(Tables.embeddings(s, dir))),
     // int8 scalar quantization: per-dim ranges -> codes + midpoint error
@@ -2878,6 +2880,18 @@ object SparkEntry {
         |  FROM events) t
         |GROUP BY user_id""".stripMargin,
     "q_ann_bruteforce" -> annBruteforceOracle,
+    // Same ranking contract as the brute-force oracle, with the label
+    // inequality in the join — ranks are per-query over the negative set
+    "q_hard_negatives" ->
+      """SELECT query_id, query_label, neighbor_id, neighbor_label, rank FROM (
+        |  SELECT a.vec_id AS query_id, a.label AS query_label,
+        |    b.vec_id AS neighbor_id, b.label AS neighbor_label,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |               b.vec_id ASC) AS rank
+        |  FROM embeddings a JOIN embeddings b ON b.label <> a.label
+        |  WHERE a.vec_id < 10) t
+        |WHERE rank <= 5""".stripMargin,
     // Recall report: recompute all four ANN result sets (the same oracles
     // as their standalone queries, nested as derived tables) and intersect
     // — deterministic inputs make the recall EXACT, not an estimate.

@@ -185,6 +185,40 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * batch-construction step): for each query vector, the `k` most-similar
+    * corpus vectors carrying a DIFFERENT label — close enough to confuse
+    * the model, labeled otherwise, which is exactly the gradient-bearing
+    * negative set (random negatives are trivially separable and teach
+    * nothing). Output keeps both labels so the pair can be audited.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — broadcast query set,
+    * ONE candidate scan, per-query bounded top-k — with the label
+    * inequality riding as a join residual (evaluated before any cosine).
+    * When the corpus outgrows a scan, the IVF/LSH candidate generators
+    * compose the same way: bucket first, filter labels, rank last.
+    */
+  def hardNegatives(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val cand = graft.Parallelism.ensure(embeddings).select(
+      col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(queries)
+      .join(cand, col("query_label") =!= col("neighbor_label"))
+      .select(
+        col("query_id"), col("query_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b), LSH-bucketed —
     * the opt-in scale path for corpora with angular margin: both sides
     * bucket on deterministic hyperplane sign patterns, candidates come from

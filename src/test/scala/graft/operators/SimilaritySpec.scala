@@ -145,6 +145,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairSet(Similarity.cosineNearDupPairs(emb)) === bruteForcePairs(0.45))
   }
 
+  test("hardNegatives equals brute force restricted to different-label candidates") {
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) s += a(i).toDouble * b(i)
+      s
+    }
+    val expected = (for {
+      (qid, qv, ql) <- vecs if qid < 5
+    } yield {
+      val ranked = vecs.filter(_._3 != ql)
+        .map { case (id, v, lb) =>
+          (id, lb, dotd(qv, v) / (math.sqrt(dotd(qv, qv)) * math.sqrt(dotd(v, v))))
+        }
+        .sortBy { case (id, _, c) => (-c, id) }
+        .take(3).zipWithIndex
+      ranked.map { case ((id, lb, _), i) => (qid, ql, id, lb, i + 1) }
+    }).flatten.toSet
+    val got = Similarity.hardNegatives(emb, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSet
+    assert(got === expected)
+    assert(got.forall { case (_, ql, _, nl, _) => ql != nl })
+  }
+
   test("semDeDup equals the brute-force within-cell smaller-id rule on driver data") {
     // reference: the engine's own trained assignment (bit-pinned by
     // ann_ivf_trained's oracle), then all-pairs cosine per cell in Scala
