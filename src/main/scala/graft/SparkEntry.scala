@@ -361,6 +361,10 @@ object SparkEntry {
     // SemDeDup: k-means cells bound the pair search; smaller-id in-cell
     // near-dups drop the vector (deterministic keep-one rule)
     "q_semdedup" -> ((s, dir) => Similarity.semDeDup(Tables.embeddings(s, dir))),
+    // continuous-ingestion SemDeDup: the incoming fifth probes the
+    // corpus's persisted cells; the corpus is never self-joined again
+    "q_semdedup_incremental" -> ((s, dir) =>
+      Similarity.semDeDupIncremental(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     // hard negatives: top-k most-similar vectors with a DIFFERENT label
     "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir))),
@@ -761,6 +765,34 @@ object SparkEntry {
        |SELECT a.neighbor_id AS vec_id, a.cell AS cell,
        |  a.neighbor_id NOT IN (SELECT j FROM pairs) AS kept
        |FROM assigned a""".stripMargin
+  }
+
+  /** DuckDB mirror of `Similarity.semDeDupIncremental` — the same
+    * training CTEs restricted to the corpus below the ⌊4·(max+1)/5⌋
+    * ingest boundary (centroids are the persisted artifact; a batch must
+    * not shift them), ONE assignment pass over everything (corpus and
+    * shard score against identical centroids), then the asymmetric
+    * corpus→shard drop rule.
+    */
+  private def semDeDupIncrementalOracle: String = {
+    val (nLists, iters) = (8, 2)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |sp AS (SELECT (max(vec_id) + 1) * 4 // 5 AS s FROM embeddings),
+       |ec AS (SELECT e.* FROM e, sp WHERE e.vec_id < sp.s),
+       |${ivfTrainCtes(nLists, iters, src = "ec")},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")},
+       |dropped AS (SELECT DISTINCT b.neighbor_id AS j
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cell = b.cell
+       |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+       |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+       |  CROSS JOIN sp
+       |  WHERE a.neighbor_id < sp.s AND b.neighbor_id >= sp.s
+       |    AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.45)
+       |SELECT b.neighbor_id AS vec_id, b.cell AS cell,
+       |  b.neighbor_id NOT IN (SELECT j FROM dropped) AS kept
+       |FROM assigned b CROSS JOIN sp WHERE b.neighbor_id >= sp.s""".stripMargin
   }
 
   /** The PQ pipeline CTEs (per-subspace codebook training, encoding,
@@ -2759,6 +2791,7 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_trained" -> annIvfTrainedOracle,
     "q_semdedup" -> semDeDupOracle,
+    "q_semdedup_incremental" -> semDeDupIncrementalOracle,
     "ann_pq" -> annPqOracle,
     "ann_ivfpq" -> annIvfPqOracle,
     "q_multimodal_meta" ->

@@ -442,6 +442,65 @@ object Similarity {
             (col("min_nb").isNull || col("min_nb") > col("vec_id")))).as("kept"))
   }
 
+  /** Incremental [[semDeDup]] — the continuous-ingestion shape, the
+    * embedding-space twin of `Dedup.incrementalNearDups`: an INCOMING
+    * shard (the top fifth of the vec_id range, same ⌊4·(max+1)/5⌋ ingest
+    * boundary) is deduplicated against the EXISTING corpus without ever
+    * self-joining the corpus again. The corpus's k-means centroids and
+    * cell assignments are the persisted artifact (trained once, on corpus
+    * vectors only — a batch must not shift the cell structure); the shard
+    * pays one assignment scan over ITS rows plus a cell-keyed equi-join
+    * against the corpus's duplicate-collapsed representatives, so a batch
+    * costs O(shard + matched cells) — never corpus × corpus.
+    *
+    * A shard vector is dropped iff ANY corpus cell-mate has cosine ≥
+    * `threshold` (asymmetric, like the MinHash probe: incoming copies of
+    * existing content are what ingestion rejects; shard-internal dups are
+    * the next full [[semDeDup]] run's business). Zero vectors on either
+    * side never pair (excluded before the ANSI-fatal 0/0) and shard zero
+    * vectors are kept.
+    */
+  def semDeDupIncremental(
+      embeddings: DataFrame, threshold: Double = 0.45,
+      nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+    val mx = embeddings.agg(max(col("vec_id"))).head()
+    if (mx.isNullAt(0)) {
+      return embeddings.select(
+        col("vec_id"), lit(0).as("cell"), lit(true).as("kept")).limit(0)
+    }
+    val split = (mx.getLong(0) + 1L) * 4L / 5L
+    val corpus = embeddings.where(col("vec_id") < split)
+    val cents = trainedCentroids(corpus, nLists, trainIters)
+    val shard = graft.Parallelism.ensure(embeddings)
+      .where(col("vec_id") >= split && col("embedding").isNotNull)
+    if (cents.isEmpty) {
+      // no corpus yet -> nothing to collide with; first batch all kept
+      return shard.select(col("vec_id"), lit(0).as("cell"), lit(true).as("kept"))
+    }
+    val shardCells = shard
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        bestCellOf(cents)(col("embedding")).as("cell"))
+      .localCheckpoint() // probed below AND expanded into the verdict
+    // corpus index: duplicate-collapsed nonzero representatives per cell —
+    // cosine is a pure function of the vectors, so one row per distinct
+    // corpus vector decides every incoming comparison against its copies
+    val corpusReps = corpus
+      .where(col("embedding").isNotNull)
+      .select(col("embedding"), norm(col("embedding")).as("cn"),
+        bestCellOf(cents)(col("embedding")).as("cell"))
+      .where(col("cn") > 0.0)
+      .dropDuplicates("cell", "embedding")
+      .select(col("cell"), col("embedding").as("cv"), col("cn"))
+    val dropped = shardCells.where(col("nrm") > 0.0)
+      .join(corpusReps, Seq("cell"))
+      .where(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")) >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    shardCells.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup").isNull.as("kept"))
+  }
+
   /** Deterministic ±1 random hyperplanes from md5 — reproducible across
     * runs and engines, no RNG state. One set per (table, plane).
     * `private[graft]` so [[graft.SparkEntry]] can mirror the same planes

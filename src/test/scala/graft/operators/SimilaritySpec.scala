@@ -223,6 +223,55 @@ class SimilaritySpec extends SparkSpec {
       20L -> true, 30L -> true, 31L -> true))
   }
 
+  test("semDeDupIncremental equals the brute-force shard-vs-corpus rule on driver data") {
+    val mx = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val split = (mx + 1L) * 4L / 5L
+    val cents = Similarity.trainedCentroids(emb.where(col("vec_id") < split), 8, 2)
+    val base = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.bestCellOf(cents)(col("embedding")).as("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) s += a(i).toDouble * b(i)
+      s
+    }
+    val corpus = base.filter(_._1 < split)
+    val expected = base.filter(_._1 >= split).map { case (id, v, cell) =>
+      val nv = math.sqrt(dotd(v, v))
+      val dup = nv > 0 && corpus.exists { case (_, cv, ccell) =>
+        val nc = math.sqrt(dotd(cv, cv))
+        ccell == cell && nc > 0 && dotd(v, cv) / (nv * nc) >= 0.45
+      }
+      (id, cell, !dup)
+    }.toSet
+    val got = Similarity.semDeDupIncremental(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(got === expected)
+    assert(got.exists(!_._3), "driver shard should collide with the corpus somewhere")
+  }
+
+  test("semDeDupIncremental planted: corpus copies drop, novel and shard-internal dups keep") {
+    import spark.implicits._
+    def e(i: Int): Array[Float] = Array.tabulate(8)(d => if (d == i) 1.0f else 0.0f)
+    val all = Array.fill(8)(0.125f) // cos to every basis vector = 1/sqrt(8) < 0.45
+    // max id 10 -> split 8: corpus = basis vectors 0..7, shard = 8, 9, 10
+    val planted = ((0L to 7L).map(i => i -> e(i.toInt)) ++ Seq(
+      8L -> e(0),   // copy of corpus vector 0 -> dropped
+      9L -> all,    // novel direction -> kept
+      10L -> all    // identical to 9 but shard-internal -> BOTH kept (asymmetry)
+    )).toDF("vec_id", "embedding")
+    val got = Similarity.semDeDupIncremental(planted, nLists = 1, trainIters = 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(8L -> false, 9L -> true, 10L -> true))
+    // first-batch degenerate split: corpus empty -> everything kept
+    val first = Seq(0L -> e(0)).toDF("vec_id", "embedding")
+    val g0 = Similarity.semDeDupIncremental(first, nLists = 1, trainIters = 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(g0 === Map(0L -> true))
+  }
+
   test("randomProjections components equal the hyperplane signed sums exactly") {
     val planes = Similarity.RpPlanes
     val hps = Similarity.hyperplanes(Similarity.RpTable, planes, 64)
