@@ -97,7 +97,11 @@ object PlanDump {
     "q_rare_bigram_rate" ->
       "rare-transition fluency: bigram-keyed join carries per-(doc, bigram) counts (pre-aggregated, localCheckpointed so the explode is scanned once), corpus total rides as a 1-row broadcast, verdicts all-integer",
     "q_shard_manifest" ->
-      "export manifest: one scan computing shard/order/row hashes, one 8-row hash-agg (XOR digest + struct-min head) — no corpus-scale shuffle, the within-shard order is declared by the (h, doc_id) key")
+      "export manifest: one scan computing shard/order/row hashes, one 8-row hash-agg (XOR digest + struct-min head) — no corpus-scale shuffle, the within-shard order is declared by the (h, doc_id) key",
+    "q_hard_negatives" ->
+      "contrastive negatives: broadcast query set joined to ONE candidate scan with the label inequality as the join residual, per-query bounded rank — same shape as the brute-force ANN baseline",
+    "q_semdedup_incremental" ->
+      "ingestion probe: shard-only assignment scan, cell-keyed equi-join against duplicate-collapsed corpus reps (never corpus x corpus), left-join verdict expansion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
