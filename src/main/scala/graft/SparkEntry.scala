@@ -365,6 +365,10 @@ object SparkEntry {
     // corpus's persisted cells; the corpus is never self-joined again
     "q_semdedup_incremental" -> ((s, dir) =>
       Similarity.semDeDupIncremental(Tables.embeddings(s, dir))),
+    // the same probe as a stream: per-micro-batch assignment + index
+    // probe inside foreachBatch (stateless; shares the batch oracle)
+    "q_stream_semdedup_incremental" -> ((s, dir) =>
+      graft.streaming.EmbeddingStreams.semDeDupIncrementalToBatch(s, dir)),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     // hard negatives: top-k most-similar vectors with a DIFFERENT label
     "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir))),
@@ -2792,6 +2796,9 @@ object SparkEntry {
     "ann_ivf_trained" -> annIvfTrainedOracle,
     "q_semdedup" -> semDeDupOracle,
     "q_semdedup_incremental" -> semDeDupIncrementalOracle,
+    // the streaming twin probes the same frozen index per micro-batch —
+    // same verdicts, same oracle, verbatim
+    "q_stream_semdedup_incremental" -> semDeDupIncrementalOracle,
     "ann_pq" -> annPqOracle,
     "ann_ivfpq" -> annIvfPqOracle,
     "q_multimodal_meta" ->

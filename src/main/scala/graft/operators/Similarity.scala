@@ -477,21 +477,44 @@ object Similarity {
       // no corpus yet -> nothing to collide with; first batch all kept
       return shard.select(col("vec_id"), lit(0).as("cell"), lit(true).as("kept"))
     }
-    val shardCells = shard
-      .select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"),
-        bestCellOf(cents)(col("embedding")).as("cell"))
+    val shardCells = shardCellsOf(shard, cents)
       .localCheckpoint() // probed below AND expanded into the verdict
-    // corpus index: duplicate-collapsed nonzero representatives per cell —
-    // cosine is a pure function of the vectors, so one row per distinct
-    // corpus vector decides every incoming comparison against its copies
-    val corpusReps = corpus
+    probeCellIndex(shardCells, corpusCellIndex(corpus, cents), threshold)
+  }
+
+  /** A shard frame's (vec_id, embedding, nrm, cell) rows under fixed
+    * centroids — the per-batch assignment scan of the incremental probe,
+    * shared by the batch operator and the streaming twin.
+    */
+  private[graft] def shardCellsOf(
+      shard: DataFrame, cents: Array[(Int, Array[Float])]): DataFrame =
+    shard.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      bestCellOf(cents)(col("embedding")).as("cell"))
+
+  /** The corpus-side probe index: duplicate-collapsed nonzero
+    * representatives per cell — cosine is a pure function of the vectors,
+    * so one row per distinct corpus vector decides every incoming
+    * comparison against all its copies. Built ONCE per corpus (the
+    * persisted artifact); probed by every batch.
+    */
+  private[graft] def corpusCellIndex(
+      corpus: DataFrame, cents: Array[(Int, Array[Float])]): DataFrame =
+    corpus
       .where(col("embedding").isNotNull)
       .select(col("embedding"), norm(col("embedding")).as("cn"),
         bestCellOf(cents)(col("embedding")).as("cell"))
       .where(col("cn") > 0.0)
       .dropDuplicates("cell", "embedding")
       .select(col("cell"), col("embedding").as("cv"), col("cn"))
+
+  /** One shard batch probed against the cell index: cell-keyed equi-join,
+    * cosine threshold, left-join verdict expansion — shared verbatim by
+    * [[semDeDupIncremental]] and the streaming per-micro-batch twin, so
+    * both answer with identical semantics.
+    */
+  private[graft] def probeCellIndex(
+      shardCells: DataFrame, corpusReps: DataFrame, threshold: Double): DataFrame = {
     val dropped = shardCells.where(col("nrm") > 0.0)
       .join(corpusReps, Seq("cell"))
       .where(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")) >= threshold)
