@@ -290,6 +290,9 @@ object SparkEntry {
     // training-export manifest: hash-sharded deterministic shuffle order,
     // per-shard counts/tokens/XOR digest/order head
     "q_shard_manifest" -> ((s, dir) => Packing.shardManifest(Tables.documents(s, dir))),
+    // curriculum order: length-banded difficulty buckets, hash-shuffled
+    // within bucket; bucket-major + interleaved order keys
+    "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
     // The MinHash family reads the session-persisted SignatureStore (the
     // ingest-time artifact): signatures/shingles computed once per corpus,
@@ -1978,6 +1981,28 @@ object SparkEntry {
     "q_pack_offsets" ->
       s"""WITH $packCtes
          |SELECT doc_id, n_tok, tok_start, first_chunk, last_chunk FROM spans""".stripMargin,
+    // Curriculum order: same shift-banded buckets as the drift histogram,
+    // per-bucket (h, doc_id) windows, exclusive bucket-size cumsum
+    "q_curriculum_order" -> {
+      import graft.operators.Sampling.{CurriculumBuckets, CurriculumShift, CurriculumSeed}
+      s"""WITH d AS (SELECT doc_id,
+         |    ${h60(CurriculumSeed, "doc_id")} AS h,
+         |    CAST(least(len(regexp_split_to_array(trim(text), '\\s+')) >> $CurriculumShift,
+         |      ${CurriculumBuckets - 1}) AS INTEGER) AS bucket
+         |  FROM documents),
+         |r AS (SELECT doc_id, bucket, h,
+         |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1
+         |      AS BIGINT) AS rank
+         |  FROM d),
+         |sz AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY bucket),
+         |off AS (SELECT bucket, CAST(coalesce(sum(n) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS boff
+         |  FROM sz)
+         |SELECT r.doc_id, r.bucket, r.rank,
+         |  o.boff + r.rank AS pos_curriculum,
+         |  r.rank * $CurriculumBuckets + r.bucket AS pos_interleaved
+         |FROM r JOIN off o USING (bucket)""".stripMargin
+    },
     // Shard manifest: same keyed-hash shard + within-shard (h, doc_id)
     // order, row digests XOR-folded per shard (the q_table_digest idiom)
     "q_shard_manifest" -> {

@@ -149,4 +149,55 @@ object Sampling {
       .where(col("n_repeats") > 0)
       .select("doc_id", "source", "n_toks", "n_repeats")
   }
+
+  /** Curriculum difficulty buckets: fixed power-of-two token-count bands
+    * (width 2^[[CurriculumShift]], the drift-report idiom — a shift, not a
+    * float log), capped at [[CurriculumBuckets]]. Length is the stand-in
+    * difficulty signal on this corpus; swap the bucket expression for a
+    * model-scored difficulty column and nothing else changes.
+    */
+  val CurriculumBuckets = 8
+  val CurriculumShift = 4
+  val CurriculumSeed = 25
+
+  /** Deterministic curriculum training order — the data-ordering step
+    * between retention and export: documents are banded into difficulty
+    * buckets (short → long here) and SHUFFLED WITHIN each bucket by keyed
+    * content hash, then given two order keys:
+    *
+    *   - `pos_curriculum`: bucket-major dense position (all of bucket 0 in
+    *     hash order, then bucket 1, …) — a permutation of 0..n-1; classic
+    *     easy-first curriculum.
+    *   - `pos_interleaved`: `rank × nBuckets + bucket` — a strided total
+    *     order that mixes difficulty levels throughout training (a sort
+    *     key, NOT a dense index: gaps appear once short buckets exhaust).
+    *
+    * All integers, reproducible across engines/partitionings/re-runs (the
+    * [[stratifiedSample]] determinism contract). Shape: one scan, ONE
+    * window per bucket partition (parallel — never a global sort), an
+    * ≤ nBuckets-row size aggregate whose exclusive cumsum is the only
+    * ordered step, broadcast back. The export then sorts by the chosen
+    * key — at 100 TB that is the one unavoidable global sort, and it
+    * ships as `repartitionByRange(pos)` + within-partition sort.
+    */
+  def curriculumOrder(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Parallelism.ensure(documents).select(
+      col("doc_id"),
+      HashFunctions.md5Long(col("doc_id").cast("string"), CurriculumSeed).as("h"),
+      least(
+        shiftright(size(split(trim(col("text")), "\\s+")), CurriculumShift).cast("long"),
+        lit(CurriculumBuckets - 1L)).cast("int").as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    val ranked = base.withColumn("rank", row_number().over(w).cast("long") - 1L)
+    val sizes = ranked.groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
+    val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sizes
+      .withColumn("bucket_off", coalesce(sum("n_bucket").over(wb), lit(0L)))
+      .select(col("bucket"), col("bucket_off"))
+    ranked.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("bucket"), col("rank"),
+        (col("bucket_off") + col("rank")).as("pos_curriculum"),
+        (col("rank") * CurriculumBuckets + col("bucket")).as("pos_interleaved"))
+  }
 }

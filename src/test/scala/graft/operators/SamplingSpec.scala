@@ -105,4 +105,37 @@ class SamplingSpec extends SparkSpec {
     // floor-division shortfall + Bernoulli noise stay within 20%
     assert(mixed > total * 8 / 10 && mixed < total * 12 / 10, s"$mixed vs $total")
   }
+
+  test("curriculumOrder: dense easy-first permutation, strided interleave, invariance") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val got = Sampling.curriculumOrder(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = d.count()
+    assert(got.length === n)
+    // pos_curriculum is a permutation of 0..n-1, bucket-major: every doc in
+    // a lower bucket precedes every doc in a higher one
+    assert(got.map(_._4).sorted.toSeq === (0L until n))
+    val byPos = got.sortBy(_._4)
+    assert(byPos.map(_._2).toSeq === byPos.map(_._2).sorted.toSeq)
+    // within a bucket both orders follow (h, doc_id) rank
+    got.groupBy(_._2).foreach { case (b, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (0L until rows.length))
+      assert(byRank.map(_._4).toSeq === byRank.map(_._4).sorted.toSeq)
+      // interleave formula: rank * K + bucket
+      byRank.foreach { case (_, bb, rank, _, pi) =>
+        assert(pi === rank * Sampling.CurriculumBuckets + bb)
+      }
+      assert(b >= 0 && b < Sampling.CurriculumBuckets)
+    }
+    // interleaved order really mixes: the first CurriculumBuckets positions
+    // by pos_interleaved contain more than one bucket (driver data spans
+    // several length bands)
+    val headBuckets = got.sortBy(_._5).take(Sampling.CurriculumBuckets).map(_._2).toSet
+    assert(headBuckets.size > 1)
+    // content-keyed: stable under repartitioning
+    val again = Sampling.curriculumOrder(d.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }
