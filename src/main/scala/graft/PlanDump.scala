@@ -101,7 +101,11 @@ object PlanDump {
     "q_hard_negatives" ->
       "contrastive negatives: broadcast query set joined to ONE candidate scan with the label inequality as the join residual, per-query bounded rank — same shape as the brute-force ANN baseline",
     "q_semdedup_incremental" ->
-      "ingestion probe: shard-only assignment scan, cell-keyed equi-join against duplicate-collapsed corpus reps (never corpus x corpus), left-join verdict expansion")
+      "ingestion probe: shard-only assignment scan, cell-keyed equi-join against duplicate-collapsed corpus reps (never corpus x corpus), left-join verdict expansion",
+    "q_curriculum_order" ->
+      "curriculum order: per-bucket (h, doc_id) rank windows PARTITIONED by bucket (parallel), the only ordered step an <= 8-row bucket-size cumsum broadcast back — no global sort",
+    "q_stream_semdedup_incremental" ->
+      "AvailableNow drain already ran per-batch assignment + frozen-index probes inside foreachBatch; the dumped plan reads the exactly-once per-batch parquet log (batch=N overwrite dirs, recursive lookup)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
