@@ -259,6 +259,9 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncodeWithRules(Tables.documents(s, dir), TokenizerStore.rules(s, dir))),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramNextTokens(Tables.documents(s, dir))),
+    // per-lang BPE fertility under the PERSISTED tokenizer (tokenizer QA)
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir), TokenizerStore.rules(s, dir))),
     // rare-transition share per doc: the log-free perplexity-filter proxy
     "q_rare_bigram_rate" -> ((s, dir) =>
       TextAnalysis.rareBigramRate(Tables.documents(s, dir))),
@@ -2234,6 +2237,23 @@ object SparkEntry {
       s"""SELECT word, freq, array_to_string(pieces, ' ') AS pieces,
          |  CAST(len(pieces) AS BIGINT) AS n_pieces
          |FROM s${TextAnalysis.DefaultBpeK}""".stripMargin),
+    // Fertility rollup: the encode chain above, joined to per-(lang, word)
+    // frequencies, |langs| rows out; fertility in integer thousandths
+    "q_tokenizer_fertility" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + ",\n" +
+      s"""lw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         |    FROM documents) t
+         |  WHERE length(word) >= 1 GROUP BY lang, word),
+         |p AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces
+         |  FROM s${TextAnalysis.DefaultBpeK})
+         |SELECT lw.lang,
+         |  CAST(sum(lw.freq * p.n_pieces) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(lw.freq) AS BIGINT) AS n_words,
+         |  CAST(sum(lw.freq * length(lw.word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(lw.freq * p.n_pieces) AS BIGINT) * 1000
+         |    // CAST(sum(lw.freq) AS BIGINT) AS fertility_milli
+         |FROM lw JOIN p USING (word)
+         |GROUP BY lw.lang""".stripMargin),
     // BPE step-one merge candidates: adjacent character pairs inside
     // lowercase tokens; substr is character-based in both engines and the
     // offset axes match (sequence 1..len-1 inclusive == range(1, len)).

@@ -678,6 +678,37 @@ object TextAnalysis {
         array_join(col("ps"), " ").as("pieces"),
         size(col("ps")).cast("long").as("n_pieces"))
 
+  /** Tokenizer fertility report per language — the tokenizer-QA step a
+    * multilingual pipeline runs before committing to a vocabulary: BPE
+    * pieces per whitespace word (`fertility_milli`, thousandths by
+    * integer division) plus the word/char/piece totals the ratio derives
+    * from. A language whose fertility is far above the corpus mean is
+    * being over-segmented by the shared vocabulary — the standard signal
+    * that its training-token budget is effectively taxed.
+    *
+    * Uses the PERSISTED tokenizer rules (the train-once/apply-everywhere
+    * contract — production never retrains to measure). Shape: the
+    * vocabulary-bounded encode (one `bpe_segments` kernel pass over
+    * DISTINCT words), a per-(lang, word) hash-agg, a word-keyed join of
+    * the two (vocabulary-sized, never corpus-sized), and a |langs|-row
+    * rollup. All integers.
+    */
+  def tokenizerFertility(
+      documents: DataFrame, rules: Array[(String, String)]): DataFrame = {
+    val encoded = bpeEncodeWithRules(documents, rules)
+    val langWords = graft.Parallelism.ensure(documents)
+      .select(col("lang"), explode(toks(lower(col("text")))).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+    langWords.join(encoded.select(col("word"), col("n_pieces")), "word")
+      .groupBy("lang")
+      .agg(
+        sum(col("freq") * col("n_pieces")).as("n_bpe_tokens"),
+        sum("freq").as("n_words"),
+        sum(col("freq") * length(col("word"))).as("n_chars"))
+      .withColumn("fertility_milli", expr("(n_bpe_tokens * 1000) div n_words"))
+  }
+
   /** Next-token candidates per [[bigramNextTokens]] prefix. */
   val DefaultBigramK = 3
 

@@ -195,6 +195,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!rows.keySet.exists(_._1 == "c"))
   }
 
+  test("tokenizerFertility: exact per-lang piece/word/char totals under explicit rules") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "ab ab cd", "en"),
+      (2L, "ab", "fr")
+    ).toDF("doc_id", "text", "lang")
+    // one merge rule: a+b -> "ab" segments as one piece, "cd" as two
+    val got = TextAnalysis.tokenizerFertility(d, Array("a" -> "b")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("en") === ((2L * 1 + 1L * 2, 3L, 6L, 4000L / 3))) // 1333
+    assert(got("fr") === ((1L, 1L, 2L, 1000L)))
+  }
+
   test("rareBigramRate: frequency-relative rarity on a known corpus; empty docs ride along") {
     // doc 4 is a (c,c)-run that pushes total instances past RareDen, so
     // rare means corpus count < total/1000 — i.e. exactly the count-1
