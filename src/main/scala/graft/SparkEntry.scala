@@ -309,6 +309,10 @@ object SparkEntry {
     // the continuous-ingestion dedup shape (no corpus self-join).
     "q_dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalNearDupsFromTable(SignatureStore.table(s, dir))),
+    // the ingestion dashboard number: per arrival band, how much of what
+    // came in was already in the corpus
+    "q_ingest_dup_rate" -> ((s, dir) =>
+      Dedup.ingestDupRateFromTable(SignatureStore.table(s, dir))),
     // Exact-substring dedup (Lee et al. 2022, window formulation): maximal
     // per-doc token spans covered by any 8-token window occurring twice
     // anywhere in the corpus — counting, not pairing, so no candidate join.
@@ -2606,6 +2610,26 @@ object SparkEntry {
          |  AND len(a.sh) > 0 AND len(b.sh) > 0
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // Dup-rate rollup over the same brute-forced shard-vs-corpus pair set
+    // (banding and rate all-integer)
+    "q_ingest_dup_rate" -> {
+      import graft.operators.Dedup.IngestBand
+      s"""WITH sh AS ($shCte),
+         |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+         |dup AS (SELECT DISTINCT b.doc_id AS shard_doc
+         |  FROM sh a, sh b, sp
+         |  WHERE a.doc_id < sp.split AND b.doc_id >= sp.split
+         |    AND len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) >= 0.5)
+         |SELECT doc_id // $IngestBand AS band, CAST(count(*) AS BIGINT) AS n_arrived,
+         |  CAST(count(*) FILTER (WHERE doc_id IN (SELECT shard_doc FROM dup))
+         |    AS BIGINT) AS n_dup,
+         |  CAST(count(*) FILTER (WHERE doc_id IN (SELECT shard_doc FROM dup))
+         |    AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS dup_rate_milli
+         |FROM documents, sp WHERE doc_id >= sp.split
+         |GROUP BY doc_id // $IngestBand""".stripMargin
+    },
     // Per-micro-batch probe of the static index emits the same pair set
     // as the batch operator (per-doc signatures, shard-vs-corpus only),
     // so the oracle is shared verbatim.

@@ -483,6 +483,43 @@ object Dedup {
           .where(col("jaccard") >= threshold)
     }
 
+  /** Arrival band width for [[ingestDupRateFromTable]] — small here so
+    * the driver shard (one fifth of the corpus) spans several bands; a
+    * real ingest keys this by arrival hour/batch id instead of id range.
+    */
+  val IngestBand = 32L
+
+  /** Ingestion dup-rate monitor — the dashboard number a continuous-
+    * ingestion dedup pipeline actually watches: per band of arriving
+    * doc_ids, how many documents came in, how many were near-duplicates
+    * of the EXISTING corpus (distinct shard docs in the incremental
+    * probe's pair set), and the rate in integer thousandths. A band whose
+    * rate spikes means the crawler is re-fetching known content — the
+    * upstream signal to throttle, and exactly what the reference's
+    * progress dashboard generalizes to for this pipeline.
+    *
+    * Shape: the [[incrementalNearDupsFromTable]] probe (O(shard) per
+    * band, corpus never self-joined), a distinct on shard ids, a
+    * left-join flag, and a |bands|-row rollup. All integers.
+    */
+  def ingestDupRateFromTable(
+      tbl: DataFrame, band: Long = IngestBand): DataFrame =
+    ingestSplitOf(tbl) match {
+      case None =>
+        tbl.select(col("doc_id").as("band"), lit(0L).as("n_arrived"),
+          lit(0L).as("n_dup"), lit(0L).as("dup_rate_milli")).limit(0)
+      case Some(split) =>
+        val dups = incrementalNearDupsFromTable(tbl)
+          .select(col("shard_doc").as("doc_id")).distinct()
+          .withColumn("d", lit(true))
+        tbl.where(col("doc_id") >= split).select(col("doc_id"))
+          .join(dups, Seq("doc_id"), "left")
+          .groupBy(expr(s"doc_id div ${band}L").as("band"))
+          .agg(count(lit(1)).as("n_arrived"),
+            sum(when(col("d"), 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_rate_milli", expr("(n_dup * 1000) div n_arrived"))
+    }
+
   /** Near-duplicate CLUSTERS: connected components over the
     * [[nearDuplicatePairs]] graph, labeled by the component's minimum
     * doc_id. Every document gets a row — docs with no near-dup partner are

@@ -239,6 +239,25 @@ class DedupSpec extends SparkSpec {
       }.toSet
   }
 
+  test("ingestDupRate: bands conserve the shard; n_dup = distinct probed shard docs") {
+    val documents = graft.Tables.documents(spark, sf("sf0.001"))
+    val tbl = Dedup.shingleSignatureTable(documents).localCheckpoint()
+    val split = Dedup.ingestSplitOf(documents).get
+    val got = Dedup.ingestDupRateFromTable(tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val shardCount = documents.where(col("doc_id") >= split).count()
+    assert(got.map(_._2).sum === shardCount)
+    val dupDocs = Dedup.incrementalNearDupsFromTable(tbl)
+      .select("shard_doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.map(_._3).sum === dupDocs.size.toLong)
+    got.foreach { case (band, arrived, dup, rate) =>
+      assert(band >= split / Dedup.IngestBand)
+      assert(dup <= arrived)
+      assert(rate === dup * 1000 / arrived)
+    }
+    assert(got.map(_._3).sum > 0, "driver shard should contain known content")
+  }
+
   test("substring dedup marks exactly the brute-force duplicated-window spans") {
     val shared = "the quick brown fox jumps over the lazy dog today"     // 10 tokens
     val d = docs(
