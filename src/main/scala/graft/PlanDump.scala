@@ -105,7 +105,11 @@ object PlanDump {
     "q_curriculum_order" ->
       "curriculum order: per-bucket (h, doc_id) rank windows PARTITIONED by bucket (parallel), the only ordered step an <= 8-row bucket-size cumsum broadcast back — no global sort",
     "q_stream_semdedup_incremental" ->
-      "AvailableNow drain already ran per-batch assignment + frozen-index probes inside foreachBatch; the dumped plan reads the exactly-once per-batch parquet log (batch=N overwrite dirs, recursive lookup)")
+      "AvailableNow drain already ran per-batch assignment + frozen-index probes inside foreachBatch; the dumped plan reads the exactly-once per-batch parquet log (batch=N overwrite dirs, recursive lookup)",
+    "q_tokenizer_fertility" ->
+      "tokenizer QA: bpe_segments kernel over the vocabulary-bounded word frame (rules from the persisted tokenizer), word-keyed join to per-(lang, word) counts, |langs|-row rollup — never corpus-sized past the first agg",
+    "q_ingest_dup_rate" ->
+      "ingestion monitor: the banded incremental probe (index side capped, shard-keyed), distinct shard hits, left-join flag, |bands|-row rollup — all-integer rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
