@@ -70,12 +70,25 @@ class PlanSpec extends SparkSpec {
 
   test("near-dup pair queries plan bucketed equi-joins, never BroadcastNestedLoopJoin") {
     // the all-pairs BNLJ was round 1's scale-killer: candidate pairs must
-    // come from grid cells (blocked) or (table, bucket) hash tables (LSH)
-    Seq("q_embed_neardup", "q_embed_neardup_lsh", "q_dedup_neardup", "q_simhash_pairs")
+    // come from grid cells (blocked), (table, bucket) hash tables (LSH),
+    // or k-means cells (SemDeDup)
+    Seq("q_embed_neardup", "q_embed_neardup_lsh", "q_dedup_neardup", "q_simhash_pairs",
+      "q_semdedup", "q_semdedup_incremental")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$p")
       }
+  }
+
+  test("shard manifest: one partial/final aggregate pair, no other shuffle") {
+    // the export manifest must stay one scan + one 8-row agg — a second
+    // Exchange would mean the order/digest computation started shuffling
+    // corpus rows (ENSURE_REQUIREMENTS is the agg's; REPARTITION_BY_NUM is
+    // the small-input parallelism guard, corpus-invariant)
+    val p = plan("q_shard_manifest")
+    val exchanges = "Exchange (hashpartitioning|RoundRobinPartitioning)".r
+      .findAllIn(p).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) === 1, p)
   }
 
   test("tfidf: scan reads only (doc_id, text); corpus count joins as broadcast") {
