@@ -343,6 +343,22 @@ object SparkEntry {
     "q_pipeline_retained" -> ((s, dir) =>
       Pipeline.retainedCorpus(Tables.documents(s, dir),
         sigTable = Some(SignatureStore.table(s, dir)))),
+    // --- split hygiene (r12) ---
+    // deterministic 90/5/5 content-hash split: per-(source, split) docs/tokens
+    "q_split_assign" -> ((s, dir) => Splits.splitAllocation(Tables.documents(s, dir))),
+    // train<->heldout contamination: near-dup pairs crossing split lines
+    // (split is a per-row hash CASE on the pair endpoints — zero extra joins)
+    "q_split_leakage" -> ((s, dir) =>
+      Splits.splitLeakage(Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir)))),
+    // source x source near-dup contamination matrix over the same pair set
+    "q_source_overlap" -> ((s, dir) =>
+      Pipeline.sourceOverlapMatrix(
+        Tables.documents(s, dir),
+        Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir)))),
+    // hashed linear quality-classifier inference: in-expression weights,
+    // per-row fold, no shuffle
+    "q_classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(Tables.documents(s, dir))),
     // quality-ranked keeper per near-dup cluster (longest member, min-id tie)
     "q_dedup_keep_best" -> ((s, dir) =>
       Pipeline.bestOfClusterKeepers(Tables.documents(s, dir),
@@ -379,6 +395,9 @@ object SparkEntry {
     // probe inside foreachBatch (stateless; shares the batch oracle)
     "q_stream_semdedup_incremental" -> ((s, dir) =>
       graft.streaming.EmbeddingStreams.semDeDupIncrementalToBatch(s, dir)),
+    // semi-supervised label assignment: nearest labeled seed within the
+    // trained-IVF cell (1-NN, cell-keyed equi-join, never corpus^2)
+    "q_knn_label" -> ((s, dir) => Similarity.cellKnnLabel(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     // hard negatives: top-k most-similar vectors with a DIFFERENT label
     "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir))),
@@ -506,6 +525,30 @@ object SparkEntry {
        |FROM (""".stripMargin + tokCte + "))"
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
+
+  /** Brute-force near-dup pair CTE (named `pairs`, expects `sh` in scope)
+    * — the same banding-vs-brute-force equivalence as `q_dedup_neardup`,
+    * shared by the split-leakage and source-overlap oracles so the pair
+    * semantics cannot drift between them.
+    */
+  private val neardupPairsCte: String =
+    """pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(a.sh || b.sh)) >= 0.5)""".stripMargin
+
+  /** The train/val/test CASE over a doc-id expression — interpolates the
+    * [[Splits]] constants, mirroring [[Splits.splitOf]] bit for bit.
+    */
+  private def splitSql(id: String): String = {
+    import graft.operators.Splits._
+    s"""CASE WHEN ${h60(SplitSeed, id)} % $SplitBuckets < $TrainMilli THEN 'train'
+       |  WHEN ${h60(SplitSeed, id)} % $SplitBuckets < $ValMilli THEN 'val'
+       |  ELSE 'test' END""".stripMargin
+  }
 
   /** The q_mixture_schedule oracle body — also the CTE the packed
     * composition (`q_mixture_packed`) wraps, so the two can never drift.
@@ -779,6 +822,42 @@ object SparkEntry {
        |SELECT a.neighbor_id AS vec_id, a.cell AS cell,
        |  a.neighbor_id NOT IN (SELECT j FROM pairs) AS kept
        |FROM assigned a""".stripMargin
+  }
+
+  /** DuckDB mirror of `Similarity.cellKnnLabel` — the `ann_ivf_trained`
+    * k-means/assignment CTEs verbatim, then the in-cell query×seed cosine
+    * join (seeds: vec_id ≡ 0 mod LabelSeedMod, zero-norm rows excluded on
+    * both sides) and the portable two-agg argmax: max cosine per query,
+    * min seed id among the rows achieving it. The cosine is the same
+    * left-assoc [[dotSql]] chain the engine's kernel evaluates, so the
+    * equality join on `cos = best_cos` — and the emitted `best_cos`
+    * itself — are bit-exact.
+    */
+  private def knnLabelOracle: String = {
+    val (nLists, iters) = (8, 2)
+    val mod = graft.operators.Similarity.LabelSeedMod
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |${ivfTrainCtes(nLists, iters)},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")},
+       |nz AS (SELECT a.neighbor_id AS vec_id, a.cell, emb.label, e.v,
+       |    sqrt(${selfDotSql("e.v")}) AS nrm
+       |  FROM assigned a JOIN e ON e.vec_id = a.neighbor_id
+       |  JOIN embeddings emb ON emb.vec_id = a.neighbor_id
+       |  WHERE sqrt(${selfDotSql("e.v")}) > 0.0),
+       |scored AS (SELECT q.vec_id, q.cell, q.label AS true_label,
+       |    s.vec_id AS nb_id, s.label AS nb_label,
+       |    ${dotSql("q.v", "s.v")} / (q.nrm * s.nrm) AS cos
+       |  FROM nz q JOIN nz s ON q.cell = s.cell
+       |  WHERE q.vec_id % $mod <> 0 AND s.vec_id % $mod = 0),
+       |best AS (SELECT vec_id, max(cos) AS best_cos FROM scored GROUP BY vec_id),
+       |pick AS (SELECT sc.vec_id, sc.cell, sc.true_label, b.best_cos,
+       |    min(sc.nb_id) AS nb_id
+       |  FROM scored sc JOIN best b ON sc.vec_id = b.vec_id AND sc.cos = b.best_cos
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT p.vec_id, p.cell, p.true_label, s.label AS pred_label, p.best_cos,
+       |  s.label = p.true_label AS correct
+       |FROM pick p JOIN embeddings s ON s.vec_id = p.nb_id""".stripMargin
   }
 
   /** DuckDB mirror of `Similarity.semDeDupIncremental` — the same
@@ -2594,6 +2673,50 @@ object SparkEntry {
          |WHERE len(a.sh) > 0 AND len(b.sh) > 0
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // Per-(source, split) allocation rollup; the split CASE is the shared
+    // splitSql helper, interpolating the Splits constants.
+    "q_split_assign" ->
+      s"""SELECT source, ${splitSql("doc_id")} AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // Near-dup pairs (shared brute-force CTE) whose endpoints straddle a
+    // split line; each side's split is the same hash CASE as q_split_assign.
+    "q_split_leakage" ->
+      s"""WITH sh AS ($shCte),
+         |$neardupPairsCte,
+         |sp AS (SELECT doc_a, doc_b, jaccard,
+         |    ${splitSql("doc_a")} AS split_a, ${splitSql("doc_b")} AS split_b
+         |  FROM pairs)
+         |SELECT doc_a, doc_b, jaccard, split_a, split_b,
+         |  (split_a = 'train' OR split_b = 'train') AS train_leak
+         |FROM sp WHERE split_a <> split_b""".stripMargin,
+    // Upper-triangular source x source matrix over the same pair set.
+    "q_source_overlap" ->
+      s"""WITH sh AS ($shCte),
+         |$neardupPairsCte
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2""".stripMargin,
+    // Hashed linear classifier: list_transform + list_sum replays the
+    // per-row fold; empty token lists coalesce to score 0 like the
+    // engine's aggregate() zero element.
+    "q_classifier_score" -> {
+      import graft.operators.TextAnalysis.{ClsSeed, ClsWeightMod, ClsWeightShift}
+      s"""SELECT doc_id, source, n_toks, score, score > 0 AS keep FROM (
+         |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_toks,
+         |    CAST(coalesce(list_sum(list_transform(t,
+         |      tok -> ${h60(ClsSeed, "tok")} % $ClsWeightMod - $ClsWeightShift)), 0)
+         |      AS BIGINT) AS score
+         |  FROM (SELECT doc_id, source,
+         |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |        x -> x <> '') AS t
+         |    FROM documents))""".stripMargin
+    },
     // Asymmetric brute force (corpus side x shard side only), same
     // banding-vs-brute-force equivalence argument as q_dedup_neardup;
     // split = floor(4*(max_id+1)/5) like the engine's scalar broadcast.
@@ -2864,6 +2987,7 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_trained" -> annIvfTrainedOracle,
     "q_semdedup" -> semDeDupOracle,
+    "q_knn_label" -> knnLabelOracle,
     "q_semdedup_incremental" -> semDeDupIncrementalOracle,
     // the streaming twin probes the same frozen index per micro-batch —
     // same verdicts, same oracle, verbatim

@@ -52,6 +52,35 @@ object Pipeline {
         col("total_tokens").cast("double") / col("n_docs"))
   }
 
+  /** Source×source near-dup contamination matrix — which ingest feeds
+    * overlap: for every near-duplicate pair, the (unordered) pair of
+    * sources its endpoints came from, rolled up to pair counts. The
+    * question this answers — "is crawl B mostly a re-crawl of crawl A?" —
+    * decides whether a new feed is worth its processing cost, and the
+    * diagonal (same-source pairs) is the feed's internal duplication.
+    *
+    * `src_a <= src_b` lexicographically, so (A,B) and (B,A) collapse to
+    * one cell and the matrix is upper-triangular — deterministic
+    * regardless of which endpoint the pair miner put first.
+    *
+    * Shape: the pair set (banded equi-join, never all-pairs) joined twice
+    * to the slim (doc_id, source) projection — both joins keyed by doc
+    * id, each carrying 2 longs + a short string — then a hash-agg to
+    * |sources|² rows, map-side combined. At 100 TB the pair set, not this
+    * rollup, is the cost; the matrix adds two slim shuffles of the pairs.
+    */
+  def sourceOverlapMatrix(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .select(
+        least(col("source_a"), col("source_b")).as("src_a"),
+        greatest(col("source_a"), col("source_b")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Quality-ranked cluster keepers — the retention policy production
     * pipelines actually run: within each near-dup cluster keep the HIGHEST
     * QUALITY member (here: most whitespace tokens, the same signal the

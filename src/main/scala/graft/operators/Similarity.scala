@@ -167,6 +167,65 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** [[cellKnnLabel]] seed rule: vec_id ≡ 0 (mod this) keeps its label —
+    * the deterministic stand-in for "the 25% a human labeled".
+    */
+  val LabelSeedMod: Long = 4L
+
+  /** Semi-supervised label ASSIGNMENT via a cell-restricted nearest
+    * labeled neighbor — the auto-labeling stage that stretches a small
+    * labeled set over a large corpus: vectors with `vec_id % LabelSeedMod
+    * == 0` are the labeled seeds; every other vector takes the label of
+    * its highest-cosine SEED within its trained-IVF cell (1-NN, ties to
+    * the smaller seed id). Unlike [[nearestCentroidConfusion]] (one
+    * prototype per class), this is instance-based — it follows the actual
+    * local structure — and unlike brute-force kNN it never leaves the
+    * cell, which is what makes it scale. Output keeps the held true label
+    * per vector, so the rollup over `correct` is a free accuracy estimate
+    * of the propagation itself.
+    *
+    * Scale shape: centroids broadcast by value (the [[trainedCentroids]]
+    * artifact), assignment is one scan, and the query×seed match is a
+    * cell-keyed equi-join — per-cell work is |cell|·|seeds-in-cell|, never
+    * corpus². The argmax is the portable two-agg form (max cosine per
+    * query, then min seed id among achievers — bit-reproducible because
+    * the cosine chain is the codegen'd [[dot]] kernel the oracle replays
+    * exactly); queries whose cell holds no seed drop out (inner join), the
+    * honest "cannot label" answer. Zero-norm vectors never pair (excluded
+    * before the ANSI-fatal 0/0, the [[semDeDup]] contract).
+    */
+  def cellKnnLabel(
+      embeddings: DataFrame, nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+    val cents = trainedCentroids(embeddings, nLists, trainIters)
+    if (cents.isEmpty) {
+      return embeddings.select(
+        col("vec_id"), lit(0).as("cell"), col("label").as("true_label"),
+        col("label").as("pred_label"), lit(0.0).as("best_cos"),
+        lit(false).as("correct")).limit(0)
+    }
+    val keyed = graft.Parallelism.ensure(embeddings)
+      .where(col("embedding").isNotNull && norm(col("embedding")) > 0.0)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        bestCellOf(cents)(col("embedding")).as("cell"))
+    val seeds = keyed.where(col("vec_id") % LabelSeedMod === 0)
+      .select(col("cell"), col("vec_id").as("nb_id"), col("label").as("nb_label"),
+        col("embedding").as("nb_vec"), col("nrm").as("nb_nrm"))
+    val scored = keyed.where(col("vec_id") % LabelSeedMod =!= 0)
+      .join(seeds, Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("label"), col("nb_id"), col("nb_label"),
+        (dot(col("embedding"), col("nb_vec")) / (col("nrm") * col("nb_nrm"))).as("cos"))
+    val best = scored.groupBy("vec_id").agg(max("cos").as("best_cos"))
+    scored.join(best, "vec_id")
+      .where(col("cos") === col("best_cos"))
+      .groupBy(col("vec_id"), col("cell"), col("label"), col("best_cos"))
+      .agg(min("nb_id").as("nb_id"))
+      .join(seeds.select(col("nb_id"), col("nb_label")), "nb_id")
+      .select(col("vec_id"), col("cell"), col("label").as("true_label"),
+        col("nb_label").as("pred_label"), col("best_cos"),
+        (col("nb_label") === col("label")).as("correct"))
+  }
+
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val queries = embeddings
       .where(col("vec_id") < nQueries)

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/val/test split assignment and the split-hygiene
+  * checks a training pipeline runs before an export is allowed to train.
+  *
+  * The assignment is a pure function of the document id (content-hash
+  * bucketing, same contract as [[Sampling]]): a document's split never
+  * depends on partitioning, cluster size, or arrival order, so the split
+  * audited at sf0.01 is bit-identical to the split a 1000-executor run
+  * produces at 100 TB. The reference's engine has no notion of held-out
+  * splits (it is a single wordcount job); this surface generalizes its
+  * deterministic-rerun property (same input → same output regardless of
+  * worker count) to the split stage of an LLM data pipeline.
+  */
+object Splits {
+
+  /** Hash-bucket resolution for split rates: thousandths. */
+  val SplitBuckets: Long = 1000L
+
+  /** Seed for the split draw — distinct from every [[Sampling]] seed so
+    * split membership is independent of sample membership.
+    */
+  val SplitSeed: Int = 23
+
+  /** Bucket thresholds: [0, TrainMilli) → train, [TrainMilli, ValMilli) →
+    * val, [ValMilli, SplitBuckets) → test. 90/5/5 — the usual shape.
+    */
+  val TrainMilli: Long = 900L
+  val ValMilli: Long = 950L
+
+  /** The split of one document as a column: CASE over the 60-bit md5
+    * bucket. Codegen'd end to end (one md5 + two compares per row), no
+    * shuffle, and interpolated verbatim into the oracle SQL so the two
+    * engines cannot drift.
+    */
+  def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = HashFunctions.md5Long(docId.cast("string"), SplitSeed) % SplitBuckets
+    when(bucket < TrainMilli, lit("train"))
+      .when(bucket < ValMilli, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Per-(source, split) allocation rollup: how many documents and tokens
+    * each source contributed to each split — the sanity table a pipeline
+    * checks before training (is val non-empty per source? did the 90/5/5
+    * land?).
+    *
+    * Shape: one scan computing the per-row hash + token count, one
+    * hash-aggregate producing |sources|×3 rows. Map-side combine does
+    * almost all the work; the shuffle carries one row per (source, split)
+    * per task. Scan-speed at any scale.
+    */
+  def splitAllocation(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("source"), splitOf(col("doc_id")).as("split"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+
+  /** Split leakage: near-duplicate pairs whose endpoints landed in
+    * DIFFERENT splits — the train↔test contamination check. A held-out
+    * split is only held out if no training document is a near-copy of an
+    * eval document; random (hash) splitting guarantees the opposite at
+    * crawl duplication rates, which is exactly why this check exists
+    * (and why real pipelines split by near-dup CLUSTER — see the keeper
+    * policies in [[Pipeline]]). Emits one row per leaking pair with both
+    * splits and the pair's jaccard; `leak` marks the severe case (a
+    * train document on one side of a held-out pair).
+    *
+    * Shape: rides the SignatureStore pair miner
+    * ([[Dedup.nearDuplicatePairsFromTable]] — banded equi-join, never
+    * all-pairs), then adds only per-row hash CASEs: computing each
+    * side's split is a pure function of the id already present in the
+    * pair row, so leakage costs ZERO extra joins or shuffles on top of
+    * pair mining itself.
+    */
+  def splitLeakage(pairs: DataFrame): DataFrame = {
+    val a = splitOf(col("doc_a"))
+    val b = splitOf(col("doc_b"))
+    pairs
+      .select(
+        col("doc_a"), col("doc_b"), col("jaccard"),
+        a.as("split_a"), b.as("split_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .withColumn(
+        "train_leak",
+        col("split_a") === "train" || col("split_b") === "train")
+  }
+}

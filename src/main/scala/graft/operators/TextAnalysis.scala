@@ -114,6 +114,37 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("tf"))
       .groupBy("tf").agg(count(lit(1)).as("n_types"))
 
+  /** [[classifierScore]] weight table parameters: weight(tok) =
+    * md5₆₀(seed:tok) mod ClsWeightMod − ClsWeightShift ∈ [−8, 8]. The
+    * oracle interpolates THESE constants, so the two engines cannot drift.
+    */
+  val ClsWeightMod: Long = 17L
+  val ClsWeightShift: Long = 8L
+  val ClsSeed: Int = 31
+
+  /** Hashed linear classifier INFERENCE — the quality-filter-model stage
+    * of a CCNet/fastText-style pipeline (feature hashing: each token maps
+    * straight to a weight, no vocabulary lookup), run with a deterministic
+    * surrogate weight table so the whole thing is oracle-replayable:
+    * weight(tok) = md5₆₀(seed:tok) mod 17 − 8, score = Σ weights over
+    * token INSTANCES, keep iff score > 0. A trained model would broadcast
+    * its real weight array into this same expression — the surrogate
+    * changes the numbers, not the execution shape, and the shape is the
+    * point: per-row fold over the token array (`aggregate`), weights
+    * computed in-expression — NO weight-table join, NO explode, NO
+    * shuffle. Whole-stage-codegen scan speed at any corpus size.
+    */
+  def classifierScore(documents: DataFrame): DataFrame = {
+    val t = filter(toks(lower(col("text"))), x => x =!= "")
+    val w = (tok: Column) =>
+      HashFunctions.md5Long(tok, ClsSeed) % ClsWeightMod - ClsWeightShift
+    documents.select(
+      col("doc_id"), col("source"),
+      size(t).cast("long").as("n_toks"),
+      aggregate(t, lit(0L), (acc, tok) => acc + w(tok)).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
   /** Integer scale for [[topCollocations]]' PMI score. */
   val PmiScale: Long = 1000000L
   val CollocationMinCount: Long = 5L

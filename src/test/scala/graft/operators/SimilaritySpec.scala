@@ -202,6 +202,62 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(!_._3), "driver data should contain at least one semantic duplicate")
   }
 
+  test("cellKnnLabel equals brute-force within-cell 1-NN on driver data") {
+    // reference: the engine's own trained assignment (bit-pinned by
+    // ann_ivf_trained's oracle), then per-query nearest in-cell seed in
+    // Scala with the same left-assoc double accumulation
+    val cents = Similarity.trainedCentroids(emb, nLists = 8, iters = 2)
+    val base = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.bestCellOf(cents)(col("embedding")).as("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray, r.getInt(3)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) s += a(i).toDouble * b(i)
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val nz = base.filter { case (_, _, v, _) => nrm(v) > 0.0 }
+    val seedsByCell = nz.filter(_._1 % Similarity.LabelSeedMod == 0).groupBy(_._4)
+    val expected = (for {
+      (id, lab, v, cell) <- nz if id % Similarity.LabelSeedMod != 0
+      seeds <- seedsByCell.get(cell).toSeq
+    } yield {
+      val scored = seeds.map { case (sid, slab, sv, _) =>
+        (dot(v, sv) / (nrm(v) * nrm(sv)), sid, slab)
+      }
+      val bestCos = scored.map(_._1).max
+      val (_, nbId, nbLab) = scored.filter(_._1 == bestCos).minBy(_._2)
+      (id, cell, lab, nbLab, bestCos, nbLab == lab)
+    }).toSet
+    val got = Similarity.cellKnnLabel(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getBoolean(5))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    assert(got.exists(_._6), "driver data should contain at least one correct propagation")
+  }
+
+  test("cellKnnLabel planted: tight clusters propagate their seed's label exactly") {
+    import spark.implicits._
+    // two well-separated cones; labels follow the cone; seeds (id % 4 == 0)
+    // exist on both sides, so every emitted prediction must be correct
+    val rows = (0L until 20L).map { i =>
+      val a = i < 10
+      val v =
+        if (a) Array(10f, 0.01f * i, 0f, 0f) else Array(0f, 0f, 10f, 0.01f * i)
+      (i, if (a) 0 else 1, v)
+    }
+    val d = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.cellKnnLabel(d, nLists = 4, trainIters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getBoolean(5)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3), s"cross-cluster propagation: ${got.filterNot(_._3).toSeq}")
+    // seeds are never classified; every emitted id is a non-seed
+    assert(got.forall(_._1 % Similarity.LabelSeedMod != 0))
+  }
+
   test("semDeDup planted cases: duplicate group keeps min id, sub-threshold pair survives, " +
     "zero vectors never pair") {
     import spark.implicits._
