@@ -109,7 +109,19 @@ object PlanDump {
     "q_tokenizer_fertility" ->
       "tokenizer QA: bpe_segments kernel over the vocabulary-bounded word frame (rules from the persisted tokenizer), word-keyed join to per-(lang, word) counts, |langs|-row rollup — never corpus-sized past the first agg",
     "q_ingest_dup_rate" ->
-      "ingestion monitor: the banded incremental probe (index side capped, shard-keyed), distinct shard hits, left-join flag, |bands|-row rollup — all-integer rate")
+      "ingestion monitor: the banded incremental probe (index side capped, shard-keyed), distinct shard hits, left-join flag, |bands|-row rollup — all-integer rate",
+    "q_filter_funnel" ->
+      "first-reject funnel: two map-side-combined HashAggregate pairs ((doc, tok) counts, then per-doc metrics), verdict CASE in the projection, |sources|x6-row rollup — no joins, never corpus-sized past the first agg",
+    "q_containment" ->
+      "containment classification: the banded pair miner unchanged, then two doc_id-keyed slim joins attaching shingle-set SIZES (one int per doc, never the sets); integer-milli ratios + verdict CASE in the final projection",
+    "q_dedup_agreement" ->
+      "detector agreement: both banded miners unchanged (no all-pairs term), full-outer join keyed by the pair itself, <=3-row rollup",
+    "q_select_best" ->
+      "best-decile selection: classifier scan (in-expression weights, no weight join), ONE source-keyed shuffle feeding both window functions, rank filter, |sources|-row rollup",
+    "q_corpus_datasheet" ->
+      "one-row datasheet: a single scan, Expand for the two count-distincts, partial->final HashAggregate — no second pass over the data, no join",
+    "q_embed_outliers" ->
+      "embedding outliers: centroid_probes assignment kernel inside WholeStageCodegen, nLists-row broadcast centroid join, own-centroid cosine per row, nLists-row agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -363,6 +363,24 @@ object SparkEntry {
     "q_dedup_keep_best" -> ((s, dir) =>
       Pipeline.bestOfClusterKeepers(Tables.documents(s, dir),
         Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir)))),
+    // directional containment over the mined pair set: mutual / a_in_b /
+    // b_in_a / partial (integer-milli ratios, two slim size joins)
+    "q_containment" -> ((s, dir) =>
+      Dedup.pairContainment(SignatureStore.table(s, dir))),
+    // MinHash-vs-SimHash detector agreement (both / minhash_only /
+    // simhash_only pair counts; both miners are the banded joins)
+    "q_dedup_agreement" -> ((s, dir) =>
+      Dedup.dedupMethodAgreement(
+        Tables.documents(s, dir), SignatureStore.table(s, dir))),
+    // quality-filter funnel: first-reject attribution per (source, rule)
+    "q_filter_funnel" -> ((s, dir) =>
+      TextAnalysis.filterFunnel(Tables.documents(s, dir))),
+    // per-source best-decile selection card (rank by classifier score)
+    "q_select_best" -> ((s, dir) =>
+      Pipeline.selectBestPerSource(Tables.documents(s, dir))),
+    // the one-row corpus datasheet (single scan, many axes)
+    "q_corpus_datasheet" -> ((s, dir) =>
+      Pipeline.corpusDatasheet(Tables.documents(s, dir))),
     // per-ingest-feed curation rollup (corpus-wide dup contamination)
     "q_source_stats" -> ((s, dir) => Pipeline.sourceCurationStats(Tables.documents(s, dir))),
     // --- similarity search over embeddings ---
@@ -398,6 +416,10 @@ object SparkEntry {
     // semi-supervised label assignment: nearest labeled seed within the
     // trained-IVF cell (1-NN, cell-keyed equi-join, never corpus^2)
     "q_knn_label" -> ((s, dir) => Similarity.cellKnnLabel(Tables.embeddings(s, dir))),
+    // per-cell outlier report: cosine of each vector to its own trained
+    // centroid, rolled up to |cells| rows (the embedding-junk monitor)
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.cellOutlierReport(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     // hard negatives: top-k most-similar vectors with a DIFFERENT label
     "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir))),
@@ -858,6 +880,33 @@ object SparkEntry {
        |SELECT p.vec_id, p.cell, p.true_label, s.label AS pred_label, p.best_cos,
        |  s.label = p.true_label AS correct
        |FROM pick p JOIN embeddings s ON s.vec_id = p.nb_id""".stripMargin
+  }
+
+  /** DuckDB mirror of `Similarity.cellOutlierReport` — the
+    * `ann_ivf_trained` k-means/assignment CTEs verbatim, then each
+    * vector's cosine to its OWN cell's centroid (the same left-assoc
+    * [[dotSql]] chain, zero-norm rows excluded as in [[knnLabelOracle]])
+    * and the per-cell rollup with the integer-milli outlier rate.
+    */
+  private def embedOutliersOracle: String = {
+    val (nLists, iters) = (8, 2)
+    val thr = graft.operators.Similarity.OutlierCos
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |${ivfTrainCtes(nLists, iters)},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")},
+       |cs AS (SELECT a.cell,
+       |    ${dotSql("e.v", "c.c")}
+       |      / (sqrt(${selfDotSql("e.v")}) * sqrt(${selfDotSql("c.c")})) AS cos
+       |  FROM assigned a JOIN e ON e.vec_id = a.neighbor_id
+       |  JOIN cent$iters c ON c.i = a.cell
+       |  WHERE sqrt(${selfDotSql("e.v")}) > 0.0)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(*) FILTER (WHERE cos < $thr) AS BIGINT) AS n_outliers,
+       |  CAST(count(*) FILTER (WHERE cos < $thr) AS BIGINT) * 1000
+       |    // CAST(count(*) AS BIGINT) AS outlier_rate_milli,
+       |  min(cos) AS min_cos
+       |FROM cs GROUP BY cell""".stripMargin
   }
 
   /** DuckDB mirror of `Similarity.semDeDupIncremental` — the same
@@ -2717,6 +2766,130 @@ object SparkEntry {
          |        x -> x <> '') AS t
          |    FROM documents))""".stripMargin
     },
+    // Directional containment over the brute-forced near-dup pair set:
+    // integer-milli floor divisions and the same verdict CASE order as
+    // Dedup.pairContainment (pairs never include empty shingle sets, so
+    // the divisors are positive).
+    "q_containment" -> {
+      import graft.operators.Dedup.ContainmentMilli
+      s"""WITH sh AS ($shCte),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |    CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) >= 0.5)
+         |SELECT doc_a, doc_b, inter, n_a, n_b,
+         |  inter * 1000 // n_a AS cont_a_milli,
+         |  inter * 1000 // n_b AS cont_b_milli,
+         |  CASE WHEN inter * 1000 // n_a >= $ContainmentMilli
+         |         AND inter * 1000 // n_b >= $ContainmentMilli THEN 'mutual'
+         |    WHEN inter * 1000 // n_a >= $ContainmentMilli THEN 'a_in_b'
+         |    WHEN inter * 1000 // n_b >= $ContainmentMilli THEN 'b_in_a'
+         |    ELSE 'partial' END AS relation
+         |FROM p""".stripMargin
+    },
+    // The two brute-forced pair sets (jaccard >= 0.5 via the shared CTE,
+    // simhash hamming <= 3 via the shared simhashCte), full-outer joined
+    // on the pair key and bucketed like Dedup.dedupMethodAgreement.
+    "q_dedup_agreement" ->
+      s"""WITH sh AS ($shCte),
+         |$neardupPairsCte,
+         |$simhashCte,
+         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |u AS (SELECT p.doc_a IS NOT NULL AS in_mh, sp.doc_a IS NOT NULL AS in_sh
+         |  FROM pairs p FULL JOIN sp
+         |    ON p.doc_a = sp.doc_a AND p.doc_b = sp.doc_b)
+         |SELECT CASE WHEN in_mh AND in_sh THEN 'both'
+         |    WHEN in_mh THEN 'minhash_only'
+         |    ELSE 'simhash_only' END AS method,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM u GROUP BY 1""".stripMargin,
+    // Per-row list replay of the funnel metrics (the top-token count via
+    // list_distinct x list_filter), then the same first-reject CASE order
+    // and (source, verdict) rollup as TextAnalysis.filterFunnel.
+    "q_filter_funnel" -> {
+      import graft.operators.TextAnalysis._
+      s"""WITH t AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      x -> x <> '') AS tks
+         |  FROM documents),
+         |m AS (SELECT doc_id, source, n_chars,
+         |    CAST(len(tks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(tks,
+         |      w -> regexp_full_match(w, '[.,!?:;"'']+'))) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(tks, w -> list_contains($stopList, w)))
+         |      AS BIGINT) AS n_stop,
+         |    CAST(coalesce(list_max(list_transform(list_distinct(tks),
+         |      d -> len(list_filter(tks, x -> x = d)))), 0) AS BIGINT) AS top_tok
+         |  FROM t)
+         |SELECT source,
+         |  CASE WHEN n_toks < $FunnelMinTokens THEN 'too_short'
+         |    WHEN n_chars > $FunnelMaxChars THEN 'too_long'
+         |    WHEN n_punct * $FunnelPunctMult > n_toks THEN 'punct_flood'
+         |    WHEN n_stop = 0 THEN 'no_stopwords'
+         |    WHEN top_tok * $FunnelTopTokMult >= n_toks THEN 'top_token_flood'
+         |    ELSE 'kept' END AS verdict,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |FROM m GROUP BY 1, 2""".stripMargin
+    },
+    // The classifier-score CTE (shared weight constants), then the same
+    // total-order window rank and ceil(n/10) budget as
+    // Pipeline.selectBestPerSource.
+    "q_select_best" -> {
+      import graft.operators.TextAnalysis.{ClsSeed, ClsWeightMod, ClsWeightShift}
+      import graft.operators.Pipeline.SelectBestDenom
+      s"""WITH s AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_toks,
+         |    CAST(coalesce(list_sum(list_transform(t,
+         |      tok -> ${h60(ClsSeed, "tok")} % $ClsWeightMod - $ClsWeightShift)), 0)
+         |      AS BIGINT) AS score
+         |  FROM (SELECT doc_id, source,
+         |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |        x -> x <> '') AS t
+         |    FROM documents)),
+         |r AS (SELECT source, doc_id, n_toks, score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id ASC) AS rnk,
+         |    count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM s)
+         |SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_selected,
+         |  CAST(min(score) AS BIGINT) AS cutoff_score,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens_selected
+         |FROM r WHERE rnk <= (n_src + ${SelectBestDenom - 1}) // $SelectBestDenom
+         |GROUP BY source""".stripMargin
+    },
+    // One-row datasheet: every per-row column a closed form (token count,
+    // split CASE, classifier fold), aggregated once.
+    "q_corpus_datasheet" -> {
+      import graft.operators.TextAnalysis.{ClsSeed, ClsWeightMod, ClsWeightShift}
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      x -> x <> '') AS tks
+         |  FROM documents),
+         |m AS (SELECT source, lang, n_chars,
+         |    CAST(len(tks) AS BIGINT) AS n_toks,
+         |    ${splitSql("doc_id")} AS split,
+         |    CAST(coalesce(list_sum(list_transform(tks,
+         |      tok -> ${h60(ClsSeed, "tok")} % $ClsWeightMod - $ClsWeightShift)), 0)
+         |      AS BIGINT) > 0 AS cls_keep
+         |  FROM t)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+         |  CAST(count(*) FILTER (WHERE split = 'val') AS BIGINT) AS n_val,
+         |  CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test,
+         |  CAST(count(*) FILTER (WHERE cls_keep) AS BIGINT) AS n_cls_keep
+         |FROM m""".stripMargin
+    },
     // Asymmetric brute force (corpus side x shard side only), same
     // banding-vs-brute-force equivalence argument as q_dedup_neardup;
     // split = floor(4*(max_id+1)/5) like the engine's scalar broadcast.
@@ -2988,6 +3161,7 @@ object SparkEntry {
     "ann_ivf_trained" -> annIvfTrainedOracle,
     "q_semdedup" -> semDeDupOracle,
     "q_knn_label" -> knnLabelOracle,
+    "q_embed_outliers" -> embedOutliersOracle,
     "q_semdedup_incremental" -> semDeDupIncrementalOracle,
     // the streaming twin probes the same frozen index per micro-batch —
     // same verdicts, same oracle, verbatim

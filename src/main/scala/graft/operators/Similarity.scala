@@ -226,6 +226,64 @@ object Similarity {
         (col("nb_label") === col("label")).as("correct"))
   }
 
+  /** A vector is an outlier of its cell below this cosine to the cell's
+    * trained centroid. Sits at the testdata's bottom decile of
+    * own-centroid cosines (p10 ≈ 0.155, median ≈ 0.25): the report flags
+    * the detached tail, not the bulk — on a production corpus this dial
+    * is set from the same percentile probe.
+    */
+  val OutlierCos: Double = 0.15
+
+  /** Embedding-space OUTLIER report: assign every vector to its trained
+    * k-means cell (the `ann_ivf_trained` loop verbatim, so the
+    * bit-portability argument carries over), compute each vector's cosine
+    * to its OWN centroid, and roll up per cell: population, how many sit
+    * below [[OutlierCos]], the outlier rate in integer thousandths, and
+    * the cell's worst cosine. Low-cosine vectors are the junk a curation
+    * pipeline prunes before ANN indexing or SemDeDup (mis-embedded docs,
+    * garbage inputs, vectors from a different embedding model) — and a
+    * cell whose outlier rate spikes is the drift signal that the frozen
+    * centroids no longer fit the incoming corpus (the re-train trigger
+    * for [[semDeDupIncremental]]'s frozen-cell contract).
+    *
+    * Shape: centroids ship as literals (parameter-bounded driver state,
+    * same as every IVF path); assignment + own-centroid cosine is ONE
+    * map-only scan (the nLists-row centroid frame broadcast-joins on
+    * cell id); the rollup is an nLists-row hash-agg with map-side
+    * combine. Zero-norm and NULL vectors are excluded (cosine undefined)
+    * exactly as in [[cellKnnLabel]].
+    */
+  def cellOutlierReport(
+      embeddings: DataFrame, nLists: Int = 8, trainIters: Int = 2,
+      threshold: Double = OutlierCos): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = trainedCentroids(embeddings, nLists, trainIters)
+    if (cents.isEmpty) {
+      return embeddings.select(
+        lit(0).as("cell"), lit(0L).as("n_vecs"), lit(0L).as("n_outliers"),
+        lit(0L).as("outlier_rate_milli"), lit(0.0).as("min_cos")).limit(0)
+    }
+    val centDf = broadcast(cents.toSeq.toDF("cell", "centroid"))
+    graft.Parallelism.ensure(embeddings)
+      .where(col("embedding").isNotNull && norm(col("embedding")) > 0.0)
+      .select(bestCellOf(cents)(col("embedding")).as("cell"), col("embedding"))
+      .join(centDf, "cell")
+      .select(
+        col("cell"),
+        (dot(col("embedding"), col("centroid")) /
+          (norm(col("embedding")) * norm(col("centroid")))).as("cos"))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("cos") < threshold, 1L).otherwise(0L)).as("n_outliers"),
+        min(col("cos")).as("min_cos"))
+      .select(
+        col("cell"), col("n_vecs"), col("n_outliers"),
+        expr("n_outliers * 1000 DIV n_vecs").as("outlier_rate_milli"),
+        col("min_cos"))
+  }
+
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val queries = embeddings
       .where(col("vec_id") < nQueries)

@@ -136,13 +136,84 @@ object TextAnalysis {
     */
   def classifierScore(documents: DataFrame): DataFrame = {
     val t = filter(toks(lower(col("text"))), x => x =!= "")
-    val w = (tok: Column) =>
-      HashFunctions.md5Long(tok, ClsSeed) % ClsWeightMod - ClsWeightShift
     documents.select(
       col("doc_id"), col("source"),
       size(t).cast("long").as("n_toks"),
-      aggregate(t, lit(0L), (acc, tok) => acc + w(tok)).as("score"))
+      classifierScoreOf(col("text")).as("score"))
       .withColumn("keep", col("score") > 0)
+  }
+
+  /** The [[classifierScore]] fold as a bare column over a text column —
+    * for callers that embed the score in a wider single-scan projection
+    * (e.g. `Pipeline.corpusDatasheet`). Same tokens, same weights, same
+    * zero element; `classifierScore` itself evaluates exactly this.
+    */
+  def classifierScoreOf(text: Column): Column = {
+    val t = filter(toks(lower(text)), x => x =!= "")
+    val w = (tok: Column) =>
+      HashFunctions.md5Long(tok, ClsSeed) % ClsWeightMod - ClsWeightShift
+    aggregate(t, lit(0L), (acc, tok) => acc + w(tok))
+  }
+
+  /** [[filterFunnel]] thresholds. All integer cross-multiplications (a
+    * punct share of > 1/[[FunnelPunctMult]], a top-token share of
+    * ≥ 1/[[FunnelTopTokMult]]) so the verdicts are bit-portable and
+    * invariant under uniform corpus replication.
+    */
+  val FunnelMinTokens: Long = 20L
+  val FunnelMaxChars: Long = 450L
+  val FunnelPunctMult: Long = 5L
+  val FunnelTopTokMult: Long = 5L
+
+  /** Quality-filter FUNNEL with first-reject attribution — the drop
+    * accounting a curation pipeline dashboards next to its filter
+    * cascade. Every document gets exactly one verdict: the FIRST rule
+    * (in the fixed order below) that rejects it, or `kept`:
+    *
+    *   1. `too_short`   — fewer than [[FunnelMinTokens]] tokens
+    *   2. `too_long`    — more than [[FunnelMaxChars]] characters
+    *   3. `punct_flood` — punctuation tokens exceed 1/5 of the doc
+    *   4. `no_stopwords`— zero stopword hits (boilerplate/non-prose)
+    *   5. `top_token_flood` — one token is ≥ 1/5 of all instances
+    *                      (the [[repetitionStats]] top-token signal)
+    *
+    * First-reject (rather than all-flags) attribution is what makes the
+    * rollup a FUNNEL: rule counts sum exactly to the corpus, so a shift
+    * in any band is visible without double counting, and re-ordering a
+    * rule shows up as a count migration, not silence. Output is one row
+    * per (source, verdict) with doc and token totals.
+    *
+    * Shape: two map-side-combined hash-aggs — explode → (doc, tok)
+    * counts → per-doc metrics (the [[repetitionStats]] top-token idiom;
+    * the shuffle carries 2 ints per (doc, token), then 4 ints per doc) —
+    * and a final |sources|×6-row rollup. No joins, scan-bounded at any
+    * corpus size. `explode_outer` keeps token-less documents in the
+    * frame (they fall in the `too_short` band, not off the report).
+    */
+  def filterFunnel(documents: DataFrame): DataFrame = {
+    val perTok = graft.Parallelism.ensure(documents)
+      .select(
+        col("doc_id"), col("source"), length(col("text")).as("n_chars_txt"),
+        explode_outer(filter(toks(lower(col("text"))), x => x =!= "")).as("tok"))
+      .groupBy("doc_id", "source", "n_chars_txt", "tok")
+      .agg(count(lit(1)).as("c"))
+    val m = perTok
+      .groupBy("doc_id", "source", "n_chars_txt")
+      .agg(
+        sum(when(col("tok").isNotNull, col("c")).otherwise(0L)).as("n_toks"),
+        sum(when(col("tok").rlike("^[.,!?:;\"']+$"), col("c")).otherwise(0L)).as("n_punct"),
+        sum(when(col("tok").isin(Stopwords: _*), col("c")).otherwise(0L)).as("n_stop"),
+        max(when(col("tok").isNotNull, col("c")).otherwise(0L)).as("top_tok"))
+    val verdict =
+      when(col("n_toks") < FunnelMinTokens, "too_short")
+        .when(col("n_chars_txt") > FunnelMaxChars, "too_long")
+        .when(col("n_punct") * FunnelPunctMult > col("n_toks"), "punct_flood")
+        .when(col("n_stop") === 0, "no_stopwords")
+        .when(col("top_tok") * FunnelTopTokMult >= col("n_toks"), "top_token_flood")
+        .otherwise(lit("kept"))
+    m.select(col("source"), verdict.as("verdict"), col("n_toks"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
   }
 
   /** Integer scale for [[topCollocations]]' PMI score. */

@@ -33,6 +33,50 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated excluded
   }
 
+  test("pairContainment classifies mutual / a_in_b / b_in_a / partial") {
+    // disjoint vocabularies per planted pair so no cross-pair candidates
+    val sub = (1 to 16).map(i => s"w$i").mkString(" ")     // 14 shingles
+    val sup = sub + " e1 e2 e3"                            // 17, superset
+    val ident = (1 to 12).map(i => s"m$i").mkString(" ")   // 10 shingles
+    val core = (1 to 18).map(i => s"c$i").mkString(" ")
+    val sub2 = (1 to 16).map(i => s"v$i").mkString(" ")
+    val sup2 = sub2 + " f1 f2 f3"
+    val d = docs(
+      1L -> sub, 2L -> sup, // subset first by id -> a_in_b
+      3L -> ident, 4L -> ident, // identical -> mutual
+      5L -> (core + " p1 p2"), 6L -> (core + " q1 q2"), // two tails -> partial
+      10L -> sup2, 11L -> sub2) // superset first by id -> b_in_a
+    val got = Dedup.pairContainment(Dedup.shingleSignatureTable(d))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    assert(got === Map(
+      (1L, 2L) -> ((14L, 14L, 17L, 1000L, 823L, "a_in_b")),
+      (3L, 4L) -> ((10L, 10L, 10L, 1000L, 1000L, "mutual")),
+      (5L, 6L) -> ((16L, 18L, 18L, 888L, 888L, "partial")),
+      (10L, 11L) -> ((14L, 17L, 14L, 823L, 1000L, "b_in_a"))))
+  }
+
+  test("dedupMethodAgreement: planted both / minhash_only / simhash_only pairs") {
+    val ident = (1 to 12).map(i => s"g$i").mkString(" ")
+    // shares 16 of 20 tokens -> jaccard 0.64, but the 8 differing tokens
+    // flip 10 simhash bits (verified offline against the same md5 chain)
+    val baseW = (1 to 16).map(i => s"w$i")
+    val mhOnlyA = (baseW ++ (0 until 4).map(j => s"p1_$j")).mkString(" ")
+    val mhOnlyB = (baseW ++ (0 until 4).map(j => s"q1_$j")).mkString(" ")
+    // same token MULTISET in reverse order: simhash distance 0 by
+    // construction, shingle sets disjoint -> jaccard 0
+    val rev = (1 to 20).map(i => s"r$i")
+    val d = docs(
+      1L -> ident, 2L -> ident,
+      3L -> mhOnlyA, 4L -> mhOnlyB,
+      5L -> rev.mkString(" "), 6L -> rev.reverse.mkString(" "))
+    val got = Dedup.dedupMethodAgreement(d, Dedup.shingleSignatureTable(d))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("both" -> 1L, "minhash_only" -> 1L, "simhash_only" -> 1L))
+  }
+
   test("short docs (< 3 tokens) are excluded from LSH, not crashed on") {
     val d = docs(1L -> "tiny doc", 2L -> "", 3L -> "a b c d e f g h")
     assert(Dedup.nearDuplicatePairs(d, 0.1).count() === 0)

@@ -42,4 +42,61 @@ class PipelineSpec extends SparkSpec {
     assert(got(10L) === ((10L, 50L, 2L)), "equal lengths tie-break to min id")
     assert(got.keySet === Set(1L, 7L, 10L), "one keeper row per cluster")
   }
+
+  test("selectBestPerSource: ceil(n/10) budget, (score, id) total order, exact card") {
+    import spark.implicits._
+    // 12 docs in source a (budget ceil(12/10) = 2), 1 in source b (= 1);
+    // texts vary so the hashed classifier spreads scores
+    val docs = ((0L until 12L).map(i =>
+      (i, s"the quick doc number$i with words w$i x$i y$i z$i", "a")) :+
+      ((20L, "the lone b document with its own words", "b")))
+      .toDF("doc_id", "text", "source")
+    // brute-force the same selection from the operator's own score frame
+    val scored = TextAnalysis.classifierScore(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = scored.groupBy(_._2).map { case (src, vs) =>
+      val k = (vs.length + 9) / 10
+      val sel = vs.sortBy(v => (-v._4, v._1)).take(k)
+      src -> ((vs.length.toLong, sel.length.toLong,
+        sel.map(_._4).min, sel.map(_._3).sum))
+    }
+    val got = Pipeline.selectBestPerSource(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    assert(got("a")._2 === 2L)
+    assert(got("b")._2 === 1L)
+    val again = Pipeline.selectBestPerSource(docs.repartition(7)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again === got)
+  }
+
+  test("corpusDatasheet: one row whose axes equal independently-computed values") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the alpha beta", "en", "s1"),
+      (1L, "", "en", "s2"),
+      (2L, "gamma delta the epsilon", "de", "s2"),
+      (3L, "the of and a to in", "fr", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = Pipeline.corpusDatasheet(docs).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    val scored = TextAnalysis.classifierScore(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getBoolean(4)))
+    val splits = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      Splits.splitOf(org.apache.spark.sql.functions.col("doc_id")).as("sp"))
+      .collect().map(x => x.getString(1))
+    assert(r.getLong(0) === 4L) // n_docs
+    assert(r.getLong(1) === scored.map(_._2).sum) // n_tokens
+    assert(r.getLong(2) === docs.collect().map(_.getString(1).length.toLong).sum)
+    assert(r.getLong(3) === 3L) // sources
+    assert(r.getLong(4) === 3L) // langs
+    assert(r.getLong(5) === splits.count(_ == "train"))
+    assert(r.getLong(6) === splits.count(_ == "val"))
+    assert(r.getLong(7) === splits.count(_ == "test"))
+    assert(r.getLong(8) === scored.count(_._3)) // classifier keeps
+  }
 }

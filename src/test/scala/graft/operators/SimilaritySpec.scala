@@ -444,4 +444,55 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(snap(emb) === snap(emb.repartition(7)))
   }
+
+  test("cellOutlierReport equals a brute-force own-centroid rollup on driver data") {
+    val cents = Similarity.trainedCentroids(emb, nLists = 8, iters = 2)
+    val centMap = cents.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) s += a(i).toDouble * b(i)
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val base = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.bestCellOf(cents)(col("embedding")).as("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .filter(t => nrm(t._2) > 0.0)
+    val expected = base.groupBy(_._3).map { case (cell, vs) =>
+      val c = centMap(cell)
+      val cos = vs.map(t => dot(t._2, c) / (nrm(t._2) * nrm(c)))
+      val nOut = cos.count(_ < Similarity.OutlierCos).toLong
+      cell -> ((vs.length.toLong, nOut, nOut * 1000L / vs.length, cos.min))
+    }
+    val got = Similarity.cellOutlierReport(emb).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("cellOutlierReport planted: the orthogonal junk vector is the only outlier") {
+    import spark.implicits._
+    // ids 0..8 hug +x (first-n seeds = ids 0..7); id 9 is orthogonal junk;
+    // zero-norm and NULL rows must drop from the report, not crash it.
+    // trainIters = 0 pins centroids to the seeds themselves, so the junk
+    // vector cannot drag a mean toward itself (k-means' junk-adaptation
+    // caveat — the brute-force case above covers the trained path).
+    val rows: Seq[(Long, Option[Array[Float]])] =
+      (0L until 9L).map(i => i -> Some(Array(10f, 0.01f * i, 0f, 0f))) ++
+        Seq(9L -> Some(Array(0f, 10f, 0f, 0f)),
+          10L -> Some(Array(0f, 0f, 0f, 0f)),
+          11L -> (None: Option[Array[Float]]))
+    val d = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cellOutlierReport(d, nLists = 8, trainIters = 0).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.map(_._1).sum === 10L) // 9 inliers + junk; zero/null excluded
+    assert(got.map(_._2).sum === 1L) // exactly the junk vector
+    // inlier-only cells sit tight on their centroid; the junk cell's
+    // worst cosine is near-orthogonal
+    assert(got.filter(_._2 == 0L).forall(_._3 > 0.99))
+    assert(got.filter(_._2 == 1L).forall(_._3 < 0.1))
+  }
 }

@@ -394,4 +394,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(rows(2L)._3 - 0.25) < 1e-12) // corpus frac of bucket 2
     assert(math.abs(rows(2L)._4 - 1.0) < 1e-12) // the whole shard sits there
   }
+
+  test("filterFunnel: each rule fires on its planted doc, in first-reject order") {
+    import spark.implicits._
+    def distinctWords(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val d = Seq(
+      // 3 tokens -> too_short (even though it also has no stopwords)
+      (0L, "alpha beta gamma", "s0"),
+      // > 450 chars -> too_long (20+ tokens, stopword present)
+      (1L, "the " + distinctWords(75, "longword"), "s0"),
+      // 20 tokens, 5 punctuation -> punct_flood (25 > 20); stopword present
+      (2L, "the " + distinctWords(14, "w") + " . , ! ? ;", "s0"),
+      // 20 distinct non-stopword tokens -> no_stopwords
+      (3L, distinctWords(20, "x"), "s1"),
+      // 'the' x5 of 20 tokens -> top_token_flood (25 >= 20); has stopwords
+      (4L, "the the the the the " + distinctWords(15, "y"), "s1"),
+      // 20 tokens, 1 stopword, all others unique -> kept
+      (5L, "the " + distinctWords(19, "z"), "s1")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.filterFunnel(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("s0", "too_short") -> ((1L, 3L)),
+      ("s0", "too_long") -> ((1L, 76L)),
+      ("s0", "punct_flood") -> ((1L, 20L)),
+      ("s1", "no_stopwords") -> ((1L, 20L)),
+      ("s1", "top_token_flood") -> ((1L, 20L)),
+      ("s1", "kept") -> ((1L, 20L))))
+  }
+
+  test("filterFunnel: verdicts partition the corpus; token-less docs are too_short; partition-invariant") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "", "a"), (1L, "   ", "a"),
+      (2L, "the " + (1 to 19).map(i => s"k$i").mkString(" "), "b"),
+      (3L, "one two", "b")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.filterFunnel(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.values.sum === 4L) // every doc exactly one verdict
+    assert(got(("a", "too_short")) === 2L) // empty/whitespace docs stay in frame
+    assert(got(("b", "kept")) === 1L)
+    assert(got(("b", "too_short")) === 1L)
+    val again = TextAnalysis.filterFunnel(d.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again === got)
+  }
 }
