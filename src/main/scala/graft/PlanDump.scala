@@ -117,7 +117,7 @@ object PlanDump {
     "q_dedup_agreement" ->
       "detector agreement: both banded miners unchanged (no all-pairs term), full-outer join keyed by the pair itself, <=3-row rollup",
     "q_select_best" ->
-      "best-decile selection: classifier scan (in-expression weights, no weight join), ONE source-keyed shuffle feeding both window functions, rank filter, |sources|-row rollup",
+      "best-decile selection WITHOUT sorting the corpus: (source, score) histogram hash-agg, cumulative window over that tiny frame, broadcast cutoff joined back, doc-rank window only inside the cutoff tie group",
     "q_corpus_datasheet" ->
       "one-row datasheet: a single scan, Expand for the two count-distincts, partial->final HashAggregate — no second pass over the data, no join",
     "q_embed_outliers" ->
