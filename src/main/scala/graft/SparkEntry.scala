@@ -265,6 +265,10 @@ object SparkEntry {
     // rare-transition share per doc: the log-free perplexity-filter proxy
     "q_rare_bigram_rate" -> ((s, dir) =>
       TextAnalysis.rareBigramRate(Tables.documents(s, dir))),
+    // CCNet-style LM quality score: per-doc surprisal under the corpus's
+    // add-1 bigram model, every ln the portable fixed-point ln_f
+    "q_lm_surprisal" -> ((s, dir) =>
+      TextAnalysis.lmSurprisal(Tables.documents(s, dir))),
     // top-p (nucleus) truncation of the bigram LM, integer threshold
     "q_bigram_nucleus" -> ((s, dir) => TextAnalysis.bigramNucleus(Tables.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
@@ -296,6 +300,12 @@ object SparkEntry {
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
+    // DSIR (Xie et al. 2023): hashed-n-gram importance weights toward the
+    // curated target feeds — log-likelihood ratios as exact fixed-point ints
+    "q_dsir_score" -> ((s, dir) => Dsir.importanceScores(Tables.documents(s, dir))),
+    // DSIR resampling: Gumbel-top-k over the importance weights (hash
+    // Gumbel), computed by counting — the corpus is never globally sorted
+    "q_dsir_select" -> ((s, dir) => Dsir.gumbelTopK(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
     // The MinHash family reads the session-persisted SignatureStore (the
     // ingest-time artifact): signatures/shingles computed once per corpus,
@@ -405,6 +415,10 @@ object SparkEntry {
     // SemDeDup: k-means cells bound the pair search; smaller-id in-cell
     // near-dups drop the vector (deterministic keep-one rule)
     "q_semdedup" -> ((s, dir) => Similarity.semDeDup(Tables.embeddings(s, dir))),
+    // cluster-balanced diversity sampling: √cell-size budget allocation
+    // over the trained k-means cells, content-hash Bernoulli within cell
+    "q_sample_diverse" -> ((s, dir) =>
+      Similarity.cellBalancedSample(Tables.embeddings(s, dir))),
     // continuous-ingestion SemDeDup: the incoming fifth probes the
     // corpus's persisted cells; the corpus is never self-joined again
     "q_semdedup_incremental" -> ((s, dir) =>
@@ -547,6 +561,80 @@ object SparkEntry {
        |FROM (""".stripMargin + tokCte + "))"
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
+
+  /** DuckDB mirror of `Dsir.importanceScores` as a CTE chain ending in
+    * `scores(doc_id, source, n_feats, logw_f)`: hashed unigram+bigram
+    * buckets (same 60-bit md5, same modulus), target/raw histograms with
+    * add-1 smoothing, and the per-bucket λ as four portable fixed-point
+    * ln_f chains ([[graft.functions.FixedPointLn.lnFSql]]) — so the
+    * summed log-likelihood ratios are exact BIGINTs on both engines.
+    */
+  private def dsirScoreCtes: String = {
+    import graft.functions.FixedPointLn.lnFSql
+    val b = graft.operators.Dsir.NumBuckets
+    val targets = graft.operators.Dsir.TargetSources
+      .map(s => s"'$s'").mkString(", ")
+    s"""ts AS (SELECT doc_id, source,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      t -> t <> '') AS ts
+       |  FROM documents),
+       |uni AS (SELECT doc_id, source, unnest(ts) AS f FROM ts),
+       |bi AS (SELECT doc_id, source, ts[i] || ' ' || ts[i + 1] AS f
+       |  FROM (SELECT doc_id, source, ts, unnest(range(1, len(ts))) AS i
+       |        FROM ts WHERE len(ts) >= 2)),
+       |fb AS (SELECT doc_id, source,
+       |    ${h60(graft.operators.Dsir.FeatureSeed, "f")} % $b AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       |  GROUP BY doc_id, source, b),
+       |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS r FROM fb GROUP BY b),
+       |tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS t FROM fb
+       |  WHERE source IN ($targets) GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS bigr,
+       |               (SELECT CAST(sum(t) AS BIGINT) FROM tgt) AS bigt),
+       |lam AS (SELECT raw.b,
+       |  ${lnFSql("coalesce(tgt.t, 0) + 1", "lt")},
+       |  ${lnFSql("tot.bigt + " + b, "lbt")},
+       |  ${lnFSql("raw.r + 1", "lr")},
+       |  ${lnFSql("tot.bigr + " + b, "lbr")},
+       |  lt - lbt - lr + lbr AS lam_f
+       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+       |docw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |    CAST(sum(c * lam_f) AS BIGINT) AS logw_f
+       |  FROM fb JOIN lam USING (b) GROUP BY doc_id),
+       |scores AS (SELECT d.doc_id, d.source,
+       |    coalesce(w.n_feats, 0) AS n_feats, coalesce(w.logw_f, 0) AS logw_f
+       |  FROM documents d LEFT JOIN docw w USING (doc_id))""".stripMargin
+  }
+
+  /** DuckDB mirror of `Dsir.gumbelTopK`'s key: the 20-bit content hash
+    * draw, −ln u and the Gumbel both through ln_f, then the obvious global
+    * window rank the engine's counting selection must reproduce.
+    */
+  private def dsirSelectSql: String = {
+    import graft.functions.FixedPointLn.{lnFSql, Ln2F}
+    val d = graft.operators.Dsir.SelectDenom
+    s"""WITH $dsirScoreCtes,
+       |g0 AS (SELECT doc_id, source, logw_f,
+       |    ${h60(graft.operators.Dsir.GumbelSeed, "CAST(doc_id AS VARCHAR)")}
+       |      % 1048576 AS h
+       |  FROM scores),
+       |g1 AS (SELECT doc_id, source, logw_f,
+       |  ${lnFSql("h * 2 + 1", "lh")},
+       |  greatest(21 * $Ln2F - lh, 1) AS nl
+       |  FROM g0),
+       |g2 AS (SELECT doc_id, source, logw_f,
+       |  ${lnFSql("nl", "lnl")},
+       |  20 * $Ln2F - lnl AS g_f
+       |  FROM g1),
+       |keyed AS (SELECT doc_id, source, logw_f, g_f, logw_f + g_f AS key_f
+       |  FROM g2),
+       |nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |sel AS (SELECT k.*, row_number()
+       |    OVER (ORDER BY key_f DESC, doc_id ASC) AS rn FROM keyed k)
+       |SELECT doc_id, source, logw_f, g_f, key_f
+       |FROM sel CROSS JOIN nk WHERE rn <= (n + ${d - 1}) // $d""".stripMargin
+  }
 
   /** Brute-force near-dup pair CTE (named `pairs`, expects `sh` in scope)
     * — the same banding-vs-brute-force equivalence as `q_dedup_neardup`,
@@ -844,6 +932,38 @@ object SparkEntry {
        |SELECT a.neighbor_id AS vec_id, a.cell AS cell,
        |  a.neighbor_id NOT IN (SELECT j FROM pairs) AS kept
        |FROM assigned a""".stripMargin
+  }
+
+  /** DuckDB mirror of `Similarity.cellBalancedSample` — the
+    * `ann_ivf_trained` k-means/assignment CTEs verbatim, then the
+    * √cell-size budget allocation (floor(sqrt) over an IEEE sqrt — exact
+    * for n < 2^52) and the 20-bit content-hash Bernoulli draw as integer
+    * cross-multiplication, per-cell kept counts left-joined back onto the
+    * budget card.
+    */
+  private def cellBalancedSampleOracle: String = {
+    val (nLists, iters) = (8, 2)
+    val denom = graft.operators.Similarity.DiverseSampleDenom
+    val seed = graft.operators.Similarity.DiverseSampleSeed
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |${ivfTrainCtes(nLists, iters)},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")},
+       |sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isq
+       |  FROM assigned GROUP BY cell),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       |    CAST(sum(isq) AS BIGINT) AS isq_total FROM sizes),
+       |budgets AS (SELECT cell, n, isq,
+       |    ((n_total // $denom) * isq) // isq_total AS budget
+       |  FROM sizes CROSS JOIN tot),
+       |kept AS (SELECT a.cell, CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM assigned a JOIN budgets b USING (cell)
+       |  WHERE (${h60(seed, "CAST(a.neighbor_id AS VARCHAR)")} % 1048576) * b.n
+       |        < b.budget * 1048576
+       |  GROUP BY a.cell)
+       |SELECT b.cell, b.n, b.isq, b.budget, coalesce(k.n_kept, 0) AS n_kept
+       |FROM budgets b LEFT JOIN kept k USING (cell)""".stripMargin
   }
 
   /** DuckDB mirror of `Similarity.cellKnnLabel` — the `ann_ivf_trained`
@@ -2138,6 +2258,12 @@ object SparkEntry {
          |  r.rank * $CurriculumBuckets + r.bucket AS pos_interleaved
          |FROM r JOIN off o USING (bucket)""".stripMargin
     },
+    // DSIR importance scores: the CTE chain in dsirScoreCtes (hashed
+    // features, smoothed target/raw histograms, fixed-point λ)
+    "q_dsir_score" -> s"WITH $dsirScoreCtes SELECT * FROM scores",
+    // DSIR resampling: the same scores + hash-Gumbel keys, pinned as the
+    // obvious global rank (the engine computes the set by counting)
+    "q_dsir_select" -> dsirSelectSql,
     // Shard manifest: same keyed-hash shard + within-shard (h, doc_id)
     // order, row digests XOR-folded per shard (the q_table_digest idiom)
     "q_shard_manifest" -> {
@@ -2436,6 +2562,36 @@ object SparkEntry {
          |  coalesce(p.n_rare, 0) * 100 > ${TextAnalysis.RareFlagPct} * coalesce(p.n_bigrams, 0)
          |    AS flagged
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+    // CCNet-style surprisal: same bigram axis as q_bigram_lm (add-1
+    // smoothing over it); both ln's are the portable fixed-point ln_f
+    // chain (FixedPointLn.lnFSql), so nll sums are exact BIGINTs
+    "q_lm_surprisal" -> {
+      import graft.functions.FixedPointLn.lnFSql
+      s"""WITH ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+         |        FROM ts WHERE len(ts) >= 2)),
+         |dbc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+         |  FROM bg GROUP BY doc_id, w1, w2),
+         |lm AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n_pair
+         |  FROM dbc GROUP BY w1, w2),
+         |lmt AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM lm GROUP BY w1),
+         |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+         |  FROM (SELECT unnest(ts) AS w FROM ts) WHERE w <> ''),
+         |sc AS (SELECT doc_id, c,
+         |  ${lnFSql("n_w1 + v", "la")},
+         |  ${lnFSql("n_pair + 1", "lb")}
+         |  FROM dbc JOIN lm USING (w1, w2) JOIN lmt USING (w1) CROSS JOIN v),
+         |perdoc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(c * (la - lb)) AS BIGINT) AS nll_f
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(p.nll_f, 0) AS nll_f,
+         |  CASE WHEN coalesce(p.n_bigrams, 0) > 0
+         |       THEN coalesce(p.nll_f, 0) // p.n_bigrams ELSE 0 END AS avg_nll_f
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    },
     // All-integer PageRank, 3 rounds unrolled: same bigram edge axis as
     // q_bigram_lm, per-source weights normalized to 1/2^20 units, per-edge
     // contributions floored BEFORE summing (order-independent integers),
@@ -3160,6 +3316,7 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_trained" -> annIvfTrainedOracle,
     "q_semdedup" -> semDeDupOracle,
+    "q_sample_diverse" -> cellBalancedSampleOracle,
     "q_knn_label" -> knnLabelOracle,
     "q_embed_outliers" -> embedOutliersOracle,
     "q_semdedup_incremental" -> semDeDupIncrementalOracle,

@@ -559,6 +559,61 @@ object Similarity {
             (col("min_nb").isNull || col("min_nb") > col("vec_id")))).as("kept"))
   }
 
+  /** [[cellBalancedSample]] targets n / DiverseSampleDenom vectors. */
+  val DiverseSampleDenom = 4L
+
+  /** Seed for the per-vector sampling draw of [[cellBalancedSample]]. */
+  val DiverseSampleSeed = 11
+
+  /** Cluster-balanced DIVERSITY sampling card: allocate a global budget of
+    * ⌊n/4⌋ across the corpus's k-means cells proportionally to √cell-size
+    * — the density-flattening allocation (dense embedding clusters are
+    * redundant; √n relatively up-weights sparse regions, the same idea as
+    * cluster-balanced pretraining subset selection) — then draw within
+    * each cell by the content-keyed 20-bit hash Bernoulli
+    * (`h·n_c < budget_c·2^20`, the [[Sampling]] cross-multiplication
+    * idiom), so the draw is exact-integer, reproducible across engines and
+    * partitionings, and needs NO per-cell sort or rank. Output is the
+    * per-cell allocation card (cell, n, isq, budget, n_kept).
+    *
+    * Centroids are [[trainedCentroids]] with the `ann_ivf_trained`
+    * parameters, so the oracle reuses those k-means CTEs verbatim; √ is
+    * `floor(sqrt(n))` on a correctly-rounded IEEE sqrt — exact for any
+    * n < 2^52, hence engine-portable. NULL embeddings are outside the
+    * population (they carry no diversity signal); zero vectors assign to
+    * their deterministic argmax cell like every other operator on this
+    * axis.
+    *
+    * Scale shape: one assignment scan (centroids broadcast by value), one
+    * map-side-combined cell histogram (≤ nLists rows), a broadcast of the
+    * tiny budget frame back onto the scan, and a second ≤ nLists-row agg
+    * of kept counts. Nothing shuffles the corpus; the Bernoulli keeps the
+    * selection a pure filter.
+    */
+  def cellBalancedSample(
+      embeddings: DataFrame, nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+    val cents = trainedCentroids(embeddings, nLists, trainIters)
+    val cells = graft.Parallelism.ensure(embeddings)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), bestCellOf(cents)(col("embedding")).as("cell"))
+      .localCheckpoint()
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .withColumn("isq", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val totals = sizes.agg(sum("n").as("n_total"), sum("isq").as("isq_total"))
+    val budgets = sizes.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        expr(s"((n_total DIV $DiverseSampleDenom) * isq) DIV isq_total"))
+      .select("cell", "n", "isq", "budget")
+    val kept = cells
+      .join(broadcast(budgets), Seq("cell"))
+      .where(
+        (graft.functions.HashFunctions.md5Long(
+          col("vec_id").cast("string"), DiverseSampleSeed) % (1L << 20))
+          * col("n") < col("budget") * (1L << 20))
+      .groupBy("cell").agg(count(lit(1)).as("n_kept"))
+    budgets.join(kept, Seq("cell"), "left").na.fill(0L, Seq("n_kept"))
+  }
+
   /** Incremental [[semDeDup]] — the continuous-ingestion shape, the
     * embedding-space twin of `Dedup.incrementalNearDups`: an INCOMING
     * shard (the top fifth of the vec_id range, same ⌊4·(max+1)/5⌋ ingest

@@ -883,6 +883,53 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("cum"))
   }
 
+  /** Per-document LM quality score: total and per-bigram SURPRISAL of the
+    * document under the corpus's own add-1-smoothed bigram model — the
+    * CCNet-style "perplexity filter" (Wenzek et al. 2020) with the n-gram
+    * LM trained on the corpus itself (a held-in model; production would
+    * swap in a reference-corpus LM through the identical plan). With
+    * p(w2|w1) = (n(w1,w2)+1)/(n(w1)+V), the per-bigram surprisal is
+    * −ln p = ln(n(w1)+V) − ln(n(w1,w2)+1), every ln the portable
+    * fixed-point `ln_f` ([[graft.functions.FixedPointLn]]), so nll_f and
+    * the integer per-bigram average are exact int64s the oracle replays.
+    * Perplexity is exp(avg_nll) — monotone in avg_nll_f, so threshold
+    * filters read avg_nll_f directly and no portable exp is needed.
+    *
+    * Shape: the [[bigramNextTokens]] count aggregates (vocabulary-bounded,
+    * map-side combined) plus a per-(doc, bigram) count frame that joins
+    * the LM tables on the bigram key — corpus-proportional but
+    * partial-combined, with AQE handling the Zipf skew of common bigrams —
+    * and one doc_id-keyed final agg. The vocab size V joins in as a 1-row
+    * broadcast. Documents with fewer than two tokens score 0 (no bigram
+    * evidence; they are the length filter's job, not the LM's).
+    */
+  def lmSurprisal(documents: DataFrame): DataFrame = {
+    import graft.functions.FixedPointLn.lnF
+    val ts = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
+    val pairs = ts.where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val dbc = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val lm = dbc.groupBy("w1", "w2").agg(sum("c").as("n_pair"))
+    val lmTot = lm.groupBy("w1").agg(sum("n_pair").as("n_w1"))
+    val vocab = ts.select(explode(col("ts")).as("w")).where(col("w") =!= "")
+      .agg(countDistinct("w").as("v"))
+    val scored = dbc
+      .join(lm, Seq("w1", "w2"))
+      .join(lmTot, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("s_f", lnF(col("n_w1") + col("v")) - lnF(col("n_pair") + 1))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), sum(col("c") * col("s_f")).as("nll_f"))
+    documents.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "nll_f"))
+      .withColumn("avg_nll_f",
+        when(col("n_bigrams") > 0, expr("nll_f DIV n_bigrams")).otherwise(0L))
+  }
+
   /** Rarity denominator for [[rareBigramRate]]: a bigram is rare iff its
     * corpus count × RareDen < total bigram instances — i.e. its corpus
     * frequency is below 1/RareDen. Frequency-relative on purpose: an

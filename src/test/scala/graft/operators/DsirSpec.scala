@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.FixedPointLn.lnFRef
+
+class DsirSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  // reference md5Long (HashFunctions.md5Long semantics: 15 hex chars of
+  // md5("<seed>:<x>") as a positive long)
+  private def md5Long(seed: Int, s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$s".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
+  private def feats(text: String): Seq[String] = {
+    val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+  }
+
+  /** Brute-force DSIR scores: (doc_id -> (n_feats, logw_f)) via lnFRef. */
+  private def expectedScores(
+      rows: Seq[(Long, String, String)]): Map[Long, (Long, Long)] = {
+    val b = Dsir.NumBuckets
+    val fb = rows.flatMap { case (id, src, text) =>
+      feats(text).map(f => (id, src, md5Long(Dsir.FeatureSeed, f) % b))
+    }
+    val raw = fb.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tgt = fb.filter(t => Dsir.TargetSources.contains(t._2))
+      .groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val bigR = raw.values.sum
+    val bigT = tgt.values.sum
+    def lam(bk: Long): Long =
+      lnFRef(tgt.getOrElse(bk, 0L) + 1) - lnFRef(bigT + b) -
+        lnFRef(raw(bk) + 1) + lnFRef(bigR + b)
+    rows.map { case (id, _, _) =>
+      val mine = fb.filter(_._1 == id).groupBy(_._3).view.mapValues(_.size.toLong)
+      id -> (mine.values.sum, mine.map { case (bk, c) => c * lam(bk) }.sum)
+    }.toMap
+  }
+
+  private val corpus: Seq[(Long, String, String)] = Seq(
+    (1L, "src0", "alpha beta alpha beta gamma"),
+    (2L, "src1", "alpha beta delta"),
+    (3L, "src5", "omega psi chi omega psi"),
+    (4L, "src5", "alpha beta alpha"), // raw doc that LOOKS like the target
+    (5L, "src6", "omega chi psi phi"),
+    (6L, "src6", ""),                 // featureless: must score 0, stay in frame
+    (7L, "src7", "   "))              // whitespace-only: same
+
+  test("importanceScores match the lnFRef brute force exactly (incl. zero rows)") {
+    val got = Dsir.importanceScores(docs(corpus: _*))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val want = expectedScores(corpus)
+    assert(got.keySet === corpus.map(_._1).toSet)
+    corpus.map(_._1).foreach { id =>
+      assert(got(id) === want(id), s"doc $id")
+    }
+    assert(got(6L) === ((0L, 0L)))
+    assert(got(7L) === ((0L, 0L)))
+  }
+
+  test("scores steer toward the target domain: target-like raw doc outranks off-target") {
+    val got = Dsir.importanceScores(docs(corpus: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // doc 4 shares the target's feature mass, docs 3/5 share none
+    assert(got(4L) > got(3L))
+    assert(got(4L) > got(5L))
+  }
+
+  test("gumbelTopK equals the brute-force sort of logw+gumbel keys") {
+    val rows = (1L to 60L).map { i =>
+      val src = if (i % 3 == 0) "src0" else s"src${i % 7 + 2}"
+      val text = if (i % 3 == 0) s"alpha beta tok$i" else s"omega psi tok$i"
+      (i, src, text)
+    }
+    val scores = expectedScores(rows)
+    def gumbel(id: Long): Long = {
+      val h = md5Long(Dsir.GumbelSeed, id.toString) % (1L << 20)
+      val nl = math.max(21L * 726817L - lnFRef(h * 2 + 1), 1L)
+      20L * 726817L - lnFRef(nl)
+    }
+    val keys = rows.map { case (id, _, _) => id -> (scores(id)._2 + gumbel(id)) }
+    val k = (rows.size + Dsir.SelectDenom - 1) / Dsir.SelectDenom
+    val want = keys.sortBy { case (id, key) => (-key, id) }.take(k.toInt).toMap
+    val got = Dsir.gumbelTopK(docs(rows: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(got === want)
+  }
+
+  test("scores and selection are invariant under repartitioning") {
+    val d = docs(corpus: _*)
+    val a = Dsir.importanceScores(d).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val b = Dsir.importanceScores(d.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(a === b)
+    val sa = Dsir.gumbelTopK(d).collect().map(_.getLong(0)).toSet
+    val sb = Dsir.gumbelTopK(d.repartition(5)).collect().map(_.getLong(0)).toSet
+    assert(sa === sb)
+  }
+}

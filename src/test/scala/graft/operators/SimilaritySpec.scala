@@ -495,4 +495,50 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(_._2 == 0L).forall(_._3 > 0.99))
     assert(got.filter(_._2 == 1L).forall(_._3 < 0.1))
   }
+
+  test("cellBalancedSample: card is internally consistent and partition-invariant") {
+    val card = Similarity.cellBalancedSample(emb).collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nTotal = card.map(_._2).sum
+    val isqTotal = card.map(_._3).sum
+    val nonNull = emb.where(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
+    assert(nTotal === nonNull) // every non-null vector is in exactly one cell
+    card.foreach { case (cell, n, isq, budget, kept) =>
+      assert(isq === math.sqrt(n.toDouble).toLong, s"cell $cell")
+      assert(budget === ((nTotal / Similarity.DiverseSampleDenom) * isq) / isqTotal,
+        s"cell $cell")
+      assert(kept <= n)
+    }
+    // Bernoulli with rate budget/n: kept lands near budget (loose bound)
+    val (totBudget, totKept) = (card.map(_._4).sum, card.map(_._5).sum)
+    assert(totKept > totBudget / 2 && totKept < totBudget * 2)
+    val again = Similarity.cellBalancedSample(
+      emb.repartition(7)).collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq === card.sortBy(_._1).toSeq)
+  }
+
+  test("cellBalancedSample flattens density: bigger cells get lower keep rates") {
+    import spark.implicits._
+    // two orthogonal clusters, 319 vs 7 vectors, one seed in each (ids 0/1
+    // are the first-2 seeds) — √-allocation must give the dense cluster a
+    // far LOWER keep rate than proportional sampling would
+    val rows: Seq[(Long, Array[Float])] =
+      Seq(0L -> Array(10f, 0f, 0f, 0f), 1L -> Array(0f, 10f, 0f, 0f)) ++
+        (2L until 320L).map(i => i -> Array(10f, 0.001f * i, 0f, 0f)) ++
+        (400L until 406L).map(i => i -> Array(0f, 10f, 0.001f * (i - 400), 0f))
+    val card = Similarity
+      .cellBalancedSample(rows.toDF("vec_id", "embedding"), nLists = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(card.map(_._1).sum === 326L)
+    val big = card.maxBy(_._1)   // the 319-vector cell
+    val small = card.minBy(_._1) // the 7-vector cell
+    assert(big._1 === 319L && small._1 === 7L)
+    // keep rates budget/n: √-flattening puts the dense cell's rate well
+    // under half the sparse cell's
+    assert(big._2.toDouble / big._1 < 0.5 * small._2.toDouble / small._1,
+      s"big=$big small=$small")
+  }
 }

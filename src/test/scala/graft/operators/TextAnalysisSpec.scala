@@ -438,4 +438,42 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(again === got)
   }
+
+  test("lmSurprisal matches the lnFRef brute force; short docs score 0 and stay in frame") {
+    import spark.implicits._
+    import graft.functions.FixedPointLn.lnFRef
+    val rows = Seq(
+      (1L, "a b a b"),   // common bigrams
+      (2L, "a b"),
+      (3L, "c d c"),     // rarer transitions
+      (4L, "a"),         // one token: no bigram evidence
+      (5L, ""))          // empty
+    val d = rows.toDF("doc_id", "text")
+    // brute force: per-doc bigram counts, corpus LM, add-1 smoothing
+    def bigrams(t: String): Seq[(String, String)] = {
+      val ts = t.trim.toLowerCase.split("\\s+").toSeq
+      if (ts.size < 2) Nil else ts.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val all = rows.flatMap { case (id, t) => bigrams(t).map(bg => (id, bg)) }
+    val lm = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val lmt = lm.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = rows.flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .distinct.size.toLong
+    val want = rows.map { case (id, t) =>
+      val bgs = bigrams(t)
+      val nll = bgs.map(bg => lnFRef(lmt(bg._1) + v) - lnFRef(lm(bg) + 1)).sum
+      val n = bgs.size.toLong
+      id -> ((n, nll, if (n > 0) nll / n else 0L))
+    }.toMap
+    val got = TextAnalysis.lmSurprisal(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    assert(got(4L) === ((0L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L)))
+    // the common-transition doc reads as more fluent than the rare one
+    assert(got(1L)._3 < got(3L)._3)
+    val again = TextAnalysis.lmSurprisal(d.repartition(5)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again === got)
+  }
 }
