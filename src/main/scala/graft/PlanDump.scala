@@ -121,7 +121,15 @@ object PlanDump {
     "q_corpus_datasheet" ->
       "one-row datasheet: a single scan, Expand for the two count-distincts, partial->final HashAggregate — no second pass over the data, no join",
     "q_embed_outliers" ->
-      "embedding outliers: centroid_probes assignment kernel inside WholeStageCodegen, nLists-row broadcast centroid join, own-centroid cosine per row, nLists-row agg")
+      "embedding outliers: centroid_probes assignment kernel inside WholeStageCodegen, nLists-row broadcast centroid join, own-centroid cosine per row, nLists-row agg",
+    "q_dsir_score" ->
+      "DSIR scoring: two map-side-combined hash-aggs (per-doc buckets, B-bounded histograms), the <=4096-row λ frame with four ln_fixed kernels broadcast back onto the count frame, one doc_id-keyed final agg — no corpus-sized shuffle beyond the partial-combined counts",
+    "q_dsir_select" ->
+      "DSIR resampling without a global sort: ln_fixed Gumbel keys in the projection, 4096-wide coarse histogram hash-agg, cumulative window over that tiny frame, broadcast cutoff, rank window only inside the one cutoff bucket",
+    "q_lm_surprisal" ->
+      "LM surprisal: vocabulary-bounded bigram LM aggregates, bigram-keyed join carrying pre-aggregated per-(doc, bigram) counts, 1-row vocab broadcast, ln_fixed inside WholeStageCodegen, doc_id-keyed final agg",
+    "q_sample_diverse" ->
+      "diversity sampling: centroid_probes assignment kernel, <=nLists-row histogram + budget frames broadcast back, content-hash Bernoulli as a pure filter — the corpus is never shuffled or ranked")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -114,7 +114,12 @@ object Dsir {
     * point: 2^20 ≈ one nat.
     */
   def importanceScores(documents: DataFrame): DataFrame = {
-    val fb = featureBuckets(documents)
+    // the (doc, bucket) count frame feeds the raw histogram, the target
+    // histogram, their totals AND the per-doc fold — checkpoint it so the
+    // corpus is tokenized/hashed ONCE, not once per consumer (the
+    // rareBigramRate idiom; without this the plan re-derives the feature
+    // explode subtree 12 times)
+    val fb = featureBuckets(documents).localCheckpoint()
     val perDoc = fb
       .join(broadcast(bucketWeights(fb).select("b", "lam_f")), Seq("b"))
       .groupBy("doc_id")

@@ -911,7 +911,11 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the per-(doc, bigram) counts feed the LM, its totals AND the scoring
+    // join — checkpoint so the corpus is tokenized/exploded once (the
+    // rareBigramRate idiom)
     val dbc = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val lm = dbc.groupBy("w1", "w2").agg(sum("c").as("n_pair"))
     val lmTot = lm.groupBy("w1").agg(sum("n_pair").as("n_w1"))
     val vocab = ts.select(explode(col("ts")).as("w")).where(col("w") =!= "")
