@@ -306,6 +306,15 @@ object SparkEntry {
     // DSIR resampling: Gumbel-top-k over the importance weights (hash
     // Gumbel), computed by counting — the corpus is never globally sorted
     "q_dsir_select" -> ((s, dir) => Dsir.gumbelTopK(Tables.documents(s, dir))),
+    // continuous-ingestion DSIR: the incoming fifth scored under weights
+    // FROZEN on the existing corpus (never re-featurized, never shifted
+    // by the batch being judged); novel buckets take the smoothing floor
+    "q_dsir_incremental" -> ((s, dir) =>
+      Dsir.incrementalScores(Tables.documents(s, dir))),
+    // streaming twin: per-micro-batch scoring against the same frozen
+    // weight table inside foreachBatch (shared scoreShardAgainstWeights)
+    "q_stream_dsir_score" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.dsirScoresToBatch(s, dir)),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
     // The MinHash family reads the session-persisted SignatureStore (the
     // ingest-time artifact): signatures/shingles computed once per corpus,
@@ -569,11 +578,12 @@ object SparkEntry {
     * ln_f chains ([[graft.functions.FixedPointLn.lnFSql]]) — so the
     * summed log-likelihood ratios are exact BIGINTs on both engines.
     */
-  private def dsirScoreCtes: String = {
-    import graft.functions.FixedPointLn.lnFSql
+  /** The hashed-feature CTEs shared by every DSIR oracle: filtered token
+    * arrays, unigram+bigram features, and the per-(doc, bucket) counts
+    * `fb` — the SQL mirror of `Dsir.featureBuckets`.
+    */
+  private def dsirFeatureCtes: String = {
     val b = graft.operators.Dsir.NumBuckets
-    val targets = graft.operators.Dsir.TargetSources
-      .map(s => s"'$s'").mkString(", ")
     s"""ts AS (SELECT doc_id, source,
        |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |      t -> t <> '') AS ts
@@ -586,7 +596,15 @@ object SparkEntry {
        |    ${h60(graft.operators.Dsir.FeatureSeed, "f")} % $b AS b,
        |    CAST(count(*) AS BIGINT) AS c
        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-       |  GROUP BY doc_id, source, b),
+       |  GROUP BY doc_id, source, b)""".stripMargin
+  }
+
+  private def dsirScoreCtes: String = {
+    import graft.functions.FixedPointLn.lnFSql
+    val b = graft.operators.Dsir.NumBuckets
+    val targets = graft.operators.Dsir.TargetSources
+      .map(s => s"'$s'").mkString(", ")
+    s"""$dsirFeatureCtes,
        |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS r FROM fb GROUP BY b),
        |tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS t FROM fb
        |  WHERE source IN ($targets) GROUP BY b),
@@ -634,6 +652,47 @@ object SparkEntry {
        |    OVER (ORDER BY key_f DESC, doc_id ASC) AS rn FROM keyed k)
        |SELECT doc_id, source, logw_f, g_f, key_f
        |FROM sel CROSS JOIN nk WHERE rn <= (n + ${d - 1}) // $d""".stripMargin
+  }
+
+  /** DuckDB mirror of `Dsir.incrementalScores` (and, verbatim, of the
+    * streaming twin's full drain): weights train on the corpus BELOW the
+    * ⌊4·(max+1)/5⌋ ingest split only; shard buckets left-join them with
+    * the smoothing-floor fallback for never-seen features.
+    */
+  private def dsirIncrementalSql: String = {
+    import graft.functions.FixedPointLn.lnFSql
+    val b = graft.operators.Dsir.NumBuckets
+    val targets = graft.operators.Dsir.TargetSources
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH $dsirFeatureCtes,
+       |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+       |cfb AS (SELECT fb.* FROM fb CROSS JOIN sp WHERE fb.doc_id < sp.split),
+       |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS r FROM cfb GROUP BY b),
+       |tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS t FROM cfb
+       |  WHERE source IN ($targets) GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS bigr,
+       |               (SELECT CAST(sum(t) AS BIGINT) FROM tgt) AS bigt),
+       |lam AS (SELECT raw.b,
+       |  ${lnFSql("coalesce(tgt.t, 0) + 1", "lt")},
+       |  ${lnFSql("tot.bigt + " + b, "lbt")},
+       |  ${lnFSql("raw.r + 1", "lr")},
+       |  ${lnFSql("tot.bigr + " + b, "lbr")},
+       |  lt - lbt - lr + lbr AS lam_f
+       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+       |dflt AS (SELECT
+       |  ${lnFSql("tot.bigr + " + b, "ldr")},
+       |  ${lnFSql("tot.bigt + " + b, "ldt")},
+       |  ldr - ldt AS lam_default
+       |  FROM tot),
+       |sfb AS (SELECT fb.* FROM fb CROSS JOIN sp WHERE fb.doc_id >= sp.split),
+       |docw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |    CAST(sum(c * coalesce(lam.lam_f, dflt.lam_default)) AS BIGINT) AS logw_f
+       |  FROM sfb LEFT JOIN lam USING (b) CROSS JOIN dflt GROUP BY doc_id),
+       |shard AS (SELECT d.doc_id, d.source FROM documents d CROSS JOIN sp
+       |  WHERE d.doc_id >= sp.split)
+       |SELECT s.doc_id, s.source, coalesce(w.n_feats, 0) AS n_feats,
+       |  coalesce(w.logw_f, 0) AS logw_f
+       |FROM shard s LEFT JOIN docw w USING (doc_id)""".stripMargin
   }
 
   /** Brute-force near-dup pair CTE (named `pairs`, expects `sh` in scope)
@@ -2264,6 +2323,12 @@ object SparkEntry {
     // DSIR resampling: the same scores + hash-Gumbel keys, pinned as the
     // obvious global rank (the engine computes the set by counting)
     "q_dsir_select" -> dsirSelectSql,
+    // ingestion DSIR: corpus-restricted weight training, smoothing-floor
+    // fallback for novel shard buckets
+    "q_dsir_incremental" -> dsirIncrementalSql,
+    // the streaming drain scores the same shard against the same frozen
+    // weights — oracle shared verbatim with the batch twin
+    "q_stream_dsir_score" -> dsirIncrementalSql,
     // Shard manifest: same keyed-hash shard + within-shard (h, doc_id)
     // order, row digests XOR-folded per shard (the q_table_digest idiom)
     "q_shard_manifest" -> {

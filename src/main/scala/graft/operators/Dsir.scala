@@ -130,6 +130,74 @@ object Dsir {
       .select("doc_id", "source", "n_feats", "logw_f")
   }
 
+  /** The smoothing-floor weight for buckets the frozen corpus has never
+    * seen (t = 0, r = 0): λ_novel = ln_f(R+B) − ln_f(T+B). One row,
+    * broadcast next to the λ table. NULL (silently-zero scores) only in
+    * the degenerate empty-corpus/empty-target cases, where the model has
+    * no evidence at all.
+    */
+  private[graft] def lamDefaultOf(corpusFb: DataFrame): DataFrame = {
+    val raw = corpusFb.agg(sum("c").as("bigR"))
+    val tgt = corpusFb.where(col("source").isInCollection(TargetSources))
+      .agg(sum("c").as("bigT"))
+    raw.crossJoin(tgt).select(
+      (lnF(col("bigR") + NumBuckets) - lnF(col("bigT") + NumBuckets))
+        .as("lam_default"))
+  }
+
+  /** Score a SHARD's documents under a FROZEN weight table — the apply
+    * half of the train-once/apply-everywhere seam (the λ table is the
+    * persisted artifact, like the SignatureStore and TokenizerStore):
+    * shard features left-join the ≤[[NumBuckets]]-row broadcast weights,
+    * novel buckets fall back to the smoothing floor, one doc_id-keyed agg.
+    * Shared verbatim by the batch ingestion operator and the streaming
+    * per-micro-batch twin, so both answer with identical semantics.
+    */
+  private[graft] def scoreShardAgainstWeights(
+      shard: DataFrame, weights: DataFrame, lamDefault: DataFrame): DataFrame = {
+    val perDoc = featureBuckets(shard)
+      .join(broadcast(weights.select("b", "lam_f")), Seq("b"), "left")
+      .crossJoin(broadcast(lamDefault))
+      .withColumn("lam", coalesce(col("lam_f"), col("lam_default")))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"), sum(col("c") * col("lam")).as("logw_f"))
+    shard.select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_feats", "logw_f"))
+      .select("doc_id", "source", "n_feats", "logw_f")
+  }
+
+  /** Incremental DSIR — the continuous-ingestion shape, the importance-
+    * scoring twin of `Dedup.incrementalNearDups` / `semDeDupIncremental`:
+    * the INCOMING shard (the top fifth of the doc_id range, same
+    * ⌊4·(max+1)/5⌋ ingest boundary) is scored under weights trained on
+    * the EXISTING corpus only — the bucket histograms are the persisted
+    * artifact; a batch never re-featurizes the corpus, and never shifts
+    * the weights it is judged by (scoring a batch with weights that
+    * include the batch itself would let a flood of junk drag the raw
+    * distribution toward itself and launder its own scores). Novel
+    * buckets — features the corpus has never seen — take the smoothing
+    * floor λ = ln_f(R+B) − ln_f(T+B), exactly what add-1 smoothing says
+    * about an unseen feature.
+    *
+    * Cost per batch: O(shard features) + the broadcast of the ≤B-row
+    * weight table. Output: (doc_id, source, n_feats, logw_f) for shard
+    * docs only.
+    */
+  def incrementalScores(documents: DataFrame): DataFrame =
+    Dedup.ingestSplitOf(documents) match {
+      case None =>
+        documents.select(
+          col("doc_id"), col("source"),
+          lit(0L).as("n_feats"), lit(0L).as("logw_f")).limit(0)
+      case Some(split) =>
+        val corpusFb = featureBuckets(documents.where(col("doc_id") < split))
+          .localCheckpoint()
+        scoreShardAgainstWeights(
+          documents.where(col("doc_id") >= split),
+          bucketWeights(corpusFb), lamDefaultOf(corpusFb))
+    }
+
   /** Deterministic Gumbel key for resampling: g = −ln(−ln u) with
     * u = (2h+1)/2^21 from the content-keyed 20-bit hash draw h — the odd
     * numerator keeps u strictly inside (0,1). Both logs are `ln_f`, so

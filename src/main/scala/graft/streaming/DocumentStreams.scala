@@ -361,4 +361,57 @@ object DocumentStreams {
         result
     }
   }
+
+  /** STREAMING incremental DSIR: the continuous-ingestion form of
+    * `Dsir.incrementalScores` — the corpus's bucket-weight table is the
+    * FROZEN artifact (trained once below the ingest split,
+    * localCheckpointed), and each incoming micro-batch is scored against
+    * it inside foreachBatch through the SHARED
+    * `Dsir.scoreShardAgainstWeights`, so the stream answers with the batch
+    * operator's exact semantics. Stateless across batches (the weights
+    * never move mid-stream — retraining is a batch-side decision);
+    * per-batch overwrite dirs make the sink idempotent under replays
+    * (exactly-once output). A full AvailableNow drain therefore equals the
+    * batch twin row-for-row — the oracle is shared verbatim.
+    */
+  def dsirScoresToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Dsir}
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None =>
+        docs.select(col("doc_id"), col("source"),
+          lit(0L).as("n_feats"), lit(0L).as("logw_f")).limit(0)
+      case Some(split) =>
+        val corpusFb = Dsir
+          .featureBuckets(docs.where(col("doc_id") < split)).localCheckpoint()
+        val weights = Dsir.bucketWeights(corpusFb).localCheckpoint()
+        val lamDefault = Dsir.lamDefaultOf(corpusFb).localCheckpoint()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dsir")
+        java.nio.file.Files.createDirectories(tmp.resolve("out"))
+        val stream = rawSource(spark, dir).where(col("doc_id") >= split)
+        EventStreams.withStreamShufflePartitions(spark) {
+          val q = stream.writeStream
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              Dsir.scoreShardAgainstWeights(batch, weights, lamDefault)
+                .write.mode("overwrite")
+                .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("n_feats", LongType),
+          StructField("logw_f", LongType)))
+        val result = spark.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(tmp.resolve("out").toString)
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        result
+    }
+  }
 }

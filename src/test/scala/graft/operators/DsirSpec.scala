@@ -23,26 +23,42 @@ class DsirSpec extends SparkSpec {
     ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
   }
 
-  /** Brute-force DSIR scores: (doc_id -> (n_feats, logw_f)) via lnFRef. */
-  private def expectedScores(
-      rows: Seq[(Long, String, String)]): Map[Long, (Long, Long)] = {
+  /** Brute-force DSIR scores via lnFRef: weights trained on `train`,
+    * `score` docs folded with the smoothing-floor fallback for buckets the
+    * training set never saw — (doc_id -> (n_feats, logw_f)).
+    */
+  private def expectedScoresWith(
+      train: Seq[(Long, String, String)],
+      score: Seq[(Long, String, String)]): Map[Long, (Long, Long)] = {
     val b = Dsir.NumBuckets
-    val fb = rows.flatMap { case (id, src, text) =>
-      feats(text).map(f => (id, src, md5Long(Dsir.FeatureSeed, f) % b))
+    def fbOf(rows: Seq[(Long, String, String)]) = rows.flatMap {
+      case (id, src, text) =>
+        feats(text).map(f => (id, src, md5Long(Dsir.FeatureSeed, f) % b))
     }
-    val raw = fb.groupBy(_._3).view.mapValues(_.size.toLong).toMap
-    val tgt = fb.filter(t => Dsir.TargetSources.contains(t._2))
+    val trainFb = fbOf(train)
+    val raw = trainFb.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tgt = trainFb.filter(t => Dsir.TargetSources.contains(t._2))
       .groupBy(_._3).view.mapValues(_.size.toLong).toMap
     val bigR = raw.values.sum
     val bigT = tgt.values.sum
-    def lam(bk: Long): Long =
-      lnFRef(tgt.getOrElse(bk, 0L) + 1) - lnFRef(bigT + b) -
-        lnFRef(raw(bk) + 1) + lnFRef(bigR + b)
-    rows.map { case (id, _, _) =>
-      val mine = fb.filter(_._1 == id).groupBy(_._3).view.mapValues(_.size.toLong)
+    val lamDefault = lnFRef(bigR + b) - lnFRef(bigT + b)
+    def lam(bk: Long): Long = raw.get(bk) match {
+      case Some(r) =>
+        lnFRef(tgt.getOrElse(bk, 0L) + 1) - lnFRef(bigT + b) -
+          lnFRef(r + 1) + lnFRef(bigR + b)
+      case None => lamDefault
+    }
+    val scoreFb = fbOf(score)
+    score.map { case (id, _, _) =>
+      val mine = scoreFb.filter(_._1 == id).groupBy(_._3).view.mapValues(_.size.toLong)
       id -> (mine.values.sum, mine.map { case (bk, c) => c * lam(bk) }.sum)
     }.toMap
   }
+
+  /** The full-corpus form: trained on and scoring the same rows. */
+  private def expectedScores(
+      rows: Seq[(Long, String, String)]): Map[Long, (Long, Long)] =
+    expectedScoresWith(rows, rows)
 
   private val corpus: Seq[(Long, String, String)] = Seq(
     (1L, "src0", "alpha beta alpha beta gamma"),
@@ -91,6 +107,40 @@ class DsirSpec extends SparkSpec {
     val got = Dsir.gumbelTopK(docs(rows: _*))
       .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
     assert(got === want)
+  }
+
+  test("incrementalScores: shard scored under corpus-frozen weights, novel buckets take the floor") {
+    // ids 0..9 -> ingest split (9+1)*4/5 = 8: corpus 0..7, shard 8..9
+    val corpus: Seq[(Long, String, String)] = Seq(
+      (0L, "src0", "alpha beta alpha"),
+      (1L, "src1", "alpha beta gamma"),
+      (2L, "src5", "omega psi chi"),
+      (3L, "src5", "omega chi psi phi"),
+      (4L, "src6", "alpha gamma"),
+      (5L, "src6", "psi phi"),
+      (6L, "src7", "beta gamma"),
+      (7L, "src7", "omega omega"))
+    val shard: Seq[(Long, String, String)] = Seq(
+      (8L, "src8", "alpha beta alpha beta"), // target-like, all-known feats
+      (9L, "src8", "zzz yyy xxx"))           // entirely NOVEL features
+    val all = corpus ++ shard
+    val got = Dsir.incrementalScores(docs(all: _*))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val want = expectedScoresWith(corpus, shard)
+    assert(got.keySet === Set(8L, 9L)) // shard rows only
+    assert(got === want)
+    // the novel doc's 5 features (3 uni + 2 bi) all folded the floor weight
+    val b = Dsir.NumBuckets
+    val bigR = corpus.map(c => feats(c._3).size.toLong).sum
+    val bigT = corpus.filter(c => Dsir.TargetSources.contains(c._2))
+      .map(c => feats(c._3).size.toLong).sum
+    val floor = lnFRef(bigR + b) - lnFRef(bigT + b)
+    assert(got(9L) === ((5L, 5L * floor)))
+    // scoring a batch under frozen weights != scoring it in-corpus: the
+    // full-corpus operator answers differently for the same doc
+    val full = Dsir.importanceScores(docs(all: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full(9L) !== got(9L)._2)
   }
 
   test("scores and selection are invariant under repartitioning") {

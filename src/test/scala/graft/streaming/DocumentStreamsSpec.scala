@@ -189,4 +189,38 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(b1.intersect(b2).isEmpty, "a shard doc lives in exactly one batch")
     assert(whole.nonEmpty)
   }
+
+  test("streaming DSIR scoring equals the batch operator (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = canon(DocumentStreams.dsirScoresToBatch(spark, dir))
+    val batch = canon(graft.operators.Dsir.incrementalScores(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("frozen-weight scoring composes: two shard batches union to the batch answer") {
+    import graft.operators.{Dedup, Dsir}
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val split = Dedup.ingestSplitOf(docs).get
+    val corpusFb = Dsir.featureBuckets(docs.where(col("doc_id") < split))
+      .localCheckpoint()
+    val weights = Dsir.bucketWeights(corpusFb).localCheckpoint()
+    val dflt = Dsir.lamDefaultOf(corpusFb).localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val shard = docs.where(col("doc_id") >= split)
+    val b1 = canon(Dsir.scoreShardAgainstWeights(
+      shard.where(col("doc_id") % 2 === 0), weights, dflt))
+    val b2 = canon(Dsir.scoreShardAgainstWeights(
+      shard.where(col("doc_id") % 2 === 1), weights, dflt))
+    val whole = canon(Dsir.incrementalScores(docs))
+    assert((b1 ++ b2) === whole)
+    assert(b1.intersect(b2).isEmpty, "a shard doc lives in exactly one batch")
+    assert(whole.nonEmpty)
+  }
 }
