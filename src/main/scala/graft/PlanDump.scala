@@ -129,7 +129,9 @@ object PlanDump {
     "q_lm_surprisal" ->
       "LM surprisal: vocabulary-bounded bigram LM aggregates, bigram-keyed join carrying pre-aggregated per-(doc, bigram) counts, 1-row vocab broadcast, ln_fixed inside WholeStageCodegen, doc_id-keyed final agg",
     "q_sample_diverse" ->
-      "diversity sampling: centroid_probes assignment kernel, <=nLists-row histogram + budget frames broadcast back, content-hash Bernoulli as a pure filter — the corpus is never shuffled or ranked")
+      "diversity sampling: centroid_probes assignment kernel, <=nLists-row histogram + budget frames broadcast back, content-hash Bernoulli as a pure filter — the corpus is never shuffled or ranked",
+    "q_dsir_incremental" ->
+      "ingestion DSIR: shard-only featurize scan, frozen <=4096-row weight table broadcast-left-joined with the smoothing-floor fallback, doc_id-keyed agg — the corpus term is the checkpointed training read, never re-featurized per batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
