@@ -262,6 +262,10 @@ object SparkEntry {
     // per-lang BPE fertility under the PERSISTED tokenizer (tokenizer QA)
     "q_tokenizer_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(Tables.documents(s, dir), TokenizerStore.rules(s, dir))),
+    // per-doc BPE compression ratio under the persisted tokenizer — the
+    // cheap gibberish detector, flagged against a corpus-relative floor
+    "q_doc_compression" -> ((s, dir) =>
+      TextAnalysis.docCompression(Tables.documents(s, dir), TokenizerStore.rules(s, dir))),
     // rare-transition share per doc: the log-free perplexity-filter proxy
     "q_rare_bigram_rate" -> ((s, dir) =>
       TextAnalysis.rareBigramRate(Tables.documents(s, dir))),
@@ -278,6 +282,10 @@ object SparkEntry {
     // Phrase search over the positional inverted index.
     "q_phrase_search" -> ((s, dir) => TextAnalysis.phraseSearch(Tables.documents(s, dir))),
     "q_decontam" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    // span-level decontamination: WHERE the leaked 13-grams sit (merged
+    // token-offset spans) — the excision cut list, not just the flag
+    "q_span_decontam" -> ((s, dir) =>
+      TextAnalysis.spanDecontaminate(Tables.documents(s, dir))),
     // CDC apply: latest-wins MERGE INTO (update matched, keep unmatched)
     "q_merge_upsert" -> ((s, dir) =>
       Relational.upsertLatestOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -2577,6 +2585,33 @@ object SparkEntry {
          |    // CAST(sum(lw.freq) AS BIGINT) AS fertility_milli
          |FROM lw JOIN p USING (word)
          |GROUP BY lw.lang""".stripMargin),
+    // Per-doc compression under the same persisted-tokenizer CTEs as
+    // fertility; the flag floor is corpus-relative integer milli
+    "q_doc_compression" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + ",\n" +
+      s"""dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         |    FROM documents) t
+         |  WHERE length(word) >= 1 GROUP BY doc_id, word),
+         |p AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces
+         |  FROM s${TextAnalysis.DefaultBpeK}),
+         |perdoc AS (SELECT doc_id,
+         |    CAST(sum(freq) AS BIGINT) AS n_words,
+         |    CAST(sum(freq * length(word)) AS BIGINT) AS n_chars,
+         |    CAST(sum(freq * n_pieces) AS BIGINT) AS n_bpe
+         |  FROM dw JOIN p USING (word) GROUP BY doc_id),
+         |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t_chars,
+         |    CAST(sum(n_bpe) AS BIGINT) AS t_bpe FROM perdoc)
+         |SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words,
+         |  coalesce(p.n_chars, 0) AS n_chars, coalesce(p.n_bpe, 0) AS n_bpe,
+         |  CASE WHEN coalesce(p.n_bpe, 0) > 0
+         |       THEN (coalesce(p.n_chars, 0) * 1000) // p.n_bpe ELSE 0 END
+         |    AS compression_milli,
+         |  coalesce(p.n_bpe, 0) > 0 AND
+         |  (CASE WHEN coalesce(p.n_bpe, 0) > 0
+         |        THEN (coalesce(p.n_chars, 0) * 1000) // p.n_bpe ELSE 0 END)
+         |    < (t_chars * ${1000 * TextAnalysis.CompressionFloorNum})
+         |      // (t_bpe * ${TextAnalysis.CompressionFloorDen}) AS flagged
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id) CROSS JOIN tot""".stripMargin),
     // BPE step-one merge candidates: adjacent character pairs inside
     // lowercase tokens; substr is character-based in both engines and the
     // offset axes match (sequence 1..len-1 inclusive == range(1, len)).
@@ -2769,6 +2804,35 @@ object SparkEntry {
          |  coalesce(s.n_shared, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          |WHERE d.doc_id % ${TextAnalysis.EvalHoldoutMod} <> 0""".stripMargin,
+    // Span decontam: positional 13-gram windows (same token/hash axes as
+    // q_decontam), eval hashes collapsed before the join, gaps-and-islands
+    // span merge — lag NULL on the first hit opens an island in both
+    // engines (NULL < n is NULL -> the ELSE/otherwise branch)
+    "q_span_decontam" -> {
+      val n = TextAnalysis.DecontamNgram
+      s"""WITH t AS ($tokCte),
+         |c AS (SELECT doc_id,
+         |  toks[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks FROM t),
+         |win AS (SELECT doc_id, CAST(i AS BIGINT) AS s,
+         |    ${h60(n, s"array_to_string(toks[i+1:i+$n], ' ')")} AS gh
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - ${n - 1})) AS i
+         |        FROM c WHERE len(toks) >= $n) u),
+         |ev AS (SELECT DISTINCT gh FROM win
+         |  WHERE doc_id % ${TextAnalysis.EvalHoldoutMod} = 0),
+         |hits AS (SELECT w.doc_id, w.s FROM win w JOIN ev USING (gh)
+         |  WHERE w.doc_id % ${TextAnalysis.EvalHoldoutMod} <> 0),
+         |fl AS (SELECT doc_id, s,
+         |    CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) < $n
+         |         THEN 0 ELSE 1 END AS newisl
+         |  FROM hits),
+         |isl AS (SELECT doc_id, s, sum(newisl)
+         |    OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM fl)
+         |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+         |  CAST(max(s) + ${n - 1} AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, isl""".stripMargin
+    },
     // The batch mirror of the streaming interval join: all same-user
     // (purchase, click) pairs with the click in [p_ts - 1h, p_ts]. Epoch
     // micros on both sides = exact integer comparisons.

@@ -661,6 +661,109 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
   }
 
+  /** SPAN-level decontamination: WHERE inside each training document the
+    * eval-split n-grams occur — one row per contiguous contaminated span
+    * (token offsets, inclusive), overlapping hit windows merged. The
+    * surgical companion to [[decontaminate]]'s doc-level flag: at 100 TB a
+    * pipeline excises leaked spans (the Lee et al. 2022 practice) instead
+    * of discarding whole documents, and this emits exactly the cut list.
+    *
+    * Same axes as [[decontaminate]]: trim-split tokens capped at
+    * [[graft.functions.TextFunctions.MaxShingleTokens]], 13-gram windows,
+    * 60-bit md5 per gram (the string never shuffles), doc_id % 10 == 0 as
+    * the held-out side. Positional windows instead of the distinct
+    * shingle set, since the output is offsets.
+    *
+    * Shape: windows explode → hash → the eval side collapses to DISTINCT
+    * hashes before the equi-join (no pair explosion on boilerplate — same
+    * argument as [[decontaminate]]) → a LEFT SEMI keeps hit windows only.
+    * The island merge (gaps-and-islands: a window starting within the
+    * previous window's extent continues the span) runs per-doc windows
+    * over HIT rows only — sparse by construction, so the per-doc sort
+    * carries contaminated windows, not the corpus.
+    */
+  def spanDecontaminate(
+      documents: DataFrame, n: Int = DecontamNgram,
+      evalMod: Int = EvalHoldoutMod): DataFrame = {
+    val win = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"),
+        slice(split(trim(col("text")), "\\s+"), 1,
+          graft.functions.TextFunctions.MaxShingleTokens).as("ts"))
+      .where(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ts) - $n), " +
+          s"i -> struct(i AS s, array_join(slice(ts, i + 1, $n), ' ') AS g))")).as("w"))
+      .select(col("doc_id"), col("w.s").cast("long").as("s"),
+        HashFunctions.md5Long(col("w.g"), n).as("gh"))
+    val evalGrams = win.where(col("doc_id") % evalMod === 0)
+      .select("gh").distinct()
+    val hits = win.where(col("doc_id") % evalMod =!= 0)
+      .join(evalGrams, Seq("gh"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    hits
+      .withColumn("newisl",
+        when(col("s") - lag("s", 1).over(w) < n, 0L).otherwise(1L))
+      .withColumn("isl", sum("newisl").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("span_start"), (max("s") + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Relative flag floor for [[docCompression]]: a document is flagged iff
+    * its chars-per-BPE-token ratio is below 3/4 of the corpus ratio.
+    * Frequency-relative like [[RareDen]] — an absolute cutoff stops
+    * meaning anything as the tokenizer or corpus drifts.
+    */
+  val CompressionFloorNum = 3L
+  val CompressionFloorDen = 4L
+
+  /** Per-document BPE COMPRESSION ratio — chars per BPE token, in milli —
+    * under the PERSISTED tokenizer: the cheap gibberish detector (random
+    * character soup defeats the merge rules and falls back toward
+    * one-piece-per-char, cratering the ratio; fluent text compresses).
+    * Flagged iff the doc ratio is below [[CompressionFloorNum]]/
+    * [[CompressionFloorDen]] of the corpus-wide ratio — the threshold is
+    * an integer milli floor `(t_chars·3000) div (t_bpe·4)`, so the verdict
+    * stays exact at any scale (no doc×corpus cross-multiplication that
+    * could overflow int64 at 100 TB).
+    *
+    * Shape: the [[tokenizerFertility]] pieces re-keyed by document — the
+    * vocabulary-bounded `bpe_segments` pass over DISTINCT words, a
+    * per-(doc, word) hash-agg, the word-keyed join of the two, a
+    * doc_id-keyed rollup, and a 1-row corpus total broadcast back.
+    */
+  def docCompression(
+      documents: DataFrame, rules: Array[(String, String)]): DataFrame = {
+    val pieces = bpeEncodeWithRules(documents, rules)
+      .select(col("word"), col("n_pieces"))
+    val docWords = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("freq"))
+    val perDoc = docWords.join(pieces, "word")
+      .groupBy("doc_id")
+      .agg(
+        sum("freq").as("n_words"),
+        sum(col("freq") * length(col("word"))).as("n_chars"),
+        sum(col("freq") * col("n_pieces")).as("n_bpe"))
+    val totals = perDoc.agg(
+      sum("n_chars").as("t_chars"), sum("n_bpe").as("t_bpe"))
+    documents.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_words", "n_chars", "n_bpe"))
+      .crossJoin(broadcast(totals))
+      .withColumn("compression_milli",
+        when(col("n_bpe") > 0, expr("(n_chars * 1000) DIV n_bpe")).otherwise(0L))
+      .withColumn("flagged",
+        col("n_bpe") > 0 && col("compression_milli") <
+          expr(s"(t_chars * ${1000 * CompressionFloorNum})" +
+            s" DIV (t_bpe * $CompressionFloorDen)"))
+      .select("doc_id", "n_words", "n_chars", "n_bpe",
+        "compression_milli", "flagged")
+  }
+
   /** Top-k candidate pool size for [[bpeMergeCandidates]]. */
   val DefaultBpeK = 20
 

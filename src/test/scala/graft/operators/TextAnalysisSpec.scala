@@ -439,6 +439,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("spanDecontaminate: merged token-offset spans of leaked 13-grams; eval docs excluded") {
+    val ev = (1 to 14).map(i => s"e$i").mkString(" ") // 14-token eval run
+    val e13 = (1 to 13).map(i => s"e$i").mkString(" ")
+    val d = docs(
+      10L -> ev,                                    // eval split (id % 10 == 0)
+      1L -> s"f1 f2 $ev f3",                        // both eval windows, overlapping
+      2L -> ((1 to 7).map(i => s"g$i").mkString(" ") + " " + e13), // one hit at 7
+      3L -> (e13 + " " + (1 to 7).map(i => s"h$i").mkString(" ") + " " + e13), // two distant
+      4L -> (1 to 30).map(i => s"k$i").mkString(" "), // clean
+      20L -> e13)                                   // eval-side doc: never scored
+    val got = TextAnalysis.spanDecontaminate(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 2L, 15L, 2L),   // windows s=2 and s=3 merge: [2, 3+12]
+      (2L, 7L, 19L, 1L),
+      (3L, 0L, 12L, 1L),
+      (3L, 20L, 32L, 1L))) // 13 + 7 fillers -> second run starts at 20
+    val again = TextAnalysis.spanDecontaminate(d.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again === got)
+  }
+
+  test("docCompression: exact ratios under explicit rules; gibberish flagged against the corpus floor") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, ("ab " * 20).trim), // 20 words x (2 chars, 1 piece) -> 2000 milli
+      (2L, "ab"),              // 2000 milli
+      (3L, ""),                // no evidence
+      (4L, "zzzz")             // no merges apply: 4 pieces -> 1000 milli
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docCompression(d, Array("a" -> "b")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // totals: chars 46, bpe 25 -> floor = 46*3000 / (25*4) = 1380 milli
+    assert(got(1L) === ((20L, 40L, 20L, 2000L, false)))
+    assert(got(2L) === ((1L, 2L, 1L, 2000L, false)))
+    assert(got(3L) === ((0L, 0L, 0L, 0L, false))) // zero evidence, never flagged
+    assert(got(4L) === ((1L, 4L, 4L, 1000L, true)))
+  }
+
   test("lmSurprisal matches the lnFRef brute force; short docs score 0 and stay in frame") {
     import spark.implicits._
     import graft.functions.FixedPointLn.lnFRef
