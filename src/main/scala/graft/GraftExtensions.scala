@@ -79,6 +79,17 @@ object GraftFunctions {
           exprs(0),
           tables = intLiteral(1, "tables"),
           planes = intLiteral(2, "planes"))
+      }),
+    // ln_fixed(x) — the portable fixed-point logarithm (2^20·ln x as an
+    // exact int64; see graft.functions.FixedPointLn for the definition
+    // and why exact-hash gates cannot use float ln())
+    (
+      FunctionIdentifier("ln_fixed"),
+      new ExpressionInfo(
+        classOf[graft.functions.FixedPointLn].getName, "ln_fixed"),
+      exprs => {
+        requireArity("ln_fixed", exprs, 1)
+        graft.functions.FixedPointLn(exprs(0))
       }))
 
   /** Register into an already-running session (tests, notebooks). */

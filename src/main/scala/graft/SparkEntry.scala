@@ -273,6 +273,10 @@ object SparkEntry {
     // add-1 bigram model, every ln the portable fixed-point ln_f
     "q_lm_surprisal" -> ((s, dir) =>
       TextAnalysis.lmSurprisal(Tables.documents(s, dir))),
+    // held-out trigram surprisal with Stupid Backoff: LM trains on the
+    // train split, scores the eval split; level counts profile backoff
+    "q_lm_backoff" -> ((s, dir) =>
+      TextAnalysis.backoffSurprisal(Tables.documents(s, dir))),
     // top-p (nucleus) truncation of the bigram LM, integer threshold
     "q_bigram_nucleus" -> ((s, dir) => TextAnalysis.bigramNucleus(Tables.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
@@ -2691,6 +2695,73 @@ object SparkEntry {
          |  CASE WHEN coalesce(p.n_bigrams, 0) > 0
          |       THEN coalesce(p.nll_f, 0) // p.n_bigrams ELSE 0 END AS avg_nll_f
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    },
+    // Stupid-Backoff trigram surprisal: train-split n-gram tables, eval
+    // docs scored; every branch's ln is a NULL-safe ln_f chain (ln_f of a
+    // NULL count stays NULL and the level CASE never selects it), the α
+    // penalty the interpolated ln_f(5)−ln_f(2) integer
+    "q_lm_backoff" -> {
+      import graft.functions.FixedPointLn.lnFSql
+      val m = TextAnalysis.EvalHoldoutMod
+      val pen = TextAnalysis.BackoffPenaltyF
+      s"""WITH ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n1 FROM (
+         |    SELECT unnest(ts) AS w FROM ts WHERE doc_id % $m <> 0) u
+         |  WHERE w <> '' GROUP BY w),
+         |bi AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n12
+         |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM ts
+         |        WHERE doc_id % $m <> 0 AND len(ts) >= 2) b
+         |  GROUP BY w1, w2),
+         |tri AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
+         |    CAST(count(*) AS BIGINT) AS n123
+         |  FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i FROM ts
+         |        WHERE doc_id % $m <> 0 AND len(ts) >= 3) t
+         |  GROUP BY w1, w2, w3),
+         |nn AS (SELECT CAST(sum(n1) AS BIGINT) AS n_train FROM uni),
+         |ev AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM ts
+         |        WHERE doc_id % $m = 0 AND len(ts) >= 3) e
+         |  GROUP BY doc_id, w1, w2, w3),
+         |j AS (SELECT ev.doc_id, ev.c, tri.n123, b1.n12, b2.n12 AS n23,
+         |    u2.n1 AS n2, u3.n1 AS n3, nn.n_train
+         |  FROM ev LEFT JOIN tri USING (w1, w2, w3)
+         |  LEFT JOIN bi b1 ON ev.w1 = b1.w1 AND ev.w2 = b1.w2
+         |  LEFT JOIN bi b2 ON ev.w2 = b2.w1 AND ev.w3 = b2.w2
+         |  LEFT JOIN uni u2 ON ev.w2 = u2.w
+         |  LEFT JOIN uni u3 ON ev.w3 = u3.w
+         |  CROSS JOIN nn),
+         |sc AS (SELECT doc_id, c,
+         |  CASE WHEN n123 IS NOT NULL THEN 3 WHEN n23 IS NOT NULL THEN 2
+         |       WHEN n3 IS NOT NULL THEN 1 ELSE 0 END AS level,
+         |  ${lnFSql("n12", "l12")},
+         |  ${lnFSql("n123", "l123")},
+         |  ${lnFSql("n2", "l2")},
+         |  ${lnFSql("n23", "l23")},
+         |  ${lnFSql("n3", "l3")},
+         |  ${lnFSql("n_train", "ln_")},
+         |  ${lnFSql("n_train + 1", "ln1")},
+         |  CASE level WHEN 3 THEN l12 - l123
+         |             WHEN 2 THEN l2 - l23 + $pen
+         |             WHEN 1 THEN ln_ - l3 + ${2 * pen}
+         |             ELSE ln1 + ${2 * pen} END AS s_f
+         |  FROM j),
+         |perdoc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+         |    CAST(sum(CASE WHEN level = 3 THEN c ELSE 0 END) AS BIGINT) AS n_l3,
+         |    CAST(sum(CASE WHEN level = 2 THEN c ELSE 0 END) AS BIGINT) AS n_l2,
+         |    CAST(sum(CASE WHEN level = 1 THEN c ELSE 0 END) AS BIGINT) AS n_l1,
+         |    CAST(sum(CASE WHEN level = 0 THEN c ELSE 0 END) AS BIGINT) AS n_l0,
+         |    CAST(sum(c * s_f) AS BIGINT) AS nll_f
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(p.n_l3, 0) AS n_l3, coalesce(p.n_l2, 0) AS n_l2,
+         |  coalesce(p.n_l1, 0) AS n_l1, coalesce(p.n_l0, 0) AS n_l0,
+         |  coalesce(p.nll_f, 0) AS nll_f,
+         |  CASE WHEN coalesce(p.n_trigrams, 0) > 0
+         |       THEN coalesce(p.nll_f, 0) // p.n_trigrams ELSE 0 END AS avg_nll_f
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |WHERE d.doc_id % $m = 0""".stripMargin
     },
     // All-integer PageRank, 3 rounds unrolled: same bigram edge axis as
     // q_bigram_lm, per-source weights normalized to 1/2^20 units, per-edge

@@ -711,6 +711,106 @@ object TextAnalysis {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
+  /** −ln α for Stupid Backoff's α = 0.4, in 20-bit fixed point: defined as
+    * `ln_f(5) − ln_f(2)` (= ln 2.5 through the portable integer chain), so
+    * both engines use the exact same penalty integer.
+    */
+  val BackoffPenaltyF: Long =
+    graft.functions.FixedPointLn.lnFRef(5L) - graft.functions.FixedPointLn.lnFRef(2L)
+
+  /** HELD-OUT trigram surprisal with Stupid Backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the web-scale n-gram
+    * scoring rule): the LM trains on the TRAIN split (doc_id % 10 ≠ 0,
+    * the [[decontaminate]] holdout convention) and scores the EVAL split,
+    * so backoff genuinely fires — a trigram the train split never saw
+    * backs off to the bigram (× α), then the unigram (× α²), then a
+    * singleton floor for never-seen words:
+    *
+    *   S(w3|w1 w2) = n123/n12       if the trigram is in the train LM
+    *               = α · n23/n2     else if the bigram is
+    *               = α² · n3/N      else if the word is
+    *               = α² · 1/(N+1)   else (unseen word — the defined floor)
+    *
+    * Surprisal per level is an ln_f difference plus 0/1/2 ×
+    * [[BackoffPenaltyF]]; the per-doc output carries the level counts
+    * (n_l3 .. n_l0) — the backoff-rate profile is itself the diagnostic a
+    * pipeline reads (high l0/l1 share = out-of-domain or gibberish eval
+    * text). Complements [[lmSurprisal]] (held-in, add-1 bigram): this is
+    * the held-out, production-shaped scoring path.
+    *
+    * Shape: three train-side n-gram hash-aggs (uni/bi/tri — each map-side
+    * combined, vocabulary-bounded after aggregation), the eval side's
+    * per-(doc, trigram) counts (checkpointed — the eval corpus is
+    * tokenized once), then five LEFT joins of pre-aggregated frames keyed
+    * by n-gram parts (AQE handles the Zipf skew) and one doc_id-keyed
+    * final agg. NULL-safe by construction: ln_f of a NULL count is NULL
+    * and the level CASE never reads a NULL branch it selects.
+    */
+  def backoffSurprisal(
+      documents: DataFrame, evalMod: Int = EvalHoldoutMod): DataFrame = {
+    import graft.functions.FixedPointLn.lnF
+    val ts = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
+    val train = ts.where(col("doc_id") % evalMod =!= 0)
+    val uni = train.select(explode(col("ts")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n1"))
+    val bi = train.where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val tri = train.where(size(col("ts")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(2, size(ts) - 1), " +
+          "i -> struct(ts[i-2] AS w1, ts[i-1] AS w2, ts[i] AS w3))")).as("tg"))
+      .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n123"))
+    val bigN = uni.agg(sum("n1").as("n_train"))
+    val evalTris = ts.where(col("doc_id") % evalMod === 0)
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(ts) - 1), " +
+          "i -> struct(ts[i-2] AS w1, ts[i-1] AS w2, ts[i] AS w3))")).as("tg"))
+      .groupBy(col("doc_id"), col("tg.w1").as("w1"),
+        col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val pen = lit(BackoffPenaltyF)
+    val scored = evalTris
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("n12").as("n23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("n1").as("n2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("n1").as("n3")), Seq("w3"), "left")
+      .crossJoin(broadcast(bigN))
+      .withColumn("level",
+        when(col("n123").isNotNull, 3)
+          .when(col("n23").isNotNull, 2)
+          .when(col("n3").isNotNull, 1)
+          .otherwise(0))
+      .withColumn("s_f",
+        when(col("level") === 3, lnF(col("n12")) - lnF(col("n123")))
+          .when(col("level") === 2, lnF(col("n2")) - lnF(col("n23")) + pen)
+          .when(col("level") === 1,
+            lnF(col("n_train")) - lnF(col("n3")) + pen * 2)
+          .otherwise(lnF(col("n_train") + 1) + pen * 2))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_trigrams"),
+        sum(when(col("level") === 3, col("c")).otherwise(0L)).as("n_l3"),
+        sum(when(col("level") === 2, col("c")).otherwise(0L)).as("n_l2"),
+        sum(when(col("level") === 1, col("c")).otherwise(0L)).as("n_l1"),
+        sum(when(col("level") === 0, col("c")).otherwise(0L)).as("n_l0"),
+        sum(col("c") * col("s_f")).as("nll_f"))
+    documents.where(col("doc_id") % evalMod === 0).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_trigrams", "n_l3", "n_l2", "n_l1", "n_l0", "nll_f"))
+      .withColumn("avg_nll_f",
+        when(col("n_trigrams") > 0, expr("nll_f DIV n_trigrams")).otherwise(0L))
+  }
+
   /** Relative flag floor for [[docCompression]]: a document is flagged iff
     * its chars-per-BPE-token ratio is below 3/4 of the corpus ratio.
     * Frequency-relative like [[RareDen]] — an absolute cutoff stops

@@ -48,6 +48,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlBuckets === apiBuckets)
   }
 
+  test("ln_fixed is callable from SQL and matches the reference") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT ln_fixed(1000000L) AS l, ln_fixed(0L) AS z").collect()(0)
+    assert(got.getLong(0) === graft.functions.FixedPointLn.lnFRef(1000000L))
+    assert(got.isNullAt(1)) // out of domain -> NULL
+  }
+
   test("extensions class injects the same descriptors (startup path)") {
     // exercise the SparkSessionExtensions wiring itself
     val ext = new org.apache.spark.sql.SparkSessionExtensions

@@ -439,6 +439,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("backoffSurprisal: all four levels fire and match the lnFRef brute force") {
+    import spark.implicits._
+    import graft.functions.FixedPointLn.lnFRef
+    val train = Seq((1L, "a b c d"), (2L, "b c e"), (3L, "c x y"))
+    val eval_ = Seq(
+      (10L, "a b c"),                   // the known trigram: level 3
+      (20L, "x b c x y a p q z"),       // a mix designed to hit L3/L2/L1/L0
+      (30L, "a"))                       // too short: zero row, still present
+    val d = (train ++ eval_).toDF("doc_id", "text")
+    // brute force: train n-gram tables + the stupid-backoff level rule
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    def ngrams(ts: Seq[String], n: Int) =
+      if (ts.size < n) Nil else ts.sliding(n).toSeq
+    val uni = train.flatMap(r => toks(r._2)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = train.flatMap(r => ngrams(toks(r._2), 2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tri = train.flatMap(r => ngrams(toks(r._2), 3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigN = uni.values.sum
+    val pen = TextAnalysis.BackoffPenaltyF
+    def scoreOf(tg: Seq[String]): (Int, Long) = tri.get(tg) match {
+      case Some(n123) => (3, lnFRef(bi(tg.take(2))) - lnFRef(n123))
+      case None => bi.get(tg.drop(1)) match {
+        case Some(n23) => (2, lnFRef(uni(tg(1))) - lnFRef(n23) + pen)
+        case None => uni.get(tg(2)) match {
+          case Some(n3) => (1, lnFRef(bigN) - lnFRef(n3) + 2 * pen)
+          case None => (0, lnFRef(bigN + 1) + 2 * pen)
+        }
+      }
+    }
+    val want = eval_.map { case (id, t) =>
+      val tgs = ngrams(toks(t), 3).map(scoreOf)
+      def lv(l: Int) = tgs.count(_._1 == l).toLong
+      val n = tgs.size.toLong
+      val nll = tgs.map(_._2).sum
+      id -> ((n, lv(3), lv(2), lv(1), lv(0), nll, if (n > 0) nll / n else 0L))
+    }.toMap
+    val got = TextAnalysis.backoffSurprisal(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got === want)
+    // the planted shape genuinely exercises every backoff level
+    assert(want(20L)._2 >= 1 && want(20L)._3 >= 1 &&
+      want(20L)._4 >= 1 && want(20L)._5 >= 1)
+    assert(got(30L) === ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    val again = TextAnalysis.backoffSurprisal(d.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(again === got.map { case (k, v) => k -> v._6 })
+  }
+
   test("spanDecontaminate: merged token-offset spans of leaked 13-grams; eval docs excluded") {
     val ev = (1 to 14).map(i => s"e$i").mkString(" ") // 14-token eval run
     val e13 = (1 to 13).map(i => s"e$i").mkString(" ")
