@@ -440,6 +440,10 @@ object SparkEntry {
     // over the trained k-means cells, content-hash Bernoulli within cell
     "q_sample_diverse" -> ((s, dir) =>
       Similarity.cellBalancedSample(Tables.embeddings(s, dir))),
+    // label-relevance retrieval eval: MRR + recall@k of the embedding
+    // space itself (exact cosine ranking, integer milli metrics)
+    "q_retrieval_eval" -> ((s, dir) =>
+      Similarity.retrievalEval(Tables.embeddings(s, dir))),
     // continuous-ingestion SemDeDup: the incoming fifth probes the
     // corpus's persisted cells; the corpus is never self-joined again
     "q_semdedup_incremental" -> ((s, dir) =>
@@ -3517,6 +3521,39 @@ object SparkEntry {
     "ann_ivf_trained" -> annIvfTrainedOracle,
     "q_semdedup" -> semDeDupOracle,
     "q_sample_diverse" -> cellBalancedSampleOracle,
+    // retrieval eval: exact-cosine global rank per query, label relevance,
+    // integer milli MRR / recall@k
+    "q_retrieval_eval" -> {
+      val (nQ, k) = (10, 10)
+      s"""WITH nz AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(${selfDotSql("CAST(embedding AS DOUBLE[])")}) AS nrm
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |    AND sqrt(${selfDotSql("CAST(embedding AS DOUBLE[])")}) > 0.0),
+         |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+         |  FROM nz GROUP BY label),
+         |r AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+         |    c.label AS nb_label,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM nz q JOIN nz c ON q.vec_id < $nQ AND c.vec_id <> q.vec_id),
+         |rk AS (SELECT * FROM r WHERE rank <= $k),
+         |pq AS (SELECT query_id, q_label,
+         |    CAST(sum(CASE WHEN nb_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hits,
+         |    min(CASE WHEN nb_label = q_label THEN rank END) AS first_rank
+         |  FROM rk GROUP BY query_id, q_label)
+         |SELECT pq.query_id, pq.q_label AS label,
+         |  lc.n_label - 1 AS n_relevant,
+         |  CAST(coalesce(first_rank, 0) AS BIGINT) AS first_rel_rank,
+         |  CASE WHEN first_rank IS NOT NULL THEN 1000 // first_rank
+         |       ELSE 0 END AS rr_milli,
+         |  hits AS hits_at_k,
+         |  CASE WHEN lc.n_label > 1
+         |       THEN (hits * 1000) // least(CAST($k AS BIGINT), lc.n_label - 1)
+         |       ELSE 0 END AS recall_milli
+         |FROM pq JOIN lc ON pq.q_label = lc.label""".stripMargin
+    },
     "q_knn_label" -> knnLabelOracle,
     "q_embed_outliers" -> embedOutliersOracle,
     "q_semdedup_incremental" -> semDeDupIncrementalOracle,

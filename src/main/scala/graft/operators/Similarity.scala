@@ -302,6 +302,69 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Label-based RETRIEVAL EVALUATION of the embedding space: for each
+    * query vector, rank the corpus by exact cosine and read off the task
+    * metrics — reciprocal rank of the first SAME-LABEL neighbor and
+    * recall@k of the same-label set — the standard embedding-model QA
+    * card (MRR / R@k as in DPR-style evaluations), with the label column
+    * as relevance ground truth. Complements `q_ann_recall`, which
+    * measures index self-consistency (ANN vs brute force); this measures
+    * whether the SPACE itself ranks relevant content first.
+    *
+    * All metrics are exact integers: rr_milli = 1000 div rank,
+    * recall_milli = hits·1000 div min(k, n_relevant) — no floats to
+    * drift. Queries or corpus rows with zero/NULL embeddings are outside
+    * the eval (cosine undefined); n_relevant counts nonzero same-label
+    * corpus rows excluding the query itself; queries with no relevant
+    * rows report zero metrics rather than dropping (the card must show
+    * them).
+    *
+    * Scale shape: [[bruteForceTopK]]'s — broadcast query set, ONE
+    * candidate scan, per-query bounded rank — plus a |labels|-row count
+    * frame broadcast back. At corpus scales past a scan, swap the
+    * candidate generator for the IVF path; the metric tail is unchanged.
+    */
+  def retrievalEval(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val nz = embeddings
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0.0)
+    val queries = nz.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val cand = graft.Parallelism.ensure(nz).select(
+      col("vec_id").as("neighbor_id"), col("label").as("nb_label"),
+      col("embedding").as("cv"), col("nrm").as("cn"))
+    val labelCounts = nz.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    val ranked = broadcast(queries)
+      .join(cand, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_label"), col("neighbor_id"), col("nb_label"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val perQuery = ranked
+      .groupBy("query_id", "q_label")
+      .agg(
+        sum(when(col("nb_label") === col("q_label"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("nb_label") === col("q_label"), col("rank"))).as("first_rank"))
+    perQuery
+      .join(broadcast(labelCounts),
+        perQuery("q_label") === labelCounts("label"))
+      .select(
+        col("query_id"), col("q_label").as("label"),
+        (col("n_label") - 1).as("n_relevant"),
+        coalesce(col("first_rank"), lit(0)).cast("long").as("first_rel_rank"),
+        when(col("first_rank").isNotNull, expr("1000 DIV first_rank"))
+          .otherwise(0L).as("rr_milli"),
+        col("hits").as(s"hits_at_k"),
+        when(col("n_label") > 1,
+          expr(s"(hits * 1000) DIV least(CAST($k AS BIGINT), n_label - 1)"))
+          .otherwise(0L).as("recall_milli"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/Contriever
     * batch-construction step): for each query vector, the `k` most-similar
     * corpus vectors carrying a DIFFERENT label — close enough to confuse

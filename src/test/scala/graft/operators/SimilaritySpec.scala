@@ -496,6 +496,58 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(_._2 == 1L).forall(_._3 < 0.1))
   }
 
+  test("retrievalEval equals a brute-force label-relevance computation on driver data") {
+    val rows = emb.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nz = rows.filter(r => r._2 != null && math.sqrt(dotD(r._2, r._2)) > 0.0)
+    val byLabel = nz.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val want = nz.filter(_._1 < 10).map { case (qid, qv, ql) =>
+      val qn = math.sqrt(dotD(qv, qv))
+      val ranked = nz.filter(_._1 != qid)
+        .map { case (id, v, l) =>
+          (id, l, dotD(qv, v) / (qn * math.sqrt(dotD(v, v)))) }
+        .sortBy { case (id, _, cos) => (-cos, id) }
+        .take(10)
+      val hits = ranked.count(_._2 == ql).toLong
+      val first = ranked.zipWithIndex.collectFirst {
+        case ((_, l, _), i) if l == ql => i + 1L }
+      val nRel = byLabel(ql) - 1
+      (qid, ql, nRel, first.getOrElse(0L),
+        first.map(1000L / _).getOrElse(0L), hits,
+        if (nRel > 0) hits * 1000 / math.min(10L, nRel) else 0L)
+    }.toSet
+    val got = Similarity.retrievalEval(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("retrievalEval planted: a well-separated space scores perfect MRR and recall") {
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Float], Int)] =
+      Seq((0L, Array(10f, 0f, 0f, 0f), 1),
+        (1L, Array(10f, 0.1f, 0f, 0f), 1),
+        (2L, Array(10f, 0.2f, 0f, 0f), 1)) ++
+        (100L until 106L).map(i =>
+          (i, Array(0f, 10f, 0.1f * (i - 100), 0f), 2))
+    val got = Similarity.retrievalEval(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4), r.getLong(6)))).toMap
+    // queries are ids 0..2; each finds its two A-mates first
+    assert(got.keySet === Set(0L, 1L, 2L))
+    got.values.foreach { case (nRel, rr, recall) =>
+      assert(nRel === 2L)
+      assert(rr === 1000L)     // first neighbor is same-label
+      assert(recall === 1000L) // both relevant retrieved within k
+    }
+  }
+
   test("cellBalancedSample: card is internally consistent and partition-invariant") {
     val card = Similarity.cellBalancedSample(emb).collect()
       .map(r => (r.getAs[Number](0).intValue, r.getLong(1), r.getLong(2),
