@@ -131,7 +131,15 @@ object PlanDump {
     "q_sample_diverse" ->
       "diversity sampling: centroid_probes assignment kernel, <=nLists-row histogram + budget frames broadcast back, content-hash Bernoulli as a pure filter — the corpus is never shuffled or ranked",
     "q_dsir_incremental" ->
-      "ingestion DSIR: shard-only featurize scan, frozen <=4096-row weight table broadcast-left-joined with the smoothing-floor fallback, doc_id-keyed agg — the corpus term is the checkpointed training read, never re-featurized per batch")
+      "ingestion DSIR: shard-only featurize scan, frozen <=4096-row weight table broadcast-left-joined with the smoothing-floor fallback, doc_id-keyed agg — the corpus term is the checkpointed training read, never re-featurized per batch",
+    "q_lm_backoff" ->
+      "stupid-backoff scoring: three train-side map-side-combined n-gram aggs, eval per-(doc, trigram) counts checkpointed, five LEFT joins of pre-aggregated frames (AQE on the Zipf keys), level CASE + ln_fixed in the projection, doc_id-keyed final agg",
+    "q_span_decontam" ->
+      "span decontam: positional window explode -> 60-bit hash (strings never shuffle), eval side DISTINCT before the join, LEFT SEMI keeps hit windows only, per-doc island merge over SPARSE hit rows — the window sort carries contaminated windows, not the corpus",
+    "q_doc_compression" ->
+      "doc compression: bpe_segments kernel over DISTINCT words (persisted rules), word-keyed join to per-(doc, word) counts, doc_id rollup, 1-row corpus floor broadcast — vocabulary-bounded past the first agg",
+    "q_retrieval_eval" ->
+      "retrieval eval: broadcast query set, ONE candidate scan, vec_dot kernel in the ranking window (per-query bounded), |labels|-row count frame broadcast back")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -752,20 +752,27 @@ object TextAnalysis {
     val ts = graft.Parallelism.ensure(documents)
       .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
     val train = ts.where(col("doc_id") % evalMod =!= 0)
+    // the three LM tables are each consumed 1-2× downstream (bigN derives
+    // from uni; bi serves both the n12 and n23 joins) — checkpoint them so
+    // the train corpus is tokenized exactly three times (once per n-gram
+    // order, the train-once artifact cost), not once per consumer
     val uni = train.select(explode(col("ts")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n1"))
+      .localCheckpoint()
     val bi = train.where(size(col("ts")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .localCheckpoint()
     val tri = train.where(size(col("ts")) >= 3)
       .select(explode(expr(
         "transform(sequence(2, size(ts) - 1), " +
           "i -> struct(ts[i-2] AS w1, ts[i-1] AS w2, ts[i] AS w3))")).as("tg"))
       .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n123"))
+      .localCheckpoint()
     val bigN = uni.agg(sum("n1").as("n_train"))
     val evalTris = ts.where(col("doc_id") % evalMod === 0)
       .where(size(col("ts")) >= 3)
@@ -842,12 +849,15 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks(lower(col("text")))).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("freq"))
+    // consumed by the corpus totals AND the final join — checkpoint so the
+    // BPE segment chain runs once, not once per consumer
     val perDoc = docWords.join(pieces, "word")
       .groupBy("doc_id")
       .agg(
         sum("freq").as("n_words"),
         sum(col("freq") * length(col("word"))).as("n_chars"),
         sum(col("freq") * col("n_pieces")).as("n_bpe"))
+      .localCheckpoint()
     val totals = perDoc.agg(
       sum("n_chars").as("t_chars"), sum("n_bpe").as("t_bpe"))
     documents.select("doc_id")
