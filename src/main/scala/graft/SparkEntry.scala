@@ -221,6 +221,9 @@ object SparkEntry {
     // --- text analysis (LLM-pipeline surface) ---
     "q_text_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    // detector QA: (true, predicted) confusion cells with milli shares
+    "q_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     // Sequence packing (concat-and-chunk): per-doc global token offsets
     // via a two-level distributed prefix sum, then fixed-length training
@@ -297,6 +300,10 @@ object SparkEntry {
     "q_scd2_history" -> ((s, dir) => Relational.scd2OrderHistory(Tables.orders(s, dir))),
     // --- deterministic sampling ---
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
+    // EXACT-k per-stratum sampling by smallest content hash — selection by
+    // counting (coarse hash histogram + cutoff-bucket rank), never a sort
+    "q_sample_exact" -> ((s, dir) =>
+      Sampling.exactStratifiedSample(Tables.documents(s, dir))),
     // quality-weighted Bernoulli (keep prob ∝ token count, content-hash draw)
     "q_sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
     // source-mixture schedule: equal token share per source, epochs for
@@ -327,6 +334,8 @@ object SparkEntry {
     // weight table inside foreachBatch (shared scoreShardAgainstWeights)
     "q_stream_dsir_score" -> ((s, dir) =>
       graft.streaming.DocumentStreams.dsirScoresToBatch(s, dir)),
+    // per-source steering report: score rollup + the exact selected set
+    "q_dsir_report" -> ((s, dir) => Dsir.steeringReport(Tables.documents(s, dir))),
     // --- dedup: exact, MinHash+LSH / n-gram Jaccard, SimHash ---
     // The MinHash family reads the session-persisted SignatureStore (the
     // ingest-time artifact): signatures/shingles computed once per corpus,
@@ -645,11 +654,13 @@ object SparkEntry {
     * draw, −ln u and the Gumbel both through ln_f, then the obvious global
     * window rank the engine's counting selection must reproduce.
     */
-  private def dsirSelectSql: String = {
+  /** The Gumbel-key CTEs (`g0`..`keyed`) plus the ranked-selection CTEs
+    * (`nk`, `sel` with its global rank) over the `scores` CTE — shared by
+    * the selection oracle and the steering-report oracle.
+    */
+  private def dsirKeyedCtes: String = {
     import graft.functions.FixedPointLn.{lnFSql, Ln2F}
-    val d = graft.operators.Dsir.SelectDenom
-    s"""WITH $dsirScoreCtes,
-       |g0 AS (SELECT doc_id, source, logw_f,
+    s"""g0 AS (SELECT doc_id, source, logw_f,
        |    ${h60(graft.operators.Dsir.GumbelSeed, "CAST(doc_id AS VARCHAR)")}
        |      % 1048576 AS h
        |  FROM scores),
@@ -665,9 +676,35 @@ object SparkEntry {
        |  FROM g2),
        |nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
        |sel AS (SELECT k.*, row_number()
-       |    OVER (ORDER BY key_f DESC, doc_id ASC) AS rn FROM keyed k)
+       |    OVER (ORDER BY key_f DESC, doc_id ASC) AS rn FROM keyed k)""".stripMargin
+  }
+
+  private def dsirSelectSql: String = {
+    val d = graft.operators.Dsir.SelectDenom
+    s"""WITH $dsirScoreCtes,
+       |$dsirKeyedCtes
        |SELECT doc_id, source, logw_f, g_f, key_f
        |FROM sel CROSS JOIN nk WHERE rn <= (n + ${d - 1}) // $d""".stripMargin
+  }
+
+  /** DuckDB mirror of `Dsir.steeringReport`: per-source score rollup plus
+    * selected counts from the SAME selection CTEs as `q_dsir_select`.
+    */
+  private def dsirReportSql: String = {
+    val d = graft.operators.Dsir.SelectDenom
+    s"""WITH $dsirScoreCtes,
+       |$dsirKeyedCtes,
+       |selc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_selected
+       |  FROM sel CROSS JOIN nk WHERE rn <= (n + ${d - 1}) // $d
+       |  GROUP BY source),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(logw_f) AS BIGINT) AS sum_logw_f
+       |  FROM scores GROUP BY source)
+       |SELECT a.source, a.n_docs, a.sum_logw_f,
+       |  a.sum_logw_f // a.n_docs AS mean_logw_f,
+       |  coalesce(s.n_selected, 0) AS n_selected,
+       |  (coalesce(s.n_selected, 0) * 1000) // a.n_docs AS sel_share_milli
+       |FROM agg a LEFT JOIN selc s USING (source)""".stripMargin
   }
 
   /** DuckDB mirror of `Dsir.incrementalScores` (and, verbatim, of the
@@ -2101,15 +2138,21 @@ object SparkEntry {
          |    AS is_quality
          |FROM documents d JOIN t ON d.doc_id = t.doc_id""".stripMargin,
     "q_lang_id" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
-         |h AS (SELECT doc_id, $langHitCols FROM t)
-         |SELECT d.doc_id, d.lang, h.hits_en, h.hits_de, h.hits_es, h.hits_fr,
-         |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-         |       WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-         |       WHEN hits_es >= hits_fr THEN 'es'
-         |       ELSE 'fr' END AS pred_lang
-         |FROM documents d JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+      s"""WITH $langIdCtes
+         |SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, pred_lang
+         |FROM li""".stripMargin,
+    // Confusion rollup over the SAME per-doc prediction CTEs (shared via
+    // langIdCtes so the two oracles cannot drift)
+    "q_langid_confusion" ->
+      s"""WITH $langIdCtes,
+         |cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM li GROUP BY lang, pred_lang),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+         |  FROM cells GROUP BY lang)
+         |SELECT c.lang, c.pred_lang, c.n, t2.n_true,
+         |  (c.n * 1000) // t2.n_true AS share_milli,
+         |  c.lang = c.pred_lang AS correct
+         |FROM cells c JOIN tot t2 USING (lang)""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
@@ -2345,6 +2388,8 @@ object SparkEntry {
     // the streaming drain scores the same shard against the same frozen
     // weights — oracle shared verbatim with the batch twin
     "q_stream_dsir_score" -> dsirIncrementalSql,
+    // per-source steering rollup over the same score/selection CTEs
+    "q_dsir_report" -> dsirReportSql,
     // Shard manifest: same keyed-hash shard + within-shard (h, doc_id)
     // order, row digests XOR-folded per shard (the q_table_digest idiom)
     "q_shard_manifest" -> {
@@ -3038,6 +3083,16 @@ object SparkEntry {
          |FROM documents d JOIN c USING (lang)
          |WHERE ${h60(Sampling.DefaultSeed, "d.doc_id")} % ${Sampling.Buckets}
          |  < (${Sampling.DefaultTargetPerStratum * Sampling.Buckets} // c.n_lang)""".stripMargin,
+    // Exact-k stratified: the obvious per-stratum (h, doc_id) rank pins
+    // the semantics; the engine computes the same set by counting
+    "q_sample_exact" ->
+      s"""WITH hashed AS (SELECT doc_id, lang,
+         |    ${h60(Sampling.ExactSeed, "doc_id")} % 1048576 AS h FROM documents),
+         |r AS (SELECT doc_id, lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+         |  FROM hashed)
+         |SELECT doc_id, lang, h FROM r
+         |WHERE rn <= ${Sampling.DefaultTargetPerStratum}""".stripMargin,
     // Weighted Bernoulli: keep iff md5-draw mod cap < min(weight, cap);
     // seed/cap interpolated from the operator's constants.
     "q_sample_weighted" ->
@@ -3771,4 +3826,18 @@ object SparkEntry {
       val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
       s"len(list_filter(toks, w -> list_contains($lst, w))) AS hits_$l"
     }.mkString(",\n  ")
+
+  /** The langId CTE chain ending in `li(doc_id, lang, hits_*, pred_lang)`
+    * — shared by the per-doc and confusion-rollup oracles.
+    */
+  private def langIdCtes: String =
+    s"""t AS (SELECT doc_id,
+       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |h AS (SELECT doc_id, $langHitCols FROM t),
+       |li AS (SELECT d.doc_id, d.lang, h.hits_en, h.hits_de, h.hits_es, h.hits_fr,
+       |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+       |       WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+       |       WHEN hits_es >= hits_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |  FROM documents d JOIN h ON d.doc_id = h.doc_id)""".stripMargin
 }

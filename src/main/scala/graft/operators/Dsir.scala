@@ -229,8 +229,15 @@ object Dsir {
     * Gumbel spread alone puts ≥ 3.5 nats ≈ 900 buckets between min and
     * max, so no bucket concentrates the corpus).
     */
-  def gumbelTopK(documents: DataFrame): DataFrame = {
-    val keyed = importanceScores(documents)
+  def gumbelTopK(documents: DataFrame): DataFrame =
+    gumbelSelect(importanceScores(documents))
+
+  /** The selection half of [[gumbelTopK]] over an already-computed score
+    * frame — shared with [[steeringReport]] so the report's selected set
+    * is the exact set the selection query emits.
+    */
+  private[graft] def gumbelSelect(scores: DataFrame): DataFrame = {
+    val keyed = scores
       .withColumn("h",
         md5Long(col("doc_id").cast("string"), GumbelSeed) % (1L << 20))
       .withColumn("g_f", gumbelF(col("h")))
@@ -263,5 +270,28 @@ object Dsir {
       .drop("tr")
     above.unionByName(tie)
       .select("doc_id", "source", "logw_f", "g_f", "key_f")
+  }
+
+  /** The per-source STEERING report — which feeds DSIR favors: population,
+    * summed/mean log-weight (fixed point, integer mean), how many docs the
+    * Gumbel-top-k selection takes from the source, and the selected share
+    * in milli. The one-page diagnostic read before committing a selection
+    * run at 100 TB (a target-lookalike junk feed shows up here as a high
+    * mean with a suspicious share).
+    *
+    * Scores are computed ONCE (checkpointed) and feed both the rollup and
+    * the shared [[gumbelSelect]], so the report's selected counts are the
+    * exact selection `q_dsir_select` emits. Output: |sources| rows.
+    */
+  def steeringReport(documents: DataFrame): DataFrame = {
+    val scores = importanceScores(documents).localCheckpoint()
+    val sel = gumbelSelect(scores)
+      .groupBy("source").agg(count(lit(1)).as("n_selected"))
+    scores.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("logw_f").as("sum_logw_f"))
+      .withColumn("mean_logw_f", expr("sum_logw_f DIV n_docs"))
+      .join(sel, Seq("source"), "left")
+      .na.fill(0L, Seq("n_selected"))
+      .withColumn("sel_share_milli", expr("(n_selected * 1000) DIV n_docs"))
   }
 }

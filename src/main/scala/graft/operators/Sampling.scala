@@ -55,6 +55,61 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
+  /** Seed for [[exactStratifiedSample]]'s hash order (distinct from the
+    * Bernoulli sample's, so the two samples are independent draws).
+    */
+  val ExactSeed: Int = 13
+
+  /** EXACT-k stratified sample: per language, exactly min(target, n_lang)
+    * documents — the smallest-hash `target` rows by (h, doc_id), where h
+    * is the 20-bit content draw. [[stratifiedSample]] is the expected-k
+    * Bernoulli form (one scan, but binomial stratum sizes); this is the
+    * form an eval-split builder needs, where "about 100 per language" is
+    * not a contract.
+    *
+    * Selection-by-counting, not sorting (the [[Pipeline.selectBestPerSource]]
+    * idiom on the hash axis): a per-(lang, h>>8) coarse histogram — 4096
+    * buckets per stratum, map-side combined — a cumulative window over
+    * that tiny frame finds each stratum's cutoff bucket, everything in
+    * strictly-smaller buckets is taken whole, and only the one cutoff
+    * bucket per stratum is ranked by (h, doc_id) to fill the remainder.
+    * The corpus is scanned, hashed, and filtered; it is never sorted.
+    */
+  def exactStratifiedSample(
+      documents: DataFrame, targetPerStratum: Long = DefaultTargetPerStratum,
+      seed: Int = ExactSeed): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = documents
+      .select(col("doc_id"), col("lang"),
+        (HashFunctions.md5Long(col("doc_id").cast("string"), seed)
+          % (1L << 20)).as("h"))
+      .localCheckpoint()
+    val cumW = Window.partitionBy("lang").orderBy(col("hb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = hashed
+      .select(col("lang"), shiftright(col("h"), 8).as("hb"))
+      .groupBy("lang", "hb").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(cumW))
+      .withColumn("n_lang", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("k", least(lit(targetPerStratum), col("n_lang")))
+    val cutoff = hist
+      .where(col("cum") >= col("k") && col("cum") - col("n") < col("k"))
+      .select(col("lang"), col("hb").as("cut_hb"),
+        (col("k") - (col("cum") - col("n"))).as("need"))
+      .localCheckpoint() // one row per stratum
+    val below = hashed
+      .join(broadcast(cutoff), Seq("lang"))
+      .where(shiftright(col("h"), 8) < col("cut_hb"))
+    val tie = hashed
+      .join(broadcast(cutoff), Seq("lang"))
+      .where(shiftright(col("h"), 8) === col("cut_hb"))
+      .withColumn("tr", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)))
+      .where(col("tr") <= col("need"))
+      .drop("tr")
+    below.unionByName(tie).select("doc_id", "lang", "h")
+  }
+
   /** Weight cap for [[weightedSample]]: keep probability saturates at 1
     * once a document reaches this many tokens.
     */

@@ -82,6 +82,25 @@ object TextAnalysis {
         pred.as("pred_lang"))
   }
 
+  /** Language-ID CONFUSION rollup: (true lang, predicted lang) cell counts
+    * of [[langId]] against the table's lang column, with each cell's share
+    * of its true-language row in milli — the detector-QA card read before
+    * trusting a heuristic language filter at corpus scale (off-diagonal
+    * mass = docs a lang-keyed pipeline would misroute). One |langs|² frame
+    * after the per-doc argmax; the share window runs over that tiny frame.
+    */
+  def langIdConfusion(documents: DataFrame): DataFrame = {
+    val cells = langId(documents)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_true",
+        sum("n").over(Window.partitionBy("lang")))
+      .select(
+        col("lang"), col("pred_lang"), col("n"), col("n_true"),
+        expr("(n * 1000) DIV n_true").as("share_milli"),
+        (col("lang") === col("pred_lang")).as("correct"))
+  }
+
   /** BPE-ish regex for subword-ish token counting: letter runs, digit runs,
     * and single non-alphanumeric marks — a cheap, deterministic stand-in
     * for a real BPE vocabulary's pre-tokenizer.

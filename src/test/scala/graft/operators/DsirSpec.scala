@@ -143,6 +143,29 @@ class DsirSpec extends SparkSpec {
     assert(full(9L) !== got(9L)._2)
   }
 
+  test("steeringReport agrees with the score and selection queries exactly") {
+    val rows = (1L to 60L).map { i =>
+      val src = if (i % 3 == 0) "src0" else s"src${i % 5 + 2}"
+      (i, src, if (i % 3 == 0) s"alpha beta tok$i" else s"omega psi tok$i")
+    }
+    val d = docs(rows: _*)
+    val scores = Dsir.importanceScores(d).collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    val selected = Dsir.gumbelTopK(d).collect().map(_.getString(1))
+    val want = scores.groupBy(_._1).map { case (src, xs) =>
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      val k = selected.count(_ == src).toLong
+      src -> ((n, s, s / n, k, k * 1000 / n))
+    }
+    val got = Dsir.steeringReport(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === want)
+    // the target-lookalike feed is the most-selected one
+    assert(got("src0")._5 > 200L)
+  }
+
   test("scores and selection are invariant under repartitioning") {
     val d = docs(corpus: _*)
     val a = Dsir.importanceScores(d).collect()

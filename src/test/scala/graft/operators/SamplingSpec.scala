@@ -43,6 +43,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("exactStratifiedSample: exactly min(target, n) per stratum, equal to the brute-force hash sort") {
+    import spark.implicits._
+    val rows = (1L to 5L).map(_ -> "rare") ++ (100L to 899L).map(_ -> "big")
+    val d = rows.toDF("doc_id", "lang")
+    val got = Sampling.exactStratifiedSample(d, targetPerStratum = 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("rare" -> 5, "big" -> 50)) // EXACT, not binomial
+    // equals the obvious sort: smallest (h, doc_id) per stratum
+    def md5h(id: Long): Long = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Sampling.ExactSeed}:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dg.map("%02x".format(_)).mkString.substring(0, 15), 16) % (1L << 20)
+    }
+    val want = rows.groupBy(_._2).flatMap { case (lang, xs) =>
+      xs.map(x => (x._1, lang, md5h(x._1)))
+        .sortBy { case (id, _, h) => (h, id) }
+        .take(50)
+    }.toSet
+    assert(got.toSet === want)
+    val again = Sampling.exactStratifiedSample(d.repartition(7), targetPerStratum = 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again === got.toSet)
+  }
+
   test("weightedSample: saturated docs always survive, light docs thin out, draw is content-keyed") {
     import spark.implicits._
     val rows = (1L to 200L).map(i => (i, "en", ("tok " * 300).trim)) ++ // weight 300 ≥ cap → kept

@@ -439,6 +439,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("langIdConfusion: cells partition the corpus; shares and diagonal flags are exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog", "en"),   // en markers -> pred en (correct)
+      (2L, "der hund und die katze", "de"),// de markers -> pred de (correct)
+      (3L, "x q z", "de"),                 // no markers -> tie chain -> en
+      (4L, "el los y es", "es"),           // es markers -> pred es
+      (5L, "the the the", "es")            // en markers under an es label
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got === Map(
+      ("en", "en") -> ((1L, 1L, 1000L, true)),
+      ("de", "de") -> ((1L, 2L, 500L, true)),
+      ("de", "en") -> ((1L, 2L, 500L, false)),
+      ("es", "es") -> ((1L, 2L, 500L, true)),
+      ("es", "en") -> ((1L, 2L, 500L, false))))
+    assert(got.values.map(_._1).sum === 5L) // every doc in exactly one cell
+  }
+
   test("backoffSurprisal: all four levels fire and match the lnFRef brute force") {
     import spark.implicits._
     import graft.functions.FixedPointLn.lnFRef
