@@ -139,7 +139,11 @@ object PlanDump {
     "q_doc_compression" ->
       "doc compression: bpe_segments kernel over DISTINCT words (persisted rules), word-keyed join to per-(doc, word) counts, doc_id rollup, 1-row corpus floor broadcast — vocabulary-bounded past the first agg",
     "q_retrieval_eval" ->
-      "retrieval eval: broadcast query set, ONE candidate scan, vec_dot kernel in the ranking window (per-query bounded), |labels|-row count frame broadcast back")
+      "retrieval eval: broadcast query set, ONE candidate scan, vec_dot kernel in the ranking window (per-query bounded), |labels|-row count frame broadcast back",
+    "q_sample_exact" ->
+      "exact-k stratified sampling WITHOUT sorting: checkpointed hash scan, (lang, h>>8) coarse histogram hash-agg, cumulative window over that tiny frame, broadcast cutoff, rank only inside each stratum's one tie bucket",
+    "q_dsir_report" ->
+      "steering report: scores checkpointed once, per-source rollup + the SAME counting selection as q_dsir_select, two |sources|-row aggs joined — no second featurize pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
