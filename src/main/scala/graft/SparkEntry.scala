@@ -453,6 +453,15 @@ object SparkEntry {
     // space itself (exact cosine ranking, integer milli metrics)
     "q_retrieval_eval" -> ((s, dir) =>
       Similarity.retrievalEval(Tables.embeddings(s, dir))),
+    // SEMANTIC split leakage: eval vectors probed against the train
+    // side's frozen cells at cosine >= 0.8 — catches what string
+    // decontamination misses
+    "q_semantic_leakage" -> ((s, dir) =>
+      Similarity.semanticLeakage(Tables.embeddings(s, dir))),
+    // embedding-space drift at the ingest boundary: per-cell occupancy
+    // shares of the incoming fifth vs the corpus, frozen cells
+    "q_embed_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(Tables.embeddings(s, dir))),
     // continuous-ingestion SemDeDup: the incoming fifth probes the
     // corpus's persisted cells; the corpus is never self-joined again
     "q_semdedup_incremental" -> ((s, dir) =>
@@ -1167,6 +1176,65 @@ object SparkEntry {
        |SELECT b.neighbor_id AS vec_id, b.cell AS cell,
        |  b.neighbor_id NOT IN (SELECT j FROM dropped) AS kept
        |FROM assigned b CROSS JOIN sp WHERE b.neighbor_id >= sp.s""".stripMargin
+  }
+
+  /** DuckDB mirror of `Similarity.semanticLeakage`: k-means on the
+    * train side only (vec_id % 10 ≠ 0), both sides assigned under those
+    * centroids, brute-force train×eval in-cell pairs at 0.8.
+    */
+  private def semanticLeakageOracle: String = {
+    val (nLists, iters) = (8, 2)
+    val t = graft.operators.Similarity.SemanticLeakThreshold
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |ec AS (SELECT e.* FROM e WHERE e.vec_id % 10 <> 0),
+       |${ivfTrainCtes(nLists, iters, src = "ec")},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")},
+       |leaked AS (SELECT DISTINCT b.neighbor_id AS j
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cell = b.cell
+       |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+       |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+       |  WHERE a.neighbor_id % 10 <> 0 AND b.neighbor_id % 10 = 0
+       |    AND list_cosine_similarity(ea.embedding, eb.embedding) >= $t)
+       |SELECT b.neighbor_id AS vec_id, b.cell AS cell,
+       |  b.neighbor_id IN (SELECT j FROM leaked) AS leaked
+       |FROM assigned b WHERE b.neighbor_id % 10 = 0""".stripMargin
+  }
+
+  /** DuckDB mirror of `Similarity.embeddingDrift`: corpus-trained cells,
+    * per-side occupancy histograms, milli shares over a full-outer join.
+    */
+  private def embeddingDriftOracle: String = {
+    val (nLists, iters) = (8, 2)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |sp AS (SELECT (max(vec_id) + 1) * 4 // 5 AS s FROM embeddings),
+       |ec AS (SELECT e.* FROM e, sp WHERE e.vec_id < sp.s),
+       |${ivfTrainCtes(nLists, iters, src = "ec")},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")},
+       |ch AS (SELECT a.cell, CAST(count(*) AS BIGINT) AS n_corpus
+       |  FROM assigned a CROSS JOIN sp WHERE a.neighbor_id < sp.s
+       |  GROUP BY a.cell),
+       |shh AS (SELECT a.cell, CAST(count(*) AS BIGINT) AS n_shard
+       |  FROM assigned a CROSS JOIN sp WHERE a.neighbor_id >= sp.s
+       |  GROUP BY a.cell),
+       |tot AS (SELECT (SELECT CAST(sum(n_corpus) AS BIGINT) FROM ch) AS t_corpus,
+       |               (SELECT CAST(sum(n_shard) AS BIGINT) FROM shh) AS t_shard)
+       |SELECT cell, coalesce(n_corpus, 0) AS n_corpus,
+       |  coalesce(n_shard, 0) AS n_shard,
+       |  CASE WHEN t_corpus > 0
+       |       THEN (coalesce(n_corpus, 0) * 1000) // t_corpus ELSE 0 END
+       |    AS corpus_milli,
+       |  CASE WHEN t_shard > 0
+       |       THEN (coalesce(n_shard, 0) * 1000) // t_shard ELSE 0 END
+       |    AS shard_milli,
+       |  abs(CASE WHEN t_shard > 0
+       |           THEN (coalesce(n_shard, 0) * 1000) // t_shard ELSE 0 END
+       |    - CASE WHEN t_corpus > 0
+       |           THEN (coalesce(n_corpus, 0) * 1000) // t_corpus ELSE 0 END)
+       |    AS delta_milli
+       |FROM ch FULL OUTER JOIN shh USING (cell) CROSS JOIN tot""".stripMargin
   }
 
   /** The PQ pipeline CTEs (per-subspace codebook training, encoding,
@@ -3612,6 +3680,8 @@ object SparkEntry {
     "q_knn_label" -> knnLabelOracle,
     "q_embed_outliers" -> embedOutliersOracle,
     "q_semdedup_incremental" -> semDeDupIncrementalOracle,
+    "q_semantic_leakage" -> semanticLeakageOracle,
+    "q_embed_drift" -> embeddingDriftOracle,
     // the streaming twin probes the same frozen index per micro-batch —
     // same verdicts, same oracle, verbatim
     "q_stream_semdedup_incremental" -> semDeDupIncrementalOracle,

@@ -717,6 +717,100 @@ object Similarity {
     probeCellIndex(shardCells, corpusCellIndex(corpus, cents), threshold)
   }
 
+  /** Cosine threshold for [[semanticLeakage]]: higher than SemDeDup's 0.45
+    * on purpose — leakage hunting wants near-identical content (a
+    * paraphrased eval answer sitting in train), not shared topics.
+    */
+  val SemanticLeakThreshold = 0.8
+
+  /** SEMANTIC split leakage — the embedding-space twin of the MinHash
+    * `q_split_leakage` check: does an eval-split vector have a train-split
+    * near-duplicate that string-level decontamination would miss
+    * (paraphrase, re-rendering, translation with a multilingual encoder)?
+    * Eval docs are `vec_id % evalMod == 0` (the text holdout convention);
+    * k-means cells train on the TRAIN side only, so the held-out set can
+    * never shift the structure it is checked against. One row per
+    * nonzero-embedding eval vector: (vec_id, cell, leaked).
+    *
+    * Scale shape: the [[semDeDupIncremental]] machinery verbatim — eval
+    * assignment scan + cell-keyed equi-join against the train side's
+    * duplicate-collapsed representatives; never train × train, never
+    * all-pairs.
+    */
+  def semanticLeakage(
+      embeddings: DataFrame, evalMod: Int = 10,
+      threshold: Double = SemanticLeakThreshold,
+      nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+    val train = embeddings.where(col("vec_id") % evalMod =!= 0)
+    val evalSide = graft.Parallelism.ensure(embeddings)
+      .where(col("vec_id") % evalMod === 0 && col("embedding").isNotNull)
+    val cents = trainedCentroids(train, nLists, trainIters)
+    if (cents.isEmpty) {
+      // no train side -> nothing to leak from
+      return evalSide.select(
+        col("vec_id"), lit(0).as("cell"), lit(false).as("leaked"))
+    }
+    val evalCells = shardCellsOf(evalSide, cents).localCheckpoint()
+    probeCellIndex(evalCells, corpusCellIndex(train, cents), threshold)
+      .select(col("vec_id"), col("cell"), (!col("kept")).as("leaked"))
+  }
+
+  /** Embedding-space DRIFT monitor at the ingest boundary: the per-cell
+    * occupancy histogram of the incoming fifth vs the existing corpus,
+    * under centroids FROZEN on the corpus — the [[graft.operators
+    * .TextAnalysis]] drift-histogram idiom lifted to embedding space. A
+    * shard whose cell shares diverge is out-of-distribution for the
+    * corpus (new topic mass, encoder regression, a junk flood) — the
+    * monitor a pipeline reads before admitting a batch. All-integer
+    * milli shares; Σ|Δ|/2 over the frame is the total-variation distance.
+    *
+    * Shape: one assignment scan per side (corpus term is the frozen-cell
+    * training + one scan), two ≤ nLists-row histograms, a full-outer join
+    * of those tiny frames.
+    */
+  def embeddingDrift(
+      embeddings: DataFrame, nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+    val mx = embeddings.agg(max(col("vec_id"))).head()
+    if (mx.isNullAt(0)) {
+      return embeddings.select(
+        col("vec_id").cast("int").as("cell"), lit(0L).as("n_corpus"),
+        lit(0L).as("n_shard"), lit(0L).as("corpus_milli"),
+        lit(0L).as("shard_milli"), lit(0L).as("delta_milli")).limit(0)
+    }
+    val split = (mx.getLong(0) + 1L) * 4L / 5L
+    val corpus = embeddings
+      .where(col("vec_id") < split && col("embedding").isNotNull)
+    val cents = trainedCentroids(corpus, nLists, trainIters)
+    if (cents.isEmpty) {
+      return embeddings.select(
+        col("vec_id").cast("int").as("cell"), lit(0L).as("n_corpus"),
+        lit(0L).as("n_shard"), lit(0L).as("corpus_milli"),
+        lit(0L).as("shard_milli"), lit(0L).as("delta_milli")).limit(0)
+    }
+    val shard = embeddings
+      .where(col("vec_id") >= split && col("embedding").isNotNull)
+    def histo(side: DataFrame, n: String) =
+      side.select(bestCellOf(cents)(col("embedding")).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as(n))
+    val c = histo(corpus, "n_corpus")
+    val s = histo(shard, "n_shard")
+    val totals = c.agg(sum("n_corpus").as("t_corpus"))
+      .crossJoin(s.agg(sum("n_shard").as("t_shard")))
+    c.join(s, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_corpus", "n_shard"))
+      .crossJoin(broadcast(totals))
+      .withColumn("corpus_milli",
+        when(col("t_corpus") > 0, expr("(n_corpus * 1000) DIV t_corpus"))
+          .otherwise(0L))
+      .withColumn("shard_milli",
+        when(col("t_shard") > 0, expr("(n_shard * 1000) DIV t_shard"))
+          .otherwise(0L))
+      .withColumn("delta_milli",
+        abs(col("shard_milli") - col("corpus_milli")))
+      .select("cell", "n_corpus", "n_shard",
+        "corpus_milli", "shard_milli", "delta_milli")
+  }
+
   /** A shard frame's (vec_id, embedding, nrm, cell) rows under fixed
     * centroids — the per-batch assignment scan of the incremental probe,
     * shared by the batch operator and the streaming twin.

@@ -496,6 +496,62 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(_._2 == 1L).forall(_._3 < 0.1))
   }
 
+  test("semanticLeakage planted: train near-copy leaks, novel and zero eval vectors do not") {
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array(10f, 0f, 0f, 0f),     // train cluster A
+      2L -> Array(10f, 0.1f, 0f, 0f),
+      3L -> Array(0f, 10f, 0f, 0f),     // train cluster B
+      4L -> Array(0f, 10f, 0.1f, 0f),
+      10L -> Array(10f, 0.05f, 0f, 0f), // eval: near-copy of train A -> leaked
+      20L -> Array(0f, 0f, 0f, 10f),    // eval: novel direction -> clean
+      30L -> Array(0f, 0f, 0f, 0f))     // eval: zero vector -> clean, present
+    val got = Similarity.semanticLeakage(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(10L -> true, 20L -> false, 30L -> false))
+  }
+
+  test("semanticLeakage is deterministic on driver data and never flags train rows") {
+    val a = Similarity.semanticLeakage(emb).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val b = Similarity.semanticLeakage(emb.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    assert(a.forall(_._1 % 10 == 0)) // eval rows only
+  }
+
+  test("embeddingDrift planted: shard mass concentrating in one cluster shows as milli shift") {
+    import spark.implicits._
+    // ids 0..9 -> split 8: corpus 0..7 (4 per cluster), shard 8..9 both
+    // cluster-X -> corpus shares 500/500, shard 1000/0
+    val rows: Seq[(Long, Array[Float])] =
+      Seq(0L -> Array(10f, 0f, 0f, 0f), 1L -> Array(0f, 10f, 0f, 0f),
+        2L -> Array(10f, 0.1f, 0f, 0f), 3L -> Array(10f, 0.2f, 0f, 0f),
+        4L -> Array(0f, 10f, 0.1f, 0f), 5L -> Array(0f, 10f, 0.2f, 0f),
+        6L -> Array(10f, 0.3f, 0f, 0f), 7L -> Array(0f, 10f, 0.3f, 0f),
+        8L -> Array(10f, 0.15f, 0f, 0f), 9L -> Array(10f, 0.25f, 0f, 0f))
+    val got = Similarity.embeddingDrift(rows.toDF("vec_id", "embedding"), nLists = 2)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got === Set(
+      (4L, 2L, 500L, 1000L, 500L),  // cluster X: all shard mass
+      (4L, 0L, 500L, 0L, 500L)))    // cluster Y: none
+  }
+
+  test("embeddingDrift card is conserved and partition-invariant on driver data") {
+    def card(df: org.apache.spark.sql.DataFrame) =
+      Similarity.embeddingDrift(df).collect()
+        .map(r => (r.getAs[Number](0).intValue, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val a = card(emb)
+    assert(a.nonEmpty)
+    val nonNull = emb.where(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
+    assert(a.map(_._2).sum + a.map(_._3).sum === nonNull)
+    assert(card(emb.repartition(7)) === a)
+  }
+
   test("retrievalEval equals a brute-force label-relevance computation on driver data") {
     val rows = emb.collect().map(r => (r.getLong(0),
       if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray, r.getInt(2)))
