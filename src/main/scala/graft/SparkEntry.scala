@@ -421,6 +421,10 @@ object SparkEntry {
     // the one-row corpus datasheet (single scan, many axes)
     "q_corpus_datasheet" -> ((s, dir) =>
       Pipeline.corpusDatasheet(Tables.documents(s, dir))),
+    // quality-signal agreement: classifier x LM-surprisal x rare-bigram,
+    // the 2^3-cell detector-comparison card
+    "q_quality_agreement" -> ((s, dir) =>
+      Pipeline.qualityAgreement(Tables.documents(s, dir))),
     // per-ingest-feed curation rollup (corpus-wide dup contamination)
     "q_source_stats" -> ((s, dir) => Pipeline.sourceCurationStats(Tables.documents(s, dir))),
     // --- similarity search over embeddings ---
@@ -612,6 +616,89 @@ object SparkEntry {
     * ln_f chains ([[graft.functions.FixedPointLn.lnFSql]]) — so the
     * summed log-likelihood ratios are exact BIGINTs on both engines.
     */
+  /** The add-1 bigram-surprisal CTE chain ending in `<p>lmdoc(doc_id,
+    * n_bigrams, nll_f, avg_nll_f)` over all documents — shared by the
+    * q_lm_surprisal oracle and (prefixed) the quality-agreement oracle.
+    */
+  private def lmSurprisalCtes(p: String): String = {
+    import graft.functions.FixedPointLn.lnFSql
+    s"""${p}ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |${p}bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+       |        FROM ${p}ts WHERE len(ts) >= 2)),
+       |${p}dbc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+       |  FROM ${p}bg GROUP BY doc_id, w1, w2),
+       |${p}lm AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n_pair
+       |  FROM ${p}dbc GROUP BY w1, w2),
+       |${p}lmt AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1
+       |  FROM ${p}lm GROUP BY w1),
+       |${p}v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+       |  FROM (SELECT unnest(ts) AS w FROM ${p}ts) WHERE w <> ''),
+       |${p}sc AS (SELECT doc_id, c,
+       |  ${lnFSql("n_w1 + v", "la")},
+       |  ${lnFSql("n_pair + 1", "lb")}
+       |  FROM ${p}dbc JOIN ${p}lm USING (w1, w2) JOIN ${p}lmt USING (w1)
+       |  CROSS JOIN ${p}v),
+       |${p}perdoc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(c * (la - lb)) AS BIGINT) AS nll_f
+       |  FROM ${p}sc GROUP BY doc_id),
+       |${p}lmdoc AS (SELECT d.doc_id, coalesce(pp.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(pp.nll_f, 0) AS nll_f,
+       |  CASE WHEN coalesce(pp.n_bigrams, 0) > 0
+       |       THEN coalesce(pp.nll_f, 0) // pp.n_bigrams ELSE 0 END AS avg_nll_f
+       |  FROM documents d LEFT JOIN ${p}perdoc pp USING (doc_id))""".stripMargin
+  }
+
+  /** The rare-bigram CTE chain ending in `<p>raredoc(doc_id, n_bigrams,
+    * n_rare, flagged)` — shared like [[lmSurprisalCtes]].
+    */
+  private def rareBigramCtes(p: String): String =
+    s"""${p}rts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |${p}rbgidx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+       |  FROM ${p}rts WHERE len(ts) >= 2),
+       |${p}rbg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM ${p}rbgidx),
+       |${p}rc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_corpus
+       |  FROM ${p}rbg GROUP BY w1, w2),
+       |${p}rtot AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS t FROM ${p}rc),
+       |${p}rperdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(count(*) FILTER (WHERE rc.n_corpus * ${TextAnalysis.RareDen} < rtot.t)
+       |      AS BIGINT) AS n_rare
+       |  FROM ${p}rbg rbg JOIN ${p}rc rc USING (w1, w2)
+       |  CROSS JOIN ${p}rtot rtot GROUP BY doc_id),
+       |${p}raredoc AS (SELECT d.doc_id, coalesce(pp.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(pp.n_rare, 0) AS n_rare,
+       |  coalesce(pp.n_rare, 0) * 100 > ${TextAnalysis.RareFlagPct} * coalesce(pp.n_bigrams, 0)
+       |    AS flagged
+       |  FROM documents d LEFT JOIN ${p}rperdoc pp USING (doc_id))""".stripMargin
+
+  /** DuckDB mirror of `Pipeline.qualityAgreement`: the classifier fold,
+    * the (prefixed) LM-surprisal chain, and the (prefixed) rare-bigram
+    * chain joined per doc, corpus-relative LM flag, 2³-cell rollup.
+    */
+  private def qualityAgreementOracle: String = {
+    import graft.operators.TextAnalysis.{ClsSeed, ClsWeightMod, ClsWeightShift}
+    s"""WITH cls AS (SELECT doc_id,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |        x -> x <> ''),
+       |      tok -> ${h60(ClsSeed, "tok")} % $ClsWeightMod - $ClsWeightShift)), 0)
+       |      AS BIGINT) > 0 AS cls_keep
+       |  FROM documents),
+       |${lmSurprisalCtes("l_")},
+       |${rareBigramCtes("r_")},
+       |lt AS (SELECT CAST(count(*) AS BIGINT) AS n_scored,
+       |    CAST(sum(avg_nll_f) AS BIGINT) AS sum_avg
+       |  FROM l_lmdoc WHERE n_bigrams > 0)
+       |SELECT c.cls_keep,
+       |  l.n_bigrams > 0 AND l.avg_nll_f * lt.n_scored > lt.sum_avg AS lm_flag,
+       |  r.flagged AS rare_flag, CAST(count(*) AS BIGINT) AS n
+       |FROM cls c JOIN l_lmdoc l USING (doc_id)
+       |JOIN r_raredoc r USING (doc_id) CROSS JOIN lt
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** The hashed-feature CTEs shared by every DSIR oracle: filtered token
     * arrays, unigram+bigram features, and the per-(doc, bucket) counts
     * `fb` — the SQL mirror of `Dsir.featureBuckets`.
@@ -2766,53 +2853,12 @@ object SparkEntry {
     // flag are integer cross-multiplications (n_corpus·RareDen < total;
     // n_rare·100 > pct·n_bigrams) — no floats anywhere
     "q_rare_bigram_rate" ->
-      s"""WITH ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
-         |  FROM documents),
-         |bgidx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
-         |  FROM ts WHERE len(ts) >= 2),
-         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM bgidx),
-         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_corpus
-         |  FROM bg GROUP BY w1, w2),
-         |tot AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS t FROM c),
-         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(count(*) FILTER (WHERE c.n_corpus * ${TextAnalysis.RareDen} < tot.t)
-         |      AS BIGINT) AS n_rare
-         |  FROM bg JOIN c USING (w1, w2) CROSS JOIN tot GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
-         |  coalesce(p.n_rare, 0) AS n_rare,
-         |  coalesce(p.n_rare, 0) * 100 > ${TextAnalysis.RareFlagPct} * coalesce(p.n_bigrams, 0)
-         |    AS flagged
-         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+      s"WITH ${rareBigramCtes("")} SELECT * FROM raredoc",
     // CCNet-style surprisal: same bigram axis as q_bigram_lm (add-1
     // smoothing over it); both ln's are the portable fixed-point ln_f
     // chain (FixedPointLn.lnFSql), so nll sums are exact BIGINTs
-    "q_lm_surprisal" -> {
-      import graft.functions.FixedPointLn.lnFSql
-      s"""WITH ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
-         |  FROM documents),
-         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
-         |        FROM ts WHERE len(ts) >= 2)),
-         |dbc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
-         |  FROM bg GROUP BY doc_id, w1, w2),
-         |lm AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n_pair
-         |  FROM dbc GROUP BY w1, w2),
-         |lmt AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM lm GROUP BY w1),
-         |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
-         |  FROM (SELECT unnest(ts) AS w FROM ts) WHERE w <> ''),
-         |sc AS (SELECT doc_id, c,
-         |  ${lnFSql("n_w1 + v", "la")},
-         |  ${lnFSql("n_pair + 1", "lb")}
-         |  FROM dbc JOIN lm USING (w1, w2) JOIN lmt USING (w1) CROSS JOIN v),
-         |perdoc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(c * (la - lb)) AS BIGINT) AS nll_f
-         |  FROM sc GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
-         |  coalesce(p.nll_f, 0) AS nll_f,
-         |  CASE WHEN coalesce(p.n_bigrams, 0) > 0
-         |       THEN coalesce(p.nll_f, 0) // p.n_bigrams ELSE 0 END AS avg_nll_f
-         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
-    },
+    "q_lm_surprisal" ->
+      s"WITH ${lmSurprisalCtes("")} SELECT * FROM lmdoc",
     // Stupid-Backoff trigram surprisal: train-split n-gram tables, eval
     // docs scored; every branch's ln is a NULL-safe ln_f chain (ln_f of a
     // NULL count stays NULL and the level CASE never selects it), the α
@@ -3273,6 +3319,9 @@ object SparkEntry {
          |    ELSE 'partial' END AS relation
          |FROM p""".stripMargin
     },
+    // Quality-signal agreement: the classifier fold + prefixed copies of
+    // the LM-surprisal and rare-bigram chains, 2^3-cell rollup
+    "q_quality_agreement" -> qualityAgreementOracle,
     // The two brute-forced pair sets (jaccard >= 0.5 via the shared CTE,
     // simhash hamming <= 3 via the shared simhashCte), full-outer joined
     // on the pair key and bucketed like Dedup.dedupMethodAgreement.

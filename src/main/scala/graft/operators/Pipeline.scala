@@ -243,6 +243,44 @@ object Pipeline {
         (col("toks_above") + col("toks_tie")).as("n_tokens_selected"))
   }
 
+  /** QUALITY-SIGNAL AGREEMENT card — the `q_dedup_agreement` idea for
+    * the quality axis: every document lands in one of the 2³ cells of
+    * (classifier keep, high-LM-surprisal, rare-bigram flag), so the card
+    * shows how much the three independent detectors agree before a
+    * pipeline commits to one (or to their intersection) at 100 TB. A
+    * large keep ∧ high-surprisal ∧ rare cell means the classifier admits
+    * text the LM signals are united against — the cell to audit first.
+    *
+    * The LM flag is corpus-relative: a doc is high-surprisal iff its
+    * avg_nll_f exceeds the mean over scored docs, tested by integer
+    * cross-multiplication (`avg·n_scored > Σavg`; avg_nll_f ~ 2²² and
+    * n_scored ≤ 2⁴⁰ keep the product far inside int64). Evidence-less
+    * docs (no bigrams) are never LM-flagged — they are the length
+    * filter's business. Output: ≤ 8 rows.
+    *
+    * Shape: three per-doc signal frames (each individually scan-shaped
+    * and oracle-checked as its own query), two doc_id-keyed joins, a
+    * 1-row mean broadcast, and an ≤ 8-cell rollup.
+    */
+  def qualityAgreement(documents: DataFrame): DataFrame = {
+    val cls = TextAnalysis.classifierScore(documents)
+      .select(col("doc_id"), col("keep").as("cls_keep"))
+    val lm = TextAnalysis.lmSurprisal(documents)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll_f"))
+    val rare = TextAnalysis.rareBigramRate(documents)
+      .select(col("doc_id"), col("flagged").as("rare_flag"))
+    val lmTot = lm.where(col("n_bigrams") > 0)
+      .agg(count(lit(1)).as("n_scored"), sum("avg_nll_f").as("sum_avg"))
+    cls.join(lm, Seq("doc_id"))
+      .join(rare, Seq("doc_id"))
+      .crossJoin(broadcast(lmTot))
+      .withColumn("lm_flag",
+        col("n_bigrams") > 0 &&
+          col("avg_nll_f") * col("n_scored") > col("sum_avg"))
+      .groupBy("cls_keep", "lm_flag", "rare_flag")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** The one-row corpus DATASHEET — the summary card a dataset release
     * ships (Datasheets for Datasets, Gebru et al. 2021): population,
     * token/char volume, source and language breadth, the split

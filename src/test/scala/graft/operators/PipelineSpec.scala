@@ -99,4 +99,27 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(7) === splits.count(_ == "test"))
     assert(r.getLong(8) === scored.count(_._3)) // classifier keeps
   }
+
+  test("qualityAgreement cells partition the corpus and agree with the three signal queries") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val cls = TextAnalysis.classifierScore(d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val lm = TextAnalysis.lmSurprisal(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val rare = TextAnalysis.rareBigramRate(d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val scored = lm.values.filter(_._1 > 0)
+    val nScored = scored.size.toLong
+    val sumAvg = scored.map(_._2).sum
+    val want = cls.keys.toSeq
+      .map { id =>
+        (cls(id), lm(id)._1 > 0 && lm(id)._2 * nScored > sumAvg, rare(id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Pipeline.qualityAgreement(d).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+      .toMap
+    assert(got === want)
+    assert(got.values.sum === d.count())
+    assert(got.size > 1) // the detectors genuinely disagree somewhere
+  }
 }
