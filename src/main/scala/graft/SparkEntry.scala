@@ -466,6 +466,10 @@ object SparkEntry {
     // shares of the incoming fifth vs the corpus, frozen cells
     "q_embed_drift" -> ((s, dir) =>
       Similarity.embeddingDrift(Tables.embeddings(s, dir))),
+    // streaming twin: per-micro-batch cell counts summed into the same
+    // card through the shared driftCardOf
+    "q_stream_embed_drift" -> ((s, dir) =>
+      graft.streaming.EmbeddingStreams.embeddingDriftToBatch(s, dir)),
     // continuous-ingestion SemDeDup: the incoming fifth probes the
     // corpus's persisted cells; the corpus is never self-joined again
     "q_semdedup_incremental" -> ((s, dir) =>
@@ -3731,6 +3735,9 @@ object SparkEntry {
     "q_semdedup_incremental" -> semDeDupIncrementalOracle,
     "q_semantic_leakage" -> semanticLeakageOracle,
     "q_embed_drift" -> embeddingDriftOracle,
+    // the streaming drain sums per-batch cell counts into the same card —
+    // oracle shared verbatim with the batch twin
+    "q_stream_embed_drift" -> embeddingDriftOracle,
     // the streaming twin probes the same frozen index per micro-batch —
     // same verdicts, same oracle, verbatim
     "q_stream_semdedup_incremental" -> semDeDupIncrementalOracle,

@@ -789,11 +789,22 @@ object Similarity {
     }
     val shard = embeddings
       .where(col("vec_id") >= split && col("embedding").isNotNull)
-    def histo(side: DataFrame, n: String) =
-      side.select(bestCellOf(cents)(col("embedding")).as("cell"))
-        .groupBy("cell").agg(count(lit(1)).as(n))
-    val c = histo(corpus, "n_corpus")
-    val s = histo(shard, "n_shard")
+    driftCardOf(
+      cellHistogram(corpus, cents, "n_corpus"),
+      cellHistogram(shard, cents, "n_shard"))
+  }
+
+  /** One side's per-cell occupancy histogram under fixed centroids. */
+  private[graft] def cellHistogram(
+      side: DataFrame, cents: Array[(Int, Array[Float])], n: String): DataFrame =
+    side.select(bestCellOf(cents)(col("embedding")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as(n))
+
+  /** The drift card over two cell histograms — shared by the batch
+    * operator and the streaming twin (whose shard histogram is the SUM of
+    * per-micro-batch counts), so both emit the identical card.
+    */
+  private[graft] def driftCardOf(c: DataFrame, s: DataFrame): DataFrame = {
     val totals = c.agg(sum("n_corpus").as("t_corpus"))
       .crossJoin(s.agg(sum("n_shard").as("t_shard")))
     c.join(s, Seq("cell"), "full_outer")

@@ -85,4 +85,59 @@ object EmbeddingStreams {
     EventStreams.deleteRecursivelyOnExit(tmp)
     result
   }
+
+  /** STREAMING embedding-drift monitor: each micro-batch of the incoming
+    * shard writes its per-cell occupancy COUNTS under the corpus's frozen
+    * centroids (a ≤ nLists-row frame per batch — the continuously-updated
+    * monitoring signal); the drained counts sum into the shard histogram
+    * and compose with the corpus histogram through the SHARED
+    * `Similarity.driftCardOf`, so a full drain emits exactly the batch
+    * operator's card. Stateless across batches; per-batch overwrite dirs
+    * keep the sink idempotent under replays.
+    */
+  def embeddingDriftToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val outSchema = StructType(Seq(
+      StructField("cell", IntegerType),
+      StructField("n_shard", LongType)))
+    def emptyCard: DataFrame = {
+      import spark.implicits._
+      Seq.empty[(Int, Long, Long, Long, Long, Long)].toDF(
+        "cell", "n_corpus", "n_shard",
+        "corpus_milli", "shard_milli", "delta_milli")
+    }
+    val mx = emb.agg(max(col("vec_id"))).head()
+    if (mx.isNullAt(0)) return emptyCard
+    val split = (mx.getLong(0) + 1L) * 4L / 5L
+    val corpus = emb.where(col("vec_id") < split && col("embedding").isNotNull)
+    val cents = Similarity.trainedCentroids(corpus, nLists = 8, iters = 2)
+    if (cents.isEmpty) return emptyCard
+    val corpusHist = Similarity.cellHistogram(corpus, cents, "n_corpus")
+      .localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_embdrift")
+    java.nio.file.Files.createDirectories(tmp.resolve("out"))
+    val stream = rawSource(spark, dir).where(col("vec_id") >= split)
+    EventStreams.withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Similarity
+            .cellHistogram(
+              batch.where(col("embedding").isNotNull), cents, "n_shard")
+            .write.mode("overwrite")
+            .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val shardHist = spark.read.schema(outSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(tmp.resolve("out").toString)
+      .groupBy("cell").agg(sum("n_shard").as("n_shard"))
+    val card = Similarity.driftCardOf(corpusHist, shardHist)
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    card
+  }
 }
