@@ -143,7 +143,13 @@ object PlanDump {
     "q_sample_exact" ->
       "exact-k stratified sampling WITHOUT sorting: checkpointed hash scan, (lang, h>>8) coarse histogram hash-agg, cumulative window over that tiny frame, broadcast cutoff, rank only inside each stratum's one tie bucket",
     "q_dsir_report" ->
-      "steering report: scores checkpointed once, per-source rollup + the SAME counting selection as q_dsir_select, two |sources|-row aggs joined — no second featurize pass")
+      "steering report: scores checkpointed once, per-source rollup + the SAME counting selection as q_dsir_select, two |sources|-row aggs joined — no second featurize pass",
+    "q_semantic_leakage" ->
+      "semantic leakage: eval assignment scan under train-frozen centroids, cell-keyed equi-join against duplicate-collapsed train reps (never train x train), left-join verdict — the semDeDupIncremental machinery at the split-hygiene boundary",
+    "q_embed_drift" ->
+      "embedding drift: two assignment scans (centroids broadcast by value), two <=nLists-row histograms, full-outer of tiny frames + 1-row totals broadcast — all-integer milli card",
+    "q_quality_agreement" ->
+      "quality agreement: three per-doc signal frames (each individually scan-shaped), two doc_id-keyed joins, 1-row LM mean broadcast, <=8-cell rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
