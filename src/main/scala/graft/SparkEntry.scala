@@ -316,6 +316,11 @@ object SparkEntry {
     // training-export manifest: hash-sharded deterministic shuffle order,
     // per-shard counts/tokens/XOR digest/order head
     "q_shard_manifest" -> ((s, dir) => Packing.shardManifest(Tables.documents(s, dir))),
+    // padding-waste card: naive per-doc batching vs the packed stream at
+    // each candidate context length — the GPU-hours argument for packing
+    "q_pack_waste" -> ((s, dir) => Packing.packWaste(Tables.documents(s, dir))),
+    // Zipf-slope fit over the top-1000 terms, all-integer least squares
+    "q_zipf_fit" -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -2551,6 +2556,63 @@ object SparkEntry {
     "q_dsir_report" -> dsirReportSql,
     // Shard manifest: same keyed-hash shard + within-shard (h, doc_id)
     // order, row digests XOR-folded per shard (the q_table_digest idiom)
+    // Padding waste: per-L naive padding sum + tail-only packed padding,
+    // integer milli shares; Ls interpolated from Packing.PackWasteLens
+    "q_pack_waste" -> {
+      val perL = graft.operators.Packing.PackWasteLens.map { l =>
+        s"""SELECT $l AS seq_len, n_docs, n_tokens,
+           |  (SELECT CAST(coalesce(sum(((n_tok + ${l - 1}) // $l) * $l - n_tok), 0) AS BIGINT)
+           |   FROM d) AS pad_naive
+           |FROM t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |    AS n_tok FROM documents),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM d),
+         |u AS ($perL)
+         |SELECT seq_len, n_docs, n_tokens, pad_naive,
+         |  CASE WHEN n_tokens > 0
+         |       THEN ((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
+         |       ELSE 0 END AS pad_packed,
+         |  CASE WHEN n_tokens + pad_naive > 0
+         |       THEN (pad_naive * 1000) // (n_tokens + pad_naive) ELSE 0 END
+         |    AS waste_naive_milli,
+         |  CASE WHEN n_tokens + (CASE WHEN n_tokens > 0
+         |         THEN ((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
+         |         ELSE 0 END) > 0
+         |       THEN ((CASE WHEN n_tokens > 0
+         |         THEN ((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
+         |         ELSE 0 END) * 1000) // (n_tokens + (CASE WHEN n_tokens > 0
+         |         THEN ((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
+         |         ELSE 0 END))
+         |       ELSE 0 END AS waste_packed_milli
+         |FROM u""".stripMargin
+    },
+    // Zipf slope: vocabulary top-k rank window, milli-nat ln_f axes,
+    // closed-form integer least squares
+    "q_zipf_fit" -> {
+      import graft.functions.FixedPointLn.lnFSql
+      s"""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |    FROM documents) u
+         |  WHERE tok <> '' GROUP BY tok),
+         |r AS (SELECT freq,
+         |    row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+         |  FROM c ORDER BY freq DESC, tok ASC LIMIT ${TextAnalysis.ZipfTopK}),
+         |xy AS (SELECT
+         |  ${lnFSql("rank", "lx")},
+         |  ${lnFSql("freq", "ly")},
+         |  lx // 1000 AS x, ly // 1000 AS y
+         |  FROM r),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+         |SELECT n AS n_terms,
+         |  CASE WHEN n * sxx - sx * sx <> 0
+         |       THEN ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+         |       ELSE 0 END AS slope_milli
+         |FROM s""".stripMargin
+    },
     "q_shard_manifest" -> {
       import graft.operators.Packing.{ShardCount, ShardSeed}
       s"""WITH d AS (SELECT doc_id,

@@ -167,4 +167,45 @@ object Packing {
       .select(col("shard"), col("n_docs"), col("n_tokens"), col("digest"),
         col("head.doc_id").as("first_doc"))
   }
+
+  /** Context lengths the padding-waste card reports. */
+  val PackWasteLens: Seq[Long] = Seq(512L, 1024L, 2048L)
+
+  /** PADDING-WASTE report — the economics that justify sequence packing:
+    * for each candidate context length, the token overhead of naive
+    * one-document-per-sequence batching (every doc padded up to a
+    * multiple of L) vs the packed stream (only the final sequence pads),
+    * as integer milli shares of the padded stream. At 100 TB the
+    * difference is the GPU-hours bill; this card is how a pipeline picks
+    * L and proves packing pays.
+    *
+    * Shape: ONE scan computing per-doc token counts, one global agg with
+    * a per-L padding sum each (map-side combined), then a 3-row `stack`
+    * unpivot and pure arithmetic. Output: |PackWasteLens| rows.
+    */
+  def packWaste(documents: DataFrame): DataFrame = {
+    val padCols = PackWasteLens.map(l =>
+      sum(expr(s"((n_tok + ${l - 1}) DIV $l) * $l - n_tok")).as(s"pad_$l"))
+    val aggCols =
+      Seq(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")) ++ padCols
+    val t = graft.Parallelism.ensure(documents)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .na.fill(0L)
+    val stackExpr = PackWasteLens.map(l => s"${l}L, pad_$l").mkString(", ")
+    t.selectExpr("n_docs", "n_tokens",
+      s"stack(${PackWasteLens.size}, $stackExpr) AS (seq_len, pad_naive)")
+      .withColumn("pad_packed", expr(
+        "CASE WHEN n_tokens > 0 THEN " +
+          "((n_tokens + seq_len - 1) DIV seq_len) * seq_len - n_tokens " +
+          "ELSE 0 END"))
+      .withColumn("waste_naive_milli", expr(
+        "CASE WHEN n_tokens + pad_naive > 0 " +
+          "THEN (pad_naive * 1000) DIV (n_tokens + pad_naive) ELSE 0 END"))
+      .withColumn("waste_packed_milli", expr(
+        "CASE WHEN n_tokens + pad_packed > 0 " +
+          "THEN (pad_packed * 1000) DIV (n_tokens + pad_packed) ELSE 0 END"))
+      .select("seq_len", "n_docs", "n_tokens", "pad_naive", "pad_packed",
+        "waste_naive_milli", "waste_packed_milli")
+  }
 }

@@ -82,6 +82,46 @@ object TextAnalysis {
         pred.as("pred_lang"))
   }
 
+  /** [[zipfFit]] fits the top this-many terms. */
+  val ZipfTopK = 1000
+
+  /** ZIPF-SLOPE fit of the token frequency curve — the corpus-health
+    * number next to the frequency spectrum (`q_token_spectrum`): natural
+    * language sits near slope −1 on log rank vs log frequency; template
+    * floods flatten it, tokenizer breakage steepens it. The least-squares
+    * slope over the top-[[ZipfTopK]] terms is computed ENTIRELY in
+    * integers: x = ln_f(rank)/1000 and y = ln_f(freq)/1000 (milli-nats,
+    * which keeps n·Σxy inside int64 at any corpus size), then the closed
+    * form (n·Σxy − Σx·Σy)·1000 div (n·Σx² − (Σx)²) — so the one-row card
+    * is bit-identical in the oracle. Output: (n_terms, slope_milli),
+    * slope_milli ≈ −1000 for Zipfian text.
+    *
+    * Shape: one vocabulary-bounded hash-agg, a bounded top-k
+    * (TakeOrderedAndProject), a ≤k-row rank window, one 1-row agg.
+    */
+  def zipfFit(documents: DataFrame, k: Int = ZipfTopK): DataFrame = {
+    import graft.functions.FixedPointLn.lnF
+    val counts = graft.Parallelism.ensure(documents)
+      .select(explode(toks(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val xy = counts
+      .orderBy(desc("freq"), asc("tok")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), asc("tok"))).cast("long"))
+      .withColumn("lx", lnF(col("rank")))
+      .withColumn("ly", lnF(col("freq")))
+      .selectExpr("lx DIV 1000 AS x", "ly DIV 1000 AS y")
+    xy.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .selectExpr(
+        "n AS n_terms",
+        """CASE WHEN n * sxx - sx * sx <> 0
+          |     THEN ((n * sxy - sx * sy) * 1000) DIV (n * sxx - sx * sx)
+          |     ELSE 0 END AS slope_milli""".stripMargin)
+  }
+
   /** Language-ID CONFUSION rollup: (true lang, predicted lang) cell counts
     * of [[langId]] against the table's lang column, with each cell's share
     * of its true-language row in milli — the detector-QA card read before

@@ -110,4 +110,27 @@ class PackingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
+
+  test("packWaste: exact padding accounting; packing always wastes no more than naive") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val d = Seq((1L, words(100)), (2L, words(600)), (3L, words(1500)))
+      .toDF("doc_id", "text")
+    val got = Packing.packWaste(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // brute force per L: naive pads each doc to a multiple of L; packed
+    // pads only the stream tail
+    val lens = Packing.PackWasteLens
+    val toks = Seq(100L, 600L, 1500L)
+    lens.foreach { l =>
+      val naive = toks.map(n => ((n + l - 1) / l) * l - n).sum
+      val total = toks.sum
+      val packed = ((total + l - 1) / l) * l - total
+      val want = (3L, total, naive, packed,
+        naive * 1000 / (total + naive), packed * 1000 / (total + packed))
+      assert(got(l) === want, s"L=$l")
+      assert(packed <= naive) // packing can only reduce padding
+    }
+  }
 }

@@ -439,6 +439,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("zipfFit matches the integer least-squares brute force; Zipfian text fits near -1") {
+    import spark.implicits._
+    import graft.functions.FixedPointLn.lnFRef
+    // exact Zipf: term r occurs floor(2400/r) times, r = 1..12
+    val freqs = (1 to 12).map(r => s"t%02d".format(r) -> (2400 / r))
+    val text = freqs.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(d).collect()(0)
+    // brute force with the same fixed-point axes
+    val ranked = freqs.map(_._2.toLong).sorted(Ordering[Long].reverse).zipWithIndex
+    val xs = ranked.map { case (_, i) => lnFRef(i + 1L) / 1000 }
+    val ys = ranked.map { case (f, _) => lnFRef(f) / 1000 }
+    val n = xs.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = ((n * sxy - sx * sy) * 1000) / (n * sxx - sx * sx)
+    assert(got.getLong(0) === 12L)
+    assert(got.getLong(1) === slope)
+    assert(slope > -1100 && slope < -900, s"slope was $slope") // ~ -1 nat/nat
+  }
+
   test("langIdConfusion: cells partition the corpus; shares and diagonal flags are exact") {
     import spark.implicits._
     val d = Seq(
