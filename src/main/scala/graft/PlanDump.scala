@@ -149,7 +149,11 @@ object PlanDump {
     "q_embed_drift" ->
       "embedding drift: two assignment scans (centroids broadcast by value), two <=nLists-row histograms, full-outer of tiny frames + 1-row totals broadcast — all-integer milli card",
     "q_quality_agreement" ->
-      "quality agreement: three per-doc signal frames (each individually scan-shaped), two doc_id-keyed joins, 1-row LM mean broadcast, <=8-cell rollup")
+      "quality agreement: three per-doc signal frames (each individually scan-shaped), two doc_id-keyed joins, 1-row LM mean broadcast, <=8-cell rollup",
+    "q_pack_waste" ->
+      "padding waste: one scan of per-doc token counts into a single partial->final agg (three per-L padding sums ride the same pass), 3-row stack unpivot, pure arithmetic",
+    "q_zipf_fit" ->
+      "zipf fit: vocabulary-bounded hash-agg, bounded top-k (TakeOrderedAndProject), <=1000-row rank window + ln_fixed axes, 1-row least-squares card")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
