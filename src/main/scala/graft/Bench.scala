@@ -24,8 +24,14 @@ object Bench {
     // the LSH dedup paths localCheckpoint their self-join inputs; drop
     // those blocks between queries or they accumulate across the run and
     // evict each other (block-manager thrash skews every later timing)
+    // BLOCKING unpersist on purpose: the async form lets the previous
+    // query's localCheckpoint blocks linger while the next query
+    // materializes its own — at the 100× replica three checkpoint-heavy
+    // queries in one JVM accumulated past the 8g default heap and OOM'd
+    // inside UnsafeRow block construction (measured, round 11). The wait
+    // runs OUTSIDE the timed window, so scores are unaffected.
     def clearCaches(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     // dev affordance: SPARK_GRAFT_ONLY=q1,q2 restricts the run (the
     // driver never sets it, so official numbers always cover the lot)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
