@@ -89,7 +89,20 @@ object GraftFunctions {
         classOf[graft.functions.FixedPointLn].getName, "ln_fixed"),
       exprs => {
         requireArity("ln_fixed", exprs, 1)
-        graft.functions.FixedPointLn(exprs(0))
+        // `SELECT ln_fixed(5)` must analyze: narrower integral children
+        // (TINYINT..INT) up-cast losslessly to BIGINT here, like the
+        // built-in numeric functions coerce. Anything non-integral still
+        // hits the expression's exact-BIGINT check — a silent DOUBLE
+        // truncation would corrupt the fixed-point contract.
+        val child = exprs(0).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.IntegerType =>
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              exprs(0), org.apache.spark.sql.types.LongType)
+          case _ => exprs(0)
+        }
+        graft.functions.FixedPointLn(child)
       }))
 
   /** Register into an already-running session (tests, notebooks). */

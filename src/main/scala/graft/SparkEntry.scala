@@ -3780,17 +3780,22 @@ object SparkEntry {
          |    CAST(sum(CASE WHEN nb_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
          |      AS hits,
          |    min(CASE WHEN nb_label = q_label THEN rank END) AS first_rank
-         |  FROM rk GROUP BY query_id, q_label)
-         |SELECT pq.query_id, pq.q_label AS label,
+         |  FROM rk GROUP BY query_id, q_label),
+         |qs AS (SELECT vec_id AS query_id, label AS q_label
+         |  FROM nz WHERE vec_id < $nQ)
+         |SELECT qs.query_id, qs.q_label AS label,
          |  lc.n_label - 1 AS n_relevant,
          |  CAST(coalesce(first_rank, 0) AS BIGINT) AS first_rel_rank,
          |  CASE WHEN first_rank IS NOT NULL THEN 1000 // first_rank
          |       ELSE 0 END AS rr_milli,
-         |  hits AS hits_at_k,
+         |  coalesce(hits, 0) AS hits_at_k,
          |  CASE WHEN lc.n_label > 1
-         |       THEN (hits * 1000) // least(CAST($k AS BIGINT), lc.n_label - 1)
+         |       THEN (coalesce(hits, 0) * 1000)
+         |            // least(CAST($k AS BIGINT), lc.n_label - 1)
          |       ELSE 0 END AS recall_milli
-         |FROM pq JOIN lc ON pq.q_label = lc.label""".stripMargin
+         |FROM qs LEFT JOIN pq
+         |  ON qs.query_id = pq.query_id AND qs.q_label = pq.q_label
+         |JOIN lc ON qs.q_label = lc.label""".stripMargin
     },
     "q_knn_label" -> knnLabelOracle,
     "q_embed_outliers" -> embedOutliersOracle,

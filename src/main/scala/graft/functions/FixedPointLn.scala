@@ -51,6 +51,12 @@ case class FixedPointLn(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "ln_fixed"
 
+  // Exact-BIGINT check by design: the expression itself never casts (a
+  // silent DOUBLE→BIGINT truncation here would corrupt the fixed-point
+  // contract). Integral-literal ergonomics — `SELECT ln_fixed(5)` — are
+  // handled by the SQL registration lambda, which wraps narrower INTEGRAL
+  // children in an explicit up-cast (GraftExtensions); the Column helper
+  // `lnF` does the same.
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

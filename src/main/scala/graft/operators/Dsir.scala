@@ -104,8 +104,23 @@ object Dsir {
       .crossJoin(broadcast(totals))
       .select(
         col("b"), col("t"), col("r"),
-        (lnF(col("t") + 1) - lnF(col("bigT") + NumBuckets)
-          - lnF(col("r") + 1) + lnF(col("bigR") + NumBuckets)).as("lam_f"))
+        // A corpus with features but ZERO TargetSources rows means the
+        // target-source list is misconfigured; without this guard bigT is
+        // NULL, every lam_f is NULL, and the downstream na.fill(0) would
+        // present an all-zero "selection" as a valid uniform score. Fail
+        // at execution instead — the guard rides on lam_f (the one column
+        // every consumer reads, so pruning can't drop it) and is evaluated
+        // only on the ≤NumBuckets-row λ frame, so it costs nothing. (A
+        // corpus with no features at all yields zero λ rows and never
+        // reaches this branch: an empty schedule is the honest answer
+        // there.)
+        when(col("bigT").isNull, raise_error(lit(
+          "DSIR: corpus has features but no TargetSources rows " +
+            s"(${TargetSources.mkString(", ")}) - target list misconfigured"))
+          .cast("long"))
+          .otherwise(
+            lnF(col("t") + 1) - lnF(col("bigT") + NumBuckets)
+              - lnF(col("r") + 1) + lnF(col("bigR") + NumBuckets)).as("lam_f"))
   }
 
   /** Per-document DSIR log-importance weights: (doc_id, source, n_feats,
@@ -132,16 +147,21 @@ object Dsir {
 
   /** The smoothing-floor weight for buckets the frozen corpus has never
     * seen (t = 0, r = 0): λ_novel = ln_f(R+B) − ln_f(T+B). One row,
-    * broadcast next to the λ table. NULL (silently-zero scores) only in
-    * the degenerate empty-corpus/empty-target cases, where the model has
-    * no evidence at all.
+    * broadcast next to the λ table. A corpus WITH features but no
+    * TargetSources rows fails loudly (same misconfiguration guard as
+    * [[bucketWeights]]); the truly-empty corpus (bigR NULL too — no
+    * evidence at all) keeps the honest NULL.
     */
   private[graft] def lamDefaultOf(corpusFb: DataFrame): DataFrame = {
     val raw = corpusFb.agg(sum("c").as("bigR"))
     val tgt = corpusFb.where(col("source").isInCollection(TargetSources))
       .agg(sum("c").as("bigT"))
     raw.crossJoin(tgt).select(
-      (lnF(col("bigR") + NumBuckets) - lnF(col("bigT") + NumBuckets))
+      when(col("bigR").isNotNull && col("bigT").isNull, raise_error(lit(
+        "DSIR: corpus has features but no TargetSources rows " +
+          s"(${TargetSources.mkString(", ")}) - target list misconfigured"))
+        .cast("long"))
+        .otherwise(lnF(col("bigR") + NumBuckets) - lnF(col("bigT") + NumBuckets))
         .as("lam_default"))
   }
 

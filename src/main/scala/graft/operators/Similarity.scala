@@ -316,8 +316,9 @@ object Similarity {
     * drift. Queries or corpus rows with zero/NULL embeddings are outside
     * the eval (cosine undefined); n_relevant counts nonzero same-label
     * corpus rows excluding the query itself; queries with no relevant
-    * rows report zero metrics rather than dropping (the card must show
-    * them).
+    * rows — or no candidates at all (a one-vector corpus) — report zero
+    * metrics rather than dropping (the card must show them), via a left
+    * join of the query set onto the ranked metrics.
     *
     * Scale shape: [[bruteForceTopK]]'s — broadcast query set, ONE
     * candidate scan, per-query bounded rank — plus a |labels|-row count
@@ -350,18 +351,18 @@ object Similarity {
       .agg(
         sum(when(col("nb_label") === col("q_label"), 1L).otherwise(0L)).as("hits"),
         min(when(col("nb_label") === col("q_label"), col("rank"))).as("first_rank"))
-    perQuery
-      .join(broadcast(labelCounts),
-        perQuery("q_label") === labelCounts("label"))
+    queries.select(col("query_id"), col("q_label"))
+      .join(perQuery, Seq("query_id", "q_label"), "left")
+      .join(broadcast(labelCounts), col("q_label") === labelCounts("label"))
       .select(
         col("query_id"), col("q_label").as("label"),
         (col("n_label") - 1).as("n_relevant"),
         coalesce(col("first_rank"), lit(0)).cast("long").as("first_rel_rank"),
         when(col("first_rank").isNotNull, expr("1000 DIV first_rank"))
           .otherwise(0L).as("rr_milli"),
-        col("hits").as(s"hits_at_k"),
+        coalesce(col("hits"), lit(0L)).as("hits_at_k"),
         when(col("n_label") > 1,
-          expr(s"(hits * 1000) DIV least(CAST($k AS BIGINT), n_label - 1)"))
+          expr(s"(coalesce(hits, 0L) * 1000) DIV least(CAST($k AS BIGINT), n_label - 1)"))
           .otherwise(0L).as("recall_milli"))
   }
 

@@ -56,6 +56,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got.isNullAt(1)) // out of domain -> NULL
   }
 
+  test("ln_fixed coerces INT literals but rejects DOUBLE") {
+    GraftFunctions.register(spark)
+    // a bare integer literal is INT — must analyze via the lossless
+    // integral up-cast in the registration lambda
+    val got = spark.sql("SELECT ln_fixed(5) AS l").collect()(0)
+    assert(got.getLong(0) === graft.functions.FixedPointLn.lnFRef(5L))
+    // a DOUBLE child must still fail analysis: silently truncating it
+    // would corrupt the fixed-point contract
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT ln_fixed(5.5)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("extensions class injects the same descriptors (startup path)") {
     // exercise the SparkSessionExtensions wiring itself
     val ext = new org.apache.spark.sql.SparkSessionExtensions

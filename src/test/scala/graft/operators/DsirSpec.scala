@@ -166,6 +166,22 @@ class DsirSpec extends SparkSpec {
     assert(got("src0")._5 > 200L)
   }
 
+  test("a corpus with features but no TargetSources rows fails loudly, not as zero scores") {
+    // every doc is from an off-target feed: bigT would be NULL and the old
+    // na.fill(0) path presented an all-zero "selection" as valid uniform
+    // scores — the guard must surface the misconfiguration instead
+    val d = docs((0L, "srcX", "alpha beta"), (1L, "srcY", "gamma delta"))
+    val err = intercept[Exception] {
+      Dsir.importanceScores(d).collect()
+    }
+    assert(err.getMessage.contains("TargetSources"))
+    // the truly-degenerate corpus (no features at all) stays an honest
+    // empty/zero answer, not an error: there is no model to misconfigure
+    val empty = docs((0L, "srcX", "   "))
+    val got = Dsir.importanceScores(empty).collect()
+    assert(got.map(r => (r.getLong(2), r.getLong(3))).toSeq === Seq((0L, 0L)))
+  }
+
   test("scores and selection are invariant under repartitioning") {
     val d = docs(corpus: _*)
     val a = Dsir.importanceScores(d).collect()

@@ -584,6 +584,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("retrievalEval keeps a candidate-less query on the card with zero metrics") {
+    import spark.implicits._
+    // corpus of one nonzero vector: the only query has NO candidates at
+    // all (every other row is zero-norm and outside the eval) — it must
+    // still appear, reporting zeros, instead of being silently dropped
+    val rows: Seq[(Long, Array[Float], Int)] =
+      Seq((0L, Array(1f, 0f, 0f, 0f), 1),
+        (1L, Array(0f, 0f, 0f, 0f), 1),
+        (2L, Array(0f, 0f, 0f, 0f), 2))
+    val got = Similarity.retrievalEval(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq((0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("retrievalEval planted: a well-separated space scores perfect MRR and recall") {
     import spark.implicits._
     val rows: Seq[(Long, Array[Float], Int)] =
