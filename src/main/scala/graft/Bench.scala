@@ -61,17 +61,36 @@ object Bench {
       name -> (if (times.exists(_ < 0)) Seq(-1.0) else times.sorted)
     }
     val medians = results.map { case (name, ts) => name -> ts(ts.size / 2) }
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms precision everywhere: the timings carry ~10 ms of run-to-run
+    // noise, and shorter numbers let more queries survive the round
+    // driver's stdout-tail capture (see below)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query [min, median, max] of the passes: lets a later round tell
     // run-to-run noise (wide spread) from a real regression (shifted
     // median, tight spread) without a judge rerun
     val spread = results.map { case (k, ts) =>
-      s"\"" + k + "\":[" + ts.head + "," + ts(ts.size / 2) + "," + ts.last + "]"
+      s"\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
     val nFailed = medians.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$nFailed,"sf":"$sfDir"}""")
+    // Field order is deliberate: the round driver archives only the LAST
+    // ~2 KB of stdout into BENCH_r*.json, so the bulky "spread" map goes
+    // first (sacrificial) and the per-query medians + summary go last —
+    // the tail then carries as many medians as fit plus the totals. The
+    // COMPLETE artifact is also written to BENCH_FULL.json in the repo
+    // root (the round-end commit picks it up), so every per-query number
+    // survives the round even though stdout is truncated.
+    val line =
+      s"""{"metric":"total","unit":"sec","spread":$spread,"queries":$qs,"failed":$nFailed,"sf":"$sfDir","value":${fmt(total)}}"""
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullOut), line.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $fullOut: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }
