@@ -153,7 +153,9 @@ object PlanDump {
     "q_pack_waste" ->
       "padding waste: one scan of per-doc token counts into a single partial->final agg (three per-L padding sums ride the same pass), 3-row stack unpivot, pure arithmetic",
     "q_zipf_fit" ->
-      "zipf fit: vocabulary-bounded hash-agg, bounded top-k (TakeOrderedAndProject), <=1000-row rank window + ln_fixed axes, 1-row least-squares card")
+      "zipf fit: vocabulary-bounded hash-agg, bounded top-k (TakeOrderedAndProject), <=1000-row rank window + ln_fixed axes, 1-row least-squares card",
+    "q_line_dedup" ->
+      "line-level dedup: NON-overlapping token windows (|tokens|/8 rows, 60-bit hashes past the first projection), map-side-combined frequency hash-agg, hash-keyed equi-join verdict (frequent-line set never assumed broadcastable), one doc_id-keyed fold — counting, never pairing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

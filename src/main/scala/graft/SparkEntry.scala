@@ -363,6 +363,10 @@ object SparkEntry {
     // anywhere in the corpus — counting, not pairing, so no candidate join.
     "q_dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedNgramSpans(Tables.documents(s, dir))),
+    // C4/RefinedWeb line-level dedup: corpus-frequent fixed-token-window
+    // "lines" excised from every document; per-doc totals + kept-text md5.
+    "q_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(Tables.documents(s, dir))),
     // The same probe running as continuous ingestion: per-micro-batch
     // foreachBatch against the static corpus index (stateless).
     "q_stream_dedup_incremental" -> ((s, dir) =>
@@ -2384,6 +2388,34 @@ object SparkEntry {
         |SELECT doc_id, min(start) AS span_start, max("end") AS span_end,
         |  max("end") - min(start) AS span_tokens
         |FROM islands GROUP BY doc_id, island""".stripMargin,
+    // Line-level dedup: same non-overlapping token windows, same seeded
+    // 60-bit line hash, same frequency threshold; kept text re-joined in
+    // position order (string_agg skips dropped-line NULLs like Spark's
+    // collect_list; all-dropped coalesces to the empty string both sides).
+    "q_line_dedup" -> {
+      val (ll, mo, sd) = (graft.operators.Dedup.LineLen,
+        graft.operators.Dedup.LineMinOccurrences, graft.operators.Dedup.LineSeed)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |l AS (SELECT doc_id, i AS pos,
+         |    array_to_string(toks[i*$ll+1:(i+1)*$ll], ' ') AS line,
+         |    least($ll, len(toks) - i*$ll) AS n_tok
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(range(0, (len(toks) - 1) // $ll + 1)) AS i FROM t) u),
+         |h AS (SELECT doc_id, pos, line, n_tok,
+         |    ${h60(sd, "line")} AS lh FROM l),
+         |f AS (SELECT lh FROM h GROUP BY lh HAVING count(*) >= $mo)
+         |SELECT h.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN f.lh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lines_dropped,
+         |  CAST(sum(CASE WHEN f.lh IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_dropped,
+         |  md5(coalesce(
+         |    string_agg(CASE WHEN f.lh IS NULL THEN line END, ' ' ORDER BY pos),
+         |    '')) AS kept_md5
+         |FROM h LEFT JOIN f ON h.lh = f.lh
+         |GROUP BY h.doc_id""".stripMargin
+    },
     // Per-source curation rollup: corpus-wide fp counts joined back, then
     // per-source aggregation; avg is one division of exact BIGINTs.
     "q_source_stats" ->

@@ -941,6 +941,91 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
+
+  /** Tokens per "line" for [[lineDedup]] — the corpus has no newlines or
+    * sentence punctuation, so its natural line unit is a fixed
+    * non-overlapping token window (the last window of a document may be
+    * shorter).
+    */
+  val LineLen = 8
+
+  /** A line is "corpus-frequent" — excised everywhere — at this many total
+    * occurrences (the C4 heuristic is 3 over a full crawl; 2 is the right
+    * discrimination at test scale and is a parameter, not a semantic).
+    */
+  val LineMinOccurrences = 2
+
+  /** Seed for the per-line 60-bit content hash. */
+  val LineSeed = 29
+
+  /** LINE-level dedup — the C4/RefinedWeb curation step between exact
+    * whole-document dedup and [[duplicatedNgramSpans]]' overlapping-window
+    * span marking: count every line's corpus-wide frequency and EXCISE
+    * lines that occur at least `minOccurrences` times (cookie banners,
+    * footers, navigation chrome — the line-shaped boilerplate that
+    * survives whole-document dedup because the surrounding text differs).
+    * All occurrences drop, by design: a line frequent enough to trip the
+    * threshold is template text, not content, so there is no "canonical"
+    * occurrence worth keeping — and dropping all is what keeps the
+    * operator a pure per-line function of the frequency table (keep-first
+    * would need a corpus-wide arbitration per line on top).
+    *
+    * One row per document (zero-drop docs included — a total report):
+    * line count, lines/tokens dropped, and the md5 of the retained text
+    * (kept lines re-joined in position order — the column a downstream
+    * stage or the oracle verifies the actual cut against).
+    *
+    * Scale shape: lines are NON-overlapping windows, so the exploded frame
+    * is |tokens|/[[LineLen]] rows carrying a 60-bit hash each (never the
+    * line text past the first projection); frequency is one map-side-
+    * combined hash-agg; the verdict joins back by hash (plain equi-join,
+    * near-uniform keys, AQE-friendly — the frequent-line key set is
+    * corpus-sized in the worst case, so no broadcast); the per-document
+    * fold is one keyed agg whose collect_list is bounded by document
+    * length. Nothing pairwise, nothing corpus-ordered. A 60-bit collision
+    * merges two lines' counts identically in engine and oracle, so the
+    * gate stays exact.
+    */
+  def lineDedup(
+      documents: DataFrame, lineLen: Int = LineLen,
+      minOccurrences: Int = LineMinOccurrences): DataFrame = {
+    // raw single-space tokenization, like duplicatedNgramSpans: excision
+    // must cut the text the pipeline actually ships, not a normalized
+    // shadow (the corpus is already lowercase single-spaced)
+    val lines = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(toks) - 1) div $lineLen),
+             |  i -> concat_ws(' ', slice(toks, i * $lineLen + 1, $lineLen)))"""
+            .stripMargin)).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), col("line"),
+        least(lit(lineLen), size(col("toks")) - col("pos") * lineLen)
+          .cast("long").as("n_tok"),
+        graft.functions.HashFunctions.md5Long(col("line"), LineSeed).as("lh"))
+    val frequent = lines
+      .groupBy("lh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOccurrences)
+      .select(col("lh"), lit(1).as("dup"))
+    lines
+      .join(frequent, Seq("lh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("dup") === 1, 1L).otherwise(0L)).as("n_lines_dropped"),
+        sum(when(col("dup") === 1, col("n_tok")).otherwise(0L))
+          .as("n_tokens_dropped"),
+        // kept lines in position order; collect_list skips the NULLs the
+        // `when` leaves for dropped lines, array_sort restores document
+        // order (pos is unique per doc), and an all-dropped document
+        // hashes the empty string
+        collect_list(when(col("dup").isNull, struct(col("pos"), col("line"))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_lines_dropped"),
+        col("n_tokens_dropped"),
+        md5(concat_ws(" ", expr("transform(array_sort(kept), x -> x.line)")))
+          .as("kept_md5"))
+  }
 }
 
 /** Session-persisted per-corpus signature table — the production shape

@@ -335,4 +335,81 @@ class DedupSpec extends SparkSpec {
     assert(got === bruteSpans(rows, 8))
     assert(got.nonEmpty) // the sf corpora plant near-dups: spans must exist
   }
+
+  /** Brute-force [[Dedup.lineDedup]]: (doc_id -> (n_lines, n_dropped,
+    * n_tokens_dropped, kept_md5)).
+    */
+  private def bruteLineDedup(
+      rows: Seq[(Long, String)], ll: Int, minOcc: Int): Map[Long, (Long, Long, Long, String)] = {
+    def linesOf(text: String): Seq[String] =
+      text.split(" ", -1).toSeq.grouped(ll).map(_.mkString(" ")).toSeq
+    val freq = rows.flatMap(r => linesOf(r._2)).groupBy(identity).view.mapValues(_.size)
+    rows.map { case (id, text) =>
+      val ls = linesOf(text)
+      val (dropped, kept) = ls.partition(l => freq(l) >= minOcc)
+      val keptMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      id -> ((ls.size.toLong, dropped.size.toLong,
+        dropped.map(l => l.split(" ", -1).length.toLong).sum, keptMd5))
+    }.toMap
+  }
+
+  test("lineDedup excises planted boilerplate lines, leaves unique docs intact") {
+    // an 8-token banner shared VERBATIM and window-aligned (prefix) by
+    // three docs whose remaining text is distinct; doc 4 shares nothing
+    val banner = "accept all cookies to continue reading this site"
+    val d = docs(
+      1L -> s"$banner alpha beta gamma delta epsilon zeta eta theta",
+      2L -> s"$banner one two three four five six seven eight",
+      3L -> s"$banner red orange yellow green blue indigo violet ultra",
+      4L -> "nothing here repeats anywhere in this corpus at all today ok")
+    val got = Dedup.lineDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val want = bruteLineDedup(
+      Seq(1L -> s"$banner alpha beta gamma delta epsilon zeta eta theta",
+        2L -> s"$banner one two three four five six seven eight",
+        3L -> s"$banner red orange yellow green blue indigo violet ultra",
+        4L -> "nothing here repeats anywhere in this corpus at all today ok"), 8, 2)
+    assert(got === want)
+    // shape sanity: the banner line dropped from 1-3 (8 tokens each),
+    // doc 4 untouched with its full text's hash
+    Seq(1L, 2L, 3L).foreach { id => assert(got(id)._2 === 1L && got(id)._3 === 8L) }
+    assert(got(4L)._2 === 0L)
+  }
+
+  test("lineDedup conserves lines/tokens and handles the all-dropped document") {
+    // two IDENTICAL short docs: their single line is corpus-frequent, so
+    // both drop everything -> kept_md5 = md5("")
+    val d = docs(
+      1L -> "exactly the same short text",
+      2L -> "exactly the same short text",
+      3L -> "a unique doc with some more words than eight so two lines")
+    val got = Dedup.lineDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    assert(got(1L) === ((1L, 1L, 5L, emptyMd5)))
+    assert(got(2L) === ((1L, 1L, 5L, emptyMd5)))
+    // conservation on the untouched doc: 12 tokens -> 2 lines, 0 dropped
+    assert(got(3L)._1 === 2L && got(3L)._2 === 0L && got(3L)._3 === 0L)
+  }
+
+  test("lineDedup == brute force on the sf0.001 corpus, partition-invariant") {
+    val documents = graft.Tables.documents(spark, sf("sf0.001"))
+    val rows = documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = bruteLineDedup(rows, Dedup.LineLen, Dedup.LineMinOccurrences)
+    val got = Dedup.lineDedup(documents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got === want)
+    // the planted near-dup families must actually trip the excision
+    assert(got.values.exists(_._2 > 0))
+    val rep = Dedup.lineDedup(documents.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(rep === got)
+  }
 }
