@@ -283,6 +283,9 @@ object SparkEntry {
     // top-p (nucleus) truncation of the bigram LM, integer threshold
     "q_bigram_nucleus" -> ((s, dir) => TextAnalysis.bigramNucleus(Tables.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
+    // PII redaction as a usable pipeline stage: the redacted text itself
+    // (same placeholder chain the scan hashes) + per-category counts.
+    "q_pii_redacted" -> ((s, dir) => TextAnalysis.piiRedact(Tables.documents(s, dir))),
     // TextRank keyword ranking: all-integer PageRank (3 rounds, unrolled
     // in the oracle) over the word-bigram graph.
     "q_pagerank_words" -> ((s, dir) => GraphAnalytics.wordPageRank(Tables.documents(s, dir))),
@@ -3106,6 +3109,18 @@ object SparkEntry {
          |  (len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) > 0
          |   OR len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}')) > 0
          |   OR len(regexp_extract_all(text, '${TextAnalysis.DigitRunPattern}')) > 0) AS has_pii
+         |FROM documents""".stripMargin,
+    // The redaction TRANSFORM: identical replace chain, emitting the
+    // redacted text itself (the hash gate then pins the exact bytes).
+    "q_pii_redacted" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}')) AS INTEGER) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.DigitRunPattern}')) AS INTEGER) AS n_digit_runs,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextAnalysis.DigitRunPattern}', '<NUM>', 'g') AS redacted_text
          |FROM documents""".stripMargin,
     // Decontamination: distinct 13-gram hashes per doc (same capped shingle
     // axis and 60-bit seeded hash as the engine), eval side collapsed to

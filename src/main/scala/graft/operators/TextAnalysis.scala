@@ -646,15 +646,22 @@ object TextAnalysis {
     * parquet reader prunes to (doc_id, text). All four regex scans run in
     * one codegen'd stage over the same row.
     */
+  /** The redaction chain shared by [[piiScan]] (hash-only) and
+    * [[piiRedact]] (emits the text): emails → `<EMAIL>`, then IPs →
+    * `<IP>`, then digit runs → `<NUM>`, in that fixed order (order
+    * matters: an IP's octets would otherwise be eaten as digit runs).
+    */
+  private def redactedText: Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      DigitRunPattern, "<NUM>")
+
   def piiScan(documents: DataFrame): DataFrame = {
     def hits(pattern: String): Column =
       size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
-          Ipv4Pattern, "<IP>"),
-        DigitRunPattern, "<NUM>")
+    val redacted = redactedText
     documents
       .select(
         col("doc_id"),
@@ -665,6 +672,29 @@ object TextAnalysis {
         md5(redacted).as("redacted_md5"))
       .withColumn("has_pii",
         col("n_emails") > 0 || col("n_ipv4") > 0 || col("n_digit_runs") > 0)
+  }
+
+  /** PII redaction as a PIPELINE STAGE, not just a scan: emits the
+    * redacted text itself (deterministic `<EMAIL>`/`<IP>`/`<NUM>`
+    * placeholders via [[redactedText]] — the same chain [[piiScan]]
+    * hashes) plus the replacement count per category, so a downstream
+    * stage consumes `redacted_text` in place of `text` and an auditor can
+    * reconcile this frame against the scan's `redacted_md5` column.
+    *
+    * Same shape as the scan: a pure narrow projection, zero shuffles,
+    * scan speed at 100 TB. URLs are counted by the scan but NOT redacted
+    * — a URL is an audit signal here, not removable PII; the n_urls
+    * column stays on the scan card.
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    def hits(pattern: String): Column =
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+    documents.select(
+      col("doc_id"),
+      hits(EmailPattern).as("n_emails"),
+      hits(Ipv4Pattern).as("n_ipv4"),
+      hits(DigitRunPattern).as("n_digit_runs"),
+      redactedText.as("redacted_text"))
   }
 
   /** Decontamination n-gram length (GPT-3-style 13-gram collision) and the

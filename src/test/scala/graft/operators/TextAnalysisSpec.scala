@@ -153,6 +153,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1L)._5 !== rows(2L)._5)
   }
 
+  test("piiRedact round-trip: placeholders in place, no residual pattern matches") {
+    val d = docs(
+      1L -> "mail john.doe@example.com ip 192.168.0.1 see https://x.io/p id 12345678",
+      2L -> "a perfectly clean document",
+      // adjacent digit run + IP: sequential replace order must not let
+      // the octets be re-eaten as digit runs
+      3L -> "acct 99887766551 then 10.0.0.255 end")
+    val rows = TextAnalysis.piiRedact(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(rows(1L)._4 ===
+      "mail <EMAIL> ip <IP> see https://x.io/p id <NUM>")
+    assert(rows(2L) === ((0, 0, 0, "a perfectly clean document")))
+    assert(rows(3L) === ((0, 1, 1, "acct <NUM> then <IP> end")))
+    // the transform's whole point: nothing redactable survives it
+    val redacted = rows.values.map(_._4)
+    Seq(TextAnalysis.EmailPattern, TextAnalysis.Ipv4Pattern,
+      TextAnalysis.DigitRunPattern).foreach { p =>
+      val rx = p.r
+      redacted.foreach(t => assert(rx.findFirstIn(t).isEmpty, s"$p in '$t'"))
+    }
+    // the scan's redacted_md5 reconciles against this frame's bytes
+    val md5s = TextAnalysis.piiScan(d).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    rows.foreach { case (id, (_, _, _, txt)) =>
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(m === md5s(id))
+    }
+  }
+
   test("decontaminate flags train docs sharing a 13-gram with the eval split") {
     val shared = (1 to 20).map(i => s"w$i").mkString(" ")
     val clean = (1 to 20).map(i => s"c$i").mkString(" ")
