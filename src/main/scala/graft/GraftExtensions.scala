@@ -89,21 +89,35 @@ object GraftFunctions {
         classOf[graft.functions.FixedPointLn].getName, "ln_fixed"),
       exprs => {
         requireArity("ln_fixed", exprs, 1)
-        // `SELECT ln_fixed(5)` must analyze: narrower integral children
-        // (TINYINT..INT) up-cast losslessly to BIGINT here, like the
-        // built-in numeric functions coerce. Anything non-integral still
-        // hits the expression's exact-BIGINT check — a silent DOUBLE
-        // truncation would corrupt the fixed-point contract.
-        val child = exprs(0).dataType match {
-          case org.apache.spark.sql.types.ByteType |
-              org.apache.spark.sql.types.ShortType |
-              org.apache.spark.sql.types.IntegerType =>
-            org.apache.spark.sql.catalyst.expressions.Cast(
-              exprs(0), org.apache.spark.sql.types.LongType)
-          case _ => exprs(0)
-        }
-        graft.functions.FixedPointLn(child)
+        graft.functions.FixedPointLn(integralToLong(exprs(0)))
+      }),
+    // exp_fixed(y) — the inverse companion (2^20·exp(y/2^20) as an exact
+    // int64); with ln_fixed it gives bit-portable x^(p/q)
+    (
+      FunctionIdentifier("exp_fixed"),
+      new ExpressionInfo(
+        classOf[graft.functions.FixedPointExp].getName, "exp_fixed"),
+      exprs => {
+        requireArity("exp_fixed", exprs, 1)
+        graft.functions.FixedPointExp(integralToLong(exprs(0)))
       }))
+
+  /** `SELECT ln_fixed(5)` / `exp_fixed(5)` must analyze: narrower integral
+    * children (TINYINT..INT) up-cast losslessly to BIGINT here, like the
+    * built-in numeric functions coerce. Anything non-integral still hits
+    * the expressions' exact-BIGINT check — a silent DOUBLE truncation
+    * would corrupt the fixed-point contract.
+    */
+  private def integralToLong(
+      e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.LongType)
+      case _ => e
+    }
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -312,6 +312,11 @@ object SparkEntry {
     // source-mixture schedule: equal token share per source, epochs for
     // small sources, content-hash thinning for big ones
     "q_mixture_schedule" -> ((s, dir) => Sampling.mixtureSchedule(Tables.documents(s, dir))),
+    // Temperature-scaled mixture (p_s ∝ n_s^(1/T), T = 2): shares derived
+    // from source sizes through the portable ln_f/exp_f pair, then the
+    // same epoch + content-hash-Bernoulli schedule tail.
+    "q_mixture_temperature" -> ((s, dir) =>
+      Sampling.temperatureSchedule(Tables.documents(s, dir))),
     // mixture ∘ packing: stream offsets for the mixed corpus, repeats as
     // counts (never materialized) through the two-level prefix sum
     "q_mixture_packed" -> ((s, dir) =>
@@ -3333,6 +3338,39 @@ object SparkEntry {
     // thousandth-shares, budget = corpus total), md5 Bernoulli on the
     // fractional arm. Every constant interpolated from the operator.
     "q_mixture_schedule" -> mixtureScheduleSql,
+    // Temperature mixture: the same CTE skeleton with shares derived from
+    // n_s^(1/T) via the ln_f → scale-by-tDen/tNum → exp_f integer chains
+    // (lateral aliases replay the engine kernels bit-for-bit), then the
+    // identical epoch/Bernoulli tail. T = 2/1 interpolated.
+    "q_mixture_temperature" -> {
+      val (tNum, tDen) = (2L, 1L)
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
+         |  FROM t GROUP BY source),
+         |w AS (SELECT source, src_tokens,
+         |  ${graft.functions.FixedPointLn.lnFSql("src_tokens", "y")},
+         |  (y * $tDen) // $tNum AS y_t,
+         |  ${graft.functions.FixedPointExp.expFSql("y_t", "w_f")}
+         |  FROM s),
+         |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(sum(w_f) AS BIGINT) AS sum_w FROM w),
+         |r AS (SELECT source, src_tokens,
+         |    ((total_tokens * ((w_f * ${Sampling.MixShareScale}) // sum_w))
+         |      // ${Sampling.MixShareScale}) AS want
+         |  FROM w, g)
+         |SELECT t.doc_id, t.source, t.n_toks,
+         |  (r.want // r.src_tokens) +
+         |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
+         |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
+         |    THEN 1 ELSE 0 END AS n_repeats
+         |FROM t JOIN r USING (source)
+         |WHERE (r.want // r.src_tokens) +
+         |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
+         |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
+         |    THEN 1 ELSE 0 END > 0""".stripMargin
+    },
     // Mixture ∘ packing: exclusive prefix sum of n_toks×n_repeats in
     // doc_id order over the schedule CTE (shared verbatim above).
     "q_mixture_packed" ->

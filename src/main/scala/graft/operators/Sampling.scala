@@ -177,8 +177,7 @@ object Sampling {
       shares: Map[String, Long] = Map.empty,
       budgetTokens: Option[Long] = None,
       seed: Int = MixtureSeed): DataFrame = {
-    val toks = documents.select(col("doc_id"), col("source"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    val toks = srcTokens(documents)
     val bySrc = toks.groupBy("source").agg(sum("n_toks").as("src_tokens"))
     val totals = bySrc.agg(
       sum("src_tokens").cast("long").as("total_tokens"),
@@ -188,10 +187,29 @@ object Sampling {
       else shares.foldLeft(lit(0L)) { case (acc, (s, w)) =>
         when(col("source") === s, lit(w)).otherwise(acc)
       }
-    val rates = bySrc.crossJoin(broadcast(totals))
+    val shared = bySrc.crossJoin(broadcast(totals))
       .withColumn("budget",
         budgetTokens.map(lit(_)).getOrElse(col("total_tokens")))
       .withColumn("share", shareCol)
+    scheduleTail(toks, shared, seed)
+  }
+
+  /** (doc_id, source, n_toks) — the per-doc token frame both schedule
+    * operators start from.
+    */
+  private def srcTokens(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+
+  /** The shared want→epochs→frac→draw tail of the schedule operators:
+    * `shared` is the ≤|sources|-row frame (source, src_tokens, budget,
+    * share in thousandths); the output is the (doc_id, source, n_toks,
+    * n_repeats) schedule under the epoch + content-hash-Bernoulli
+    * formula of [[mixtureSchedule]]'s docstring.
+    */
+  private def scheduleTail(
+      toks: DataFrame, shared: DataFrame, seed: Int): DataFrame = {
+    val rates = shared
       .withColumn("want", expr(s"(budget * share) div $MixShareScale"))
       .withColumn("epochs", expr("want div src_tokens"))
       .withColumn("frac", expr(s"((want % src_tokens) * $Buckets) div src_tokens"))
@@ -203,6 +221,49 @@ object Sampling {
         col("epochs") + when(col("draw") < col("frac"), 1L).otherwise(0L))
       .where(col("n_repeats") > 0)
       .select("doc_id", "source", "n_toks", "n_repeats")
+  }
+
+  /** TEMPERATURE-scaled source mixture — the standard multilingual /
+    * multi-source upsampling knob (the `p_s ∝ n_s^(1/T)` rule of
+    * multilingual BERT / XLM-R sampling): instead of handing
+    * [[mixtureSchedule]] fixed target shares, derive them from the
+    * corpus's own source sizes raised to an exact rational exponent
+    * `1/T`, `T = tNum/tDen ≥ 1`. T = 1 reproduces the natural
+    * proportions; T → ∞ flattens to the uniform mixture; in between,
+    * minority sources are up-weighted smoothly.
+    *
+    * Every power is computed through the portable fixed-point pair —
+    * `w_s = exp_f((ln_f(src_tokens_s) · tDen) div tNum)`, shares
+    * `(w_s · 1000) div Σw` — so the schedule is bit-identical in the
+    * DuckDB oracle (float `pow()` would diverge at the hash gate), and
+    * the whole share derivation runs on the ≤|sources|-row frame before
+    * the same scan-speed epoch/Bernoulli tail as [[mixtureSchedule]].
+    * Int64 bounds: w_s < 2^42 always (the exp_f domain guard), so
+    * `w_s · 1000` and the Σw sum stay exact for any corpus int64 can
+    * count tokens in.
+    */
+  def temperatureSchedule(documents: DataFrame,
+      tNum: Long = 2L, tDen: Long = 1L,
+      budgetTokens: Option[Long] = None,
+      seed: Int = MixtureSeed): DataFrame = {
+    require(tNum >= tDen && tDen >= 1L,
+      s"temperature T = tNum/tDen must be >= 1 (got $tNum/$tDen): T < 1 " +
+        "sharpens toward the majority source and its w_f = n^(1/T) > n " +
+        "overflows the fixed-point domain")
+    val toks = srcTokens(documents)
+    val bySrc = toks.groupBy("source").agg(sum("n_toks").as("src_tokens"))
+    val w = bySrc
+      .withColumn("y_f", graft.functions.FixedPointLn.lnF(col("src_tokens")))
+      .withColumn("y_t", expr(s"(y_f * ${tDen}L) div ${tNum}L"))
+      .withColumn("w_f", graft.functions.FixedPointExp.expF(col("y_t")))
+    val totals = w.agg(
+      sum("src_tokens").cast("long").as("total_tokens"),
+      sum("w_f").as("sum_w"))
+    val shared = w.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        budgetTokens.map(lit(_)).getOrElse(col("total_tokens")))
+      .withColumn("share", expr(s"(w_f * $MixShareScale) div sum_w"))
+    scheduleTail(toks, shared, seed)
   }
 
   /** Curriculum difficulty buckets: fixed power-of-two token-count bands

@@ -132,6 +132,80 @@ class SamplingSpec extends SparkSpec {
     assert(mixed > total * 8 / 10 && mixed < total * 12 / 10, s"$mixed vs $total")
   }
 
+  test("temperatureSchedule == brute-force fixed-point replay; T=1 natural, T→∞ uniform") {
+    import spark.implicits._
+    import graft.functions.{FixedPointExp, FixedPointLn}
+    // skewed corpus: srcBig 60 docs x 5 toks = 300, srcSmall 10 x 5 = 50
+    val five = "a b c d e"
+    val rows = (1L to 60L).map(i => (i, "srcBig", five)) ++
+      (101L to 110L).map(i => (i, "srcSmall", five))
+    val d = rows.toDF("doc_id", "source", "text")
+
+    def brute(tNum: Long, tDen: Long): Map[Long, Long] = {
+      val srcToks = Map("srcBig" -> 300L, "srcSmall" -> 50L)
+      val w = srcToks.view.mapValues(n =>
+        FixedPointExp.expFRef(FixedPointLn.lnFRef(n) * tDen / tNum)).toMap
+      val sumW = w.values.sum
+      val total = 350L
+      rows.flatMap { case (id, src, _) =>
+        val share = w(src) * 1000L / sumW
+        val want = total * share / 1000L
+        val epochs = want / srcToks(src)
+        val frac = (want % srcToks(src)) * 1000000L / srcToks(src)
+        val draw = {
+          val dg = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${Sampling.MixtureSeed}:$id".getBytes("UTF-8"))
+          java.lang.Long.parseLong(
+            dg.map("%02x".format(_)).mkString.substring(0, 15), 16) % 1000000L
+        }
+        val nRep = epochs + (if (draw < frac) 1L else 0L)
+        if (nRep > 0) Some(id -> nRep) else None
+      }.toMap
+    }
+
+    // exact fixed-point replay at the default T = 2
+    val got = Sampling.temperatureSchedule(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === brute(2L, 1L))
+    // partition invariance (content-keyed draws)
+    val again = Sampling.temperatureSchedule(d.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again === got)
+
+    // T = 1 reproduces the natural proportions: budget = total, so every
+    // source wants ~its own mass back (fixed-point share rounding costs at
+    // most a thousandth — realized mass within 2% per source)
+    val t1 = Sampling.temperatureSchedule(d, tNum = 1L, tDen = 1L)
+      .collect().map(r => (r.getString(1), r.getLong(2) * r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(math.abs(t1("srcBig") - 300L) <= 6L, s"srcBig ${t1("srcBig")}")
+    assert(math.abs(t1("srcSmall") - 50L) <= 2L, s"srcSmall ${t1("srcSmall")}")
+    assert(t1 === brute(1L, 1L).toSeq.map { case (id, n) =>
+      (if (id <= 60L) "srcBig" else "srcSmall", 5L * n)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+
+    // T → ∞ flattens to the uniform mixture = mixtureSchedule's default
+    // equal shares, exactly (y/T truncates to 0, exp_f(0) = S for all)
+    val tInf = Sampling.temperatureSchedule(d, tNum = 1000000L, tDen = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val uniform = Sampling.mixtureSchedule(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(tInf === uniform)
+
+    // monotone flattening: the minority source's realized mass grows with T
+    def smallMass(tNum: Long) =
+      Sampling.temperatureSchedule(d, tNum = tNum)
+        .where($"source" === "srcSmall")
+        .selectExpr("sum(n_toks * n_repeats)").head().getLong(0)
+    assert(smallMass(1L) < smallMass(2L))
+    assert(smallMass(2L) < smallMass(1000000L))
+
+    // T < 1 is outside the contract and must refuse loudly
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSchedule(d, tNum = 1L, tDen = 2L)
+    }
+  }
+
   test("curriculumOrder: dense easy-first permutation, strided interleave, invariance") {
     val d = graft.Tables.documents(spark, sf("sf0.001"))
     val got = Sampling.curriculumOrder(d).collect()
