@@ -151,7 +151,9 @@ object PlanDump {
     "q_quality_agreement" ->
       "quality agreement: three per-doc signal frames (each individually scan-shaped), two doc_id-keyed joins, 1-row LM mean broadcast, <=8-cell rollup",
     "q_pack_waste" ->
-      "padding waste: one scan of per-doc token counts into a single partial->final agg (three per-L padding sums ride the same pass), 3-row stack unpivot, pure arithmetic",
+      "padding waste: one scan exploded over the 3 candidate lengths, one map-side-combined (L, harmonic-class) hash-agg (<= ~2*sqrt(L) classes per L), per-L rollup + pure arithmetic on that tiny frame",
+    "q_pack_bestfit" ->
+      "no-split harmonic packing: two-level within-class rank (block-bounded row_number windows + (class, block) count cumsum), bin-offset windows over <= m-row partitions, ~45-row class frame cumsum broadcast — NO corpus-scale ordered step",
     "q_zipf_fit" ->
       "zipf fit: vocabulary-bounded hash-agg, bounded top-k (TakeOrderedAndProject), <=1000-row rank window + ln_fixed axes, 1-row least-squares card",
     "q_mixture_temperature" ->

@@ -327,6 +327,9 @@ object SparkEntry {
     // padding-waste card: naive per-doc batching vs the packed stream at
     // each candidate context length — the GPU-hours argument for packing
     "q_pack_waste" -> ((s, dir) => Packing.packWaste(Tables.documents(s, dir))),
+    // No-split harmonic-class packing (Krell et al. shape): every fitting
+    // doc lands whole in exactly one bin; oversize docs surface flagged.
+    "q_pack_bestfit" -> ((s, dir) => Packing.packBestFit(Tables.documents(s, dir))),
     // Zipf-slope fit over the top-1000 terms, all-integer least squares
     "q_zipf_fit" -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
@@ -2598,35 +2601,88 @@ object SparkEntry {
     // order, row digests XOR-folded per shard (the q_table_digest idiom)
     // Padding waste: per-L naive padding sum + tail-only packed padding,
     // integer milli shares; Ls interpolated from Packing.PackWasteLens
+    // Padding-waste card with the harmonic bestfit column: same per-(L,
+    // class) histogram as the engine (class -1 = oversize), ceil(cnt/m)
+    // bins per class, lateral aliases for the pad_packed reuse.
     "q_pack_waste" -> {
-      val perL = graft.operators.Packing.PackWasteLens.map { l =>
-        s"""SELECT $l AS seq_len, n_docs, n_tokens,
-           |  (SELECT CAST(coalesce(sum(((n_tok + ${l - 1}) // $l) * $l - n_tok), 0) AS BIGINT)
-           |   FROM d) AS pad_naive
-           |FROM t""".stripMargin
-      }.mkString("\nUNION ALL\n")
+      val lensList = graft.operators.Packing.PackWasteLens.mkString(", ")
       s"""WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
          |    AS n_tok FROM documents),
-         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM d),
-         |u AS ($perL)
-         |SELECT seq_len, n_docs, n_tokens, pad_naive,
+         |e AS (SELECT seq_len, n_tok,
+         |    CASE WHEN n_tok <= seq_len THEN seq_len // n_tok ELSE -1 END AS m,
+         |    ((n_tok + seq_len - 1) // seq_len) * seq_len - n_tok AS pad_doc
+         |  FROM d, (SELECT unnest(CAST([$lensList] AS BIGINT[])) AS seq_len) ls),
+         |c AS (SELECT seq_len, m, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(n_tok) AS BIGINT) AS toks,
+         |    CAST(sum(pad_doc) AS BIGINT) AS pad_naive_cls
+         |  FROM e GROUP BY 1, 2),
+         |p AS (SELECT seq_len,
+         |    CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |    CAST(sum(pad_naive_cls) AS BIGINT) AS pad_naive,
+         |    CAST(sum(CASE WHEN m >= 1
+         |        THEN ((cnt - 1) // m + 1) * seq_len - toks ELSE 0 END)
+         |      + sum(CASE WHEN m = -1 THEN pad_naive_cls ELSE 0 END) AS BIGINT)
+         |      AS pad_bestfit
+         |  FROM c GROUP BY seq_len)
+         |SELECT seq_len, n_docs, n_tokens, pad_naive, pad_bestfit,
          |  CASE WHEN n_tokens > 0
          |       THEN ((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
          |       ELSE 0 END AS pad_packed,
          |  CASE WHEN n_tokens + pad_naive > 0
          |       THEN (pad_naive * 1000) // (n_tokens + pad_naive) ELSE 0 END
          |    AS waste_naive_milli,
-         |  CASE WHEN n_tokens + (CASE WHEN n_tokens > 0
-         |         THEN ((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
-         |         ELSE 0 END) > 0
-         |       THEN ((CASE WHEN n_tokens > 0
-         |         THEN ((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
-         |         ELSE 0 END) * 1000) // (n_tokens + (CASE WHEN n_tokens > 0
-         |         THEN ((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
-         |         ELSE 0 END))
-         |       ELSE 0 END AS waste_packed_milli
-         |FROM u""".stripMargin
+         |  CASE WHEN n_tokens + pad_bestfit > 0
+         |       THEN (pad_bestfit * 1000) // (n_tokens + pad_bestfit) ELSE 0 END
+         |    AS waste_bestfit_milli,
+         |  CASE WHEN n_tokens + pad_packed > 0
+         |       THEN (pad_packed * 1000) // (n_tokens + pad_packed) ELSE 0 END
+         |    AS waste_packed_milli
+         |FROM p""".stripMargin
+    },
+    // No-split harmonic packing: same two-level within-class rank (the
+    // block decomposition is replayed, not shortcut, so the placement is
+    // bit-identical), bounded bin-offset windows, class-cumsum bin bases.
+    "q_pack_bestfit" -> {
+      val (sl, bk) = (graft.operators.Packing.SeqLen,
+        graft.operators.Packing.OffsetBucket)
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |f AS (SELECT doc_id, n_tok, $sl // n_tok AS m, doc_id // $bk AS bkt
+         |  FROM t WHERE n_tok <= $sl),
+         |ir AS (SELECT doc_id, n_tok, m, bkt,
+         |    CAST(row_number() OVER (PARTITION BY m, bkt ORDER BY doc_id) - 1
+         |      AS BIGINT) AS ir
+         |  FROM f),
+         |bc AS (SELECT m, bkt, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY m, bkt),
+         |bo AS (SELECT m, bkt, CAST(coalesce(sum(c) OVER (PARTITION BY m
+         |      ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS c_off
+         |  FROM bc),
+         |r AS (SELECT ir.doc_id, ir.n_tok, ir.m,
+         |    (bo.c_off + ir.ir) // ir.m AS b,
+         |    (bo.c_off + ir.ir) % ir.m AS slot
+         |  FROM ir JOIN bo ON ir.m = bo.m AND ir.bkt = bo.bkt),
+         |o AS (SELECT doc_id, n_tok, m, b, slot,
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY m, b ORDER BY slot
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_offset
+         |  FROM r),
+         |cb AS (SELECT m, (CAST(count(*) AS BIGINT) - 1) // m + 1 AS n_bins
+         |  FROM f GROUP BY m),
+         |co AS (SELECT m, CAST(coalesce(sum(n_bins) OVER (ORDER BY m
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS bin_base
+         |  FROM cb)
+         |SELECT o.doc_id, o.n_tok, TRUE AS fits, o.m AS m_class,
+         |  (co.bin_base + o.b) AS bin_id, o.slot AS bin_slot, o.tok_offset
+         |FROM o JOIN co ON o.m = co.m
+         |UNION ALL
+         |SELECT doc_id, n_tok, FALSE AS fits, CAST(NULL AS BIGINT) AS m_class,
+         |  CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_slot,
+         |  CAST(NULL AS BIGINT) AS tok_offset
+         |FROM t WHERE n_tok > $sl""".stripMargin
     },
     // Zipf slope: vocabulary top-k rank window, milli-nat ln_f axes,
     // closed-form integer least squares

@@ -120,6 +120,85 @@ object Packing {
             greatest(col("tok_start"), col("chunk_id") * seqLen))
           .as("n_tokens"))
 
+  /** NO-SPLIT sequence packing — the bin-packing alternative to
+    * concat-and-chunk (Krell et al. 2022, "Efficient Sequence Packing
+    * without Cross-contamination"): every document that fits lands WHOLE
+    * in exactly one `seqLen` bin, so no training example ever straddles a
+    * document boundary. The algorithm is harmonic-class shelf packing
+    * (the interval scheme of Lee & Lee 1985's Harmonic algorithm): a
+    * document of `n_tok` tokens joins class `m = seqLen div n_tok`, and
+    * any `m` documents of class m sum to ≤ m·(seqLen div m) ≤ seqLen —
+    * so bins are simply consecutive rank-groups of m class-mates, and
+    * every bin's fill exceeds m·(seqLen div (m+1)) > seqLen·m/(m+1).
+    * Chosen over first-fit-decreasing deliberately: FFD's bin state is a
+    * sequential fold (driver-resident and not oracle-replayable without
+    * recursion), while the harmonic form is pure relational algebra —
+    * closed-form, bit-replayable in SQL, and embarrassingly parallel —
+    * at a bounded waste premium that [[packWaste]]'s card measures
+    * against the naive row.
+    *
+    * Documents longer than `seqLen` cannot pack without splitting; they
+    * are surfaced with `fits = false` and NULL placement (the
+    * concat-and-chunk path [[packedDocSpans]] is where they belong).
+    *
+    * Scale shape — NO corpus-scale ordered step anywhere: within-class
+    * rank is doc_id order decomposed by the [[docOffsets]] two-level
+    * idiom (per-(class, id-block) row_number windows — partitions bounded
+    * by block size — plus an ordered cumsum over the (class, block) COUNT
+    * frame); bin offsets are windows over (class, bin) partitions of ≤ m
+    * ≤ seqLen rows; the global bin numbering is a cumsum over the
+    * ≤|classes|-row (~2√seqLen) per-class bin-count frame, broadcast
+    * back. Output: one row per document (doc_id, n_tok, fits, m_class,
+    * bin_id, bin_slot, tok_offset).
+    */
+  def packBestFit(documents: DataFrame, seqLen: Int = SeqLen,
+      bucket: Long = OffsetBucket): DataFrame = {
+    val base = graft.Parallelism.ensure(documents).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val fit = base.where(col("n_tok") <= seqLen)
+      .withColumn("m", expr(s"${seqLen}L div n_tok"))
+      .withColumn("bkt", expr(s"doc_id div ${bucket}L"))
+    // within-class rank in doc_id order, two-level: intra-block rank +
+    // block base (partitions stay block-bounded at any corpus size)
+    val wIntra = Window.partitionBy("m", "bkt").orderBy("doc_id")
+    val blockCounts = fit.groupBy("m", "bkt").agg(count(lit(1)).as("c"))
+    val wBlocks = Window.partitionBy("m").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = blockCounts
+      .withColumn("c_off", coalesce(sum("c").over(wBlocks), lit(0L)))
+      .select("m", "bkt", "c_off")
+    val ranked = fit
+      .withColumn("ir", row_number().over(wIntra).cast("long") - 1L)
+      .join(blockOffsets, Seq("m", "bkt"))
+      .withColumn("r", col("c_off") + col("ir"))
+      .withColumn("b", expr("r div m"))
+      .withColumn("slot", expr("r % m"))
+    // token offset inside the bin: a window over ≤ m rows per partition
+    val wBin = Window.partitionBy("m", "b").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = ranked
+      .withColumn("tok_offset", coalesce(sum("n_tok").over(wBin), lit(0L)))
+    // global bin ids: ceil(class count / m) bins per class, exclusive
+    // cumsum over the ~2√seqLen-row class frame
+    val classBins = fit.groupBy("m")
+      .agg(expr("(count(1) - 1) div m + 1").as("n_bins"))
+    val wCls = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    val classBase = classBins
+      .withColumn("bin_base", coalesce(sum("n_bins").over(wCls), lit(0L)))
+      .select("m", "bin_base")
+    placed.join(broadcast(classBase), Seq("m"))
+      .select(col("doc_id"), col("n_tok"), lit(true).as("fits"),
+        col("m").as("m_class"), (col("bin_base") + col("b")).as("bin_id"),
+        col("slot").as("bin_slot"), col("tok_offset"))
+      .unionByName(base.where(col("n_tok") > seqLen)
+        .select(col("doc_id"), col("n_tok"), lit(false).as("fits"),
+          lit(null).cast("long").as("m_class"),
+          lit(null).cast("long").as("bin_id"),
+          lit(null).cast("long").as("bin_slot"),
+          lit(null).cast("long").as("tok_offset")))
+  }
+
   /** Shards for [[shardManifest]] — small here so every shard is populated
     * at sf0.001; a real export sizes shards to the file-size target
     * (n_tokens × bytes/token ≈ the parquet/record-io file size).
@@ -174,27 +253,46 @@ object Packing {
   /** PADDING-WASTE report — the economics that justify sequence packing:
     * for each candidate context length, the token overhead of naive
     * one-document-per-sequence batching (every doc padded up to a
-    * multiple of L) vs the packed stream (only the final sequence pads),
-    * as integer milli shares of the padded stream. At 100 TB the
-    * difference is the GPU-hours bill; this card is how a pipeline picks
-    * L and proves packing pays.
+    * multiple of L), of the no-split harmonic packing
+    * ([[packBestFit]]; oversize docs fall back to the naive treatment),
+    * and of the packed stream (only the final sequence pads), as integer
+    * milli shares of the padded stream. At 100 TB the difference is the
+    * GPU-hours bill; this card is how a pipeline picks L, chooses
+    * between the no-split and chunked regimes, and proves packing pays.
+    * `pad_bestfit ≤ pad_naive` always (a class's bins never outnumber
+    * its docs), and `pad_packed` is the floor.
     *
-    * Shape: ONE scan computing per-doc token counts, one global agg with
-    * a per-L padding sum each (map-side combined), then a 3-row `stack`
-    * unpivot and pure arithmetic. Output: |PackWasteLens| rows.
+    * Shape: ONE scan computing per-doc token counts exploded over the
+    * |PackWasteLens| candidate lengths (3n rows), one map-side-combined
+    * (L, class) hash-agg — ≤ ~2√L classes per L — then per-L rollups and
+    * pure arithmetic on that tiny frame. Output: |PackWasteLens| rows.
     */
   def packWaste(documents: DataFrame): DataFrame = {
-    val padCols = PackWasteLens.map(l =>
-      sum(expr(s"((n_tok + ${l - 1}) DIV $l) * $l - n_tok")).as(s"pad_$l"))
-    val aggCols =
-      Seq(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")) ++ padCols
-    val t = graft.Parallelism.ensure(documents)
-      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .na.fill(0L)
-    val stackExpr = PackWasteLens.map(l => s"${l}L, pad_$l").mkString(", ")
-    t.selectExpr("n_docs", "n_tokens",
-      s"stack(${PackWasteLens.size}, $stackExpr) AS (seq_len, pad_naive)")
+    val lensArr = PackWasteLens.map(l => lit(l)).toArray
+    val perClass = graft.Parallelism.ensure(documents)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        explode(array(lensArr: _*)).as("seq_len"))
+      .select(col("seq_len"), col("n_tok"),
+        // class -1 = oversize (naive multi-sequence padding applies)
+        expr("CASE WHEN n_tok <= seq_len THEN seq_len div n_tok ELSE -1L END")
+          .as("m"),
+        expr("((n_tok + seq_len - 1) DIV seq_len) * seq_len - n_tok")
+          .as("pad_doc"))
+      .groupBy("seq_len", "m")
+      .agg(count(lit(1)).as("cnt"), sum("n_tok").as("toks"),
+        sum("pad_doc").as("pad_naive_cls"))
+    perClass
+      .groupBy("seq_len")
+      .agg(
+        sum("cnt").as("n_docs"),
+        sum("toks").as("n_tokens"),
+        sum("pad_naive_cls").as("pad_naive"),
+        // harmonic bins: ceil(cnt/m) per fitting class; oversize docs pad
+        // exactly as in the naive row
+        (sum(when(col("m") >= 1L, expr("((cnt - 1) div m + 1) * seq_len - toks"))
+          .otherwise(0L)) +
+          sum(when(col("m") === -1L, col("pad_naive_cls")).otherwise(0L)))
+          .as("pad_bestfit"))
       .withColumn("pad_packed", expr(
         "CASE WHEN n_tokens > 0 THEN " +
           "((n_tokens + seq_len - 1) DIV seq_len) * seq_len - n_tokens " +
@@ -202,10 +300,14 @@ object Packing {
       .withColumn("waste_naive_milli", expr(
         "CASE WHEN n_tokens + pad_naive > 0 " +
           "THEN (pad_naive * 1000) DIV (n_tokens + pad_naive) ELSE 0 END"))
+      .withColumn("waste_bestfit_milli", expr(
+        "CASE WHEN n_tokens + pad_bestfit > 0 " +
+          "THEN (pad_bestfit * 1000) DIV (n_tokens + pad_bestfit) ELSE 0 END"))
       .withColumn("waste_packed_milli", expr(
         "CASE WHEN n_tokens + pad_packed > 0 " +
           "THEN (pad_packed * 1000) DIV (n_tokens + pad_packed) ELSE 0 END"))
-      .select("seq_len", "n_docs", "n_tokens", "pad_naive", "pad_packed",
-        "waste_naive_milli", "waste_packed_milli")
+      .select("seq_len", "n_docs", "n_tokens", "pad_naive", "pad_bestfit",
+        "pad_packed", "waste_naive_milli", "waste_bestfit_milli",
+        "waste_packed_milli")
   }
 }

@@ -111,26 +111,125 @@ class PackingSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
-  test("packWaste: exact padding accounting; packing always wastes no more than naive") {
+  test("packWaste: exact padding accounting; bestfit <= naive, packed is the floor") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
-    val d = Seq((1L, words(100)), (2L, words(600)), (3L, words(1500)))
+    // lengths chosen so every harmonic case appears: multiple docs in one
+    // class (2x100: m=5 at L=512), a near-full singleton (400: m=1), and
+    // oversize docs at the smaller Ls
+    val toks = Seq(100L, 100L, 400L, 600L, 1500L)
+    val d = toks.zipWithIndex.map { case (n, i) => (i.toLong, words(n.toInt)) }
       .toDF("doc_id", "text")
     val got = Packing.packWaste(d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
-    // brute force per L: naive pads each doc to a multiple of L; packed
-    // pads only the stream tail
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
     val lens = Packing.PackWasteLens
-    val toks = Seq(100L, 600L, 1500L)
     lens.foreach { l =>
       val naive = toks.map(n => ((n + l - 1) / l) * l - n).sum
       val total = toks.sum
       val packed = ((total + l - 1) / l) * l - total
-      val want = (3L, total, naive, packed,
-        naive * 1000 / (total + naive), packed * 1000 / (total + packed))
+      // harmonic bestfit: ceil(count/m) bins per class, oversize naive
+      val fit = toks.filter(_ <= l)
+      val bestfit = fit.groupBy(n => l / n).map { case (m, ds) =>
+        ((ds.size - 1) / m + 1) * l - ds.sum
+      }.sum + toks.filter(_ > l).map(n => ((n + l - 1) / l) * l - n).sum
+      val want = (toks.size.toLong, total, naive, bestfit, packed,
+        naive * 1000 / (total + naive),
+        bestfit * 1000 / (total + bestfit),
+        packed * 1000 / (total + packed))
       assert(got(l) === want, s"L=$l")
-      assert(packed <= naive) // packing can only reduce padding
+      assert(packed <= bestfit && bestfit <= naive, s"L=$l ordering")
     }
+  }
+
+  /** Brute-force [[Packing.packBestFit]] over driver rows: the harmonic
+    * closed form replayed literally. (doc_id -> row).
+    */
+  private def bruteBestFit(
+      rows: Seq[(Long, Long)], seqLen: Long): Map[Long, (Long, Boolean, Option[(Long, Long, Long, Long)])] = {
+    val fit = rows.filter(_._2 <= seqLen).map { case (id, n) => (id, n, seqLen / n) }
+    val classes = fit.groupBy(_._3).toSeq.sortBy(_._1)
+    val binBases = classes.map(_._1)
+      .zip(classes.map { case (m, ds) => (ds.size - 1) / m + 1 }
+        .scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val placedFit = classes.flatMap { case (m, ds) =>
+      ds.sortBy(_._1).zipWithIndex.map { case ((id, n, _), r) =>
+        (id, n, m, r.toLong / m, r.toLong % m)
+      }
+    }
+    val offsets = placedFit.groupBy(p => (p._3, p._4)).flatMap { case (_, bin) =>
+      val sorted = bin.sortBy(_._5)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._2).dropRight(1)).map {
+        case ((id, n, m, b, slot), off) => id -> ((n, m, binBases(m) + b, slot, off))
+      }
+    }
+    rows.map { case (id, n) =>
+      if (n <= seqLen) {
+        val (nn, m, binId, slot, off) = offsets(id)
+        id -> ((nn, true, Some((m, binId, slot, off))))
+      } else id -> ((n, false, None))
+    }.toMap
+  }
+
+  test("packBestFit equals the harmonic closed form; no bin overflows, nothing splits") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // classes m=1 (300..512), m=2 (200, 256), m=5, m=512 (1-token), plus
+    // two oversize docs; ids interleaved across classes
+    val lens = Seq(1L -> 300L, 2L -> 100L, 3L -> 480L, 4L -> 256L, 5L -> 200L,
+      6L -> 100L, 7L -> 1L, 8L -> 600L, 9L -> 100L, 10L -> 1L, 11L -> 2000L,
+      12L -> 512L, 13L -> 99L, 14L -> 101L)
+    val d = lens.map { case (id, n) => (id, words(n.toInt)) }.toDF("doc_id", "text")
+    val got = Packing.packBestFit(d).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))))
+    }.toMap
+    assert(got === bruteBestFit(lens, 512L))
+    // structural invariants, independent of the brute force
+    val placed = got.collect { case (id, (n, true, Some((m, bin, slot, off)))) =>
+      (id, n, m, bin, slot, off) }.toSeq
+    placed.groupBy(_._4).foreach { case (bin, ds) =>
+      val fill = ds.map(_._2).sum
+      assert(fill <= 512L, s"bin $bin overflows: $fill")          // no split, ever
+      assert(ds.map(_._5).sorted === ds.indices.map(_.toLong))    // contiguous slots
+      assert(ds.map(_._3).distinct.size === 1)                    // class-homogeneous
+      assert(ds.size <= (512L / ds.map(_._2).max), s"bin $bin too many docs")
+      // offsets are the exact prefix sums of the slot order
+      val bySlot = ds.sortBy(_._5)
+      bySlot.zip(bySlot.scanLeft(0L)(_ + _._2).dropRight(1)).foreach {
+        case ((_, _, _, _, _, off), want) => assert(off === want)
+      }
+    }
+    // oversize docs surfaced, not silently dropped or split
+    assert(got(8L) === ((600L, false, None)) && got(11L) === ((2000L, false, None)))
+    // bin ids are dense 0..nBins-1 across classes
+    val bins = placed.map(_._4).distinct.sorted
+    assert(bins === (0L until bins.size).toSeq)
+    // partition invariance
+    val again = Packing.packBestFit(d.repartition(7)).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))))
+    }.toMap
+    assert(again === got)
+  }
+
+  test("packBestFit reconciles with packWaste's bestfit column on the sf0.001 corpus") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val placed = Packing.packBestFit(docs).collect()
+    // card's pad_bestfit at L=512 == bins' empty space + oversize naive pad
+    val fills = placed.filter(_.getBoolean(2))
+      .groupBy(_.getLong(4)).map { case (_, ds) => ds.map(_.getLong(1)).sum }
+    val overPad = placed.filter(!_.getBoolean(2))
+      .map(r => ((r.getLong(1) + 511) / 512) * 512 - r.getLong(1)).sum
+    val wantPad = fills.map(512L - _).sum + overPad
+    val card = Packing.packWaste(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(card(512L) === wantPad)
+    // the two-level rank matches a plain global rank (the block math is
+    // an implementation detail, not a semantics change)
+    assert(fills.forall(_ <= 512L))
   }
 }
