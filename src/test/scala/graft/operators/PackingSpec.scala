@@ -111,6 +111,46 @@ class PackingSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
+  test("sharded export round-trip: written artifact verifies against its manifest; corruption is caught") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val manifest = Packing.shardManifest(docs)
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    Packing.writeShardedExport(docs, out)
+
+    // the loop closes: every shard's recomputed count/tokens/digest/head
+    // matches what the manifest predicted before the write
+    val v = Packing.verifyShardedExport(spark, out, manifest).collect()
+    assert(v.length === Packing.ShardCount)
+    v.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"shard ${r.getLong(0)} failed round-trip")
+    }
+
+    // within-shard training order is physically materialized: one shard
+    // directory read alone comes back in (h, doc_id) order
+    val shard0 = spark.read.parquet(s"$out/shard=0")
+      .select("h", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(shard0.nonEmpty && shard0.toSeq === shard0.sortBy(identity).toSeq)
+
+    // corruption-detection negative: flip one document's text in a copy of
+    // the export — exactly that shard's digest (and only the digest: count,
+    // tokens, head survive a same-length edit) must flag
+    val exported = spark.read.parquet(out)
+    val victim = exported.select("doc_id").head().getLong(0)
+    val corruptedDir = java.nio.file.Files.createTempDirectory("graft_export_bad").toString
+    import org.apache.spark.sql.functions._
+    exported
+      .withColumn("text",
+        when(col("doc_id") === victim,
+          concat(expr("substring(text, 2)"), lit("x"))).otherwise(col("text")))
+      .write.mode("overwrite").partitionBy("shard").parquet(corruptedDir)
+    val vBad = Packing.verifyShardedExport(spark, corruptedDir, manifest).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getBoolean(5)))).toMap
+    val badShards = vBad.filter(!_._2._2).keys.toSeq
+    assert(badShards.length === 1, s"expected one flagged shard, got $badShards")
+    vBad.foreach { case (_, (docsMatch, _)) => assert(docsMatch) }
+  }
+
   test("packWaste: exact padding accounting; bestfit <= naive, packed is the floor") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
