@@ -158,6 +158,8 @@ object PlanDump {
       "zipf fit: vocabulary-bounded hash-agg, bounded top-k (TakeOrderedAndProject), <=1000-row rank window + ln_fixed axes, 1-row least-squares card",
     "q_mixture_temperature" ->
       "temperature mixture: one scan into a |sources|-row hash-agg, ln_fixed/exp_fixed share kernels on that tiny frame, 1-row totals broadcast, then the scan-speed epoch + content-hash-Bernoulli tail — the corpus is never shuffled beyond the per-source agg",
+    "q_lsh_curve" ->
+      "banding S-curve card: the banded miner unchanged, integer milli-jaccard bucket projection, <=21-row histogram broadcast-left-joined onto the constant grid whose p_band/p_detect folds run as plain projections",
     "q_line_dedup" ->
       "line-level dedup: NON-overlapping token windows (|tokens|/8 rows, 60-bit hashes past the first projection), map-side-combined frequency hash-agg, hash-keyed equi-join verdict (frequent-line set never assumed broadcastable), one doc_id-keyed fold — counting, never pairing")
 

@@ -361,6 +361,10 @@ object SparkEntry {
       SignatureStore.table(s, dir).drop("sh", "group_id", "members")),
     "q_dedup_neardup" -> ((s, dir) =>
       Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir))),
+    // Banding S-curve tuning card: closed-form P(detect | jaccard) for the
+    // configured (bands, rows) next to the observed verified-pair mass.
+    "q_lsh_curve" -> ((s, dir) =>
+      Dedup.lshThresholdCurve(SignatureStore.table(s, dir))),
     // Incoming shard probed against the corpus's persisted LSH index —
     // the continuous-ingestion dedup shape (no corpus self-join).
     "q_dedup_incremental" -> ((s, dir) =>
@@ -3458,6 +3462,45 @@ object SparkEntry {
          |WHERE len(a.sh) > 0 AND len(b.sh) > 0
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // S-curve card: brute-force verified pairs (the q_dedup_neardup
+    // equivalence) bucketed by exact integer milli-jaccard, left-joined
+    // onto the constant grid whose p_band/p_detect chains replay the
+    // engine's stepwise `·x div 1000` folds via lateral aliases.
+    "q_lsh_curve" -> {
+      import graft.operators.Dedup.{Bands, RowsPerBand, CurveBucketMilli}
+      val pbChain = (1 to RowsPerBand).map { k =>
+        val prev = if (k == 1) "1000" else s"pb${k - 1}"
+        s"($prev * j_mid) // 1000 AS pb$k"
+      }.mkString(",\n  ")
+      val missChain = (1 to Bands).map { k =>
+        val prev = if (k == 1) "1000" else s"miss${k - 1}"
+        s"($prev * (1000 - pb$RowsPerBand)) // 1000 AS miss$k"
+      }.mkString(",\n  ")
+      s"""WITH sh AS ($shCte),
+         |p AS (SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+         |    len(list_distinct(a.sh || b.sh)) AS uni
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |h AS (SELECT (((inter * 1000) // uni) // $CurveBucketMilli)
+         |      * $CurveBucketMilli AS jaccard_lo,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM p GROUP BY 1),
+         |g AS (SELECT CAST(i * $CurveBucketMilli AS BIGINT) AS jaccard_lo,
+         |    CAST(CASE WHEN i * $CurveBucketMilli = 1000 THEN 1000
+         |      ELSE i * $CurveBucketMilli + ${CurveBucketMilli / 2} END AS BIGINT)
+         |      AS j_mid
+         |  FROM (SELECT unnest(range(0, ${1000 / CurveBucketMilli + 1})) AS i) u),
+         |c AS (SELECT jaccard_lo, j_mid,
+         |  $pbChain,
+         |  $missChain
+         |  FROM g)
+         |SELECT c.jaccard_lo, c.j_mid, c.pb$RowsPerBand AS p_band_milli,
+         |  1000 - c.miss$Bands AS p_detect_milli,
+         |  coalesce(h.n_pairs, 0) AS n_pairs
+         |FROM c LEFT JOIN h ON c.jaccard_lo = h.jaccard_lo""".stripMargin
+    },
     // Per-(source, split) allocation rollup; the split CASE is the shared
     // splitSql helper, interpolating the Splits constants.
     "q_split_assign" ->

@@ -942,6 +942,58 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
+  /** Jaccard bucket width (milli) for [[lshThresholdCurve]]. */
+  val CurveBucketMilli = 50L
+
+  /** LSH banding S-CURVE card — the tuning read before committing
+    * (bands, rowsPerBand, threshold) at 100 TB: for each jaccard bucket,
+    * the CLOSED-FORM candidate-detection probability of the configured
+    * banding, P(detect | j) = 1 − (1 − j^r)^b, next to the OBSERVED
+    * verified-pair mass of this corpus in that bucket. Read it like a
+    * datasheet: where the S-curve crosses ~500 is the banding's effective
+    * threshold; pair mass sitting on buckets where p_detect < 1000 warns
+    * that tightening the verify threshold (or dropping a band) would
+    * start costing recall, and empty high-probability buckets say the
+    * banding has headroom. All probabilities are exact integer milli
+    * chains — j^r and the (1 − p)^b fold are successive `·x div 1000`
+    * steps — so the card replays bit-for-bit in the oracle.
+    *
+    * The observed column counts the pairs the miner ACTS on (verified
+    * jaccard ≥ threshold, where banding ≡ brute force at these
+    * parameters — the `q_dedup_neardup` equivalence); sub-threshold
+    * buckets show 0 observed with their theoretical detectability, which
+    * is exactly the "what would lowering the threshold buy" read.
+    * Shape: the banded miner unchanged, an integer bucket projection,
+    * one ≤21-row histogram left-joined onto the constant grid.
+    */
+  def lshThresholdCurve(
+      tbl: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val nBuckets = (1000L / CurveBucketMilli).toInt + 1
+    val hist = nearDuplicatePairsFromTable(tbl, threshold)
+      .select(expr("(inter * 1000L) div uni").as("jm"))
+      .select(expr(s"(jm div $CurveBucketMilli) * $CurveBucketMilli").as("jaccard_lo"))
+      .groupBy("jaccard_lo").agg(count(lit(1)).as("n_pairs"))
+    val grid = tbl.sparkSession.range(nBuckets)
+      .select((col("id") * CurveBucketMilli).as("jaccard_lo"))
+      .withColumn("j_mid",
+        when(col("jaccard_lo") === 1000L, lit(1000L))
+          .otherwise(col("jaccard_lo") + CurveBucketMilli / 2))
+    // p_band = j^r and miss = (1000 - p_band)^b as stepwise integer folds
+    val withBand = (1 to RowsPerBand).foldLeft(
+      grid.withColumn("pb0", lit(1000L))) { (df, k) =>
+      df.withColumn(s"pb$k", expr(s"(pb${k - 1} * j_mid) div 1000"))
+    }.withColumnRenamed(s"pb$RowsPerBand", "p_band_milli")
+    val withMiss = (1 to Bands).foldLeft(
+      withBand.withColumn("miss0", lit(1000L))) { (df, k) =>
+      df.withColumn(s"miss$k", expr(s"(miss${k - 1} * (1000 - p_band_milli)) div 1000"))
+    }
+    withMiss
+      .join(broadcast(hist), Seq("jaccard_lo"), "left")
+      .select(col("jaccard_lo"), col("j_mid"), col("p_band_milli"),
+        (lit(1000L) - col(s"miss$Bands")).as("p_detect_milli"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   /** Tokens per "line" for [[lineDedup]] — the corpus has no newlines or
     * sentence punctuation, so its natural line unit is a fixed
     * non-overlapping token window (the last window of a document may be

@@ -336,6 +336,45 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // the sf corpora plant near-dups: spans must exist
   }
 
+  test("lshThresholdCurve: closed-form S-curve columns + planted pair mass in the right buckets") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val nearDup = base.replace("delta", "DELTA-EDIT")
+    val unrelated = "one two three four five six seven eight nine ten " * 5
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    val tbl = Dedup.shingleSignatureTable(d)
+    val got = Dedup.lshThresholdCurve(tbl).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    // the grid is total: every 50-milli bucket 0..1000 present
+    assert(got.keySet === (0L to 1000L by 50L).toSet)
+
+    // closed-form reference: p_band = j^r, p_detect = 1 - (1-p_band)^b as
+    // the same stepwise integer folds
+    got.foreach { case (lo, (jMid, pBand, pDetect, _)) =>
+      assert(jMid === (if (lo == 1000L) 1000L else lo + 25L))
+      var pb = 1000L
+      (1 to Dedup.RowsPerBand).foreach(_ => pb = pb * jMid / 1000L)
+      assert(pBand === pb, s"bucket $lo")
+      var miss = 1000L
+      (1 to Dedup.Bands).foreach(_ => miss = miss * (1000L - pb) / 1000L)
+      assert(pDetect === 1000L - miss, s"bucket $lo")
+    }
+    // monotone S-curve
+    (0L to 950L by 50L).foreach(lo =>
+      assert(got(lo)._3 <= got(lo + 50L)._3, s"not monotone at $lo"))
+
+    // planted mass: the exact-dup pair (1,4) sits in bucket 1000; the two
+    // near-dup pairs (1,2)/(2,4) share a high bucket; nothing below 500
+    // (sub-threshold buckets show 0 observed by construction), and the
+    // bucket totals conserve the miner's pair count
+    assert(got(1000L)._4 === 1L)
+    assert((500L to 950L by 50L).map(got(_)._4).sum === 2L)
+    (0L until 500L by 50L).foreach(lo => assert(got(lo)._4 === 0L))
+    val minerPairs = Dedup.nearDuplicatePairsFromTable(tbl).count()
+    assert(got.values.map(_._4).sum === minerPairs)
+  }
+
   /** Brute-force [[Dedup.lineDedup]]: (doc_id -> (n_lines, n_dropped,
     * n_tokens_dropped, kept_md5)).
     */
