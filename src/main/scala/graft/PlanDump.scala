@@ -161,7 +161,9 @@ object PlanDump {
     "q_lsh_curve" ->
       "banding S-curve card: the banded miner unchanged, integer milli-jaccard bucket projection, <=21-row histogram broadcast-left-joined onto the constant grid whose p_band/p_detect folds run as plain projections",
     "q_line_dedup" ->
-      "line-level dedup: NON-overlapping token windows (|tokens|/8 rows, 60-bit hashes past the first projection), map-side-combined frequency hash-agg, hash-keyed equi-join verdict (frequent-line set never assumed broadcastable), one doc_id-keyed fold — counting, never pairing")
+      "line-level dedup: NON-overlapping token windows (|tokens|/8 rows, 60-bit hashes past the first projection), map-side-combined frequency hash-agg, hash-keyed equi-join verdict (frequent-line set never assumed broadcastable), one doc_id-keyed fold — counting, never pairing",
+    "q_line_dedup_incremental" ->
+      "ingestion line dedup: corpus-frozen slim frequency index (lines at freq >= minOcc-1 only), shard-side line scan + one equi-join + doc_id fold — the corpus is scanned at index build, never per batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -317,6 +317,10 @@ object SparkEntry {
     // same epoch + content-hash-Bernoulli schedule tail.
     "q_mixture_temperature" -> ((s, dir) =>
       Sampling.temperatureSchedule(Tables.documents(s, dir))),
+    // Temperature schedule composed with the two-level packing prefix sum
+    // (the q_mixture_packed composition over the tempered shares).
+    "q_mixture_temperature_packed" -> ((s, dir) =>
+      Packing.scheduleOffsets(Sampling.temperatureSchedule(Tables.documents(s, dir)))),
     // mixture ∘ packing: stream offsets for the mixed corpus, repeats as
     // counts (never materialized) through the two-level prefix sum
     "q_mixture_packed" -> ((s, dir) =>
@@ -382,6 +386,15 @@ object SparkEntry {
     // "lines" excised from every document; per-doc totals + kept-text md5.
     "q_line_dedup" -> ((s, dir) =>
       Dedup.lineDedup(Tables.documents(s, dir))),
+    // The continuous-ingestion twin: shard lines excised against the
+    // corpus-frozen frequency index (freq >= minOcc-1 tips the threshold);
+    // shard-internal repeats wait for the next full pass.
+    "q_line_dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalLineDedup(Tables.documents(s, dir))),
+    // The same probe as continuous ingestion: per-micro-batch excision
+    // against the static index inside foreachBatch (stateless).
+    "q_stream_line_dedup_incremental" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.incrementalLineDedupToBatch(s, dir)),
     // The same probe running as continuous ingestion: per-micro-batch
     // foreachBatch against the static corpus index (stateless).
     "q_stream_dedup_incremental" -> ((s, dir) =>
@@ -636,6 +649,51 @@ object SparkEntry {
        |FROM (""".stripMargin + tokCte + "))"
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
+
+  /** The t/l/h line-frame CTE chain of the line-dedup oracles — raw
+    * single-space tokens chopped into non-overlapping LineLen windows,
+    * each with position, token count, and the seeded 60-bit hash
+    * (mirrors `Dedup.linesOf`).
+    */
+  private def lineCtes: String = {
+    val (ll, sd) = (graft.operators.Dedup.LineLen, graft.operators.Dedup.LineSeed)
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |l AS (SELECT doc_id, i AS pos,
+       |    array_to_string(toks[i*$ll+1:(i+1)*$ll], ' ') AS line,
+       |    least($ll, len(toks) - i*$ll) AS n_tok
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(range(0, (len(toks) - 1) // $ll + 1)) AS i FROM t) u),
+       |h AS (SELECT doc_id, pos, line, n_tok, ${h60(sd, "line")} AS lh FROM l)""".stripMargin
+  }
+
+  /** The per-document excision report over a lines relation `src`
+    * left-joined to the verdict CTE `f` (mirrors `Dedup.excisionReport`).
+    */
+  private def lineReportSql(src: String): String =
+    s"""SELECT $src.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN f.lh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_lines_dropped,
+       |  CAST(sum(CASE WHEN f.lh IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS n_tokens_dropped,
+       |  md5(coalesce(
+       |    string_agg(CASE WHEN f.lh IS NULL THEN line END, ' ' ORDER BY pos),
+       |    '')) AS kept_md5
+       |FROM $src LEFT JOIN f ON $src.lh = f.lh
+       |GROUP BY $src.doc_id""".stripMargin
+
+  /** Incremental line dedup, shared by the batch and streaming twins:
+    * frozen corpus index at freq ≥ minOcc−1, shard-side excision only.
+    */
+  private def lineDedupIncrementalOracle: String = {
+    val mo = graft.operators.Dedup.LineMinOccurrences
+    s"""WITH $lineCtes,
+       |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+       |f AS (SELECT lh FROM h, sp WHERE h.doc_id < sp.split
+       |  GROUP BY lh HAVING count(*) >= ${mo - 1}),
+       |s AS (SELECT h.* FROM h, sp WHERE h.doc_id >= sp.split)
+       |${lineReportSql("s")}""".stripMargin
+  }
 
   /** DuckDB mirror of `Dsir.importanceScores` as a CTE chain ending in
     * `scores(doc_id, source, n_feats, logw_f)`: hashed unigram+bigram
@@ -921,6 +979,40 @@ object SparkEntry {
        |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
        |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
        |    THEN 1 ELSE 0 END > 0""".stripMargin
+
+  /** The q_mixture_temperature oracle body (T = 2/1) — also the CTE the
+    * packed composition (`q_mixture_temperature_packed`) wraps, so the
+    * two can never drift (the q_mixture_schedule arrangement).
+    */
+  private def temperatureScheduleSql: String = {
+    val (tNum, tDen) = (2L, 1L)
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
+       |  FROM t GROUP BY source),
+       |w AS (SELECT source, src_tokens,
+       |  ${graft.functions.FixedPointLn.lnFSql("src_tokens", "y")},
+       |  (y * $tDen) // $tNum AS y_t,
+       |  ${graft.functions.FixedPointExp.expFSql("y_t", "w_f")}
+       |  FROM s),
+       |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(w_f) AS BIGINT) AS sum_w FROM w),
+       |r AS (SELECT source, src_tokens,
+       |    ((total_tokens * ((w_f * ${Sampling.MixShareScale}) // sum_w))
+       |      // ${Sampling.MixShareScale}) AS want
+       |  FROM w, g)
+       |SELECT t.doc_id, t.source, t.n_toks,
+       |  (r.want // r.src_tokens) +
+       |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
+       |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
+       |    THEN 1 ELSE 0 END AS n_repeats
+       |FROM t JOIN r USING (source)
+       |WHERE (r.want // r.src_tokens) +
+       |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
+       |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
+       |    THEN 1 ELSE 0 END > 0""".stripMargin
+  }
 
   /** The k-round BPE training CTE chain (see `q_bpe_trained`): `w` =
     * weighted vocabulary, `s0` = per-word code-point pieces, then per
@@ -2408,29 +2500,16 @@ object SparkEntry {
     // position order (string_agg skips dropped-line NULLs like Spark's
     // collect_list; all-dropped coalesces to the empty string both sides).
     "q_line_dedup" -> {
-      val (ll, mo, sd) = (graft.operators.Dedup.LineLen,
-        graft.operators.Dedup.LineMinOccurrences, graft.operators.Dedup.LineSeed)
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |l AS (SELECT doc_id, i AS pos,
-         |    array_to_string(toks[i*$ll+1:(i+1)*$ll], ' ') AS line,
-         |    least($ll, len(toks) - i*$ll) AS n_tok
-         |  FROM (SELECT doc_id, toks,
-         |      unnest(range(0, (len(toks) - 1) // $ll + 1)) AS i FROM t) u),
-         |h AS (SELECT doc_id, pos, line, n_tok,
-         |    ${h60(sd, "line")} AS lh FROM l),
+      val mo = graft.operators.Dedup.LineMinOccurrences
+      s"""WITH $lineCtes,
          |f AS (SELECT lh FROM h GROUP BY lh HAVING count(*) >= $mo)
-         |SELECT h.doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_lines,
-         |  CAST(sum(CASE WHEN f.lh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_lines_dropped,
-         |  CAST(sum(CASE WHEN f.lh IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT)
-         |    AS n_tokens_dropped,
-         |  md5(coalesce(
-         |    string_agg(CASE WHEN f.lh IS NULL THEN line END, ' ' ORDER BY pos),
-         |    '')) AS kept_md5
-         |FROM h LEFT JOIN f ON h.lh = f.lh
-         |GROUP BY h.doc_id""".stripMargin
+         |${lineReportSql("h")}""".stripMargin
     },
+    // Incremental twin (shared verbatim by the streaming drain): corpus
+    // lines below the split form the frozen index at freq >= minOcc-1;
+    // the shard side excises against it only.
+    "q_line_dedup_incremental" -> lineDedupIncrementalOracle,
+    "q_stream_line_dedup_incremental" -> lineDedupIncrementalOracle,
     // Per-source curation rollup: corpus-wide fp counts joined back, then
     // per-source aggregation; avg is one division of exact BIGINTs.
     "q_source_stats" ->
@@ -3402,35 +3481,17 @@ object SparkEntry {
     // n_s^(1/T) via the ln_f → scale-by-tDen/tNum → exp_f integer chains
     // (lateral aliases replay the engine kernels bit-for-bit), then the
     // identical epoch/Bernoulli tail. T = 2/1 interpolated.
-    "q_mixture_temperature" -> {
-      val (tNum, tDen) = (2L, 1L)
-      s"""WITH t AS (SELECT doc_id, source,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
-         |  FROM documents),
-         |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
-         |  FROM t GROUP BY source),
-         |w AS (SELECT source, src_tokens,
-         |  ${graft.functions.FixedPointLn.lnFSql("src_tokens", "y")},
-         |  (y * $tDen) // $tNum AS y_t,
-         |  ${graft.functions.FixedPointExp.expFSql("y_t", "w_f")}
-         |  FROM s),
-         |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
-         |    CAST(sum(w_f) AS BIGINT) AS sum_w FROM w),
-         |r AS (SELECT source, src_tokens,
-         |    ((total_tokens * ((w_f * ${Sampling.MixShareScale}) // sum_w))
-         |      // ${Sampling.MixShareScale}) AS want
-         |  FROM w, g)
-         |SELECT t.doc_id, t.source, t.n_toks,
-         |  (r.want // r.src_tokens) +
-         |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
-         |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
-         |    THEN 1 ELSE 0 END AS n_repeats
-         |FROM t JOIN r USING (source)
-         |WHERE (r.want // r.src_tokens) +
-         |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
-         |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
-         |    THEN 1 ELSE 0 END > 0""".stripMargin
-    },
+    "q_mixture_temperature" -> temperatureScheduleSql,
+    // Temperature schedule composed with the packing prefix sum — the
+    // same wrapper q_mixture_packed puts on the default schedule.
+    "q_mixture_temperature_packed" ->
+      s"""WITH sched AS ($temperatureScheduleSql)
+         |SELECT doc_id,
+         |  CAST(n_toks * n_repeats AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(SUM(n_toks * n_repeats) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tok_start
+         |FROM sched""".stripMargin,
     // Mixture ∘ packing: exclusive prefix sum of n_toks×n_repeats in
     // doc_id order over the schedule CTE (shared verbatim above).
     "q_mixture_packed" ->

@@ -1041,10 +1041,23 @@ object Dedup {
   def lineDedup(
       documents: DataFrame, lineLen: Int = LineLen,
       minOccurrences: Int = LineMinOccurrences): DataFrame = {
-    // raw single-space tokenization, like duplicatedNgramSpans: excision
-    // must cut the text the pipeline actually ships, not a normalized
-    // shadow (the corpus is already lowercase single-spaced)
-    val lines = graft.Parallelism.ensure(documents)
+    val lines = linesOf(documents, lineLen)
+    val frequent = lines
+      .groupBy("lh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOccurrences)
+      .select(col("lh"), lit(1).as("dup"))
+    excisionReport(lines, frequent)
+  }
+
+  /** The (doc_id, pos, line, n_tok, lh) line frame both line-dedup forms
+    * start from: raw single-space tokenization (like
+    * [[duplicatedNgramSpans]] — excision must cut the text the pipeline
+    * actually ships, not a normalized shadow; the corpus is already
+    * lowercase single-spaced) chopped into non-overlapping
+    * `lineLen`-token windows, each carrying its 60-bit content hash.
+    */
+  private[graft] def linesOf(documents: DataFrame, lineLen: Int): DataFrame =
+    graft.Parallelism.ensure(documents)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(expr(
@@ -1055,12 +1068,15 @@ object Dedup {
         least(lit(lineLen), size(col("toks")) - col("pos") * lineLen)
           .cast("long").as("n_tok"),
         graft.functions.HashFunctions.md5Long(col("line"), LineSeed).as("lh"))
-    val frequent = lines
-      .groupBy("lh").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= minOccurrences)
-      .select(col("lh"), lit(1).as("dup"))
+
+  /** The per-document excision fold shared by [[lineDedup]] and the
+    * incremental/streaming twins: `dupKeys` is a (lh, dup=1) verdict
+    * frame; lines it marks drop, the rest re-join in position order.
+    */
+  private[graft] def excisionReport(
+      lines: DataFrame, dupKeys: DataFrame): DataFrame =
     lines
-      .join(frequent, Seq("lh"), "left")
+      .join(dupKeys, Seq("lh"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -1077,7 +1093,44 @@ object Dedup {
         col("n_tokens_dropped"),
         md5(concat_ws(" ", expr("transform(array_sort(kept), x -> x.line)")))
           .as("kept_md5"))
-  }
+
+  /** The frozen corpus-side line-frequency index for the incremental
+    * probes: only lines ONE more occurrence tips over the excision
+    * threshold (freq ≥ minOccurrences − 1) are kept — the slim artifact a
+    * batch joins against, the [[corpusBandIndex]] analogue for lines.
+    */
+  private[graft] def corpusLineIndex(
+      corpusLines: DataFrame, minOccurrences: Int): DataFrame =
+    corpusLines
+      .groupBy("lh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOccurrences - 1)
+      .select(col("lh"), lit(1).as("dup"))
+
+  /** Incremental LINE dedup — the continuous-ingestion twin of
+    * [[lineDedup]], following the family's frozen-artifact asymmetry
+    * ([[incrementalNearDups]], `Dsir.incrementalScores`): the corpus
+    * below the ingest split contributes a FROZEN frequency index (built
+    * once, never shifted by the batch being judged), and an incoming
+    * shard line is excised iff the corpus has already seen it
+    * `minOccurrences − 1` times — this occurrence is the one that tips
+    * the threshold. Shard-INTERNAL repeats wait for the next full pass,
+    * exactly like shard-internal near-dup pairs in the banded probe.
+    *
+    * Cost per batch: O(shard lines) + an equi-join against the slim
+    * index; the corpus is scanned once at index build, never per batch.
+    * Output: the [[lineDedup]] report shape, shard documents only.
+    */
+  def incrementalLineDedup(
+      documents: DataFrame, lineLen: Int = LineLen,
+      minOccurrences: Int = LineMinOccurrences): DataFrame =
+    ingestSplitOf(documents) match {
+      case None => lineDedup(documents, lineLen, minOccurrences) // empty in, empty out
+      case Some(split) =>
+        val idx = corpusLineIndex(
+          linesOf(documents.where(col("doc_id") < split), lineLen), minOccurrences)
+        excisionReport(
+          linesOf(documents.where(col("doc_id") >= split), lineLen), idx)
+    }
 }
 
 /** Session-persisted per-corpus signature table — the production shape

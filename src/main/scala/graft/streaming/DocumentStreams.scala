@@ -308,6 +308,56 @@ object DocumentStreams {
     result
   }
 
+  /** STREAMING incremental LINE dedup — `Dedup.incrementalLineDedup`
+    * running as continuous ingestion: the corpus's slim line-frequency
+    * index (lines one occurrence short of the excision threshold) is the
+    * FROZEN artifact, built once below the ingest split and
+    * localCheckpointed; each arriving micro-batch chops its own lines and
+    * excises against the index through the SHARED
+    * `Dedup.excisionReport`/`linesOf` pieces, so the stream answers with
+    * the batch twin's exact report (shared oracle). Per-batch
+    * `batch=<id>` overwrite dirs: idempotent under replay, exactly-once
+    * in the log — the standard contract of this file's sinks.
+    */
+  def incrementalLineDedupToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None => Dedup.lineDedup(docs) // empty in, empty out
+      case Some(split) =>
+        val idx = Dedup.corpusLineIndex(
+          Dedup.linesOf(docs.where(col("doc_id") < split), Dedup.LineLen),
+          Dedup.LineMinOccurrences).localCheckpoint()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_linededup")
+        java.nio.file.Files.createDirectories(tmp.resolve("out"))
+        val stream = rawSource(spark, dir).where(col("doc_id") >= split)
+        EventStreams.withStreamShufflePartitions(spark) {
+          val q = stream.writeStream
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              Dedup.excisionReport(Dedup.linesOf(batch, Dedup.LineLen), idx)
+                .write.mode("overwrite")
+                .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_lines", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_lines_dropped", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_tokens_dropped", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("kept_md5", org.apache.spark.sql.types.StringType)))
+        val result = spark.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(tmp.resolve("out").toString)
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        result
+    }
+  }
+
   /** STREAMING incremental near-dup — `Dedup.incrementalNearDups` running
     * as continuous ingestion: the corpus's shingles and capped LSH band
     * index are built ONCE as static frames, and each micro-batch of

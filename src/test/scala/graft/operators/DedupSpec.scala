@@ -435,6 +435,44 @@ class DedupSpec extends SparkSpec {
     assert(got(3L)._1 === 2L && got(3L)._2 === 0L && got(3L)._3 === 0L)
   }
 
+  test("incrementalLineDedup: corpus-frozen index, shard-internal repeats wait") {
+    // ids 0..7 -> split = 8*4/5 = 6: corpus = 0..5, shard = 6..7
+    val banner = "accept all cookies to continue reading this site"
+    val fresh = "completely novel shard only content never seen before"
+    val d = docs(
+      0L -> s"$banner alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "corpus only words that repeat nowhere else at all here",
+      2L -> "more unique corpus filler text so the split lands right",
+      3L -> "third corpus document with its own words and nothing shared",
+      4L -> "fourth corpus document again fully distinct from the others",
+      5L -> "fifth corpus document also unique in every token window",
+      // shard: doc 6 re-ships the corpus banner (freq 1 in corpus >=
+      // minOcc-1 -> excised) AND a line repeated only WITHIN the shard
+      6L -> s"$banner $fresh",
+      7L -> s"$fresh and some trailing words to close the shard document")
+    val got = Dedup.incrementalLineDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // shard docs only — the corpus is the index, never re-reported
+    assert(got.keySet === Set(6L, 7L))
+    // doc 6: the banner line (8 toks, corpus-seen) drops; the fresh line
+    // appears in BOTH shard docs but nowhere in the corpus — it must
+    // SURVIVE (shard-internal repeats wait for the next full pass)
+    assert(got(6L) === ((2L, 1L, 8L)))
+    assert(got(7L)._2 === 0L)
+    // composition: probing the shard in two singleton batches against the
+    // same frozen index gives the same union (stateless across batches)
+    val idx = Dedup.corpusLineIndex(
+      Dedup.linesOf(d.where(col("doc_id") < 6L), Dedup.LineLen),
+      Dedup.LineMinOccurrences)
+    val oneByOne = Seq(6L, 7L).flatMap { id =>
+      Dedup.excisionReport(
+        Dedup.linesOf(d.where(col("doc_id") === id), Dedup.LineLen), idx)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    }.toMap
+    assert(oneByOne === got)
+  }
+
   test("lineDedup == brute force on the sf0.001 corpus, partition-invariant") {
     val documents = graft.Tables.documents(spark, sf("sf0.001"))
     val rows = documents.select("doc_id", "text").collect()

@@ -155,6 +155,18 @@ class DocumentStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental line dedup equals the batch operator (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val streamed = canon(DocumentStreams.incrementalLineDedupToBatch(spark, dir))
+    val batch = canon(graft.operators.Dedup.incrementalLineDedup(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming incremental dedup equals the batch operator (driver data)") {
     val dir = sf("sf0.001")
     def canon(df: org.apache.spark.sql.DataFrame) =
