@@ -208,9 +208,19 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"),
         bestCellOf(cents)(col("embedding")).as("cell"))
+    // Duplicate-collapse identical seed vectors to their min-id member —
+    // the r8 SemDeDup rep idiom, EXACT here: the prediction tie-break is
+    // min(nb_id) at equal cosine, identical vectors always tie, and a
+    // group's min id is its rep, so collapsing changes nothing. Without
+    // this the per-cell queries×seeds join grows quadratically under
+    // crawl-shaped duplication (measured 31×/decade at the sf10 uniform
+    // replica, where every vector has 100 verbatim copies; linear after).
     val seeds = keyed.where(col("vec_id") % LabelSeedMod === 0)
-      .select(col("cell"), col("vec_id").as("nb_id"), col("label").as("nb_label"),
-        col("embedding").as("nb_vec"), col("nrm").as("nb_nrm"))
+      .groupBy(col("cell"), col("embedding"))
+      .agg(min(struct(col("vec_id"), col("label"))).as("m"),
+        max(col("nrm")).as("nb_nrm"))
+      .select(col("cell"), col("m.vec_id").as("nb_id"), col("m.label").as("nb_label"),
+        col("embedding").as("nb_vec"), col("nb_nrm"))
     val scored = keyed.where(col("vec_id") % LabelSeedMod =!= 0)
       .join(seeds, Seq("cell"))
       .select(col("vec_id"), col("cell"), col("label"), col("nb_id"), col("nb_label"),

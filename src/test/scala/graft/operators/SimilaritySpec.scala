@@ -258,6 +258,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._1 % Similarity.LabelSeedMod != 0))
   }
 
+  test("cellKnnLabel: duplicate-collapsed seeds preserve the min-id tie-break exactly") {
+    import spark.implicits._
+    // three VERBATIM-identical seed vectors (ids 4, 8, 12) carrying
+    // DIFFERENT labels: every query tying on them must predict the label
+    // of the SMALLEST seed id (the collapse keeps min(struct(id, label)),
+    // so the rep is exactly the tie-break winner)
+    val dup = Array(10f, 0f, 0f, 0f)
+    val rows: Seq[(Long, Int, Array[Float])] = Seq(
+      (4L, 7, dup), (8L, 3, dup), (12L, 5, dup),
+      // far-away second cone so training has two centers
+      (16L, 9, Array(0f, 0f, 10f, 0f)),
+      // queries near the duplicated seed
+      (1L, 7, Array(10f, 0.1f, 0f, 0f)),
+      (2L, 3, Array(10f, 0.2f, 0f, 0f)),
+      // query near the lone seed
+      (17L, 9, Array(0f, 0.1f, 10f, 0f)))
+    val d = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.cellKnnLabel(d, nLists = 2, trainIters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getBoolean(5)))).toMap
+    assert(got(1L) === ((7, true)))  // min seed id 4 carries label 7
+    assert(got(2L) === ((7, false))) // NOT 3 or 5, even though 8/12 tie
+    assert(got(17L) === ((9, true)))
+  }
+
   test("semDeDup planted cases: duplicate group keeps min id, sub-threshold pair survives, " +
     "zero vectors never pair") {
     import spark.implicits._
