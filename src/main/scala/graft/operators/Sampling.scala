@@ -242,6 +242,28 @@ object Sampling {
     * `w_s · 1000` and the Σw sum stay exact for any corpus int64 can
     * count tokens in.
     */
+  /** (source, src_tokens, y_f, y_t, w_f = exp_f((ln_f(n)·tDen) div tNum))
+    * over a (source, src_tokens) frame. exp_f's octave guard NULLs past
+    * n^(1/T) ≥ 2^42 (a >4e12-token source at T = 1); left alone that NULL
+    * would sum into sum_w, NULL every share, and the n_repeats > 0 filter
+    * would present an EMPTY schedule as a valid answer — the same silent
+    * laundering the DSIR empty-target guard exists for. Fail loudly on
+    * this ≤|sources|-row frame instead; the caller's fix is a larger T or
+    * per-source-group sharding (the documented int64 bound).
+    */
+  private[graft] def temperedWeights(
+      bySrc: DataFrame, tNum: Long, tDen: Long): DataFrame =
+    bySrc
+      .withColumn("y_f", graft.functions.FixedPointLn.lnF(col("src_tokens")))
+      .withColumn("y_t", expr(s"(y_f * ${tDen}L) div ${tNum}L"))
+      .withColumn("w_f",
+        when(col("y_t").isNotNull
+            && graft.functions.FixedPointExp.expF(col("y_t")).isNull,
+          raise_error(lit("temperatureSchedule: source token count " +
+            "overflows the exp_fixed domain (n^(1/T) >= 2^42) - raise T " +
+            "or shard the schedule per source group")).cast("long"))
+          .otherwise(graft.functions.FixedPointExp.expF(col("y_t"))))
+
   def temperatureSchedule(documents: DataFrame,
       tNum: Long = 2L, tDen: Long = 1L,
       budgetTokens: Option[Long] = None,
@@ -252,10 +274,7 @@ object Sampling {
         "overflows the fixed-point domain")
     val toks = srcTokens(documents)
     val bySrc = toks.groupBy("source").agg(sum("n_toks").as("src_tokens"))
-    val w = bySrc
-      .withColumn("y_f", graft.functions.FixedPointLn.lnF(col("src_tokens")))
-      .withColumn("y_t", expr(s"(y_f * ${tDen}L) div ${tNum}L"))
-      .withColumn("w_f", graft.functions.FixedPointExp.expF(col("y_t")))
+    val w = temperedWeights(bySrc, tNum, tDen)
     val totals = w.agg(
       sum("src_tokens").cast("long").as("total_tokens"),
       sum("w_f").as("sum_w"))

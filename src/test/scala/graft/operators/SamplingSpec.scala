@@ -204,6 +204,18 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.temperatureSchedule(d, tNum = 1L, tDen = 2L)
     }
+
+    // a source past the exp_f octave bound (n^(1/T) >= 2^42) must raise,
+    // not launder into an empty schedule (synthetic frame: real text
+    // cannot reach 2^50 tokens in a test)
+    val huge = Seq(("srcHuge", 1L << 50)).toDF("source", "src_tokens")
+    val err = intercept[Exception] {
+      Sampling.temperedWeights(huge, 1L, 1L).collect()
+    }
+    assert(err.getMessage.contains("exp_fixed domain"))
+    // and the same frame under a big-enough T is fine
+    val ok = Sampling.temperedWeights(huge, 8L, 1L).collect()
+    assert(ok.length === 1 && !ok(0).isNullAt(ok(0).fieldIndex("w_f")))
   }
 
   test("curriculumOrder: dense easy-first permutation, strided interleave, invariance") {
