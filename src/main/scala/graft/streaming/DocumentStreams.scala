@@ -46,10 +46,7 @@ object DocumentStreams {
     * split).
     */
   def rawSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    EventStreams.tableStream(spark, dir, "documents", rawSchema)
 
   /** [[rawSource]] watermarked on a synthetic ingest time derived from
     * doc_id (1 doc/second from [[IngestEpochStart]]) — the driver's table

@@ -16,12 +16,11 @@ object EmbeddingStreams {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  /** File-stream source over the driver's embeddings parquet. */
+  /** File-stream source over the embeddings parquet (single-file or
+    * directory layout — see [[EventStreams.tableStream]]).
+    */
   def rawSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+    EventStreams.tableStream(spark, dir, "embeddings", rawSchema)
 
   /** STREAMING incremental SemDeDup — `Similarity.semDeDupIncremental`
     * running as continuous ingestion: the corpus's k-means centroids and

@@ -46,23 +46,40 @@ object EventStreams {
   def rawSource(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType =
-      try spark.read
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .schema("ts").dataType
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
       catch { // no file to sniff (empty dir): any declared layout yields
         case _: org.apache.spark.sql.AnalysisException => LongType
       } // the same (empty) stream, so default to the legacy long-nanos one
-    val src = spark.readStream
-      .schema(rawSchema(tsType))
-      // the file stream source wants a directory; events.parquet is a
-      // single file, so stream the table dir filtered down to it
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = tableStream(spark, dir, "events", rawSchema(tsType))
     tsType match {
       case LongType => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => src
       case _ => src.withColumn("ts", col("ts").cast(TimestampType))
     }
+  }
+
+  /** Stream the `<dir>/<table>.parquet` table whether it is a single
+    * file (the driver's testdata layout) or a directory of part files
+    * (ScaleUp replicas — any Spark-written table). The file stream
+    * source wants a DIRECTORY to list: a directory table streams
+    * directly; a single-file table streams the parent dir filtered down
+    * to the file name. The distinction matters because a
+    * `pathGlobFilter` on the parent dir matches LEAF file names — against
+    * a directory table it matches nothing and silently yields an EMPTY
+    * stream (caught in round 12: every replica streaming measurement was
+    * draining zero rows). One FileSystem stat, Hadoop-FS general.
+    */
+  private[streaming] def tableStream(
+      spark: SparkSession, dir: String, table: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+    val isDir =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    val r = spark.readStream.schema(schema)
+    if (isDir) r.parquet(p.toString)
+    else r.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
   /** [[rawSource]] watermarked on event time. */
