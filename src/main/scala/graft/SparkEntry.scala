@@ -296,6 +296,12 @@ object SparkEntry {
     // token-offset spans) — the excision cut list, not just the flag
     "q_span_decontam" -> ((s, dir) =>
       TextAnalysis.spanDecontaminate(Tables.documents(s, dir))),
+    // The 100 TB shape of the same cut list: eval grams folded into an
+    // m-bounded Bloom bitmap, every train window pays one codegen'd
+    // scan-stage membership test, only the contaminated sliver reaches
+    // the exact semi-join. Pass-through (same oracle) by construction.
+    "q_decontam_bloom" -> ((s, dir) =>
+      TextAnalysis.spanDecontaminateBloom(Tables.documents(s, dir))),
     // CDC apply: latest-wins MERGE INTO (update matched, keep unmatched)
     "q_merge_upsert" -> ((s, dir) =>
       Relational.upsertLatestOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -309,6 +315,10 @@ object SparkEntry {
       Sampling.exactStratifiedSample(Tables.documents(s, dir))),
     // quality-weighted Bernoulli (keep prob ∝ token count, content-hash draw)
     "q_sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
+    // EXACT-k weighted sample without replacement (Efraimidis–Spirakis
+    // A-ES): bottom-k of −ln(u)/w keys through the portable fixed-point
+    // ln; k-bounded TakeOrderedAndProject, never a global sort.
+    "q_sample_aes" -> ((s, dir) => Sampling.weightedExactSample(Tables.documents(s, dir))),
     // source-mixture schedule: equal token share per source, epochs for
     // small sources, content-hash thinning for big ones
     "q_mixture_schedule" -> ((s, dir) => Sampling.mixtureSchedule(Tables.documents(s, dir))),
@@ -365,6 +375,12 @@ object SparkEntry {
       SignatureStore.table(s, dir).drop("sh", "group_id", "members")),
     "q_dedup_neardup" -> ((s, dir) =>
       Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir))),
+    // EXACT (recall-1) near-dup pairs by SSJoin/PPJoin prefix filtering:
+    // rarest-first ordered prefixes joined, length-filtered, verified —
+    // the deterministic ground-truth twin of the banded miner, same
+    // brute-force oracle with no banding-equivalence caveat.
+    "q_neardup_exact" -> ((s, dir) =>
+      Dedup.prefixNearDupPairs(SignatureStore.table(s, dir))),
     // Banding S-curve tuning card: closed-form P(detect | jaccard) for the
     // configured (bands, rows) next to the observed verified-pair mass.
     "q_lsh_curve" -> ((s, dir) =>
@@ -3324,6 +3340,34 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_windows
          |FROM isl GROUP BY doc_id, isl""".stripMargin
     },
+    // The Bloom prefilter is pass-through (false positives die in the
+    // exact semi-join, false negatives are structurally impossible), so
+    // the bloom-prefiltered form answers the same SQL as q_span_decontam.
+    "q_decontam_bloom" -> {
+      val n = TextAnalysis.DecontamNgram
+      s"""WITH t AS ($tokCte),
+         |c AS (SELECT doc_id,
+         |  toks[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks FROM t),
+         |win AS (SELECT doc_id, CAST(i AS BIGINT) AS s,
+         |    ${h60(n, s"array_to_string(toks[i+1:i+$n], ' ')")} AS gh
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - ${n - 1})) AS i
+         |        FROM c WHERE len(toks) >= $n) u),
+         |ev AS (SELECT DISTINCT gh FROM win
+         |  WHERE doc_id % ${TextAnalysis.EvalHoldoutMod} = 0),
+         |hits AS (SELECT w.doc_id, w.s FROM win w JOIN ev USING (gh)
+         |  WHERE w.doc_id % ${TextAnalysis.EvalHoldoutMod} <> 0),
+         |fl AS (SELECT doc_id, s,
+         |    CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) < $n
+         |         THEN 0 ELSE 1 END AS newisl
+         |  FROM hits),
+         |isl AS (SELECT doc_id, s, sum(newisl)
+         |    OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM fl)
+         |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+         |  CAST(max(s) + ${n - 1} AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, isl""".stripMargin
+    },
     // The batch mirror of the streaming interval join: all same-user
     // (purchase, click) pairs with the click in [p_ts - 1h, p_ts]. Epoch
     // micros on both sides = exact integer comparisons.
@@ -3473,6 +3517,21 @@ object SparkEntry {
          |    ${h60(Sampling.WeightedSeed, "doc_id")} % ${Sampling.WeightCap} AS draw
          |  FROM documents) t
          |WHERE draw < least(weight, ${Sampling.WeightCap})""".stripMargin,
+    // A-ES keys replayed through the identical integer-ln chain (lateral
+    // aliases), bottom-k by (key_f, doc_id).
+    "q_sample_aes" -> {
+      import graft.functions.FixedPointLn.{lnFSql, Scale}
+      val lnS = graft.functions.FixedPointLn.lnFRef(Scale)
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS weight,
+         |    ${h60(Sampling.AesSeed, "doc_id")} % $Scale + 1 AS hp1
+         |  FROM documents),
+         |l AS (SELECT doc_id, weight,
+         |  ${lnFSql("hp1", "lh")}
+         |  FROM d WHERE weight > 0)
+         |SELECT doc_id, weight, ($lnS - lh) * $Scale // weight AS key_f
+         |FROM l ORDER BY key_f, doc_id LIMIT ${Sampling.AesTarget}""".stripMargin
+    },
     // Mixture schedule: all-integer epochs+fraction per source (uniform
     // thousandth-shares, budget = corpus total), md5 Bernoulli on the
     // fractional arm. Every constant interpolated from the operator.
@@ -3513,6 +3572,20 @@ object SparkEntry {
     // near-dup pairs all sit at ~0.99 (miss prob ~6e-15), with the next
     // pair below 0.14, so banding and brute force agree deterministically.
     "q_dedup_neardup" ->
+      s"""WITH sh AS ($shCte)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.sh, b.sh)) AS inter,
+         |  len(list_distinct(a.sh || b.sh)) AS uni,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // The prefix-filtered EXACT miner emits the jaccard>=0.5 pair set BY
+    // THEOREM (no banding probability, no bucket cap), so the brute-force
+    // pair SQL is its oracle with no equivalence argument needed.
+    "q_neardup_exact" ->
       s"""WITH sh AS ($shCte)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  len(list_intersect(a.sh, b.sh)) AS inter,

@@ -293,6 +293,104 @@ object Dedup {
           .otherwise(lit("partial")))
   }
 
+  /** EXACT near-duplicate pair mining by PREFIX FILTERING (the SSJoin /
+    * PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008): the
+    * deterministic, recall-1 complement to the MinHash banding miner.
+    * Same input (the signature store's shingle sets), same threshold,
+    * same output columns as [[nearDuplicatePairsFromTable]] — but where
+    * banding is probabilistic (a pair can miss every band) and capped
+    * (oversized buckets are dropped), this operator provably emits EVERY
+    * pair with jaccard ≥ τ and so shares the brute-force oracle with no
+    * equivalence caveat.
+    *
+    * The pruning theorem: fix any total order on shingles and sort each
+    * set by it. If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉ =: o, and
+    * the smallest common shingle must sit within the first |S| − o + 1
+    * elements of BOTH sets (all o common elements order at or after it,
+    * so its position is ≤ |S| − o + 1). Hence joining only the length-
+    * (|S| − ⌈τ|S|⌉ + 1) PREFIXES finds every qualifying pair, and the
+    * order is chosen to make prefixes maximally selective: ascending
+    * document frequency, so each doc's prefix holds its RAREST shingles
+    * and corpus-common boilerplate shingles (the high-fan-out join keys)
+    * are exiled to the suffixes that never join. A length filter
+    * (τ|A| ≤ |B| ≤ |A|/τ, exact in cross-multiplied integers) prunes
+    * size-incompatible candidates before the exact verify.
+    *
+    * Scale shape: df is one vocabulary-bounded hash-agg over DISTINCT
+    * content (reps, so the order — and with it the whole pair set — is
+    * invariant under duplication); per-set ordering is a local
+    * array_sort, no global rank structure; candidates come from one
+    * equi-join of the two prefix frames; verification is one
+    * array_intersect per candidate pair. No caps and no drops — the
+    * honest cost of exactness is that a corpus whose similar family is
+    * quadratically large gets a quadratically large OUTPUT (the skew
+    * replica's 16.7k-doc template family alone implies ~1.4×10⁸ true
+    * pairs; the capped LSH miner is the documented scale path there,
+    * this the ground-truth path where completeness is the contract).
+    */
+  def prefixNearDupPairs(
+      tbl: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val milli = math.round(threshold * 1000)
+    val keyed =
+      if (tbl.columns.contains("group_id")) tbl else withContentGroups(tbl)
+    val reps = keyed
+      .where(col("doc_id") === col("group_id") && size(col("sh")) > 0)
+      .select(col("group_id").as("rep_id"), col("sh"), col("members"))
+    val members = keyed.select(col("group_id").as("rep_id"), col("doc_id"))
+    val exploded = reps.select(col("rep_id"), explode(col("sh")).as("g"))
+    val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    // per-set (df asc, shingle asc) order + sizes; sh elements are
+    // distinct by construction so collect_list is the set
+    val ordered = exploded.join(dfreq, "g")
+      .groupBy("rep_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("rs"),
+        count(lit(1)).as("n"))
+    // prefix length n − ⌈τn⌉ + 1, all-integer ceil; consumed by both
+    // self-join sides — checkpoint, and repartition for the same
+    // AQE-coalescing reason as the banded frames
+    val prefixes = ordered
+      .select(col("rep_id"), col("n"),
+        explode(slice(col("rs"), lit(1),
+          (col("n") - expr(s"($milli * n + 999) DIV 1000") + lit(1))
+            .cast("int"))).as("e"))
+      .select(col("rep_id"), col("n"), col("e.g").as("g"))
+      .repartition(tbl.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val candidates = prefixes.as("l")
+      .join(prefixes.as("r"),
+        col("l.g") === col("r.g") && col("l.rep_id") < col("r.rep_id") &&
+          lit(1000L) * col("l.n") >= lit(milli) * col("r.n") &&
+          lit(1000L) * col("r.n") >= lit(milli) * col("l.n"))
+      .select(col("l.rep_id").as("rep_a"), col("r.rep_id").as("rep_b"))
+      .distinct()
+    val repSh = reps.select(col("rep_id"), col("sh"))
+    val repPairs = candidates
+      .join(repSh.select(col("rep_id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
+      .join(repSh.select(col("rep_id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
+      .select(
+        col("rep_a"), col("rep_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+      // exact integer gate — identical set to `jaccard >= threshold`
+      .where(lit(1000L) * col("inter") >= lit(milli) * col("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+    // identical-content groups: jaccard is identically 1, no verify join
+    // and — unlike the banded miner — no cap gate to survive
+    val selfPairs = reps
+      .where(col("members") > 1 && lit(1000L) >= lit(milli))
+      .select(col("rep_id").as("rep_a"), col("rep_id").as("rep_b"),
+        size(col("sh")).as("inter"), size(col("sh")).as("uni"),
+        lit(1.0).as("jaccard"))
+    repPairs.unionByName(selfPairs)
+      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("id_a")), "rep_a")
+      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("id_b")), "rep_b")
+      .where(col("rep_a") =!= col("rep_b") || col("id_a") < col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("inter"), col("uni"), col("jaccard"))
+  }
+
   /** AGREEMENT report between the two lexical near-dup detectors: the
     * MinHash/Jaccard pair set (shingle overlap ≥ 0.5) vs the SimHash
     * pair set (hamming ≤ 3 over token-hash sign sums), bucketed into

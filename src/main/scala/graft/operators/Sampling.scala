@@ -137,6 +137,51 @@ object Sampling {
         (HashFunctions.md5Long(col("doc_id").cast("string"), seed) % cap).as("draw"))
       .where(col("draw") < least(col("weight"), lit(cap)))
 
+  /** Seed and sample size for [[weightedExactSample]] (distinct seed —
+    * independent of the Bernoulli draws).
+    */
+  val AesSeed: Int = 29
+  val AesTarget: Long = 200L
+
+  /** EXACT-k weighted sample WITHOUT replacement — Efraimidis & Spirakis
+    * 2006 ("Weighted random sampling with a reservoir", algorithm A-ES)
+    * in the exponential-race form: item i draws u_i ∈ (0,1] and the
+    * sample is the k SMALLEST keys −ln(u_i)/w_i. [[weightedSample]] is
+    * the expected-size Bernoulli tilt; this is the contract form — a
+    * pipeline that owes the trainer "exactly k documents, longer docs
+    * proportionally likelier" (inclusion probability follows weighted
+    * sampling without replacement exactly).
+    *
+    * Bit-portable end to end: u_i = (h_i+1)/2^20 from the 20-bit content
+    * draw, so −ln(u_i) = ln_f(2^20) − ln_f(h_i+1) through the SAME
+    * portable integer-ln chain as the DSIR family, and the key is one
+    * fixed-point floor division by the token weight (ties broken by
+    * doc_id; the oracle replays the identical integer chain, so the
+    * selected SET matches hash-for-hash).
+    *
+    * Scale shape: one scan computing (hash, ln chain, divide) per row —
+    * all codegen'd — into a k-bounded `TakeOrderedAndProject` (per-
+    * partition top-k heaps merged on the driver, the corpus is NEVER
+    * globally sorted; the same reason `q_topk_global` scales). k rows of
+    * output regardless of corpus size.
+    */
+  def weightedExactSample(documents: DataFrame, k: Long = AesTarget,
+      seed: Int = AesSeed): DataFrame = {
+    import graft.functions.FixedPointLn
+    val s20 = FixedPointLn.Scale // 2^20
+    val lnS = FixedPointLn.lnFRef(s20) // ln(2^20), fixed point
+    documents
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("weight"),
+        (HashFunctions.md5Long(col("doc_id").cast("string"), seed) % s20).as("h"))
+      .where(col("weight") > 0)
+      .withColumn("negln_u", lit(lnS) - FixedPointLn.lnF(col("h") + 1))
+      .withColumn("key_f", expr(s"negln_u * $s20 DIV weight"))
+      .orderBy(col("key_f").asc, col("doc_id").asc)
+      .limit(k.toInt)
+      .select("doc_id", "weight", "key_f")
+  }
+
   /** Share resolution for [[mixtureSchedule]]: target shares are granted
     * in THOUSANDTHS (0.1% steps). Coarser than the draw buckets on
     * purpose: `budget × share` must stay inside int64, and thousandths

@@ -800,6 +800,63 @@ object TextAnalysis {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
+  /** [[spanDecontaminate]] with a BLOOM-PREFILTERED probe side — the shape
+    * a 100 TB decontamination pass actually runs (e.g. Dolma's
+    * bloom-filter decontamination): the eval split's n-gram hash set is
+    * folded into an m-bit bitmap ([[RuntimeFilter.bloomBitmap]] — built
+    * distributed, driver transfer bounded by m, never by gram count) and
+    * every train window pays ONE codegen'd scan-stage membership test
+    * before anything shuffles. Windows that cannot match never reach the
+    * exact semi-join; false positives are removed by that join, so the
+    * RESULT IS IDENTICAL to [[spanDecontaminate]] and the registered query
+    * shares its oracle verbatim (the same pass-through contract as
+    * `q_bloom_join`).
+    *
+    * Why it matters at scale: the exact semi-join needs the eval gram set
+    * as a join side — fine while it broadcasts, but a real benchmark
+    * battery's 13-gram set (10⁸–10⁹ hashes) outgrows broadcast and the
+    * probe (every window of the corpus) pays a full shuffle. The bitmap
+    * stays m-bounded (128 MB at the 2^30 cap) no matter how many grams
+    * feed it, rides to executors in the task binary, and drops the
+    * overwhelmingly-clean corpus at the scan, so the exact join's probe
+    * side is the contaminated sliver. FP rate at the sized m is ~0.7%
+    * ([[RuntimeFilter.BloomBitsPerKey]]), i.e. the residual join is ~170×
+    * smaller than the unfiltered one on a clean corpus.
+    */
+  def spanDecontaminateBloom(
+      documents: DataFrame, n: Int = DecontamNgram,
+      evalMod: Int = EvalHoldoutMod): DataFrame = {
+    val win = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"),
+        slice(split(trim(col("text")), "\\s+"), 1,
+          graft.functions.TextFunctions.MaxShingleTokens).as("ts"))
+      .where(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ts) - $n), " +
+          s"i -> struct(i AS s, array_join(slice(ts, i + 1, $n), ' ') AS g))")).as("w"))
+      .select(col("doc_id"), col("w.s").cast("long").as("s"),
+        HashFunctions.md5Long(col("w.g"), n).as("gh"))
+    // the eval gram set is consumed three times (count for sizing, bitmap
+    // fold, exact semi-join) — checkpoint so eval docs tokenize once
+    val evalGrams = win.where(col("doc_id") % evalMod === 0)
+      .select("gh").distinct().localCheckpoint()
+    val m = RuntimeFilter.bloomBitsFor(evalGrams.count())
+    val bits = RuntimeFilter.bloomBitmap(evalGrams, "gh", m)
+    val hits = RuntimeFilter
+      .bloomPruneBitmap(win.where(col("doc_id") % evalMod =!= 0), "gh", bits, m)
+      .join(evalGrams, Seq("gh"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    hits
+      .withColumn("newisl",
+        when(col("s") - lag("s", 1).over(w) < n, 0L).otherwise(1L))
+      .withColumn("isl", sum("newisl").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("span_start"), (max("s") + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
   /** −ln α for Stupid Backoff's α = 0.4, in 20-bit fixed point: defined as
     * `ln_f(5) − ln_f(2)` (= ln 2.5 through the portable integer chain), so
     * both engines use the exact same penalty integer.

@@ -489,4 +489,52 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(rep === got)
   }
+
+  test("prefixNearDupPairs equals the brute-force jaccard>=0.5 pair set on the driver corpus") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val tbl = Dedup.withContentGroups(Dedup.shingleSignatureTable(d))
+    val got = Dedup.prefixNearDupPairs(tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val sets = Dedup.shingled(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if 2 * inter >= uni // jaccard >= 0.5, exact integer form
+    } yield (a, b, inter, uni)).toSet
+    assert(got === want)
+    // partition-invariant (the df order is a pure function of content)
+    val again = Dedup.prefixNearDupPairs(
+      Dedup.withContentGroups(Dedup.shingleSignatureTable(d.repartition(7))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(again === got)
+  }
+
+  test("prefixNearDupPairs: recall 1 where the capped banded miner drops; duplicates expand") {
+    // five-doc template family: 40 shared tokens + a unique suffix each —
+    // distinct texts sharing 38 of 39 shingles (J = 38/40 = 0.95)
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val fam = (1L to 5L).map(i => i -> s"$base extra$i")
+    val d2 = docs(fam: _*)
+    val tbl2 = Dedup.withContentGroups(Dedup.shingleSignatureTable(d2))
+    val allPairs = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSet
+    val exact = Dedup.prefixNearDupPairs(tbl2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === allPairs)
+    // cap 1 drops every >=2-doc bucket: the banded miner finds NOTHING
+    // here, the prefix miner's completeness is untouched (no caps at all)
+    val capped = Dedup.nearDuplicatePairsFromTable(tbl2, maxBucketSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.isEmpty)
+    // verbatim duplicates collapse to reps and expand back: doc 6 copies
+    // doc 1's text, so (1,6) is a jaccard-1 pair and 6 pairs like 1 does
+    val d3 = docs((fam :+ (6L -> s"$base extra1")): _*)
+    val tbl3 = Dedup.withContentGroups(Dedup.shingleSignatureTable(d3))
+    val got3 = Dedup.prefixNearDupPairs(tbl3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(got3.contains((1L, 6L, 1.0)))
+    assert(got3.map(p => (p._1, p._2)) ===
+      (allPairs ++ Set((1L, 6L)) ++ (2L to 5L).map(b => (b, 6L)).toSet))
+  }
 }

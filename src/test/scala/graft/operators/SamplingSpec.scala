@@ -250,4 +250,37 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
+
+  test("weightedExactSample: bottom-k A-ES keys equal the lnFRef brute force; exactly k; partition-invariant") {
+    import spark.implicits._
+    import graft.functions.FixedPointLn
+    val rows = (1L to 300L).map(i => (i, ("w " * (i % 37 + 1).toInt).trim))
+    val d = rows.toDF("doc_id", "text")
+    val got = Sampling.weightedExactSample(d, k = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 50)
+    def md5h(id: Long): Long = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Sampling.AesSeed}:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dg.map("%02x".format(_)).mkString.substring(0, 15), 16) % (1L << 20)
+    }
+    val lnS = FixedPointLn.lnFRef(1L << 20)
+    val want = rows.map { case (id, text) =>
+      val w = text.trim.split("\\s+").length.toLong
+      val key = (lnS - FixedPointLn.lnFRef(md5h(id) + 1)) * (1L << 20) / w
+      (id, w, key)
+    }.sortBy { case (id, _, key) => (key, id) }.take(50).toSet
+    assert(got.toSet === want)
+    // k above the corpus size degrades to "all rows"
+    assert(Sampling.weightedExactSample(d, k = 1000L).count() === 300L)
+    // content-keyed: the selected SET is partition-invariant
+    val again = Sampling.weightedExactSample(d.repartition(7), k = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === got.toSet)
+    // the weighted tilt is real: selected docs average heavier than the corpus
+    val corpusMean = rows.map(_._2.split(" ").length.toDouble).sum / rows.size
+    val selMean = got.map(_._2.toDouble).sum / got.length
+    assert(selMean > corpusMean)
+  }
 }

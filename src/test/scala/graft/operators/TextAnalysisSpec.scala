@@ -641,4 +641,28 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(again === got)
   }
+
+  test("spanDecontaminateBloom: pass-through prefilter, identical to the exact form") {
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // planted: same corpus as the exact-form spec, same expected cut list
+    val ev = (1 to 14).map(i => s"e$i").mkString(" ")
+    val e13 = (1 to 13).map(i => s"e$i").mkString(" ")
+    val d = docs(
+      10L -> ev,
+      1L -> s"f1 f2 $ev f3",
+      2L -> ((1 to 7).map(i => s"g$i").mkString(" ") + " " + e13),
+      4L -> (1 to 30).map(i => s"k$i").mkString(" "),
+      20L -> e13)
+    val exact = spans(TextAnalysis.spanDecontaminate(d))
+    val bloom = spans(TextAnalysis.spanDecontaminateBloom(d))
+    assert(bloom === exact)
+    assert(bloom === Set((1L, 2L, 15L, 2L), (2L, 7L, 19L, 1L)))
+    // real corpus: the two forms agree row for row (false positives die in
+    // the exact semi-join; false negatives are structurally impossible —
+    // build and probe fold the same position expressions)
+    val real = graft.Tables.documents(spark, sf("sf0.001"))
+    assert(spans(TextAnalysis.spanDecontaminateBloom(real)) ===
+      spans(TextAnalysis.spanDecontaminate(real)))
+  }
 }
