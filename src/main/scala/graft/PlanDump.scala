@@ -136,6 +136,16 @@ object PlanDump {
       "stupid-backoff scoring: three train-side map-side-combined n-gram aggs, eval per-(doc, trigram) counts checkpointed, five LEFT joins of pre-aggregated frames (AQE on the Zipf keys), level CASE + ln_fixed in the projection, doc_id-keyed final agg",
     "q_span_decontam" ->
       "span decontam: positional window explode -> 60-bit hash (strings never shuffle), eval side DISTINCT before the join, LEFT SEMI keeps hit windows only, per-doc island merge over SPARSE hit rows — the window sort carries contaminated windows, not the corpus",
+    "q_decontam_bloom" ->
+      "bloom decontam: the q_span_decontam shape with the eval gram set folded to an m-bounded bitmap (BitmapOr partial agg) and the train windows pre-filtered by ONE codegen'd positions_set Filter AT THE SCAN STAGE, before the exact LEFT SEMI — the join's probe side is the contaminated sliver, not the corpus",
+    "q_neardup_exact" ->
+      "exact prefix join: df hash-agg over rep shingles, per-set array_sort (no global rank structure), prefix explode + repartitioned self equi-join on shingle with cross-multiplied length filter, array_intersect verify — no CartesianProduct/BNLJ, no cap, candidates bounded by rarest-shingle fan-out",
+    "q_sample_aes" ->
+      "A-ES weighted sample: one scan computing hash + ln_fixed + fixed-point divide (all WholeStageCodegen), straight into a k-bounded TakeOrderedAndProject — per-partition heaps, zero shuffles before the k-row merge",
+    "q_nb_train" ->
+      "NB trainer: label explode-agg + (tok, class) map-side-combined hash-agg, 1-row totals broadcast via BroadcastNestedLoopJoin, ln_fixed llr in the projection — training IS counting, vocabulary-bounded past the first agg",
+    "q_nb_score" ->
+      "NB scoring: per-(doc, tok) counts pre-aggregated BEFORE the vocabulary left join (AQE on the Zipf keys), 1-row prior/floor constants broadcast, doc_id-keyed final fold",
     "q_doc_compression" ->
       "doc compression: bpe_segments kernel over DISTINCT words (persisted rules), word-keyed join to per-(doc, word) counts, doc_id rollup, 1-row corpus floor broadcast — vocabulary-bounded past the first agg",
     "q_retrieval_eval" ->

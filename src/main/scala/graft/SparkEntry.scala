@@ -319,6 +319,11 @@ object SparkEntry {
     // A-ES): bottom-k of −ln(u)/w keys through the portable fixed-point
     // ln; k-bounded TakeOrderedAndProject, never a global sort.
     "q_sample_aes" -> ((s, dir) => Sampling.weightedExactSample(Tables.documents(s, dir))),
+    // The continuously-maintained twin: per micro-batch, the batch's own
+    // bottom-k appended to a log-structured store (bottom-k is a monoid);
+    // merge-on-read resolves the running sample. Full drain ≡ batch.
+    "q_stream_sample_aes" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.aesSampleToBatch(s, dir)),
     // source-mixture schedule: equal token share per source, epochs for
     // small sources, content-hash thinning for big ones
     "q_mixture_schedule" -> ((s, dir) => Sampling.mixtureSchedule(Tables.documents(s, dir))),
@@ -452,6 +457,16 @@ object SparkEntry {
     // per-row fold, no shuffle
     "q_classifier_score" -> ((s, dir) =>
       TextAnalysis.classifierScore(Tables.documents(s, dir))),
+    // TRAINED Naive Bayes quality model (distant supervision from the
+    // corpus's own weak label, train split only): per-token smoothed
+    // log-likelihood ratios through the portable fixed-point ln.
+    "q_nb_train" -> ((s, dir) => TextAnalysis.nbTrain(Tables.documents(s, dir))),
+    // Every doc scored under the trained model: prior + sum c*llr, the
+    // smoothing-floor constant for out-of-vocabulary tokens.
+    "q_nb_score" -> ((s, dir) => TextAnalysis.nbScore(Tables.documents(s, dir))),
+    // Held-out confusion card: the trained filter vs the weak label on
+    // docs the model never saw.
+    "q_nb_eval" -> ((s, dir) => TextAnalysis.nbEval(Tables.documents(s, dir))),
     // quality-ranked keeper per near-dup cluster (longest member, min-id tie)
     "q_dedup_keep_best" -> ((s, dir) =>
       Pipeline.bestOfClusterKeepers(Tables.documents(s, dir),
@@ -653,6 +668,64 @@ object SparkEntry {
     */
   private val tokCte =
     "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents"
+
+  /** Shared CTE chain of the three Naive Bayes oracles: weak label from
+    * RAW tokens (the docStats rule), lowercase empty-filtered train
+    * tokens, class-conditional counts, 1-row totals, and the per-token
+    * llr through four integer-ln lateral chains — so train/score/eval
+    * replay one model and cannot drift.
+    */
+  private def nbCtes: String = {
+    import graft.functions.FixedPointLn.lnFSql
+    s"""t AS ($tokCte),
+       |lab AS (SELECT doc_id, (len(toks) >= 10
+       |    AND len(list_filter(toks, w -> list_contains($stopList, w))) > 0) AS y
+       |  FROM t),
+       |lt AS (SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents WHERE doc_id % ${graft.operators.TextAnalysis.EvalHoldoutMod} <> 0),
+       |cnt AS (SELECT tok,
+       |    CAST(sum(CASE WHEN lab.y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN lab.y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       |  FROM lt JOIN lab ON lt.doc_id = lab.doc_id GROUP BY tok),
+       |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS bign1,
+       |    CAST(sum(n_neg) AS BIGINT) AS bign0,
+       |    CAST(count(*) AS BIGINT) AS v FROM cnt),
+       |mchain AS (SELECT tok, n_pos, n_neg,
+       |  ${lnFSql("n_pos + 1", "la")},
+       |  ${lnFSql("bign1 + v", "lb")},
+       |  ${lnFSql("n_neg + 1", "lc")},
+       |  ${lnFSql("bign0 + v", "ld")}
+       |  FROM cnt, tot),
+       |model AS (SELECT tok, n_pos, n_neg, la - lb - lc + ld AS llr_f FROM mchain)""".stripMargin
+  }
+
+  /** The scoring tail shared by the nb score/eval oracles (appends to
+    * [[nbCtes]]): prior/floor constants and the per-doc posterior fold.
+    */
+  private def nbScoreCtes: String = {
+    import graft.functions.FixedPointLn.lnFSql
+    s"""pri AS (SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS d0
+       |  FROM lab WHERE doc_id % ${graft.operators.TextAnalysis.EvalHoldoutMod} <> 0),
+       |cchain AS (SELECT
+       |  ${lnFSql("d1", "pa")},
+       |  ${lnFSql("d0", "pb")},
+       |  ${lnFSql("bign0 + v", "pc")},
+       |  ${lnFSql("bign1 + v", "pd")}
+       |  FROM pri, tot),
+       |consts AS (SELECT pa - pb AS prior_f, pc - pd AS unseen_f FROM cchain),
+       |sc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+       |    FROM documents) u
+       |  GROUP BY doc_id, tok),
+       |scored AS (SELECT sc.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(max(prior_f) + sum(c * coalesce(model.llr_f, unseen_f)) AS BIGINT)
+       |      AS score_f
+       |  FROM sc LEFT JOIN model ON sc.tok = model.tok, consts
+       |  GROUP BY sc.doc_id)""".stripMargin
+  }
   // shingling is over the first MaxShingleTokens tokens (the operator's
   // bounded-row-size cap) — DuckDB list slicing clamps like Spark's slice
   private val shCte =
@@ -3532,6 +3605,21 @@ object SparkEntry {
          |SELECT doc_id, weight, ($lnS - lh) * $Scale // weight AS key_f
          |FROM l ORDER BY key_f, doc_id LIMIT ${Sampling.AesTarget}""".stripMargin
     },
+    // The monoid merge of per-batch bottom-ks equals the batch bottom-k,
+    // so a full drain answers the same SQL as q_sample_aes.
+    "q_stream_sample_aes" -> {
+      import graft.functions.FixedPointLn.{lnFSql, Scale}
+      val lnS = graft.functions.FixedPointLn.lnFRef(Scale)
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS weight,
+         |    ${h60(Sampling.AesSeed, "doc_id")} % $Scale + 1 AS hp1
+         |  FROM documents),
+         |l AS (SELECT doc_id, weight,
+         |  ${lnFSql("hp1", "lh")}
+         |  FROM d WHERE weight > 0)
+         |SELECT doc_id, weight, ($lnS - lh) * $Scale // weight AS key_f
+         |FROM l ORDER BY key_f, doc_id LIMIT ${Sampling.AesTarget}""".stripMargin
+    },
     // Mixture schedule: all-integer epochs+fraction per source (uniform
     // thousandth-shares, budget = corpus total), md5 Bernoulli on the
     // fractional arm. Every constant interpolated from the operator.
@@ -3679,6 +3767,34 @@ object SparkEntry {
          |        x -> x <> '') AS t
          |    FROM documents))""".stripMargin
     },
+    // The trained NB model table: counting + four integer-ln chains.
+    "q_nb_train" ->
+      s"""WITH $nbCtes
+         |SELECT tok, n_pos, n_neg, llr_f FROM model""".stripMargin,
+    // Per-doc posterior fold under the same model CTEs.
+    "q_nb_score" ->
+      s"""WITH $nbCtes,
+         |$nbScoreCtes
+         |SELECT doc_id, n_tokens, score_f, score_f > 0 AS nb_quality
+         |FROM scored""".stripMargin,
+    // Held-out confusion of the trained filter vs the weak label.
+    "q_nb_eval" ->
+      s"""WITH $nbCtes,
+         |$nbScoreCtes,
+         |ev AS (SELECT s.doc_id, s.score_f > 0 AS p, lab.y
+         |  FROM scored s JOIN lab ON s.doc_id = lab.doc_id
+         |  WHERE s.doc_id % ${graft.operators.TextAnalysis.EvalHoldoutMod} = 0),
+         |cm AS (SELECT
+         |    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM ev)
+         |SELECT tp, fp, fn, tn,
+         |  (tp + tn) * 1000 // (tp + fp + fn + tn) AS accuracy_milli,
+         |  CASE WHEN tp + fp > 0 THEN tp * 1000 // (tp + fp) END AS precision_milli,
+         |  CASE WHEN tp + fn > 0 THEN tp * 1000 // (tp + fn) END AS recall_milli
+         |FROM cm""".stripMargin,
     // Directional containment over the brute-forced near-dup pair set:
     // integer-milli floor divisions and the same verdict CASE order as
     // Dedup.pairContainment (pairs never include empty shingle sets, so

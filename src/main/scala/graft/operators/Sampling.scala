@@ -165,8 +165,10 @@ object Sampling {
     * globally sorted; the same reason `q_topk_global` scales). k rows of
     * output regardless of corpus size.
     */
-  def weightedExactSample(documents: DataFrame, k: Long = AesTarget,
-      seed: Int = AesSeed): DataFrame = {
+  /** The A-ES key scan shared by the batch sample and its streaming twin:
+    * (doc_id, weight, key_f) per document, all codegen'd, no shuffle.
+    */
+  private[graft] def aesKeys(documents: DataFrame, seed: Int = AesSeed): DataFrame = {
     import graft.functions.FixedPointLn
     val s20 = FixedPointLn.Scale // 2^20
     val lnS = FixedPointLn.lnFRef(s20) // ln(2^20), fixed point
@@ -177,10 +179,15 @@ object Sampling {
       .where(col("weight") > 0)
       .withColumn("negln_u", lit(lnS) - FixedPointLn.lnF(col("h") + 1))
       .withColumn("key_f", expr(s"negln_u * $s20 DIV weight"))
+      .select("doc_id", "weight", "key_f")
+  }
+
+  def weightedExactSample(documents: DataFrame, k: Long = AesTarget,
+      seed: Int = AesSeed): DataFrame =
+    aesKeys(documents, seed)
       .orderBy(col("key_f").asc, col("doc_id").asc)
       .limit(k.toInt)
       .select("doc_id", "weight", "key_f")
-  }
 
   /** Share resolution for [[mixtureSchedule]]: target shares are granted
     * in THOUSANDTHS (0.1% steps). Coarser than the draw buckets on

@@ -275,6 +275,122 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
   }
 
+  /** Multinomial Naive Bayes TRAINER for the quality signal — the
+    * trainable upgrade of [[classifierScore]]'s fixed weights, and the
+    * relational core of the fastText-style classifiers real curation
+    * pipelines train (CCNet, GPT-3's WebText-vs-CommonCrawl filter):
+    * distant supervision from the corpus's own weak label
+    * ([[docStats]]' `is_quality`), learned on the TRAIN split
+    * (`doc_id % 10 ≠ 0`, the household holdout convention) so the
+    * held-out eval card is honest.
+    *
+    * Training IS counting for NB — no gradient loop, no driver-resident
+    * optimizer state: per-token class-conditional counts, Laplace
+    * smoothing, and the per-token log-likelihood ratio
+    *
+    *   llr(t) = ln (n_t⁺+1)/(N⁺+V) − ln (n_t⁻+1)/(N⁻+V)
+    *
+    * carried in the SAME 20-bit fixed-point ln as the DSIR family, so
+    * the learned table is bit-portable and the oracle replays it as
+    * integer chains. Output is the MODEL: one row per train-vocabulary
+    * token, (tok, n_pos, n_neg, llr_f).
+    *
+    * Shape: the label frame is one explode-agg ([[docStats]] reused
+    * verbatim — the label rule cannot drift from the report that
+    * defines it); token counts are one map-side-combined hash-agg over
+    * (tok, class); the totals frame is 1 row, broadcast back. Vocab-
+    * bounded past the first agg at any corpus size.
+    */
+  def nbTrain(documents: DataFrame): DataFrame = {
+    import graft.functions.FixedPointLn.lnF
+    val lab = docStats(documents).select(col("doc_id"), col("is_quality"))
+    val counts = graft.Parallelism.ensure(documents)
+      .where(col("doc_id") % EvalHoldoutMod =!= 0)
+      .select(col("doc_id"),
+        explode(filter(toks(lower(col("text"))), t => t =!= "")).as("tok"))
+      .join(lab, "doc_id")
+      .groupBy("tok")
+      .agg(
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("is_quality"), 0L).otherwise(1L)).as("n_neg"))
+    val totals = counts.agg(
+      sum("n_pos").as("bigN1"), sum("n_neg").as("bigN0"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("n_pos"), col("n_neg"),
+        (lnF(col("n_pos") + 1) - lnF(col("bigN1") + col("v"))
+          - lnF(col("n_neg") + 1) + lnF(col("bigN0") + col("v"))).as("llr_f"))
+  }
+
+  /** Score EVERY document under the [[nbTrain]] model: per-doc posterior
+    * log-odds `prior + Σ count(t)·llr(t)` in fixed point, with tokens
+    * outside the train vocabulary paying the smoothing-floor constant
+    * `ln (N⁻+V)/(N⁺+V)` (the llr of a zero-count token — the same
+    * add-one floor the model trains with, so eval-split-only tokens are
+    * handled by the model's own rule, not dropped). `nb_quality` is the
+    * sign read-out.
+    *
+    * Shape: per-(doc, tok) counts pre-aggregated BEFORE the vocabulary
+    * join (the shuffle carries one int per distinct token per doc, and
+    * the Zipf-skewed join keys ride AQE like every vocabulary join
+    * here); the prior/floor constants are a 1-row crossJoin broadcast.
+    * A degenerate corpus whose train split has a single class yields
+    * NULL scores (ln_f's loud-NULL convention), never a silent 0.
+    */
+  def nbScore(documents: DataFrame): DataFrame = {
+    import graft.functions.FixedPointLn.lnF
+    val model = nbTrain(documents).localCheckpoint()
+    val totals = model.agg(
+      sum("n_pos").as("bigN1"), sum("n_neg").as("bigN0"),
+      count(lit(1)).as("v"))
+    val priors = docStats(documents)
+      .where(col("doc_id") % EvalHoldoutMod =!= 0)
+      .agg(
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("is_quality"), 0L).otherwise(1L)).as("d0"))
+    val consts = priors.crossJoin(totals).select(
+      (lnF(col("d1")) - lnF(col("d0"))).as("prior_f"),
+      (lnF(col("bigN0") + col("v")) - lnF(col("bigN1") + col("v"))).as("unseen_f"))
+    graft.Parallelism.ensure(documents)
+      .select(col("doc_id"),
+        explode(filter(toks(lower(col("text"))), t => t =!= "")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .join(model.select("tok", "llr_f"), Seq("tok"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        (max(col("prior_f"))
+          + sum(col("c") * coalesce(col("llr_f"), col("unseen_f")))).as("score_f"))
+      .select(col("doc_id"), col("n_tokens"), col("score_f"),
+        (col("score_f") > 0).as("nb_quality"))
+  }
+
+  /** HELD-OUT evaluation card for the trained classifier: the confusion
+    * counts and milli metrics of [[nbScore]]'s prediction against the
+    * weak label on the eval split (`doc_id % 10 == 0`) — documents the
+    * model never trained on. The number a pipeline reads before letting
+    * a learned filter gate a corpus; precision/recall are NULL (not 0)
+    * when their denominator is empty. One |eval|-row join + a 1-row agg.
+    */
+  def nbEval(documents: DataFrame): DataFrame = {
+    val lab = docStats(documents).select(col("doc_id"), col("is_quality"))
+    nbScore(documents)
+      .where(col("doc_id") % EvalHoldoutMod === 0)
+      .join(lab, "doc_id")
+      .agg(
+        sum(when(col("nb_quality") && col("is_quality"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("nb_quality") && !col("is_quality"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("nb_quality") && col("is_quality"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("nb_quality") && !col("is_quality"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000 DIV (tp + fp + fn + tn)").as("accuracy_milli"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000 DIV (tp + fp) END")
+          .as("precision_milli"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000 DIV (tp + fn) END")
+          .as("recall_milli"))
+  }
+
   /** Integer scale for [[topCollocations]]' PMI score. */
   val PmiScale: Long = 1000000L
   val CollocationMinCount: Long = 5L

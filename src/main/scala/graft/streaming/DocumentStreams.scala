@@ -189,6 +189,50 @@ object DocumentStreams {
     result
   }
 
+  /** STREAMING A-ES sample maintenance — the continuously-updated exact-k
+    * weighted sample. Bottom-k is a MONOID: the global bottom-k equals
+    * the bottom-k of the union of per-batch bottom-ks (any globally
+    * selected row is necessarily in its own batch's bottom-k), so each
+    * micro-batch contributes only its OWN ≤k key rows (batch-stamped,
+    * idempotent under foreachBatch's at-least-once replay — a redelivered
+    * batch rewrites identical rows, collapsed by the group-by on read) to
+    * a log-structured store, and merge-on-read resolves the running
+    * sample. Per-batch cost is one shard scan + a k-row heap; store
+    * growth is ≤ k rows per batch, never corpus-proportional. A full
+    * drain equals the batch [[graft.operators.Sampling
+    * .weightedExactSample]] exactly — shared oracle verbatim.
+    */
+  def aesSampleToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val k = Sampling.AesTarget.toInt
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_aes")
+    java.nio.file.Files.createDirectories(tmp.resolve("store"))
+    EventStreams.withStreamShufflePartitions(spark) {
+      val q = rawSource(spark, dir).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Sampling.weightedExactSample(batch, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$tmp/store")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val storeSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("weight", LongType),
+      StructField("key_f", LongType), StructField("batch_id", LongType)))
+    val result = spark.read.schema(storeSchema).parquet(s"$tmp/store")
+      .groupBy("doc_id", "weight", "key_f").agg(max("batch_id").as("b"))
+      .orderBy(col("key_f").asc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "weight", "key_f")
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    result
+  }
+
   /** Run the dedup topology over the driver's documents dir to completion
     * (append mode + exactly-once parquet sink, like the event streams) and
     * read the result back.

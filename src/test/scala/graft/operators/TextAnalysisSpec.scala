@@ -642,6 +642,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("naive bayes: model, scores, and holdout card equal the lnFRef counting brute force") {
+    import graft.functions.FixedPointLn.lnFRef
+    val q1 = "the a is of and to in that it on alpha beta"
+    val q2 = "the the good good good nice nice words words words here there"
+    val j1 = "zz yy"
+    val j2 = "spam spam spam spam spam spam spam spam spam spam spam"
+    val e1 = "the a is of and to in that it on zz spam" // eval, y = 1
+    val e2 = "qq rr"                                    // eval, y = 0
+    val d = docs(1L -> q1, 2L -> q2, 3L -> j1, 4L -> j2, 10L -> e1, 20L -> e2)
+    val train = Seq(q1, q2, j1, j2)
+    val stop = TextAnalysis.Stopwords.toSet
+    def label(t: String) = {
+      val ts = t.trim.split("\\s+"); ts.length >= 10 && ts.exists(stop)
+    }
+    def lowToks(t: String) =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val tokClass = train.flatMap(t => lowToks(t).map(_ -> label(t)))
+    val counts = tokClass.groupBy(_._1).map { case (tok, xs) =>
+      tok -> ((xs.count(_._2).toLong, xs.count(!_._2).toLong))
+    }
+    val bigN1 = counts.values.map(_._1).sum
+    val bigN0 = counts.values.map(_._2).sum
+    val v = counts.size.toLong
+    def llr(np: Long, nn: Long): Long =
+      lnFRef(np + 1) - lnFRef(bigN1 + v) - lnFRef(nn + 1) + lnFRef(bigN0 + v)
+    val wantModel = counts.map { case (tok, (np, nn)) => (tok, np, nn, llr(np, nn)) }.toSet
+    val gotModel = TextAnalysis.nbTrain(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotModel === wantModel)
+    // scores over ALL docs, eval included; OOV tokens pay the floor constant
+    val prior = lnFRef(2L) - lnFRef(2L) // d1 = d0 = 2
+    val unseen = lnFRef(bigN0 + v) - lnFRef(bigN1 + v)
+    def score(t: String): (Long, Long) = {
+      val ts = lowToks(t)
+      val s = prior + ts.groupBy(identity).map { case (tok, xs) =>
+        xs.length * counts.get(tok).map(c => llr(c._1, c._2)).getOrElse(unseen)
+      }.sum
+      (ts.length.toLong, s)
+    }
+    val wantScores = Seq(1L -> q1, 2L -> q2, 3L -> j1, 4L -> j2, 10L -> e1, 20L -> e2)
+      .map { case (id, t) =>
+        val (n, s) = score(t); (id, n, s, s > 0)
+      }.toSet
+    val gotScores = TextAnalysis.nbScore(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(gotScores === wantScores)
+    // holdout card: confusion of sign(score) vs label on docs 10/20 only
+    val evalRows = Seq(e1, e2).map(t => (score(t)._2 > 0, label(t)))
+    val tp = evalRows.count { case (p, y) => p && y }.toLong
+    val fp = evalRows.count { case (p, y) => p && !y }.toLong
+    val fn = evalRows.count { case (p, y) => !p && y }.toLong
+    val tn = evalRows.count { case (p, y) => !p && !y }.toLong
+    val got = TextAnalysis.nbEval(d).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((tp, fp, fn, tn)))
+    assert(got.getLong(4) === (tp + tn) * 1000 / (tp + fp + fn + tn))
+    // the weak signal is learnable: the stopword-heavy eval doc scores
+    // positive, the unseen-junk one negative
+    assert(gotScores.contains((10L, score(e1)._1, score(e1)._2, true)))
+    assert(score(e2)._2 <= 0)
+    // partition invariance
+    val again = TextAnalysis.nbScore(d.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(again === gotScores)
+  }
+
   test("spanDecontaminateBloom: pass-through prefilter, identical to the exact form") {
     def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

@@ -235,4 +235,33 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(b1.intersect(b2).isEmpty, "a shard doc lives in exactly one batch")
     assert(whole.nonEmpty)
   }
+
+  test("streaming A-ES sample equals the batch bottom-k (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = canon(DocumentStreams.aesSampleToBatch(spark, dir))
+    val batch = canon(graft.operators.Sampling.weightedExactSample(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("per-batch bottom-ks compose: the monoid merge equals the whole-corpus bottom-k") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val k = 40L
+    val b1 = Sampling.weightedExactSample(docs.where(col("doc_id") % 2 === 0), k)
+    val b2 = Sampling.weightedExactSample(docs.where(col("doc_id") % 2 === 1), k)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = canon(Sampling.weightedExactSample(docs, k))
+    assert(whole.nonEmpty)
+    // the monoid property: bottom-k of the union of per-batch bottom-ks
+    // equals bottom-k of the whole corpus
+    val mergedRaw = (canon(b1) ++ canon(b2)).toSeq
+      .sortBy { case (id, _, key) => (key, id) }.take(k.toInt).toSet
+    assert(mergedRaw === whole)
+  }
 }
