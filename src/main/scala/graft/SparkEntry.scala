@@ -464,6 +464,11 @@ object SparkEntry {
     // Every doc scored under the trained model: prior + sum c*llr, the
     // smoothing-floor constant for out-of-vocabulary tokens.
     "q_nb_score" -> ((s, dir) => TextAnalysis.nbScore(Tables.documents(s, dir))),
+    // The trained filter as a continuous ingest gate: model + constants
+    // frozen, each micro-batch scored through the shared fold; a full
+    // drain equals the batch scoring row-for-row.
+    "q_stream_nb_score" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.nbScoresToBatch(s, dir)),
     // Held-out confusion card: the trained filter vs the weak label on
     // docs the model never saw.
     "q_nb_eval" -> ((s, dir) => TextAnalysis.nbEval(Tables.documents(s, dir))),
@@ -3773,6 +3778,13 @@ object SparkEntry {
          |SELECT tok, n_pos, n_neg, llr_f FROM model""".stripMargin,
     // Per-doc posterior fold under the same model CTEs.
     "q_nb_score" ->
+      s"""WITH $nbCtes,
+         |$nbScoreCtes
+         |SELECT doc_id, n_tokens, score_f, score_f > 0 AS nb_quality
+         |FROM scored""".stripMargin,
+    // A full drain of the frozen-model streaming gate equals the batch
+    // scoring row-for-row — same SQL as q_nb_score.
+    "q_stream_nb_score" ->
       s"""WITH $nbCtes,
          |$nbScoreCtes
          |SELECT doc_id, n_tokens, score_f, score_f > 0 AS nb_quality

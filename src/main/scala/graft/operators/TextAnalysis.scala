@@ -338,8 +338,17 @@ object TextAnalysis {
     * NULL scores (ln_f's loud-NULL convention), never a silent 0.
     */
   def nbScore(documents: DataFrame): DataFrame = {
-    import graft.functions.FixedPointLn.lnF
     val model = nbTrain(documents).localCheckpoint()
+    nbScoreAgainst(documents, model, nbConsts(documents, model))
+  }
+
+  /** The 1-row prior/floor constants frame of the [[nbTrain]] model:
+    * `prior_f = ln d⁺/d⁻` over the train-split docs and
+    * `unseen_f = ln (N⁻+V)/(N⁺+V)` — the out-of-vocabulary llr. Split
+    * out so the streaming gate can freeze it with the model.
+    */
+  private[graft] def nbConsts(documents: DataFrame, model: DataFrame): DataFrame = {
+    import graft.functions.FixedPointLn.lnF
     val totals = model.agg(
       sum("n_pos").as("bigN1"), sum("n_neg").as("bigN0"),
       count(lit(1)).as("v"))
@@ -348,10 +357,19 @@ object TextAnalysis {
       .agg(
         sum(when(col("is_quality"), 1L).otherwise(0L)).as("d1"),
         sum(when(col("is_quality"), 0L).otherwise(1L)).as("d0"))
-    val consts = priors.crossJoin(totals).select(
+    priors.crossJoin(totals).select(
       (lnF(col("d1")) - lnF(col("d0"))).as("prior_f"),
       (lnF(col("bigN0") + col("v")) - lnF(col("bigN1") + col("v"))).as("unseen_f"))
-    graft.Parallelism.ensure(documents)
+  }
+
+  /** The scoring fold alone, against an ALREADY-TRAINED model — the core
+    * [[nbScore]] and the streaming ingest gate share, so a frozen model
+    * scores a micro-batch with exactly the batch operator's semantics.
+    * Per-doc, so any partition of the corpus scores identically.
+    */
+  private[graft] def nbScoreAgainst(
+      docs: DataFrame, model: DataFrame, consts: DataFrame): DataFrame =
+    graft.Parallelism.ensure(docs)
       .select(col("doc_id"),
         explode(filter(toks(lower(col("text"))), t => t =!= "")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -364,7 +382,6 @@ object TextAnalysis {
           + sum(col("c") * coalesce(col("llr_f"), col("unseen_f")))).as("score_f"))
       .select(col("doc_id"), col("n_tokens"), col("score_f"),
         (col("score_f") > 0).as("nb_quality"))
-  }
 
   /** HELD-OUT evaluation card for the trained classifier: the confusion
     * counts and milli metrics of [[nbScore]]'s prediction against the

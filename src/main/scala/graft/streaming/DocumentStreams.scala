@@ -505,4 +505,49 @@ object DocumentStreams {
         result
     }
   }
+
+  /** STREAMING trained-classifier gate: `TextAnalysis.nbScore` running as
+    * continuous ingestion — the Naive Bayes model and its prior/floor
+    * constants are FROZEN artifacts (trained once on the train split,
+    * localCheckpointed, exactly the [[dsirScoresToBatch]] asymmetry:
+    * retraining is a batch-side decision, never a mid-stream drift), and
+    * each micro-batch scores through the SHARED
+    * `TextAnalysis.nbScoreAgainst`, so the stream answers with the batch
+    * operator's exact semantics. Scoring is per-document, a doc arrives in
+    * exactly one batch, and per-batch overwrite dirs make the sink
+    * idempotent under replays — a full AvailableNow drain equals the batch
+    * twin row-for-row, oracle shared verbatim. This is the learned
+    * upgrade of the fixed-rule streaming quality+PII gate.
+    */
+  def nbScoresToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(spark, dir)
+    val model = TextAnalysis.nbTrain(docs).localCheckpoint()
+    val consts = TextAnalysis.nbConsts(docs, model).localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_nb")
+    java.nio.file.Files.createDirectories(tmp.resolve("out"))
+    EventStreams.withStreamShufflePartitions(spark) {
+      val q = rawSource(spark, dir).writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          TextAnalysis.nbScoreAgainst(batch, model, consts)
+            .write.mode("overwrite")
+            .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_tokens", LongType),
+      StructField("score_f", LongType),
+      StructField("nb_quality", BooleanType)))
+    val result = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(tmp.resolve("out").toString)
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    result
+  }
 }

@@ -247,6 +247,17 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming NB gate equals batch scoring under the frozen model (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val streamed = canon(DocumentStreams.nbScoresToBatch(spark, dir))
+    val batch = canon(graft.operators.TextAnalysis.nbScore(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("per-batch bottom-ks compose: the monoid merge equals the whole-corpus bottom-k") {
     import graft.operators.Sampling
     import org.apache.spark.sql.functions._
