@@ -448,6 +448,12 @@ object SparkEntry {
     // (split is a per-row hash CASE on the pair endpoints — zero extra joins)
     "q_split_leakage" -> ((s, dir) =>
       Splits.splitLeakage(Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir)))),
+    // decontamination by construction: split by near-dup CLUSTER id, so
+    // no mined pair can straddle a split line (leakage empty by design)
+    "q_leakfree_split" -> ((s, dir) =>
+      Splits.leakFreeSplit(
+        Tables.documents(s, dir),
+        Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir)))),
     // source x source near-dup contamination matrix over the same pair set
     "q_source_overlap" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(
@@ -4034,6 +4040,33 @@ object SparkEntry {
          |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, s.cluster_n
          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
+    // Leak-free split: the clusters CTE (identical to q_dedup_clusters)
+    // plus the splitOf hash CASE on the CLUSTER id — thresholds and seed
+    // interpolated from Splits so the two engines cannot drift.
+    "q_leakfree_split" -> {
+      import graft.operators.Splits
+      s"""WITH RECURSIVE sh AS ($shCte),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM labels GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, s.cluster_n,
+         |  CASE WHEN ${h60(Splits.SplitSeed, "l.cluster_id")} % ${Splits.SplitBuckets}
+         |         < ${Splits.TrainMilli} THEN 'train'
+         |       WHEN ${h60(Splits.SplitSeed, "l.cluster_id")} % ${Splits.SplitBuckets}
+         |         < ${Splits.ValMilli} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin
+    },
     // Keep-best retention: the clusters CTE (identical to q_dedup_clusters)
     // plus the portable two-agg argmax — per-cluster max token count, then
     // min doc_id among the members achieving it.

@@ -91,4 +91,28 @@ object Splits {
         "train_leak",
         col("split_a") === "train" || col("split_b") === "train")
   }
+
+  /** LEAK-FREE split assignment — decontamination by CONSTRUCTION, the
+    * fix [[splitLeakage]]'s docstring points at: instead of hashing the
+    * document id (which puts two near-copies in different splits at
+    * crawl duplication rates), hash the near-dup CLUSTER id, so every
+    * member of a connected component lands in the same split and NO
+    * mined pair can ever straddle a split line ([[splitLeakage]] over
+    * this assignment is empty by construction — the spec proves it on
+    * the real pair set). Same 90/5/5 thresholds and seed discipline as
+    * [[splitOf]]; still deterministic and partition-invariant, because
+    * the cluster label (min doc_id of the component) is itself a pure
+    * function of the corpus.
+    *
+    * One row per document: (doc_id, cluster_id, cluster_n, split).
+    *
+    * Shape: the [[Dedup.clustersFromPairs]] label propagation (per-round
+    * |pairs|-scale shuffles, corpus touched once) plus ONE codegen'd
+    * hash CASE per row — split assignment itself adds zero joins and
+    * zero shuffles on top of clustering.
+    */
+  def leakFreeSplit(documents: DataFrame, pairs: DataFrame): DataFrame =
+    Dedup.clustersFromPairs(documents, pairs)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_n"),
+        splitOf(col("cluster_id")).as("split"))
 }

@@ -69,6 +69,49 @@ class SplitsSpec extends SparkSpec {
     assert(got((va(0), te(0))) === (("val", "test", false)))
   }
 
+  test("leakFreeSplit: cluster members share a split, zero leakage by construction, invariant") {
+    import spark.implicits._
+    // synthetic pair graph: {1,2,3} one component, {10,20} another, 99 singleton
+    val docs = Seq(1L, 2L, 3L, 10L, 20L, 99L).map(i => (i, s"doc $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (10L, 20L, 0.7))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Splits.leakFreeSplit(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 20L, 99L))
+    // cluster labels are the component minima; sizes count members
+    assert(Set(1L, 2L, 3L).map(got(_)._1) === Set(1L))
+    assert(Set(10L, 20L).map(got(_)._1) === Set(10L))
+    assert(got(99L)._1 === 99L && got(99L)._2 === 1L)
+    // every member of a component gets the SAME split, = splitOf(cluster id)
+    assert(Set(1L, 2L, 3L).map(got(_)._3) === Set(splitOf(1L)))
+    assert(Set(10L, 20L).map(got(_)._3) === Set(splitOf(10L)))
+    assert(got(99L)._3 === splitOf(99L))
+    // zero leakage by construction: re-keying splitLeakage's endpoint splits
+    // through the assignment leaves no cross-split pair
+    val split = got.view.mapValues(_._3).toMap
+    assert(Seq((1L, 2L), (2L, 3L), (10L, 20L)).forall { case (a, b) =>
+      split(a) === split(b) })
+    // and on the REAL corpus + miner: no mined pair straddles the assignment
+    val real = graft.Tables.documents(spark, sf("sf0.001"))
+    val realPairs = Dedup.nearDuplicatePairsFromTable(
+      SignatureStore.table(spark, sf("sf0.001")))
+    val assign = Splits.leakFreeSplit(real, realPairs)
+      .select($"doc_id", $"split")
+    val straddling = realPairs
+      .join(assign.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .join(assign.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .where($"sa" =!= $"sb")
+    assert(straddling.isEmpty)
+    // partition invariance
+    val again = Splits.leakFreeSplit(docs.repartition(5), pairs.repartition(3))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(again === got)
+  }
+
   test("sourceOverlapMatrix: unordered source cells, diagonal = internal duplication") {
     import spark.implicits._
     val docs = Seq(
