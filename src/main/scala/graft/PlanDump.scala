@@ -148,6 +148,8 @@ object PlanDump {
       "NB scoring: per-(doc, tok) counts pre-aggregated BEFORE the vocabulary left join (AQE on the Zipf keys), 1-row prior/floor constants broadcast, doc_id-keyed final fold",
     "q_stream_nb_score" ->
       "streaming NB gate: model + constants frozen (localCheckpoint), per micro-batch the SHARED scoring fold against the static model frame, per-batch overwrite dirs for idempotent replay",
+    "q_line_surprisal" ->
+      "line surprisal: the q_lm_backoff LM tables reused verbatim (train tokenized once per order), per-(line, trigram) counts pre-aggregated before the five vocabulary joins, (doc, pos)-keyed rollup, 1-row mean broadcast for the flag",
     "q_leakfree_split" ->
       "leak-free split: the clustersFromPairs label propagation (|pairs|-scale per-round shuffles, corpus scanned once), then ONE codegen'd md5 CASE on the cluster id — split assignment adds zero joins/shuffles on top of clustering",
     "q_doc_compression" ->

@@ -278,6 +278,11 @@ object SparkEntry {
       TextAnalysis.lmSurprisal(Tables.documents(s, dir))),
     // held-out trigram surprisal with Stupid Backoff: LM trains on the
     // train split, scores the eval split; level counts profile backoff
+    // CCNet-style per-LINE surprisal under the same held-out LM: flags
+    // outlier lines (above 3/2 of the corpus mean line average) so a
+    // gibberish run is excised, not the whole document
+    "q_line_surprisal" -> ((s, dir) =>
+      TextAnalysis.lineSurprisal(Tables.documents(s, dir))),
     "q_lm_backoff" -> ((s, dir) =>
       TextAnalysis.backoffSurprisal(Tables.documents(s, dir))),
     // top-p (nucleus) truncation of the bigram LM, integer threshold
@@ -679,6 +684,64 @@ object SparkEntry {
     */
   private val tokCte =
     "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents"
+
+  /** The Stupid-Backoff train-side CTEs (token frame + the three n-gram
+    * tables + the 1-row total) shared verbatim by the doc-level
+    * (`q_lm_backoff`) and line-level (`q_line_surprisal`) oracles —
+    * mirrors `TextAnalysis.backoffLmTables` so both engines consult one
+    * LM.
+    */
+  private def backoffLmCtes: String = {
+    val m = graft.operators.TextAnalysis.EvalHoldoutMod
+    s"""ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n1 FROM (
+       |    SELECT unnest(ts) AS w FROM ts WHERE doc_id % $m <> 0) u
+       |  WHERE w <> '' GROUP BY w),
+       |bi AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n12
+       |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM ts
+       |        WHERE doc_id % $m <> 0 AND len(ts) >= 2) b
+       |  GROUP BY w1, w2),
+       |tri AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
+       |    CAST(count(*) AS BIGINT) AS n123
+       |  FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i FROM ts
+       |        WHERE doc_id % $m <> 0 AND len(ts) >= 3) t
+       |  GROUP BY w1, w2, w3),
+       |nn AS (SELECT CAST(sum(n1) AS BIGINT) AS n_train FROM uni)""".stripMargin
+  }
+
+  /** The five-join + level/surprisal CTEs over an `ev(keys..., w1, w2,
+    * w3, c)` frame — mirrors `TextAnalysis.backoffScoreTris`. `keys` are
+    * the pass-through grouping columns ("doc_id" or "doc_id, pos").
+    */
+  private def backoffScoreCtes(keys: String): String = {
+    import graft.functions.FixedPointLn.lnFSql
+    val pen = graft.operators.TextAnalysis.BackoffPenaltyF
+    val evKeys = keys.split(",").map(k => s"ev.${k.trim}").mkString(", ")
+    s"""j AS (SELECT $evKeys, ev.c, tri.n123, b1.n12, b2.n12 AS n23,
+       |    u2.n1 AS n2, u3.n1 AS n3, nn.n_train
+       |  FROM ev LEFT JOIN tri USING (w1, w2, w3)
+       |  LEFT JOIN bi b1 ON ev.w1 = b1.w1 AND ev.w2 = b1.w2
+       |  LEFT JOIN bi b2 ON ev.w2 = b2.w1 AND ev.w3 = b2.w2
+       |  LEFT JOIN uni u2 ON ev.w2 = u2.w
+       |  LEFT JOIN uni u3 ON ev.w3 = u3.w
+       |  CROSS JOIN nn),
+       |sc AS (SELECT $keys, c,
+       |  CASE WHEN n123 IS NOT NULL THEN 3 WHEN n23 IS NOT NULL THEN 2
+       |       WHEN n3 IS NOT NULL THEN 1 ELSE 0 END AS level,
+       |  ${lnFSql("n12", "l12")},
+       |  ${lnFSql("n123", "l123")},
+       |  ${lnFSql("n2", "l2")},
+       |  ${lnFSql("n23", "l23")},
+       |  ${lnFSql("n3", "l3")},
+       |  ${lnFSql("n_train", "ln_")},
+       |  ${lnFSql("n_train + 1", "ln1")},
+       |  CASE level WHEN 3 THEN l12 - l123
+       |             WHEN 2 THEN l2 - l23 + $pen
+       |             WHEN 1 THEN ln_ - l3 + ${2 * pen}
+       |             ELSE ln1 + ${2 * pen} END AS s_f
+       |  FROM j)""".stripMargin
+  }
 
   /** Shared CTE chain of the three Naive Bayes oracles: weak label from
     * RAW tokens (the docStats rule), lowercase empty-filtered train
@@ -3209,52 +3272,14 @@ object SparkEntry {
     // NULL count stays NULL and the level CASE never selects it), the α
     // penalty the interpolated ln_f(5)−ln_f(2) integer
     "q_lm_backoff" -> {
-      import graft.functions.FixedPointLn.lnFSql
       val m = TextAnalysis.EvalHoldoutMod
-      val pen = TextAnalysis.BackoffPenaltyF
-      s"""WITH ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
-         |  FROM documents),
-         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n1 FROM (
-         |    SELECT unnest(ts) AS w FROM ts WHERE doc_id % $m <> 0) u
-         |  WHERE w <> '' GROUP BY w),
-         |bi AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n12
-         |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM ts
-         |        WHERE doc_id % $m <> 0 AND len(ts) >= 2) b
-         |  GROUP BY w1, w2),
-         |tri AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
-         |    CAST(count(*) AS BIGINT) AS n123
-         |  FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i FROM ts
-         |        WHERE doc_id % $m <> 0 AND len(ts) >= 3) t
-         |  GROUP BY w1, w2, w3),
-         |nn AS (SELECT CAST(sum(n1) AS BIGINT) AS n_train FROM uni),
+      s"""WITH $backoffLmCtes,
          |ev AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
          |    CAST(count(*) AS BIGINT) AS c
          |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM ts
          |        WHERE doc_id % $m = 0 AND len(ts) >= 3) e
          |  GROUP BY doc_id, w1, w2, w3),
-         |j AS (SELECT ev.doc_id, ev.c, tri.n123, b1.n12, b2.n12 AS n23,
-         |    u2.n1 AS n2, u3.n1 AS n3, nn.n_train
-         |  FROM ev LEFT JOIN tri USING (w1, w2, w3)
-         |  LEFT JOIN bi b1 ON ev.w1 = b1.w1 AND ev.w2 = b1.w2
-         |  LEFT JOIN bi b2 ON ev.w2 = b2.w1 AND ev.w3 = b2.w2
-         |  LEFT JOIN uni u2 ON ev.w2 = u2.w
-         |  LEFT JOIN uni u3 ON ev.w3 = u3.w
-         |  CROSS JOIN nn),
-         |sc AS (SELECT doc_id, c,
-         |  CASE WHEN n123 IS NOT NULL THEN 3 WHEN n23 IS NOT NULL THEN 2
-         |       WHEN n3 IS NOT NULL THEN 1 ELSE 0 END AS level,
-         |  ${lnFSql("n12", "l12")},
-         |  ${lnFSql("n123", "l123")},
-         |  ${lnFSql("n2", "l2")},
-         |  ${lnFSql("n23", "l23")},
-         |  ${lnFSql("n3", "l3")},
-         |  ${lnFSql("n_train", "ln_")},
-         |  ${lnFSql("n_train + 1", "ln1")},
-         |  CASE level WHEN 3 THEN l12 - l123
-         |             WHEN 2 THEN l2 - l23 + $pen
-         |             WHEN 1 THEN ln_ - l3 + ${2 * pen}
-         |             ELSE ln1 + ${2 * pen} END AS s_f
-         |  FROM j),
+         |${backoffScoreCtes("doc_id")},
          |perdoc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
          |    CAST(sum(CASE WHEN level = 3 THEN c ELSE 0 END) AS BIGINT) AS n_l3,
          |    CAST(sum(CASE WHEN level = 2 THEN c ELSE 0 END) AS BIGINT) AS n_l2,
@@ -3270,6 +3295,36 @@ object SparkEntry {
          |       THEN coalesce(p.nll_f, 0) // p.n_trigrams ELSE 0 END AS avg_nll_f
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)
          |WHERE d.doc_id % $m = 0""".stripMargin
+    },
+    // Windowed CCNet-style line surprisal: the SAME LM + scoring CTEs as
+    // q_lm_backoff, the eval trigrams windowed per line, the flag the
+    // cross-multiplied above-3/2-of-mean test on milli-nat line averages.
+    "q_line_surprisal" -> {
+      val m = TextAnalysis.EvalHoldoutMod
+      val ll = graft.operators.Dedup.LineLen
+      val scale = graft.functions.FixedPointLn.Scale
+      s"""WITH $backoffLmCtes,
+         |wt AS (SELECT doc_id, i AS pos, ts[i * $ll + 1:(i + 1) * $ll] AS wts
+         |  FROM (SELECT doc_id, ts, unnest(range(0, (len(ts) - 1) // $ll + 1)) AS i
+         |        FROM ts WHERE doc_id % $m = 0) x),
+         |ev AS (SELECT doc_id, pos, wts[j] AS w1, wts[j + 1] AS w2, wts[j + 2] AS w3,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, pos, wts, unnest(range(1, len(wts) - 1)) AS j
+         |        FROM wt WHERE len(wts) >= 3) e
+         |  GROUP BY doc_id, pos, w1, w2, w3),
+         |${backoffScoreCtes("doc_id, pos")},
+         |perwin AS (SELECT doc_id, pos, CAST(sum(c) AS BIGINT) AS n_trigrams,
+         |    CAST(sum(CASE WHEN level = 0 THEN c ELSE 0 END) AS BIGINT) AS n_l0,
+         |    CAST(sum(c * s_f) AS BIGINT) AS nll_f
+         |  FROM sc GROUP BY doc_id, pos),
+         |pw AS (SELECT *, (nll_f // n_trigrams) * 1000 // $scale AS avg_milli
+         |  FROM perwin),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(sum(avg_milli) AS BIGINT) AS sum_avg FROM pw)
+         |SELECT doc_id, pos, n_trigrams, n_l0, nll_f, avg_milli,
+         |  avg_milli * n_lines * ${TextAnalysis.LineNllDen}
+         |    > ${TextAnalysis.LineNllNum} * sum_avg AS flagged
+         |FROM pw, tot""".stripMargin
     },
     // All-integer PageRank, 3 rounds unrolled: same bigram edge axis as
     // q_bigram_lm, per-source weights normalized to 1/2^20 units, per-edge

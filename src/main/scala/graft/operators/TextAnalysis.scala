@@ -1027,10 +1027,43 @@ object TextAnalysis {
     */
   def backoffSurprisal(
       documents: DataFrame, evalMod: Int = EvalHoldoutMod): DataFrame = {
-    import graft.functions.FixedPointLn.lnF
     val ts = graft.Parallelism.ensure(documents)
       .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
-    val train = ts.where(col("doc_id") % evalMod =!= 0)
+    val lm = backoffLmTables(ts.where(col("doc_id") % evalMod =!= 0))
+    val evalTris = ts.where(col("doc_id") % evalMod === 0)
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(ts) - 1), " +
+          "i -> struct(ts[i-2] AS w1, ts[i-1] AS w2, ts[i] AS w3))")).as("tg"))
+      .groupBy(col("doc_id"), col("tg.w1").as("w1"),
+        col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val scored = backoffScoreTris(evalTris, lm)
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_trigrams"),
+        sum(when(col("level") === 3, col("c")).otherwise(0L)).as("n_l3"),
+        sum(when(col("level") === 2, col("c")).otherwise(0L)).as("n_l2"),
+        sum(when(col("level") === 1, col("c")).otherwise(0L)).as("n_l1"),
+        sum(when(col("level") === 0, col("c")).otherwise(0L)).as("n_l0"),
+        sum(col("c") * col("s_f")).as("nll_f"))
+    documents.where(col("doc_id") % evalMod === 0).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_trigrams", "n_l3", "n_l2", "n_l1", "n_l0", "nll_f"))
+      .withColumn("avg_nll_f",
+        when(col("n_trigrams") > 0, expr("nll_f DIV n_trigrams")).otherwise(0L))
+  }
+
+  /** The Stupid-Backoff train-side artifact: the three checkpointed n-gram
+    * tables + the 1-row token total, from a (doc_id, ts) token frame.
+    * Shared by [[backoffSurprisal]] and [[lineSurprisal]] so the LM the
+    * doc scorer and the window scorer consult is the same table.
+    */
+  private[graft] case class BackoffLm(
+      uni: DataFrame, bi: DataFrame, tri: DataFrame, bigN: DataFrame)
+
+  private[graft] def backoffLmTables(train: DataFrame): BackoffLm = {
     // the three LM tables are each consumed 1-2× downstream (bigN derives
     // from uni; bi serves both the n12 and n23 joins) — checkpoint them so
     // the train corpus is tokenized exactly three times (once per n-gram
@@ -1052,25 +1085,24 @@ object TextAnalysis {
       .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n123"))
       .localCheckpoint()
-    val bigN = uni.agg(sum("n1").as("n_train"))
-    val evalTris = ts.where(col("doc_id") % evalMod === 0)
-      .where(size(col("ts")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(2, size(ts) - 1), " +
-          "i -> struct(ts[i-2] AS w1, ts[i-1] AS w2, ts[i] AS w3))")).as("tg"))
-      .groupBy(col("doc_id"), col("tg.w1").as("w1"),
-        col("tg.w2").as("w2"), col("tg.w3").as("w3"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    BackoffLm(uni, bi, tri, uni.agg(sum("n1").as("n_train")))
+  }
+
+  /** The five-join backoff scoring pass: attaches `level` and the
+    * per-trigram fixed-point surprisal `s_f` to any frame carrying
+    * (w1, w2, w3) columns (extra key columns pass through untouched).
+    */
+  private[graft] def backoffScoreTris(tris: DataFrame, lm: BackoffLm): DataFrame = {
+    import graft.functions.FixedPointLn.lnF
     val pen = lit(BackoffPenaltyF)
-    val scored = evalTris
-      .join(tri, Seq("w1", "w2", "w3"), "left")
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+    tris
+      .join(lm.tri, Seq("w1", "w2", "w3"), "left")
+      .join(lm.bi, Seq("w1", "w2"), "left")
+      .join(lm.bi.select(col("w1").as("w2"), col("w2").as("w3"),
         col("n12").as("n23")), Seq("w2", "w3"), "left")
-      .join(uni.select(col("w").as("w2"), col("n1").as("n2")), Seq("w2"), "left")
-      .join(uni.select(col("w").as("w3"), col("n1").as("n3")), Seq("w3"), "left")
-      .crossJoin(broadcast(bigN))
+      .join(lm.uni.select(col("w").as("w2"), col("n1").as("n2")), Seq("w2"), "left")
+      .join(lm.uni.select(col("w").as("w3"), col("n1").as("n3")), Seq("w3"), "left")
+      .crossJoin(broadcast(lm.bigN))
       .withColumn("level",
         when(col("n123").isNotNull, 3)
           .when(col("n23").isNotNull, 2)
@@ -1082,19 +1114,75 @@ object TextAnalysis {
           .when(col("level") === 1,
             lnF(col("n_train")) - lnF(col("n3")) + pen * 2)
           .otherwise(lnF(col("n_train") + 1) + pen * 2))
-      .groupBy("doc_id")
+  }
+
+  /** A line is flagged by [[lineSurprisal]] iff its milli-nat avg exceeds
+    * [[LineNllNum]]/[[LineNllDen]] of the corpus mean of line averages.
+    */
+  val LineNllNum = 3L
+  val LineNllDen = 2L
+
+  /** WINDOWED (per-line) surprisal — the CCNet paragraph-perplexity
+    * filter (Wenzek et al. 2020): score each LINE of every eval-split
+    * document under the train-split Stupid-Backoff LM and flag the
+    * outlier lines, so a document with one boilerplate/gibberish run in
+    * otherwise-fluent text loses the run, not the document. The doc-level
+    * [[backoffSurprisal]] averages that signal away; this is the operator
+    * that localizes it. Lines are the corpus's line unit
+    * ([[graft.operators.Dedup.LineLen]]-token non-overlapping windows,
+    * the line-dedup convention); trigrams never cross a line boundary
+    * (each line is scored as its own context, exactly CCNet's
+    * per-paragraph scoring), and the tail window keeps its row as long
+    * as it holds ≥ 3 tokens.
+    *
+    * The flag is corpus-relative in the [[graft.operators.Pipeline
+    * .qualityAgreement]] overflow-safe idiom: per-line avg surprisal in
+    * MILLI-nats (≤ ~5·10⁴), flagged iff
+    * `avg_milli · n_lines · LineNllDen > LineNllNum · Σ avg_milli` —
+    * the cross-multiplied "above 3/2 of the corpus mean line average"
+    * test, exact in int64 past 10¹³ lines.
+    *
+    * Shape: the SAME frozen LM tables as the doc scorer
+    * ([[backoffLmTables]] — train corpus tokenized once per n-gram
+    * order), per-(line, trigram) counts pre-aggregated before the five
+    * vocabulary joins, a (doc, pos)-keyed rollup, and a 1-row mean
+    * broadcast. Nothing corpus-ordered, nothing pairwise.
+    */
+  def lineSurprisal(
+      documents: DataFrame, evalMod: Int = EvalHoldoutMod,
+      lineLen: Int = graft.operators.Dedup.LineLen): DataFrame = {
+    import graft.functions.FixedPointLn.Scale
+    val ts = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
+    val lm = backoffLmTables(ts.where(col("doc_id") % evalMod =!= 0))
+    val winTris = ts.where(col("doc_id") % evalMod === 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(ts) - 1) div $lineLen), " +
+          s"i -> slice(ts, i * $lineLen + 1, $lineLen))")).as(Seq("pos", "wts")))
+      .where(size(col("wts")) >= 3)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), explode(expr(
+        "transform(sequence(2, size(wts) - 1), " +
+          "i -> struct(wts[i-2] AS w1, wts[i-1] AS w2, wts[i] AS w3))")).as("tg"))
+      .groupBy(col("doc_id"), col("pos"), col("tg.w1").as("w1"),
+        col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val perLine = backoffScoreTris(winTris, lm)
+      .groupBy("doc_id", "pos")
       .agg(
         sum("c").as("n_trigrams"),
-        sum(when(col("level") === 3, col("c")).otherwise(0L)).as("n_l3"),
-        sum(when(col("level") === 2, col("c")).otherwise(0L)).as("n_l2"),
-        sum(when(col("level") === 1, col("c")).otherwise(0L)).as("n_l1"),
         sum(when(col("level") === 0, col("c")).otherwise(0L)).as("n_l0"),
         sum(col("c") * col("s_f")).as("nll_f"))
-    documents.where(col("doc_id") % evalMod === 0).select("doc_id")
-      .join(scored, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_trigrams", "n_l3", "n_l2", "n_l1", "n_l0", "nll_f"))
-      .withColumn("avg_nll_f",
-        when(col("n_trigrams") > 0, expr("nll_f DIV n_trigrams")).otherwise(0L))
+      .withColumn("avg_milli",
+        expr(s"(nll_f DIV n_trigrams) * 1000 DIV $Scale"))
+      .localCheckpoint() // consumed twice: the mean and the flagged rows
+    val tot = perLine.agg(
+      count(lit(1)).as("n_lines"), sum("avg_milli").as("sum_avg"))
+    perLine.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("pos"), col("n_trigrams"), col("n_l0"),
+        col("nll_f"), col("avg_milli"),
+        (col("avg_milli") * col("n_lines") * LineNllDen >
+          lit(LineNllNum) * col("sum_avg")).as("flagged"))
   }
 
   /** Relative flag floor for [[docCompression]]: a document is flagged iff

@@ -564,6 +564,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got.map { case (k, v) => k -> v._6 })
   }
 
+  test("lineSurprisal: per-line scoring isolates the gibberish run; flags match the brute force") {
+    import spark.implicits._
+    import graft.functions.FixedPointLn.{lnFRef, Scale}
+    val trainText = "the cat sat on the mat and then the dog sat on the mat too"
+    val train = Seq((1L, trainText), (2L, trainText), (3L, "the cat ran off"))
+    // eval doc 10: 16 tokens = two 8-token lines — line 0 in-domain,
+    // line 1 entirely out-of-vocabulary junk; doc 20: one 3-token tail line
+    val fluent = "the cat sat on the mat and then"
+    val junk = "zz qq ww rr tt yy uu ii"
+    val eval_ = Seq((10L, s"$fluent $junk"), (20L, "the cat sat"))
+    val d = (train ++ eval_).toDF("doc_id", "text")
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    def ngrams(ts: Seq[String], n: Int) =
+      if (ts.size < n) Nil else ts.sliding(n).toSeq
+    val uni = train.flatMap(r => toks(r._2)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = train.flatMap(r => ngrams(toks(r._2), 2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tri = train.flatMap(r => ngrams(toks(r._2), 3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigN = uni.values.sum
+    val pen = TextAnalysis.BackoffPenaltyF
+    def scoreOf(tg: Seq[String]): (Int, Long) = tri.get(tg) match {
+      case Some(n123) => (3, lnFRef(bi(tg.take(2))) - lnFRef(n123))
+      case None => bi.get(tg.drop(1)) match {
+        case Some(n23) => (2, lnFRef(uni(tg(1))) - lnFRef(n23) + pen)
+        case None => uni.get(tg(2)) match {
+          case Some(n3) => (1, lnFRef(bigN) - lnFRef(n3) + 2 * pen)
+          case None => (0, lnFRef(bigN + 1) + 2 * pen)
+        }
+      }
+    }
+    // brute force: chop eval docs into 8-token lines, score trigrams
+    // WITHIN each line only, milli-nat averages, above-3/2-of-mean flag
+    val lines = eval_.flatMap { case (id, t) =>
+      toks(t).grouped(8).zipWithIndex.collect {
+        case (w, pos) if w.size >= 3 =>
+          val tgs = ngrams(w, 3).map(scoreOf)
+          val n = tgs.size.toLong
+          val nll = tgs.map(_._2).sum
+          (id, pos.toLong, n, tgs.count(_._1 == 0).toLong, nll,
+            (nll / n) * 1000 / Scale)
+      }
+    }
+    val sumAvg = lines.map(_._6).sum
+    val nLines = lines.size.toLong
+    val want = lines.map { case (id, pos, n, l0, nll, am) =>
+      (id, pos) -> ((n, l0, nll, am,
+        am * nLines * TextAnalysis.LineNllDen > TextAnalysis.LineNllNum * sumAvg))
+    }.toMap
+    val got = TextAnalysis.lineSurprisal(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got === want)
+    // the junk line is flagged, the fluent lines are not — the filter
+    // localizes the bad run instead of condemning the document
+    assert(got((10L, 1L))._5 === true && got((10L, 1L))._2 === 6L)
+    assert(got((10L, 0L))._5 === false)
+    assert(got((20L, 0L))._5 === false)
+    // line boundaries isolate context: doc 10's line count is 2 windows
+    // x 6 trigrams, NOT the 14 cross-line trigrams of the doc scorer
+    assert(got.view.filterKeys(_._1 == 10L).values.map(_._1).sum === 12L)
+    val again = TextAnalysis.lineSurprisal(d.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(6)).toMap
+    assert(again === got.view.mapValues(_._5).toMap)
+  }
+
   test("spanDecontaminate: merged token-offset spans of leaked 13-grams; eval docs excluded") {
     val ev = (1 to 14).map(i => s"e$i").mkString(" ") // 14-token eval run
     val e13 = (1 to 13).map(i => s"e$i").mkString(" ")
