@@ -57,6 +57,11 @@ object ChaosRun {
       cores = 32, shufflePartitions = 32, appName = "graft-chaos",
       maxTaskFailures = 6)
     try {
+      // optional rate overrides (args 2/3): the reference rates are the
+      // default; a raised crash rate forces the retry path on short runs
+      // whose few scan tasks might otherwise never roll a crash
+      args.lift(2).foreach(r => spark.conf.set(Chaos.CrashRateKey, r))
+      args.lift(3).foreach(r => spark.conf.set(Chaos.DelayRateKey, r))
       val results = names.map { name =>
         val fn = SparkEntry.queries(name)
         spark.conf.set(Chaos.EnabledKey, "false")
