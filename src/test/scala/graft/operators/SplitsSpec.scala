@@ -112,6 +112,53 @@ class SplitsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("incrementalLeakFreeSplit: arriving near-dups inherit the corpus cluster's split") {
+    import spark.implicits._
+    // max id 99 -> ingest boundary 80: corpus {1,2} near-dup pair + 10
+    // singleton; shard 85 copies doc 1, shard 99 is fresh
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (10L, "x y z w"),
+      (85L, "a b c d e f"), (99L, "p q r s"))
+      .map { case (i, t) => (i, t, "s") }.toDF("doc_id", "text", "source")
+    val tbl = Dedup.withContentGroups(Dedup.shingleSignatureTable(docs))
+    val got = Splits.incrementalLeakFreeSplit(docs, tbl).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toMap
+    // exactly the shard docs, one row each
+    assert(got.keySet === Set(85L, 99L))
+    // 85 inherits corpus cluster {1,2}'s label and split
+    assert(got(85L) === ((1L, splitOf(1L), true)))
+    // 99 matches nothing: own singleton, own hash split
+    assert(got(99L) === ((99L, splitOf(99L), false)))
+    // leak-freedom across the boundary on the REAL corpus: every
+    // inherited doc's split equals its matched corpus cluster's split
+    val real = graft.Tables.documents(spark, sf("sf0.001"))
+    val realTbl = SignatureStore.table(spark, sf("sf0.001"))
+    val inc = Splits.incrementalLeakFreeSplit(real, realTbl).localCheckpoint()
+    val boundary = (real.agg(org.apache.spark.sql.functions.max($"doc_id"))
+      .head().getLong(0) + 1L) * 4L / 5L
+    val corpusTbl = Dedup.withContentGroups(
+      realTbl.where($"doc_id" < boundary).drop("group_id", "members"))
+    val corpusAssign = Splits.leakFreeSplit(
+      real.where($"doc_id" < boundary),
+      Dedup.nearDuplicatePairsFromTable(corpusTbl))
+    val probe = Dedup.incrementalNearDupsFromTable(realTbl)
+    val crossSplit = probe
+      .join(corpusAssign.select($"doc_id".as("corpus_doc"), $"split".as("cs"),
+        $"cluster_id"), "corpus_doc")
+      .join(inc.select($"doc_id".as("shard_doc"), $"split".as("ss"),
+        $"cluster_id".as("sc")), "shard_doc")
+      // a shard doc matching partners in several clusters keeps only the
+      // min-cluster split; partners in OTHER clusters may legitimately
+      // differ, so compare against the inherited cluster's partners only
+      .where($"cs" =!= $"ss" && $"sc" === $"cluster_id")
+    assert(crossSplit.isEmpty)
+    assert(inc.where($"inherited").count() > 0)
+    // every shard doc appears exactly once
+    assert(inc.count() ===
+      real.where($"doc_id" >= boundary).count())
+  }
+
   test("sourceOverlapMatrix: unordered source cells, diagonal = internal duplication") {
     import spark.implicits._
     val docs = Seq(
