@@ -150,6 +150,8 @@ object PlanDump {
       "streaming NB gate: model + constants frozen (localCheckpoint), per micro-batch the SHARED scoring fold against the static model frame, per-batch overwrite dirs for idempotent replay",
     "q_line_surprisal" ->
       "line surprisal: the q_lm_backoff LM tables reused verbatim (train tokenized once per order), per-(line, trigram) counts pre-aggregated before the five vocabulary joins, (doc, pos)-keyed rollup, 1-row mean broadcast for the flag",
+    "q_stream_leakfree_split" ->
+      "streaming leak-free split: frozen band index + corpus assignment (localCheckpoint), per micro-batch the probe + the SHARED assignment tail, per-batch overwrite dirs for idempotent replay",
     "q_leakfree_split_incremental" ->
       "incremental leak-free split: frozen corpus assignment (cluster propagation + hash CASE, localCheckpoint), shard probed through the capped band index, min-(cluster, split) struct agg for deterministic inheritance, anti-join fills the fresh singletons",
     "q_leakfree_split" ->

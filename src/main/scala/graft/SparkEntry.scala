@@ -465,6 +465,11 @@ object SparkEntry {
     "q_leakfree_split_incremental" -> ((s, dir) =>
       Splits.incrementalLeakFreeSplit(
         Tables.documents(s, dir), SignatureStore.table(s, dir))),
+    // the same assignment as continuous ingestion: frozen index +
+    // assignment, per micro-batch probe + shared assignment tail; a full
+    // drain equals the batch twin row-for-row
+    "q_stream_leakfree_split" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.leakFreeSplitsToBatch(s, dir)),
     // source x source near-dup contamination matrix over the same pair set
     "q_source_overlap" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(
@@ -702,6 +707,44 @@ object SparkEntry {
        |       < ${Splits.ValMilli} THEN 'val'
        |     ELSE 'test' END""".stripMargin
   }
+
+  /** The incremental leak-free-split oracle, shared verbatim by the
+    * batch probe and its streaming drain: corpus-side recursive-CTE
+    * components + brute-force cross-boundary probe + the coalesced
+    * split CASE (inherited cluster id, else the arrival's own).
+    */
+  private lazy val leakfreeIncrementalSql: String =
+    s"""WITH RECURSIVE sh AS ($shCte),
+       |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+       |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b, sp
+       |  WHERE a.doc_id < b.doc_id
+       |    AND a.doc_id < sp.split AND b.doc_id < sp.split
+       |    AND len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
+       |  UNION SELECT doc_b, doc_a FROM cpairs),
+       |reach(id, root) AS (
+       |  SELECT doc_id, doc_id FROM documents, sp WHERE doc_id < sp.split
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id AS doc_id, min(root) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |probe AS (SELECT a.doc_id AS corpus_doc, b.doc_id AS shard_doc
+       |  FROM sh a, sh b, sp
+       |  WHERE a.doc_id < sp.split AND b.doc_id >= sp.split
+       |    AND len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+       |inh AS (SELECT p.shard_doc AS doc_id, min(l.cluster_id) AS cluster_id
+       |  FROM probe p JOIN labels l ON p.corpus_doc = l.doc_id
+       |  GROUP BY p.shard_doc),
+       |shard AS (SELECT doc_id FROM documents, sp WHERE doc_id >= sp.split)
+       |SELECT s.doc_id, coalesce(i.cluster_id, s.doc_id) AS cluster_id,
+       |  ${splitCaseSql("coalesce(i.cluster_id, s.doc_id)")} AS split,
+       |  i.cluster_id IS NOT NULL AS inherited
+       |FROM shard s LEFT JOIN inh i USING (doc_id)""".stripMargin
 
   /** The Stupid-Backoff train-side CTEs (token frame + the three n-gram
     * tables + the 1-row total) shared verbatim by the doc-level
@@ -4139,38 +4182,10 @@ object SparkEntry {
     // Incremental twin: corpus-side clusters + split are the frozen
     // artifact; a shard doc inherits the split of its minimum matched
     // corpus cluster, or opens a hash-split singleton.
-    "q_leakfree_split_incremental" ->
-      s"""WITH RECURSIVE sh AS ($shCte),
-         |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
-         |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a, sh b, sp
-         |  WHERE a.doc_id < b.doc_id
-         |    AND a.doc_id < sp.split AND b.doc_id < sp.split
-         |    AND len(a.sh) > 0 AND len(b.sh) > 0
-         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
-         |  UNION SELECT doc_b, doc_a FROM cpairs),
-         |reach(id, root) AS (
-         |  SELECT doc_id, doc_id FROM documents, sp WHERE doc_id < sp.split
-         |  UNION
-         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
-         |labels AS (SELECT id AS doc_id, min(root) AS cluster_id
-         |  FROM reach GROUP BY id),
-         |probe AS (SELECT a.doc_id AS corpus_doc, b.doc_id AS shard_doc
-         |  FROM sh a, sh b, sp
-         |  WHERE a.doc_id < sp.split AND b.doc_id >= sp.split
-         |    AND len(a.sh) > 0 AND len(b.sh) > 0
-         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
-         |inh AS (SELECT p.shard_doc AS doc_id, min(l.cluster_id) AS cluster_id
-         |  FROM probe p JOIN labels l ON p.corpus_doc = l.doc_id
-         |  GROUP BY p.shard_doc),
-         |shard AS (SELECT doc_id FROM documents, sp WHERE doc_id >= sp.split)
-         |SELECT s.doc_id, coalesce(i.cluster_id, s.doc_id) AS cluster_id,
-         |  ${splitCaseSql("coalesce(i.cluster_id, s.doc_id)")} AS split,
-         |  i.cluster_id IS NOT NULL AS inherited
-         |FROM shard s LEFT JOIN inh i USING (doc_id)""".stripMargin,
+    "q_leakfree_split_incremental" -> leakfreeIncrementalSql,
+    // A full drain of the streaming form equals the batch twin
+    // row-for-row — same SQL.
+    "q_stream_leakfree_split" -> leakfreeIncrementalSql,
     // Keep-best retention: the clusters CTE (identical to q_dedup_clusters)
     // plus the portable two-agg argmax — per-cluster max token count, then
     // min doc_id among the members achieving it.

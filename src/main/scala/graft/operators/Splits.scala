@@ -158,17 +158,31 @@ object Splits {
           .select(col("doc_id").as("corpus_doc"),
             col("cluster_id"), col("split"))
           .localCheckpoint()
-        val inherited = Dedup.incrementalNearDupsFromTable(tbl, threshold)
-          .select(col("corpus_doc"), col("shard_doc"))
-          .join(corpusAssign, "corpus_doc")
-          .groupBy(col("shard_doc").as("doc_id"))
-          .agg(min(struct(col("cluster_id"), col("split"))).as("m"))
-          .select(col("doc_id"), col("m.cluster_id").as("cluster_id"),
-            col("m.split").as("split"), lit(true).as("inherited"))
-        val fresh = documents.where(col("doc_id") >= split).select("doc_id")
-          .join(inherited.select("doc_id"), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("doc_id").as("cluster_id"),
-            splitOf(col("doc_id")).as("split"), lit(false).as("inherited"))
-        inherited.unionByName(fresh)
+        assignArrivals(
+          documents.where(col("doc_id") >= split),
+          Dedup.incrementalNearDupsFromTable(tbl, threshold), corpusAssign)
     }
+
+  /** The arrival-assignment tail shared by [[incrementalLeakFreeSplit]]
+    * and its streaming per-micro-batch twin: matched arrivals take the
+    * min-(cluster, split) of their corpus partners, the rest hash-split
+    * as singletons. `corpusAssign` is the frozen (corpus_doc,
+    * cluster_id, split) artifact.
+    */
+  private[graft] def assignArrivals(
+      arrivals: DataFrame, probePairs: DataFrame,
+      corpusAssign: DataFrame): DataFrame = {
+    val inherited = probePairs
+      .select(col("corpus_doc"), col("shard_doc"))
+      .join(corpusAssign, "corpus_doc")
+      .groupBy(col("shard_doc").as("doc_id"))
+      .agg(min(struct(col("cluster_id"), col("split"))).as("m"))
+      .select(col("doc_id"), col("m.cluster_id").as("cluster_id"),
+        col("m.split").as("split"), lit(true).as("inherited"))
+    val fresh = arrivals.select("doc_id")
+      .join(inherited.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        splitOf(col("doc_id")).as("split"), lit(false).as("inherited"))
+    inherited.unionByName(fresh)
+  }
 }

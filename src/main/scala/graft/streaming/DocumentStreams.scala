@@ -506,6 +506,67 @@ object DocumentStreams {
     }
   }
 
+  /** STREAMING incremental leak-free split — `Splits
+    * .incrementalLeakFreeSplit` as continuous ingestion: the corpus-side
+    * cluster+split assignment AND the capped band index are frozen
+    * artifacts (built once below the ingest boundary), and each arriving
+    * micro-batch probes the index and takes its assignment through the
+    * SHARED `Splits.assignArrivals` tail — matched docs inherit their
+    * corpus cluster's split, the rest hash-split as singletons, all
+    * within the batch (a doc arrives exactly once; no cross-batch
+    * state). Per-batch overwrite dirs make the sink idempotent under
+    * replay; a full drain equals the batch twin row-for-row, oracle
+    * shared verbatim.
+    */
+  def leakFreeSplitsToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Splits}
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None =>
+        docs.select(col("doc_id"), col("doc_id").as("cluster_id"),
+          lit("train").as("split"), lit(false).as("inherited")).limit(0)
+      case Some(split) =>
+        val corpus = docs.where(col("doc_id") < split)
+        val corpusSh = Dedup.shingled(corpus).localCheckpoint()
+        val idx = Dedup.corpusBandIndex(corpusSh).localCheckpoint()
+        val corpusAssign = Splits.leakFreeSplit(
+          corpus, Dedup.nearDuplicatePairs(corpus))
+          .select(col("doc_id").as("corpus_doc"),
+            col("cluster_id"), col("split"))
+          .localCheckpoint()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_lfs")
+        java.nio.file.Files.createDirectories(tmp.resolve("out"))
+        val stream = rawSource(spark, dir).where(col("doc_id") >= split)
+        EventStreams.withStreamShufflePartitions(spark) {
+          val q = stream.writeStream
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              Splits.assignArrivals(
+                batch,
+                Dedup.probeCorpusIndex(
+                  Dedup.shingled(batch), idx, corpusSh, 0.5),
+                corpusAssign)
+                .write.mode("overwrite")
+                .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("cluster_id", LongType),
+          StructField("split", StringType),
+          StructField("inherited", BooleanType)))
+        val result = spark.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(tmp.resolve("out").toString)
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        result
+    }
+  }
+
   /** STREAMING trained-classifier gate: `TextAnalysis.nbScore` running as
     * continuous ingestion — the Naive Bayes model and its prior/floor
     * constants are FROZEN artifacts (trained once on the train split,

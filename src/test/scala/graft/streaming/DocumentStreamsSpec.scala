@@ -247,6 +247,18 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming leak-free split equals the batch probe (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3))).toSet
+    val streamed = canon(DocumentStreams.leakFreeSplitsToBatch(spark, dir))
+    val batch = canon(graft.operators.Splits.incrementalLeakFreeSplit(
+      graft.Tables.documents(spark, dir),
+      graft.operators.SignatureStore.table(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming NB gate equals batch scoring under the frozen model (driver data)") {
     val dir = sf("sf0.001")
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
