@@ -148,6 +148,8 @@ object PlanDump {
       "NB scoring: per-(doc, tok) counts pre-aggregated BEFORE the vocabulary left join (AQE on the Zipf keys), 1-row prior/floor constants broadcast, doc_id-keyed final fold",
     "q_stream_nb_score" ->
       "streaming NB gate: model + constants frozen (localCheckpoint), per micro-batch the SHARED scoring fold against the static model frame, per-batch overwrite dirs for idempotent replay",
+    "q_nb_calibration" ->
+      "NB calibration: the nbScore plan + one |eval|-row label join + a <=10-band hash-agg — shifted floor division keeps negative-score banding identical to DuckDB's //",
     "q_line_surprisal" ->
       "line surprisal: the q_lm_backoff LM tables reused verbatim (train tokenized once per order), per-(line, trigram) counts pre-aggregated before the five vocabulary joins, (doc, pos)-keyed rollup, 1-row mean broadcast for the flag",
     "q_stream_leakfree_split" ->

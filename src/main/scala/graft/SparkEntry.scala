@@ -491,6 +491,11 @@ object SparkEntry {
     // drain equals the batch scoring row-for-row.
     "q_stream_nb_score" -> ((s, dir) =>
       graft.streaming.DocumentStreams.nbScoresToBatch(s, dir)),
+    // Reliability card: eval docs bucketed by clamped score-nat band
+    // with observed weak-label positive rate — the calibration read
+    // before a learned filter gates a corpus.
+    "q_nb_calibration" -> ((s, dir) =>
+      TextAnalysis.nbCalibration(Tables.documents(s, dir))),
     // Held-out confusion card: the trained filter vs the weak label on
     // docs the model never saw.
     "q_nb_eval" -> ((s, dir) => TextAnalysis.nbEval(Tables.documents(s, dir))),
@@ -3911,6 +3916,25 @@ object SparkEntry {
          |$nbScoreCtes
          |SELECT doc_id, n_tokens, score_f, score_f > 0 AS nb_quality
          |FROM scored""".stripMargin,
+    // Calibration card: shifted-floor band of the eval-split scores vs
+    // the weak label, same model CTEs.
+    "q_nb_calibration" -> {
+      import graft.functions.FixedPointLn.Scale
+      val (bands, shift) =
+        (TextAnalysis.CalibrationBands, TextAnalysis.CalibrationShift)
+      s"""WITH $nbCtes,
+         |$nbScoreCtes,
+         |ev AS (SELECT greatest(0, least(${bands * Scale - 1},
+         |      s.score_f + ${shift * Scale})) // $Scale - $shift AS band,
+         |    lab.y
+         |  FROM scored s JOIN lab ON s.doc_id = lab.doc_id
+         |  WHERE s.doc_id % ${graft.operators.TextAnalysis.EvalHoldoutMod} = 0)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         |    // CAST(count(*) AS BIGINT) AS pos_rate_milli
+         |FROM ev GROUP BY band""".stripMargin
+    },
     // Held-out confusion of the trained filter vs the weak label.
     "q_nb_eval" ->
       s"""WITH $nbCtes,

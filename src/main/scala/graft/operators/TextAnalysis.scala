@@ -383,6 +383,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("score_f"),
         (col("score_f") > 0).as("nb_quality"))
 
+  /** Score-band clamp for [[nbCalibration]]: bands cover −5..+4 nats. */
+  val CalibrationBands: Long = 10L
+  val CalibrationShift: Long = 5L
+
+  /** CALIBRATION card for the trained classifier — the reliability read
+    * before a learned filter gates a corpus: eval-split documents
+    * bucketed by posterior log-odds band (whole nats, clamped to
+    * [[CalibrationBands]] buckets so the card is fixed-width at any
+    * corpus size) with the observed weak-label positive rate per band.
+    * A calibrated filter shows pos_rate_milli rising monotonically with
+    * the band; a flat or inverted run means the score separates nothing
+    * and the gate threshold is arbitrary.
+    *
+    * Banding is all-integer and portable: the score is SHIFTED into the
+    * non-negative range before the floor division (`DIV` truncates
+    * toward zero, so a direct division of negative fixed-point scores
+    * would round differently than DuckDB's floor `//` — shifting makes
+    * both floors). ≤ [[CalibrationBands]] rows out of one |eval|-row
+    * join + one hash-agg on top of [[nbScore]].
+    */
+  def nbCalibration(documents: DataFrame): DataFrame = {
+    import graft.functions.FixedPointLn.Scale
+    val lab = docStats(documents).select(col("doc_id"), col("is_quality"))
+    val hi = CalibrationBands * Scale - 1
+    nbScore(documents)
+      .where(col("doc_id") % EvalHoldoutMod === 0)
+      .join(lab, "doc_id")
+      .select(
+        (expr(s"greatest(0L, least(${hi}L, score_f + ${CalibrationShift * Scale}L)) DIV $Scale")
+          - CalibrationShift).as("band"),
+        col("is_quality"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("band"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000 DIV n_docs").as("pos_rate_milli"))
+  }
+
   /** HELD-OUT evaluation card for the trained classifier: the confusion
     * counts and milli metrics of [[nbScore]]'s prediction against the
     * weak label on the eval split (`doc_id % 10 == 0`) — documents the

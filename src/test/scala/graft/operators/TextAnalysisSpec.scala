@@ -773,6 +773,26 @@ class TextAnalysisSpec extends SparkSpec {
     val again = TextAnalysis.nbScore(d.repartition(5)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
     assert(again === gotScores)
+    // calibration card: shifted-floor nat bands of the eval scores vs the
+    // weak label (floor semantics for negative scores — the shift test)
+    import graft.functions.FixedPointLn.Scale
+    val (bands, shift) =
+      (TextAnalysis.CalibrationBands, TextAnalysis.CalibrationShift)
+    def bandOf(s: Long): Long =
+      math.max(0L, math.min(bands * Scale - 1, s + shift * Scale)) / Scale - shift
+    val evalScored = Seq(10L -> e1, 20L -> e2).map { case (id, t) =>
+      (bandOf(score(t)._2), label(t))
+    }
+    val wantCal = evalScored.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.size.toLong; val p = xs.count(_._2).toLong
+      b -> ((n, p, p * 1000 / n))
+    }
+    val gotCal = TextAnalysis.nbCalibration(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotCal === wantCal)
+    // the junk eval doc scores negative: its band is strictly below the
+    // stopword-heavy doc's, and the floor shift kept it a whole-nat band
+    assert(bandOf(score(e2)._2) < bandOf(score(e1)._2))
   }
 
   test("spanDecontaminateBloom: pass-through prefilter, identical to the exact form") {
