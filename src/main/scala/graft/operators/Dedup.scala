@@ -634,25 +634,46 @@ object Dedup {
     ingestSplitOf(tbl) match {
       case None => emptyIncrementalPairs(tbl)
       case Some(split) =>
-        val sh = tbl.select(col("doc_id"), col("sh"))
-        val idx = dropOversizedBuckets(
-          bandedKeys(sigCols(tbl.where(col("doc_id") < split))), maxBucketSize)
-        val shardKeys = bandedKeys(sigCols(tbl.where(col("doc_id") >= split)))
-        val cand = idx.as("l")
-          .join(shardKeys.as("r"),
-            col("l.band") === col("r.band") && col("l.key") === col("r.key"))
-          .select(col("l.doc_id").as("corpus_doc"), col("r.doc_id").as("shard_doc"))
-          .distinct()
-        cand
-          .join(sh.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_a")), "corpus_doc")
-          .join(sh.select(col("doc_id").as("shard_doc"), col("sh").as("sh_b")), "shard_doc")
-          .select(
-            col("corpus_doc"), col("shard_doc"),
-            size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-            size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
-          .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-          .where(col("jaccard") >= threshold)
+        probeStoredIndex(
+          corpusBandIndexFromTable(
+            tbl.where(col("doc_id") < split), maxBucketSize),
+          tbl.where(col("doc_id") >= split),
+          tbl.select(col("doc_id"), col("sh")), threshold)
     }
+
+  /** The capped corpus band index from STORED signatures — the from-table
+    * analogue of [[corpusBandIndex]] (no recomputation of anything).
+    */
+  private[graft] def corpusBandIndexFromTable(
+      corpusTbl: DataFrame,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    dropOversizedBuckets(bandedKeys(sigCols(corpusTbl)), maxBucketSize)
+
+  /** One shard probed against a stored-signature index: the from-table
+    * probe half of [[incrementalNearDupsFromTable]], reusable by any
+    * consumer holding the index as a frozen artifact (the incremental
+    * leak-free split, the streaming probes). `sh` resolves both ends of
+    * the verification join.
+    */
+  private[graft] def probeStoredIndex(
+      idx: DataFrame, shardTbl: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val shardKeys = bandedKeys(sigCols(shardTbl))
+    val cand = idx.as("l")
+      .join(shardKeys.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.doc_id").as("corpus_doc"), col("r.doc_id").as("shard_doc"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_a")), "corpus_doc")
+      .join(sh.select(col("doc_id").as("shard_doc"), col("sh").as("sh_b")), "shard_doc")
+      .select(
+        col("corpus_doc"), col("shard_doc"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+  }
 
   /** Arrival band width for [[ingestDupRateFromTable]] — small here so
     * the driver shard (one fifth of the corpus) spans several bands; a

@@ -149,9 +149,12 @@ object Splits {
       case Some(split) =>
         // FROZEN artifact: corpus-side clusters + split. The store's
         // group columns span the whole table, so the corpus slice
-        // regroups its own rows (one window, paid once at index build).
+        // regroups its own rows (one window, paid once at index build);
+        // the checkpointed slice then feeds BOTH the pair miner and the
+        // probe index — the corpus store is scanned once.
         val corpusTbl = Dedup.withContentGroups(
           tbl.where(col("doc_id") < split).drop("group_id", "members"))
+          .localCheckpoint()
         val corpusAssign = leakFreeSplit(
           documents.where(col("doc_id") < split),
           Dedup.nearDuplicatePairsFromTable(corpusTbl, threshold))
@@ -160,7 +163,11 @@ object Splits {
           .localCheckpoint()
         assignArrivals(
           documents.where(col("doc_id") >= split),
-          Dedup.incrementalNearDupsFromTable(tbl, threshold), corpusAssign)
+          Dedup.probeStoredIndex(
+            Dedup.corpusBandIndexFromTable(corpusTbl),
+            tbl.where(col("doc_id") >= split),
+            tbl.select(col("doc_id"), col("sh")), threshold),
+          corpusAssign)
     }
 
   /** The arrival-assignment tail shared by [[incrementalLeakFreeSplit]]

@@ -527,10 +527,18 @@ object DocumentStreams {
           lit("train").as("split"), lit(false).as("inherited")).limit(0)
       case Some(split) =>
         val corpus = docs.where(col("doc_id") < split)
+        // the corpus is shingled ONCE and its signatures computed ONCE;
+        // the checkpointed artifact feeds the pair miner (assignment),
+        // the band index, and every batch's verification join
         val corpusSh = Dedup.shingled(corpus).localCheckpoint()
-        val idx = Dedup.corpusBandIndex(corpusSh).localCheckpoint()
+        val corpusTbl = Dedup.withContentGroups(
+          Dedup.signaturesFromShingled(corpusSh).join(corpusSh, Seq("doc_id"))
+            .select(col("doc_id") +: col("sh") +:
+              (0 until Dedup.NumHashes).map(i => col(s"mh$i")): _*))
+          .localCheckpoint()
+        val idx = Dedup.corpusBandIndexFromTable(corpusTbl).localCheckpoint()
         val corpusAssign = Splits.leakFreeSplit(
-          corpus, Dedup.nearDuplicatePairs(corpus))
+          corpus, Dedup.nearDuplicatePairsFromTable(corpusTbl))
           .select(col("doc_id").as("corpus_doc"),
             col("cluster_id"), col("split"))
           .localCheckpoint()
