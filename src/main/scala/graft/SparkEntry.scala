@@ -391,6 +391,15 @@ object SparkEntry {
     // brute-force oracle with no banding-equivalence caveat.
     "q_neardup_exact" -> ((s, dir) =>
       Dedup.prefixNearDupPairs(SignatureStore.table(s, dir))),
+    // The DEPLOYABLE form of the exact miner: same prefix join under the
+    // banded miner's doc-weighted size cap, dropping degenerate prefix
+    // join keys (template-family boilerplate) before they go quadratic.
+    // Identical-content pairs always survive (they never join). On this
+    // corpus the cap never fires, so the output equals q_neardup_exact;
+    // the oracle still replays the full capped construction.
+    "q_neardup_exact_capped" -> ((s, dir) =>
+      Dedup.prefixNearDupPairs(SignatureStore.table(s, dir),
+        maxPrefixGroup = Dedup.DefaultMaxBucketSize)),
     // Banding S-curve tuning card: closed-form P(detect | jaccard) for the
     // configured (bands, rows) next to the observed verified-pair mass.
     "q_lsh_curve" -> ((s, dir) =>
@@ -3816,6 +3825,55 @@ object SparkEntry {
          |WHERE len(a.sh) > 0 AND len(b.sh) > 0
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // The CAPPED exact miner has no brute-force shortcut: its contract
+    // is the prefix construction itself (content-group collapse, df-asc
+    // prefix, doc-weighted group cap, length filter, verify, member
+    // expansion), so the oracle replays every step with window functions
+    // over the same integer arithmetic. On this corpus no prefix group
+    // exceeds the cap, so the result ALSO equals q_neardup_exact's — the
+    // replay keeps that equality a checked fact instead of an assumption.
+    "q_neardup_exact_capped" -> {
+      val cap = graft.operators.Dedup.DefaultMaxBucketSize
+      s"""WITH sh0 AS ($shCte),
+         |ne AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+         |g AS (SELECT doc_id, sh,
+         |    min(doc_id) OVER (PARTITION BY sh) AS rep_id,
+         |    count(*) OVER (PARTITION BY sh) AS members
+         |  FROM ne),
+         |reps AS (SELECT rep_id, sh, members FROM g WHERE doc_id = rep_id),
+         |e AS (SELECT rep_id, members, unnest(sh) AS sg FROM reps),
+         |d AS (SELECT sg, count(*) AS df FROM e GROUP BY 1),
+         |o AS (SELECT e.rep_id, e.members, e.sg,
+         |    row_number() OVER (PARTITION BY e.rep_id ORDER BY d.df, e.sg) AS rk,
+         |    count(*) OVER (PARTITION BY e.rep_id) AS n
+         |  FROM e JOIN d USING (sg)),
+         |p AS (SELECT rep_id, members, n, sg FROM o
+         |  WHERE rk <= n - (500 * n + 999) // 1000 + 1),
+         |ov AS (SELECT sg FROM p GROUP BY sg HAVING sum(members) > $cap),
+         |k AS (SELECT * FROM p WHERE sg NOT IN (SELECT sg FROM ov)),
+         |c AS (SELECT DISTINCT l.rep_id AS rep_a, r.rep_id AS rep_b
+         |  FROM k l JOIN k r ON l.sg = r.sg AND l.rep_id < r.rep_id
+         |    AND 1000 * l.n >= 500 * r.n AND 1000 * r.n >= 500 * l.n),
+         |v AS (SELECT c.rep_a, c.rep_b,
+         |    len(list_intersect(a.sh, b.sh)) AS inter,
+         |    len(list_distinct(a.sh || b.sh)) AS uni
+         |  FROM c JOIN reps a ON c.rep_a = a.rep_id
+         |         JOIN reps b ON c.rep_b = b.rep_id),
+         |vf AS (SELECT rep_a, rep_b, inter, uni FROM v
+         |  WHERE 1000 * inter >= 500 * uni),
+         |sp AS (SELECT rep_id AS rep_a, rep_id AS rep_b,
+         |    len(sh) AS inter, len(sh) AS uni
+         |  FROM reps WHERE members > 1),
+         |u AS (SELECT * FROM vf UNION ALL SELECT * FROM sp),
+         |m AS (SELECT rep_id, doc_id FROM g)
+         |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |  greatest(ma.doc_id, mb.doc_id) AS doc_b,
+         |  u.inter, u.uni,
+         |  CAST(u.inter AS DOUBLE) / u.uni AS jaccard
+         |FROM u JOIN m ma ON u.rep_a = ma.rep_id
+         |       JOIN m mb ON u.rep_b = mb.rep_id
+         |WHERE u.rep_a <> u.rep_b OR ma.doc_id < mb.doc_id""".stripMargin
+    },
     // S-curve card: brute-force verified pairs (the q_dedup_neardup
     // equivalence) bucketed by exact integer milli-jaccard, left-joined
     // onto the constant grid whose p_band/p_detect chains replay the

@@ -327,9 +327,25 @@ object Dedup {
     * replica's 16.7k-doc template family alone implies ~1.4×10⁸ true
     * pairs; the capped LSH miner is the documented scale path there,
     * this the ground-truth path where completeness is the contract).
+    *
+    * `maxPrefixGroup` (default: uncapped) is the deployable safety
+    * valve for exactly that degenerate corpus: the prefix-join analog of
+    * the banded miner's [[DefaultMaxBucketSize]] cap. A prefix join key
+    * (one shingle) carried by n documents hands one task up to n(n−1)/2
+    * candidate pairs, so groups whose DOC-WEIGHTED size (reps weighted
+    * by their member counts, the same unit the banded cap compares)
+    * exceeds the cap are dropped from the join up front by a broadcast
+    * anti-join on the ≤handful of oversized shingles. The theorem's
+    * recall-1 guarantee narrows to pairs that still share an uncapped
+    * prefix shingle — on non-degenerate corpora the cap never fires and
+    * the output is bit-identical to the exact miner (DedupSpec asserts
+    * this), while a template-family flood loses only its intra-family
+    * pairs, which enumerate quadratic boilerplate a pipeline would
+    * collapse wholesale anyway.
     */
   def prefixNearDupPairs(
-      tbl: DataFrame, threshold: Double = 0.5): DataFrame = {
+      tbl: DataFrame, threshold: Double = 0.5,
+      maxPrefixGroup: Int = Int.MaxValue): DataFrame = {
     val milli = math.round(threshold * 1000)
     val keyed =
       if (tbl.columns.contains("group_id")) tbl else withContentGroups(tbl)
@@ -337,27 +353,40 @@ object Dedup {
       .where(col("doc_id") === col("group_id") && size(col("sh")) > 0)
       .select(col("group_id").as("rep_id"), col("sh"), col("members"))
     val members = keyed.select(col("group_id").as("rep_id"), col("doc_id"))
-    val exploded = reps.select(col("rep_id"), explode(col("sh")).as("g"))
+    val exploded = reps
+      .select(col("rep_id"), col("members"), explode(col("sh")).as("g"))
     val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
     // per-set (df asc, shingle asc) order + sizes; sh elements are
     // distinct by construction so collect_list is the set
     val ordered = exploded.join(dfreq, "g")
       .groupBy("rep_id")
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("rs"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"), first(col("members")).as("members"))
     // prefix length n − ⌈τn⌉ + 1, all-integer ceil; consumed by both
     // self-join sides — checkpoint, and repartition for the same
     // AQE-coalescing reason as the banded frames
     val prefixes = ordered
-      .select(col("rep_id"), col("n"),
+      .select(col("rep_id"), col("n"), col("members"),
         explode(slice(col("rs"), lit(1),
           (col("n") - expr(s"($milli * n + 999) DIV 1000") + lit(1))
             .cast("int"))).as("e"))
-      .select(col("rep_id"), col("n"), col("e.g").as("g"))
+      .select(col("rep_id"), col("n"), col("members"), col("e.g").as("g"))
       .repartition(tbl.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
-    val candidates = prefixes.as("l")
-      .join(prefixes.as("r"),
+    // cap gate: drop the (rare, degenerate) prefix join keys whose
+    // doc-weighted fan-out exceeds the cap — one pass over the already-
+    // checkpointed prefix frame, oversized keys broadcast to both sides
+    val joinable =
+      if (maxPrefixGroup == Int.MaxValue) prefixes
+      else {
+        val oversized = prefixes.groupBy("g")
+          .agg(sum(col("members")).as("pg_docs"))
+          .where(col("pg_docs") > maxPrefixGroup)
+          .select("g")
+        prefixes.join(broadcast(oversized), Seq("g"), "left_anti")
+      }
+    val candidates = joinable.as("l")
+      .join(joinable.as("r"),
         col("l.g") === col("r.g") && col("l.rep_id") < col("r.rep_id") &&
           lit(1000L) * col("l.n") >= lit(milli) * col("r.n") &&
           lit(1000L) * col("r.n") >= lit(milli) * col("l.n"))

@@ -537,4 +537,41 @@ class DedupSpec extends SparkSpec {
     assert(got3.map(p => (p._1, p._2)) ===
       (allPairs ++ Set((1L, 6L)) ++ (2L to 5L).map(b => (b, 6L)).toSet))
   }
+
+  test("prefixNearDupPairs cap: no-op on the driver corpus, drops a planted flood") {
+    // at the production cap the gate must be invisible on real data:
+    // bit-identical pair set on the sf0.001 corpus
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val tbl = Dedup.withContentGroups(Dedup.shingleSignatureTable(d))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+    val uncapped = Dedup.prefixNearDupPairs(tbl).collect().map(key).toSet
+    val prodCap = Dedup.prefixNearDupPairs(
+      tbl, maxPrefixGroup = Dedup.DefaultMaxBucketSize).collect().map(key).toSet
+    assert(prodCap === uncapped)
+
+    // planted corpus: a 6-doc template flood (every prefix shingle it
+    // shares has doc-weighted group size 6), one honest near-dup pair in
+    // a disjoint token namespace (group sizes 2), one identical pair
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val base2 = (1 to 40).map(i => s"u$i").mkString(" ")
+    val rows =
+      (1L to 6L).map(i => i -> s"$base extra$i") ++ Seq(
+        10L -> s"$base2 tail10",
+        11L -> s"$base2 tail11",
+        20L -> "exactly the same verbatim text across both copies here now",
+        21L -> "exactly the same verbatim text across both copies here now")
+    val tblF = Dedup.withContentGroups(Dedup.shingleSignatureTable(docs(rows: _*)))
+    val capped = Dedup.prefixNearDupPairs(tblF, maxPrefixGroup = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the flood's 15 intra-family pairs are gone; the honest pair and
+    // the identical-content pair (which never joins, so no cap to
+    // survive) both remain
+    assert(capped === Set((10L, 11L), (20L, 21L)))
+    // uncapped ground truth on the same corpus keeps the family
+    val full = Dedup.prefixNearDupPairs(tblF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fam = (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b)).toSet
+    assert(full === fam ++ Set((10L, 11L), (20L, 21L)))
+  }
 }
