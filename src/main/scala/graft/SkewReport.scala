@@ -43,6 +43,15 @@ object SkewReport {
       val docs = Tables.documents(spark, dir)
       val mh = stats(operators.Dedup.minhashBucketLoads(docs))
       val sh = stats(operators.Dedup.simhashBucketLoads(docs))
+      // prefix-join group card: the candidate-pair mass the EXACT miner
+      // would enumerate, uncapped vs under the doc-weighted cap
+      val pg = operators.Dedup.prefixGroupLoads(docs)
+        .agg(
+          coalesce(sum(when(col("oversized"), 1L)), lit(0L)),
+          coalesce(max(col("pg_docs")), lit(0L)),
+          coalesce(sum(col("pair_mass")), lit(0L)),
+          coalesce(sum(when(!col("oversized"), col("pair_mass"))), lit(0L)))
+        .head()
       val maxVecGroup = Tables.embeddings(spark, dir)
         .where(col("embedding").isNotNull)
         .groupBy(md5(col("embedding").cast("string"))).agg(count(lit(1)).as("n"))
@@ -60,6 +69,8 @@ object SkewReport {
         s""""max_bucket_docs":${mh.maxBucket},"distinct_rows_dropped":${mh.distinctRows}},""" +
         s""""simhash":{"oversized_buckets":${sh.oversized},"docs_in_oversized":${sh.docsIn},""" +
         s""""max_bucket_docs":${sh.maxBucket},"distinct_rows_dropped":${sh.distinctRows}},""" +
+        s""""prefix":{"oversized_groups":${pg.getLong(0)},"max_group_docs":${pg.getLong(1)},""" +
+        s""""pair_mass_uncapped":${pg.getLong(2)},"pair_mass_capped":${pg.getLong(3)}},""" +
         s""""max_identical_vector_group":$maxVecGroup,""" +
         s""""hot_custkey_orders":$hotCustN,"hot_custkey_share":$hotCustShare,""" +
         s""""hot_partkey_lines":$hotPartN,"hot_partkey_share":$hotPartShare}""")

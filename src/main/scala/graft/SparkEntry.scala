@@ -356,6 +356,20 @@ object SparkEntry {
     "q_pack_bestfit" -> ((s, dir) => Packing.packBestFit(Tables.documents(s, dir))),
     // Zipf-slope fit over the top-1000 terms, all-integer least squares
     "q_zipf_fit" -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
+    // N-gram novelty by ingestion bucket: new-vs-seen trigram shares —
+    // the corpus-saturation read before paying for more crawl
+    "q_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
+    // Heaps-law vocabulary-growth exponent over the novelty curve, same
+    // fixed-point ln axes as the Zipf fit
+    "q_heaps_fit" -> ((s, dir) => TextAnalysis.heapsFit(Tables.documents(s, dir))),
+    // C4-style denylist-phrase impact card: per-source flagged share
+    "q_phrase_blocklist" -> ((s, dir) =>
+      TextAnalysis.phraseBlocklist(Tables.documents(s, dir))),
+    // Per-source token-budget cap (the domain cap, budgeted in tokens):
+    // content-hash-prefix selection by counting, never a global sort
+    "q_source_budget" -> ((s, dir) =>
+      Sampling.sourceTokenBudget(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -3029,6 +3043,113 @@ object SparkEntry {
          |       THEN ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
          |       ELSE 0 END AS slope_milli
          |FROM s""".stripMargin
+    },
+    // Novelty curve: the bucket/min-bucket aggregation chain replayed
+    // verbatim; every count cast to BIGINT and the cumulative window
+    // cast back down from DuckDB's HUGEINT
+    "q_ngram_novelty" -> {
+      val b = TextAnalysis.NoveltyBuckets
+      s"""WITH sh AS ($shCte),
+         |mx AS (SELECT max(doc_id) AS m FROM documents),
+         |e AS (SELECT (doc_id * $b) // ((SELECT m FROM mx) + 1) AS bucket,
+         |    unnest(sh) AS sg FROM sh),
+         |bg AS (SELECT bucket, sg, CAST(count(*) AS BIGINT) AS n_inst
+         |  FROM e GROUP BY 1, 2),
+         |nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |    CAST(sum(n_inst) AS BIGINT) AS n_ngram_rows FROM bg GROUP BY 1),
+         |nn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM (
+         |    SELECT sg, min(bucket) AS bucket FROM bg GROUP BY 1) f GROUP BY 1),
+         |nd AS (SELECT (doc_id * $b) // ((SELECT m FROM mx) + 1) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+         |SELECT nd.bucket, nd.n_docs,
+         |  coalesce(nb.n_ngrams, 0) AS n_ngrams,
+         |  coalesce(nb.n_ngram_rows, 0) AS n_ngram_rows,
+         |  coalesce(nn.n_new, 0) AS n_new,
+         |  CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY nd.bucket)
+         |    AS BIGINT) AS cum_vocab,
+         |  CASE WHEN coalesce(nb.n_ngrams, 0) > 0
+         |       THEN coalesce(nn.n_new, 0) * 1000 // nb.n_ngrams
+         |       ELSE 0 END AS novelty_milli
+         |FROM nd LEFT JOIN nb ON nd.bucket = nb.bucket
+         |        LEFT JOIN nn ON nd.bucket = nn.bucket""".stripMargin
+    },
+    // Heaps exponent: the novelty chain's cumulative points on milli-nat
+    // ln_f axes, the q_zipf_fit least-squares tail
+    "q_heaps_fit" -> {
+      import graft.functions.FixedPointLn.lnFSql
+      val b = TextAnalysis.NoveltyBuckets
+      s"""WITH sh AS ($shCte),
+         |mx AS (SELECT max(doc_id) AS m FROM documents),
+         |e AS (SELECT (doc_id * $b) // ((SELECT m FROM mx) + 1) AS bucket,
+         |    unnest(sh) AS sg FROM sh),
+         |bg AS (SELECT bucket, sg, CAST(count(*) AS BIGINT) AS n_inst
+         |  FROM e GROUP BY 1, 2),
+         |nb AS (SELECT bucket, CAST(sum(n_inst) AS BIGINT) AS n_ngram_rows
+         |  FROM bg GROUP BY 1),
+         |nn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM (
+         |    SELECT sg, min(bucket) AS bucket FROM bg GROUP BY 1) f GROUP BY 1),
+         |nd AS (SELECT (doc_id * $b) // ((SELECT m FROM mx) + 1) AS bucket
+         |  FROM documents GROUP BY 1),
+         |pts AS (SELECT
+         |    CAST(sum(coalesce(nb.n_ngram_rows, 0)) OVER (ORDER BY nd.bucket)
+         |      AS BIGINT) AS cum_rows,
+         |    CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY nd.bucket)
+         |      AS BIGINT) AS cum_vocab
+         |  FROM nd LEFT JOIN nb ON nd.bucket = nb.bucket
+         |          LEFT JOIN nn ON nd.bucket = nn.bucket),
+         |xy AS (SELECT
+         |  ${lnFSql("cum_rows", "lx")},
+         |  ${lnFSql("cum_vocab", "ly")},
+         |  lx // 1000 AS x, ly // 1000 AS y
+         |  FROM pts WHERE cum_rows > 0 AND cum_vocab > 0),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+         |SELECT n AS n_points,
+         |  CASE WHEN n * sxx - sx * sx <> 0
+         |       THEN ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+         |       ELSE 0 END AS slope_milli
+         |FROM s""".stripMargin
+    },
+    // Denylist-phrase card: positional bigrams against the literal list
+    "q_phrase_blocklist" -> {
+      val phrases =
+        TextAnalysis.BlockedPhrases.map(p => s"'$p'").mkString(", ")
+      s"""WITH t AS (SELECT source, doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |b AS (SELECT source, doc_id,
+         |    unnest(list_transform(range(1, len(ts)),
+         |      i -> ts[i] || ' ' || ts[i+1])) AS bg
+         |  FROM t WHERE len(ts) >= 2),
+         |f AS (SELECT source, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_flagged
+         |  FROM b WHERE bg IN ($phrases) GROUP BY 1),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT d.source, d.n_docs,
+         |  coalesce(f.n_occurrences, 0) AS n_occurrences,
+         |  coalesce(f.n_flagged, 0) AS n_flagged,
+         |  coalesce(f.n_flagged, 0) * 1000 // d.n_docs AS flagged_milli
+         |FROM d LEFT JOIN f ON d.source = f.source""".stripMargin
+    },
+    // Token-budget source cap: the counting selection collapses to its
+    // sort-order CONTRACT in SQL — kept iff the token mass hashed
+    // strictly before the doc (within its source) is under budget
+    "q_source_budget" -> {
+      import graft.operators.Sampling.{SourceBudgetSeed, SourceBudgetTokens}
+      s"""WITH t AS (SELECT source, doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+         |    ${h60(SourceBudgetSeed, "doc_id")} % ${1L << 20} AS h
+         |  FROM documents),
+         |c AS (SELECT source, doc_id, tok,
+         |    CAST(coalesce(sum(tok) OVER (PARTITION BY source
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT source, doc_id, tok FROM c
+         |WHERE cum_before < $SourceBudgetTokens""".stripMargin
     },
     "q_shard_manifest" -> {
       import graft.operators.Packing.{ShardCount, ShardSeed}

@@ -343,16 +343,12 @@ object Dedup {
     * pairs, which enumerate quadratic boilerplate a pipeline would
     * collapse wholesale anyway.
     */
-  def prefixNearDupPairs(
-      tbl: DataFrame, threshold: Double = 0.5,
-      maxPrefixGroup: Int = Int.MaxValue): DataFrame = {
-    val milli = math.round(threshold * 1000)
-    val keyed =
-      if (tbl.columns.contains("group_id")) tbl else withContentGroups(tbl)
-    val reps = keyed
-      .where(col("doc_id") === col("group_id") && size(col("sh")) > 0)
-      .select(col("group_id").as("rep_id"), col("sh"), col("members"))
-    val members = keyed.select(col("group_id").as("rep_id"), col("doc_id"))
+  /** The (rep_id, n, members, g) prefix frame of [[prefixNearDupPairs]]:
+    * each rep's rarest-first length-(n − ⌈τn⌉ + 1) prefix, exploded one
+    * shingle per row — shared with [[prefixGroupLoads]] so the
+    * diagnostic weighs exactly the frame the miner joins.
+    */
+  private def prefixRows(reps: DataFrame, milli: Long): DataFrame = {
     val exploded = reps
       .select(col("rep_id"), col("members"), explode(col("sh")).as("g"))
     val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
@@ -362,15 +358,34 @@ object Dedup {
       .groupBy("rep_id")
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("rs"),
         count(lit(1)).as("n"), first(col("members")).as("members"))
-    // prefix length n − ⌈τn⌉ + 1, all-integer ceil; consumed by both
-    // self-join sides — checkpoint, and repartition for the same
-    // AQE-coalescing reason as the banded frames
-    val prefixes = ordered
+    // prefix length n − ⌈τn⌉ + 1, all-integer ceil
+    ordered
       .select(col("rep_id"), col("n"), col("members"),
         explode(slice(col("rs"), lit(1),
           (col("n") - expr(s"($milli * n + 999) DIV 1000") + lit(1))
             .cast("int"))).as("e"))
       .select(col("rep_id"), col("n"), col("members"), col("e.g").as("g"))
+  }
+
+  private def repsOf(tbl: DataFrame): DataFrame = {
+    val keyed =
+      if (tbl.columns.contains("group_id")) tbl else withContentGroups(tbl)
+    keyed
+      .where(col("doc_id") === col("group_id") && size(col("sh")) > 0)
+      .select(col("group_id").as("rep_id"), col("sh"), col("members"))
+  }
+
+  def prefixNearDupPairs(
+      tbl: DataFrame, threshold: Double = 0.5,
+      maxPrefixGroup: Int = Int.MaxValue): DataFrame = {
+    val milli = math.round(threshold * 1000)
+    val keyed =
+      if (tbl.columns.contains("group_id")) tbl else withContentGroups(tbl)
+    val reps = repsOf(tbl)
+    val members = keyed.select(col("group_id").as("rep_id"), col("doc_id"))
+    // consumed by both self-join sides — checkpoint, and repartition for
+    // the same AQE-coalescing reason as the banded frames
+    val prefixes = prefixRows(reps, milli)
       .repartition(tbl.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
     // cap gate: drop the (rare, degenerate) prefix join keys whose
@@ -418,6 +433,28 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"),
         col("inter"), col("uni"), col("jaccard"))
+  }
+
+  /** Doc-weighted PREFIX-GROUP load card for [[prefixNearDupPairs]]'s
+    * cap: one row per prefix join key (shingle) with the number of reps
+    * whose prefix carries it, the doc-weighted size the cap compares,
+    * the rep-pair mass the key hands the candidate join (n·(n−1)/2 over
+    * its reps), and whether the cap would drop it. [[SkewReport]] prints
+    * its rollup for the skew replica: the uncapped exact miner's blowup
+    * there is the SUM of pair_mass, almost all of it owned by a handful
+    * of oversized keys — the same concentration shape the banded
+    * miner's bucket card shows.
+    */
+  def prefixGroupLoads(documents: DataFrame, threshold: Double = 0.5,
+      cap: Int = DefaultMaxBucketSize): DataFrame = {
+    val milli = math.round(threshold * 1000)
+    val reps = repsOf(shingleSignatureTable(documents))
+    prefixRows(reps, milli)
+      .groupBy("g")
+      .agg(count(lit(1)).as("pg_reps"), sum(col("members")).as("pg_docs"))
+      .select(col("g"), col("pg_reps"), col("pg_docs"),
+        expr("pg_reps * (pg_reps - 1) DIV 2").as("pair_mass"),
+        (col("pg_docs") > cap).as("oversized"))
   }
 
   /** AGREEMENT report between the two lexical near-dup detectors: the

@@ -113,6 +113,72 @@ object Sampling {
   /** Weight cap for [[weightedSample]]: keep probability saturates at 1
     * once a document reaches this many tokens.
     */
+  /** Token budget per source for [[sourceTokenBudget]] and its hash
+    * draw's seed. The budget is deliberately small enough to ENGAGE on
+    * every driver scale factor (a cap that never fires is untested
+    * code).
+    */
+  val SourceBudgetTokens: Long = 500L
+  val SourceBudgetSeed: Int = 17
+
+  /** Per-source TOKEN-BUDGET cap (the Gopher/RefinedWeb "domain cap",
+    * budgeted in tokens the way mixture builders actually spend):
+    * within each source, documents are taken in content-hash order
+    * until the running token total reaches the budget — a document is
+    * kept iff the token mass hashed STRICTLY BEFORE it is under budget,
+    * so the first crossing doc is included and every later one dropped.
+    * Over-represented sources are truncated to ~budget tokens;
+    * under-budget sources pass through whole. The hash order makes the
+    * kept set a uniform random-looking but fully deterministic subset —
+    * stable under repartitioning and incremental re-runs (a new doc
+    * displaces only hash-later docs in its own source).
+    *
+    * Shape: selection by COUNTING, not sorting (the
+    * [[exactStratifiedSample]] idiom with token-weighted buckets): a
+    * per-(source, h>>8) histogram of token mass, a cumulative window
+    * over that ≤4096-rows-per-source frame to find each source's
+    * crossing bucket, then only the ONE crossing bucket per source is
+    * ranked to place the boundary exactly. The corpus is scanned and
+    * filtered; it is never globally sorted.
+    */
+  def sourceTokenBudget(
+      documents: DataFrame, budget: Long = SourceBudgetTokens,
+      seed: Int = SourceBudgetSeed): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = documents
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok"),
+        (HashFunctions.md5Long(col("doc_id").cast("string"), seed)
+          % (1L << 20)).as("h"))
+      .localCheckpoint()
+    val cumW = Window.partitionBy("source").orderBy(col("hb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = hashed
+      .select(col("source"), shiftright(col("h"), 8).as("hb"), col("tok"))
+      .groupBy("source", "hb").agg(sum("tok").as("tn"))
+      .withColumn("cum", sum("tn").over(cumW))
+    // the crossing bucket: first hb where the running token mass
+    // reaches the budget; a source that never crosses has no row here
+    // and passes through whole
+    val cutoff = hist
+      .where(col("cum") >= budget && col("cum") - col("tn") < budget)
+      .select(col("source"), col("hb").as("cut_hb"),
+        (col("cum") - col("tn")).as("base"))
+      .localCheckpoint() // ≤ one row per source
+    val joined = hashed.join(broadcast(cutoff), Seq("source"), "left")
+    val below = joined.where(
+      col("cut_hb").isNull || shiftright(col("h"), 8) < col("cut_hb"))
+    val tieW = Window.partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tie = joined
+      .where(shiftright(col("h"), 8) === col("cut_hb"))
+      .withColumn("before", coalesce(sum("tok").over(tieW), lit(0L)))
+      .where(col("base") + col("before") < budget)
+      .drop("before")
+    below.unionByName(tie).select("source", "doc_id", "tok")
+  }
+
   val WeightCap: Long = 256L
   val WeightedSeed: Int = 11
 

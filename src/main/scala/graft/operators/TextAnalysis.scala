@@ -122,6 +122,124 @@ object TextAnalysis {
           |     ELSE 0 END AS slope_milli""".stripMargin)
   }
 
+  /** Ingestion buckets for [[ngramNovelty]]/[[heapsFit]]: doc_id range
+    * split into this many equal-width slices (doc_id IS ingestion order
+    * in this corpus).
+    */
+  val NoveltyBuckets = 16
+
+  /** N-GRAM NOVELTY curve: how much genuinely new content each slice of
+    * the ingestion order contributes — per bucket, the distinct trigram
+    * shingles seen (n_ngrams), the ones whose FIRST corpus occurrence is
+    * this bucket (n_new), the running vocabulary (cum_vocab), and the
+    * new-share in milli. The saturation read a crawl pipeline takes
+    * before paying for more data: when novelty_milli flattens near 0,
+    * additional ingestion is re-buying shingles dedup already owns.
+    *
+    * Shape: one shingle explode (the [[Dedup.shingled]] frame all dedup
+    * ops share), one (bucket, shingle) hash-agg, one min-bucket agg per
+    * shingle (first occurrence — an aggregation, NOT a window over the
+    * corpus), and a ≤[[NoveltyBuckets]]-row rollup whose cumulative sum
+    * runs over that tiny frame. The corpus is never sorted; bucket
+    * assignment is a closed-form integer expression off one broadcast
+    * max(doc_id) row.
+    */
+  def ngramNovelty(
+      documents: DataFrame, buckets: Int = NoveltyBuckets): DataFrame = {
+    val d = graft.Parallelism.ensure(documents)
+    val mx = d.agg(max("doc_id").as("m"))
+    val bucketOf = expr(s"(doc_id * $buckets) DIV (m + 1)")
+    val e = graft.operators.Dedup.shingled(d).crossJoin(broadcast(mx))
+      .select(bucketOf.as("bucket"), explode(col("sh")).as("g"))
+    val bg = e.groupBy("bucket", "g").agg(count(lit(1)).as("n_inst"))
+    val perBucket = bg.groupBy("bucket")
+      .agg(count(lit(1)).as("n_ngrams"), sum("n_inst").as("n_ngram_rows"))
+    val firstSeen = bg.groupBy("g").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val nDocs = d.crossJoin(broadcast(mx))
+      .groupBy(bucketOf.as("bucket")).agg(count(lit(1)).as("n_docs"))
+    nDocs
+      .join(perBucket, Seq("bucket"), "left")
+      .join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ngrams", "n_ngram_rows", "n_new"))
+      .withColumn("cum_vocab",
+        sum("n_new").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("novelty_milli",
+        when(col("n_ngrams") > 0, expr("n_new * 1000 DIV n_ngrams"))
+          .otherwise(lit(0L)))
+  }
+
+  /** HEAPS-LAW fit over the [[ngramNovelty]] curve: slope β of
+    * ln(cum_vocab) against ln(cum_ngram_rows) across the ingestion
+    * buckets — V ≈ K·Nᵝ, the standard vocabulary-growth exponent. β near
+    * 1 means every new slice is mostly novel (keep crawling); β near 0
+    * means the corpus is saturated. Same milli-nat `ln_f` axes and
+    * closed-form integer least squares as [[zipfFit]], so the slope is
+    * bit-portable. ≤[[NoveltyBuckets]] points; the heavy lifting is the
+    * novelty frame's aggregations.
+    */
+  def heapsFit(
+      documents: DataFrame, buckets: Int = NoveltyBuckets): DataFrame = {
+    import graft.functions.FixedPointLn.lnF
+    val pts = ngramNovelty(documents, buckets)
+      .withColumn("cum_rows",
+        sum("n_ngram_rows").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum_rows") > 0 && col("cum_vocab") > 0)
+      .withColumn("lx", lnF(col("cum_rows")))
+      .withColumn("ly", lnF(col("cum_vocab")))
+      .selectExpr("lx DIV 1000 AS x", "ly DIV 1000 AS y")
+    pts.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .selectExpr(
+        "n AS n_points",
+        """CASE WHEN n * sxx - sx * sx <> 0
+          |     THEN ((n * sxy - sx * sy) * 1000) DIV (n * sxx - sx * sx)
+          |     ELSE 0 END AS slope_milli""".stripMargin)
+  }
+
+  /** Denylist PHRASES for [[phraseBlocklist]] — the C4-style badlist,
+    * here token bigrams so matching is positional, not substring (no
+    * "scunthorpe" false positives by construction).
+    */
+  val BlockedPhrases: Seq[String] = Seq("slow scan", "big table", "key value")
+
+  /** C4-style BLOCKLIST card: per source, how many documents contain at
+    * least one denylist phrase and how many total occurrences appear —
+    * the impact estimate a pipeline reads BEFORE committing a filter
+    * that silently deletes documents (C4's badword filter famously
+    * removed dialect-heavy and medical text; this card is how that
+    * shows up as a per-source flagged_milli skew instead of a surprise).
+    *
+    * Shape: one positional-bigram explode filtered against the
+    * broadcast-literal denylist (the match runs in codegen as an `IN`
+    * over string literals), one per-source agg counting occurrences and
+    * distinct flagged docs, joined onto the per-source doc totals. No
+    * regex scans, no per-phrase passes — |denylist| does not multiply
+    * the corpus scans.
+    */
+  def phraseBlocklist(
+      documents: DataFrame,
+      phrases: Seq[String] = BlockedPhrases): DataFrame = {
+    val d = graft.Parallelism.ensure(documents)
+    val bi = d
+      .select(col("source"), col("doc_id"), toks(lower(col("text"))).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("source"), col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))"))
+        .as("bg"))
+    val blocked = bi.where(col("bg").isin(phrases: _*))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_flagged"))
+    d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(blocked, Seq("source"), "left")
+      .na.fill(0L, Seq("n_occurrences", "n_flagged"))
+      .withColumn("flagged_milli", expr("n_flagged * 1000 DIV n_docs"))
+  }
+
   /** Language-ID CONFUSION rollup: (true lang, predicted lang) cell counts
     * of [[langId]] against the table's lang column, with each cell's share
     * of its true-language row in milli — the detector-QA card read before

@@ -283,4 +283,37 @@ class SamplingSpec extends SparkSpec {
     val selMean = got.map(_._2.toDouble).sum / got.length
     assert(selMean > corpusMean)
   }
+
+  test("sourceTokenBudget: hash-prefix under budget, crossing doc kept, small source whole") {
+    import spark.implicits._
+    val text100 = ("w " * 100).trim // 100 tokens per doc
+    val rows = (1L to 30L).map(i => (i, "A", text100)) ++ // 3000 tokens
+      (101L to 105L).map(i => (i, "B", text100)) // 500 tokens, under budget
+    val d = rows.toDF("doc_id", "source", "text")
+    // budget 1050 crosses INSIDE doc 11 of the hash order: docs 1-10
+    // cover 1000 < 1050, so the 11th is kept and the 12th is not
+    val got = Sampling.sourceTokenBudget(d, budget = 1050L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def md5h(id: Long): Long = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Sampling.SourceBudgetSeed}:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dg.map("%02x".format(_)).mkString.substring(0, 15), 16) % (1L << 20)
+    }
+    val want = rows.groupBy(_._2).flatMap { case (src, xs) =>
+      var cum = 0L
+      xs.map(x => (x._1, md5h(x._1))).sortBy { case (id, h) => (h, id) }
+        .flatMap { case (id, _) =>
+          val keep = cum < 1050L
+          cum += 100L
+          if (keep) Some((src, id, 100L)) else None
+        }
+    }.toSet
+    assert(got === want)
+    assert(got.count(_._1 == "B") === 5) // under-budget source untouched
+    assert(got.count(_._1 == "A") === 11) // 10 whole + the crossing doc
+    val again = Sampling.sourceTokenBudget(d.repartition(7), budget = 1050L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === got)
+  }
 }

@@ -818,4 +818,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(spans(TextAnalysis.spanDecontaminateBloom(real)) ===
       spans(TextAnalysis.spanDecontaminate(real)))
   }
+
+  test("ngramNovelty: first-occurrence accounting and cumulative vocabulary") {
+    // ids 0..3, buckets=2, m=3 -> bucket = id*2 DIV 4: {0,1}->0, {2,3}->1
+    val d = docs(
+      0L -> "a b c d", // shingles: "a b c", "b c d"
+      1L -> "a b c", //           "a b c"
+      2L -> "a b c x", //         "a b c", "b c x"
+      3L -> "p q r s") //         "p q r", "q r s"
+    val got = TextAnalysis.ngramNovelty(d, buckets = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))))
+      .toMap
+    // bucket 0: 2 distinct shingles over 3 doc-instances, both new
+    assert(got(0L) === ((2L, 2L, 3L, 2L, 2L, 1000L)))
+    // bucket 1: 4 distinct, 4 instances, 3 first seen here -> 750 milli
+    assert(got(1L) === ((2L, 4L, 4L, 3L, 5L, 750L)))
+    val again = TextAnalysis.ngramNovelty(d.repartition(5), buckets = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(again === got)
+  }
+
+  test("heapsFit: saturated corpus -> slope 0; fully-novel corpus -> slope 1000") {
+    // every doc identical: cum_vocab is constant -> beta = 0 exactly
+    val sat = docs((0L to 7L).map(i => i -> "a b c d e"): _*)
+    val s = TextAnalysis.heapsFit(sat, buckets = 4).head()
+    assert(s.getLong(0) === 4L && s.getLong(1) === 0L)
+    // every doc a fresh token namespace: cum_vocab == cum_rows at every
+    // point, so the ln-ln points sit on y = x -> beta = 1000 exactly
+    val novel = docs((0L to 7L).map(i =>
+      i -> s"n${i}a n${i}b n${i}c n${i}d"): _*)
+    val n = TextAnalysis.heapsFit(novel, buckets = 4).head()
+    assert(n.getLong(0) === 4L && n.getLong(1) === 1000L)
+  }
+
+  test("phraseBlocklist: positional bigram matches, per-source funnel") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "The SLOW scan runs"), // "slow scan" x1 (case-folded)
+      (2L, "s1", "big table big table"), // "big table" x2 in one doc
+      (3L, "s1", "nothing suspicious here"),
+      (4L, "s2", "scan slow the reversed order misses")) // no positional hit
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.phraseBlocklist(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("s1") === ((3L, 3L, 2L, 666L))) // 3 occurrences, 2 docs flagged
+    assert(got("s2") === ((1L, 0L, 0L, 0L))) // reversed bigram is NOT a match
+    val again = TextAnalysis.phraseBlocklist(d.repartition(3)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(again === got)
+  }
 }
