@@ -185,7 +185,17 @@ object PlanDump {
     "q_line_dedup" ->
       "line-level dedup: NON-overlapping token windows (|tokens|/8 rows, 60-bit hashes past the first projection), map-side-combined frequency hash-agg, hash-keyed equi-join verdict (frequent-line set never assumed broadcastable), one doc_id-keyed fold — counting, never pairing",
     "q_line_dedup_incremental" ->
-      "ingestion line dedup: corpus-frozen slim frequency index (lines at freq >= minOcc-1 only), shard-side line scan + one equi-join + doc_id fold — the corpus is scanned at index build, never per batch")
+      "ingestion line dedup: corpus-frozen slim frequency index (lines at freq >= minOcc-1 only), shard-side line scan + one equi-join + doc_id fold — the corpus is scanned at index build, never per batch",
+    "q_neardup_exact_capped" ->
+      "the exact prefix join under the doc-weighted group cap: oversized join keys leave via a broadcast LEFT ANTI before the self-join — same pair pipeline as q_neardup_exact otherwise, and the cap is what turns the skew replica's 4.4e9-candidate OOM into an 8-second run",
+    "q_ngram_novelty" ->
+      "first-occurrence novelty: shingle explode -> (bucket, shingle) partial->final hash-agg -> min-bucket agg; the cumulative window runs over the <=16-row rollup, never the corpus",
+    "q_heaps_fit" ->
+      "the novelty chain fed into milli-nat ln_f axes and a closed-form least-squares agg; the corpus-scale work is the shared shingle aggs",
+    "q_phrase_blocklist" ->
+      "positional-bigram explode filtered by a literal IN inside WholeStageCodegen; one per-source agg + broadcast doc-totals join — |denylist| never multiplies scans",
+    "q_source_budget" ->
+      "token-weighted counting selection: histogram agg, broadcast <=1-row-per-source cutoff, scan-speed filter; the only sort is row_number inside the single crossing bucket per source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

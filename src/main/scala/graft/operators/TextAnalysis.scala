@@ -151,7 +151,12 @@ object TextAnalysis {
     val bucketOf = expr(s"(doc_id * $buckets) DIV (m + 1)")
     val e = graft.operators.Dedup.shingled(d).crossJoin(broadcast(mx))
       .select(bucketOf.as("bucket"), explode(col("sh")).as("g"))
+    // both the per-bucket rollup and the min-bucket (first occurrence)
+    // agg consume this frame — checkpoint so the corpus is shingled and
+    // exploded ONCE (the single-scan-artifact discipline; without it the
+    // whole explode chain runs twice)
     val bg = e.groupBy("bucket", "g").agg(count(lit(1)).as("n_inst"))
+      .localCheckpoint()
     val perBucket = bg.groupBy("bucket")
       .agg(count(lit(1)).as("n_ngrams"), sum("n_inst").as("n_ngram_rows"))
     val firstSeen = bg.groupBy("g").agg(min("bucket").as("bucket"))
