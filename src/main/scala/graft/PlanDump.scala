@@ -195,7 +195,13 @@ object PlanDump {
     "q_phrase_blocklist" ->
       "positional-bigram explode filtered by a literal IN inside WholeStageCodegen; one per-source agg + broadcast doc-totals join — |denylist| never multiplies scans",
     "q_source_budget" ->
-      "token-weighted counting selection: histogram agg, broadcast <=1-row-per-source cutoff, scan-speed filter; the only sort is row_number inside the single crossing bucket per source")
+      "token-weighted counting selection: histogram agg, broadcast <=1-row-per-source cutoff, scan-speed filter; the only sort is row_number inside the single crossing bucket per source",
+    "q_blocklist_excised" ->
+      "excision entirely as higher-order expressions (filter/transform lambdas + md5) in ONE WholeStageCodegen projection: no Generate, no Exchange, scan-speed per document",
+    "q_ngram_novelty_incremental" ->
+      "frozen distinct-shingle vocabulary (one agg, checkpointed) probed by the shard explode through a single LEFT join + per-doc agg — O(shard + vocabulary), the corpus is never rescanned per batch",
+    "q_stream_ngram_novelty" ->
+      "the same novelProbe inside foreachBatch against the static index; per-doc verdicts are batch-partition independent, so the plan per micro-batch is the incremental plan on a smaller input")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -444,6 +444,19 @@ object SparkEntry {
     // against the static index inside foreachBatch (stateless).
     "q_stream_line_dedup_incremental" -> ((s, dir) =>
       graft.streaming.DocumentStreams.incrementalLineDedupToBatch(s, dir)),
+    // Denylist EXCISION transform: blocked-bigram token union removed,
+    // surviving text hash-checked — all higher-order expressions, no
+    // explode, no shuffle.
+    "q_blocklist_excised" -> ((s, dir) =>
+      TextAnalysis.blocklistExcise(Tables.documents(s, dir))),
+    // Per-arriving-doc novelty against the frozen corpus vocabulary:
+    // the "does this doc add anything" ingestion filter signal.
+    "q_ngram_novelty_incremental" -> ((s, dir) =>
+      TextAnalysis.incrementalNgramNovelty(Tables.documents(s, dir))),
+    // The same probe as continuous ingestion (stateless per-doc verdicts
+    // against the static index inside foreachBatch).
+    "q_stream_ngram_novelty" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.ngramNoveltyToBatch(s, dir)),
     // The same probe running as continuous ingestion: per-micro-batch
     // foreachBatch against the static corpus index (stateless).
     "q_stream_dedup_incremental" -> ((s, dir) =>
@@ -933,6 +946,30 @@ object SparkEntry {
        |    '')) AS kept_md5
        |FROM $src LEFT JOIN f ON $src.lh = f.lh
        |GROUP BY $src.doc_id""".stripMargin
+
+  /** Incremental ingestion novelty, shared by the batch and streaming
+    * twins: frozen below-split distinct-shingle vocabulary, per-shard-doc
+    * probe counts (every shard doc present, shingle-less ones as zeros).
+    */
+  private def ngramNoveltyIncrementalOracle: String =
+    s"""WITH sh AS ($shCte),
+       |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+       |idx AS (SELECT DISTINCT sg FROM (
+       |    SELECT unnest(sh) AS sg FROM sh, sp WHERE sh.doc_id < sp.split) u),
+       |e AS (SELECT doc_id, unnest(sh) AS sg FROM sh, sp
+       |  WHERE sh.doc_id >= sp.split),
+       |c AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |    CAST(sum(CASE WHEN i.sg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM e LEFT JOIN idx i ON e.sg = i.sg GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(c.n_ngrams, 0) AS n_ngrams,
+       |  coalesce(c.n_novel, 0) AS n_novel,
+       |  CASE WHEN coalesce(c.n_ngrams, 0) > 0
+       |       THEN c.n_novel * 1000 // c.n_ngrams ELSE 0 END AS novelty_milli
+       |FROM (SELECT doc_id FROM documents, sp
+       |      WHERE documents.doc_id >= sp.split) d
+       |LEFT JOIN c ON d.doc_id = c.doc_id""".stripMargin
 
   /** Incremental line dedup, shared by the batch and streaming twins:
     * frozen corpus index at freq ≥ minOcc−1, shard-side excision only.
@@ -2762,6 +2799,29 @@ object SparkEntry {
     // the shard side excises against it only.
     "q_line_dedup_incremental" -> lineDedupIncrementalOracle,
     "q_stream_line_dedup_incremental" -> lineDedupIncrementalOracle,
+    "q_ngram_novelty_incremental" -> ngramNoveltyIncrementalOracle,
+    "q_stream_ngram_novelty" -> ngramNoveltyIncrementalOracle,
+    // Excision transform: the same filter lambda replayed 1-based; the
+    // surviving token list re-joined and md5'd both sides
+    "q_blocklist_excised" -> {
+      val blArr =
+        TextAnalysis.BlockedPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |k AS (SELECT doc_id, ts,
+         |    list_filter(range(1, len(ts) + 1), i ->
+         |      NOT ( (i > 1 AND list_contains($blArr,
+         |                ts[i-1] || ' ' || ts[i]))
+         |         OR (i < len(ts) AND list_contains($blArr,
+         |                ts[i] || ' ' || ts[i+1])) )) AS ki
+         |  FROM t)
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(ts) - len(ki) AS BIGINT) AS n_removed,
+         |  md5(array_to_string(list_transform(ki, i -> ts[i]), ' '))
+         |    AS kept_md5
+         |FROM k""".stripMargin
+    },
     // Per-source curation rollup: corpus-wide fp counts joined back, then
     // per-source aggregation; avg is one division of exact BIGINTs.
     "q_source_stats" ->

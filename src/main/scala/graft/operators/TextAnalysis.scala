@@ -245,6 +245,88 @@ object TextAnalysis {
       .withColumn("flagged_milli", expr("n_flagged * 1000 DIV n_docs"))
   }
 
+  /** Denylist EXCISION as a pipeline TRANSFORM (the [[phraseBlocklist]]
+    * card's actionable twin, same scan→transform split as `q_pii_scan` →
+    * `q_pii_redacted`): every token participating in a blocked bigram is
+    * removed — token i survives iff neither (i−1,i) nor (i,i+1) is on
+    * the denylist, so overlapping matches excise their union — and the
+    * surviving text is emitted as a hash-checked column beside exact
+    * removal counts. Purely higher-order expressions inside one codegen
+    * projection: no explode, no shuffle, scan-speed per document.
+    */
+  def blocklistExcise(
+      documents: DataFrame,
+      phrases: Seq[String] = BlockedPhrases): DataFrame = {
+    val bl = array(phrases.map(lit): _*)
+    documents
+      .select(col("doc_id"), toks(lower(col("text"))).as("ts"), bl.as("bl"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        expr("""filter(sequence(0, size(ts) - 1), i ->
+          NOT ( (i > 0 AND array_contains(bl, concat_ws(' ', ts[i-1], ts[i])))
+             OR (i < size(ts) - 1
+                 AND array_contains(bl, concat_ws(' ', ts[i], ts[i+1]))) ))""")
+          .as("ki"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("ki"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", expr("transform(ki, i -> ts[i])"))).as("kept_md5"))
+  }
+
+  /** The frozen corpus-side vocabulary for [[incrementalNgramNovelty]]:
+    * the distinct trigram shingles of the below-split corpus — one
+    * hash-agg, checkpointed once, probed by every arriving batch (the
+    * `corpusBandIndex` analogue for novelty).
+    */
+  private[graft] def corpusNgramIndex(corpus: DataFrame): DataFrame =
+    graft.operators.Dedup.shingled(corpus)
+      .select(explode(col("sh")).as("g")).distinct()
+
+  /** One shard batch's per-document novelty against the frozen index:
+    * n_ngrams (the doc's distinct trigrams), n_novel (those absent from
+    * the corpus vocabulary), and the novel share in milli. Shared
+    * verbatim by the batch operator and the streaming micro-batch twin —
+    * per-document verdicts are independent (a doc probes the FROZEN
+    * index, never its fellow batch members), so any batch partitioning
+    * of the shard unions to the identical answer and both twins share
+    * one oracle.
+    */
+  private[graft] def novelProbe(shard: DataFrame, idx: DataFrame): DataFrame = {
+    val counts = graft.operators.Dedup.shingled(shard)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(idx.withColumn("seen", lit(true)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    shard.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_ngrams", "n_novel"))
+      .withColumn("novelty_milli",
+        when(col("n_ngrams") > 0, expr("n_novel * 1000 DIV n_ngrams"))
+          .otherwise(lit(0L)))
+  }
+
+  /** INGESTION-time novelty: per arriving document, how much of it the
+    * corpus has never seen — the per-doc filter signal ("this document
+    * adds nothing new") where [[ngramNovelty]] is the corpus-level
+    * saturation card. Same ⌊4(max+1)/5⌋ ingest split as the incremental
+    * dedup family: the below-split corpus freezes into a distinct-
+    * shingle vocabulary index; each above-split document probes it with
+    * one equi-join — O(shard + matched vocabulary), never corpus-scale
+    * per batch.
+    */
+  def incrementalNgramNovelty(documents: DataFrame): DataFrame =
+    graft.operators.Dedup.ingestSplitOf(documents) match {
+      case None =>
+        documents.select(col("doc_id"), lit(0L).as("n_ngrams"),
+          lit(0L).as("n_novel"), lit(0L).as("novelty_milli"))
+      case Some(split) =>
+        val idx = corpusNgramIndex(documents.where(col("doc_id") < split))
+          .localCheckpoint()
+        novelProbe(documents.where(col("doc_id") >= split), idx)
+    }
+
   /** Language-ID CONFUSION rollup: (true lang, predicted lang) cell counts
     * of [[langId]] against the table's lang column, with each cell's share
     * of its true-language row in milli — the detector-QA card read before

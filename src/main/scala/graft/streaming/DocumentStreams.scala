@@ -399,6 +399,56 @@ object DocumentStreams {
     }
   }
 
+  /** STREAMING ingestion novelty — `TextAnalysis.incrementalNgramNovelty`
+    * as continuous ingestion: the corpus's distinct-shingle vocabulary is
+    * frozen ONCE as a static frame, and each micro-batch of arriving
+    * documents probes it through the SAME `novelProbe` the batch twin
+    * uses. Per-document verdicts depend only on the frozen index, so the
+    * union over micro-batches equals the batch answer row for row and
+    * both share one oracle. Idempotent per batch id (each batch
+    * overwrites its own `batch=<id>` directory), like the other
+    * incremental sinks.
+    */
+  def ngramNoveltyToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None =>
+        docs.select(col("doc_id"), lit(0L).as("n_ngrams"),
+          lit(0L).as("n_novel"), lit(0L).as("novelty_milli"))
+      case Some(split) =>
+        val idx = TextAnalysis
+          .corpusNgramIndex(docs.where(col("doc_id") < split))
+          .localCheckpoint()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_novelty")
+        java.nio.file.Files.createDirectories(tmp.resolve("out"))
+        val stream = rawSource(spark, dir).where(col("doc_id") >= split)
+        EventStreams.withStreamShufflePartitions(spark) {
+          val q = stream.writeStream
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              TextAnalysis.novelProbe(batch, idx)
+                .write.mode("overwrite")
+                .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_ngrams", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_novel", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("novelty_milli", org.apache.spark.sql.types.LongType)))
+        val result = spark.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(tmp.resolve("out").toString)
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        result
+    }
+  }
+
   /** STREAMING incremental near-dup — `Dedup.incrementalNearDups` running
     * as continuous ingestion: the corpus's shingles and capped LSH band
     * index are built ONCE as static frames, and each micro-batch of

@@ -877,4 +877,47 @@ class TextAnalysisSpec extends SparkSpec {
       .toMap
     assert(again === got)
   }
+
+  test("blocklistExcise: blocked-bigram token union removed, kept text hashed") {
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val d = docs(
+      1L -> "the SLOW scan runs", // (slow, scan) blocked -> tokens 1,2 out
+      2L -> "big table big table", // every token in some blocked bigram
+      3L -> "perfectly clean words", // untouched
+      4L -> "slow scan slow") // overlap: {0,1} out, trailing "slow" stays
+    val got = TextAnalysis.blocklistExcise(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((4L, 2L, md5("the runs"))))
+    assert(got(2L) === ((4L, 4L, md5(""))))
+    assert(got(3L) === ((3L, 0L, md5("perfectly clean words"))))
+    assert(got(4L) === ((3L, 2L, md5("slow"))))
+  }
+
+  test("incrementalNgramNovelty: shard docs probed against the frozen corpus vocabulary") {
+    // ids 0..9 -> split = 10*4/5 = 8: corpus 0..7, shard 8..9
+    val d = docs(
+      (Seq(0L -> "a b c d") ++
+        (1L to 7L).map(i => i -> s"f${i}x f${i}y f${i}z f${i}w") ++
+        Seq(
+          // 5 shingles, 2 known ("a b c", "b c d"), 3 novel -> 600 milli
+          8L -> "a b c d q1 q2 q3",
+          9L -> "x y")): _*) // < 3 tokens: zero shingles, zero novelty
+    val got = TextAnalysis.incrementalNgramNovelty(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === Set(8L, 9L)) // shard only, corpus never re-reported
+    assert(got(8L) === ((5L, 3L, 600L)))
+    assert(got(9L) === ((0L, 0L, 0L)))
+    val again = TextAnalysis.incrementalNgramNovelty(d.repartition(5))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(again === got)
+  }
 }
