@@ -261,7 +261,7 @@ object TextAnalysis {
     documents
       .select(col("doc_id"), toks(lower(col("text"))).as("ts"), bl.as("bl"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("ts"),
         size(col("ts")).cast("long").as("n_tokens"),
         expr("""filter(sequence(0, size(ts) - 1), i ->
           NOT ( (i > 0 AND array_contains(bl, concat_ws(' ', ts[i-1], ts[i])))
