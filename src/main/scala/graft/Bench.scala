@@ -32,6 +32,19 @@ object Bench {
     // runs OUTSIDE the timed window, so scores are unaffected.
     def clearCaches(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // The measured action DRAINS the plan's output rows instead of
+    // `.count()`. Under count, Catalyst's column pruning legally deletes
+    // every expression a pure-projection query exists to compute — the
+    // transform queries (`q_blocklist_excised`, `q_pii_redacted`) were
+    // being timed as parquet row-count scans: 0.15 s at sf10 for a
+    // 500k-doc excision whose lambdas never ran. Iterating the physical
+    // plan's InternalRows forces every output column through codegen —
+    // the cost a real sink would pay — without adding artificial work on
+    // top (no extra hashing, no Row deserialization).
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next()
+      }
     // dev affordance: SPARK_GRAFT_ONLY=q1,q2 restricts the run (the
     // driver never sets it, so official numbers always cover the lot)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -41,7 +54,7 @@ object Bench {
     // warmup pass: JIT + codegen caches + parquet footer caches, so the
     // measured passes reflect steady-state per-query cost
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try drain(fn(spark, sfDir)) catch { case _: Throwable => () }
       clearCaches()
     }
     // pass p of EVERY query before pass p+1 of any — per-query samples land
@@ -49,7 +62,7 @@ object Bench {
     val samples = (1 to Passes).flatMap { _ =>
       queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val failed = try { fn(spark, sfDir).count(); false } catch { case _: Throwable => true }
+        val failed = try { drain(fn(spark, sfDir)); false } catch { case _: Throwable => true }
         val dt = (System.nanoTime() - t0) / 1e9
         clearCaches()
         // a failed pass must not report its time-to-exception as a score
@@ -85,11 +98,17 @@ object Bench {
     // survives the round even though stdout is truncated.
     val line =
       s"""{"metric":"total","unit":"sec","spread":$spread,"queries":$qs,"failed":$nFailed,"sf":"$sfDir","value":${fmt(total)}}"""
-    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(fullOut), line.getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"bench: could not write $fullOut: ${e.getMessage}") }
+    // a SPARK_GRAFT_ONLY-restricted dev run must NOT clobber the full
+    // artifact the round-end commit picks up — skip the file write unless
+    // an explicit output path asks for it
+    val fullOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
+    fullOut.foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), line.getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"bench: could not write $p: ${e.getMessage}") }
+    }
     println(line)
     spark.stop()
   }

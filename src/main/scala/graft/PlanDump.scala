@@ -201,7 +201,15 @@ object PlanDump {
     "q_ngram_novelty_incremental" ->
       "frozen distinct-shingle vocabulary (one agg, checkpointed) probed by the shard explode through a single LEFT join + per-doc agg — O(shard + vocabulary), the corpus is never rescanned per batch",
     "q_stream_ngram_novelty" ->
-      "the same novelProbe inside foreachBatch against the static index; per-doc verdicts are batch-partition independent, so the plan per micro-batch is the incremental plan on a smaller input")
+      "the same novelProbe inside foreachBatch against the static index; per-doc verdicts are batch-partition independent, so the plan per micro-batch is the incremental plan on a smaller input",
+    "q_repetition_excised" ->
+      "within-document keep-first: the hash-only line frame, min(pos) window over (doc_id, lh) — widest group = one doc's copies of one line, no corpus-level hot key — then the per-doc report fold; two narrow shuffles, nothing pairwise",
+    "q_winnow_fingerprints" ->
+      "ZERO-shuffle winnowing: gram hashes, window minima, and selection-dedup are all higher-order array lambdas in ONE WholeStageCodegen projection (integer argmin encodes min-hash/rightmost-pos); the only post-projection op is the explode to fingerprint rows",
+    "q_hybrid_rrf" ->
+      "rank fusion over two already-top-k lists: BM25's pruned-scan pipeline and the brute-cosine rank feed a 2*poolK-row full-outer join + TakeOrdered — fusion cost is constant in corpus size; swap the dense side for the IVF probe at index scale",
+    "q_vocab_growth_hll" ->
+      "fixed-state vocabulary curve: shingle explode -> (bucket, register) min hash-agg with map-side combine (state = buckets*256 ints, never vocabulary-sized), then the running-min/rollup runs over a <=4096-row densified grid — the corpus-scale work is ONE combinable agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

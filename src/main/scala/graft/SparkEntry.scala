@@ -461,6 +461,22 @@ object SparkEntry {
     // foreachBatch against the static corpus index (stateless).
     "q_stream_dedup_incremental" -> ((s, dir) =>
       graft.streaming.DocumentStreams.incrementalNearDupsToBatch(s, dir)),
+    // WITHIN-document repetition excision (Gopher-style): repeated lines
+    // keep their first occurrence only; per-doc report + kept-text md5.
+    "q_repetition_excised" -> ((s, dir) =>
+      Dedup.repetitionExcise(Tables.documents(s, dir))),
+    // Winnowing fingerprint selection (MOSS): per-window rightmost-min
+    // gram hash, deduplicated — one row per selected (pos, hash).
+    "q_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
+    // Hybrid retrieval: integer reciprocal-rank fusion of the BM25 and
+    // dense-cosine top-k lists (doc-aligned embeddings).
+    "q_hybrid_rrf" -> ((s, dir) =>
+      Pipeline.hybridRrfTopK(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // Cumulative vocabulary-growth curve via HLL registers — the
+    // fixed-state scale twin of q_ngram_novelty's exact cum_vocab.
+    "q_vocab_growth_hll" -> ((s, dir) =>
+      Sketches.hllVocabGrowth(Tables.documents(s, dir))),
     // Per-ingest-batch distribution drift report (fixed histogram + TVD
     // contributions, no ln — bit-portable).
     "q_drift_report" -> ((s, dir) =>
@@ -1394,6 +1410,42 @@ object SparkEntry {
     * neighbor ASC) tie-break. All arithmetic is double with the engine's
     * evaluation order, so bucket bits — sign comparisons — agree exactly.
     */
+  /** DuckDB mirror of `TextAnalysis.bm25TopK` — standalone query AND the
+    * lexical side of the hybrid-RRF oracle (ONE definition, so a scoring
+    * fix cannot desync the two).
+    */
+  private def bm25TopKOracle: String = {
+    import graft.operators.TextAnalysis._
+    val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen
+    val denTf = Bm25K1Den * Bm25BDen
+    val denS = Bm25K1Num * (Bm25BDen - Bm25BNum)
+    val denDl = Bm25K1Num * Bm25BNum
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val pivot = Bm25Query
+      .map(t => s"COALESCE(max(CASE WHEN tok = '$t' THEN ts END), 0)")
+      .mkString(" + ")
+    s"""WITH dl AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS s_tok FROM dl),
+       |tk AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+       |  WHERE tok IN ($inList) GROUP BY doc_id, tok),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |per AS (SELECT t.doc_id, t.tok,
+       |    (CAST(t.tf * $numF * sc.s_tok AS DOUBLE)
+       |      / CAST(t.tf * $denTf * sc.s_tok + $denS * sc.s_tok
+       |             + $denDl * d.dl * sc.n_docs AS DOUBLE))
+       |    * (CAST(sc.n_docs AS DOUBLE) / CAST(q.df + 1 AS DOUBLE)) AS ts
+       |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (tok) CROSS JOIN sc)
+       |SELECT doc_id, $pivot AS score
+       |FROM per GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+  }
+
   /** Exact brute-force top-k oracle — standalone query AND the `exact`
     * side of the recall report.
     */
@@ -2798,6 +2850,72 @@ object SparkEntry {
     // lines below the split form the frozen index at freq >= minOcc-1;
     // the shard side excises against it only.
     "q_line_dedup_incremental" -> lineDedupIncrementalOracle,
+    // Within-document repetition excision: same line frame, verdict is
+    // per (doc, line-hash) — keep min(pos), drop the rest; same report
+    // fold (kept text re-joined in position order).
+    "q_repetition_excised" ->
+      s"""WITH $lineCtes,
+         |fp AS (SELECT doc_id, lh, min(pos) AS first_pos FROM h
+         |  GROUP BY doc_id, lh)
+         |SELECT h.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN h.pos > fp.first_pos THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lines_dropped,
+         |  CAST(sum(CASE WHEN h.pos > fp.first_pos THEN h.n_tok ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_dropped,
+         |  md5(coalesce(
+         |    string_agg(CASE WHEN h.pos = fp.first_pos THEN h.line END,
+         |      ' ' ORDER BY h.pos), '')) AS kept_md5
+         |FROM h JOIN fp ON h.doc_id = fp.doc_id AND h.lh = fp.lh
+         |GROUP BY h.doc_id""".stripMargin,
+    // Winnowing: same 40-bit gram hash and h·2^20+(2^20−1−pos) argmin
+    // encoding; the window min replays the slice min, valid starts are
+    // 0..max(0, n_grams − w), selections decoded after DISTINCT.
+    "q_winnow_fingerprints" -> {
+      import graft.operators.TextAnalysis.{WinnowK, WinnowW, WinnowSeed, WinnowPosBits}
+      val scale = 1L << WinnowPosBits
+      val mask = scale - 1
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT doc_id, i AS pos, len(ts) - ${WinnowK - 1} AS n_grams,
+         |    CAST(('0x' || substr(md5('$WinnowSeed:' ||
+         |      array_to_string(ts[i+1:i+$WinnowK], ' ')), 1, 10)) AS BIGINT)
+         |      * $scale + ($mask - i) AS comp
+         |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - ${WinnowK - 1})) AS i
+         |        FROM t WHERE len(ts) >= $WinnowK) u),
+         |wm AS (SELECT doc_id, pos, n_grams,
+         |    min(comp) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wcomp
+         |  FROM g),
+         |sel AS (SELECT DISTINCT doc_id, wcomp FROM wm
+         |  WHERE pos <= greatest(0, n_grams - $WinnowW))
+         |SELECT doc_id, $mask - (wcomp % $scale) AS fp_pos,
+         |  wcomp // $scale AS fp_hash
+         |FROM sel""".stripMargin
+    },
+    // Hybrid RRF: the shared BM25 oracle ranks the lexical pool, the
+    // brute-cosine subquery (query vector 0) ranks the dense pool, and
+    // the fusion is exact integer millionths over a full outer join.
+    "q_hybrid_rrf" -> {
+      import graft.operators.Pipeline.{RrfC, RrfK}
+      val poolK = graft.operators.TextAnalysis.Bm25K
+      s"""WITH bm AS ($bm25TopKOracle),
+         |txt AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+         |  FROM bm),
+         |dn AS (SELECT neighbor_id AS doc_id, rank AS vec_rank FROM (
+         |    SELECT b.vec_id AS neighbor_id,
+         |      row_number() OVER (
+         |        ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+         |                 b.vec_id ASC) AS rank
+         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id = 0) t
+         |  WHERE rank <= $poolK)
+         |SELECT COALESCE(txt.doc_id, dn.doc_id) AS doc_id, text_rank, vec_rank,
+         |  COALESCE(1000000 // ($RrfC + text_rank), 0)
+         |    + COALESCE(1000000 // ($RrfC + vec_rank), 0) AS rrf_micro
+         |FROM txt FULL OUTER JOIN dn ON txt.doc_id = dn.doc_id
+         |ORDER BY rrf_micro DESC, doc_id ASC LIMIT $RrfK""".stripMargin
+    },
     "q_stream_line_dedup_incremental" -> lineDedupIncrementalOracle,
     "q_ngram_novelty_incremental" -> ngramNoveltyIncrementalOracle,
     "q_stream_ngram_novelty" -> ngramNoveltyIncrementalOracle,
@@ -2845,6 +2963,46 @@ object SparkEntry {
     // both registrations.
     "q_hll_vocab" -> hllVocabOracle,
     "q_hll_vocab_agg" -> hllVocabOracle,
+    // HLL vocabulary-growth curve: same shingles, same seeded registers;
+    // "cumulative at bucket b" replays as a per-register running min over
+    // the densified bucket grid (merge = idempotent min), then the same
+    // exact-integer denominator and one constant/integer division.
+    "q_vocab_growth_hll" -> {
+      import graft.operators.Sketches._
+      import graft.operators.TextAnalysis.NoveltyBuckets
+      s"""WITH sh AS ($shCte),
+         |mx AS (SELECT max(doc_id) AS m FROM documents),
+         |e AS (SELECT (sh.doc_id * $NoveltyBuckets) // (mx.m + 1) AS bucket,
+         |    unnest(sh.sh) AS g FROM sh, mx),
+         |gg AS (SELECT bucket, ${h60(HllHashSeed, "g")} AS gh FROM e),
+         |r AS (SELECT bucket, gh % $HllM AS j,
+         |    CASE WHEN (gh // $HllM) = 0 THEN 0
+         |         ELSE length(bin(gh // $HllM)) END AS bl
+         |  FROM gg),
+         |rb AS (SELECT bucket, j, min(bl) AS minb FROM r GROUP BY bucket, j),
+         |grid AS (SELECT gb.bucket, gj.j
+         |  FROM (SELECT unnest(range(0, $NoveltyBuckets)) AS bucket) gb
+         |  CROSS JOIN (SELECT DISTINCT j FROM rb) gj),
+         |dense AS (SELECT grid.bucket, grid.j, rb.minb
+         |  FROM grid LEFT JOIN rb ON grid.bucket = rb.bucket AND grid.j = rb.j),
+         |cum AS (SELECT bucket, j,
+         |    min(minb) OVER (PARTITION BY j ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minb_cum
+         |  FROM dense),
+         |p AS (SELECT bucket,
+         |    CAST(sum(CAST(1 AS BIGINT) << minb_cum) AS BIGINT) AS denom_present,
+         |    count(minb_cum) AS n_present
+         |  FROM cum GROUP BY bucket)
+         |SELECT bucket,
+         |  CAST($HllM - n_present AS INTEGER) AS n_zero_registers,
+         |  CAST(coalesce(denom_present, 0)
+         |    + ($HllM - n_present) * (CAST(1 AS BIGINT) << ${HllW + 1})
+         |    AS BIGINT) AS denom,
+         |  $HllNumerator / (coalesce(denom_present, 0)
+         |    + ($HllM - n_present) * (CAST(1 AS BIGINT) << ${HllW + 1}))
+         |    AS hll_vocab_estimate
+         |FROM p""".stripMargin
+    },
     // the streaming register store reconstructs the batch registers
     // exactly (monotone min + latest-batch-wins), so the oracle is shared
     "q_stream_hll_update" -> hllVocabOracle,
@@ -3290,37 +3448,7 @@ object SparkEntry {
          |  UNION ALL SELECT ww FROM tri) t
          |GROUP BY word ORDER BY n_triangles DESC, word ASC LIMIT $TriangleK""".stripMargin
     },
-    "q_bm25_topk" -> {
-      import graft.operators.TextAnalysis._
-      val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen
-      val denTf = Bm25K1Den * Bm25BDen
-      val denS = Bm25K1Num * (Bm25BDen - Bm25BNum)
-      val denDl = Bm25K1Num * Bm25BNum
-      val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
-      val pivot = Bm25Query
-        .map(t => s"COALESCE(max(CASE WHEN tok = '$t' THEN ts END), 0)")
-        .mkString(" + ")
-      s"""WITH dl AS (SELECT doc_id,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl
-         |  FROM documents),
-         |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(dl) AS BIGINT) AS s_tok FROM dl),
-         |tk AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-         |  FROM documents),
-         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
-         |  WHERE tok IN ($inList) GROUP BY doc_id, tok),
-         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-         |per AS (SELECT t.doc_id, t.tok,
-         |    (CAST(t.tf * $numF * sc.s_tok AS DOUBLE)
-         |      / CAST(t.tf * $denTf * sc.s_tok + $denS * sc.s_tok
-         |             + $denDl * d.dl * sc.n_docs AS DOUBLE))
-         |    * (CAST(sc.n_docs AS DOUBLE) / CAST(q.df + 1 AS DOUBLE)) AS ts
-         |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (tok) CROSS JOIN sc)
-         |SELECT doc_id, $pivot AS score
-         |FROM per GROUP BY doc_id
-         |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
-    },
+    "q_bm25_topk" -> bm25TopKOracle,
     "q_pack_chunks" -> {
       val L = graft.operators.Packing.SeqLen
       s"""WITH $packCtes,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for an LLM-training-data pipeline: exact
@@ -1232,6 +1233,49 @@ object Dedup {
       .where(col("occ") >= minOccurrences)
       .select(col("lh"), lit(1).as("dup"))
     excisionReport(lines, frequent)
+  }
+
+  /** WITHIN-document repetition excision — the Gopher-style "remove
+    * repeated paragraphs" rule ([[lineDedup]]'s intra-document sibling):
+    * a line repeated INSIDE one document keeps its FIRST occurrence and
+    * drops the rest, independent of what any other document contains.
+    * The two compose: corpus-frequent boilerplate is a between-document
+    * signal (all occurrences template text → all drop), while a document
+    * that stutters — a crawler that re-appended the same paragraph, a
+    * generation loop — still has exactly one legitimate copy, so
+    * keep-first is the right verdict and needs no corpus-wide
+    * arbitration (the within-document winner is just min(pos)).
+    *
+    * Output is the [[lineDedup]] report shape, one row per document:
+    * line count, lines/tokens dropped, md5 of the retained text (kept
+    * lines re-joined in position order).
+    *
+    * Scale shape: same |tokens|/[[LineLen]]-row hash-only line frame;
+    * the first-occurrence verdict is a min(pos) window over
+    * (doc_id, lh) — a per-document-per-line key, so the widest group is
+    * one document's copies of one line and no corpus-level key ever
+    * concentrates a partition — followed by the per-document report
+    * fold. Two narrow shuffles, nothing pairwise, nothing
+    * corpus-ordered.
+    */
+  def repetitionExcise(
+      documents: DataFrame, lineLen: Int = LineLen): DataFrame = {
+    val w = Window.partitionBy("doc_id", "lh")
+    linesOf(documents, lineLen)
+      .withColumn("first_pos", min("pos").over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("pos") > col("first_pos"), 1L).otherwise(0L))
+          .as("n_lines_dropped"),
+        sum(when(col("pos") > col("first_pos"), col("n_tok")).otherwise(0L))
+          .as("n_tokens_dropped"),
+        collect_list(when(col("pos") === col("first_pos"),
+          struct(col("pos"), col("line")))).as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_lines_dropped"),
+        col("n_tokens_dropped"),
+        md5(concat_ws(" ", expr("transform(array_sort(kept), x -> x.line)")))
+          .as("kept_md5"))
   }
 
   /** The (doc_id, pos, line, n_tok, lh) line frame both line-dedup forms

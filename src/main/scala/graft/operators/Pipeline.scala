@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The canonical training-data retention pipeline, composed end-to-end from
@@ -314,4 +315,51 @@ object Pipeline {
         sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
         sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
         sum(when(col("cls_keep"), 1L).otherwise(0L)).as("n_cls_keep"))
+
+  /** Reciprocal-rank-fusion constant (Cormack et al., SIGIR 2009: 60 is
+    * the canonical choice) and the fused list's cut.
+    */
+  val RrfC = 60
+  val RrfK = 20
+
+  /** HYBRID retrieval: reciprocal-rank fusion of the lexical BM25
+    * ranking ([[TextAnalysis.bm25TopK]], fixed term query) and the dense
+    * embedding ranking ([[Similarity.bruteForceTopK]], query vector 0 —
+    * the corpus ships doc-aligned embeddings, `vec_id = doc_id`) — the
+    * standard two-retriever setup where neither score is comparable to
+    * the other, so fusion happens on RANKS:
+    *   rrf(d) = Σ_lists 1 / (C + rank_list(d)),
+    * computed here in exact integer millionths (1000000 div (C + rank),
+    * summed) so the fused ordering is bit-portable. Documents reached by
+    * only one retriever keep that list's contribution alone — the
+    * characteristic RRF behavior that lets a dense-only hit surface.
+    *
+    * Output: the fused top-[[RrfK]] with both source ranks (NULL where a
+    * retriever didn't surface the doc), ordered (rrf desc, doc_id asc).
+    *
+    * Scale shape: both inputs are already top-`poolK` lists — the fusion
+    * operates on 2·poolK rows regardless of corpus size (one tiny
+    * full-outer hash join + a TakeOrdered), so the cost IS the two
+    * retrievers', each with its own documented scale path (BM25: pruned
+    * scan + broadcast df; dense: swap the brute scan for the IVF probe
+    * at index scale).
+    */
+  def hybridRrfTopK(
+      documents: DataFrame, embeddings: DataFrame,
+      poolK: Int = TextAnalysis.Bm25K, k: Int = RrfK): DataFrame = {
+    // rank within each pool; the ≤poolK-row frame makes the unpartitioned
+    // window a single-task detail, not a scale concern
+    val wText = Window.orderBy(desc("score"), asc("doc_id"))
+    val text = TextAnalysis.bm25TopK(documents, TextAnalysis.Bm25Query, poolK)
+      .select(col("doc_id"), row_number().over(wText).as("text_rank"))
+    val dense = Similarity.bruteForceTopK(embeddings, nQueries = 1, k = poolK)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+    text.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+        (coalesce(expr(s"1000000 div ($RrfC + text_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfC + vec_rank)"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy(desc("rrf_micro"), asc("doc_id"))
+      .limit(k)
+  }
 }

@@ -138,6 +138,63 @@ object Sketches {
       .select("lang", "n_zero_registers", "denom", "hll_raw_estimate", "exact_distinct")
   }
 
+  /** CUMULATIVE vocabulary-growth curve by ingestion bucket, estimated by
+    * HyperLogLog — the at-scale twin of `TextAnalysis.ngramNovelty`'s
+    * `cum_vocab` column. The exact curve needs the corpus-wide DISTINCT
+    * (bucket, shingle) table — a vocabulary-sized shuffle and checkpoint
+    * that grows with the corpus; this one keeps O(buckets × [[HllM]])
+    * integer state total (16×256 rows here), every agg combines map-side,
+    * and the answer is the same saturation read ("is new data still
+    * adding vocabulary?") within HLL error (σ ≈ 1.04/√m ≈ 6.5%).
+    *
+    * The cumulative-at-bucket-b state is the register-wise MIN over
+    * buckets ≤ b — HLL's merge is idempotent min, so "union of prefixes"
+    * is a running min over the ≤buckets×m register frame (densified onto
+    * the full bucket grid first: a register hit only in bucket 0 must
+    * still count at bucket 5). Output per bucket: zero-register count,
+    * the exact-integer denominator Σ 2^(W+1−ρ), and the raw estimate
+    * (one double division of interpolated constant by exact int — bit
+    * portable; no small-range correction, same contract as
+    * [[hllVocabByLang]]).
+    */
+  def hllVocabGrowth(
+      documents: DataFrame,
+      buckets: Int = TextAnalysis.NoveltyBuckets): DataFrame = {
+    val spark = documents.sparkSession
+    val d = graft.Parallelism.ensure(documents)
+    val mx = d.agg(max("doc_id").as("m"))
+    val regs = Dedup.shingled(d).crossJoin(broadcast(mx))
+      .select(expr(s"(doc_id * $buckets) DIV (m + 1)").as("bucket"),
+        explode(col("sh")).as("g"))
+      .select(col("bucket"),
+        HashFunctions.md5Long(col("g"), HllHashSeed).as("gh"))
+      .select(col("bucket"),
+        (col("gh") % lit(HllM.toLong)).as("j"),
+        shiftright(col("gh"), HllP).as("b"))
+      .select(col("bucket"), col("j"),
+        when(col("b") === 0, 0).otherwise(length(bin(col("b")))).as("bl"))
+      .groupBy("bucket", "j").agg(min(col("bl")).as("minb"))
+    // densify onto the full bucket grid × observed registers (≤ 16×256
+    // rows), running min per register with nulls skipped
+    val grid = spark.range(buckets).select(col("id").as("bucket"))
+      .crossJoin(regs.select("j").distinct())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("j").orderBy("bucket")
+      .rowsBetween(Long.MinValue, 0)
+    grid.join(regs, Seq("bucket", "j"), "left")
+      .withColumn("minb_cum", min(col("minb")).over(w))
+      .groupBy("bucket")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), minb_cum)")).as("denom_present"),
+        count(col("minb_cum")).as("n_present"))
+      .select(col("bucket"),
+        (lit(HllM.toLong) - col("n_present")).cast("int").as("n_zero_registers"),
+        (coalesce(col("denom_present"), lit(0L)) +
+          (lit(HllM.toLong) - col("n_present")) * lit(1L << (HllW + 1)))
+          .as("denom"))
+      .withColumn("hll_vocab_estimate", lit(HllNumerator) / col("denom"))
+  }
+
   // ---- Count-min sketch ----------------------------------------------
 
   val CmsDepth = 4

@@ -1881,6 +1881,72 @@ object TextAnalysis {
         TextFunctions.shingles(col("text"), 3),
         s => HashFunctions.md5Long(s, 1))).as("fp_min_shingle"))
 
+  /** Winnowing parameters: [[WinnowK]]-token grams (the house shingle
+    * unit), one fingerprint selected from every window of [[WinnowW]]
+    * consecutive gram hashes. Guarantee (Schleimer et al., SIGMOD 2003):
+    * any shared token run of length ≥ k + w − 1 = 6 yields at least one
+    * shared selected fingerprint.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Seed for the per-gram 40-bit winnowing hash. */
+  val WinnowSeed = 31
+
+  /** Bits reserved for the position in the winnowing argmin encoding —
+    * documents up to 2^20 grams (~1M tokens); the hash keeps 40 bits, so
+    * the composite stays under 2^60 in an exact int64.
+    */
+  val WinnowPosBits = 20
+
+  /** Winnowing fingerprint SELECTION (the MOSS position-robust document
+    * fingerprint): hash every [[WinnowK]]-token gram, slide a window of
+    * [[WinnowW]] consecutive gram hashes, and from each window keep the
+    * minimum hash — RIGHTMOST position on ties (robust winnowing) — then
+    * de-duplicate the selections. Unlike [[fingerprints]]' single
+    * min-shingle (one global min per doc: cheap, but one edit near the
+    * minimum changes it), winnowing guarantees a selected fingerprint in
+    * every w-gram window, so two documents sharing ANY token run of
+    * length ≥ k+w−1 share at least one selected fingerprint — the
+    * guarantee overlap detection needs and a density cap (~2/(w+1) of
+    * grams selected) the full gram set doesn't give.
+    *
+    * One output row per selected fingerprint: (doc_id, fp_pos, fp_hash).
+    * Documents shorter than k tokens have no grams and emit nothing.
+    *
+    * Portability: the per-window argmin is ONE integer min over the
+    * composite h·2^[[WinnowPosBits]] + (2^20−1−pos) — min hash, rightmost
+    * tie — decoded back to (pos, hash) after selection; no floats, no
+    * engine-order dependence. Scale shape: ZERO shuffles — grams, window
+    * minima, and selection-dedup are all higher-order array expressions
+    * inside one codegen projection (per-doc O(grams·w) work bounded by
+    * document length), and the only post-projection op is the explode to
+    * rows. The corpus-level consumer ([[Dedup]]-style overlap mining)
+    * groups the ~2n/(w+1)-dense output by fp_hash.
+    */
+  def winnowFingerprints(
+      documents: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    val posMask = (1L << WinnowPosBits) - 1
+    val scale = 1L << WinnowPosBits
+    graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(ts) - $k), i ->
+           |  CAST(conv(substring(md5(concat('$WinnowSeed:',
+           |    concat_ws(' ', slice(ts, i + 1, $k)))), 1, 10), 16, 10)
+           |    AS BIGINT) * ${scale}L + (${posMask}L - i))""".stripMargin)
+        .as("comps"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(0, greatest(0, size(comps) - $w)),
+           |  j -> array_min(slice(comps, j + 1, $w))))""".stripMargin))
+        .as("comp"))
+      .select(col("doc_id"),
+        (lit(posMask) - col("comp") % lit(scale)).as("fp_pos"),
+        expr(s"comp div ${scale}L").as("fp_hash"))
+  }
+
   /** Bucket geometry for [[tokenDriftReport]], interpolated into the
     * oracle: token counts land in `DriftBuckets` buckets of width
     * `DriftBucketWidth`, top bucket open-ended.

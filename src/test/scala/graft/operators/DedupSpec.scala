@@ -490,6 +490,66 @@ class DedupSpec extends SparkSpec {
     assert(rep === got)
   }
 
+  /** Brute-force [[Dedup.repetitionExcise]]: keep-first within each doc,
+    * (doc_id -> (n_lines, n_dropped, n_tokens_dropped, kept_md5)).
+    */
+  private def bruteRepetition(
+      rows: Seq[(Long, String)], ll: Int): Map[Long, (Long, Long, Long, String)] = {
+    def linesOf(text: String): Seq[String] =
+      text.split(" ", -1).toSeq.grouped(ll).map(_.mkString(" ")).toSeq
+    rows.map { case (id, text) =>
+      val ls = linesOf(text)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val drop = ls.map(l => !seen.add(l)) // true = a within-doc repeat
+      val kept = ls.zip(drop).collect { case (l, false) => l }
+      val dropped = ls.zip(drop).collect { case (l, true) => l }
+      val keptMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      id -> ((ls.size.toLong, dropped.size.toLong,
+        dropped.map(_.split(" ", -1).length.toLong).sum, keptMd5))
+    }.toMap
+  }
+
+  test("repetitionExcise drops within-doc repeats only, keeps the first occurrence") {
+    val banner = "accept all cookies to continue reading this site" // 8 toks
+    val mid = "alpha beta gamma delta epsilon zeta eta theta"       // 8 toks
+    val rows = Seq(
+      // the banner stutters inside doc 1 -> the SECOND copy drops, the
+      // first survives in position order (banner then mid)
+      1L -> s"$banner $mid $banner",
+      // doc 2 shares the banner with doc 1 but never repeats it
+      // internally -> untouched (cross-document sharing is lineDedup's
+      // verdict, not this operator's)
+      2L -> s"$banner one two three four five six seven eight",
+      // a triple stutter: two of three copies drop
+      3L -> s"$mid $mid $mid")
+    val d = docs(rows: _*)
+    val got = Dedup.repetitionExcise(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got === bruteRepetition(rows, Dedup.LineLen))
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) === ((3L, 1L, 8L, md5(s"$banner $mid"))))
+    assert(got(2L) === ((2L, 0L, 0L, md5(s"$banner one two three four five six seven eight"))))
+    assert(got(3L) === ((3L, 2L, 16L, md5(mid))))
+  }
+
+  test("repetitionExcise == brute force on the sf0.001 corpus, partition-invariant") {
+    val documents = graft.Tables.documents(spark, sf("sf0.001"))
+    val rows = documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = bruteRepetition(rows, Dedup.LineLen)
+    val got = Dedup.repetitionExcise(documents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got === want)
+    val rep = Dedup.repetitionExcise(documents.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(rep === got)
+  }
+
   test("prefixNearDupPairs equals the brute-force jaccard>=0.5 pair set on the driver corpus") {
     val d = graft.Tables.documents(spark, sf("sf0.001"))
     val tbl = Dedup.withContentGroups(Dedup.shingleSignatureTable(d))

@@ -122,4 +122,32 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.sum === d.count())
     assert(got.size > 1) // the detectors genuinely disagree somewhere
   }
+
+  test("hybridRrfTopK equals the integer RRF of its two component rankings") {
+    val dir = sf("sf0.001")
+    val documents = graft.Tables.documents(spark, dir)
+    val embeddings = graft.Tables.embeddings(spark, dir)
+    // component rankings, recomputed independently
+    val textRank = TextAnalysis.bm25TopK(documents).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val denseRank = Similarity
+      .bruteForceTopK(embeddings, nQueries = 1, k = TextAnalysis.Bm25K)
+      .collect().map(r => r.getLong(1) -> r.getInt(2).toLong).toMap
+    val want = (textRank.keySet ++ denseRank.keySet).toSeq.map { id =>
+      val rrf =
+        textRank.get(id).map(r => 1000000L / (Pipeline.RrfC + r)).getOrElse(0L) +
+          denseRank.get(id).map(r => 1000000L / (Pipeline.RrfC + r)).getOrElse(0L)
+      (id, rrf)
+    }.sortBy { case (id, rrf) => (-rrf, id) }.take(Pipeline.RrfK)
+    val got = Pipeline.hybridRrfTopK(documents, embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.size === Pipeline.RrfK)
+    // fusion genuinely mixes the two lists: the fused cut must contain a
+    // doc from each retriever's pool
+    val cut = got.map(_._1).toSet
+    assert((cut intersect textRank.keySet).nonEmpty)
+    assert((cut intersect denseRank.keySet).nonEmpty)
+  }
 }

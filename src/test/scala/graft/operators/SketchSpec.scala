@@ -275,4 +275,27 @@ class SketchSpec extends SparkSpec {
     assert(digests(tweaked)("web")._1 !== base("web")._1)
     assert(digests(tweaked)("books") === base("books"))
   }
+
+  test("hllVocabGrowth: monotone curve, last bucket == whole-corpus state, near exact") {
+    val d = Tables.documents(spark, sf("sf0.001"))
+    val got = Sketches.hllVocabGrowth(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until TextAnalysis.NoveltyBuckets.toLong))
+    // registers only improve with more data: denominators non-increasing,
+    // estimates (and zero counts' complement) non-decreasing
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 >= a._4 && b._2 <= a._2)
+    }
+    // the cumulative state at the LAST bucket is the whole corpus merged —
+    // identical to running the card with a single bucket
+    val whole = Sketches.hllVocabGrowth(d, buckets = 1).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).head
+    assert((got.last._2, got.last._3, got.last._4) === whole)
+    // raw estimate lands within HLL error of the exact distinct-shingle
+    // count (m=256 -> sigma ~6.5%; allow 3 sigma)
+    val exact = Dedup.shingled(d)
+      .select(explode(col("sh")).as("g")).distinct().count().toDouble
+    assert(math.abs(got.last._4 - exact) / exact < 0.2)
+  }
 }

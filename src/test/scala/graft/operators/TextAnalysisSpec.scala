@@ -920,4 +920,69 @@ class TextAnalysisSpec extends SparkSpec {
       .toMap
     assert(again === got)
   }
+
+  /** Brute-force [[TextAnalysis.winnowFingerprints]]: per-gram seeded
+    * 40-bit hash, per-window composite argmin (min hash, rightmost pos),
+    * distinct selections as (doc_id, fp_pos, fp_hash).
+    */
+  private def bruteWinnow(
+      rows: Seq[(Long, String)], k: Int, w: Int): Set[(Long, Long, Long)] = {
+    val scale = 1L << TextAnalysis.WinnowPosBits
+    rows.flatMap { case (id, text) =>
+      val ts = text.split(" ", -1).toSeq
+      if (ts.size < k) Seq.empty
+      else {
+        val comps = (0 to ts.size - k).map { i =>
+          val gram = ts.slice(i, i + k).mkString(" ")
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${TextAnalysis.WinnowSeed}:$gram".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val h = java.lang.Long.parseLong(hex.substring(0, 10), 16)
+          h * scale + (scale - 1 - i)
+        }
+        (0 to math.max(0, comps.size - w))
+          .map(j => comps.slice(j, j + w).min).distinct
+          .map(c => (id, scale - 1 - (c % scale), c / scale))
+      }
+    }.toSet
+  }
+
+  test("winnowFingerprints == brute force; short docs emit nothing") {
+    val rows = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven",
+      3L -> "too short", // 2 tokens < k -> no grams, no fingerprints
+      4L -> "exactly three toks")
+    val got = TextAnalysis.winnowFingerprints(docs(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === bruteWinnow(rows, TextAnalysis.WinnowK, TextAnalysis.WinnowW))
+    assert(!got.exists(_._1 == 3L))
+    // a k-token doc has exactly one gram -> exactly one fingerprint at 0
+    assert(got.count(_._1 == 4L) === 1 && got.exists(t => t._1 == 4L && t._2 == 0L))
+  }
+
+  test("winnowFingerprints: shared runs >= k+w-1 tokens share a fingerprint hash") {
+    // the Schleimer et al. guarantee: any shared token run of length
+    // k+w-1 contains a full window of shared grams, and both documents
+    // select the same minimal gram hash from it
+    val run = "quick brown fox jumps over lazy dog rests here" // 9 >= 6
+    val rows = Seq(
+      1L -> s"completely different prefix words then $run",
+      2L -> s"$run followed by an unrelated suffix entirely")
+    val fps = TextAnalysis.winnowFingerprints(docs(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val h1 = fps.collect { case (1L, h) => h }.toSet
+    val h2 = fps.collect { case (2L, h) => h }.toSet
+    assert((h1 intersect h2).nonEmpty)
+  }
+
+  test("winnowFingerprints: identical grams select the RIGHTMOST window minimum") {
+    // every gram of "a a a a a a a a" hashes identically, so each
+    // window's argmin is its rightmost gram: starts 0..2 select gram
+    // positions 3, 4, 5 (one shared hash)
+    val got = TextAnalysis.winnowFingerprints(docs(1L -> "a a a a a a a a"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet === Set(3L, 4L, 5L))
+    assert(got.map(_._2).toSet.size === 1)
+  }
 }
