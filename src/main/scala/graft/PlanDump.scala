@@ -209,7 +209,13 @@ object PlanDump {
     "q_hybrid_rrf" ->
       "rank fusion over two already-top-k lists: BM25's pruned-scan pipeline and the brute-cosine rank feed a 2*poolK-row full-outer join + TakeOrdered — fusion cost is constant in corpus size; swap the dense side for the IVF probe at index scale",
     "q_vocab_growth_hll" ->
-      "fixed-state vocabulary curve: shingle explode -> (bucket, register) min hash-agg with map-side combine (state = buckets*256 ints, never vocabulary-sized), then the running-min/rollup runs over a <=4096-row densified grid — the corpus-scale work is ONE combinable agg")
+      "fixed-state vocabulary curve: shingle explode -> (bucket, register) min hash-agg with map-side combine (state = buckets*256 ints, never vocabulary-sized), then the running-min/rollup runs over a <=4096-row densified grid — the corpus-scale work is ONE combinable agg",
+    "q_winnow_overlap" ->
+      "fingerprint-keyed pair mining: hot fingerprints (> cap docs) leave via broadcast LEFT ANTI before the self equi-join — the banded miner's bucket-cap discipline in winnow space; join carries (hash, doc) pairs, never text",
+    "q_stream_repetition_excised" ->
+      "doc-local verdicts need NO frozen artifact: each micro-batch runs the shared batch operator on itself inside foreachBatch; the union over batches is the batch plan's answer row for row",
+    "q_epoch_allocation" ->
+      "ONE corpus scan (per-source token agg); 8 waterfilling rounds each a 1-row aggregate + projection over the <=|sources|-row checkpointed state with broadcast-back — nothing corpus-sized re-enters after the scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -477,6 +477,18 @@ object SparkEntry {
     // fixed-state scale twin of q_ngram_novelty's exact cum_vocab.
     "q_vocab_growth_hll" -> ((s, dir) =>
       Sketches.hllVocabGrowth(Tables.documents(s, dir))),
+    // MOSS-style overlap pairs over winnowing fingerprints (hot
+    // fingerprints leave by broadcast anti-join before the pair join).
+    "q_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(Tables.documents(s, dir))),
+    // STREAMING within-doc repetition excision: doc-local verdicts, so
+    // micro-batches union to the batch report (shared oracle).
+    "q_stream_repetition_excised" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.repetitionExciseToBatch(s, dir)),
+    // Data-constrained epoch allocation: budget waterfilled toward the
+    // tempered shares under a per-source repetition cap.
+    "q_epoch_allocation" -> ((s, dir) =>
+      Sampling.epochAllocation(Tables.documents(s, dir))),
     // Per-ingest-batch distribution drift report (fixed histogram + TVD
     // contributions, no ln — bit-portable).
     "q_drift_report" -> ((s, dir) =>
@@ -987,6 +999,53 @@ object SparkEntry {
        |      WHERE documents.doc_id >= sp.split) d
        |LEFT JOIN c ON d.doc_id = c.doc_id""".stripMargin
 
+  /** Within-document repetition excision (the Gopher keep-first rule) —
+    * shared verbatim by the batch and streaming registrations: the same
+    * line CTEs, a per-(doc, line-hash) min(pos) verdict, the same report
+    * fold as the line-dedup family.
+    */
+  private def repetitionExciseOracle: String =
+    s"""WITH $lineCtes,
+       |fp AS (SELECT doc_id, lh, min(pos) AS first_pos FROM h
+       |  GROUP BY doc_id, lh)
+       |SELECT h.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN h.pos > fp.first_pos THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_lines_dropped,
+       |  CAST(sum(CASE WHEN h.pos > fp.first_pos THEN h.n_tok ELSE 0 END) AS BIGINT)
+       |    AS n_tokens_dropped,
+       |  md5(coalesce(
+       |    string_agg(CASE WHEN h.pos = fp.first_pos THEN h.line END,
+       |      ' ' ORDER BY h.pos), '')) AS kept_md5
+       |FROM h JOIN fp ON h.doc_id = fp.doc_id AND h.lh = fp.lh
+       |GROUP BY h.doc_id""".stripMargin
+
+  private val WinnowScale: Long = 1L << graft.operators.TextAnalysis.WinnowPosBits
+  private val WinnowMask: Long = WinnowScale - 1
+
+  /** The winnowing selection CTE chain ending in `sel(doc_id, wcomp)` —
+    * ONE definition shared by the fingerprint and overlap oracles
+    * (mirrors `TextAnalysis.winnowFingerprints`): 40-bit gram hashes in
+    * the h·2^20+(2^20−1−pos) argmin encoding, per-window min over valid
+    * starts 0..max(0, n_grams − w), DISTINCT selections.
+    */
+  private def winnowSelCtes: String = {
+    import graft.operators.TextAnalysis.{WinnowK, WinnowW, WinnowSeed}
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g AS (SELECT doc_id, i AS pos, len(ts) - ${WinnowK - 1} AS n_grams,
+       |    CAST(('0x' || substr(md5('$WinnowSeed:' ||
+       |      array_to_string(ts[i+1:i+$WinnowK], ' ')), 1, 10)) AS BIGINT)
+       |      * $WinnowScale + ($WinnowMask - i) AS comp
+       |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - ${WinnowK - 1})) AS i
+       |        FROM t WHERE len(ts) >= $WinnowK) u),
+       |wm AS (SELECT doc_id, pos, n_grams,
+       |    min(comp) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wcomp
+       |  FROM g),
+       |sel AS MATERIALIZED (SELECT DISTINCT doc_id, wcomp FROM wm
+       |  WHERE pos <= greatest(0, n_grams - $WinnowW))""".stripMargin
+  }
+
   /** Incremental line dedup, shared by the batch and streaming twins:
     * frozen corpus index at freq ≥ minOcc−1, shard-side excision only.
     */
@@ -1289,9 +1348,14 @@ object SparkEntry {
     * packed composition (`q_mixture_temperature_packed`) wraps, so the
     * two can never drift (the q_mixture_schedule arrangement).
     */
-  private def temperatureScheduleSql: String = {
+  /** The tempered-weight CTE chain `t, s, w, g` (doc tokens → per-source
+    * totals → fixed-point n^(1/T) weights → corpus scalars) — ONE
+    * definition shared by the temperature-schedule and epoch-allocation
+    * oracles (mirrors `Sampling.temperedWeights` at T = tNum/tDen = 2).
+    */
+  private def temperedWeightCtes: String = {
     val (tNum, tDen) = (2L, 1L)
-    s"""WITH t AS (SELECT doc_id, source,
+    s"""t AS (SELECT doc_id, source,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
        |  FROM documents),
        |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
@@ -1302,7 +1366,11 @@ object SparkEntry {
        |  ${graft.functions.FixedPointExp.expFSql("y_t", "w_f")}
        |  FROM s),
        |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
-       |    CAST(sum(w_f) AS BIGINT) AS sum_w FROM w),
+       |    CAST(sum(w_f) AS BIGINT) AS sum_w FROM w)""".stripMargin
+  }
+
+  private def temperatureScheduleSql: String = {
+    s"""WITH $temperedWeightCtes,
        |r AS (SELECT source, src_tokens,
        |    ((total_tokens * ((w_f * ${Sampling.MixShareScale}) // sum_w))
        |      // ${Sampling.MixShareScale}) AS want
@@ -1317,6 +1385,52 @@ object SparkEntry {
        |  CASE WHEN ${h60(Sampling.MixtureSeed, "t.doc_id")} % ${Sampling.Buckets}
        |    < (((r.want % r.src_tokens) * ${Sampling.Buckets}) // r.src_tokens)
        |    THEN 1 ELSE 0 END > 0""".stripMargin
+  }
+
+  /** DuckDB replay of `Sampling.epochAllocation`: the shared tempered-
+    * weight CTEs, then [[graft.operators.Sampling.EpochRounds]] unrolled
+    * waterfilling rounds (each a 1-row aggregate `a<t>` over the previous
+    * state + the cap/allocate projection `r<t>`) — identical integer ops,
+    * so allocations, epoch ratios, and the leftover are exact on both
+    * engines.
+    */
+  private def epochAllocationOracle: String = {
+    import graft.operators.Sampling._
+    val rounds = (1 to EpochRounds).map { i =>
+      val prev = s"r${i - 1}"
+      s"""a$i AS MATERIALIZED (SELECT
+         |    CAST(sum(CASE WHEN capped THEN alloc ELSE 0 END) AS BIGINT)
+         |      AS capped_sum,
+         |    CAST(sum(CASE WHEN NOT capped THEN sm ELSE 0 END) AS BIGINT)
+         |      AS u_sm
+         |  FROM $prev),
+         |r$i AS MATERIALIZED (SELECT source, src_tokens, sm, budget, cap_tokens,
+         |    (capped OR tent >= cap_tokens) AS capped,
+         |    CAST(CASE WHEN capped OR tent >= cap_tokens
+         |         THEN cap_tokens ELSE tent END AS BIGINT) AS alloc
+         |  FROM (SELECT r.*,
+         |      CASE WHEN r.capped THEN r.alloc
+         |           WHEN a.u_sm > 0
+         |             THEN ((r.budget - a.capped_sum) * r.sm) // a.u_sm
+         |           ELSE 0 END AS tent
+         |    FROM $prev r, a$i a) q$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $temperedWeightCtes,
+       |base AS MATERIALIZED (SELECT source, src_tokens,
+       |    (w_f * ${Sampling.MixShareScale}) // sum_w AS sm,
+       |    (total_tokens * $EpochBudgetNum) // $EpochBudgetDen AS budget,
+       |    src_tokens * $EpochCap AS cap_tokens
+       |  FROM w, g),
+       |r0 AS MATERIALIZED (SELECT source, src_tokens, sm, budget, cap_tokens,
+       |    FALSE AS capped, CAST(0 AS BIGINT) AS alloc FROM base),
+       |$rounds,
+       |sp AS (SELECT CAST(sum(alloc) AS BIGINT) AS alloc_sum
+       |  FROM r$EpochRounds)
+       |SELECT source, src_tokens, sm AS share_milli, cap_tokens,
+       |  alloc AS alloc_tokens, capped,
+       |  alloc * 1000 // src_tokens AS epochs_milli, budget,
+       |  budget - sp.alloc_sum AS leftover_tokens
+       |FROM r$EpochRounds, sp""".stripMargin
   }
 
   /** The k-round BPE training CTE chain (see `q_bpe_trained`): `w` =
@@ -2853,44 +2967,41 @@ object SparkEntry {
     // Within-document repetition excision: same line frame, verdict is
     // per (doc, line-hash) — keep min(pos), drop the rest; same report
     // fold (kept text re-joined in position order).
-    "q_repetition_excised" ->
-      s"""WITH $lineCtes,
-         |fp AS (SELECT doc_id, lh, min(pos) AS first_pos FROM h
-         |  GROUP BY doc_id, lh)
-         |SELECT h.doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_lines,
-         |  CAST(sum(CASE WHEN h.pos > fp.first_pos THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_lines_dropped,
-         |  CAST(sum(CASE WHEN h.pos > fp.first_pos THEN h.n_tok ELSE 0 END) AS BIGINT)
-         |    AS n_tokens_dropped,
-         |  md5(coalesce(
-         |    string_agg(CASE WHEN h.pos = fp.first_pos THEN h.line END,
-         |      ' ' ORDER BY h.pos), '')) AS kept_md5
-         |FROM h JOIN fp ON h.doc_id = fp.doc_id AND h.lh = fp.lh
-         |GROUP BY h.doc_id""".stripMargin,
+    "q_repetition_excised" -> repetitionExciseOracle,
+    // The streaming twin shares the batch oracle VERBATIM: per-document
+    // verdicts are document-local, so any micro-batch partitioning
+    // unions to the identical report.
+    "q_stream_repetition_excised" -> repetitionExciseOracle,
     // Winnowing: same 40-bit gram hash and h·2^20+(2^20−1−pos) argmin
     // encoding; the window min replays the slice min, valid starts are
     // 0..max(0, n_grams − w), selections decoded after DISTINCT.
-    "q_winnow_fingerprints" -> {
-      import graft.operators.TextAnalysis.{WinnowK, WinnowW, WinnowSeed, WinnowPosBits}
-      val scale = 1L << WinnowPosBits
-      val mask = scale - 1
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |g AS (SELECT doc_id, i AS pos, len(ts) - ${WinnowK - 1} AS n_grams,
-         |    CAST(('0x' || substr(md5('$WinnowSeed:' ||
-         |      array_to_string(ts[i+1:i+$WinnowK], ' ')), 1, 10)) AS BIGINT)
-         |      * $scale + ($mask - i) AS comp
-         |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - ${WinnowK - 1})) AS i
-         |        FROM t WHERE len(ts) >= $WinnowK) u),
-         |wm AS (SELECT doc_id, pos, n_grams,
-         |    min(comp) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wcomp
-         |  FROM g),
-         |sel AS (SELECT DISTINCT doc_id, wcomp FROM wm
-         |  WHERE pos <= greatest(0, n_grams - $WinnowW))
-         |SELECT doc_id, $mask - (wcomp % $scale) AS fp_pos,
-         |  wcomp // $scale AS fp_hash
-         |FROM sel""".stripMargin
+    "q_winnow_fingerprints" ->
+      s"""WITH $winnowSelCtes
+         |SELECT doc_id, $WinnowMask - (wcomp % $WinnowScale) AS fp_pos,
+         |  wcomp // $WinnowScale AS fp_hash
+         |FROM sel""".stripMargin,
+    // Overlap pairs over the SAME winnow selection CTEs: per-doc distinct
+    // hashes, hot hashes (> cap docs) excluded, pair counts by self-join.
+    "q_winnow_overlap" -> {
+      import graft.operators.Dedup.{WinnowBucketCap, WinnowMinShared}
+      s"""WITH $winnowSelCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, wcomp // $WinnowScale AS fp_hash
+         |  FROM sel),
+         |hot AS (SELECT fp_hash FROM fps GROUP BY fp_hash
+         |  HAVING count(*) > $WinnowBucketCap),
+         |cold AS MATERIALIZED (SELECT * FROM fps
+         |  WHERE fp_hash NOT IN (SELECT fp_hash FROM hot)),
+         |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cold
+         |  GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM cold a JOIN cold b
+         |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+         |SELECT p.doc_a, p.doc_b, p.n_shared, na1.n AS n_a, na2.n AS n_b,
+         |  p.n_shared * 1000 // least(na1.n, na2.n) AS overlap_milli
+         |FROM p JOIN na na1 ON p.doc_a = na1.doc_id
+         |       JOIN na na2 ON p.doc_b = na2.doc_id""".stripMargin
     },
     // Hybrid RRF: the shared BM25 oracle ranks the lexical pool, the
     // brute-cosine subquery (query vector 0) ranks the dense pool, and
@@ -4079,6 +4190,8 @@ object SparkEntry {
     // (lateral aliases replay the engine kernels bit-for-bit), then the
     // identical epoch/Bernoulli tail. T = 2/1 interpolated.
     "q_mixture_temperature" -> temperatureScheduleSql,
+    // Waterfilled epoch allocation over the same tempered-weight CTEs.
+    "q_epoch_allocation" -> epochAllocationOracle,
     // Temperature schedule composed with the packing prefix sum — the
     // same wrapper q_mixture_packed puts on the default schedule.
     "q_mixture_temperature_packed" ->

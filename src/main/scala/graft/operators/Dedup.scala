@@ -1235,6 +1235,59 @@ object Dedup {
     excisionReport(lines, frequent)
   }
 
+  /** A winnowing fingerprint hash selected in more than this many
+    * documents is treated as boilerplate and leaves the overlap join up
+    * front (the [[dropOversizedBuckets]] guard in fingerprint space).
+    */
+  val WinnowBucketCap = 16
+
+  /** Minimum shared selected fingerprints for a reported overlap pair. */
+  val WinnowMinShared = 2
+
+  /** Document-overlap pair mining over WINNOWING fingerprints (the MOSS
+    * report): two documents pair when they share at least
+    * [[WinnowMinShared]] distinct selected fingerprint hashes — the
+    * position-robust complement to [[nearDuplicatePairs]] (MinHash
+    * estimates whole-document resemblance; winnowing finds LOCAL shared
+    * passages of ≥ k+w−1 tokens regardless of how different the rest of
+    * the two documents is, the plagiarism/quotation/shared-paragraph
+    * signal resemblance dilutes away).
+    *
+    * Output per pair: shared-fingerprint count, each side's selected
+    * count (post-cap), and overlap_milli = shared·1000 div min(n_a, n_b)
+    * — a containment-style strength in exact integers.
+    *
+    * Scale shape: the join key is the fingerprint hash, never the
+    * document — grouped counts + one self equi-join over the ~2n/(w+1)-
+    * dense selection set, with hashes selected in more than
+    * [[WinnowBucketCap]] documents (boilerplate chrome shared by
+    * everything) leaving via a broadcast anti-join BEFORE the pair join,
+    * exactly the banded miner's bucket-cap discipline: no hot fingerprint
+    * can quadratically flood the join.
+    */
+  def winnowOverlapPairs(
+      documents: DataFrame, cap: Int = WinnowBucketCap,
+      minShared: Int = WinnowMinShared): DataFrame = {
+    val fps = TextAnalysis.winnowFingerprints(documents)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint() // feeds the cap, the per-doc counts, and the join
+    val hot = fps.groupBy("fp_hash").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > cap).select("fp_hash")
+    val cold = fps.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+      .localCheckpoint()
+    val perDoc = cold.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = cold.select(col("fp_hash"), col("doc_id").as("doc_a"))
+      .join(cold.select(col("fp_hash"), col("doc_id").as("doc_b")), "fp_hash")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        expr("n_shared * 1000 div least(n_a, n_b)").as("overlap_milli"))
+  }
+
   /** WITHIN-document repetition excision — the Gopher-style "remove
     * repeated paragraphs" rule ([[lineDedup]]'s intra-document sibling):
     * a line repeated INSIDE one document keeps its FIRST occurrence and

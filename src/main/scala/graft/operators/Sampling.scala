@@ -403,6 +403,93 @@ object Sampling {
     scheduleTail(toks, shared, seed)
   }
 
+  /** Waterfilling rounds for [[epochAllocation]]. Each round either caps
+    * at least one more source or is the identity (a fixed point), so 8
+    * rounds converge exactly whenever at most 8 cap events occur; any
+    * residual shows up honestly in `leftover_tokens` rather than being
+    * silently smeared.
+    */
+  val EpochRounds = 8
+
+  /** Default repetition cap (epochs per source) and budget multiple —
+    * the Muennighoff et al. data-constrained regime: train for more
+    * tokens than the corpus holds (budget = 2× here), but never repeat
+    * any one source more than [[EpochCap]] times.
+    */
+  val EpochCap = 4L
+  val EpochBudgetNum = 2L
+  val EpochBudgetDen = 1L
+
+  /** EPOCH ALLOCATION under a token budget — the data-constrained-scaling
+    * card (Muennighoff et al. 2023): split a total training-token budget
+    * across sources toward the TEMPERED target shares
+    * ([[temperedWeights]], the same n^(1/T) upsampling knob as
+    * `q_mixture_temperature`), but cap every source at `maxEpochs`
+    * repetitions of its own size. Because targets and caps are NOT
+    * proportional to each other (tempering flattens shares toward
+    * uniform, caps stay proportional to size), small sources hit their
+    * cap first and their surplus waterfills back onto the uncapped ones
+    * — [[EpochRounds]] rounds of: pool = budget − capped allocations,
+    * tentative_i = pool·share_i div Σ_uncapped share, cap anyone whose
+    * tentative crosses cap_i. All exact integers (shares in
+    * [[MixShareScale]]ths; pool·share ≤ 2^55 at 10^13 corpus tokens), so
+    * the allocation is bit-portable; flooring dust and any budget the
+    * caps make unspendable are reported as `leftover_tokens`, never
+    * redistributed invisibly.
+    *
+    * One row per source: size, tempered share, cap, allocated tokens,
+    * capped flag, epochs_milli (= alloc·1000 div size — the "how many
+    * times does this source repeat" read), budget and leftover.
+    *
+    * Scale shape: ONE corpus scan (the per-source token agg); every
+    * round operates on the ≤|sources|-row state frame (checkpointed per
+    * round so the plan stays linear in rounds) with a 1-row aggregate
+    * broadcast back — nothing corpus-sized ever re-enters.
+    */
+  def epochAllocation(documents: DataFrame,
+      tNum: Long = 2L, tDen: Long = 1L,
+      maxEpochs: Long = EpochCap,
+      budgetNum: Long = EpochBudgetNum,
+      budgetDen: Long = EpochBudgetDen): DataFrame = {
+    val bySrc = srcTokens(documents)
+      .groupBy("source").agg(sum("n_toks").as("src_tokens"))
+    val w = temperedWeights(bySrc, tNum, tDen)
+    val totals = w.agg(
+      sum("src_tokens").cast("long").as("total_tokens"),
+      sum("w_f").as("sum_w"))
+    val base = w.crossJoin(broadcast(totals))
+      .select(col("source"), col("src_tokens"),
+        expr(s"(w_f * ${MixShareScale}L) div sum_w").as("sm"),
+        expr(s"(total_tokens * ${budgetNum}L) div ${budgetDen}L").as("budget"),
+        (col("src_tokens") * lit(maxEpochs)).as("cap_tokens"))
+      .withColumn("capped", lit(false))
+      .withColumn("alloc", lit(0L))
+      .localCheckpoint()
+    val rounds = (1 to EpochRounds).foldLeft(base) { (st, _) =>
+      val agg = st.agg(
+        sum(when(col("capped"), col("alloc")).otherwise(0L)).as("capped_sum"),
+        sum(when(!col("capped"), col("sm")).otherwise(0L)).as("u_sm"))
+      st.crossJoin(broadcast(agg))
+        .withColumn("tent",
+          when(col("capped"), col("alloc"))
+            .otherwise(when(col("u_sm") > 0,
+              expr("((budget - capped_sum) * sm) div u_sm"))
+              .otherwise(lit(0L))))
+        .select(col("source"), col("src_tokens"), col("sm"), col("budget"),
+          col("cap_tokens"),
+          (col("capped") || col("tent") >= col("cap_tokens")).as("capped"),
+          when(col("capped") || col("tent") >= col("cap_tokens"),
+            col("cap_tokens")).otherwise(col("tent")).as("alloc"))
+        .localCheckpoint()
+    }
+    val spent = rounds.agg(sum("alloc").cast("long").as("alloc_sum"))
+    rounds.crossJoin(broadcast(spent))
+      .select(col("source"), col("src_tokens"), col("sm").as("share_milli"),
+        col("cap_tokens"), col("alloc").as("alloc_tokens"), col("capped"),
+        expr("alloc * 1000 div src_tokens").as("epochs_milli"),
+        col("budget"), (col("budget") - col("alloc_sum")).as("leftover_tokens"))
+  }
+
   /** Curriculum difficulty buckets: fixed power-of-two token-count bands
     * (width 2^[[CurriculumShift]], the drift-report idiom — a shift, not a
     * float log), capped at [[CurriculumBuckets]]. Length is the stand-in

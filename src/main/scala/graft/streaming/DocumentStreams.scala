@@ -349,6 +349,48 @@ object DocumentStreams {
     result
   }
 
+  /** STREAMING within-document repetition excision —
+    * `Dedup.repetitionExcise` running as continuous ingestion. The
+    * verdict is entirely DOCUMENT-LOCAL (a line repeats or not inside
+    * the one document that carries it), so unlike the line-dedup and
+    * novelty twins there is no frozen corpus artifact at all: each
+    * micro-batch runs the SHARED batch operator on itself and the union
+    * over any batch partitioning equals the batch answer row for row —
+    * the whole table streams (no ingest split) and the query shares
+    * `q_repetition_excised`'s oracle verbatim. Per-batch `batch=<id>`
+    * overwrite dirs: idempotent under replay, exactly-once in the log.
+    */
+  def repetitionExciseToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_repetition")
+    java.nio.file.Files.createDirectories(tmp.resolve("out"))
+    val stream = rawSource(spark, dir)
+    EventStreams.withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Dedup.repetitionExcise(batch)
+            .write.mode("overwrite")
+            .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_lines", LongType),
+      StructField("n_lines_dropped", LongType),
+      StructField("n_tokens_dropped", LongType),
+      StructField("kept_md5", StringType)))
+    val result = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(tmp.resolve("out").toString)
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    result
+  }
+
   /** STREAMING incremental LINE dedup — `Dedup.incrementalLineDedup`
     * running as continuous ingestion: the corpus's slim line-frequency
     * index (lines one occurrence short of the excision threshold) is the

@@ -535,6 +535,59 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === ((3L, 2L, 16L, md5(mid))))
   }
 
+  /** Re-derive [[Dedup.winnowOverlapPairs]] in Scala from the fingerprint
+    * frame (itself brute-verified in TextAnalysisSpec): cap, pair, count.
+    */
+  private def bruteWinnowOverlap(
+      d: org.apache.spark.sql.DataFrame, cap: Int, minShared: Int): Set[(Long, Long, Long, Long, Long, Long)] = {
+    val fps = TextAnalysis.winnowFingerprints(d)
+      .select("doc_id", "fp_hash").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hot = fps.groupBy(_._2).filter(_._2.size > cap).keySet
+    val byDoc = fps.filterNot(t => hot(t._2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    (for {
+      a <- ids; b <- ids if a < b
+      shared = (byDoc(a) intersect byDoc(b)).size.toLong if shared >= minShared
+    } yield (a, b, shared, byDoc(a).size.toLong, byDoc(b).size.toLong,
+      shared * 1000L / math.min(byDoc(a).size, byDoc(b).size))).toSet
+  }
+
+  test("winnowOverlapPairs finds planted shared passages; capped boilerplate never pairs") {
+    val shared =
+      "the quick brown fox jumps over that lazy dog and keeps running onward"
+    val boiler =
+      "this site uses cookies to improve your experience please accept all terms"
+    val rows = Seq(
+      1L -> s"alpha beta gamma delta $shared",
+      2L -> s"$shared epsilon zeta eta theta") ++
+      // 20 identical boilerplate docs: > cap=16 docs per fingerprint, so
+      // every one of their fingerprints leaves before the pair join
+      (10L to 29L).map(i => i -> boiler)
+    val d = docs(rows: _*)
+    val got = Dedup.winnowOverlapPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === bruteWinnowOverlap(d, Dedup.WinnowBucketCap, Dedup.WinnowMinShared))
+    // the planted pair survives (a 13-token shared run guarantees >= 2
+    // distinct selected fingerprints: one shared min can cover at most w
+    // consecutive windows of the 8 fully-shared ones)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2L))
+    // no boilerplate doc appears in any pair
+    assert(!got.exists(p => p._1 >= 10L || p._2 >= 10L))
+  }
+
+  test("winnowOverlapPairs == scala re-derivation on the sf0.001 corpus") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val got = Dedup.winnowOverlapPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === bruteWinnowOverlap(d, Dedup.WinnowBucketCap, Dedup.WinnowMinShared))
+    // the corpus's planted near-dup families must surface as overlaps
+    assert(got.nonEmpty)
+  }
+
   test("repetitionExcise == brute force on the sf0.001 corpus, partition-invariant") {
     val documents = graft.Tables.documents(spark, sf("sf0.001"))
     val rows = documents.select("doc_id", "text").collect()

@@ -316,4 +316,81 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(again === got)
   }
+
+  /** Re-run [[Sampling.epochAllocation]]'s waterfilling rounds in plain
+    * Scala from the operator's own inputs (source, size, share, budget,
+    * cap) — verifies the round/cap/leftover logic independently of the
+    * fixed-point weight kernel (brute-verified in the temperature tests).
+    */
+  private def bruteWaterfill(
+      rows: Seq[(String, Long, Long, Long, Long)], rounds: Int): Map[String, (Long, Boolean, Long)] = {
+    val budget = rows.head._4
+    var capped = Map.empty[String, Boolean].withDefaultValue(false)
+    var alloc = Map.empty[String, Long].withDefaultValue(0L)
+    for (_ <- 1 to rounds) {
+      val cappedSum = rows.collect { case (s, _, _, _, _) if capped(s) => alloc(s) }.sum
+      val uSm = rows.collect { case (s, _, sm, _, _) if !capped(s) => sm }.sum
+      val tent = rows.map { case (s, _, sm, _, _) =>
+        s -> (if (capped(s)) alloc(s)
+              else if (uSm > 0) (budget - cappedSum) * sm / uSm else 0L)
+      }.toMap
+      rows.foreach { case (s, _, _, _, cap) =>
+        if (capped(s) || tent(s) >= cap) { capped += s -> true; alloc += s -> cap }
+        else alloc += s -> tent(s)
+      }
+    }
+    val leftover = budget - rows.map(r => alloc(r._1)).sum
+    rows.map { case (s, _, _, _, _) => s -> ((alloc(s), capped(s), leftover)) }.toMap
+  }
+
+  test("epochAllocation: tiny source caps at maxEpochs, surplus waterfills, budget conserved") {
+    import spark.implicits._
+    // tempering (T=2) flattens shares toward uniform, so the tiny
+    // source's tempered target far exceeds its 4-epoch cap
+    val d = Seq(
+      (1L, ("tok " * 10).trim, "en", "tiny"),
+      (2L, ("tok " * 500).trim, "en", "big"),
+      (3L, ("tok " * 500).trim, "en", "big"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Sampling.epochAllocation(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    val (tiny, big) = (out("tiny"), out("big"))
+    // sizes, caps, budget
+    assert(tiny._1 === 10L && big._1 === 1000L)
+    assert(tiny._3 === 40L && big._3 === 4000L)     // cap_tokens = 4x size
+    assert(tiny._7 === 2020L && big._7 === 2020L)   // budget = 2x corpus
+    // the tiny source hits its cap exactly: 4 epochs, capped flag set
+    assert(tiny._5 && tiny._4 === 40L && tiny._6 === 4000L)
+    assert(!big._5 && big._4 < big._3)
+    // exact conservation: allocations + leftover = budget
+    assert(tiny._4 + big._4 + tiny._8 === 2020L && tiny._8 === big._8)
+    // the full round logic replays in plain Scala from the emitted inputs
+    val brute = bruteWaterfill(
+      out.toSeq.map { case (s, t) => (s, t._1, t._2, t._7, t._3) },
+      Sampling.EpochRounds)
+    out.foreach { case (s, t) =>
+      assert(brute(s) === ((t._4, t._5, t._8)), s"source $s") }
+  }
+
+  test("epochAllocation == scala waterfill replay on the sf0.001 corpus; invariants hold") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val out = Sampling.epochAllocation(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    assert(out.nonEmpty)
+    val brute = bruteWaterfill(
+      out.toSeq.map { case (s, t) => (s, t._1, t._2, t._7, t._3) },
+      Sampling.EpochRounds)
+    out.foreach { case (s, t) =>
+      assert(brute(s) === ((t._4, t._5, t._8)), s"source $s")
+      assert(t._4 <= t._3)                       // alloc never beats cap
+      assert(t._5 === (t._4 === t._3))           // capped <=> at-cap
+      assert(t._6 <= Sampling.EpochCap * 1000L)  // epochs within the cap
+    }
+    val budget = out.values.head._7
+    assert(out.values.map(_._4).sum + out.values.head._8 === budget)
+  }
 }

@@ -167,6 +167,18 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming repetition excision equals the batch operator (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val streamed = canon(DocumentStreams.repetitionExciseToBatch(spark, dir))
+    val batch = canon(graft.operators.Dedup.repetitionExcise(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming ingestion novelty equals the batch operator (driver data)") {
     val dir = sf("sf0.001")
     def canon(df: org.apache.spark.sql.DataFrame) =
