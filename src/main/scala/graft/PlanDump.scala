@@ -215,7 +215,15 @@ object PlanDump {
     "q_stream_repetition_excised" ->
       "doc-local verdicts need NO frozen artifact: each micro-batch runs the shared batch operator on itself inside foreachBatch; the union over batches is the batch plan's answer row for row",
     "q_epoch_allocation" ->
-      "ONE corpus scan (per-source token agg); 8 waterfilling rounds each a 1-row aggregate + projection over the <=|sources|-row checkpointed state with broadcast-back — nothing corpus-sized re-enters after the scan")
+      "ONE corpus scan (per-source token agg); 8 waterfilling rounds each a 1-row aggregate + projection over the <=|sources|-row checkpointed state with broadcast-back — nothing corpus-sized re-enters after the scan",
+    "q_gopher_rules" ->
+      "one explode -> per-doc conditional sums (map-side combined) joined to the repetition report's dropped-token count; every metric and rule boolean is a projection off the two aggregates",
+    "q_dedup_soft" ->
+      "the q_dedup_exact hash-agg + the same fp equi-join back; the keep verdict is one codegen'd hash-mod projection — no new shuffle shape",
+    "q_winnow_overlap_incremental" ->
+      "frozen capped fingerprint index (checkpointed once) probed by the shard's own selection through ONE equi-join on fp_hash; corpus-hot hashes leave both sides via the same broadcast anti-join",
+    "q_stream_winnow_overlap" ->
+      "winnowProbe inside foreachBatch against the static artifacts; per-doc verdicts touch only the frozen index, so the per-batch plan is the incremental plan on a smaller input")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

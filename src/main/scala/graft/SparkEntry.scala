@@ -489,6 +489,21 @@ object SparkEntry {
     // tempered shares under a per-source repetition cap.
     "q_epoch_allocation" -> ((s, dir) =>
       Sampling.epochAllocation(Tables.documents(s, dir))),
+    // Gopher quality-rule card: six exact-integer heuristics, one
+    // boolean per rule, conjunction as keep.
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    // Soft exact dedup: each copy kept with probability 1/n_copies via
+    // the content-hash Bernoulli (expected one survivor per group).
+    "q_dedup_soft" -> ((s, dir) =>
+      Dedup.softDedup(Tables.documents(s, dir))),
+    // Ingestion-time winnow overlap: arriving docs probe the frozen
+    // capped corpus fingerprint index (shard-vs-corpus pairs only).
+    "q_winnow_overlap_incremental" -> ((s, dir) =>
+      Dedup.incrementalWinnowOverlap(Tables.documents(s, dir))),
+    // The same probe per micro-batch against the static artifacts.
+    "q_stream_winnow_overlap" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.incrementalWinnowOverlapToBatch(s, dir)),
     // Per-ingest-batch distribution drift report (fixed histogram + TVD
     // contributions, no ln — bit-portable).
     "q_drift_report" -> ((s, dir) =>
@@ -1044,6 +1059,39 @@ object SparkEntry {
        |  FROM g),
        |sel AS MATERIALIZED (SELECT DISTINCT doc_id, wcomp FROM wm
        |  WHERE pos <= greatest(0, n_grams - $WinnowW))""".stripMargin
+  }
+
+  /** Ingestion-time winnow overlap, shared by the batch and streaming
+    * twins: the shared winnow selection CTEs, corpus-frozen hot set and
+    * capped index below the split, shard-vs-corpus pairs only.
+    */
+  private def incrementalWinnowOverlapOracle: String = {
+    import graft.operators.Dedup.{WinnowBucketCap, WinnowMinShared}
+    s"""WITH $winnowSelCtes,
+       |fps AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    wcomp // $WinnowScale AS fp_hash FROM sel),
+       |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+       |cfps AS MATERIALIZED (SELECT f.* FROM fps f, sp
+       |  WHERE f.doc_id < sp.split),
+       |hot AS MATERIALIZED (SELECT fp_hash FROM cfps GROUP BY fp_hash
+       |  HAVING count(*) > $WinnowBucketCap),
+       |idx AS MATERIALIZED (SELECT * FROM cfps
+       |  WHERE fp_hash NOT IN (SELECT fp_hash FROM hot)),
+       |nc AS (SELECT doc_id AS corpus_doc, CAST(count(*) AS BIGINT) AS n_corpus
+       |  FROM idx GROUP BY 1),
+       |sfps AS MATERIALIZED (SELECT f.* FROM fps f, sp
+       |  WHERE f.doc_id >= sp.split
+       |    AND f.fp_hash NOT IN (SELECT fp_hash FROM hot)),
+       |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_doc
+       |  FROM sfps GROUP BY doc_id),
+       |p AS (SELECT s.doc_id, i.doc_id AS corpus_doc,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM sfps s JOIN idx i ON s.fp_hash = i.fp_hash
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+       |SELECT p.doc_id, p.corpus_doc, p.n_shared, ns.n_doc, nc.n_corpus,
+       |  p.n_shared * 1000 // least(ns.n_doc, nc.n_corpus) AS overlap_milli
+       |FROM p JOIN ns ON p.doc_id = ns.doc_id
+       |       JOIN nc ON p.corpus_doc = nc.corpus_doc""".stripMargin
   }
 
   /** Incremental line dedup, shared by the batch and streaming twins:
@@ -4192,6 +4240,75 @@ object SparkEntry {
     "q_mixture_temperature" -> temperatureScheduleSql,
     // Waterfilled epoch allocation over the same tempered-weight CTEs.
     "q_epoch_allocation" -> epochAllocationOracle,
+    // Soft dedup: same normalized-text groups as q_dedup_exact, keep
+    // verdict = seeded 60-bit hash residue mod group size.
+    "q_dedup_soft" -> {
+      val sd = graft.operators.Dedup.SoftDedupSeed
+      s"""WITH fp AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+         |  FROM documents),
+         |g AS (SELECT fp_md5, CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM fp GROUP BY fp_md5)
+         |SELECT doc_id, n_copies,
+         |  (${h60(sd, "CAST(doc_id AS VARCHAR)")} % n_copies) = 0 AS kept
+         |FROM fp JOIN g USING (fp_md5)""".stripMargin
+    },
+    // Gopher rules: one token-metric agg + the repetition chain's
+    // dropped-token count; every share a floor division, rules replayed
+    // with the interpolated thresholds.
+    "q_gopher_rules" -> {
+      import graft.operators.TextAnalysis._
+      val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(length(tok)) AS BIGINT) AS n_tok_chars,
+         |    CAST(sum(CASE WHEN regexp_full_match(tok, '[.,!?:;"'']+')
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n_punct,
+         |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]')
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+         |    CAST(count(DISTINCT CASE WHEN tok IN ($inList) THEN tok END)
+         |      AS BIGINT) AS n_stop_distinct
+         |  FROM tk GROUP BY doc_id),
+         |$lineCtes,
+         |rp AS (SELECT doc_id, lh, min(pos) AS first_pos FROM h
+         |  GROUP BY doc_id, lh),
+         |dup AS (SELECT h.doc_id,
+         |    CAST(sum(CASE WHEN h.pos > rp.first_pos THEN h.n_tok ELSE 0 END)
+         |      AS BIGINT) AS n_dup_toks
+         |  FROM h JOIN rp ON h.doc_id = rp.doc_id AND h.lh = rp.lh
+         |  GROUP BY h.doc_id),
+         |c AS (SELECT m.doc_id, m.n_tokens,
+         |    n_tok_chars * 1000 // n_tokens AS mean_len_milli,
+         |    n_punct * 1000 // n_tokens AS punct_milli,
+         |    n_alpha * 1000 // n_tokens AS alpha_milli,
+         |    m.n_stop_distinct,
+         |    d.n_dup_toks * 1000 // n_tokens AS dup_line_milli
+         |  FROM m JOIN dup d ON m.doc_id = d.doc_id)
+         |SELECT c.*,
+         |  (n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens)
+         |    AS r_len,
+         |  (mean_len_milli >= $GopherMeanLenLoMilli
+         |    AND mean_len_milli <= $GopherMeanLenHiMilli) AS r_mean_len,
+         |  punct_milli <= $GopherMaxPunctMilli AS r_punct,
+         |  alpha_milli >= $GopherMinAlphaMilli AS r_alpha,
+         |  n_stop_distinct >= $GopherMinDistinctStopwords AS r_stop,
+         |  dup_line_milli <= $GopherMaxDupLineMilli AS r_dup,
+         |  ((n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens)
+         |    AND (mean_len_milli >= $GopherMeanLenLoMilli
+         |      AND mean_len_milli <= $GopherMeanLenHiMilli)
+         |    AND punct_milli <= $GopherMaxPunctMilli
+         |    AND alpha_milli >= $GopherMinAlphaMilli
+         |    AND n_stop_distinct >= $GopherMinDistinctStopwords
+         |    AND dup_line_milli <= $GopherMaxDupLineMilli) AS keep
+         |FROM c""".stripMargin
+    },
+    // Ingestion-time winnow overlap (shared verbatim by the streaming
+    // drain): corpus fingerprints below the split freeze into the capped
+    // index; shard fingerprints drop corpus-hot hashes and probe it.
+    "q_winnow_overlap_incremental" -> incrementalWinnowOverlapOracle,
+    "q_stream_winnow_overlap" -> incrementalWinnowOverlapOracle,
     // Temperature schedule composed with the packing prefix sum — the
     // same wrapper q_mixture_packed puts on the default schedule.
     "q_mixture_temperature_packed" ->

@@ -1288,6 +1288,118 @@ object Dedup {
         expr("n_shared * 1000 div least(n_a, n_b)").as("overlap_milli"))
   }
 
+  /** Seed for the [[softDedup]] keep draw. */
+  val SoftDedupSeed = 37
+
+  /** SOFT (probabilistic) exact dedup — instead of keeping exactly one
+    * copy per duplicate group ([[exactDuplicates]]' keeper), keep each
+    * copy independently with probability 1/n_copies: a group of n
+    * survives with EXPECTED one copy, so duplicated content is
+    * down-WEIGHTED rather than hard-deduplicated (the soft alternative
+    * when moderate duplication is a popularity signal worth a bounded
+    * amount of extra training mass — hard dedup erases it, no dedup
+    * lets it dominate). The draw is the house content-hash Bernoulli —
+    * keep iff md5Long(doc_id) mod n_copies = 0 — so the verdict is a
+    * pure function of (doc_id, group size): reproducible across engines,
+    * partitionings, and re-runs; some groups keep 0 or 2+ copies, which
+    * is the definition working, not failing.
+    *
+    * One row per document: group size and the keep verdict. Shape:
+    * [[exactDuplicates]]' one hash-agg + the same fp equi-join back —
+    * nothing new at scale.
+    */
+  def softDedup(documents: DataFrame): DataFrame = {
+    val groups = exactDuplicates(documents).select("fp_md5", "n_copies")
+    graft.Parallelism.ensure(documents)
+      .select(col("doc_id"),
+        md5(TextAnalysis.normalized(col("text"))).as("fp_md5"))
+      .join(groups, "fp_md5")
+      .select(col("doc_id"), col("n_copies"),
+        (HashFunctions.md5Long(col("doc_id").cast("string"), SoftDedupSeed)
+          % col("n_copies") === 0L).as("kept"))
+  }
+
+  /** Incremental WINNOW overlap — the ingestion-time plagiarism/overlap
+    * probe, following the family's frozen-artifact asymmetry
+    * ([[incrementalNearDups]], [[incrementalLineDedup]]): the corpus
+    * below the ingest split freezes into a capped per-document
+    * fingerprint index (hashes selected in more than `cap` CORPUS
+    * documents are boilerplate and leave the index — the frozen verdict;
+    * shard-side hotness waits for the next full pass), and each arriving
+    * document's own winnow selection probes it with ONE equi-join on the
+    * fingerprint hash. Output: shard-vs-corpus pairs sharing ≥
+    * `minShared` fingerprints, with both sides' post-cap counts and the
+    * same overlap_milli strength as [[winnowOverlapPairs]] — shard-
+    * internal pairs are out of contract, exactly like the banded probe.
+    *
+    * Cost per batch: O(shard grams) for the selection + an equi-join
+    * against the slim index; the corpus is scanned once at index build.
+    */
+  def incrementalWinnowOverlap(
+      documents: DataFrame, cap: Int = WinnowBucketCap,
+      minShared: Int = WinnowMinShared): DataFrame =
+    ingestSplitOf(documents) match {
+      case None =>
+        documents.select(
+          col("doc_id"), col("doc_id").as("corpus_doc"),
+          lit(0L).as("n_shared"), lit(0L).as("n_doc"),
+          lit(0L).as("n_corpus"), lit(0L).as("overlap_milli")).limit(0)
+      case Some(split) =>
+        val (hot, index, nCorpus) =
+          winnowCorpusArtifacts(documents.where(col("doc_id") < split), cap)
+        winnowProbe(documents.where(col("doc_id") >= split),
+          hot, index, nCorpus, minShared)
+    }
+
+  /** The frozen corpus-side artifacts for [[incrementalWinnowOverlap]]
+    * and its streaming twin: the boilerplate fingerprint set (> cap
+    * corpus docs), the capped per-doc fingerprint index, and the per-doc
+    * post-cap counts — built once, checkpointed, probed per batch.
+    */
+  private[graft] def winnowCorpusArtifacts(
+      corpus: DataFrame, cap: Int): (DataFrame, DataFrame, DataFrame) = {
+    val corpusFps = TextAnalysis.winnowFingerprints(corpus)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint() // feeds the hot set AND the index
+    val hot = corpusFps.groupBy("fp_hash").agg(count(lit(1)).as("n"))
+      .where(col("n") > cap).select("fp_hash")
+      .localCheckpoint()
+    val index = corpusFps.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+      .localCheckpoint()
+    val nCorpus = index.groupBy("doc_id").agg(count(lit(1)).as("n_corpus"))
+      .select(col("doc_id").as("corpus_doc"), col("n_corpus"))
+      .localCheckpoint()
+    (hot, index, nCorpus)
+  }
+
+  /** One shard batch's overlap probe against the frozen artifacts —
+    * shared verbatim by the batch operator and the streaming micro-batch
+    * twin (per-document verdicts touch only the frozen index, never
+    * fellow batch members, so any batch partitioning unions to the same
+    * pair set and both twins share one oracle).
+    */
+  private[graft] def winnowProbe(
+      shard: DataFrame, hot: DataFrame, index: DataFrame,
+      nCorpus: DataFrame, minShared: Int): DataFrame = {
+    val shardFps = TextAnalysis.winnowFingerprints(shard)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .join(broadcast(hot), Seq("fp_hash"), "left_anti")
+      .localCheckpoint() // feeds the per-doc counts and the probe
+    val nShard = shardFps.groupBy("doc_id").agg(count(lit(1)).as("n_doc"))
+    shardFps
+      .join(index.select(col("fp_hash"), col("doc_id").as("corpus_doc")),
+        "fp_hash")
+      .groupBy("doc_id", "corpus_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(nShard, "doc_id")
+      .join(nCorpus, "corpus_doc")
+      .select(col("doc_id"), col("corpus_doc"), col("n_shared"),
+        col("n_doc"), col("n_corpus"),
+        expr("n_shared * 1000 div least(n_doc, n_corpus)")
+          .as("overlap_milli"))
+  }
+
   /** WITHIN-document repetition excision — the Gopher-style "remove
     * repeated paragraphs" rule ([[lineDedup]]'s intra-document sibling):
     * a line repeated INSIDE one document keeps its FIRST occurrence and

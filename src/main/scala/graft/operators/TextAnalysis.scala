@@ -1881,6 +1881,76 @@ object TextAnalysis {
         TextFunctions.shingles(col("text"), 3),
         s => HashFunctions.md5Long(s, 1))).as("fp_min_shingle"))
 
+  /** Gopher-rule thresholds (Rae et al. 2021, Table A1), adapted where
+    * the signal doesn't exist in this corpus: the symbol-ratio rule uses
+    * the suite's punctuation-token charset, and the duplicate-line rule
+    * uses [[graft.operators.Dedup.repetitionExcise]]'s within-document
+    * dropped-token share (the paper's duplicate-line character fraction,
+    * in token space).
+    */
+  val GopherMinTokens = 50L
+  val GopherMaxTokens = 100000L
+  val GopherMeanLenLoMilli = 3000L
+  val GopherMeanLenHiMilli = 10000L
+  val GopherMaxPunctMilli = 100L
+  val GopherMinAlphaMilli = 800L
+  val GopherMinDistinctStopwords = 2L
+  val GopherMaxDupLineMilli = 200L
+
+  /** The GOPHER quality-rule card: per document, the six classic
+    * repetition/format heuristics as exact-integer metrics plus one
+    * boolean per rule and the conjunction — the standard pre-filter a
+    * crawl pipeline runs before any model-based scoring, and the card a
+    * curation team reads to see WHICH rule is doing the deleting (a
+    * funnel that only reports "kept 62%" hides a broken threshold).
+    *
+    * Rules: token count in [50, 100k]; mean token length in [3, 10]
+    * chars; punctuation-token share ≤ 10%; ≥ 80% of tokens contain a
+    * letter; ≥ 2 distinct stopwords; within-document duplicate-line
+    * token share ≤ 20%. All shares in exact integer milli (one floor
+    * division each), so the card hash-matches the oracle.
+    *
+    * Shape: ONE tokenization pass (explode → per-doc conditional sums,
+    * map-side combined) joined to the repetition report's dropped-token
+    * count (itself two narrow shuffles) — nothing pairwise, nothing
+    * corpus-ordered; every metric column is a projection off the two
+    * aggregates.
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val m = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("n_tok_chars"),
+        sum(when(col("tok").rlike("^[.,!?:;\"']+$"), 1L).otherwise(0L))
+          .as("n_punct"),
+        sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        countDistinct(when(col("tok").isin(Stopwords: _*), col("tok")))
+          .as("n_stop_distinct"))
+    val dup = graft.operators.Dedup.repetitionExcise(documents)
+      .select(col("doc_id"), col("n_tokens_dropped").as("n_dup_toks"))
+    m.join(dup, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("n_tok_chars * 1000 div n_tokens").as("mean_len_milli"),
+        expr("n_punct * 1000 div n_tokens").as("punct_milli"),
+        expr("n_alpha * 1000 div n_tokens").as("alpha_milli"),
+        col("n_stop_distinct"),
+        expr("n_dup_toks * 1000 div n_tokens").as("dup_line_milli"))
+      .select(col("*"),
+        (col("n_tokens") >= GopherMinTokens
+          && col("n_tokens") <= GopherMaxTokens).as("r_len"),
+        (col("mean_len_milli") >= GopherMeanLenLoMilli
+          && col("mean_len_milli") <= GopherMeanLenHiMilli).as("r_mean_len"),
+        (col("punct_milli") <= GopherMaxPunctMilli).as("r_punct"),
+        (col("alpha_milli") >= GopherMinAlphaMilli).as("r_alpha"),
+        (col("n_stop_distinct") >= GopherMinDistinctStopwords).as("r_stop"),
+        (col("dup_line_milli") <= GopherMaxDupLineMilli).as("r_dup"))
+      .withColumn("keep",
+        col("r_len") && col("r_mean_len") && col("r_punct")
+          && col("r_alpha") && col("r_stop") && col("r_dup"))
+  }
+
   /** Winnowing parameters: [[WinnowK]]-token grams (the house shingle
     * unit), one fingerprint selected from every window of [[WinnowW]]
     * consecutive gram hashes. Guarantee (Schleimer et al., SIGMOD 2003):

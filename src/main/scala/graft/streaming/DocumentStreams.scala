@@ -349,6 +349,54 @@ object DocumentStreams {
     result
   }
 
+  /** STREAMING incremental winnow overlap — `Dedup.incrementalWinnowOverlap`
+    * running as continuous ingestion: the corpus's capped fingerprint
+    * index, boilerplate set, and per-doc counts freeze ONCE as static
+    * frames (`Dedup.winnowCorpusArtifacts`); each arriving micro-batch
+    * computes its own winnow selection and probes through the SHARED
+    * `Dedup.winnowProbe`, so the stream reports the batch twin's exact
+    * shard-vs-corpus pair set (shared oracle). Per-batch `batch=<id>`
+    * overwrite dirs: idempotent under replay, exactly-once in the log.
+    */
+  def incrementalWinnowOverlapToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None => Dedup.incrementalWinnowOverlap(docs)
+      case Some(split) =>
+        val (hot, index, nCorpus) = Dedup.winnowCorpusArtifacts(
+          docs.where(col("doc_id") < split), Dedup.WinnowBucketCap)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_winnow")
+        java.nio.file.Files.createDirectories(tmp.resolve("out"))
+        val stream = rawSource(spark, dir).where(col("doc_id") >= split)
+        EventStreams.withStreamShufflePartitions(spark) {
+          val q = stream.writeStream
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              Dedup.winnowProbe(batch, hot, index, nCorpus, Dedup.WinnowMinShared)
+                .write.mode("overwrite")
+                .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("corpus_doc", LongType),
+          StructField("n_shared", LongType),
+          StructField("n_doc", LongType),
+          StructField("n_corpus", LongType),
+          StructField("overlap_milli", LongType)))
+        val result = spark.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(tmp.resolve("out").toString)
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        result
+    }
+  }
+
   /** STREAMING within-document repetition excision —
     * `Dedup.repetitionExcise` running as continuous ingestion. The
     * verdict is entirely DOCUMENT-LOCAL (a line repeats or not inside

@@ -588,6 +588,97 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The house 60-bit seeded hash, reimplemented for brute checks. */
+  private def h60(seed: Int, s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s"$seed:$s").substring(0, 15), 16)
+
+  test("softDedup: uniques always kept, group verdicts are the seeded hash residues") {
+    val d = docs(
+      1L -> "same text here today", 2L -> "same text here today",
+      3L -> "same  TEXT here today", // normalized-equal -> same group
+      4L -> "unique content number one", 5L -> "unique content number two")
+    val got = Dedup.softDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // singleton groups: h % 1 == 0 always -> unique docs are NEVER dropped
+    assert(got(4L) === ((1L, true)) && got(5L) === ((1L, true)))
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) === ((3L, h60(Dedup.SoftDedupSeed, id.toString) % 3L == 0L)))
+    }
+    val again = Dedup.softDedup(d.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(again === got)
+  }
+
+  test("softDedup == brute force on the sf0.001 corpus; expectation holds per group") {
+    val documents = graft.Tables.documents(spark, sf("sf0.001"))
+    val rows = documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val groups = rows.groupBy(r => norm(r._2))
+    val want = rows.map { case (id, t) =>
+      val n = groups(norm(t)).size.toLong
+      id -> ((n, h60(Dedup.SoftDedupSeed, id.toString) % n == 0L))
+    }.toMap
+    val got = Dedup.softDedup(documents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === want)
+    // sf0.001 happens to have no exact-dup groups (its planted families
+    // are NEAR-dups), so every doc is a singleton and must survive; the
+    // planted 3-copy test above pins the grouped verdicts
+    assert(got.values.forall(v => v._1 >= 1L && (v._1 > 1L || v._2)))
+  }
+
+  test("incrementalWinnowOverlap: shard-vs-corpus only, corpus-hot fingerprints excluded") {
+    val p = "aa bb cc dd ee ff gg hh ii jj"           // shared passage
+    val b = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"          // corpus-hot boilerplate
+    val q = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"          // shard-internal passage
+    // ids 0..9 -> split 8: corpus 0..7, shard 8..9
+    val d = docs(Seq(
+      0L -> s"$p n1 n2 n3 n4",
+      1L -> s"$b o1 o2 o3") ++
+      (2L to 7L).map(i => i -> s"$b p$i q$i r$i") ++ Seq(
+      8L -> s"$p $q zz1",
+      9L -> s"$b $q yy1"): _*)
+    val got = Dedup.incrementalWinnowOverlap(d, cap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 8 shares the passage with corpus doc 0 -> reported
+    assert(got.exists(t => t._1 == 8L && t._2 == 0L && t._3 >= 2L))
+    // doc 9 shares ONLY boilerplate with the corpus (hot: 7 docs > cap=3)
+    // -> no pair; docs 8 and 9 share q but shard-internal pairs are out
+    // of contract
+    assert(got.forall(t => t._1 == 8L && t._2 == 0L))
+  }
+
+  test("incrementalWinnowOverlap == scala re-derivation on the sf0.001 corpus") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val fps = TextAnalysis.winnowFingerprints(d)
+      .select("doc_id", "fp_hash").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val maxId = d.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+    val sp = (maxId + 1) * 4 / 5
+    val corpus = fps.filter(_._1 < sp)
+    val hot = corpus.groupBy(_._2)
+      .filter(_._2.size > Dedup.WinnowBucketCap).keySet
+    val idx = corpus.filterNot(t => hot(t._2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val shard = fps.filter(_._1 >= sp).filterNot(t => hot(t._2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      (sid, sfp) <- shard.toSeq; (cid, cfp) <- idx.toSeq
+      shared = (sfp intersect cfp).size.toLong
+      if shared >= Dedup.WinnowMinShared
+    } yield (sid, cid, shared, sfp.size.toLong, cfp.size.toLong,
+      shared * 1000L / math.min(sfp.size, cfp.size))).toSet
+    val got = Dedup.incrementalWinnowOverlap(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === want)
+  }
+
   test("repetitionExcise == brute force on the sf0.001 corpus, partition-invariant") {
     val documents = graft.Tables.documents(spark, sf("sf0.001"))
     val rows = documents.select("doc_id", "text").collect()

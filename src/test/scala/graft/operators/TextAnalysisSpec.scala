@@ -921,6 +921,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("gopherRules: each rule fails on its planted violator and only there") {
+    val stop = "the a is of and" // 5 distinct stopwords
+    def filler(n: Int) = (1 to n).map(i => s"word$i").mkString(" ")
+    val pass = s"$stop ${filler(50)}"                       // 55 tokens, all rules pass
+    val short = s"$stop ${filler(10)}"                      // r_len fails (15 < 50)
+    val longWords = s"$stop " +
+      (1 to 50).map(i => s"supercalifragilistic$i").mkString(" ") // r_mean_len fails
+    val punct = s"$stop ${filler(40)} " + Seq.fill(10)("..").mkString(" ") // >10% punct
+    val digits = s"$stop ${filler(30)} " + (1 to 25).map(_.toString).mkString(" ") // <80% alpha
+    val noStop = filler(55)                                 // r_stop fails
+    val line8 = "q1 q2 q3 q4 q5 q6 q7 q8"
+    // 56 tokens, window-aligned triple line: 16 dup toks / 56 = 285 > 200
+    val dupOk = s"$stop ${filler(27)} $line8 $line8 $line8"
+    val d = docs(1L -> pass, 2L -> short, 3L -> longWords, 4L -> punct,
+      5L -> digits, 6L -> noStop, 7L -> dupOk)
+    val got = TextAnalysis.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+        r.getBoolean(10), r.getBoolean(11), r.getBoolean(12), r.getBoolean(13))))
+      .toMap
+    // (r_len, r_mean_len, r_punct, r_alpha, r_stop, r_dup, keep)
+    assert(got(1L) === ((true, true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._7)
+    assert(!got(3L)._2 && !got(3L)._7)
+    assert(!got(4L)._3 && !got(4L)._7)
+    assert(!got(5L)._4 && !got(5L)._7)
+    assert(!got(6L)._5 && !got(6L)._7)
+    assert(!got(7L)._6 && !got(7L)._7)
+    // each violator fails ONLY its own rule (the planted cases are
+    // single-axis by construction)
+    assert(got(2L).productIterator.count(_ == false) === 2)
+    assert(got(6L).productIterator.count(_ == false) === 2)
+  }
+
+  test("gopherRules metrics are exact integers on a hand-computed doc") {
+    // 10 tokens: "the a is of and w1 w2 w3 42 .." -> chars 3+1+2+2+3+2+2+2+2+2=21
+    val d = docs(1L -> "the a is of and w1 w2 w3 42 ..")
+    val r = TextAnalysis.gopherRules(d).collect().head
+    assert(r.getLong(1) === 10L)            // n_tokens
+    assert(r.getLong(2) === 2100L)          // mean_len_milli = 21*1000/10
+    assert(r.getLong(3) === 100L)           // punct: 1/10
+    assert(r.getLong(4) === 800L)           // alpha: 8/10 ("42", ".." fail)
+    assert(r.getLong(5) === 5L)             // distinct stopwords
+    assert(r.getLong(6) === 0L)             // no repeated line
+  }
+
   /** Brute-force [[TextAnalysis.winnowFingerprints]]: per-gram seeded
     * 40-bit hash, per-window composite argmin (min hash, rightmost pos),
     * distinct selections as (doc_id, fp_pos, fp_hash).

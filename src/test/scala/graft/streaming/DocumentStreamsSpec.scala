@@ -179,6 +179,18 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming winnow overlap equals the batch operator (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    val streamed = canon(DocumentStreams.incrementalWinnowOverlapToBatch(spark, dir))
+    val batch = canon(graft.operators.Dedup.incrementalWinnowOverlap(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+  }
+
   test("streaming ingestion novelty equals the batch operator (driver data)") {
     val dir = sf("sf0.001")
     def canon(df: org.apache.spark.sql.DataFrame) =
