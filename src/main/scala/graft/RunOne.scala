@@ -16,7 +16,13 @@ object RunOne {
       Sessions.local(cores = cpus, shufflePartitions = cpus, appName = "graft-runone")
     try names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(n)(spark, sfDir).count()
+      // drain InternalRows, not .count(): same honesty rationale as Bench
+      // (count lets Catalyst delete projections and aggregate expressions)
+      val rows = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.toRdd
+        .mapPartitions { it =>
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator(n)
+        }.fold(0L)(_ + _)
       println(f"RUNONE $n rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     } finally spark.stop()
   }

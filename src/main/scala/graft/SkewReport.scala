@@ -52,6 +52,19 @@ object SkewReport {
           coalesce(sum(col("pair_mass")), lit(0L)),
           coalesce(sum(when(!col("oversized"), col("pair_mass"))), lit(0L)))
         .head()
+      // winnow-overlap group card: per-fingerprint doc counts and the
+      // self-join pair mass, uncapped vs under the >cap-docs drop
+      val wCap = operators.Dedup.WinnowBucketCap
+      val wf = operators.TextAnalysis.winnowFingerprints(docs)
+        .select(col("doc_id"), col("fp_hash")).distinct()
+        .groupBy("fp_hash").agg(count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum(when(col("n") > wCap, 1L)), lit(0L)),
+          coalesce(max(col("n")), lit(0L)),
+          coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)),
+          coalesce(sum(when(col("n") <= wCap, expr("n * (n - 1) div 2"))
+            .otherwise(0L)), lit(0L)))
+        .head()
       val maxVecGroup = Tables.embeddings(spark, dir)
         .where(col("embedding").isNotNull)
         .groupBy(md5(col("embedding").cast("string"))).agg(count(lit(1)).as("n"))
@@ -71,6 +84,9 @@ object SkewReport {
         s""""max_bucket_docs":${sh.maxBucket},"distinct_rows_dropped":${sh.distinctRows}},""" +
         s""""prefix":{"oversized_groups":${pg.getLong(0)},"max_group_docs":${pg.getLong(1)},""" +
         s""""pair_mass_uncapped":${pg.getLong(2)},"pair_mass_capped":${pg.getLong(3)}},""" +
+        s""""winnow":{"cap":$wCap,"hot_fingerprints":${wf.getLong(0)},""" +
+        s""""max_fp_docs":${wf.getLong(1)},"pair_mass_uncapped":${wf.getLong(2)},""" +
+        s""""pair_mass_capped":${wf.getLong(3)}},""" +
         s""""max_identical_vector_group":$maxVecGroup,""" +
         s""""hot_custkey_orders":$hotCustN,"hot_custkey_share":$hotCustShare,""" +
         s""""hot_partkey_lines":$hotPartN,"hot_partkey_share":$hotPartShare}""")
