@@ -223,7 +223,11 @@ object PlanDump {
     "q_winnow_overlap_incremental" ->
       "frozen capped fingerprint index (checkpointed once) probed by the shard's own selection through ONE equi-join on fp_hash; corpus-hot hashes leave both sides via the same broadcast anti-join",
     "q_stream_winnow_overlap" ->
-      "winnowProbe inside foreachBatch against the static artifacts; per-doc verdicts touch only the frozen index, so the per-batch plan is the incremental plan on a smaller input")
+      "winnowProbe inside foreachBatch against the static artifacts; per-doc verdicts touch only the frozen index, so the per-batch plan is the incremental plan on a smaller input",
+    "q_hybrid_rrf_ivf" ->
+      "the at-scale hybrid made real: dense candidates from the trained-IVF probe join (never a corpus scan per query), the same 2*poolK-row fusion tail — recall/cost trade priced by q_ann_recall",
+    "q_embed_quant" ->
+      "one posexplode scan -> |dim|-row min/max agg broadcast back -> per-value codegen projection -> |dim|-row rollup; state never exceeds the dimension count, errors floored to ints before the order-free sum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

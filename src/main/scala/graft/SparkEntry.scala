@@ -473,6 +473,14 @@ object SparkEntry {
     // dense-cosine top-k lists (doc-aligned embeddings).
     "q_hybrid_rrf" -> ((s, dir) =>
       Pipeline.hybridRrfTopK(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // The same fusion with the dense side on the trained IVF probe — the
+    // at-index-scale hybrid, registered rather than promised.
+    "q_hybrid_rrf_ivf" -> ((s, dir) =>
+      Pipeline.hybridRrfIvfTopK(
+        Tables.documents(s, dir), requireOracleDim(Tables.embeddings(s, dir)))),
+    // Per-dimension INT8 scalar-quantization error card (FAISS SQ8).
+    "q_embed_quant" -> ((s, dir) =>
+      Similarity.int8QuantReport(Tables.embeddings(s, dir))),
     // Cumulative vocabulary-growth curve via HLL registers — the
     // fixed-state scale twin of q_ngram_novelty's exact cum_vocab.
     "q_vocab_growth_hll" -> ((s, dir) =>
@@ -1738,6 +1746,41 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${ivfTrainCtes(nLists, iters)},
        |${annIvfTailSql(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")}""".stripMargin
+  }
+
+  /** Hybrid RRF with the dense pool from the TRAINED IVF probe: the
+    * shared bm25 CTE, the shared k-means/probe CTEs at nQueries = 1, the
+    * exact rerank cut at the fusion pool size, then the same integer
+    * fusion tail as `q_hybrid_rrf`.
+    */
+  private def hybridRrfIvfOracle: String = {
+    import graft.operators.Pipeline.{RrfC, RrfK}
+    val poolK = graft.operators.TextAnalysis.Bm25K
+    val (nLists, iters) = (8, 2)
+    s"""WITH bm AS ($bm25TopKOracle),
+       |txt AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+       |  FROM bm),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${ivfTrainCtes(nLists, iters)},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})", nQueries = 1)},
+       |cand AS (SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.neighbor_id <> p.query_id),
+       |dn AS (SELECT neighbor_id AS doc_id, rank AS vec_rank FROM (
+       |    SELECT cand.neighbor_id,
+       |      row_number() OVER (
+       |        ORDER BY ${dotSql("q.v", "n.v")}
+       |                   / (sqrt(${selfDotSql("q.v")}) * sqrt(${selfDotSql("n.v")})) DESC,
+       |                 cand.neighbor_id ASC) AS rank
+       |    FROM cand JOIN e q ON q.vec_id = cand.query_id
+       |              JOIN e n ON n.vec_id = cand.neighbor_id) t
+       |  WHERE rank <= $poolK)
+       |SELECT COALESCE(txt.doc_id, dn.doc_id) AS doc_id, text_rank, vec_rank,
+       |  COALESCE(1000000 // ($RrfC + text_rank), 0)
+       |    + COALESCE(1000000 // ($RrfC + vec_rank), 0) AS rrf_micro
+       |FROM txt FULL OUTER JOIN dn ON txt.doc_id = dn.doc_id
+       |ORDER BY rrf_micro DESC, doc_id ASC LIMIT $RrfK""".stripMargin
   }
 
   /** DuckDB mirror of `Similarity.semDeDup` — the `ann_ivf_trained`
@@ -3054,6 +3097,26 @@ object SparkEntry {
     // Hybrid RRF: the shared BM25 oracle ranks the lexical pool, the
     // brute-cosine subquery (query vector 0) ranks the dense pool, and
     // the fusion is exact integer millionths over a full outer join.
+    // The IVF-dense hybrid shares the bm25 + k-means/probe CTEs.
+    "q_hybrid_rrf_ivf" -> hybridRrfIvfOracle,
+    // INT8 quantization: codes/reconstruction replayed on identical
+    // doubles, errors floored to integer 2^20ths before summing.
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT vec_id, i AS d, v[i] AS x
+        |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |s AS (SELECT d, min(x) AS mn, max(x) AS mx FROM x GROUP BY d),
+        |q AS (SELECT x.d, s.mn, s.mx,
+        |    abs(CASE WHEN s.mx = s.mn THEN s.mn
+        |         ELSE s.mn + (least(255, CAST(floor((x.x - s.mn) * 256
+        |                / (s.mx - s.mn)) AS BIGINT)) + 0.5)
+        |              * (s.mx - s.mn) / 256 END - x.x) AS err
+        |  FROM x JOIN s USING (d))
+        |SELECT d, mn, mx, CAST(count(*) AS BIGINT) AS n_vals,
+        |  CAST(sum(CAST(floor(err * 1048576) AS BIGINT)) AS BIGINT) AS sum_err_q,
+        |  CAST(max(CAST(floor(err * 1048576) AS BIGINT)) AS BIGINT) AS max_err_q
+        |FROM q GROUP BY d, mn, mx""".stripMargin,
     "q_hybrid_rrf" -> {
       import graft.operators.Pipeline.{RrfC, RrfK}
       val poolK = graft.operators.TextAnalysis.Bm25K

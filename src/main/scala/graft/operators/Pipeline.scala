@@ -346,13 +346,42 @@ object Pipeline {
     */
   def hybridRrfTopK(
       documents: DataFrame, embeddings: DataFrame,
-      poolK: Int = TextAnalysis.Bm25K, k: Int = RrfK): DataFrame = {
-    // rank within each pool; the ≤poolK-row frame makes the unpartitioned
-    // window a single-task detail, not a scale concern
+      poolK: Int = TextAnalysis.Bm25K, k: Int = RrfK): DataFrame =
+    rrfFuse(
+      bm25Ranks(documents, poolK),
+      Similarity.bruteForceTopK(embeddings, nQueries = 1, k = poolK),
+      k)
+
+  /** [[hybridRrfTopK]] with the dense side swapped for the TRAINED IVF
+    * probe ([[Similarity.ivfTopK]], the documented at-index-scale dense
+    * path) — the same fusion tail, so the "swap the brute scan for the
+    * IVF probe at scale" claim is a registered, oracle-checked query
+    * rather than a docstring promise. The fused list can differ from the
+    * brute variant's exactly where IVF recall differs — which is the
+    * trade the recall report (`q_ann_recall`) prices.
+    */
+  def hybridRrfIvfTopK(
+      documents: DataFrame, embeddings: DataFrame,
+      poolK: Int = TextAnalysis.Bm25K, k: Int = RrfK): DataFrame =
+    rrfFuse(
+      bm25Ranks(documents, poolK),
+      Similarity.ivfTopK(embeddings, nQueries = 1, k = poolK, trainIters = 2),
+      k)
+
+  /** BM25 pool ranked 1..poolK; the ≤poolK-row frame makes the
+    * unpartitioned window a single-task detail, not a scale concern.
+    */
+  private def bm25Ranks(documents: DataFrame, poolK: Int): DataFrame = {
     val wText = Window.orderBy(desc("score"), asc("doc_id"))
-    val text = TextAnalysis.bm25TopK(documents, TextAnalysis.Bm25Query, poolK)
+    TextAnalysis.bm25TopK(documents, TextAnalysis.Bm25Query, poolK)
       .select(col("doc_id"), row_number().over(wText).as("text_rank"))
-    val dense = Similarity.bruteForceTopK(embeddings, nQueries = 1, k = poolK)
+  }
+
+  /** The shared integer RRF fusion tail over a text-rank frame and any
+    * (query_id, neighbor_id, rank) dense ranking for query vector 0.
+    */
+  private def rrfFuse(text: DataFrame, denseRanks: DataFrame, k: Int): DataFrame = {
+    val dense = denseRanks
       .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
     text.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("text_rank"), col("vec_rank"),

@@ -294,6 +294,47 @@ object Similarity {
         col("min_cos"))
   }
 
+  /** Per-dimension INT8 scalar quantization report (FAISS-style SQ8, the
+    * simple 4× storage cut before PQ's 32×): corpus min/max per
+    * dimension define 256 uniform levels; every value's code, mid-point
+    * reconstruction, and absolute error are computed, and the card rolls
+    * up per dimension — the read before committing an index or a corpus
+    * snapshot to int8 (a heavy-tailed dimension shows up as a max error
+    * far above the half-bucket bound that uniform data would give).
+    *
+    * Portability: codes are floor((x−mn)·256/(mx−mn)) clamped to 255 —
+    * exact given identical doubles — and errors are summed as integer
+    * 2^20ths (floor before summing), so the rollup hash-matches the
+    * oracle with no float-order dependence. Constant dimensions encode
+    * as code 0 / zero error rather than dividing by zero.
+    *
+    * Shape: one posexplode scan → a |dim|-row min/max agg broadcast back
+    * → per-value projection → |dim|-row rollup with map-side combine;
+    * state never exceeds the dimension count.
+    */
+  def int8QuantReport(embeddings: DataFrame): DataFrame = {
+    val x = graft.Parallelism.ensure(embeddings)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "xf")))
+      .select((col("d0") + 1).as("d"), col("xf").cast("double").as("x"))
+    val s = x.groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+    x.join(broadcast(s), "d")
+      .select(col("d"), col("mn"), col("mx"), col("x"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("x") - col("mn")) * 256 / (col("mx") - col("mn")))))
+          .as("code"))
+      .select(col("d"), col("mn"), col("mx"),
+        abs(when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") + (col("code") + lit(0.5))
+            * (col("mx") - col("mn")) / 256) - col("x")).as("err"))
+      .groupBy("d", "mn", "mx")
+      .agg(
+        count(lit(1)).as("n_vals"),
+        sum(floor(col("err") * 1048576).cast("long")).as("sum_err_q"),
+        max(floor(col("err") * 1048576).cast("long")).as("max_err_q"))
+  }
+
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val queries = embeddings
       .where(col("vec_id") < nQueries)

@@ -150,4 +150,26 @@ class PipelineSpec extends SparkSpec {
     assert((cut intersect textRank.keySet).nonEmpty)
     assert((cut intersect denseRank.keySet).nonEmpty)
   }
+
+  test("hybridRrfIvfTopK equals the RRF of bm25 and the trained-IVF ranking") {
+    val dir = sf("sf0.001")
+    val documents = graft.Tables.documents(spark, dir)
+    val embeddings = graft.Tables.embeddings(spark, dir)
+    val textRank = TextAnalysis.bm25TopK(documents).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val denseRank = Similarity
+      .ivfTopK(embeddings, nQueries = 1, k = TextAnalysis.Bm25K, trainIters = 2)
+      .collect().map(r => r.getLong(1) -> r.getInt(2).toLong).toMap
+    val want = (textRank.keySet ++ denseRank.keySet).toSeq.map { id =>
+      val rrf =
+        textRank.get(id).map(r => 1000000L / (Pipeline.RrfC + r)).getOrElse(0L) +
+          denseRank.get(id).map(r => 1000000L / (Pipeline.RrfC + r)).getOrElse(0L)
+      (id, rrf)
+    }.sortBy { case (id, rrf) => (-rrf, id) }.take(Pipeline.RrfK)
+    val got = Pipeline.hybridRrfIvfTopK(documents, embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.size === Pipeline.RrfK)
+  }
 }

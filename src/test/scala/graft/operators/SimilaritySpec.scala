@@ -689,4 +689,34 @@ class SimilaritySpec extends SparkSpec {
     assert(big._2.toDouble / big._1 < 0.5 * small._2.toDouble / small._1,
       s"big=$big small=$small")
   }
+
+  test("int8QuantReport == scala brute replay; errors within the half-bucket bound") {
+    val vecs = emb.where(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val dims = vecs.head.length
+    val want = (0 until dims).map { d =>
+      val xs = vecs.map(v => v(d).toDouble)
+      val (mn, mx) = (xs.min, xs.max)
+      val errs = xs.map { x =>
+        val recon =
+          if (mx == mn) mn
+          else {
+            val code = math.min(255L, math.floor((x - mn) * 256 / (mx - mn)).toLong)
+            mn + (code + 0.5) * (mx - mn) / 256
+          }
+        math.floor(math.abs(recon - x) * 1048576).toLong
+      }
+      (d + 1L) -> ((mn, mx, xs.length.toLong, errs.sum, errs.max))
+    }.toMap
+    val got = Similarity.int8QuantReport(emb).collect()
+      .map(r => r.getInt(0).toLong ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === want)
+    // mid-point reconstruction error is at most half a bucket (+1 for the
+    // integer floor): |err| <= (mx-mn)/512
+    got.values.foreach { case (mn, mx, _, _, maxErr) =>
+      assert(maxErr <= math.ceil((mx - mn) / 512 * 1048576).toLong + 1)
+    }
+  }
 }
