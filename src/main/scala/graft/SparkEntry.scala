@@ -1410,7 +1410,8 @@ object SparkEntry {
     * oracles (mirrors `Sampling.temperedWeights` at T = tNum/tDen = 2).
     */
   private def temperedWeightCtes: String = {
-    val (tNum, tDen) = (2L, 1L)
+    val (tNum, tDen) = (graft.operators.Sampling.TempNum,
+      graft.operators.Sampling.TempDen)
     s"""t AS (SELECT doc_id, source,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
        |  FROM documents),
@@ -1742,7 +1743,8 @@ object SparkEntry {
   }
 
   private def annIvfTrainedOracle: String = {
-    val (nLists, iters) = (8, 2)
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${ivfTrainCtes(nLists, iters)},
        |${annIvfTailSql(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")}""".stripMargin
@@ -1756,7 +1758,8 @@ object SparkEntry {
   private def hybridRrfIvfOracle: String = {
     import graft.operators.Pipeline.{RrfC, RrfK}
     val poolK = graft.operators.TextAnalysis.Bm25K
-    val (nLists, iters) = (8, 2)
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
     s"""WITH bm AS ($bm25TopKOracle),
        |txt AS (SELECT doc_id,
        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
@@ -1792,7 +1795,8 @@ object SparkEntry {
     * smaller-id drop rule as a NOT IN.
     */
   private def semDeDupOracle: String = {
-    val (nLists, iters) = (8, 2)
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |${ivfTrainCtes(nLists, iters)},
@@ -1816,7 +1820,8 @@ object SparkEntry {
     * budget card.
     */
   private def cellBalancedSampleOracle: String = {
-    val (nLists, iters) = (8, 2)
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
     val denom = graft.operators.Similarity.DiverseSampleDenom
     val seed = graft.operators.Similarity.DiverseSampleSeed
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1850,7 +1855,8 @@ object SparkEntry {
     * itself — are bit-exact.
     */
   private def knnLabelOracle: String = {
-    val (nLists, iters) = (8, 2)
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
     val mod = graft.operators.Similarity.LabelSeedMod
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
@@ -1883,7 +1889,8 @@ object SparkEntry {
     * and the per-cell rollup with the integer-milli outlier rate.
     */
   private def embedOutliersOracle: String = {
-    val (nLists, iters) = (8, 2)
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
     val thr = graft.operators.Similarity.OutlierCos
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
@@ -1911,7 +1918,8 @@ object SparkEntry {
     * corpus→shard drop rule.
     */
   private def semDeDupIncrementalOracle: String = {
-    val (nLists, iters) = (8, 2)
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |sp AS (SELECT (max(vec_id) + 1) * 4 // 5 AS s FROM embeddings),
@@ -1936,7 +1944,8 @@ object SparkEntry {
     * centroids, brute-force train×eval in-cell pairs at 0.8.
     */
   private def semanticLeakageOracle: String = {
-    val (nLists, iters) = (8, 2)
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
     val t = graft.operators.Similarity.SemanticLeakThreshold
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
@@ -1959,7 +1968,8 @@ object SparkEntry {
     * per-side occupancy histograms, milli shares over a full-outer join.
     */
   private def embeddingDriftOracle: String = {
-    val (nLists, iters) = (8, 2)
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |sp AS (SELECT (max(vec_id) + 1) * 4 // 5 AS s FROM embeddings),

@@ -376,10 +376,24 @@ object Dedup {
       .select(col("group_id").as("rep_id"), col("sh"), col("members"))
   }
 
+  /** τ·1000 as an exact integer — the unit every prefix-length and verify
+    * comparison cross-multiplies in. Requiring integrality (rather than
+    * silently rounding) keeps the "identical set to jaccard ≥ τ" claim
+    * literally true: a non-milli τ (0.333, 0.8005…) would otherwise gate
+    * at round(τ·1000)/1000 without anyone noticing.
+    */
+  private def milliOf(threshold: Double): Long = {
+    val milli = math.round(threshold * 1000)
+    require(milli.toDouble == threshold * 1000,
+      s"threshold must be a multiple of 0.001 (got $threshold); " +
+        s"the integer gate would silently become ${milli / 1000.0}")
+    milli
+  }
+
   def prefixNearDupPairs(
       tbl: DataFrame, threshold: Double = 0.5,
       maxPrefixGroup: Int = Int.MaxValue): DataFrame = {
-    val milli = math.round(threshold * 1000)
+    val milli = milliOf(threshold)
     val keyed =
       if (tbl.columns.contains("group_id")) tbl else withContentGroups(tbl)
     val reps = repsOf(tbl)
@@ -448,7 +462,7 @@ object Dedup {
     */
   def prefixGroupLoads(documents: DataFrame, threshold: Double = 0.5,
       cap: Int = DefaultMaxBucketSize): DataFrame = {
-    val milli = math.round(threshold * 1000)
+    val milli = milliOf(threshold)
     val reps = repsOf(shingleSignatureTable(documents))
     prefixRows(reps, milli)
       .groupBy("g")

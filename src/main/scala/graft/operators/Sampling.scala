@@ -382,8 +382,16 @@ object Sampling {
             "or shard the schedule per source group")).cast("long"))
           .otherwise(graft.functions.FixedPointExp.expF(col("y_t"))))
 
+  /** Default mixture temperature T = [[TempNum]]/[[TempDen]] — a single
+    * named pair interpolated into BOTH the registrations and the DuckDB
+    * oracles (SparkEntry.temperedWeightCtes), so changing the default
+    * here can never silently desync the two.
+    */
+  val TempNum = 2L
+  val TempDen = 1L
+
   def temperatureSchedule(documents: DataFrame,
-      tNum: Long = 2L, tDen: Long = 1L,
+      tNum: Long = TempNum, tDen: Long = TempDen,
       budgetTokens: Option[Long] = None,
       seed: Int = MixtureSeed): DataFrame = {
     require(tNum >= tDen && tDen >= 1L,
@@ -447,7 +455,7 @@ object Sampling {
     * broadcast back — nothing corpus-sized ever re-enters.
     */
   def epochAllocation(documents: DataFrame,
-      tNum: Long = 2L, tDen: Long = 1L,
+      tNum: Long = TempNum, tDen: Long = TempDen,
       maxEpochs: Long = EpochCap,
       budgetNum: Long = EpochBudgetNum,
       budgetDen: Long = EpochBudgetDen): DataFrame = {

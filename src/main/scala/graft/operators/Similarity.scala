@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default IVF train geometry (k-means cells / Lloyd rounds) — single
+    * named pair shared by every IVF-family default parameter AND the
+    * DuckDB oracles that replay the training (SparkEntry interpolates
+    * these, so changing a default here cannot silently desync the
+    * registered query from its oracle).
+    */
+  val IvfLists = 8
+  val IvfTrainIters = 2
+
   /** Σ aᵢbᵢ in double, left-to-right — the codegen'd native expression
     * ([[graft.functions.FloatVecDot]]); bit-identical to the HOF
     * `aggregate(zip_with(...))` form it replaced, ~10× faster.
@@ -195,7 +204,7 @@ object Similarity {
     * before the ANSI-fatal 0/0, the [[semDeDup]] contract).
     */
   def cellKnnLabel(
-      embeddings: DataFrame, nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+      embeddings: DataFrame, nLists: Int = IvfLists, trainIters: Int = IvfTrainIters): DataFrame = {
     val cents = trainedCentroids(embeddings, nLists, trainIters)
     if (cents.isEmpty) {
       return embeddings.select(
@@ -264,7 +273,7 @@ object Similarity {
     * exactly as in [[cellKnnLabel]].
     */
   def cellOutlierReport(
-      embeddings: DataFrame, nLists: Int = 8, trainIters: Int = 2,
+      embeddings: DataFrame, nLists: Int = IvfLists, trainIters: Int = IvfTrainIters,
       threshold: Double = OutlierCos): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -627,7 +636,7 @@ object Similarity {
     */
   def semDeDup(
       embeddings: DataFrame, threshold: Double = 0.45,
-      nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+      nLists: Int = IvfLists, trainIters: Int = IvfTrainIters): DataFrame = {
     val cents = trainedCentroids(embeddings, nLists, trainIters)
     if (cents.isEmpty) {
       return embeddings.select(
@@ -706,7 +715,7 @@ object Similarity {
     * selection a pure filter.
     */
   def cellBalancedSample(
-      embeddings: DataFrame, nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+      embeddings: DataFrame, nLists: Int = IvfLists, trainIters: Int = IvfTrainIters): DataFrame = {
     val cents = trainedCentroids(embeddings, nLists, trainIters)
     val cells = graft.Parallelism.ensure(embeddings)
       .where(col("embedding").isNotNull)
@@ -749,7 +758,7 @@ object Similarity {
     */
   def semDeDupIncremental(
       embeddings: DataFrame, threshold: Double = 0.45,
-      nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+      nLists: Int = IvfLists, trainIters: Int = IvfTrainIters): DataFrame = {
     val mx = embeddings.agg(max(col("vec_id"))).head()
     if (mx.isNullAt(0)) {
       return embeddings.select(
@@ -792,7 +801,7 @@ object Similarity {
   def semanticLeakage(
       embeddings: DataFrame, evalMod: Int = 10,
       threshold: Double = SemanticLeakThreshold,
-      nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+      nLists: Int = IvfLists, trainIters: Int = IvfTrainIters): DataFrame = {
     val train = embeddings.where(col("vec_id") % evalMod =!= 0)
     val evalSide = graft.Parallelism.ensure(embeddings)
       .where(col("vec_id") % evalMod === 0 && col("embedding").isNotNull)
@@ -821,7 +830,7 @@ object Similarity {
     * of those tiny frames.
     */
   def embeddingDrift(
-      embeddings: DataFrame, nLists: Int = 8, trainIters: Int = 2): DataFrame = {
+      embeddings: DataFrame, nLists: Int = IvfLists, trainIters: Int = IvfTrainIters): DataFrame = {
     val mx = embeddings.agg(max(col("vec_id"))).head()
     if (mx.isNullAt(0)) {
       return embeddings.select(
@@ -991,7 +1000,7 @@ object Similarity {
     * SimilaritySpec's clustered-corpus recall case.
     */
   def trainedCentroids(
-      embeddings: DataFrame, nLists: Int = 8, iters: Int = 2): Array[(Int, Array[Float])] = {
+      embeddings: DataFrame, nLists: Int = IvfLists, iters: Int = IvfTrainIters): Array[(Int, Array[Float])] = {
     var cents = firstNCentroids(embeddings, nLists)
     var it = 0
     while (it < iters && cents.nonEmpty) {
@@ -1044,7 +1053,7 @@ object Similarity {
     */
   def ivfTopK(
       embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nLists: Int = 8, nProbe: Int = 3, trainIters: Int = 0): DataFrame = {
+      nLists: Int = IvfLists, nProbe: Int = 3, trainIters: Int = 0): DataFrame = {
     val centroids =
       if (trainIters > 0) trainedCentroids(embeddings, nLists, trainIters)
       else firstNCentroids(embeddings, nLists)

@@ -123,13 +123,24 @@ object Splits {
     * assignment (built once, never shifted by the batch being judged),
     * and an arriving document INHERITS the split of the corpus cluster
     * it near-duplicates — the rule that keeps a near-copy of an existing
-    * test document out of train no matter when it arrives. Documents
-    * matching no corpus cluster open their own singleton and draw the
-    * plain [[splitOf]] hash; a document matching partners in several
-    * corpus clusters takes the minimum cluster id (deterministic — those
-    * clusters are one component in the next full rebuild anyway).
+    * test document out of train whenever the probe surfaces the match.
+    * Documents matching no corpus cluster open their own singleton and
+    * draw the plain [[splitOf]] hash; a document matching partners in
+    * several corpus clusters takes the minimum cluster id (deterministic
+    * — those clusters are one component in the next full rebuild anyway).
     * Shard-internal near-dup pairs wait for the next full pass, exactly
     * like the banded probe's contract.
+    *
+    * LEAK-FREE IS THE BATCH FORM'S GUARANTEE, NOT THIS ONE'S: the probe
+    * is the banded LSH index (probabilistic banding, capped buckets), so
+    * an arrival whose only match misses every band — or whose matched
+    * clusters carry different splits, where min-cluster inheritance
+    * picks one — can still land in train until the next full rebuild
+    * re-clusters it. SplitsSpec measures both residues on the driver
+    * corpus (probe-missed leaks and multi-split matches are each a
+    * bounded handful there); treat the incremental form as
+    * leak-SUPPRESSING between rebuilds, with the full [[leakFreeSplit]]
+    * pass as the periodic guarantee restorer.
     *
     * One row per SHARD document: (doc_id, cluster_id, split, inherited).
     *

@@ -1983,6 +1983,10 @@ object TextAnalysis {
     *
     * One output row per selected fingerprint: (doc_id, fp_pos, fp_hash).
     * Documents shorter than k tokens have no grams and emit nothing.
+    * Documents with more than 2^[[WinnowPosBits]] grams (~1M tokens)
+    * raise an error rather than silently overflowing the position field
+    * of the argmin encoding — chunk such documents upstream (the corpus
+    * fixtures are orders of magnitude below the cap).
     *
     * Portability: the per-window argmin is ONE integer min over the
     * composite h·2^[[WinnowPosBits]] + (2^20−1−pos) — min hash, rightmost
@@ -2002,10 +2006,15 @@ object TextAnalysis {
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .where(size(col("ts")) >= k)
       .select(col("doc_id"), expr(
-        s"""transform(sequence(0, size(ts) - $k), i ->
+        // the guard keeps (posMask - i) nonnegative: past 2^20 grams the
+        // encoding would silently corrupt window minima and decoded fp_pos
+        s"""CASE WHEN size(ts) - $k + 1 > ${scale}L THEN
+           |  raise_error(concat('winnowFingerprints: document ', doc_id,
+           |    ' exceeds 2^$WinnowPosBits grams; chunk it upstream'))
+           |ELSE transform(sequence(0, size(ts) - $k), i ->
            |  CAST(conv(substring(md5(concat('$WinnowSeed:',
            |    concat_ws(' ', slice(ts, i + 1, $k)))), 1, 10), 16, 10)
-           |    AS BIGINT) * ${scale}L + (${posMask}L - i))""".stripMargin)
+           |    AS BIGINT) * ${scale}L + (${posMask}L - i)) END""".stripMargin)
         .as("comps"))
       .select(col("doc_id"), explode(expr(
         s"""array_distinct(transform(

@@ -159,6 +159,48 @@ class SplitsSpec extends SparkSpec {
       real.where($"doc_id" >= boundary).count())
   }
 
+  test("incrementalLeakFreeSplit residues are bounded: probe misses and multi-split matches") {
+    import spark.implicits._
+    // The incremental form's docstring names its two leak residues vs the
+    // batch guarantee: (1) cross-boundary true pairs the banded probe
+    // misses, (2) arrivals matching corpus clusters with DIFFERENT splits
+    // (min-cluster inheritance picks one). Measure both on the driver
+    // corpus so a probe/banding regression that widens them fails here.
+    val real = graft.Tables.documents(spark, sf("sf0.001"))
+    val realTbl = SignatureStore.table(spark, sf("sf0.001"))
+    val boundary = (real.agg(org.apache.spark.sql.functions.max($"doc_id"))
+      .head().getLong(0) + 1L) * 4L / 5L
+    // exact cross-boundary truth from the prefix-filter miner (recall 1)
+    val exactCross = Dedup.prefixNearDupPairs(realTbl)
+      .where(($"doc_a" < boundary) =!= ($"doc_b" < boundary))
+      .select(
+        org.apache.spark.sql.functions.least($"doc_a", $"doc_b").as("corpus_doc"),
+        org.apache.spark.sql.functions.greatest($"doc_a", $"doc_b").as("shard_doc"))
+      .localCheckpoint()
+    val probe = Dedup.incrementalNearDupsFromTable(realTbl)
+      .select($"corpus_doc", $"shard_doc").localCheckpoint()
+    val nTrue = exactCross.count()
+    val missed = exactCross.join(probe, Seq("corpus_doc", "shard_doc"), "left_anti")
+    val nMissed = missed.count()
+    assert(nTrue > 0L)
+    // residue 1: the banded probe surfaces nearly all true cross pairs
+    assert(nMissed <= math.max(2L, nTrue / 10L),
+      s"banded probe missed $nMissed of $nTrue true cross-boundary pairs")
+    // residue 2: arrivals whose matched corpus partners span >1 split
+    val corpusTbl = Dedup.withContentGroups(
+      realTbl.where($"doc_id" < boundary).drop("group_id", "members"))
+    val corpusAssign = Splits.leakFreeSplit(
+      real.where($"doc_id" < boundary),
+      Dedup.nearDuplicatePairsFromTable(corpusTbl))
+    val multiSplit = probe
+      .join(corpusAssign.select($"doc_id".as("corpus_doc"), $"split"), "corpus_doc")
+      .groupBy($"shard_doc")
+      .agg(org.apache.spark.sql.functions.countDistinct($"split").as("ns"))
+      .where($"ns" > 1)
+    assert(multiSplit.count() <= 2L,
+      "multi-split matches should be a bounded handful on the driver corpus")
+  }
+
   test("sourceOverlapMatrix: unordered source cells, diagonal = internal duplication") {
     import spark.implicits._
     val docs = Seq(
