@@ -370,6 +370,19 @@ object SparkEntry {
     // content-hash-prefix selection by counting, never a global sort
     "q_source_budget" -> ((s, dir) =>
       Sampling.sourceTokenBudget(Tables.documents(s, dir))),
+    // --- URL/domain-level curation (registered-domain key; power-law) ---
+    // deterministic synthetic url + host/registered-domain extraction,
+    // row-level oracle-checked
+    "q_domain_urls" -> ((s, dir) =>
+      Domains.urlTable(Tables.documents(s, dir)).drop("text")),
+    // per-registered-domain rollup: docs, hosts, within-domain dups, tokens
+    "q_domain_stats" -> ((s, dir) => Domains.domainStats(Tables.documents(s, dir))),
+    // frequency cap: at most DomainCapDocs per domain, counting-selection
+    "q_domain_cap" -> ((s, dir) =>
+      Domains.domainFrequencyCap(Tables.documents(s, dir))),
+    // token budget per domain: first-crossing kept, hash order
+    "q_domain_budget" -> ((s, dir) =>
+      Domains.domainTokenBudget(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -965,6 +978,31 @@ object SparkEntry {
        |FROM (""".stripMargin + tokCte + "))"
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $x), 1, 15)) AS BIGINT)"
+
+  /** The `u, x` CTE pair of the domain-curation oracles: DuckDB replay of
+    * `Domains.withUrl`'s deterministic URL grammar (same md5 draws, same
+    * exact `//` power-law integer div) FOLLOWED by the same two-regexp
+    * host / registered-domain extraction the engine runs — the oracle
+    * re-parses the string it just built, so the extraction itself is
+    * what's being checked, not assumed.
+    */
+  private def domainUrlCtes: String = {
+    import graft.operators.Domains.{DomainBuckets, DomainSeed, SubSeed}
+    val hostRe = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)'"
+    s"""u AS (SELECT doc_id, text,
+       |    'https://' ||
+       |    CASE WHEN ${h60(SubSeed, "doc_id")} % 2 = 0 THEN '' ELSE 'www.' END ||
+       |    source || '.d' ||
+       |    ($DomainBuckets // (${h60(DomainSeed, "doc_id")} % $DomainBuckets + 1)) ||
+       |    '.com/p/' || doc_id AS url
+       |  FROM documents),
+       |x AS (SELECT doc_id, text, url,
+       |    regexp_extract(url, $hostRe, 1) AS host,
+       |    regexp_extract(regexp_extract(url, $hostRe, 1),
+       |      '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok
+       |  FROM u)""".stripMargin
+  }
 
   /** The t/l/h line-frame CTE chain of the line-dedup oracles — raw
     * single-space tokens chopped into non-overlapping LineLen windows,
@@ -3600,6 +3638,56 @@ object SparkEntry {
          |  FROM t)
          |SELECT source, doc_id, tok FROM c
          |WHERE cum_before < $SourceBudgetTokens""".stripMargin
+    },
+    // Domain curation family: every oracle rebuilds the deterministic URL
+    // string and RE-PARSES it with the same two regexps the engine uses —
+    // extraction is checked end to end, not assumed.
+    "q_domain_urls" ->
+      s"""WITH $domainUrlCtes
+         |SELECT doc_id, url, host, domain, tok FROM x""".stripMargin,
+    // per-domain rollup; dup fingerprints counted WITHIN the domain
+    "q_domain_stats" ->
+      s"""WITH $domainUrlCtes,
+         |f AS (SELECT domain, host,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    tok
+         |  FROM x),
+         |c AS (SELECT domain, fp, count(*) AS n_copies
+         |  FROM f GROUP BY domain, fp)
+         |SELECT f.domain, count(*) AS n_docs,
+         |  count(DISTINCT f.host) AS n_hosts,
+         |  CAST(sum(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(sum(f.tok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(f.tok) AS DOUBLE) / count(*) AS avg_tokens
+         |FROM f JOIN c ON f.domain = c.domain AND f.fp = c.fp
+         |GROUP BY f.domain""".stripMargin,
+    // frequency cap: counting selection collapses to its rank CONTRACT
+    "q_domain_cap" -> {
+      import graft.operators.Domains.{DomainCapDocs, DomainCapSeed}
+      s"""WITH $domainUrlCtes,
+         |h AS (SELECT domain, doc_id,
+         |    ${h60(DomainCapSeed, "doc_id")} % ${1L << 20} AS h FROM x),
+         |r AS (SELECT domain, doc_id, h,
+         |    row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+         |  FROM h)
+         |SELECT domain, doc_id, h FROM r WHERE rn <= $DomainCapDocs""".stripMargin
+    },
+    // token budget per domain: the q_source_budget contract on the
+    // registered-domain key
+    "q_domain_budget" -> {
+      import graft.operators.Domains.{DomainBudgetSeed, DomainBudgetTokens}
+      s"""WITH $domainUrlCtes,
+         |t AS (SELECT domain, doc_id, tok,
+         |    ${h60(DomainBudgetSeed, "doc_id")} % ${1L << 20} AS h FROM x),
+         |c AS (SELECT domain, doc_id, tok,
+         |    CAST(coalesce(sum(tok) OVER (PARTITION BY domain
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT domain, doc_id, tok FROM c
+         |WHERE cum_before < $DomainBudgetTokens""".stripMargin
     },
     "q_shard_manifest" -> {
       import graft.operators.Packing.{ShardCount, ShardSeed}

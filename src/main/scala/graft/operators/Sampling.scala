@@ -78,36 +78,53 @@ object Sampling {
   def exactStratifiedSample(
       documents: DataFrame, targetPerStratum: Long = DefaultTargetPerStratum,
       seed: Int = ExactSeed): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hashed = documents
       .select(col("doc_id"), col("lang"),
         (HashFunctions.md5Long(col("doc_id").cast("string"), seed)
           % (1L << 20)).as("h"))
       .localCheckpoint()
-    val cumW = Window.partitionBy("lang").orderBy(col("hb").asc)
+    smallestKPerKey(hashed, "lang", targetPerStratum)
+      .select("doc_id", "lang", "h")
+  }
+
+  /** The exact-k counting-selection kernel shared by
+    * [[exactStratifiedSample]] (key = lang) and
+    * [[Domains.domainFrequencyCap]] (key = registered domain): from a
+    * (doc_id, key, h) frame with 20-bit hashes, keep each key's
+    * min(target, n) smallest rows by (h, doc_id) — via the coarse
+    * per-(key, h>>8) histogram + cumulative-window cutoff, ranking only
+    * the single crossing bucket per key. The corpus is scanned and
+    * filtered, never sorted; the windows run over the ≤4096-rows-per-key
+    * histogram, so a power-law key (the domain case) costs the same as a
+    * uniform one.
+    */
+  private[graft] def smallestKPerKey(
+      hashed: DataFrame, key: String, target: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy(key).orderBy(col("hb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hist = hashed
-      .select(col("lang"), shiftright(col("h"), 8).as("hb"))
-      .groupBy("lang", "hb").agg(count(lit(1)).as("n"))
+      .select(col(key), shiftright(col("h"), 8).as("hb"))
+      .groupBy(key, "hb").agg(count(lit(1)).as("n"))
       .withColumn("cum", sum("n").over(cumW))
-      .withColumn("n_lang", sum("n").over(Window.partitionBy("lang")))
-      .withColumn("k", least(lit(targetPerStratum), col("n_lang")))
+      .withColumn("n_key", sum("n").over(Window.partitionBy(key)))
+      .withColumn("k", least(lit(target), col("n_key")))
     val cutoff = hist
       .where(col("cum") >= col("k") && col("cum") - col("n") < col("k"))
-      .select(col("lang"), col("hb").as("cut_hb"),
+      .select(col(key), col("hb").as("cut_hb"),
         (col("k") - (col("cum") - col("n"))).as("need"))
-      .localCheckpoint() // one row per stratum
+      .localCheckpoint() // one row per key
     val below = hashed
-      .join(broadcast(cutoff), Seq("lang"))
+      .join(broadcast(cutoff), Seq(key))
       .where(shiftright(col("h"), 8) < col("cut_hb"))
     val tie = hashed
-      .join(broadcast(cutoff), Seq("lang"))
+      .join(broadcast(cutoff), Seq(key))
       .where(shiftright(col("h"), 8) === col("cut_hb"))
       .withColumn("tr", row_number().over(
-        Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)))
+        Window.partitionBy(key).orderBy(col("h").asc, col("doc_id").asc)))
       .where(col("tr") <= col("need"))
       .drop("tr")
-    below.unionByName(tie).select("doc_id", "lang", "h")
+    below.unionByName(tie).select(hashed.columns.map(col): _*)
   }
 
   /** Weight cap for [[weightedSample]]: keep probability saturates at 1
@@ -144,31 +161,47 @@ object Sampling {
   def sourceTokenBudget(
       documents: DataFrame, budget: Long = SourceBudgetTokens,
       seed: Int = SourceBudgetSeed): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hashed = documents
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("tok"),
         (HashFunctions.md5Long(col("doc_id").cast("string"), seed)
           % (1L << 20)).as("h"))
       .localCheckpoint()
-    val cumW = Window.partitionBy("source").orderBy(col("hb").asc)
+    tokenBudgetByKey(hashed, "source", budget)
+      .select("source", "doc_id", "tok")
+  }
+
+  /** The first-crossing token-budget kernel shared by
+    * [[sourceTokenBudget]] (key = source) and
+    * [[Domains.domainTokenBudget]] (key = registered domain): from a
+    * (doc_id, key, tok, h) frame, keep each key's docs in (h, doc_id)
+    * order while the token mass hashed strictly before a doc is under
+    * budget — the first crossing doc included, every later one dropped,
+    * under-budget keys passed through whole. Counting-selection like
+    * [[smallestKPerKey]], with token-weighted histogram buckets; only
+    * the one crossing bucket per key is ranked.
+    */
+  private[graft] def tokenBudgetByKey(
+      hashed: DataFrame, key: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy(key).orderBy(col("hb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hist = hashed
-      .select(col("source"), shiftright(col("h"), 8).as("hb"), col("tok"))
-      .groupBy("source", "hb").agg(sum("tok").as("tn"))
+      .select(col(key), shiftright(col("h"), 8).as("hb"), col("tok"))
+      .groupBy(key, "hb").agg(sum("tok").as("tn"))
       .withColumn("cum", sum("tn").over(cumW))
     // the crossing bucket: first hb where the running token mass
-    // reaches the budget; a source that never crosses has no row here
+    // reaches the budget; a key that never crosses has no row here
     // and passes through whole
     val cutoff = hist
       .where(col("cum") >= budget && col("cum") - col("tn") < budget)
-      .select(col("source"), col("hb").as("cut_hb"),
+      .select(col(key), col("hb").as("cut_hb"),
         (col("cum") - col("tn")).as("base"))
-      .localCheckpoint() // ≤ one row per source
-    val joined = hashed.join(broadcast(cutoff), Seq("source"), "left")
+      .localCheckpoint() // ≤ one row per key
+    val joined = hashed.join(broadcast(cutoff), Seq(key), "left")
     val below = joined.where(
       col("cut_hb").isNull || shiftright(col("h"), 8) < col("cut_hb"))
-    val tieW = Window.partitionBy("source")
+    val tieW = Window.partitionBy(key)
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val tie = joined
@@ -176,7 +209,7 @@ object Sampling {
       .withColumn("before", coalesce(sum("tok").over(tieW), lit(0L)))
       .where(col("base") + col("before") < budget)
       .drop("before")
-    below.unionByName(tie).select("source", "doc_id", "tok")
+    below.unionByName(tie).select(hashed.columns.map(col): _*)
   }
 
   val WeightCap: Long = 256L
