@@ -444,6 +444,14 @@ object SparkEntry {
     // anywhere in the corpus — counting, not pairing, so no candidate join.
     "q_dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedNgramSpans(Tables.documents(s, dir))),
+    // Suffix-array-EXACT substring dedup (50-char windows == Lee et al.'s
+    // marked set, distributed): maximal duplicated char runs per doc.
+    "q_dedup_substring_exact" -> ((s, dir) =>
+      Dedup.duplicatedCharSpans(Tables.documents(s, dir))),
+    // Exactness-gap card: where the 8-token window approximation and the
+    // 50-char exact miner disagree, per doc, in chars (both directions).
+    "q_substring_gap" -> ((s, dir) =>
+      Dedup.substringExactnessGap(Tables.documents(s, dir))),
     // C4/RefinedWeb line-level dedup: corpus-frequent fixed-token-window
     // "lines" excised from every document; per-doc totals + kept-text md5.
     "q_line_dedup" -> ((s, dir) =>
@@ -1002,6 +1010,62 @@ object SparkEntry {
        |      '([^.]+\\.[^.]+)$$', 1) AS domain,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok
        |  FROM u)""".stripMargin
+  }
+
+  /** DuckDB replay of `Dedup.substringExactnessGap`: exact 50-char spans
+    * and 8-token window spans rebuilt from literal window text, token
+    * spans converted to char offsets through the identical
+    * split-on-space arithmetic (token i starts at Σ_{j<i}(len+1)), then
+    * per-method and union coverage via three gaps-and-islands merges.
+    */
+  private def substringGapOracle: String = {
+    val k = graft.operators.Dedup.CharSpanLen
+    def islands(src: String, s: String, e: String, pre: String): String =
+      s"""${pre}fl AS (SELECT doc_id, $s, $e,
+         |    CASE WHEN $s > COALESCE(max($e) OVER (PARTITION BY doc_id ORDER BY $s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS opens
+         |  FROM $src),
+         |${pre}is AS (SELECT doc_id, $s, $e,
+         |    sum(opens) OVER (PARTITION BY doc_id ORDER BY $s) AS island
+         |  FROM ${pre}fl),
+         |${pre}m AS (SELECT doc_id, min($s) AS s, max($e) AS e
+         |  FROM ${pre}is GROUP BY doc_id, island)""".stripMargin
+    s"""WITH cgr AS (SELECT doc_id, i - 1 AS start, substr(text, i, $k) AS g
+       |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)),
+       |cdup AS (SELECT g FROM cgr GROUP BY g HAVING count(*) >= 2),
+       |cspan AS (SELECT doc_id, start AS s, start + $k AS e
+       |  FROM cgr WHERE g IN (SELECT g FROM cdup)),
+       |${islands("cspan", "s", "e", "c")},
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |wgr AS (SELECT doc_id, i - 1 AS start, array_to_string(tk[i:i+7], ' ') AS g
+       |  FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)),
+       |wdup AS (SELECT g FROM wgr GROUP BY g HAVING count(*) >= 2),
+       |wspan AS (SELECT doc_id, start AS s, start + 8 AS e
+       |  FROM wgr WHERE g IN (SELECT g FROM wdup)),
+       |${islands("wspan", "s", "e", "w")},
+       |pos AS (SELECT doc_id, i - 1 AS pos, len(tk[i]) AS tlen
+       |  FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)),
+       |offs AS (SELECT doc_id, pos, tlen,
+       |    CAST(coalesce(sum(tlen + 1) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cstart
+       |  FROM pos),
+       |wchar AS (SELECT wm.doc_id, o1.cstart AS s, o2.cstart + o2.tlen AS e
+       |  FROM wm JOIN offs o1 ON wm.doc_id = o1.doc_id AND o1.pos = wm.s
+       |          JOIN offs o2 ON wm.doc_id = o2.doc_id AND o2.pos = wm.e - 1),
+       |ua AS (SELECT doc_id, s, e FROM cm UNION ALL SELECT doc_id, s, e FROM wchar),
+       |${islands("ua", "s", "e", "u")},
+       |ec AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS exact_chars
+       |  FROM cm GROUP BY doc_id),
+       |wc AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS window_chars
+       |  FROM wchar GROUP BY doc_id),
+       |uc AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS union_chars
+       |  FROM um GROUP BY doc_id)
+       |SELECT uc.doc_id, coalesce(ec.exact_chars, 0) AS exact_chars,
+       |  coalesce(wc.window_chars, 0) AS window_chars, uc.union_chars,
+       |  uc.union_chars - coalesce(wc.window_chars, 0) AS only_exact_chars,
+       |  uc.union_chars - coalesce(ec.exact_chars, 0) AS only_window_chars
+       |FROM uc LEFT JOIN ec ON uc.doc_id = ec.doc_id
+       |        LEFT JOIN wc ON uc.doc_id = wc.doc_id""".stripMargin
   }
 
   /** The t/l/h line-frame CTE chain of the line-dedup oracles — raw
@@ -3089,6 +3153,30 @@ object SparkEntry {
         |SELECT doc_id, min(start) AS span_start, max("end") AS span_end,
         |  max("end") - min(start) AS span_tokens
         |FROM islands GROUP BY doc_id, island""".stripMargin,
+    // Exact char-window replay: literal 50-char substrings where the
+    // engine carries 128-bit fingerprints; same gaps-and-islands merge.
+    "q_dedup_substring_exact" -> {
+      val k = graft.operators.Dedup.CharSpanLen
+      s"""WITH grams AS (SELECT doc_id, i - 1 AS start, substr(text, i, $k) AS g
+         |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+         |spans AS (SELECT doc_id, start, start + $k AS "end"
+         |  FROM grams WHERE g IN (SELECT g FROM dup)),
+         |flagged AS (SELECT doc_id, start, "end",
+         |    CASE WHEN start > COALESCE(max("end") OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS opens
+         |  FROM spans),
+         |islands AS (SELECT doc_id, start, "end",
+         |    sum(opens) OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM flagged)
+         |SELECT doc_id, min(start) AS span_start, max("end") AS span_end,
+         |  max("end") - min(start) AS span_chars
+         |FROM islands GROUP BY doc_id, island""".stripMargin
+    },
+    // Exactness-gap card: both span sets rebuilt literally (50-char and
+    // 8-token windows), token spans converted through the same
+    // split-on-space offsets, three gaps-and-islands merges, char sums.
+    "q_substring_gap" -> substringGapOracle,
     // Line-level dedup: same non-overlapping token windows, same seeded
     // 60-bit line hash, same frequency threshold; kept text re-joined in
     // position order (string_agg skips dropped-line NULLs like Spark's

@@ -1129,8 +1129,19 @@ object Dedup {
       .join(dupKeys, Seq("h1", "h2"), "left_semi")
       .select(col("doc_id"), col("start").cast("long").as("start"),
         (col("start") + k).cast("long").as("end"))
-    // classic interval merge as two window passes over one per-doc sort:
-    // a span opens an island iff it starts past everything seen before it
+    mergeSpans(spans)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Classic interval merge as two window passes over one per-doc sort:
+    * a span opens an island iff it starts past everything seen before
+    * it. Input (doc_id, start, end), output maximal disjoint
+    * (doc_id, span_start, span_end). Partitions bounded by per-document
+    * span counts, never corpus size.
+    */
+  private def mergeSpans(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("start")
     val prevMax = max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
     spans
@@ -1138,8 +1149,109 @@ object Dedup {
       .withColumn("island", sum("opens").over(w))
       .groupBy(col("doc_id"), col("island"))
       .agg(min("start").as("span_start"), max("end").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Character-window length for [[duplicatedCharSpans]] — Lee et al.'s
+    * published 50-unit threshold, at character granularity (= bytes for
+    * this corpus's code points; the operator is parametric in the unit).
+    */
+  val CharSpanLen = 50
+
+  /** EXACT-substring dedup at suffix-array semantics —
+    * [[duplicatedNgramSpans]]'s own docstring names the single-machine
+    * suffix array as the published exact method; this is that
+    * exactness, distributed. The definition the suffix array computes —
+    * "every position inside some length-≥50 substring that occurs at
+    * least twice in the corpus" — is EQUAL to "every position covered by
+    * a duplicated 50-char window": a duplicated run of length L ≥ 50
+    * contains L−49 duplicated windows covering exactly the run, and
+    * every duplicated window is itself a duplicated length-50 substring.
+    * So counting window fingerprints reproduces the suffix array's
+    * marked set verbatim — with no suffix array, no single machine, and
+    * the same one-hash-agg, zero-pair-join shape as the token-window
+    * form. The token form is the cheap approximation (8-token windows,
+    * ~1/8th the fingerprints); this is the ground truth it approximates;
+    * [[substringExactnessGap]] prices the difference per document.
+    *
+    * One row per maximal duplicated char run: (doc_id, span_start,
+    * span_end, span_chars) — 0-based char offsets, end exclusive.
+    */
+  def duplicatedCharSpans(
+      documents: DataFrame, k: Int = CharSpanLen,
+      minOccurrences: Int = 2): DataFrame = {
+    import graft.functions.NgramExpressions.ngramFingerprints
+    val grams = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"),
+        posexplode(ngramFingerprints(split(col("text"), ""), k))
+          .as(Seq("start", "h")))
+      .select(col("doc_id"), col("start"), col("h.h1").as("h1"), col("h.h2").as("h2"))
+    val dupKeys = grams
+      .groupBy("h1", "h2")
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOccurrences)
+      .select("h1", "h2")
+    val spans = grams
+      .join(dupKeys, Seq("h1", "h2"), "left_semi")
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        (col("start") + k).cast("long").as("end"))
+    mergeSpans(spans)
       .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_tokens"))
+        (col("span_end") - col("span_start")).as("span_chars"))
+  }
+
+  /** EXACTNESS-GAP card: where the cheap token-window spans
+    * ([[duplicatedNgramSpans]], k = 8 tokens) and the exact char-window
+    * spans ([[duplicatedCharSpans]], 50 chars) disagree, per document —
+    * both measured in CHARACTERS (token spans are converted through the
+    * corpus's own `split(text, " ")` offsets: token i starts at
+    * Σ_{j<i}(len(tok_j) + 1)). The two directions of disagreement are
+    * both real: a duplicated run of ≥50 chars in <8 tokens (long tokens
+    * — URLs, hashes) is exact-only; a duplicated 8-token run under 50
+    * chars (short words) is window-only. |A∩B| and the asymmetric
+    * differences come from one extra interval merge of the CONCATENATED
+    * span sets (|A∪B|), so nothing is ever pairwise.
+    *
+    * One row per document with any coverage: (doc_id, exact_chars,
+    * window_chars, union_chars, only_exact_chars, only_window_chars).
+    */
+  def substringExactnessGap(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Parallelism.ensure(documents).localCheckpoint()
+    val exact = duplicatedCharSpans(docs)
+      .select(col("doc_id"), col("span_start").as("start"), col("span_end").as("end"))
+      .localCheckpoint()
+    // token offsets: char start of token pos = running Σ(len + 1) before it
+    val offW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        length(col("tok")).cast("long").as("tlen"))
+      .withColumn("cstart", coalesce(sum(col("tlen") + 1).over(offW), lit(0L)))
+    val window = duplicatedNgramSpans(docs)
+      .join(offs.select(col("doc_id"), col("pos").as("span_start"),
+        col("cstart").as("start")), Seq("doc_id", "span_start"))
+      .join(offs.select(col("doc_id"), (col("pos") + 1).as("span_end"),
+        (col("cstart") + col("tlen")).as("end")), Seq("doc_id", "span_end"))
+      .select(col("doc_id"), col("start"), col("end"))
+      .localCheckpoint()
+    def cover(spans: DataFrame, name: String): DataFrame =
+      mergeSpans(spans).groupBy("doc_id")
+        .agg(sum(col("span_end") - col("span_start")).as(name))
+    val e = cover(exact, "exact_chars")
+    val w = cover(window, "window_chars")
+    val u = cover(exact.unionByName(window), "union_chars")
+    u.join(e, Seq("doc_id"), "left")
+      .join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_chars"), lit(0L)).as("exact_chars"),
+        coalesce(col("window_chars"), lit(0L)).as("window_chars"),
+        col("union_chars"),
+        (col("union_chars") - coalesce(col("window_chars"), lit(0L)))
+          .as("only_exact_chars"),
+        (col("union_chars") - coalesce(col("exact_chars"), lit(0L)))
+          .as("only_window_chars"))
   }
 
   /** Jaccard bucket width (milli) for [[lshThresholdCurve]]. */

@@ -336,6 +336,69 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // the sf corpora plant near-dups: spans must exist
   }
 
+  /** Char-level brute twin of [[Dedup.duplicatedCharSpans]] — literal
+    * 50-char substrings, hash-map counting, linear merge.
+    */
+  private def bruteCharSpans(
+      rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] = {
+    val grams = rows.flatMap { case (id, text) =>
+      (0 to text.length - k).map(i => (id, i.toLong, text.substring(i, i + k)))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    grams.filter(g => dup(g._3))
+      .groupBy(_._1).toSeq
+      .flatMap { case (id, ss) =>
+        val sorted = ss.map(_._2).sorted
+        val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: rest, st) if st <= e => (s, math.max(e, st + k)) :: rest
+          case (acc, st)                       => (st, st + k) :: acc
+        }
+        merged.map { case (s, e) => (id, s, e, e - s) }
+      }.toSet
+  }
+
+  test("duplicatedCharSpans == brute-force 50-char windows on the sf0.001 corpus") {
+    val documents = graft.Tables.documents(spark, sf("sf0.001"))
+    val rows = documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = Dedup.duplicatedCharSpans(documents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === bruteCharSpans(rows, Dedup.CharSpanLen))
+    assert(got.nonEmpty)
+  }
+
+  test("substringExactnessGap: planted disagreements in both directions") {
+    val longTok = "x" * 30 // two of these = 61 shared chars in only 2 tokens
+    val exactOnly = s"$longTok $longTok"
+    val windowOnly = "a b c d e f g h" // 8 shared tokens, only 15 chars
+    val d = docs(
+      1L -> s"unique lead $exactOnly unique tail one",
+      2L -> s"other start $exactOnly different finish two",
+      3L -> s"$windowOnly aunique afiller aending",
+      4L -> s"$windowOnly bunique bfiller bending",
+      5L -> "totally unrelated content with no repeats at all")
+    val got = Dedup.substringExactnessGap(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // docs 1/2: a >=50-char duplicated run in <8 tokens — EXACT-ONLY
+    Seq(1L, 2L).foreach { id =>
+      val (ex, win, uni, onlyEx, onlyWin) = got(id)
+      assert(ex >= Dedup.CharSpanLen.toLong, s"doc $id exact_chars")
+      assert(win === 0L, s"doc $id window must miss the long-token run")
+      assert(onlyEx === ex && onlyWin === 0L && uni === ex, s"doc $id gap")
+    }
+    // docs 3/4: an 8-token duplicated run under 50 chars — WINDOW-ONLY
+    Seq(3L, 4L).foreach { id =>
+      val (ex, win, uni, onlyEx, onlyWin) = got(id)
+      assert(win > 0L, s"doc $id window_chars")
+      assert(ex === 0L, s"doc $id exact must skip the sub-50-char run")
+      assert(onlyWin === win && onlyEx === 0L && uni === win, s"doc $id gap")
+    }
+    // doc 5 has no coverage at all and emits nothing
+    assert(!got.contains(5L))
+  }
+
   test("lshThresholdCurve: closed-form S-curve columns + planted pair mass in the right buckets") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val nearDup = base.replace("delta", "DELTA-EDIT")
