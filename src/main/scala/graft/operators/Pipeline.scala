@@ -365,7 +365,8 @@ object Pipeline {
       poolK: Int = TextAnalysis.Bm25K, k: Int = RrfK): DataFrame =
     rrfFuse(
       bm25Ranks(documents, poolK),
-      Similarity.ivfTopK(embeddings, nQueries = 1, k = poolK, trainIters = 2),
+      Similarity.ivfTopK(embeddings, nQueries = 1, k = poolK,
+        trainIters = Similarity.IvfTrainIters),
       k)
 
   /** BM25 pool ranked 1..poolK; the ≤poolK-row frame makes the

@@ -172,4 +172,21 @@ class PipelineSpec extends SparkSpec {
     assert(got === want)
     assert(got.size === Pipeline.RrfK)
   }
+
+  test("hybrid fusion recall FLOOR: the IVF-dense cut keeps >= 0.9 of the brute hybrid cut") {
+    // the replay tests above prove each variant equals its own formula;
+    // this is the regression tripwire the formula tests can't give — a
+    // probe/centroid regression that silently drops dense recall must
+    // fail HERE, not only in a human reading of the recall card
+    val dir = sf("sf0.001")
+    val documents = graft.Tables.documents(spark, dir)
+    val embeddings = graft.Tables.embeddings(spark, dir)
+    val brute = Pipeline.hybridRrfTopK(documents, embeddings).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = Pipeline.hybridRrfIvfTopK(documents, embeddings).collect()
+      .map(_.getLong(0)).toSet
+    assert(brute.size === Pipeline.RrfK)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"fusion recall vs brute-force hybrid was $recall")
+  }
 }
