@@ -227,7 +227,21 @@ object PlanDump {
     "q_hybrid_rrf_ivf" ->
       "the at-scale hybrid made real: dense candidates from the trained-IVF probe join (never a corpus scan per query), the same 2*poolK-row fusion tail — recall/cost trade priced by q_ann_recall",
     "q_embed_quant" ->
-      "one posexplode scan -> |dim|-row min/max agg broadcast back -> per-value codegen projection -> |dim|-row rollup; state never exceeds the dimension count, errors floored to ints before the order-free sum")
+      "one posexplode scan -> |dim|-row min/max agg broadcast back -> per-value codegen projection -> |dim|-row rollup; state never exceeds the dimension count, errors floored to ints before the order-free sum",
+    "sketch_summary" ->
+      "r13 rewrite: exact distinct counts, HLL/quantile sketches, and the sample rank-rail are THREE narrow scans joined broadcast on the 3-row group key — no Expand row ever carries an imperative sketch buffer, and no value-count map exists anywhere (the old exact-percentile rail was the suite's worst cost at 100-266 s)",
+    "q_domain_urls" ->
+      "url synthesis + host/registered-domain extraction are one codegen'd projection (two md5s + two regexps per row); no shuffle at all",
+    "q_domain_stats" ->
+      "per-domain rollup: (domain, fp) copy-count hash-agg (fp spreads the power-law key across partitions), join back, |domains|-row agg — the standard two-agg dedup-stats plan, linear in the corpus",
+    "q_domain_cap" ->
+      "counting selection on the power-law domain key: histogram agg + broadcast cutoff + scan-speed filter; only the one crossing bucket per domain is ranked, so d1.com's ~n/2 docs cost what a uniform key does",
+    "q_domain_budget" ->
+      "the q_source_budget token-weighted counting selection re-keyed to the registered domain; same histogram/cutoff/crossing-bucket shape, cap engages on the power-law head at every SF",
+    "q_dedup_substring_exact" ->
+      "suffix-array semantics with no suffix array: 50-char window fingerprints (codegen'd kernel over the char array), ONE occurrence hash-agg, semi-join, per-doc interval merge — counting, never pairing, linear in corpus chars",
+    "q_substring_gap" ->
+      "both span sets + the union merged by the same gaps-and-islands windows (per-doc partitions); token->char offset conversion is two slim equi-joins against the exploded offset frame — nothing pairwise, nothing corpus-sorted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1217,24 +1217,31 @@ object Dedup {
     */
   def substringExactnessGap(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = graft.Parallelism.ensure(documents).localCheckpoint()
+    // NO checkpoint of the corpus: the three consumers below re-scan the
+    // 2-column parquet projection (cheap, pushed down) instead of pinning
+    // corpus text in block memory — checkpointing here OOM'd the 100×
+    // replica; only the slim span frames are worth materializing
+    val docs = graft.Parallelism.ensure(documents)
     val exact = duplicatedCharSpans(docs)
       .select(col("doc_id"), col("span_start").as("start"), col("span_end").as("end"))
       .localCheckpoint()
-    // token offsets: char start of token pos = running Σ(len + 1) before it
-    val offW = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        length(col("tok")).cast("long").as("tlen"))
-      .withColumn("cstart", coalesce(sum(col("tlen") + 1).over(offW), lit(0L)))
+    // token→char offsets per SPAN, not per token: char start of token p in
+    // the single-space join is len(join(first p tokens)) + 1 (0 for p = 0),
+    // and the char end of token span [a, b) is len(join(first b tokens)).
+    // Post-merge spans are a handful per doc, so two O(doc-chars)
+    // slice-joins per span beat exploding every token and window-sorting a
+    // corpus-sized (doc, pos) frame — the explode form's sort buffers
+    // OOM'd the 100× replica under 32-way concurrency.
     val window = duplicatedNgramSpans(docs)
-      .join(offs.select(col("doc_id"), col("pos").as("span_start"),
-        col("cstart").as("start")), Seq("doc_id", "span_start"))
-      .join(offs.select(col("doc_id"), (col("pos") + 1).as("span_end"),
-        (col("cstart") + col("tlen")).as("end")), Seq("doc_id", "span_end"))
-      .select(col("doc_id"), col("start"), col("end"))
+      .join(docs.select(col("doc_id"), split(col("text"), " ").as("ts")), "doc_id")
+      .select(col("doc_id"),
+        when(col("span_start") === 0, lit(0L))
+          .otherwise(length(array_join(
+            slice(col("ts"), lit(1), col("span_start").cast("int")), " "))
+            .cast("long") + 1L).as("start"),
+        length(array_join(
+          slice(col("ts"), lit(1), col("span_end").cast("int")), " "))
+          .cast("long").as("end"))
       .localCheckpoint()
     def cover(spans: DataFrame, name: String): DataFrame =
       mergeSpans(spans).groupBy("doc_id")
