@@ -82,8 +82,6 @@ object PlanDump {
       "three bounded intersect-aggregates unioned over the brute-force frame; each ANN side is its own bucketed pipeline — the only BNLJ nodes are the 1-row n_possible scalar broadcasts (the documented crossJoin(broadcast) idiom), never a corpus-scale cross join",
     "q_dedup_substring" ->
       "linear token-window counting (no pairwise term at all): 128-bit window fingerprints, map-side-combined occurrence counts, a semi-join keeping duplicated windows, and the interval merge as a Window PARTITIONED by doc_id — bounded by document length, never corpus size",
-    "sketch_summary" ->
-      "one-pass sketch showcase: fused percentile-array aggregate alongside the HLL/CMS states in a single partial->final pair — no per-percentile re-aggregation, no Window/global Sort in the production (verify=false) path",
     "q_mixture_schedule" ->
       "source-mixture schedule: |sources|-row rate frame (epochs+fraction) built from two tiny aggregates, broadcast onto the token scan — per-doc repeat counts at scan speed, no corpus-scale shuffle anywhere",
     "q_mixture_packed" ->
