@@ -383,6 +383,22 @@ object SparkEntry {
     // token budget per domain: first-crossing kept, hash order
     "q_domain_budget" -> ((s, dir) =>
       Domains.domainTokenBudget(Tables.documents(s, dir))),
+    // domain-level temperature: per-domain budget = tempered n^(1/T)
+    // share of the corpus; head domains truncated, tail passes whole
+    "q_domain_budget_tempered" -> ((s, dir) =>
+      Domains.temperedDomainBudget(Tables.documents(s, dir))),
+    // continuous-ingestion twin: frozen per-(domain, bucket) spend grid,
+    // arrivals admitted iff corpus mass hashed before them is under budget
+    "q_domain_budget_incremental" -> ((s, dir) =>
+      Domains.incrementalDomainBudget(Tables.documents(s, dir))),
+    // the same probe per micro-batch against the static spend artifacts
+    "q_stream_domain_budget" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.incrementalDomainBudgetToBatch(s, dir)),
+    // domain x domain near-dup contamination matrix (who copies whom)
+    "q_domain_overlap" -> ((s, dir) =>
+      Domains.domainOverlapMatrix(
+        Tables.documents(s, dir),
+        Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir)))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -1066,6 +1082,60 @@ object SparkEntry {
        |  uc.union_chars - coalesce(ec.exact_chars, 0) AS only_window_chars
        |FROM uc LEFT JOIN ec ON uc.doc_id = ec.doc_id
        |        LEFT JOIN wc ON uc.doc_id = wc.doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of `Domains.temperedDomainBudget`: per-domain token
+    * totals through the same fixed-point ln/exp tempering chain as
+    * `temperedWeightCtes` (domain-keyed), integer share → budget, then
+    * the q_domain_budget window-cumsum contract with per-domain budgets.
+    */
+  private def domainBudgetTemperedOracle: String = {
+    import graft.operators.Domains.DomainBudgetSeed
+    import graft.operators.Sampling.{MixShareScale, TempDen, TempNum}
+    s"""WITH $domainUrlCtes,
+       |t AS (SELECT domain, doc_id, tok,
+       |    ${h60(DomainBudgetSeed, "doc_id")} % ${1L << 20} AS h FROM x),
+       |s AS (SELECT domain, CAST(sum(tok) AS BIGINT) AS src_tokens
+       |  FROM t GROUP BY domain),
+       |w AS (SELECT domain, src_tokens,
+       |  ${graft.functions.FixedPointLn.lnFSql("src_tokens", "y")},
+       |  (y * $TempDen) // $TempNum AS y_t,
+       |  ${graft.functions.FixedPointExp.expFSql("y_t", "w_f")}
+       |  FROM s),
+       |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(w_f) AS BIGINT) AS sum_w FROM w),
+       |r AS (SELECT domain,
+       |    ((total_tokens * ((w_f * $MixShareScale) // sum_w))
+       |      // $MixShareScale) AS budget
+       |  FROM w, g),
+       |c AS (SELECT t.domain, t.doc_id, t.tok, r.budget,
+       |    CAST(coalesce(sum(t.tok) OVER (PARTITION BY t.domain
+       |      ORDER BY t.h, t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM t JOIN r USING (domain))
+       |SELECT domain, doc_id, tok, CAST(budget AS BIGINT) AS dom_budget
+       |FROM c WHERE cum_before < budget""".stripMargin
+  }
+
+  /** Shared oracle of the incremental + streaming domain budget: the
+    * frozen corpus side below the 4/5 ingest split, arrivals admitted by
+    * a correlated corpus-mass sum replaying the (h, doc_id) order rule.
+    */
+  private def domainBudgetIncrementalOracle: String = {
+    import graft.operators.Domains.{DomainBudgetSeed, DomainBudgetTokens}
+    s"""WITH $domainUrlCtes,
+       |t AS (SELECT domain, doc_id, tok,
+       |    ${h60(DomainBudgetSeed, "doc_id")} % ${1L << 20} AS h FROM x),
+       |sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+       |co AS (SELECT t.* FROM t, sp WHERE t.doc_id < sp.split),
+       |sh2 AS (SELECT t.* FROM t, sp WHERE t.doc_id >= sp.split)
+       |SELECT s.domain, s.doc_id, s.tok,
+       |  (SELECT CAST(coalesce(sum(c.tok), 0) AS BIGINT) FROM co c
+       |     WHERE c.domain = s.domain
+       |       AND (c.h < s.h OR (c.h = s.h AND c.doc_id < s.doc_id)))
+       |    < $DomainBudgetTokens AS admitted
+       |FROM sh2 s""".stripMargin
   }
 
   /** The t/l/h line-frame CTE chain of the line-dedup oracles — raw
@@ -3777,6 +3847,29 @@ object SparkEntry {
          |SELECT domain, doc_id, tok FROM c
          |WHERE cum_before < $DomainBudgetTokens""".stripMargin
     },
+    // Domain-level temperature: per-domain budget = tempered n^(1/T)
+    // share, same fixed-point ln/exp chains as the mixture oracles, then
+    // the q_domain_budget window-cumsum contract with per-domain budgets.
+    "q_domain_budget_tempered" -> domainBudgetTemperedOracle,
+    // Incremental + streaming twins share one oracle: an arrival is
+    // admitted iff the CORPUS token mass hashed strictly before it
+    // (within its domain) is under budget — a correlated sum over the
+    // frozen side, replaying the probe's (h, doc_id) order rule.
+    "q_domain_budget_incremental" -> domainBudgetIncrementalOracle,
+    "q_stream_domain_budget" -> domainBudgetIncrementalOracle,
+    // Domain x domain contamination: the brute-force pair set joined to
+    // the rebuilt-and-reparsed domain of each endpoint.
+    "q_domain_overlap" ->
+      s"""WITH sh AS ($shCte),
+         |$neardupPairsCte,
+         |$domainUrlCtes
+         |SELECT least(da.domain, db.domain) AS dom_a,
+         |  greatest(da.domain, db.domain) AS dom_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN x da ON da.doc_id = p.doc_a
+         |JOIN x db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2""".stripMargin,
     "q_shard_manifest" -> {
       import graft.operators.Packing.{ShardCount, ShardSeed}
       s"""WITH d AS (SELECT doc_id,

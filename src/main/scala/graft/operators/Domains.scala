@@ -181,4 +181,157 @@ object Domains {
     Sampling.tokenBudgetByKey(hashed, "domain", budget)
       .select("domain", "doc_id", "tok")
   }
+
+  /** TEMPERED per-domain token budget — domain-level temperature
+    * sampling, the downsampling half of the mixture story: each
+    * registered domain's budget is its n^(1/T) tempered SHARE of the
+    * corpus's own token mass ([[Sampling.temperedWeights]], same
+    * fixed-point ln/exp chains and [[Sampling.MixShareScale]] integer
+    * share arithmetic as `q_mixture_temperature`), then the same
+    * first-crossing hash-order rule as [[domainTokenBudget]]. Tempering
+    * flattens toward uniform, so over-represented head domains (d1.com's
+    * ~n/2) get budgets far below their size and are truncated hard,
+    * while tail domains' budgets exceed their mass and pass whole — the
+    * "don't let one crawl domain dominate the mixture" knob, applied at
+    * the key production pipelines apply it to. (This operator only CAPS;
+    * the upsampling half of tempering is `q_mixture_temperature`'s
+    * n_repeats.)
+    *
+    * One row per KEPT doc: (domain, doc_id, tok, dom_budget).
+    *
+    * Shape: one |domains|-row weight chain (scan + tiny aggs + 1-row
+    * broadcast), then [[Sampling.tokenBudgetPerKey]]'s counting
+    * selection — corpus never sorted, budgets ride the broadcast cutoff.
+    */
+  def temperedDomainBudget(documents: DataFrame,
+      tNum: Long = Sampling.TempNum, tDen: Long = Sampling.TempDen,
+      seed: Int = DomainBudgetSeed): DataFrame = {
+    val hashed = urlTable(documents)
+      .select(col("doc_id"), col("domain"), col("tok"),
+        (HashFunctions.md5Long(col("doc_id").cast("string"), seed)
+          % (1L << 20)).as("h"))
+      .localCheckpoint()
+    val byDom = hashed.groupBy("domain")
+      .agg(sum("tok").as("src_tokens"))
+    val w = Sampling.temperedWeights(byDom, tNum, tDen)
+    val totals = w.agg(
+      sum("src_tokens").cast("long").as("total_tokens"),
+      sum("w_f").as("sum_w"))
+    val budgets = w.crossJoin(broadcast(totals))
+      .select(col("domain"),
+        expr(s"(total_tokens * ((w_f * ${Sampling.MixShareScale}) div sum_w))" +
+          s" div ${Sampling.MixShareScale}").as("budget"))
+    Sampling.tokenBudgetPerKey(hashed, "domain", budgets)
+      .join(broadcast(budgets.withColumnRenamed("budget", "dom_budget")), Seq("domain"))
+      .select("domain", "doc_id", "tok", "dom_budget")
+  }
+
+  /** INCREMENTAL domain token budget — [[domainTokenBudget]] under
+    * continuous ingestion, with the family's frozen-artifact asymmetry
+    * ([[Dedup.incrementalLineDedup]]): the corpus below the ingest
+    * boundary freezes a per-(domain, hash-bucket) SPEND state, and an
+    * arriving document is admitted iff the CORPUS token mass hashed
+    * strictly before it (within its domain) is still under budget.
+    * Arrivals do not charge the budget against each other — batch-
+    * internal displacement waits for the next full rebuild, exactly the
+    * banded probe's contract. Because admission replays the batch
+    * operator's own order rule, an admitted arrival is precisely one the
+    * full rebuild would keep against the frozen corpus (a new doc can
+    * displace only hash-later docs — the [[Sampling.sourceTokenBudget]]
+    * stability property, inherited).
+    *
+    * One row per SHARD document: (domain, doc_id, tok, admitted).
+    *
+    * Shape per batch: O(shard) hashes + ONE broadcast join against the
+    * ≤4096·|domains|-row dense spend grid + one equi-join against the
+    * single matching hash bucket's corpus rows (≈ n_domain/4096 docs per
+    * probe — the corpus is never rescanned per batch).
+    */
+  def incrementalDomainBudget(documents: DataFrame,
+      budget: Long = DomainBudgetTokens, seed: Int = DomainBudgetSeed): DataFrame =
+    Dedup.ingestSplitOf(documents) match {
+      case None =>
+        urlTable(documents)
+          .select(col("domain"), col("doc_id"), col("tok"),
+            lit(true).as("admitted")).limit(0)
+      case Some(split) =>
+        val t = budgetFrame(documents, seed)
+        val corpus = t.where(col("doc_id") < split).localCheckpoint()
+        budgetProbe(t.where(col("doc_id") >= split),
+          frozenSpend(corpus), corpus, budget)
+    }
+
+  /** (doc_id, domain, tok, h, hb) — the hashed frame the budget family
+    * probes and freezes.
+    */
+  private[graft] def budgetFrame(documents: DataFrame, seed: Int): DataFrame =
+    urlTable(documents)
+      .select(col("doc_id"), col("domain"), col("tok"),
+        (HashFunctions.md5Long(col("doc_id").cast("string"), seed)
+          % (1L << 20)).as("h"))
+      .withColumn("hb", shiftright(col("h"), 8))
+
+  /** The FROZEN spend artifact: per (domain, bucket) the corpus token
+    * mass in strictly-smaller buckets — densified over all 4096 buckets
+    * per domain so a probe in an empty bucket still reads the right
+    * running total. ≤4096·|domains| rows, built once, broadcast to every
+    * batch.
+    */
+  private[graft] def frozenSpend(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = corpus.groupBy("domain", "hb").agg(sum("tok").as("tn"))
+    val grid = corpus.select("domain").distinct()
+      .crossJoin(corpus.sparkSession.range(1 << 12).select(col("id").as("hb")))
+    val cumW = Window.partitionBy("domain").orderBy(col("hb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid.join(hist, Seq("domain", "hb"), "left")
+      .withColumn("cum_below",
+        coalesce(sum(coalesce(col("tn"), lit(0L))).over(cumW), lit(0L)))
+      .select(col("domain"), col("hb"), col("cum_below"))
+      .localCheckpoint()
+  }
+
+  /** The per-batch probe shared by [[incrementalDomainBudget]] and the
+    * streaming twin: arrivals read their bucket's frozen running total
+    * plus the in-bucket corpus mass ordered strictly before them.
+    */
+  private[graft] def budgetProbe(
+      shard: DataFrame, spend: DataFrame, corpus: DataFrame,
+      budget: Long): DataFrame = {
+    val inBucket = shard.alias("s")
+      .join(corpus.alias("c"),
+        col("s.domain") === col("c.domain") && col("s.hb") === col("c.hb") &&
+          (col("c.h") < col("s.h") ||
+            (col("c.h") === col("s.h") && col("c.doc_id") < col("s.doc_id"))),
+        "left")
+      .groupBy(col("s.domain").as("domain"), col("s.doc_id").as("doc_id"),
+        col("s.tok").as("tok"), col("s.hb").as("hb"))
+      .agg(sum(col("c.tok")).as("in_bucket"))
+    inBucket
+      .join(broadcast(spend), Seq("domain", "hb"), "left")
+      .select(col("domain"), col("doc_id"), col("tok"),
+        (coalesce(col("cum_below"), lit(0L)) + coalesce(col("in_bucket"), lit(0L))
+          < budget).as("admitted"))
+  }
+
+  /** Domain×domain near-dup contamination matrix —
+    * [[Pipeline.sourceOverlapMatrix]] on the registered-domain key: for
+    * every mined near-dup pair, the unordered domain pair of its
+    * endpoints, rolled up. The diagonal is a domain's internal
+    * duplication (template pages); off-diagonal cells are cross-domain
+    * scraping/mirroring — the per-domain dup-rate's "who is copying
+    * whom" refinement. Same shape: the pair set joined twice to the slim
+    * (doc_id, domain) projection, then a hash-agg.
+    */
+  def domainOverlapMatrix(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val dom = urlTable(documents).select(col("doc_id"), col("domain"))
+    pairs
+      .join(dom.select(col("doc_id").as("doc_a"), col("domain").as("dom_sa")), "doc_a")
+      .join(dom.select(col("doc_id").as("doc_b"), col("domain").as("dom_sb")), "doc_b")
+      .select(
+        least(col("dom_sa"), col("dom_sb")).as("dom_a"),
+        greatest(col("dom_sa"), col("dom_sb")).as("dom_b"))
+      .groupBy("dom_a", "dom_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

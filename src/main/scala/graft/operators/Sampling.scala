@@ -182,21 +182,37 @@ object Sampling {
     * the one crossing bucket per key is ranked.
     */
   private[graft] def tokenBudgetByKey(
-      hashed: DataFrame, key: String, budget: Long): DataFrame = {
+      hashed: DataFrame, key: String, budget: Long): DataFrame =
+    tokenBudgetImpl(hashed, key, _.withColumn("budget", lit(budget)))
+
+  /** [[tokenBudgetByKey]] with a PER-KEY budget frame (key, budget) —
+    * the form [[Domains.temperedDomainBudget]] needs, where each key's
+    * budget is its tempered share of the corpus. The budget frame is
+    * ≤|keys| rows and broadcast onto the histogram; a key with budget 0
+    * keeps nothing (its first bucket crosses immediately), a key whose
+    * budget exceeds its mass never crosses and passes through whole.
+    */
+  private[graft] def tokenBudgetPerKey(
+      hashed: DataFrame, key: String, budgets: DataFrame): DataFrame =
+    tokenBudgetImpl(hashed, key, _.join(broadcast(budgets), Seq(key)))
+
+  private def tokenBudgetImpl(
+      hashed: DataFrame, key: String,
+      withBudget: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cumW = Window.partitionBy(key).orderBy(col("hb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hist = hashed
+    val hist = withBudget(hashed
       .select(col(key), shiftright(col("h"), 8).as("hb"), col("tok"))
       .groupBy(key, "hb").agg(sum("tok").as("tn"))
-      .withColumn("cum", sum("tn").over(cumW))
+      .withColumn("cum", sum("tn").over(cumW)))
     // the crossing bucket: first hb where the running token mass
     // reaches the budget; a key that never crosses has no row here
     // and passes through whole
     val cutoff = hist
-      .where(col("cum") >= budget && col("cum") - col("tn") < budget)
+      .where(col("cum") >= col("budget") && col("cum") - col("tn") < col("budget"))
       .select(col(key), col("hb").as("cut_hb"),
-        (col("cum") - col("tn")).as("base"))
+        (col("cum") - col("tn")).as("base"), col("budget"))
       .localCheckpoint() // ≤ one row per key
     val joined = hashed.join(broadcast(cutoff), Seq(key), "left")
     val below = joined.where(
@@ -207,7 +223,7 @@ object Sampling {
     val tie = joined
       .where(shiftright(col("h"), 8) === col("cut_hb"))
       .withColumn("before", coalesce(sum("tok").over(tieW), lit(0L)))
-      .where(col("base") + col("before") < budget)
+      .where(col("base") + col("before") < col("budget"))
       .drop("before")
     below.unionByName(tie).select(hashed.columns.map(col): _*)
   }

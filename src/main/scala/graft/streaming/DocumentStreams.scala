@@ -439,6 +439,58 @@ object DocumentStreams {
     result
   }
 
+  /** STREAMING incremental DOMAIN token budget —
+    * `Domains.incrementalDomainBudget` as continuous ingestion: the
+    * corpus's dense per-(domain, bucket) spend grid and the slim hashed
+    * corpus frame are the FROZEN artifacts (built once below the ingest
+    * split, localCheckpointed); each arriving micro-batch derives its
+    * own urls/hashes and probes through the SHARED
+    * `Domains.budgetProbe`, so admission verdicts depend only on the
+    * frozen spend and the union over batches equals the batch twin row
+    * for row (shared oracle). Per-batch `batch=<id>` overwrite dirs —
+    * the standard exactly-once contract of this file's sinks.
+    */
+  def incrementalDomainBudgetToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Domains}
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None => Domains.incrementalDomainBudget(docs) // empty in, empty out
+      case Some(split) =>
+        val corpus = Domains
+          .budgetFrame(docs.where(col("doc_id") < split), Domains.DomainBudgetSeed)
+          .localCheckpoint()
+        val spend = Domains.frozenSpend(corpus)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dombudget")
+        java.nio.file.Files.createDirectories(tmp.resolve("out"))
+        val stream = rawSource(spark, dir).where(col("doc_id") >= split)
+        EventStreams.withStreamShufflePartitions(spark) {
+          val q = stream.writeStream
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              Domains.budgetProbe(
+                  Domains.budgetFrame(batch, Domains.DomainBudgetSeed),
+                  spend, corpus, Domains.DomainBudgetTokens)
+                .write.mode("overwrite")
+                .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("admitted", org.apache.spark.sql.types.BooleanType)))
+        val result = spark.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(tmp.resolve("out").toString)
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        result
+    }
+  }
+
   /** STREAMING incremental LINE dedup — `Dedup.incrementalLineDedup`
     * running as continuous ingestion: the corpus's slim line-frequency
     * index (lines one occurrence short of the excision threshold) is the

@@ -95,6 +95,87 @@ class DomainsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("temperedDomainBudget: head truncated below its mass, tail whole, selection rule exact") {
+    val d = graft.Tables.documents(spark, sf("sf0.01"))
+    val got = Domains.temperedDomainBudget(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val budgets = got.map(r => r._1 -> r._4).toMap
+    val totals = Domains.urlTable(d).groupBy("domain")
+      .agg(org.apache.spark.sql.functions.sum("tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tempering flattens: the head domain's budget sits far below its mass
+    assert(budgets("d1.com") < totals("d1.com") / 2,
+      s"d1.com budget ${budgets("d1.com")} vs mass ${totals("d1.com")}")
+    // and the kept set equals the brute-force first-crossing rule under
+    // the operator's own budgets
+    val t = Domains.urlTable(d).select(col("domain"), col("doc_id"), col("tok"))
+      .withColumn("h", pmod(graft.functions.HashFunctions.md5Long(
+        col("doc_id").cast("string"), Domains.DomainBudgetSeed), lit(1L << 20)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = t.withColumn("before", coalesce(sum("tok").over(w), lit(0L)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val want = cum.filter { case (dom, _, _, before) =>
+      budgets.contains(dom) && before < budgets(dom)
+    }.map(r => (r._1, r._2, r._3)).toSet
+    assert(got.map(r => (r._1, r._2, r._3)).toSet === want)
+    // a whole-kept tail domain exists (budget >= mass)
+    val keptByDom = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(keptByDom.exists { case (dom, kept) => kept === totals(dom) },
+      "some tail domain must pass through whole")
+    // the head domain is genuinely truncated
+    assert(keptByDom("d1.com") < totals("d1.com"))
+  }
+
+  test("incrementalDomainBudget == brute-force corpus-mass-before rule; stream twin equal") {
+    val d = graft.Tables.documents(spark, sf("sf0.01"))
+    val got = Domains.incrementalDomainBudget(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val split = (d.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
+    val t = Domains.urlTable(d).select(col("domain"), col("doc_id"), col("tok"))
+      .withColumn("h", pmod(graft.functions.HashFunctions.md5Long(
+        col("doc_id").cast("string"), Domains.DomainBudgetSeed), lit(1L << 20)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpus = t.filter(_._2 < split)
+    val want = t.filter(_._2 >= split).map { case (dom, id, tok, h) =>
+      val before = corpus.filter(c => c._1 == dom
+        && (c._4 < h || (c._4 == h && c._2 < id))).map(_._3).sum
+      (dom, id, tok, before < Domains.DomainBudgetTokens)
+    }.toSet
+    assert(got === want)
+    // both verdicts occur (the budget engages on the head, tail admits)
+    assert(got.exists(_._4) && got.exists(!_._4))
+    // the streaming twin answers row for row
+    val streamed = graft.streaming.DocumentStreams
+      .incrementalDomainBudgetToBatch(spark, sf("sf0.01")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(streamed === got)
+  }
+
+  test("domainOverlapMatrix: unordered domain cells, diagonal = internal duplication") {
+    import spark.implicits._
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val doms = Domains.urlTable(d).select("doc_id", "domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // pick ids so the fixture provably covers same-domain and cross cells
+    val byDom = doms.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val bigDom = byDom.maxBy(_._2.size)
+    val (a1, a2) = (bigDom._2(0), bigDom._2(1))
+    val otherDom = byDom.find(_._1 != bigDom._1).get
+    val b1 = otherDom._2.head
+    val pairs = Seq((a1, a2, 1.0), (a1, b1, 0.9), (a2, b1, 0.8))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Domains.domainOverlapMatrix(d, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cell = (s: String, t: String) =>
+      if (s <= t) (s, t) else (t, s)
+    assert(got(cell(bigDom._1, bigDom._1)) === 1L)
+    assert(got(cell(bigDom._1, otherDom._1)) === 2L)
+    assert(got.values.sum === 3L)
+  }
+
   test("domainTokenBudget: first-crossing kept, later dropped, under-budget domains whole") {
     val d = graft.Tables.documents(spark, sf("sf0.01"))
     val got = Domains.domainTokenBudget(d).collect()
