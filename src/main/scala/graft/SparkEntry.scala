@@ -399,6 +399,9 @@ object SparkEntry {
       Domains.domainOverlapMatrix(
         Tables.documents(s, dir),
         Dedup.nearDuplicatePairsFromTable(SignatureStore.table(s, dir)))),
+    // wholesale domain-level keep decision: classifier + prose majorities
+    "q_domain_quality" -> ((s, dir) =>
+      Domains.domainQualityCard(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -3857,6 +3860,34 @@ object SparkEntry {
     // frozen side, replaying the probe's (h, doc_id) order rule.
     "q_domain_budget_incremental" -> domainBudgetIncrementalOracle,
     "q_stream_domain_budget" -> domainBudgetIncrementalOracle,
+    // Per-domain quality card: same classifier fold as q_classifier_score
+    // and a lowercase stopword prose rule, rolled up in exact milli.
+    "q_domain_quality" -> {
+      import graft.operators.Domains.DomainKeepMilli
+      import graft.operators.TextAnalysis.{ClsSeed, ClsWeightMod, ClsWeightShift}
+      s"""WITH $domainUrlCtes,
+         |f AS (SELECT domain, tok,
+         |    CAST(coalesce(list_sum(list_transform(
+         |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |        z -> z <> ''),
+         |      t2 -> ${h60(ClsSeed, "t2")} % $ClsWeightMod - $ClsWeightShift)), 0)
+         |      AS BIGINT) AS score,
+         |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      z -> list_contains($stopList, z))) AS n_stop
+         |  FROM x),
+         |a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(score) AS BIGINT) AS sum_score,
+         |    CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |    CAST(sum(CASE WHEN tok >= 10 AND n_stop > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_quality
+         |  FROM f GROUP BY domain)
+         |SELECT domain, n_docs, sum_score, n_keep,
+         |  n_keep * 1000 // n_docs AS keep_milli,
+         |  n_quality, n_quality * 1000 // n_docs AS quality_milli,
+         |  (n_keep * 1000 // n_docs >= $DomainKeepMilli
+         |    AND n_quality * 1000 // n_docs >= $DomainKeepMilli) AS domain_keep
+         |FROM a""".stripMargin
+    },
     // Domain x domain contamination: the brute-force pair set joined to
     // the rebuilt-and-reparsed domain of each endpoint.
     "q_domain_overlap" ->

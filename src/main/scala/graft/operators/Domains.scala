@@ -314,6 +314,44 @@ object Domains {
           < budget).as("admitted"))
   }
 
+  /** Majority threshold (milli) for [[domainQualityCard]]'s keep
+    * decision, interpolated into the oracle.
+    */
+  val DomainKeepMilli = 500L
+
+  /** Per-domain QUALITY decision card — the wholesale domain-level
+    * filter production pipelines run before any per-document work (a
+    * spam farm is dropped as a DOMAIN, not doc by doc): per registered
+    * domain, the exact classifier-score total
+    * ([[TextAnalysis.classifierScoreOf]], integer fold), how many docs
+    * the classifier keeps, how many pass the basic quality rule
+    * (≥10 tokens and ≥1 lowercase stopword hit — prose detection), both
+    * as exact milli shares, and the keep decision: both majorities ≥
+    * [[DomainKeepMilli]]. One scan + one |domains|-row hash-agg;
+    * everything integer, so the verdict is bit-portable.
+    */
+  def domainQualityCard(documents: DataFrame): DataFrame = {
+    val lowToks = split(trim(lower(col("text"))), "\\s+")
+    val f = urlTable(documents).select(
+      col("domain"), col("tok"),
+      TextAnalysis.classifierScoreOf(col("text")).as("score"),
+      size(filter(lowToks, x => x.isin(TextAnalysis.Stopwords: _*)))
+        .cast("long").as("n_stop"))
+    f.groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("score").as("sum_score"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("tok") >= 10 && col("n_stop") > 0, 1L).otherwise(0L))
+          .as("n_quality"))
+      .select(col("domain"), col("n_docs"), col("sum_score"),
+        col("n_keep"), expr("n_keep * 1000 div n_docs").as("keep_milli"),
+        col("n_quality"), expr("n_quality * 1000 div n_docs").as("quality_milli"))
+      .withColumn("domain_keep",
+        col("keep_milli") >= DomainKeepMilli
+          && col("quality_milli") >= DomainKeepMilli)
+  }
+
   /** Domain×domain near-dup contamination matrix —
     * [[Pipeline.sourceOverlapMatrix]] on the registered-domain key: for
     * every mined near-dup pair, the unordered domain pair of its

@@ -154,6 +154,32 @@ class DomainsSpec extends SparkSpec {
     assert(streamed === got)
   }
 
+  test("domainQualityCard: milli arithmetic exact, both verdicts occur, junk corpus all-drop") {
+    import spark.implicits._
+    val d = graft.Tables.documents(spark, sf("sf0.01"))
+    val rows = Domains.domainQualityCard(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(rows.map(_._2).sum === d.count())
+    rows.foreach { case (dom, n, nk, km, nq, qm, keep) =>
+      assert(km === nk * 1000 / n, s"$dom keep_milli")
+      assert(qm === nq * 1000 / n, s"$dom quality_milli")
+      assert(keep === (km >= Domains.DomainKeepMilli && qm >= Domains.DomainKeepMilli), dom)
+    }
+    // the driver corpus genuinely exercises both decisions
+    assert(rows.exists(_._7) && rows.exists(!_._7))
+    // an all-junk corpus (no stopwords, 3 tokens) drops every domain:
+    // quality_milli is 0 regardless of the classifier draw
+    val junk = (1L to 200L).map(i => (i, "zzz qqq xxx", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val jr = Domains.domainQualityCard(junk).collect()
+    assert(jr.nonEmpty)
+    jr.foreach { r =>
+      assert(r.getLong(6) === 0L, "junk quality_milli")
+      assert(!r.getBoolean(7), "junk domain must be dropped")
+    }
+  }
+
   test("domainOverlapMatrix: unordered domain cells, diagonal = internal duplication") {
     import spark.implicits._
     val d = graft.Tables.documents(spark, sf("sf0.001"))
