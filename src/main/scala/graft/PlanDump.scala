@@ -239,7 +239,17 @@ object PlanDump {
     "q_dedup_substring_exact" ->
       "suffix-array semantics with no suffix array: 50-char window fingerprints (codegen'd kernel over the char array), ONE occurrence hash-agg, semi-join, per-doc interval merge — counting, never pairing, linear in corpus chars",
     "q_substring_gap" ->
-      "both span sets + the union merged by the same gaps-and-islands windows (per-doc partitions); token->char offset conversion is two slim equi-joins against the exploded offset frame — nothing pairwise, nothing corpus-sorted")
+      "both span sets + the union merged by the same gaps-and-islands windows (per-doc partitions); token->char offsets computed per MERGED span as two slice-join expressions — no corpus-sized offset explode, no window sort (the explode form OOM'd the 100x replica)",
+    "q_domain_budget_tempered" ->
+      "domain-level temperature: one |domains|-row fixed-point ln/exp weight chain with a 1-row totals broadcast, budgets riding the broadcast cutoff of the same counting-selection kernel — per-key budgets add zero corpus-scale work",
+    "q_domain_budget_incremental" ->
+      "frozen dense spend grid (<=4096 buckets x |domains|, broadcast) + ONE single-bucket equi-join against the checkpointed corpus frame — each arrival probes ~n_domain/4096 corpus rows, the corpus is never rescanned per batch",
+    "q_stream_domain_budget" ->
+      "the same budgetProbe inside foreachBatch against the static spend artifacts; admission depends only on the frozen corpus, so the per-batch plan is the incremental plan on a smaller input (shared oracle proves row equality)",
+    "q_domain_overlap" ->
+      "the pair set joined twice to the slim (doc_id, domain) projection then a |domains|^2-bounded hash-agg — the sourceOverlapMatrix shape on the power-law key; pairs, not documents, ride the shuffles",
+    "q_domain_quality" ->
+      "one scan computing the integer classifier fold + stopword count per doc (codegen'd lambdas), one |domains|-row hash-agg with map-side combine; every share is an exact milli division, the decision a pure projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
