@@ -393,4 +393,42 @@ class SamplingSpec extends SparkSpec {
     val budget = out.values.head._7
     assert(out.values.map(_._4).sum + out.values.head._8 === budget)
   }
+
+  test("counting-selection kernels == brute force over 30 seeded random frames") {
+    import spark.implicits._
+    // the two shared kernels now underpin four registered queries
+    // (exact-k sample, source budget, domain cap, domain budgets); a
+    // bucket-boundary or tie bug there corrupts several oracle rows at
+    // once, so fuzz them: small hash ranges force bucket collisions,
+    // same-h ties, empty buckets, and budgets landing exactly on edges.
+    // Seeded Random: deterministic across runs.
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 30) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val n = 1 + rnd.nextInt(250)
+      val rows = (1 to n).map { i =>
+        (i.toLong, s"k${rnd.nextInt(nKeys)}",
+          1L + rnd.nextInt(20), rnd.nextInt(2048).toLong)
+      }
+      val capFrame = rows.map(r => (r._1, r._2, r._4)).toDF("doc_id", "key", "h")
+      val target = 1L + rnd.nextInt(60)
+      val gotK = Sampling.smallestKPerKey(capFrame, "key", target)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val wantK = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(r => (r._4, r._1)).take(target.toInt)
+      }.map(r => (r._1, r._2, r._4)).toSet
+      assert(gotK === wantK, s"smallestKPerKey trial $trial (target $target)")
+
+      val budFrame = rows.toDF("doc_id", "key", "tok", "h")
+      val budget = 1L + rnd.nextInt(250)
+      val gotB = Sampling.tokenBudgetByKey(budFrame, "key", budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val wantB = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._4, r._1))
+        val cums = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cums).collect { case (r, before) if before < budget => r }
+      }.map(r => (r._1, r._2, r._3)).toSet
+      assert(gotB === wantB, s"tokenBudgetByKey trial $trial (budget $budget)")
+    }
+  }
 }
