@@ -467,6 +467,15 @@ object SparkEntry {
     // marked set, distributed): maximal duplicated char runs per doc.
     "q_dedup_substring_exact" -> ((s, dir) =>
       Dedup.duplicatedCharSpans(Tables.documents(s, dir))),
+    // Benchmark decontamination: corpus docs sharing >=2 distinct 8-token
+    // windows with any eval-set doc; eval grams broadcast, corpus scanned
+    "q_benchmark_contamination" -> ((s, dir) =>
+      Dedup.benchmarkContamination(
+        Tables.documents(s, dir), Dedup.evalSample(Tables.documents(s, dir)))),
+    // ingestion-time gate: the same probe per micro-batch against the
+    // frozen eval gram index (doc-local verdicts -> shares the oracle)
+    "q_stream_benchmark_contamination" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.benchmarkContaminationToBatch(s, dir)),
     // Exactness-gap card: where the 8-token window approximation and the
     // 50-char exact miner disagree, per doc, in chars (both directions).
     "q_substring_gap" -> ((s, dir) =>
@@ -1085,6 +1094,23 @@ object SparkEntry {
        |  uc.union_chars - coalesce(ec.exact_chars, 0) AS only_window_chars
        |FROM uc LEFT JOIN ec ON uc.doc_id = ec.doc_id
        |        LEFT JOIN wc ON uc.doc_id = wc.doc_id""".stripMargin
+  }
+
+  /** Shared oracle of the batch + streaming contamination scan: literal
+    * 8-token window text (the fingerprint-vs-text grouping-key identity
+    * of the q_dedup_substring precedent), distinct per doc on both
+    * sides, eval side selected by the same content-hash draw.
+    */
+  private def benchmarkContaminationOracle: String = {
+    import graft.operators.Dedup.{ContamMinShared, EvalSampleMod, EvalSampleSeed}
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+       |  FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)),
+       |ev AS (SELECT doc_id AS eval_id, g FROM grams
+       |  WHERE ${h60(EvalSampleSeed, "doc_id")} % $EvalSampleMod = 0)
+       |SELECT grams.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+       |FROM grams JOIN ev USING (g)
+       |GROUP BY 1, 2 HAVING count(*) >= $ContamMinShared""".stripMargin
   }
 
   /** DuckDB replay of `Domains.temperedDomainBudget`: per-domain token
@@ -3226,6 +3252,11 @@ object SparkEntry {
         |SELECT doc_id, min(start) AS span_start, max("end") AS span_end,
         |  max("end") - min(start) AS span_tokens
         |FROM islands GROUP BY doc_id, island""".stripMargin,
+    // Contamination scan (batch + streaming twins share it): literal
+    // 8-token windows where the engine carries fingerprints; distinct
+    // per side, so shared_ngrams counts distinct shared windows.
+    "q_benchmark_contamination" -> benchmarkContaminationOracle,
+    "q_stream_benchmark_contamination" -> benchmarkContaminationOracle,
     // Exact char-window replay: literal 50-char substrings where the
     // engine carries 128-bit fingerprints; same gaps-and-islands merge.
     "q_dedup_substring_exact" -> {

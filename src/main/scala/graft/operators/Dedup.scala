@@ -1261,6 +1261,75 @@ object Dedup {
           .as("only_window_chars"))
   }
 
+  /** Stand-in benchmark selection for [[benchmarkContamination]]'s
+    * registration: every ~50th document by content hash plays the
+    * external eval set (so contamination exists by construction — the
+    * members themselves plus their planted near-dups sit in the corpus).
+    * A real deployment passes the actual benchmark table; nothing below
+    * depends on the eval frame's origin.
+    */
+  val EvalSampleMod = 50L
+  val EvalSampleSeed = 61
+
+  /** Window length and min shared distinct windows for the
+    * contamination verdict (2 disjoint-ish 8-gram hits ≈ a 9+-token
+    * shared passage — one shared window can be a common idiom).
+    */
+  val ContamMinShared = 2L
+
+  /** BENCHMARK DECONTAMINATION scan — the pre-training hygiene step
+    * every serious pipeline runs (GPT-3 appendix C, The Pile, Llama):
+    * flag corpus documents sharing ≥ `minShared` distinct `k`-token
+    * windows with ANY document of an EVAL set, so test questions the
+    * model will be scored on are removed from (or at least known in)
+    * the training data. Unlike the corpus×corpus pair miners this is
+    * corpus×SMALL-EXTERNAL: the eval side is a benchmark (MBs at 100 TB
+    * scale), so its distinct window fingerprints broadcast and the scan
+    * costs one corpus n-gram pass + a broadcast hash join — no shuffle
+    * of corpus grams at all when the eval side fits, and the output is
+    * bounded by true contamination, not corpus size.
+    *
+    * One row per contaminated (corpus doc, eval doc) pair:
+    * (doc_id, eval_id, shared_ngrams) — distinct shared windows, so a
+    * repeated idiom inside one doc counts once. An eval member present
+    * verbatim in the corpus flags itself (doc_id == eval_id, the removal
+    * case); near-copies flag with fewer shared windows.
+    */
+  def benchmarkContamination(
+      documents: DataFrame, eval: DataFrame,
+      k: Int = 8, minShared: Long = ContamMinShared): DataFrame =
+    contaminationProbe(documents, docGrams(eval, "eval_id", k), k, minShared)
+
+  /** Distinct k-token window fingerprints per document — the frame both
+    * contamination sides reduce to.
+    */
+  private[graft] def docGrams(df: DataFrame, idAs: String, k: Int = 8): DataFrame = {
+    import graft.functions.NgramExpressions.ngramFingerprints
+    df.select(col("doc_id").as(idAs),
+        explode(ngramFingerprints(split(col("text"), " "), k)).as("h"))
+      .select(col(idAs), col("h.h1").as("h1"), col("h.h2").as("h2"))
+      .distinct()
+  }
+
+  /** The probe tail shared by [[benchmarkContamination]] and the
+    * streaming per-micro-batch twin: corpus-side grams against an
+    * already-built (and, in the stream, FROZEN) eval gram index.
+    */
+  private[graft] def contaminationProbe(
+      docs: DataFrame, evalGrams: DataFrame,
+      k: Int, minShared: Long): DataFrame =
+    graft.Parallelism.ensure(docGrams(docs, "doc_id", k))
+      .join(broadcast(evalGrams), Seq("h1", "h2"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+
+  /** The deterministic stand-in eval frame (see [[EvalSampleMod]]). */
+  def evalSample(documents: DataFrame): DataFrame =
+    documents.where(
+      pmod(graft.functions.HashFunctions.md5Long(
+        col("doc_id").cast("string"), EvalSampleSeed), lit(EvalSampleMod)) === 0)
+
   /** Jaccard bucket width (milli) for [[lshThresholdCurve]]. */
   val CurveBucketMilli = 50L
 

@@ -439,6 +439,47 @@ object DocumentStreams {
     result
   }
 
+  /** STREAMING benchmark-contamination gate —
+    * `Dedup.benchmarkContamination` as an ingestion-time filter: the
+    * eval set's distinct window fingerprints are the FROZEN artifact
+    * (benchmarks are static by definition), each arriving micro-batch
+    * probes through the SHARED `Dedup.contaminationProbe`. Verdicts are
+    * doc-local given the frozen index, so the union over batches equals
+    * the batch scan row for row and both share one oracle.
+    */
+  def benchmarkContaminationToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, dir)
+    val evalGrams = Dedup.docGrams(Dedup.evalSample(docs), "eval_id")
+      .localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_contam")
+    java.nio.file.Files.createDirectories(tmp.resolve("out"))
+    val stream = rawSource(spark, dir)
+    EventStreams.withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          Dedup.contaminationProbe(batch, evalGrams, k = 8,
+              minShared = Dedup.ContamMinShared)
+            .write.mode("overwrite")
+            .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("eval_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shared_ngrams", org.apache.spark.sql.types.LongType)))
+    val result = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(tmp.resolve("out").toString)
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    result
+  }
+
   /** STREAMING incremental DOMAIN token budget —
     * `Domains.incrementalDomainBudget` as continuous ingestion: the
     * corpus's dense per-(domain, bucket) spend grid and the slim hashed

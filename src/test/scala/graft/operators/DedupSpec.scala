@@ -399,6 +399,50 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  test("benchmarkContamination: verbatim member self-flags, near-copy flags, idiom does not") {
+    def h60(seed: Int, x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$x".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    // ids the registration's content-hash draw puts in the eval set
+    val evalIds = (1L to 2000L)
+      .filter(i => h60(Dedup.EvalSampleSeed, i.toString) % Dedup.EvalSampleMod == 0)
+    val plainIds = (1L to 2000L).filterNot(evalIds.contains)
+    val ev = evalIds.head // the benchmark doc, present verbatim in corpus
+    val Seq(nearId, idiomId, cleanId, otherEv) =
+      plainIds.take(3) :+ evalIds(1)
+    val bench = "what is the capital of france paris is the answer here"
+    val d = docs(
+      ev -> bench,                                            // the member itself
+      nearId -> s"$bench plus some extra trailing context",   // superset copy
+      // exactly ONE shared 8-window (the first 8 tokens), then diverges:
+      idiomId -> "what is the capital of france paris is maybe lyon perhaps",
+      cleanId -> "completely unrelated text about weather patterns in the north",
+      otherEv -> "another benchmark question entirely about chemistry topics from the second set")
+    val got = Dedup.benchmarkContamination(d, Dedup.evalSample(d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the verbatim member flags itself with all its windows
+    assert(got((ev, ev)) === 4L) // 11 tokens -> 4 distinct 8-windows
+    // the superset near-copy shares all 4 of the member's windows
+    assert(got((nearId, ev)) === 4L)
+    // one shared window is below the >=2 threshold: the idiom doc is clean
+    assert(!got.contains((idiomId, ev)))
+    assert(!got.keys.exists(_._1 == cleanId))
+    // the other eval member self-flags too, against itself only
+    assert(got.keys.filter(_._2 == otherEv).map(_._1).toSet === Set(otherEv))
+    // streaming twin answers row for row on the real corpus
+    val batch = Dedup.benchmarkContamination(
+      graft.Tables.documents(spark, sf("sf0.001")),
+      Dedup.evalSample(graft.Tables.documents(spark, sf("sf0.001")))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = graft.streaming.DocumentStreams
+      .benchmarkContaminationToBatch(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "the corpus's planted dups must contaminate the eval draw")
+  }
+
   test("lshThresholdCurve: closed-form S-curve columns + planted pair mass in the right buckets") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val nearDup = base.replace("delta", "DELTA-EDIT")
