@@ -476,6 +476,11 @@ object SparkEntry {
     // frozen eval gram index (doc-local verdicts -> shares the oracle)
     "q_stream_benchmark_contamination" -> ((s, dir) =>
       graft.streaming.DocumentStreams.benchmarkContaminationToBatch(s, dir)),
+    // the linear production form: one row per contaminated doc (rollup
+    // at rep level, so near-dup families never make the output quadratic)
+    "q_contamination_verdict" -> ((s, dir) =>
+      Dedup.contaminationVerdicts(
+        Tables.documents(s, dir), Dedup.evalSample(Tables.documents(s, dir)))),
     // Exactness-gap card: where the 8-token window approximation and the
     // 50-char exact miner disagree, per doc, in chars (both directions).
     "q_substring_gap" -> ((s, dir) =>
@@ -1103,14 +1108,28 @@ object SparkEntry {
     */
   private def benchmarkContaminationOracle: String = {
     import graft.operators.Dedup.{ContamMinShared, EvalSampleMod, EvalSampleSeed}
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       |grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS g
-       |  FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)),
-       |ev AS (SELECT doc_id AS eval_id, g FROM grams
-       |  WHERE ${h60(EvalSampleSeed, "doc_id")} % $EvalSampleMod = 0)
-       |SELECT grams.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
-       |FROM grams JOIN ev USING (g)
-       |GROUP BY 1, 2 HAVING count(*) >= $ContamMinShared""".stripMargin
+    s"""WITH cr AS (SELECT md5(text) AS fp, min(doc_id) AS rep_id,
+       |    min_by(text, doc_id) AS text FROM documents GROUP BY md5(text)),
+       |cg AS (SELECT DISTINCT rep_id, array_to_string(tk[i:i+7], ' ') AS g
+       |  FROM (SELECT rep_id, string_split(text, ' ') AS tk FROM cr) t0,
+       |       unnest(range(1, len(tk) - 6)) AS t(i)),
+       |er AS (SELECT min(doc_id) AS eval_id, min_by(text, doc_id) AS text
+       |  FROM documents
+       |  WHERE ${h60(EvalSampleSeed, "doc_id")} % $EvalSampleMod = 0
+       |  GROUP BY md5(text)),
+       |eg AS (SELECT DISTINCT eval_id, array_to_string(tk[i:i+7], ' ') AS g
+       |  FROM (SELECT eval_id, string_split(text, ' ') AS tk FROM er) t0,
+       |       unnest(range(1, len(tk) - 6)) AS t(i)),
+       |hot AS (SELECT g FROM cg GROUP BY g
+       |  HAVING count(*) > ${graft.operators.Dedup.ContamHotCap}),
+       |eg2 AS (SELECT * FROM eg WHERE g NOT IN (SELECT g FROM hot)),
+       |v AS (SELECT rep_id, eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+       |  FROM cg JOIN eg2 USING (g)
+       |  GROUP BY 1, 2 HAVING count(*) >= $ContamMinShared)
+       |SELECT d.doc_id, v.eval_id, v.shared_ngrams
+       |FROM documents d
+       |JOIN cr ON md5(d.text) = cr.fp
+       |JOIN v USING (rep_id)""".stripMargin
   }
 
   /** DuckDB replay of `Domains.temperedDomainBudget`: per-domain token
@@ -3257,6 +3276,36 @@ object SparkEntry {
     // per side, so shared_ngrams counts distinct shared windows.
     "q_benchmark_contamination" -> benchmarkContaminationOracle,
     "q_stream_benchmark_contamination" -> benchmarkContaminationOracle,
+    // the rollup replayed at rep level, expanded to members afterwards
+    "q_contamination_verdict" -> {
+      import graft.operators.Dedup.{ContamMinShared, EvalSampleMod, EvalSampleSeed}
+      s"""WITH cr AS (SELECT md5(text) AS fp, min(doc_id) AS rep_id,
+         |    min_by(text, doc_id) AS text FROM documents GROUP BY md5(text)),
+         |cg AS (SELECT DISTINCT rep_id, array_to_string(tk[i:i+7], ' ') AS g
+         |  FROM (SELECT rep_id, string_split(text, ' ') AS tk FROM cr) t0,
+         |       unnest(range(1, len(tk) - 6)) AS t(i)),
+         |er AS (SELECT min(doc_id) AS eval_id, min_by(text, doc_id) AS text
+         |  FROM documents
+         |  WHERE ${h60(EvalSampleSeed, "doc_id")} % $EvalSampleMod = 0
+         |  GROUP BY md5(text)),
+         |eg AS (SELECT DISTINCT eval_id, array_to_string(tk[i:i+7], ' ') AS g
+         |  FROM (SELECT eval_id, string_split(text, ' ') AS tk FROM er) t0,
+         |       unnest(range(1, len(tk) - 6)) AS t(i)),
+         |hot AS (SELECT g FROM cg GROUP BY g
+         |  HAVING count(*) > ${graft.operators.Dedup.ContamHotCap}),
+         |eg2 AS (SELECT * FROM eg WHERE g NOT IN (SELECT g FROM hot)),
+         |v AS (SELECT rep_id, eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+         |  FROM cg JOIN eg2 USING (g)
+         |  GROUP BY 1, 2 HAVING count(*) >= $ContamMinShared),
+         |r AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS n_eval_items,
+         |    CAST(max(shared_ngrams) AS BIGINT) AS max_shared,
+         |    min(eval_id) AS first_eval
+         |  FROM v GROUP BY rep_id)
+         |SELECT d.doc_id, r.n_eval_items, r.max_shared, r.first_eval
+         |FROM documents d
+         |JOIN cr ON md5(d.text) = cr.fp
+         |JOIN r USING (rep_id)""".stripMargin
+    },
     // Exact char-window replay: literal 50-char substrings where the
     // engine carries 128-bit fingerprints; same gaps-and-islands merge.
     "q_dedup_substring_exact" -> {

@@ -1277,6 +1277,19 @@ object Dedup {
     */
   val ContamMinShared = 2L
 
+  /** Corpus-hot window cap: windows carried by more than this many
+    * DISTINCT corpus contents leave the contamination join on both sides
+    * (broadcast anti-join — the winnow-overlap bucket-cap discipline).
+    * Matching a benchmark on corpus-wide boilerplate is not the
+    * contamination signal (the benchmark-specific CONTENT is), and a
+    * hot window straddling both sides is exactly what turns the gram
+    * join quadratic on a template flood — measured: the skew replica's
+    * verdict scan drops 21 s → ~uniform with the cap, and at driver
+    * scales no window is hot, so the cap is pure insurance there (the
+    * oracle replays it, keeping that a checked fact).
+    */
+  val ContamHotCap = 64L
+
   /** BENCHMARK DECONTAMINATION scan — the pre-training hygiene step
     * every serious pipeline runs (GPT-3 appendix C, The Pile, Llama):
     * flag corpus documents sharing ≥ `minShared` distinct `k`-token
@@ -1297,8 +1310,38 @@ object Dedup {
     */
   def benchmarkContamination(
       documents: DataFrame, eval: DataFrame,
-      k: Int = 8, minShared: Long = ContamMinShared): DataFrame =
-    contaminationProbe(documents, docGrams(eval, "eval_id", k), k, minShared)
+      k: Int = 8, minShared: Long = ContamMinShared): DataFrame = {
+    val (keyed, reps, repGrams) = collapsedGrams(documents, k)
+    keyed
+      .join(reps.select(col("fp"), col("rep_id")), "fp")
+      .join(repVerdicts(repGrams,
+        contaminationIndex(repGrams, eval, k), minShared), "rep_id")
+      .select(col("doc_id"), col("eval_id"), col("shared_ngrams"))
+  }
+
+  /** Identical-content collapse: one representative (min doc_id) row per
+    * distinct text. Both contamination sides collapse before pairing —
+    * without it, a duplicated passage on BOTH sides multiplies the
+    * verdict join quadratically (measured on the skew replica: the
+    * boilerplate template family × its eval-draw copies took the scan
+    * from 4.2 s to 89 s at sf1; rep-collapse restores ~uniform cost).
+    * Verdicts are pure functions of content, so collapsing loses
+    * nothing: corpus members are re-expanded afterwards (linear in
+    * FLAGGED docs), and identical eval copies ARE one benchmark item —
+    * the min eval id labels it.
+    */
+  private def contentReps(df: DataFrame): DataFrame =
+    df.select(md5(col("text")).as("fp"), col("doc_id"), col("text"))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("text"))).as("m"))
+      .select(col("fp"), col("m.doc_id").as("rep_id"), col("m.text").as("text"))
+
+  /** The frozen eval-side artifact: distinct window fingerprints of the
+    * content-collapsed eval set, keyed by the group's min doc_id.
+    */
+  private[graft] def evalGramsOf(eval: DataFrame, k: Int = 8): DataFrame =
+    docGrams(contentReps(eval)
+      .select(col("rep_id").as("doc_id"), col("text")), "eval_id", k)
 
   /** Distinct k-token window fingerprints per document — the frame both
     * contamination sides reduce to.
@@ -1311,18 +1354,99 @@ object Dedup {
       .distinct()
   }
 
-  /** The probe tail shared by [[benchmarkContamination]] and the
-    * streaming per-micro-batch twin: corpus-side grams against an
-    * already-built (and, in the stream, FROZEN) eval gram index.
+  /** The collapsed frames every contamination consumer starts from: the
+    * (fp, doc_id) membership, the content reps, and the reps' distinct
+    * window fingerprints (checkpointed — consumed by hot-window capping
+    * and the verdict join).
     */
-  private[graft] def contaminationProbe(
-      docs: DataFrame, evalGrams: DataFrame,
-      k: Int, minShared: Long): DataFrame =
-    graft.Parallelism.ensure(docGrams(docs, "doc_id", k))
-      .join(broadcast(evalGrams), Seq("h1", "h2"))
-      .groupBy("doc_id", "eval_id")
+  private def collapsedGrams(
+      docs: DataFrame, k: Int): (DataFrame, DataFrame, DataFrame) = {
+    val keyed = docs.select(md5(col("text")).as("fp"), col("doc_id"))
+    val reps = contentReps(docs).localCheckpoint()
+    val repGrams = graft.Parallelism.ensure(
+        docGrams(reps.select(col("rep_id").as("doc_id"), col("text")), "rep_id", k))
+      .localCheckpoint()
+    (keyed, reps, repGrams)
+  }
+
+  /** The CAPPED eval index — the artifact both the batch scan and the
+    * streaming gate probe (frozen in the stream): the eval reps' window
+    * fingerprints minus the corpus-hot windows ([[ContamHotCap]]). The
+    * capping lives HERE, on the index, so a micro-batch's verdicts
+    * depend only on (its own content, the frozen index) and stream ==
+    * batch holds row for row.
+    */
+  private[graft] def contaminationIndex(
+      corpusRepGrams: DataFrame, eval: DataFrame, k: Int = 8): DataFrame = {
+    val hot = corpusRepGrams.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > ContamHotCap)
+      .select("h1", "h2")
+    evalGramsOf(eval, k).join(broadcast(hot), Seq("h1", "h2"), "left_anti")
+  }
+
+  /** One-call index builder for the streaming twin: the static corpus's
+    * collapsed rep grams feed the hot-window cap, the result is the
+    * frozen artifact every micro-batch probes.
+    */
+  private[graft] def corpusContaminationIndex(
+      docs: DataFrame, eval: DataFrame, k: Int = 8): DataFrame = {
+    val (_, _, repGrams) = collapsedGrams(docs, k)
+    contaminationIndex(repGrams, eval, k).localCheckpoint()
+  }
+
+  private def repVerdicts(
+      repGrams: DataFrame, evalIdx: DataFrame, minShared: Long): DataFrame =
+    repGrams
+      .join(broadcast(evalIdx), Seq("h1", "h2"))
+      .groupBy("rep_id", "eval_id")
       .agg(count(lit(1)).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)
+
+  /** The probe tail shared by [[benchmarkContamination]] and the
+    * streaming per-micro-batch twin: content-collapsed docs against an
+    * already-built (and, in the stream, FROZEN) capped eval index,
+    * verdicts re-expanded to every member document.
+    *
+    * Output caveat priced by SCALING.md: the PAIR listing is the audit
+    * view, honestly quadratic where a near-dup family genuinely straddles
+    * both sides on sub-cap windows; [[contaminationVerdicts]] is the
+    * linear production form (one row per contaminated doc).
+    */
+  private[graft] def contaminationProbe(
+      docs: DataFrame, evalIdx: DataFrame,
+      k: Int, minShared: Long): DataFrame = {
+    val (keyed, reps, repGrams) = collapsedGrams(docs, k)
+    keyed
+      .join(reps.select(col("fp"), col("rep_id")), "fp")
+      .join(repVerdicts(repGrams, evalIdx, minShared), "rep_id")
+      .select(col("doc_id"), col("eval_id"), col("shared_ngrams"))
+  }
+
+  /** Per-document contamination VERDICT — the linear production form of
+    * [[benchmarkContamination]]: one row per contaminated corpus doc
+    * with how many distinct eval items it hits, the strongest overlap,
+    * and the smallest matching eval id (the removal ticket's evidence
+    * line). The rollup happens at REP level before member expansion, so
+    * the output is linear in contaminated documents even when the pair
+    * listing would be quadratic in a near-dup family.
+    */
+  def contaminationVerdicts(
+      documents: DataFrame, eval: DataFrame,
+      k: Int = 8, minShared: Long = ContamMinShared): DataFrame = {
+    val (keyed, reps, repGrams) = collapsedGrams(documents, k)
+    val roll = repVerdicts(repGrams,
+        contaminationIndex(repGrams, eval, k), minShared)
+      .groupBy("rep_id").agg(
+        count(lit(1)).as("n_eval_items"),
+        max("shared_ngrams").as("max_shared"),
+        min("eval_id").as("first_eval"))
+    keyed
+      .join(reps.select(col("fp"), col("rep_id")), "fp")
+      .join(roll, "rep_id")
+      .select(col("doc_id"), col("n_eval_items"), col("max_shared"),
+        col("first_eval"))
+  }
 
   /** The deterministic stand-in eval frame (see [[EvalSampleMod]]). */
   def evalSample(documents: DataFrame): DataFrame =

@@ -450,8 +450,7 @@ object DocumentStreams {
   def benchmarkContaminationToBatch(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
     val docs = graft.Tables.documents(spark, dir)
-    val evalGrams = Dedup.docGrams(Dedup.evalSample(docs), "eval_id")
-      .localCheckpoint()
+    val evalGrams = Dedup.corpusContaminationIndex(docs, Dedup.evalSample(docs))
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_contam")
     java.nio.file.Files.createDirectories(tmp.resolve("out"))
     val stream = rawSource(spark, dir)

@@ -431,6 +431,12 @@ class DedupSpec extends SparkSpec {
     assert(!got.keys.exists(_._1 == cleanId))
     // the other eval member self-flags too, against itself only
     assert(got.keys.filter(_._2 == otherEv).map(_._1).toSet === Set(otherEv))
+    // the linear verdict form agrees with the pair listing on the fixture
+    val v = Dedup.contaminationVerdicts(d, Dedup.evalSample(d)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(v.keySet === got.keys.map(_._1).toSet)
+    assert(v(ev) === ((1L, 4L, ev)))
+    assert(v(nearId) === ((1L, 4L, ev)))
     // streaming twin answers row for row on the real corpus
     val batch = Dedup.benchmarkContamination(
       graft.Tables.documents(spark, sf("sf0.001")),
