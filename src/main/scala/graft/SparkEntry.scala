@@ -2578,13 +2578,17 @@ object SparkEntry {
     // the hash match IS the bounds check (the raw HLL++/quantile-sketch
     // estimates themselves are not engine-portable).
     "sketch_summary" ->
-      """SELECT l_returnflag,
-        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  TRUE AS hll_orders_in_band, TRUE AS hll_parts_in_band,
-        |  TRUE AS p50_in_band, TRUE AS p99_in_band
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      s"""SELECT l_returnflag,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  TRUE AS hll_orders_in_band, TRUE AS hll_parts_in_band,
+         |  TRUE AS p50_in_band, TRUE AS p99_in_band,
+         |  sum(CASE WHEN ${h60(Relational.SketchSampleSeed,
+             "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")}
+         |        % ${Relational.SketchSampleMod} = 0 THEN 1 ELSE 0 END)
+         |    >= ${Relational.SketchRailMinN} AS pct_rail_checked
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -853,6 +853,16 @@ object Relational {
   val SketchSampleSeed = 29
   val SketchSampleZ = 5.0
 
+  /** Minimum per-group sample size for the percentile rank rail to count
+    * as CHECKED. Below this, the z-slack is so wide the band is close to
+    * vacuous (at n_s < ~7 the p50 slack alone exceeds 1.0), so
+    * [[sketchSummary]] reports `pct_rail_checked = false` instead of
+    * letting a vacuous TRUE masquerade as a verified bound. The oracle
+    * replays the exact same deterministic 1/16 sample count in DuckDB,
+    * so this column is hash-checked, not asserted.
+    */
+  val SketchRailMinN = 100L
+
   /** Sketch aggregates — the fixed-size-state approximations that replace
     * exact distinct/percentile at 100 TB: HyperLogLog++ distinct counts
     * (`approx_count_distinct`, mergeable across partitions, ~few KB of
@@ -907,15 +917,15 @@ object Relational {
         lit(SketchSampleMod)) === 0)
       .select(col("l_returnflag"), col("l_extendedprice"))
     // rank of each sketch estimate within the sample: [below, at-or-below]
-    // brackets make the check exact under ties. The HLL estimates ride
-    // along (min == the single per-group value) so `approx` is scanned
-    // exactly once.
+    // brackets make the check exact under ties. Only the percentile
+    // array rides into the rail — the HLL estimates do not depend on
+    // the sample at all, so they are checked directly against
+    // exactCounts below instead of being degraded through this join.
     val rail = sampled
-      .join(broadcast(approx), Seq("l_returnflag"))
+      .join(broadcast(approx.select(col("l_returnflag"), col("pa"))),
+        Seq("l_returnflag"))
       .groupBy("l_returnflag")
       .agg(
-        min(col("approx_orders")).as("approx_orders"),
-        min(col("approx_parts")).as("approx_parts"),
         count(lit(1)).as("n_s"),
         sum(when(col("l_extendedprice") < element_at(col("pa"), 1), 1L)
           .otherwise(0L)).as("below50"),
@@ -931,24 +941,32 @@ object Relational {
       below / col("n_s") <= lit(p) + slack &&
         atOrBelow / col("n_s") >= lit(p) - slack
     }
-    // LEFT join + coalesce(true): a group the 1/16 sample misses entirely
-    // (possible only on sub-16-row spec fixtures; deterministic, so never
-    // at data scale) passes its bands vacuously — HLL is exact at such
-    // cardinalities anyway, so the vacuous TRUE equals the checked value.
+    // The HLL bands come from an INNER join of the two full-scan
+    // aggregates (identical group sets by construction) — no sample
+    // dependency, no coalesce. The percentile bands still LEFT-join the
+    // rail: a group the 1/16 sample misses entirely (possible only on
+    // sub-16-row spec fixtures; deterministic, so never at data scale)
+    // passes vacuously — and `pct_rail_checked` makes that vacuous pass
+    // VISIBLE: it is true only when the group's sample reached
+    // [[SketchRailMinN]], replayed exactly by the oracle's own count of
+    // the same deterministic sample.
     exactCounts
+      .join(broadcast(approx.drop("pa")), Seq("l_returnflag"))
       .join(broadcast(rail), Seq("l_returnflag"), "left")
       .select(
         col("l_returnflag"), col("exact_orders"), col("exact_parts"), col("n_rows"),
-        coalesce(abs(col("approx_orders") - col("exact_orders"))
-          <= lit(SketchRsdMargin * rsd) * col("exact_orders"), lit(true))
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= lit(SketchRsdMargin * rsd) * col("exact_orders"))
           .as("hll_orders_in_band"),
-        coalesce(abs(col("approx_parts") - col("exact_parts"))
-          <= lit(SketchRsdMargin * rsd) * col("exact_parts"), lit(true))
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= lit(SketchRsdMargin * rsd) * col("exact_parts"))
           .as("hll_parts_in_band"),
         coalesce(inBand(0.5, col("below50"), col("ale50")), lit(true))
           .as("p50_in_band"),
         coalesce(inBand(0.99, col("below99"), col("ale99")), lit(true))
-          .as("p99_in_band"))
+          .as("p99_in_band"),
+        coalesce(col("n_s") >= lit(SketchRailMinN), lit(false))
+          .as("pct_rail_checked"))
   }
 
   /** Global top-k over a computed measure — TakeOrderedAndProject again,

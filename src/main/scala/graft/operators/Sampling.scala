@@ -208,9 +208,17 @@ object Sampling {
       .withColumn("cum", sum("tn").over(cumW)))
     // the crossing bucket: first hb where the running token mass
     // reaches the budget; a key that never crosses has no row here
-    // and passes through whole
+    // and passes through whole. The lower bound is clamped at 1 so a
+    // budget <= 0 still crosses at the key's FIRST bucket (cum-tn = 0):
+    // without the clamp, cum-tn >= 0 could never be < a non-positive
+    // budget, no cutoff row would exist, and the key would pass through
+    // WHOLE — the opposite of "budget 0 keeps nothing" (and of the
+    // oracle's cum_before < budget rule). With the first bucket as
+    // cutoff, base = 0 and the tie stage's base+before < budget keeps
+    // zero rows, so the key is dropped entirely.
     val cutoff = hist
-      .where(col("cum") >= col("budget") && col("cum") - col("tn") < col("budget"))
+      .where(col("cum") >= col("budget") &&
+        col("cum") - col("tn") < greatest(col("budget"), lit(1L)))
       .select(col(key), col("hb").as("cut_hb"),
         (col("cum") - col("tn")).as("base"), col("budget"))
       .localCheckpoint() // ≤ one row per key

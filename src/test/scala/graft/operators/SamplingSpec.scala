@@ -420,7 +420,12 @@ class SamplingSpec extends SparkSpec {
       assert(gotK === wantK, s"smallestKPerKey trial $trial (target $target)")
 
       val budFrame = rows.toDF("doc_id", "key", "tok", "h")
-      val budget = 1L + rnd.nextInt(250)
+      // budget range deliberately includes 0 and negative values: a
+      // tempered per-key share can floor to 0 on a long-tailed real
+      // domain distribution, and the kernel must then keep NOTHING
+      // (the oracle's cum_before < budget rule), not pass the key
+      // through whole.
+      val budget = rnd.nextInt(253).toLong - 2L
       val gotB = Sampling.tokenBudgetByKey(budFrame, "key", budget)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       val wantB = rows.groupBy(_._2).flatMap { case (_, rs) =>
@@ -430,5 +435,21 @@ class SamplingSpec extends SparkSpec {
       }.map(r => (r._1, r._2, r._3)).toSet
       assert(gotB === wantB, s"tokenBudgetByKey trial $trial (budget $budget)")
     }
+  }
+
+  test("tokenBudgetPerKey: budget 0 / negative keeps nothing, mixed with live keys") {
+    import spark.implicits._
+    // Deterministic frame: 3 keys x 4 docs, tok 5 each, h = doc order.
+    val rows = for (k <- Seq("a", "b", "c"); i <- 1 to 4)
+      yield ((k.hashCode.toLong * 10 + i), k, 5L, (i * 300).toLong)
+    val frame = rows.toDF("doc_id", "key", "tok", "h")
+    val budgets = Seq(("a", 0L), ("b", -7L), ("c", 12L)).toDF("key", "budget")
+    val got = Sampling.tokenBudgetPerKey(frame, "key", budgets)
+      .select("key", "doc_id").as[(String, Long)].collect().toSet
+    // a: budget 0 -> nothing; b: negative -> nothing; c: 12 tokens ->
+    // docs with cum_before 0,5,10 < 12 -> first 3 docs in h order.
+    val wantC = rows.filter(_._2 == "c").sortBy(_._4).take(3)
+      .map(r => ("c", r._1)).toSet
+    assert(got === wantC)
   }
 }

@@ -251,7 +251,28 @@ class SketchSpec extends SparkSpec {
       // the band booleans ARE the sketch-error assertion (and what the
       // DuckDB oracle hashes against literal TRUEs)
       (4 to 7).foreach(i => assert(a.getBoolean(i), s"$flag band column $i"))
+      // the rail is genuinely CHECKED at this scale (n_s >= SketchRailMinN,
+      // ~1/16 of each group) — the oracle recounts the same sample
+      assert(a.getBoolean(8), s"$flag pct_rail_checked")
     }
+  }
+
+  test("sketch summary: pct_rail_checked is false when the sample is too small to check") {
+    import spark.implicits._
+    // 32 rows in one group -> ~2 sampled rows, far below SketchRailMinN:
+    // the percentile bands pass (vacuously or near-vacuously) but the
+    // checked flag must say so instead of letting TRUE masquerade as a
+    // verified bound. HLL bands are computed WITHOUT the sample and must
+    // still be real checks (exact at this cardinality).
+    val li = (1 to 32).map(i => (i.toLong, i, "N", i.toLong,
+        java.math.BigDecimal.valueOf(i * 100L, 2)))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_partkey",
+        "l_extendedprice")
+    val r = Relational.sketchSummary(li).collect()
+    assert(r.length === 1)
+    assert(!r.head.getBoolean(8), "tiny fixture must report unchecked rail")
+    assert(r.head.getBoolean(4) && r.head.getBoolean(5),
+      "HLL bands are sample-independent and exact at n=32")
   }
 
   test("tableDigest: order/partitioning-invariant; any single-value change flips it") {
