@@ -100,6 +100,25 @@ object GraftFunctions {
       exprs => {
         requireArity("exp_fixed", exprs, 1)
         graft.functions.FixedPointExp(integralToLong(exprs(0)))
+      }),
+    // nfc_normalize(s) / nfkc_normalize(s) — canonical / compatibility
+    // Unicode composition (same name + semantics as DuckDB's builtin, so
+    // SQL written against the oracle engine runs here unchanged)
+    (
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.UnicodeNormalize].getName, "nfc_normalize"),
+      exprs => {
+        requireArity("nfc_normalize", exprs, 1)
+        graft.functions.UnicodeNormalize(exprs(0))
+      }),
+    (
+      FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.UnicodeNormalize].getName, "nfkc_normalize"),
+      exprs => {
+        requireArity("nfkc_normalize", exprs, 1)
+        graft.functions.UnicodeNormalize(exprs(0), compatibility = true)
       }))
 
   /** `SELECT ln_fixed(5)` / `exp_fixed(5)` must analyze: narrower integral

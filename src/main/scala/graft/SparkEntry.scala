@@ -835,12 +835,15 @@ object SparkEntry {
   )
 
   /** DuckDB fragments shared by the text oracles. Tokenization and 3-gram
-    * shingling mirror TextFunctions.{tokens,shingles} exactly; the 60-bit
-    * seeded hash mirrors HashFunctions.md5Long (15 hex chars of
-    * md5("<seed>:<x>") parsed as an integer).
+    * shingling mirror TextFunctions.{tokens,shingles} exactly — including
+    * the r14 NFC composition (DuckDB's `nfc_normalize` == the engine's
+    * codegen'd [[graft.functions.UnicodeNormalize]]; identity on the
+    * ASCII testdata, load-bearing on mixed-normalization crawl text).
+    * The 60-bit seeded hash mirrors HashFunctions.md5Long (15 hex chars
+    * of md5("<seed>:<x>") parsed as an integer).
     */
   private val tokCte =
-    "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents"
+    "SELECT doc_id, regexp_split_to_array(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents"
 
   /** The `Splits.splitOf` 90/5/5 hash CASE over an arbitrary SQL
     * expression — thresholds and seed interpolated from the operator.

@@ -18,12 +18,35 @@ object TextFunctions {
     */
   val PunctTrimPattern = "^[.,!?:;\"']+|[.,!?:;\"']+$"
 
-  /** Whitespace tokenization. `split` (unlike Go's `strings.Fields`,
-    * reference `mapreduce/mapreduce.go:33`) can emit empty tokens on
-    * leading/trailing whitespace — the empty filter downstream absorbs the
-    * difference (SURVEY §7.3).
+  /** Canonical Unicode composition (NFC) — the codegen'd
+    * [[UnicodeNormalize]] expression, identity (one allocation-free byte
+    * scan) on pure-ASCII text. Applied before every identity-bearing
+    * tokenize/shingle below so "café" in NFC and NFD is ONE word and ONE
+    * shingle set — without it, mixed-normalization crawl data silently
+    * deflates dedup recall and inflates vocabulary counts. The DuckDB
+    * oracle mirrors it with its built-in `nfc_normalize`.
     */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      UnicodeNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** NFKC variant (also folds width/ligature compatibility forms) — for
+    * callers wanting the aggressive fold; not on the oracle-checked path
+    * (DuckDB has no NFKC builtin to replay).
+    */
+  def nfkc(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      UnicodeNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        compatibility = true))
+
+  /** Whitespace tokenization, after [[nfc]] composition. `split` (unlike
+    * Go's `strings.Fields`, reference `mapreduce/mapreduce.go:33`) can
+    * emit empty tokens on leading/trailing whitespace — the empty filter
+    * downstream absorbs the difference (SURVEY §7.3).
+    */
+  def tokens(text: Column): Column = split(nfc(text), "\\s+")
 
   /** lowercase then trim-punct, in the reference's order. */
   def normalizeWord(word: Column): Column =
@@ -63,7 +86,7 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column =
     flatten(transform(
-      array(slice(split(trim(text), "\\s+"), 1, MaxShingleTokens)),
+      array(slice(split(trim(nfc(text)), "\\s+"), 1, MaxShingleTokens)),
       toks =>
         when(
           size(toks) >= n,
