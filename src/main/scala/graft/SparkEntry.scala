@@ -750,6 +750,19 @@ object SparkEntry {
     // replayed by the oracle (integer-quantized means are bit-portable).
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTopK(requireOracleDim(Tables.embeddings(s, dir)), trainIters = 2)),
+    // Train-once/apply-everywhere (r14): the SAME trained probe, but the
+    // centroids/codebooks come from the persisted CentroidStore artifact —
+    // k-means runs once per corpus ever; the apply path reads nLists (or
+    // M×K) parquet rows and probes. Hash-identical to the retrain forms,
+    // so these share their oracles verbatim.
+    "ann_ivf_stored" -> ((s, dir) => {
+      requireOracleDim(Tables.embeddings(s, dir))
+      Similarity.ivfTopKStored(s, dir)
+    }),
+    "ann_pq_stored" -> ((s, dir) => {
+      requireOracleDim(Tables.embeddings(s, dir))
+      ProductQuantization.pqTopKStored(s, dir)
+    }),
     // Product quantization: subspace k-means codebooks → 8-byte codes →
     // exhaustive ADC scan → exact rerank; the whole pipeline (training
     // included) is replayed by the oracle.
@@ -5436,6 +5449,10 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_trained" -> annIvfTrainedOracle,
+    // the stored-probe twins replay the identical trained pipeline — the
+    // store round-trips exact float32 bits, so the result hashes match
+    "ann_ivf_stored" -> annIvfTrainedOracle,
+    "ann_pq_stored" -> annPqOracle,
     "q_semdedup" -> semDeDupOracle,
     "q_sample_diverse" -> cellBalancedSampleOracle,
     // retrieval eval: exact-cosine global rank per query, label relevance,

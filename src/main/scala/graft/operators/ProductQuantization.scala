@@ -250,6 +250,29 @@ object ProductQuantization {
     exactRerank(cand, emb, k)
   }
 
+  /** [[pqTopK]] against the PERSISTED codebooks ([[CentroidStore]]): the
+    * per-subspace k-means runs once per (dir, iters) ever; afterwards the
+    * apply path reads back M×K parquet rows and runs encode + ADC +
+    * rerank only. Hash-identical to the always-retrain form, so
+    * `ann_pq_stored` shares `ann_pq`'s oracle verbatim.
+    */
+  def pqTopKStored(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 5, nQueries: Int = NumQueries,
+      rerankDepth: Int = RerankDepth): DataFrame = {
+    val embeddings = graft.Tables.embeddings(spark, dir)
+    val cb = CentroidStore.pqCodebooks(spark, dir)
+    if (cb.head.isEmpty)
+      return embeddings.where(lit(false)).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank"))
+    val emb = embeddings.localCheckpoint()
+    if (rerankDepth <= 0) return adcTopK(emb, cb, k, nQueries)
+    val cand = adcTopK(emb, cb, rerankDepth, nQueries)
+      .select("query_id", "neighbor_id")
+    exactRerank(cand, emb, k)
+  }
+
   /** IVF centroids AND PQ codebooks trained together — the fixed-cost
     * lever behind `ann_ivfpq`'s bench time. Both Lloyd's loops are the
     * same shape (assign → integer-quantized per-dimension sums → bounded

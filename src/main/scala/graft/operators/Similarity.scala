@@ -1057,6 +1057,17 @@ object Similarity {
     val centroids =
       if (trainIters > 0) trainedCentroids(embeddings, nLists, trainIters)
       else firstNCentroids(embeddings, nLists)
+    ivfProbe(embeddings, centroids, nQueries, k, nProbe)
+  }
+
+  /** The APPLY half of IVF — assignment, probe, rerank — against an
+    * already-trained centroid set. [[ivfTopK]] trains then delegates
+    * here; [[ivfTopKStored]] reads the centroids from [[CentroidStore]]
+    * and delegates here with zero training jobs.
+    */
+  private[graft] def ivfProbe(
+      embeddings: DataFrame, centroids: Array[(Int, Array[Float])],
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     if (centroids.isEmpty) {
       // empty corpus → no cells; empty result with the output schema
       return embeddings.select(
@@ -1081,6 +1092,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
       .where(col("rank") <= k)
   }
+
+  /** IVF probe against the PERSISTED trained index ([[CentroidStore]]):
+    * first invocation per (dir, nLists, iters) trains and stores; every
+    * later one reads nLists parquet rows and probes — no k-means jobs on
+    * the apply path (CentroidStoreSpec captures the executed plans and
+    * proves it). Hash-identical output to
+    * `ivfTopK(..., trainIters = iters)`, so `ann_ivf_stored` shares
+    * `ann_ivf_trained`'s oracle verbatim.
+    */
+  def ivfTopKStored(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nLists: Int = IvfLists,
+      nProbe: Int = 3, iters: Int = IvfTrainIters): DataFrame =
+    ivfProbe(
+      graft.Tables.embeddings(spark, dir),
+      CentroidStore.ivfCentroids(spark, dir, nLists, iters),
+      nQueries, k, nProbe)
 
   /** LSH-bucketed ANN with `tables` independent hash tables of `planes`
     * sign bits each: a candidate is considered if it shares a bucket with
