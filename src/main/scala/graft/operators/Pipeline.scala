@@ -264,22 +264,33 @@ object Pipeline {
     * 1-row mean broadcast, and an ≤ 8-cell rollup.
     */
   def qualityAgreement(documents: DataFrame): DataFrame = {
-    val cls = TextAnalysis.classifierScore(documents)
-      .select(col("doc_id"), col("keep").as("cls_keep"))
-    val lm = TextAnalysis.lmSurprisal(documents)
-      .select(col("doc_id"), col("n_bigrams"), col("avg_nll_f"))
-    val rare = TextAnalysis.rareBigramRate(documents)
-      .select(col("doc_id"), col("flagged").as("rare_flag"))
+    // REP-COLLAPSED end to end (r14): all three signals are pure
+    // functions of lowercased text, so the whole card runs over DISTINCT
+    // content — ONE shared grouping, per-rep signal frames, rep-keyed
+    // joins, and cell counts recovered exactly as Σm. Documents are
+    // never fanned back out; the previous per-doc form was the suite's
+    // worst second decade (8.0×/decade at sf10) precisely because every
+    // replicated copy re-paid the bigram pipeline and three doc-keyed
+    // joins. Corpus-relative stats (the LM mean) use the same m-weighted
+    // sums, so the 8 output cells are bit-identical to the per-doc form.
+    val (_, reps) = TextAnalysis.contentGroups(documents) // reps checkpointed there, read 3×
+    val cls = reps.select(col("rep"),
+      (TextAnalysis.classifierScoreOf(col("lt")) > 0).as("cls_keep"))
+    val lm = TextAnalysis.lmSurprisalByRep(reps)
+      .select(col("rep"), col("m"), col("n_bigrams"), col("avg_nll_f"))
+    val rare = TextAnalysis.rareBigramRateByRep(reps)
+      .select(col("rep"), col("flagged").as("rare_flag"))
     val lmTot = lm.where(col("n_bigrams") > 0)
-      .agg(count(lit(1)).as("n_scored"), sum("avg_nll_f").as("sum_avg"))
-    cls.join(lm, Seq("doc_id"))
-      .join(rare, Seq("doc_id"))
+      .agg(sum("m").as("n_scored"),
+        sum(col("avg_nll_f") * col("m")).as("sum_avg"))
+    cls.join(lm, Seq("rep"))
+      .join(rare, Seq("rep"))
       .crossJoin(broadcast(lmTot))
       .withColumn("lm_flag",
         col("n_bigrams") > 0 &&
           col("avg_nll_f") * col("n_scored") > col("sum_avg"))
       .groupBy("cls_keep", "lm_flag", "rare_flag")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum("m").as("n"))
   }
 
   /** The one-row corpus DATASHEET — the summary card a dataset release

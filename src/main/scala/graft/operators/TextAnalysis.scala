@@ -1727,21 +1727,91 @@ object TextAnalysis {
     * broadcast. Documents with fewer than two tokens score 0 (no bigram
     * evidence; they are the length filter's job, not the LM's).
     */
-  def lmSurprisal(documents: DataFrame): DataFrame = {
-    import graft.functions.FixedPointLn.lnF
-    val ts = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
-    val pairs = ts.where(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // the per-(doc, bigram) counts feed the LM, its totals AND the scoring
-    // join — checkpoint so the corpus is tokenized/exploded once (the
-    // rareBigramRate idiom)
-    val dbc = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+  /** REP-COLLAPSE kernel for the bigram-signal family (r14): group
+    * documents by lowercase-content fingerprint; `rep` = the group's min
+    * doc_id, `m` = its multiplicity.
+    *
+    * Why: [[lmSurprisal]] and [[rareBigramRate]] pay a corpus-
+    * proportional bigram explode + bigram-keyed join — the suite's worst
+    * second decade (8.0×/decade at sf10) because replicated content
+    * re-pays the whole pipeline per copy. Identical lowercased text has
+    * identical bigrams, so all corpus-scale work can run per DISTINCT
+    * content with corpus counts recovered EXACTLY as Σ(c·m) — the same
+    * collapse `q_neardup_exact` uses to stay near-flat across decades.
+    * Per-doc outputs are then one rep-keyed join of small rows.
+    *
+    * Cost discipline: TEXT never rides a corpus-wide shuffle or
+    * checkpoint. The grouping aggregates (doc_id, fp) pairs — 40-byte
+    * rows; the doc→rep `mapping` joins those pairs to the (checkpointed,
+    * text-free) group table; only `reps` — DISTINCT content — carries
+    * text, extracted by re-deriving fp on a second pruned scan and
+    * keeping group minima. (A first cut tagged docs via a window over
+    * (doc_id, lt, fp) and checkpointed it: the full lowercased corpus
+    * materialized per signal, 3× the card's cost at sf0.1 — measured,
+    * reverted.)
+    */
+  private[graft] def contentGroups(documents: DataFrame): (DataFrame, DataFrame) = {
+    // TEXT is scanned exactly twice, total: once to hash into the
+    // checkpointed (doc_id, fp) frame (40-byte rows — everything keyed
+    // off it after is shuffle-cheap), once to extract the DISTINCT
+    // content texts, which are then checkpointed so the bigram/vocab
+    // consumers never rescan the corpus.
+    val fps = documents
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .localCheckpoint()
-    val lm = dbc.groupBy("w1", "w2").agg(sum("c").as("n_pair"))
+    val groups = fps.groupBy("fp")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint() // one row per DISTINCT content, no text
+    val mapping = fps.join(groups.select("fp", "rep"), Seq("fp"))
+      .select("doc_id", "rep")
+    val reps = documents
+      .select(col("doc_id"), lower(col("text")).as("lt"),
+        md5(lower(col("text"))).as("fp"))
+      .join(groups, Seq("fp"))
+      .where(col("doc_id") === col("rep"))
+      .select(col("rep"), col("m"), col("lt"))
+      .localCheckpoint() // distinct-content text only
+    (mapping, reps)
+  }
+
+  def lmSurprisal(documents: DataFrame): DataFrame = {
+    val (mapping, reps) = contentGroups(documents)
+    lmSurprisalFrom(mapping, reps)
+  }
+
+  /** [[lmSurprisal]] over a prebuilt content grouping — the agreement
+    * card shares ONE grouping across both bigram signals.
+    */
+  private[graft] def lmSurprisalFrom(
+      mapping: DataFrame, reps: DataFrame): DataFrame =
+    mapping
+      .join(lmSurprisalByRep(reps).drop("m"), Seq("rep"))
+      .drop("rep")
+
+  /** The per-DISTINCT-CONTENT core of [[lmSurprisal]]: one row per rep
+    * with its multiplicity `m` — the agreement card aggregates these
+    * directly (Σm per cell) without ever fanning back out to documents.
+    */
+  private[graft] def lmSurprisalByRep(reps: DataFrame): DataFrame = {
+    import graft.functions.FixedPointLn.lnF
+    // every corpus-proportional step below runs over DISTINCT content
+    // (the reps); the m-weighted sums reproduce whole-corpus counts
+    // exactly, so the per-doc output is bit-identical to the uncollapsed
+    // form — the oracle row is untouched
+    val ts = graft.Parallelism.ensure(reps)
+      .select(col("rep"), col("m"), toks(col("lt")).as("ts"))
+    val pairs = ts.where(size(col("ts")) >= 2)
+      .select(col("rep"), col("m"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("rep"), col("m"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the per-(rep, bigram) counts feed the LM, its totals AND the scoring
+    // join — checkpoint so distinct content is tokenized/exploded once
+    val dbc = pairs.groupBy("rep", "m", "w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val lm = dbc.groupBy("w1", "w2").agg(sum(col("c") * col("m")).as("n_pair"))
     val lmTot = lm.groupBy("w1").agg(sum("n_pair").as("n_w1"))
+    // distinct vocabulary over reps == over the corpus (duplicates add
+    // no new words)
     val vocab = ts.select(explode(col("ts")).as("w")).where(col("w") =!= "")
       .agg(countDistinct("w").as("v"))
     val scored = dbc
@@ -1749,10 +1819,10 @@ object TextAnalysis {
       .join(lmTot, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("s_f", lnF(col("n_w1") + col("v")) - lnF(col("n_pair") + 1))
-      .groupBy("doc_id")
+      .groupBy("rep")
       .agg(sum("c").as("n_bigrams"), sum(col("c") * col("s_f")).as("nll_f"))
-    documents.select("doc_id")
-      .join(scored, Seq("doc_id"), "left")
+    reps.select("rep", "m")
+      .join(scored, Seq("rep"), "left")
       .na.fill(0L, Seq("n_bigrams", "nll_f"))
       .withColumn("avg_nll_f",
         when(col("n_bigrams") > 0, expr("nll_f DIV n_bigrams")).otherwise(0L))
@@ -1794,24 +1864,45 @@ object TextAnalysis {
     * side scales with the corpus.
     */
   def rareBigramRate(documents: DataFrame): DataFrame = {
-    val bg = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
+    val (mapping, reps) = contentGroups(documents)
+    rareBigramRateFrom(mapping, reps)
+  }
+
+  /** [[rareBigramRate]] over a prebuilt content grouping (shared by the
+    * agreement card). Rep-collapsed like lmSurprisal (see
+    * [[contentGroups]]): bigram explode, corpus table, rarity join all
+    * run over DISTINCT content; corpus counts are the exact m-weighted
+    * sums, so every verdict is bit-identical to the uncollapsed form.
+    */
+  private[graft] def rareBigramRateFrom(
+      mapping: DataFrame, reps: DataFrame): DataFrame =
+    mapping
+      .join(rareBigramRateByRep(reps).drop("m"), Seq("rep"))
+      .drop("rep")
+
+  /** The per-DISTINCT-CONTENT core of [[rareBigramRate]] (one row per
+    * rep + multiplicity), mirroring [[lmSurprisalByRep]].
+    */
+  private[graft] def rareBigramRateByRep(reps: DataFrame): DataFrame = {
+    val bg = graft.Parallelism.ensure(reps)
+      .select(col("rep"), col("m"), toks(col("lt")).as("ts"))
       .where(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(expr(
+      .select(col("rep"), col("m"), explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val docPair = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_doc"))
+      .select(col("rep"), col("m"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val repPair = bg.groupBy("rep", "m", "w1", "w2").agg(count(lit(1)).as("n_doc"))
       .localCheckpoint() // scanned twice: corpus counts + the rarity join
-    val corpus = docPair.groupBy("w1", "w2").agg(sum("n_doc").as("n_corpus"))
+    val corpus = repPair.groupBy("w1", "w2")
+      .agg(sum(col("n_doc") * col("m")).as("n_corpus"))
     val total = corpus.agg(sum("n_corpus").as("t"))
-    val perDoc = docPair.join(corpus, Seq("w1", "w2"))
+    val perRep = repPair.join(corpus, Seq("w1", "w2"))
       .crossJoin(broadcast(total))
-      .groupBy("doc_id")
+      .groupBy("rep")
       .agg(sum("n_doc").as("n_bigrams"),
         sum(when(col("n_corpus") * RareDen < col("t"), col("n_doc"))
           .otherwise(0L)).as("n_rare"))
-    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    reps.select("rep", "m").join(perRep, Seq("rep"), "left")
+      .select(col("rep"), col("m"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_rare"), lit(0L)).as("n_rare"))
       .withColumn("flagged", col("n_rare") * 100 > col("n_bigrams") * RareFlagPct)
