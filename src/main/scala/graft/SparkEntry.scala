@@ -256,6 +256,14 @@ object SparkEntry {
     // Trained ONCE per corpus into the persisted TokenizerStore table;
     // this query reads the artifact back.
     "q_bpe_trained" -> ((s, dir) => TokenizerStore.mergesTable(s, dir)),
+    // Bounded-sample training (r14): identical trainer on a deterministic
+    // 1/16 doc sample — the 100 TB production path (both the word scan
+    // and every merge round are sample-bounded); the agreement card below
+    // is its acceptance gate vs the exact trainer.
+    "q_bpe_sampled" -> ((s, dir) =>
+      TextAnalysis.bpeSampledMerges(Tables.documents(s, dir))),
+    "q_bpe_sample_agreement" -> ((s, dir) =>
+      TextAnalysis.bpeSampleAgreement(Tables.documents(s, dir))),
     // The tokenizer's APPLY step: every distinct word segmented under
     // rules RELOADED from the persisted table (train-once/apply-everywhere
     // — encode never retrains).
@@ -1735,31 +1743,63 @@ object SparkEntry {
     * keeps `s<i>` total when a round finds no pairs (fully merged
     * vocabulary), matching the engine's early stop.
     */
-  private def bpeRoundCtes(k: Int): String = {
+  private def bpeRoundCtes(k: Int): String =
+    "WITH " + bpeChainCtes(k, w = "w", s = "s", m = "m", docWhere = "")
+
+  /** DuckDB membership test of the engine's deterministic BPE doc
+    * sample (`TextAnalysis.bpeSampledDocs`).
+    */
+  private def bpeSampleWhere: String =
+    s" WHERE ${h60(TextAnalysis.BpeSampleSeed, "CAST(doc_id AS VARCHAR)")}" +
+      s" % ${TextAnalysis.BpeSampleMod} = 0"
+
+  /** One named BPE training chain — parameterized so the sample-
+    * agreement oracle can run TWO trainings (full corpus vs the
+    * deterministic doc sample) side by side without CTE-name collisions.
+    */
+  private def bpeChainCtes(
+      k: Int, w: String, s: String, m: String, docWhere: String): String = {
     val head =
-      s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      s"""$w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
          |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
-         |  FROM documents) t
+         |  FROM documents$docWhere) t
          |  WHERE length(word) >= 1 GROUP BY word),
-         |s0 AS MATERIALIZED (SELECT word, freq,
+         |${s}0 AS MATERIALIZED (SELECT word, freq,
          |  list_transform(range(1, length(word) + 1),
          |    i -> substr(word, CAST(i AS INTEGER), 1)) AS pieces
-         |  FROM w)""".stripMargin
-    val rounds = (1 to k).map { i =>
-      s"""m$i AS MATERIALIZED (SELECT a, b, n FROM (
-         |  SELECT pieces[j] AS a, pieces[j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
-         |  FROM (SELECT freq, pieces, unnest(range(1, len(pieces))) AS j FROM s${i - 1}) t
-         |  GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1)),
-         |s$i AS MATERIALIZED (SELECT word, freq,
-         |  CASE WHEN m$i.a IS NULL THEN pieces ELSE
-         |    list_reduce(list_transform(pieces, p -> [p]),
-         |      (acc, x) -> CASE WHEN acc[-1] = m$i.a AND x[1] = m$i.b
-         |        THEN acc[1:len(acc)-1] || [m$i.a || m$i.b] ELSE acc || x END)
-         |  END AS pieces
-         |  FROM s${i - 1} LEFT JOIN m$i ON true)""".stripMargin
-    }
+         |  FROM $w)""".stripMargin
+    val rounds = (1 to k).map(i => bpeRoundPair(s, m, i, s"$s${i - 1}"))
     (head +: rounds).mkString(",\n")
   }
+
+  /** One (merge-pick, fold) round pair: `m<i>` = the top weighted pair of
+    * segmentation `from`; `s<i>` = the leftmost-first fold of that merge.
+    */
+  private def bpeRoundPair(s: String, m: String, i: Int, from: String): String =
+    s"""$m$i AS MATERIALIZED (SELECT a, b, n FROM (
+       |  SELECT pieces[j] AS a, pieces[j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM (SELECT freq, pieces, unnest(range(1, len(pieces))) AS j FROM $from) t
+       |  GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1)),
+       |$s$i AS MATERIALIZED (${bpeFoldSql(m, i, from)})""".stripMargin
+
+  /** APPLY-ONLY chain: fold an EXISTING rule chain's merges `m1..mk`
+    * over a different base segmentation (`from0`) — how the agreement
+    * oracle applies the sample-trained rules to the FULL vocabulary.
+    */
+  private def bpeApplyCtes(k: Int, u: String, m: String, from0: String): String =
+    (1 to k).map { i =>
+      val from = if (i == 1) from0 else s"$u${i - 1}"
+      s"""$u$i AS MATERIALIZED (${bpeFoldSql(m, i, from)})""".stripMargin
+    }.mkString(",\n")
+
+  private def bpeFoldSql(m: String, i: Int, from: String): String =
+    s"""SELECT word, freq,
+       |  CASE WHEN $m$i.a IS NULL THEN pieces ELSE
+       |    list_reduce(list_transform(pieces, p -> [p]),
+       |      (acc, x) -> CASE WHEN acc[-1] = $m$i.a AND x[1] = $m$i.b
+       |        THEN acc[1:len(acc)-1] || [$m$i.a || $m$i.b] ELSE acc || x END)
+       |  END AS pieces
+       |  FROM $from LEFT JOIN $m$i ON true""".stripMargin
 
   /** Embedding dimensionality of the driver's testdata (all SFs). The
     * engine reads the dim dynamically; the static oracle SQL is generated
@@ -4196,6 +4236,40 @@ object SparkEntry {
       (1 to TextAnalysis.DefaultBpeK)
         .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM m$i")
         .mkString("\nUNION ALL\n")),
+    // The SAME k-round training replay, but over the deterministic 1/16
+    // doc sample (h60 membership mirrors the engine's md5Long draw)
+    "q_bpe_sampled" -> ("WITH " +
+      bpeChainCtes(TextAnalysis.DefaultBpeK, w = "wq", s = "t", m = "mm",
+        docWhere = bpeSampleWhere) + "\n" +
+      (1 to TextAnalysis.DefaultBpeK)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM mm$i")
+        .mkString("\nUNION ALL\n")),
+    // Agreement card: BOTH trainings side by side (exact chain w/s/m,
+    // sampled chain wq/t/mm), the sampled rules APPLIED to the full
+    // vocabulary (u chain folding mm over s0), and the freq-weighted
+    // segmentation-agreement scalar — all replayed, nothing asserted.
+    "q_bpe_sample_agreement" -> {
+      val k = TextAnalysis.DefaultBpeK
+      "WITH " + bpeChainCtes(k, w = "w", s = "s", m = "m", docWhere = "") + ",\n" +
+        bpeChainCtes(k, w = "wq", s = "t", m = "mm", docWhere = bpeSampleWhere) + ",\n" +
+        bpeApplyCtes(k, u = "u", m = "mm", from0 = "s0") + ",\n" +
+        s"""agree AS (SELECT
+           |    (CAST(sum(CASE WHEN array_to_string(e.pieces, ' ')
+           |                      = array_to_string(u.pieces, ' ')
+           |         THEN e.freq ELSE 0 END) AS BIGINT) * 1000)
+           |      // CAST(sum(e.freq) AS BIGINT) AS seg_agree_milli
+           |  FROM s$k e JOIN u$k u USING (word))
+           |""".stripMargin +
+        (1 to k).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS rank,
+             |  m$i.a AS exact_a, m$i.b AS exact_b,
+             |  mm$i.a AS sample_a, mm$i.b AS sample_b,
+             |  coalesce(m$i.a = mm$i.a AND m$i.b = mm$i.b, FALSE) AS rule_match,
+             |  agree.seg_agree_milli
+             |FROM (SELECT 1 AS one) o
+             |LEFT JOIN m$i ON true LEFT JOIN mm$i ON true CROSS JOIN agree""".stripMargin
+        }.mkString("\nUNION ALL\n")
+    },
     "q_bpe_encode" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + "\n" +
       s"""SELECT word, freq, array_to_string(pieces, ' ') AS pieces,
          |  CAST(len(pieces) AS BIGINT) AS n_pieces

@@ -1604,6 +1604,80 @@ object TextAnalysis {
         array_join(col("ps"), " ").as("pieces"),
         size(col("ps")).cast("long").as("n_pieces"))
 
+  /** Deterministic 1/[[BpeSampleMod]] document sample for the BOUNDED
+    * trainer — the `sketch_summary` rail pattern: membership is a pure
+    * function of doc_id, so the sample (and thus the trained rules) is
+    * identical across partitionings, engines, and re-runs, and the
+    * DuckDB oracle replays the same training on the same rows.
+    */
+  val BpeSampleMod = 16L
+  val BpeSampleSeed = 41
+
+  private def bpeSampledDocs(documents: DataFrame): DataFrame =
+    documents.where(
+      pmod(HashFunctions.md5Long(col("doc_id").cast("string"), BpeSampleSeed),
+        lit(BpeSampleMod)) === 0)
+
+  /** BOUNDED-SAMPLE BPE training — the 100 TB answer to the exact
+    * trainer's cost: [[trainBpeRules]] is already vocabulary-scale per
+    * round, but its input aggregation scans the whole corpus and at real
+    * scale the vocabulary itself is 10⁸+ rows × k rounds. Training on a
+    * deterministic 1/16 document sample bounds BOTH: the word-frequency
+    * scan aggregates only sampled rows and every merge round scans the
+    * sample's vocabulary. BPE statistics are frequency RATIOS, which a
+    * uniform document sample preserves in expectation — the
+    * `q_bpe_sample_agreement` card MEASURES what the cut actually costs
+    * in rule/segmentation agreement rather than asserting it.
+    */
+  def bpeSampledMerges(documents: DataFrame, k: Int = DefaultBpeK): DataFrame =
+    bpeTrainedMerges(bpeSampledDocs(documents), k)
+
+  /** The VOCABULARY-AGREEMENT card between the exact and sampled
+    * trainers: one row per merge rank — both trainers' rules side by
+    * side with a match flag — plus `seg_agree_milli`, the share (integer
+    * thousandths) of corpus word OCCURRENCES whose full segmentation
+    * under the sampled rules equals the exact trainer's. This is the
+    * acceptance gate for switching production training to the sample:
+    * ship the sampled tokenizer iff the card says the cut is free.
+    *
+    * Cost shape: both trainings (the exact one dominates — that is the
+    * point of the card; the sampled trainer alone is the production
+    * path, registered as `q_bpe_sampled`), then ONE vocabulary-bounded
+    * double-encode scan. Driver traffic: 2k one-row collects + one
+    * 1-row agreement scalar + the k-row output build — all bounded.
+    */
+  def bpeSampleAgreement(documents: DataFrame, k: Int = DefaultBpeK): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = wordFreqs(documents).localCheckpoint()
+    val exact = trainBpeRules(words, k)
+    val sampled = trainBpeRules(
+      wordFreqs(bpeSampledDocs(documents)).localCheckpoint(), k)
+    val exactRules = exact.map(r => (r._2, r._3)).toArray
+    val sampledRules = sampled.map(r => (r._2, r._3)).toArray
+    val agreeMilli = words
+      .select(col("freq"),
+        (array_join(graft.functions.BpeExpressions
+          .bpeSegments(col("word"), exactRules), " ") ===
+         array_join(graft.functions.BpeExpressions
+          .bpeSegments(col("word"), sampledRules), " ")).as("same"))
+      .agg((sum(when(col("same"), col("freq")).otherwise(0L)) * 1000)
+        .as("a"), sum("freq").as("t"))
+      .select(expr("a DIV t"))
+      .collect().head.getLong(0)
+    val eByRank = exact.map(r => r._1 -> ((r._2, r._3))).toMap
+    val sByRank = sampled.map(r => r._1 -> ((r._2, r._3))).toMap
+    // always k rows (trailing all-NULL when a trainer merged out early) —
+    // the oracle generates exactly k rank rows
+    (1 to k).map { r =>
+      val e = eByRank.get(r)
+      val s = sByRank.get(r)
+      (r.toLong, e.map(_._1), e.map(_._2), s.map(_._1), s.map(_._2),
+        e.isDefined && s.isDefined && e == s, agreeMilli)
+    }.toDF("rank", "exact_a", "exact_b", "sample_a", "sample_b",
+      "rule_match", "seg_agree_milli")
+  }
+
   /** Tokenizer fertility report per language — the tokenizer-QA step a
     * multilingual pipeline runs before committing to a vocabulary: BPE
     * pieces per whitespace word (`fertility_milli`, thousandths by

