@@ -93,7 +93,7 @@ object PlanDump {
     "q_semdedup" ->
       "SemDeDup: centroid_probes assignment kernel inside WholeStageCodegen, in-cell pair search as an equi-join on cell id over duplicate-collapsed reps (never all-pairs), neighbor minima as one keyed agg, member expansion last",
     "q_rare_bigram_rate" ->
-      "rare-transition fluency: bigram-keyed join carries per-(doc, bigram) counts (pre-aggregated, localCheckpointed so the explode is scanned once), corpus total rides as a 1-row broadcast, verdicts all-integer",
+      "rare-transition fluency, rep-collapsed (r14): per-(rep, bigram) counts (pre-aggregated, checkpointed), m-weighted corpus table, 1-row total broadcast, verdicts all-integer per DISTINCT content + one rep-keyed output join",
     "q_shard_manifest" ->
       "export manifest: one scan computing shard/order/row hashes, one 8-row hash-agg (XOR digest + struct-min head) — no corpus-scale shuffle, the within-shard order is declared by the (h, doc_id) key",
     "q_hard_negatives" ->
@@ -125,7 +125,7 @@ object PlanDump {
     "q_dsir_select" ->
       "DSIR resampling without a global sort: ln_fixed Gumbel keys in the projection, 4096-wide coarse histogram hash-agg, cumulative window over that tiny frame, broadcast cutoff, rank window only inside the one cutoff bucket",
     "q_lm_surprisal" ->
-      "LM surprisal: vocabulary-bounded bigram LM aggregates, bigram-keyed join carrying pre-aggregated per-(doc, bigram) counts, 1-row vocab broadcast, ln_fixed inside WholeStageCodegen, doc_id-keyed final agg",
+      "LM surprisal, rep-collapsed (r14): bigram explode + LM join run over DISTINCT content only (corpus counts = m-weighted sums, bit-identical output), ln_fixed inside WholeStageCodegen, then ONE rep-keyed output join fans per-doc rows — the bigram pipeline is flat across decades, only the output join scales with |docs|",
     "q_sample_diverse" ->
       "diversity sampling: centroid_probes assignment kernel, <=nLists-row histogram + budget frames broadcast back, content-hash Bernoulli as a pure filter — the corpus is never shuffled or ranked",
     "q_dsir_incremental" ->
@@ -169,7 +169,7 @@ object PlanDump {
     "q_embed_drift" ->
       "embedding drift: two assignment scans (centroids broadcast by value), two <=nLists-row histograms, full-outer of tiny frames + 1-row totals broadcast — all-integer milli card",
     "q_quality_agreement" ->
-      "quality agreement: three per-doc signal frames (each individually scan-shaped), two doc_id-keyed joins, 1-row LM mean broadcast, <=8-cell rollup",
+      "quality agreement, rep-collapsed end to end (r14): ONE content grouping (text scanned exactly twice — hash pass + distinct-content extraction), all three signals per DISTINCT content, rep-keyed joins, m-weighted LM mean, cells = sum(m) — documents never fan back out (the per-doc form was 8.0x/decade at sf10; this is 1.5x)",
     "q_pack_waste" ->
       "padding waste: one scan exploded over the 3 candidate lengths, one map-side-combined (L, harmonic-class) hash-agg (<= ~2*sqrt(L) classes per L), per-L rollup + pure arithmetic on that tiny frame",
     "q_pack_bestfit" ->
@@ -227,7 +227,7 @@ object PlanDump {
     "q_embed_quant" ->
       "one posexplode scan -> |dim|-row min/max agg broadcast back -> per-value codegen projection -> |dim|-row rollup; state never exceeds the dimension count, errors floored to ints before the order-free sum",
     "sketch_summary" ->
-      "r13 rewrite: exact distinct counts, HLL/quantile sketches, and the sample rank-rail are THREE narrow scans joined broadcast on the 3-row group key — no Expand row ever carries an imperative sketch buffer, and no value-count map exists anywhere (the old exact-percentile rail was the suite's worst cost at 100-266 s)",
+      "r13 rewrite: exact distinct counts, HLL/quantile sketches, and the sample rank-rail are THREE narrow scans joined broadcast on the 3-row group key — no Expand row ever carries an imperative sketch buffer, and no value-count map exists anywhere (the old exact-percentile rail was the suite's worst cost at 100-266 s); r14: HLL bands ride the exact x approx inner join (sample-independent), and pct_rail_checked makes a vacuous percentile pass visible (oracle recounts the same deterministic sample)",
     "q_domain_urls" ->
       "url synthesis + host/registered-domain extraction are one codegen'd projection (two md5s + two regexps per row); no shuffle at all",
     "q_domain_stats" ->
@@ -249,7 +249,15 @@ object PlanDump {
     "q_domain_overlap" ->
       "the pair set joined twice to the slim (doc_id, domain) projection then a |domains|^2-bounded hash-agg — the sourceOverlapMatrix shape on the power-law key; pairs, not documents, ride the shuffles",
     "q_domain_quality" ->
-      "one scan computing the integer classifier fold + stopword count per doc (codegen'd lambdas), one |domains|-row hash-agg with map-side combine; every share is an exact milli division, the decision a pure projection")
+      "one scan computing the integer classifier fold + stopword count per doc (codegen'd lambdas), one |domains|-row hash-agg with map-side combine; every share is an exact milli division, the decision a pure projection",
+    "ann_ivf_stored" ->
+      "train-once/apply-everywhere (r14): centroids from the persisted CentroidStore parquet artifact (nLists-row bounded read), then the pure probe — assignment kernel + cell equi-join + bounded rerank; ZERO k-means jobs in the plan (CentroidStoreSpec captures every executed plan and proves it), 3.8x faster than the retrain form at sf10",
+    "ann_pq_stored" ->
+      "PQ probe under persisted codebooks (MxK-row artifact read): encode + ADC scan + exact rerank only — at 100x the exhaustive compressed scan dominates and the training savings amortize out, exactly the published ADC cost model",
+    "q_bpe_sampled" ->
+      "bounded-sample BPE training (r14): the identical iterative trainer on a deterministic 1/16 doc sample — word aggregation and every merge round are sample-bounded; the sample is a pure doc_id hash so DuckDB replays the training verbatim",
+    "q_bpe_sample_agreement" ->
+      "the sampled trainer's acceptance card: both trainings (exact dominates — that is the point), then ONE vocabulary-bounded double-encode scan comparing segmentations; driver traffic is 2k one-row collects + a 1-row agreement scalar")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
