@@ -257,7 +257,9 @@ object PlanDump {
     "q_bpe_sampled" ->
       "bounded-sample BPE training (r14): the identical iterative trainer on a deterministic 1/16 doc sample — word aggregation and every merge round are sample-bounded; the sample is a pure doc_id hash so DuckDB replays the training verbatim",
     "q_bpe_sample_agreement" ->
-      "the sampled trainer's acceptance card: both trainings (exact dominates — that is the point), then ONE vocabulary-bounded double-encode scan comparing segmentations; driver traffic is 2k one-row collects + a 1-row agreement scalar")
+      "the sampled trainer's acceptance card: both trainings (exact dominates — that is the point), then ONE vocabulary-bounded double-encode scan comparing segmentations; driver traffic is 2k one-row collects + a 1-row agreement scalar",
+    "ann_ivfpq_stored" ->
+      "the composed production index under persisted artifacts: sample-trained IVF centroids + PQ codebooks from CentroidStore (the joint trainer is bit-identical to the separate loops, so the stored probe shares ann_ivfpq's oracle verbatim) — index build + cell probe + ADC + rerank, zero k-means jobs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -771,6 +771,10 @@ object SparkEntry {
       requireOracleDim(Tables.embeddings(s, dir))
       ProductQuantization.pqTopKStored(s, dir)
     }),
+    "ann_ivfpq_stored" -> ((s, dir) => {
+      requireOracleDim(Tables.embeddings(s, dir))
+      ProductQuantization.ivfPqTopKStored(s, dir)
+    }),
     // Product quantization: subspace k-means codebooks → 8-byte codes →
     // exhaustive ADC scan → exact rerank; the whole pipeline (training
     // included) is replayed by the oracle.
@@ -5580,6 +5584,7 @@ object SparkEntry {
     "q_stream_semdedup_incremental" -> semDeDupIncrementalOracle,
     "ann_pq" -> annPqOracle,
     "ann_ivfpq" -> annIvfPqOracle,
+    "ann_ivfpq_stored" -> annIvfPqOracle,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5, 'fake/' || source AS format

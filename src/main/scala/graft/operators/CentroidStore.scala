@@ -84,6 +84,37 @@ object CentroidStore {
       .sortBy(_._1)
   }
 
+  /** SAMPLE-trained IVF centroids — the flavor `ann_ivfpq` composes
+    * with PQ codebooks (Lloyd's over the [[ProductQuantization.TrainSampleN]]
+    * prefix rather than the full corpus; bit-identical to the joint
+    * trainer's cell loop per its docstring). Separate artifact key space
+    * from [[ivfCentroids]] (full-corpus centroids differ).
+    */
+  def ivfSampleCentroids(
+      spark: SparkSession, dir: String,
+      nLists: Int = ProductQuantization.IvfLists,
+      iters: Int = ProductQuantization.IvfIters): Array[(Int, Array[Float])] = {
+    import org.apache.spark.sql.functions.col
+    val key = (s"$dir#sample", nLists, iters)
+    val path = builtIvf.computeIfAbsent(key, _ => {
+      ivfBuildCounts.merge(key, 1, (a, b) => a + b)
+      val cents = Similarity.trainedCentroids(
+        graft.Tables.embeddings(spark, dir)
+          .where(col("vec_id") < ProductQuantization.TrainSampleN),
+        nLists, iters)
+      val out = artifactPath(s"ivfsample:$dir:$nLists:$iters")
+      val rows = cents.toSeq.map { case (i, v) => Row(i, v.toSeq) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), ivfSchema)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.schema(ivfSchema).parquet(path)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+  }
+
   /** Trained PQ codebooks for a source directory — same contract:
     * trained once per (dir, iters) on the standard
     * [[ProductQuantization.TrainSampleN]] prefix, persisted as M×K

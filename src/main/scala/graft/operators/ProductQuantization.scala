@@ -408,6 +408,38 @@ object ProductQuantization {
     val emb = embeddings.localCheckpoint()
     val sample = emb.where(col("vec_id") < TrainSampleN)
     val (cents, cb) = trainIvfAndCodebooks(sample, nLists, ivfIters)
+    ivfPqProbe(embeddings, emb, cents, cb, k, nQueries, nProbe, rerankDepth)
+  }
+
+  /** [[ivfPqTopK]] against the PERSISTED artifacts: sample-trained IVF
+    * centroids + PQ codebooks from [[CentroidStore]] (trained once per
+    * corpus, bit-identical to the joint loop — see
+    * [[trainIvfAndCodebooks]]'s equivalence note), then index build +
+    * probe + rerank only. Shares `ann_ivfpq`'s oracle verbatim.
+    */
+  def ivfPqTopKStored(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 5, nQueries: Int = NumQueries,
+      nLists: Int = IvfLists, nProbe: Int = IvfProbe,
+      rerankDepth: Int = RerankDepth): DataFrame = {
+    val embeddings = graft.Tables.embeddings(spark, dir)
+    val cents = CentroidStore.ivfSampleCentroids(spark, dir, nLists)
+    val cb = CentroidStore.pqCodebooks(spark, dir)
+    if (cents.isEmpty || cb.head.isEmpty)
+      return embeddings.where(lit(false)).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank"))
+    ivfPqProbe(embeddings, embeddings.localCheckpoint(), cents, cb,
+      k, nQueries, nProbe, rerankDepth)
+  }
+
+  /** The APPLY half of IVF-PQ (index build + cell probe + ADC + rerank)
+    * under an already-trained (centroids, codebooks) pair.
+    */
+  private def ivfPqProbe(
+      embeddings: DataFrame, emb: DataFrame,
+      cents: Array[(Int, Array[Float])], cb: Codebooks,
+      k: Int, nQueries: Int, nProbe: Int, rerankDepth: Int): DataFrame = {
     if (cents.isEmpty || cb.head.isEmpty)
       return embeddings.where(lit(false)).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),

@@ -81,6 +81,21 @@ class CentroidStoreSpec extends SparkSpec {
     assertNoKmeans(plans)
   }
 
+  test("stored IVF-PQ probe: hash-identical to the joint trainer, zero k-means jobs on apply") {
+    val dir = sf("sf0.001")
+    val fresh = ProductQuantization
+      .ivfPqTopK(Tables.embeddings(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ProductQuantization.ivfPqTopKStored(spark, dir).collect() // build both artifacts
+    val (got, plans) = collectPlans {
+      ProductQuantization.ivfPqTopKStored(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    assert(got === fresh,
+      "stored probe must equal the jointly-trained result (bit-identical loops)")
+    assertNoKmeans(plans)
+  }
+
   test("the persisted artifact round-trips exact float32 bits") {
     val dir = sf("sf0.001")
     val trained = Similarity.trainedCentroids(Tables.embeddings(spark, dir))

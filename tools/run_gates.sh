@@ -20,4 +20,15 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   2>/dev/null | grep -o '{"metric".*}' > /tmp/gates_bench.json
 python3 tools/check_bench_regression.py BENCH_BASELINE.json /tmp/gates_bench.json
 
+# The round driver archives only the last ~2 KB of Bench stdout into
+# BENCH_r<N>.json, which truncates the per-query map (r12/r13 verdict
+# item). The COMPLETE artifact is BENCH_FULL.json (written by the Bench
+# main itself); copy it to the per-round name so the committed history
+# always carries a parseable full artifact. Round number from the env
+# (GRAFT_ROUND=14 ./tools/run_gates.sh) or skipped.
+if [[ -n "${GRAFT_ROUND:-}" ]]; then
+  cp BENCH_FULL.json "BENCH_r$(printf '%02d' "$GRAFT_ROUND").json"
+  echo "copied BENCH_FULL.json -> BENCH_r$(printf '%02d' "$GRAFT_ROUND").json"
+fi
+
 echo "=== all gates clean ==="
