@@ -259,7 +259,11 @@ object PlanDump {
     "q_bpe_sample_agreement" ->
       "the sampled trainer's acceptance card: both trainings (exact dominates — that is the point), then ONE vocabulary-bounded double-encode scan comparing segmentations; driver traffic is 2k one-row collects + a 1-row agreement scalar",
     "ann_ivfpq_stored" ->
-      "the composed production index under persisted artifacts: sample-trained IVF centroids + PQ codebooks from CentroidStore (the joint trainer is bit-identical to the separate loops, so the stored probe shares ann_ivfpq's oracle verbatim) — index build + cell probe + ADC + rerank, zero k-means jobs")
+      "the composed production index under persisted artifacts: sample-trained IVF centroids + PQ codebooks from CentroidStore (the joint trainer is bit-identical to the separate loops, so the stored probe shares ann_ivfpq's oracle verbatim) — index build + cell probe + ADC + rerank, zero k-means jobs",
+    "q_html_extract" ->
+      "HTML main-content extraction (r14): page synthesis + the two-regexp extractor (boilerplate strip, <p> reassembly) all inside ONE WholeStageCodegen projection — no UDF, no shuffle; the oracle rebuilds the page and re-runs the same RE2-safe regexps, and roundtrip_ok pins the extractor row-by-row",
+    "q_html_dedup_lift" ->
+      "why extraction precedes dedup: two md5 hash-aggs over one checkpointed synthesis scan — raw pages are chrome-unique (ids in title/related) so raw dedup finds ~nothing, while the extracted main content recovers every true duplicate at replica scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

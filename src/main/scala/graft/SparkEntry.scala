@@ -410,6 +410,18 @@ object SparkEntry {
     // wholesale domain-level keep decision: classifier + prose majorities
     "q_domain_quality" -> ((s, dir) =>
       Domains.domainQualityCard(Tables.documents(s, dir))),
+    // --- HTML main-content extraction (r14): the crawl pipeline's first
+    // stage — deterministic page synthesis around each doc's text (the
+    // withUrl tradition), then the REAL regex extractor; the oracle
+    // rebuilds the page and re-runs the extraction, so the extractor is
+    // what's checked. The dedup-lift card is the one-row argument for
+    // extracting before dedup: raw pages are chrome-unique, content dups.
+    "q_html_extract" -> ((s, dir) =>
+      Html.extractionReport(Tables.documents(s, dir))),
+    "q_html_boilerplate" -> ((s, dir) =>
+      Html.boilerplateShare(Tables.documents(s, dir))),
+    "q_html_dedup_lift" -> ((s, dir) =>
+      Html.dedupLift(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -1756,6 +1768,40 @@ object SparkEntry {
   private def bpeSampleWhere: String =
     s" WHERE ${h60(TextAnalysis.BpeSampleSeed, "CAST(doc_id AS VARCHAR)")}" +
       s" % ${TextAnalysis.BpeSampleMod} = 0"
+
+  /** DuckDB REBUILD of `Html.withHtml`'s page grammar followed by the
+    * SAME two-regexp extraction (`Html.mainContent`) — the oracle
+    * re-parses the page it just built, so the extractor is what's
+    * checked, not assumed (the `q_domain_urls` pattern). DuckDB list
+    * slices are inclusive-clamped like Spark's `slice`; `regexp_replace`
+    * needs the 'g' flag (Spark's replaces all by default); the
+    * boilerplate pattern is RE2-safe by construction.
+    */
+  private def htmlCtes: String = {
+    import graft.operators.Html
+    val p = Html.ParaTokens
+    s"""h AS (SELECT doc_id, source, text,
+       |    '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) ||
+       |      '</title></head><body>' ||
+       |      '<nav>home | about | ' || source || ' | login</nav>' ||
+       |      '<div class="ad">SPONSORED: best ' || source ||
+       |      ' deals id ' || CAST(doc_id % 7 AS VARCHAR) || '</div>' ||
+       |      array_to_string(list_transform(
+       |           range(0, (len(toks) - 1) // $p + 1),
+       |           i -> '<p>' || array_to_string(
+       |             toks[i*$p+1 : i*$p+$p], ' ') || '</p>'), '') ||
+       |      '<div class="related">see also p' || CAST(doc_id + 1 AS VARCHAR) ||
+       |      ' p' || CAST(doc_id + 2 AS VARCHAR) || '</div>' ||
+       |      '<footer>copyright 2026 ' || source || ' | privacy | terms</footer>' ||
+       |      '</body></html>' AS html
+       |  FROM (SELECT doc_id, source, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)),
+       |hm AS (SELECT doc_id, source, text, html,
+       |    array_to_string(regexp_extract_all(
+       |      regexp_replace(html, '${Html.BoilerplatePattern}', ' ', 'g'),
+       |      '<p>(.*?)</p>', 1), ' ') AS main
+       |  FROM h)""".stripMargin
+  }
 
   /** One named BPE training chain — parameterized so the sample-
     * agreement oracle can run TWO trainings (full corpus vs the
@@ -4032,6 +4078,34 @@ object SparkEntry {
          |    AND n_quality * 1000 // n_docs >= $DomainKeepMilli) AS domain_keep
          |FROM a""".stripMargin
     },
+    // HTML extraction family (r14): the page is REBUILT and RE-PARSED by
+    // the same two RE2-safe regexps the engine runs — extractor checked,
+    // not assumed.
+    "q_html_extract" ->
+      s"""WITH $htmlCtes
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(html, '<p>', 0)) AS BIGINT) AS n_paras,
+         |  CAST(length(main) AS BIGINT) AS main_chars,
+         |  main = array_to_string(
+         |    regexp_split_to_array(trim(text), '\\s+'), ' ') AS roundtrip_ok
+         |FROM hm""".stripMargin,
+    "q_html_boilerplate" ->
+      s"""WITH $htmlCtes
+         |SELECT source, CAST(count(*) AS BIGINT) AS pages,
+         |  CAST(sum(length(html)) AS BIGINT) AS html_chars,
+         |  CAST(sum(length(main)) AS BIGINT) AS main_chars,
+         |  (CAST(sum(length(html)) AS BIGINT) - CAST(sum(length(main)) AS BIGINT))
+         |    * 1000 // CAST(sum(length(html)) AS BIGINT) AS boilerplate_milli
+         |FROM hm GROUP BY source""".stripMargin,
+    "q_html_dedup_lift" ->
+      s"""WITH $htmlCtes,
+         |r AS (SELECT md5(lower(html)) AS f, count(*) AS n FROM hm GROUP BY 1),
+         |m AS (SELECT md5(lower(main)) AS f, count(*) AS n FROM hm GROUP BY 1)
+         |SELECT CAST((SELECT count(*) FROM hm) AS BIGINT) AS n_docs,
+         |  CAST(coalesce((SELECT sum(n) FROM r WHERE n > 1), 0) AS BIGINT)
+         |    AS raw_dup_docs,
+         |  CAST(coalesce((SELECT sum(n) FROM m WHERE n > 1), 0) AS BIGINT)
+         |    AS main_dup_docs""".stripMargin,
     // Domain x domain contamination: the brute-force pair set joined to
     // the rebuilt-and-reparsed domain of each endpoint.
     "q_domain_overlap" ->
