@@ -422,6 +422,11 @@ object SparkEntry {
       Html.boilerplateShare(Tables.documents(s, dir))),
     "q_html_dedup_lift" -> ((s, dir) =>
       Html.dedupLift(Tables.documents(s, dir))),
+    // STREAMING extraction: doc-local (no corpus state), so micro-batches
+    // union to the batch report (shared oracle) — the position a crawl
+    // pipeline actually runs extraction in.
+    "q_stream_html_extract" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.htmlExtractToBatch(s, dir)),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -1802,6 +1807,16 @@ object SparkEntry {
        |      '<p>(.*?)</p>', 1), ' ') AS main
        |  FROM h)""".stripMargin
   }
+
+  /** Shared by `q_html_extract` and its streaming twin. */
+  private def htmlExtractOracle: String =
+    s"""WITH $htmlCtes
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(html, '<p>', 0)) AS BIGINT) AS n_paras,
+       |  CAST(length(main) AS BIGINT) AS main_chars,
+       |  main = array_to_string(
+       |    regexp_split_to_array(trim(text), '\\s+'), ' ') AS roundtrip_ok
+       |FROM hm""".stripMargin
 
   /** One named BPE training chain — parameterized so the sample-
     * agreement oracle can run TWO trainings (full corpus vs the
@@ -4081,14 +4096,9 @@ object SparkEntry {
     // HTML extraction family (r14): the page is REBUILT and RE-PARSED by
     // the same two RE2-safe regexps the engine runs — extractor checked,
     // not assumed.
-    "q_html_extract" ->
-      s"""WITH $htmlCtes
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(html, '<p>', 0)) AS BIGINT) AS n_paras,
-         |  CAST(length(main) AS BIGINT) AS main_chars,
-         |  main = array_to_string(
-         |    regexp_split_to_array(trim(text), '\\s+'), ' ') AS roundtrip_ok
-         |FROM hm""".stripMargin,
+    "q_html_extract" -> htmlExtractOracle,
+    // the streaming twin unions doc-local per-batch reports — same rows
+    "q_stream_html_extract" -> htmlExtractOracle,
     "q_html_boilerplate" ->
       s"""WITH $htmlCtes
          |SELECT source, CAST(count(*) AS BIGINT) AS pages,

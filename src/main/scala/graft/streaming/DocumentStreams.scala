@@ -439,6 +439,46 @@ object DocumentStreams {
     result
   }
 
+  /** STREAMING HTML main-content extraction —
+    * `Html.extractionReport` as continuous ingestion (the position a
+    * crawl pipeline actually runs extraction in: pages arrive, clean
+    * text leaves). Extraction is DOCUMENT-LOCAL (one page in, one report
+    * out — no corpus state at all), so like the repetition twin each
+    * micro-batch runs the SHARED batch operator on itself and the union
+    * over any batch partitioning equals the batch answer row for row;
+    * shares `q_html_extract`'s oracle verbatim. Per-batch `batch=<id>`
+    * overwrite dirs: idempotent under replay, exactly-once in the log.
+    */
+  def htmlExtractToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_html")
+    java.nio.file.Files.createDirectories(tmp.resolve("out"))
+    val stream = rawSource(spark, dir)
+    EventStreams.withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Html.extractionReport(batch)
+            .write.mode("overwrite")
+            .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_paras", LongType),
+      StructField("main_chars", LongType),
+      StructField("roundtrip_ok", BooleanType)))
+    val result = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(tmp.resolve("out").toString)
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    result
+  }
+
   /** STREAMING benchmark-contamination gate —
     * `Dedup.benchmarkContamination` as an ingestion-time filter: the
     * eval set's distinct window fingerprints are the FROZEN artifact

@@ -179,6 +179,18 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming HTML extraction equals the batch operator (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val streamed = canon(DocumentStreams.htmlExtractToBatch(spark, dir))
+    val batch = canon(graft.operators.Html.extractionReport(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming winnow overlap equals the batch operator (driver data)") {
     val dir = sf("sf0.001")
     def canon(df: org.apache.spark.sql.DataFrame) =
