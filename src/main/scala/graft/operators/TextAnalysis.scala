@@ -1655,7 +1655,9 @@ object TextAnalysis {
       wordFreqs(bpeSampledDocs(documents)).localCheckpoint(), k)
     val exactRules = exact.map(r => (r._2, r._3)).toArray
     val sampledRules = sampled.map(r => (r._2, r._3)).toArray
-    val agreeMilli = words
+    // Option: NULL on an empty vocabulary (agreement is undefined; the
+    // oracle's aggregate-over-empty-join yields the same NULL)
+    val agreeRow = words
       .select(col("freq"),
         (array_join(graft.functions.BpeExpressions
           .bpeSegments(col("word"), exactRules), " ") ===
@@ -1664,7 +1666,9 @@ object TextAnalysis {
       .agg((sum(when(col("same"), col("freq")).otherwise(0L)) * 1000)
         .as("a"), sum("freq").as("t"))
       .select(expr("a DIV t"))
-      .collect().head.getLong(0)
+      .collect().head
+    val agreeMilli: Option[Long] =
+      if (agreeRow.isNullAt(0)) None else Some(agreeRow.getLong(0))
     val eByRank = exact.map(r => r._1 -> ((r._2, r._3))).toMap
     val sByRank = sampled.map(r => r._1 -> ((r._2, r._3))).toMap
     // always k rows (trailing all-NULL when a trainer merged out early) —
