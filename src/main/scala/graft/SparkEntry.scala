@@ -652,6 +652,10 @@ object SparkEntry {
     // Every doc scored under the trained model: prior + sum c*llr, the
     // smoothing-floor constant for out-of-vocabulary tokens.
     "q_nb_score" -> ((s, dir) => TextAnalysis.nbScore(Tables.documents(s, dir))),
+    // Stored-model scoring (r14): the persisted ModelStore artifact gates
+    // the corpus with ZERO training aggregations on the apply path — the
+    // production quality-filter shape (train once, score every ingest).
+    "q_nb_score_stored" -> ((s, dir) => ModelStore.score(s, dir)),
     // The trained filter as a continuous ingest gate: model + constants
     // frozen, each micro-batch scored through the shared fold; a full
     // drain equals the batch scoring row-for-row.
@@ -4341,7 +4345,7 @@ object SparkEntry {
       "WITH " + bpeChainCtes(k, w = "w", s = "s", m = "m", docWhere = "") + ",\n" +
         bpeChainCtes(k, w = "wq", s = "t", m = "mm", docWhere = bpeSampleWhere) + ",\n" +
         bpeApplyCtes(k, u = "u", m = "mm", from0 = "s0") + ",\n" +
-        s"""agree AS (SELECT
+        s"""agree AS MATERIALIZED (SELECT
            |    (CAST(sum(CASE WHEN array_to_string(e.pieces, ' ')
            |                      = array_to_string(u.pieces, ' ')
            |         THEN e.freq ELSE 0 END) AS BIGINT) * 1000)
@@ -5137,6 +5141,13 @@ object SparkEntry {
          |SELECT tok, n_pos, n_neg, llr_f FROM model""".stripMargin,
     // Per-doc posterior fold under the same model CTEs.
     "q_nb_score" ->
+      s"""WITH $nbCtes,
+         |$nbScoreCtes
+         |SELECT doc_id, n_tokens, score_f, score_f > 0 AS nb_quality
+         |FROM scored""".stripMargin,
+    // The stored-model twin scores through the persisted artifact — ln_f
+    // integers round-trip parquet exactly, so rows are identical.
+    "q_nb_score_stored" ->
       s"""WITH $nbCtes,
          |$nbScoreCtes
          |SELECT doc_id, n_tokens, score_f, score_f > 0 AS nb_quality

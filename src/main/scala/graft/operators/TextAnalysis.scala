@@ -2312,3 +2312,69 @@ object TokenizerStore {
     mergesTable(spark, dir, k).orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
 }
+
+/** Session-persisted NB quality-classifier model — the LAST train-once
+  * seam (after [[SignatureStore]], [[TokenizerStore]], [[CentroidStore]]):
+  * `nbScore` recomputed the class-conditional count model on every
+  * scoring invocation; production trains a quality filter ONCE and gates
+  * every later ingest with it. The artifact is the model table
+  * (tok, n_pos, n_neg, llr_f — vocabulary-bounded) plus its 1-row
+  * prior/floor constants, both parquet; the apply path is the SHARED
+  * scoring fold ([[TextAnalysis.nbScoreAgainst]]) with zero training
+  * aggregations (ModelStoreSpec captures the plans and proves no
+  * `is_quality` label derivation runs on apply).
+  */
+object ModelStore {
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val buildCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private lazy val root = {
+    val p = java.nio.file.Files.createTempDirectory("graft_nbmodel")
+    graft.streaming.EventStreams.deleteRecursivelyOnExit(p)
+    p
+  }
+
+  import org.apache.spark.sql.types._
+  private val modelSchema = StructType(Seq(
+    StructField("tok", StringType),
+    StructField("n_pos", LongType),
+    StructField("n_neg", LongType),
+    StructField("llr_f", LongType)))
+  private val constsSchema = StructType(Seq(
+    StructField("prior_f", LongType),
+    StructField("unseen_f", LongType)))
+
+  private def paths(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    built.computeIfAbsent(dir, d => {
+      buildCounts.merge(d, 1, (a, b) => a + b)
+      val docs = graft.Tables.documents(spark, d)
+      val model = TextAnalysis.nbTrain(docs).localCheckpoint()
+      val base = root.resolve(
+        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString).toString
+      model.write.mode("overwrite").parquet(s"$base/model")
+      TextAnalysis.nbConsts(docs, model)
+        .write.mode("overwrite").parquet(s"$base/consts")
+      (s"$base/model", s"$base/consts")
+    })
+
+  /** The persisted (model, consts) pair, trained on first call. */
+  def model(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.schema(modelSchema).parquet(paths(spark, dir)._1)
+  def consts(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.schema(constsSchema).parquet(paths(spark, dir)._2)
+
+  /** Score a corpus under the STORED model — the production gate shape:
+    * ln_f integers round-trip parquet exactly, so the output is
+    * hash-identical to `nbScore` and `q_nb_score_stored` shares its
+    * oracle verbatim.
+    */
+  def score(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    TextAnalysis.nbScoreAgainst(
+      graft.Tables.documents(spark, dir), model(spark, dir), consts(spark, dir))
+
+  /** Times the model for `dir` has been TRAINED (not read) — spec hook. */
+  def builds(dir: String): Int =
+    Option(buildCounts.get(dir)).fold(0)(_.intValue)
+}
