@@ -730,6 +730,78 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("rep-collapse equivalence fuzz: heavily-duplicated corpora == per-doc scala brute") {
+    import spark.implicits._
+    import graft.functions.FixedPointLn.lnFRef
+    // The r14 rep-collapse claims EXACT per-doc equality: all bigram
+    // work runs per DISTINCT lowercased content with m-weighted corpus
+    // counts. Fuzz it where it could break — corpora that are mostly
+    // duplicates (including case-variants, empty and 1-token texts) —
+    // against an uncollapsed per-document scala brute.
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 5) {
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsi", "zeta")
+      val nDistinct = 2 + rnd.nextInt(4)
+      val bases = Vector.fill(nDistinct)(
+        Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docsSeq = (1 to 30).map { i =>
+        val t0 = bases(rnd.nextInt(nDistinct))
+        (i.toLong, if (rnd.nextBoolean()) t0.toUpperCase else t0)
+      }
+      val d = docsSeq.toDF("doc_id", "text")
+
+      def bigrams(t: String): Seq[(String, String)] = {
+        val ts = t.trim.toLowerCase.split("\\s+").toSeq
+        if (ts.size < 2) Nil else ts.sliding(2).map(p => (p(0), p(1))).toSeq
+      }
+      val all = docsSeq.flatMap { case (_, t) => bigrams(t) }
+      val lm = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val lmt = lm.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val v = docsSeq.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .filter(_.nonEmpty).distinct.size.toLong
+
+      // lmSurprisal vs brute
+      val wantLm = docsSeq.map { case (id, t) =>
+        val bgs = bigrams(t)
+        val nll = bgs.map(bg => lnFRef(lmt(bg._1) + v) - lnFRef(lm(bg) + 1)).sum
+        val n = bgs.size.toLong
+        id -> ((n, nll, if (n > 0) nll / n else 0L))
+      }.toMap
+      val gotLm = TextAnalysis.lmSurprisal(d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(gotLm === wantLm, s"lmSurprisal trial $trial")
+
+      // rareBigramRate vs brute
+      val total = lm.values.sum
+      val wantRare = docsSeq.map { case (id, t) =>
+        val bgs = bigrams(t)
+        id -> ((bgs.size.toLong,
+          bgs.count(bg => lm(bg) * TextAnalysis.RareDen < total).toLong))
+      }.toMap
+      val gotRare = TextAnalysis.rareBigramRate(d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotRare === wantRare, s"rareBigramRate trial $trial")
+
+      // the agreement card's Sum(m) cells vs a per-doc fold of the three
+      // signals (classifier keep from the engine's own per-doc scan)
+      val cls = TextAnalysis.classifierScore(d.withColumn("source", org.apache.spark.sql.functions.lit("x")))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      val scored = wantLm.filter(_._2._1 > 0)
+      val nScored = scored.size.toLong
+      val sumAvg = scored.values.map(_._3).sum
+      val wantCells = docsSeq.map { case (id, _) =>
+        val (n, _, avg) = wantLm(id)
+        val (nb, nr) = wantRare(id)
+        (cls(id), n > 0 && avg * nScored > sumAvg,
+          nr * 100 > nb * TextAnalysis.RareFlagPct)
+      }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val gotCells = Pipeline.qualityAgreement(d).collect()
+        .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+        .toMap
+      assert(gotCells === wantCells, s"qualityAgreement trial $trial")
+    }
+  }
+
   test("naive bayes: model, scores, and holdout card equal the lnFRef counting brute force") {
     import graft.functions.FixedPointLn.lnFRef
     val q1 = "the a is of and to in that it on alpha beta"
