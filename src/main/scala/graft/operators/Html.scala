@@ -46,6 +46,12 @@ object Html {
     * codegen'd projection; the paragraph split binds the token array
     * once through an outer column (the [[graft.functions.TextFunctions.shingles]]
     * lambda-binding lesson).
+    *
+    * Precondition: document text is tag-free prose (true of the driver
+    * corpus, and of any real page's content, which its author
+    * HTML-escaped). A text carrying literal markup would need entity
+    * escaping here and unescaping in [[mainContent]] — a production
+    * synthesis adds that pair; the extractor itself is unchanged.
     */
   def withHtml(documents: DataFrame): DataFrame =
     documents

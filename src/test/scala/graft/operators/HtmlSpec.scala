@@ -54,6 +54,29 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("roundtrip fuzz: random tag-free texts extract back exactly") {
+    import spark.implicits._
+    // random token shapes (punctuation, digits, unicode-ish, single
+    // chars), random lengths crossing many paragraph boundaries, empty
+    // and whitespace-heavy docs — the roundtrip property must hold for
+    // ANY tag-free prose, not just the driver grammar
+    val rnd = new scala.util.Random(14L)
+    val alphabet = Vector("word", "x", "42", "don't", "a,b", "end.", "Tt",
+      "longtokenlongtoken", "café", "|", "(y)")
+    val docs = (1 to 60).map { i =>
+      val n = rnd.nextInt(80)
+      val sep = if (rnd.nextBoolean()) " " else "   "
+      (i.toLong,
+        Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(sep),
+        s"s${rnd.nextInt(3)}")
+    }.toDF("doc_id", "text", "source")
+    val rows = Html.extractionReport(docs).collect()
+    assert(rows.length === 60)
+    rows.foreach(r => assert(r.getBoolean(3), s"doc ${r.getLong(0)} roundtrip"))
+    // long docs genuinely span multiple paragraphs
+    assert(rows.exists(_.getLong(1) >= 4))
+  }
+
   test("dedupLift: chrome-unique raw pages hide content dups; extraction recovers them") {
     import spark.implicits._
     // 3 distinct contents over 6 docs (each content twice, one pair
