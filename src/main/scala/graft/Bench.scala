@@ -1,4 +1,58 @@
 package graft
+
+/** Machine-load evidence for a bench run — the r14 adjudication fix.
+  * Twice running (r13, r14) a post-round re-run on a CONTENDED machine
+  * produced a 1.3-1.4× total against the serial pin at identical HEAD,
+  * and telling "code regression" from "noisy neighbor" cost a full
+  * judge/builder cycle each time. The fix is to make the artifact carry
+  * its own load evidence: /proc/loadavg, the live JVM count, and the
+  * run's wall-vs-process-CPU ratio — `check_bench_regression.py` then
+  * REFUSES to compare two runs whose markers differ materially, so the
+  * next 440-vs-328 discrepancy adjudicates itself from data.
+  */
+object LoadMarkers {
+  /** 1-minute system load average (runnable+running tasks, EMA). Linux
+    * /proc read with the portable MXBean as fallback; -1 when neither
+    * works (markers then report honestly-unknown, never a guess).
+    */
+  def loadAvg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable =>
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage }
+
+  /** Live JVM count on the machine (us included) — the "compile + bench
+    * in one sbt window beside another JVM" contention mode leaves a
+    * fingerprint here that loadavg alone can miss at run start.
+    */
+  def jvmCount(): Int =
+    try {
+      val proc = java.nio.file.Paths.get("/proc")
+      val s = java.nio.file.Files.list(proc)
+      try s.filter(p => p.getFileName.toString.forall(_.isDigit))
+        .filter { p =>
+          try new String(java.nio.file.Files.readAllBytes(p.resolve("comm")),
+            "UTF-8").trim.startsWith("java")
+          catch { case _: Throwable => false }
+        }.count().toInt
+      finally s.close()
+    } catch { case _: Throwable => -1 }
+
+  /** This JVM's cumulative CPU seconds (all threads). Against wall time
+    * it gives the run's achieved parallelism: loadavg far above cpu/wall
+    * means OTHER processes held the cores.
+    */
+  def procCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val t = b.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+}
+
 object Bench {
   /** Measured passes per query; the reported number is the per-query
     * MEDIAN. One-shot timings on a contended machine mis-ranked queries
@@ -59,8 +113,15 @@ object Bench {
     }
     // pass p of EVERY query before pass p+1 of any — per-query samples land
     // in well-separated time windows (see [[Passes]])
+    // per-pass load markers: wall, process-CPU delta, end-of-pass loadavg
+    // (see [[LoadMarkers]] — the artifact carries its own contention
+    // evidence so a later comparison can refuse to judge a tainted run)
+    val jvmsAtStart = LoadMarkers.jvmCount()
+    val passMarkers = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
     val samples = (1 to Passes).flatMap { _ =>
-      queries.toSeq.map { case (name, fn) =>
+      val w0 = System.nanoTime()
+      val c0 = LoadMarkers.procCpuSec()
+      val out = queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val failed = try { drain(fn(spark, sfDir)); false } catch { case _: Throwable => true }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -68,6 +129,11 @@ object Bench {
         // a failed pass must not report its time-to-exception as a score
         name -> (if (failed) -1.0 else dt)
       }
+      passMarkers += ((
+        (System.nanoTime() - w0) / 1e9,
+        LoadMarkers.procCpuSec() - c0,
+        LoadMarkers.loadAvg()))
+      out
     }
     val results = queries.map { case (name, _) =>
       val times = samples.collect { case (n, t) if n == name => t }
@@ -89,6 +155,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
     val nFailed = medians.values.count(_ < 0)
+    // the contention summary: per pass, loadavg minus our own achieved
+    // parallelism (cpu/wall) estimates the RUNNABLE LOAD THAT ISN'T US;
+    // its max over passes is the single number the regression gate
+    // thresholds on. -1 components mean the marker was unavailable.
+    val otherLoadMax = passMarkers.map { case (wall, cpu, la) =>
+      if (la < 0 || cpu < 0 || wall <= 0) -1.0
+      else math.max(0.0, la - cpu / wall)
+    }.foldLeft(-1.0)(math.max)
+    val loadJson = {
+      val passes = passMarkers.map { case (wall, cpu, la) =>
+        s"""{"wall":${fmt(wall)},"cpu":${fmt(cpu)},"loadavg":${fmt(la)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"cores":$cpus,"jvms":$jvmsAtStart,"passes":$passes,"other_load_max":${fmt(otherLoadMax)}}"""
+    }
     // Field order is deliberate: the round driver archives only the LAST
     // ~2 KB of stdout into BENCH_r*.json, so the bulky "spread" map goes
     // first (sacrificial) and the per-query medians + summary go last —
@@ -97,7 +177,7 @@ object Bench {
     // root (the round-end commit picks it up), so every per-query number
     // survives the round even though stdout is truncated.
     val line =
-      s"""{"metric":"total","unit":"sec","spread":$spread,"queries":$qs,"failed":$nFailed,"sf":"$sfDir","value":${fmt(total)}}"""
+      s"""{"metric":"total","unit":"sec","spread":$spread,"queries":$qs,"load":$loadJson,"failed":$nFailed,"sf":"$sfDir","value":${fmt(total)}}"""
     // a SPARK_GRAFT_ONLY-restricted dev run must NOT clobber the full
     // artifact the round-end commit picks up — skip the file write unless
     // an explicit output path asks for it

@@ -8,6 +8,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "=== gate 0/3: bench-gate self-test (contention refusal) ==="
+python3 tools/check_bench_regression.py --self-test
+
 echo "=== gate 1/3: sbt test ==="
 sbt -batch test
 
