@@ -949,7 +949,7 @@ object SparkEntry {
     */
   private def backoffLmCtes: String = {
     val m = graft.operators.TextAnalysis.EvalHoldoutMod
-    s"""ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+    s"""ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
        |  FROM documents),
        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n1 FROM (
        |    SELECT unnest(ts) AS w FROM ts WHERE doc_id % $m <> 0) u
@@ -1012,7 +1012,7 @@ object SparkEntry {
        |    AND len(list_filter(toks, w -> list_contains($stopList, w))) > 0) AS y
        |  FROM t),
        |lt AS (SELECT doc_id, unnest(list_filter(
-       |    regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+       |    regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'), x -> x <> '')) AS tok
        |  FROM documents WHERE doc_id % ${graft.operators.TextAnalysis.EvalHoldoutMod} <> 0),
        |cnt AS (SELECT tok,
        |    CAST(sum(CASE WHEN lab.y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
@@ -1047,7 +1047,7 @@ object SparkEntry {
        |consts AS (SELECT pa - pb AS prior_f, pc - pd AS unseen_f FROM cchain),
        |sc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
        |  FROM (SELECT doc_id, unnest(list_filter(
-       |      regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+       |      regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'), x -> x <> '')) AS tok
        |    FROM documents) u
        |  GROUP BY doc_id, tok),
        |scored AS (SELECT sc.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
@@ -1397,7 +1397,7 @@ object SparkEntry {
     */
   private def lmSurprisalCtes(p: String): String = {
     import graft.functions.FixedPointLn.lnFSql
-    s"""${p}ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+    s"""${p}ts AS (SELECT doc_id, regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
        |  FROM documents),
        |${p}bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
@@ -1429,7 +1429,7 @@ object SparkEntry {
     * n_rare, flagged)` — shared like [[lmSurprisalCtes]].
     */
   private def rareBigramCtes(p: String): String =
-    s"""${p}rts AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+    s"""${p}rts AS (SELECT doc_id, regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
        |  FROM documents),
        |${p}rbgidx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
        |  FROM ${p}rts WHERE len(ts) >= 2),
@@ -1456,7 +1456,7 @@ object SparkEntry {
     import graft.operators.TextAnalysis.{ClsSeed, ClsWeightMod, ClsWeightShift}
     s"""WITH cls AS (SELECT doc_id,
        |    CAST(coalesce(list_sum(list_transform(
-       |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      list_filter(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'),
        |        x -> x <> ''),
        |      tok -> ${h60(ClsSeed, "tok")} % $ClsWeightMod - $ClsWeightShift)), 0)
        |      AS BIGINT) > 0 AS cls_keep
@@ -1481,7 +1481,7 @@ object SparkEntry {
   private def dsirFeatureCtes: String = {
     val b = graft.operators.Dsir.NumBuckets
     s"""ts AS (SELECT doc_id, source,
-       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    list_filter(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'),
        |      t -> t <> '') AS ts
        |  FROM documents),
        |uni AS (SELECT doc_id, source, unnest(ts) AS f FROM ts),
@@ -1789,34 +1789,64 @@ object SparkEntry {
   private def htmlCtes: String = {
     import graft.operators.Html
     val p = Html.ParaTokens
-    s"""h AS (SELECT doc_id, source, text,
+    // fixture rows as SQL VALUES (single quotes doubled); pm() emulates
+    // Spark's pmod for the fixtures' NEGATIVE doc_ids (DuckDB's % keeps
+    // the dividend sign)
+    val fixtures = Html.MarkupFixtures.map { case (i, src, t) =>
+      s"(CAST($i AS BIGINT), '$src', '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    def pm(k: Int) = s"CAST(((doc_id % $k) + $k) % $k AS VARCHAR)"
+    val esc = "replace(replace(replace(replace(replace(text," +
+      " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')," +
+      " '\"', '&quot;'), CHR(39), '&#39;')"
+    def unesc(x: String) = "replace(replace(replace(replace(replace(" + x +
+      ", '&#39;', CHR(39)), '&quot;', '\"'), '&gt;', '>'), '&lt;', '<')," +
+      " '&amp;', '&')"
+    s"""hd AS (SELECT doc_id, source, text FROM documents
+       |    UNION ALL SELECT * FROM (VALUES $fixtures) fx(doc_id, source, text)),
+       |h AS (SELECT doc_id, source, text,
        |    '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) ||
-       |      '</title></head><body>' ||
-       |      '<nav>home | about | ' || source || ' | login</nav>' ||
-       |      '<div class="ad">SPONSORED: best ' || source ||
-       |      ' deals id ' || CAST(doc_id % 7 AS VARCHAR) || '</div>' ||
+       |      '</title><style>.ad{display:none}.x{color:#c00}</style></head><body>' ||
+       |      '<nav id="n' || ${pm(5)} || '">home | about | ' || source || ' | login</nav>' ||
+       |      '<script type="text/javascript">var p=' || CAST(doc_id AS VARCHAR) ||
+       |      ';if(p&&p>0){trackPageView("p"+p);}</script>' ||
+       |      '<div class="ad" data-cid="' || ${pm(7)} ||
+       |      '">SPONSORED: best ' || source || ' deals' ||
+       |      '<div class="inner">deal of the day ' || ${pm(3)} || '</div>' ||
+       |      '<p>buy ' || source || ' premium today</p>' ||
+       |      '<img src="/b' || ${pm(7)} || '.png"></div>' ||
        |      array_to_string(list_transform(
        |           range(0, (len(toks) - 1) // $p + 1),
-       |           i -> '<p>' || array_to_string(
+       |           i -> '<p class="c' || CAST(i AS VARCHAR) || '">' || array_to_string(
        |             toks[i*$p+1 : i*$p+$p], ' ') || '</p>'), '') ||
-       |      '<div class="related">see also p' || CAST(doc_id + 1 AS VARCHAR) ||
-       |      ' p' || CAST(doc_id + 2 AS VARCHAR) || '</div>' ||
-       |      '<footer>copyright 2026 ' || source || ' | privacy | terms</footer>' ||
+       |      '<div class="related" data-rel="' || ${pm(5)} ||
+       |      '">see also <a href="/p' || CAST(doc_id + 1 AS VARCHAR) ||
+       |      '">p' || CAST(doc_id + 1 AS VARCHAR) ||
+       |      '</a> <a href="/p' || CAST(doc_id + 2 AS VARCHAR) ||
+       |      '">p' || CAST(doc_id + 2 AS VARCHAR) || '</a>' ||
+       |      '<p>related reading for page ' || CAST(doc_id AS VARCHAR) || '</p></div>' ||
+       |      '<div class="promo">limited offer ' || ${pm(11)} ||
+       |      ' <footer>copyright 2026 ' || source || ' | privacy | terms</footer>' ||
        |      '</body></html>' AS html
        |  FROM (SELECT doc_id, source, text,
-       |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)),
-       |hm AS (SELECT doc_id, source, text, html,
-       |    array_to_string(regexp_extract_all(
-       |      regexp_replace(html, '${Html.BoilerplatePattern}', ' ', 'g'),
-       |      '<p>(.*?)</p>', 1), ' ') AS main
-       |  FROM h)""".stripMargin
+       |    regexp_split_to_array(trim($esc), '\\s+') AS toks FROM hd)),
+       |hs AS (SELECT doc_id, source, text, html,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+       |      '${Html.ScriptStylePattern}', ' ', 'g'),
+       |      '${Html.TextOnlyDivPattern}', ' ', 'g'),
+       |      '${Html.TextOnlyDivPattern}', ' ', 'g'),
+       |      '${Html.BoilerplatePattern}', ' ', 'g') AS stripped
+       |  FROM h),
+       |hm AS (SELECT doc_id, source, text, html, stripped,
+       |    ${unesc(s"array_to_string(regexp_extract_all(stripped, '${Html.ParagraphPattern}', 1), ' ')")} AS main
+       |  FROM hs)""".stripMargin
   }
 
   /** Shared by `q_html_extract` and its streaming twin. */
   private def htmlExtractOracle: String =
     s"""WITH $htmlCtes
        |SELECT doc_id,
-       |  CAST(len(regexp_extract_all(html, '<p>', 0)) AS BIGINT) AS n_paras,
+       |  CAST(len(regexp_extract_all(stripped, '${graft.operators.Html.ParagraphPattern}', 1)) AS BIGINT) AS n_paras,
        |  CAST(length(main) AS BIGINT) AS main_chars,
        |  main = array_to_string(
        |    regexp_split_to_array(trim(text), '\\s+'), ' ') AS roundtrip_ok
@@ -1830,7 +1860,7 @@ object SparkEntry {
       k: Int, w: String, s: String, m: String, docWhere: String): String = {
     val head =
       s"""$w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         |  SELECT unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS word
          |  FROM documents$docWhere) t
          |  WHERE length(word) >= 1 GROUP BY word),
          |${s}0 AS MATERIALIZED (SELECT word, freq,
@@ -1941,12 +1971,12 @@ object SparkEntry {
       .map(t => s"COALESCE(max(CASE WHEN tok = '$t' THEN ts END), 0)")
       .mkString(" + ")
     s"""WITH dl AS (SELECT doc_id,
-       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl
+       |    CAST(len(regexp_split_to_array(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS dl
        |  FROM documents),
        |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(dl) AS BIGINT) AS s_tok FROM dl),
        |tk AS (SELECT doc_id,
-       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS tok
        |  FROM documents),
        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
        |  WHERE tok IN ($inList) GROUP BY doc_id, tok),
@@ -2644,7 +2674,7 @@ object SparkEntry {
     val recombine = (0 until 32)
       .map(b => s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
-    s"""toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    s"""toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(nfc_normalize(text)), '\\s+')) AS tok
        |         FROM documents),
        |th AS (SELECT doc_id, ${h60(99, "tok")} & 4294967295 AS h32 FROM toks),
        |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
@@ -2657,13 +2687,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "wordcount_topk" ->
       """SELECT word, count(*) AS cnt FROM (
-        |  SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
+        |  SELECT regexp_replace(lower(unnest(string_split_regex(nfc_normalize(text), '\s+'))),
         |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
-        |  SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
+        |  SELECT regexp_replace(lower(unnest(string_split_regex(nfc_normalize(text), '\s+'))),
         |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
@@ -2674,7 +2704,7 @@ object SparkEntry {
         |    list_sort(list_distinct(list(doc_id)), 'ASC'), ',') AS doc_ids
         |FROM (
         |  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
-        |    regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
+        |    regexp_replace(lower(unnest(string_split_regex(nfc_normalize(text), '\s+'))),
         |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
@@ -3335,14 +3365,14 @@ object SparkEntry {
          |FROM cells c JOIN tot t2 USING (lang)""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
-        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_split_to_array(trim(nfc_normalize(text)), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
         |FROM documents""".stripMargin,
     // Scaled-PMI collocations: same bigram axis as q_bigram_lm, unigram
     // counts over the full token stream, two floor divisions, LIMIT k
     // under a total (score, w1, w2) order. Constants interpolated.
     "q_collocations" ->
-      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
          |  FROM documents),
          |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
          |  FROM ts WHERE len(ts) >= 2),
@@ -3361,7 +3391,7 @@ object SparkEntry {
     // Frequency-of-frequencies: two group-bys over the exploded lowercase
     // whitespace tokens; all-integer.
     "q_token_spectrum" ->
-      """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\s+')) AS tok
         |  FROM documents),
         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tk
         |  WHERE tok <> '' GROUP BY tok)
@@ -3369,13 +3399,13 @@ object SparkEntry {
     "q_fingerprint" ->
       s"""WITH sh AS ($shCte)
          |SELECT d.doc_id,
-         |  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp_md5,
-         |  ${h60(0, "regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')")} AS fp60,
+         |  md5(regexp_replace(lower(trim(nfc_normalize(d.text))), '\\s+', ' ', 'g')) AS fp_md5,
+         |  ${h60(0, "regexp_replace(lower(trim(nfc_normalize(d.text))), '\\s+', ' ', 'g')")} AS fp60,
          |  CASE WHEN len(sh.sh) > 0
          |       THEN list_min(list_transform(sh.sh, s -> ${h60(1, "s")})) END AS fp_min_shingle
          |FROM documents d JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
     "q_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+      """SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS fp_md5,
         |  count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
     // Exact-substring dedup replay: the oracle carries the literal 8-token
@@ -3565,7 +3595,7 @@ object SparkEntry {
       val blArr =
         TextAnalysis.BlockedPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id,
-         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |    regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
          |  FROM documents),
          |k AS (SELECT doc_id, ts,
          |    list_filter(range(1, len(ts) + 1), i ->
@@ -3584,7 +3614,7 @@ object SparkEntry {
     // per-source aggregation; avg is one division of exact BIGINTs.
     "q_source_stats" ->
       """WITH f AS (SELECT doc_id, source, lang,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS fp,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
         |  FROM documents),
         |c AS (SELECT fp, count(*) AS n_copies FROM f GROUP BY fp)
@@ -3715,7 +3745,7 @@ object SparkEntry {
     "q_kmv_overlap" -> {
       import graft.operators.Sketches.{KmvK, KmvSeed}
       s"""WITH t AS (SELECT lang,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |    unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS tok
          |  FROM documents),
          |lt AS (SELECT DISTINCT lang, tok FROM t WHERE length(tok) > 0),
          |lh AS (SELECT DISTINCT lang, ${h60(KmvSeed, "tok")} AS h FROM lt),
@@ -3882,7 +3912,7 @@ object SparkEntry {
     "q_zipf_fit" -> {
       import graft.functions.FixedPointLn.lnFSql
       s"""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
-         |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |    SELECT unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS tok
          |    FROM documents) u
          |  WHERE tok <> '' GROUP BY tok),
          |r AS (SELECT freq,
@@ -3974,7 +4004,7 @@ object SparkEntry {
       val phrases =
         TextAnalysis.BlockedPhrases.map(p => s"'$p'").mkString(", ")
       s"""WITH t AS (SELECT source, doc_id,
-         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |    regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
          |  FROM documents),
          |b AS (SELECT source, doc_id,
          |    unnest(list_transform(range(1, len(ts)),
@@ -4019,7 +4049,7 @@ object SparkEntry {
     "q_domain_stats" ->
       s"""WITH $domainUrlCtes,
          |f AS (SELECT domain, host,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS fp,
          |    tok
          |  FROM x),
          |c AS (SELECT domain, fp, count(*) AS n_copies
@@ -4077,11 +4107,11 @@ object SparkEntry {
       s"""WITH $domainUrlCtes,
          |f AS (SELECT domain, tok,
          |    CAST(coalesce(list_sum(list_transform(
-         |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      list_filter(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'),
          |        z -> z <> ''),
          |      t2 -> ${h60(ClsSeed, "t2")} % $ClsWeightMod - $ClsWeightShift)), 0)
          |      AS BIGINT) AS score,
-         |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |    len(list_filter(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'),
          |      z -> list_contains($stopList, z))) AS n_stop
          |  FROM x),
          |a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
@@ -4155,7 +4185,7 @@ object SparkEntry {
     "q_token_ids" -> {
       import graft.operators.TextAnalysis.{VocabSize, UnkId}
       s"""WITH t AS (SELECT doc_id,
-         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+         |    regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts FROM documents),
          |pos AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tok FROM (
          |    SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t) x),
          |vocab AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS token_id
@@ -4176,7 +4206,7 @@ object SparkEntry {
            |e$r AS (SELECT a, b FROM e${r - 1}
            |  WHERE a IN (SELECT w FROM k$r) AND b IN (SELECT w FROM k$r))""".stripMargin
       }.mkString(",\n")
-      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
          |  FROM documents),
          |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
          |  FROM ts WHERE len(ts) >= 2),
@@ -4191,7 +4221,7 @@ object SparkEntry {
     // same (degree, id) orientation rule, same wedge-close join.
     "q_word_triangles" -> {
       import graft.operators.GraphAnalytics.TriangleK
-      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
          |  FROM documents),
          |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
          |  FROM ts WHERE len(ts) >= 2),
@@ -4271,7 +4301,7 @@ object SparkEntry {
       def bucketSql(x: String): String =
         s"CAST(('0x' || substr(md5(CAST($CmsSeedBase + r.i AS VARCHAR) || ':' || $x), 1, 15)) AS BIGINT) % $CmsWidth"
       s"""WITH t AS (SELECT
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |    unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS tok
          |  FROM documents),
          |tt AS (SELECT tok FROM t WHERE length(tok) > 0),
          |c AS (SELECT r.i AS row, ${bucketSql("tok")} AS bucket, count(*) AS c
@@ -4304,7 +4334,7 @@ object SparkEntry {
          |    CAST(sum(n) AS INTEGER) AS n_tokens
          |  FROM (SELECT doc_id, tok, count(*) AS n FROM (
          |      SELECT doc_id,
-         |        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |        unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS tok
          |      FROM documents) u GROUP BY doc_id, tok) cnts
          |  GROUP BY doc_id)
          |SELECT tri.doc_id, tok.n_tokens, tri.n_trigrams, tri.n_distinct_trigrams,
@@ -4370,7 +4400,7 @@ object SparkEntry {
     // frequencies, |langs| rows out; fertility in integer thousandths
     "q_tokenizer_fertility" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + ",\n" +
       s"""lw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq FROM (
-         |    SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         |    SELECT lang, unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS word
          |    FROM documents) t
          |  WHERE length(word) >= 1 GROUP BY lang, word),
          |p AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces
@@ -4387,7 +4417,7 @@ object SparkEntry {
     // fertility; the flag floor is corpus-relative integer milli
     "q_doc_compression" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + ",\n" +
       s"""dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq FROM (
-         |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS word
          |    FROM documents) t
          |  WHERE length(word) >= 1 GROUP BY doc_id, word),
          |p AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces
@@ -4417,7 +4447,7 @@ object SparkEntry {
       s"""SELECT pair, count(*) AS n FROM (
          |  SELECT unnest(list_transform(range(1, length(tok)),
          |                i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
-         |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS tok
          |        FROM documents) t
          |  WHERE length(tok) >= 2) p
          |GROUP BY pair
@@ -4425,7 +4455,7 @@ object SparkEntry {
     // Bigram LM: Spark arrays are 0-based (ts[i-1], ts[i]); DuckDB lists
     // are 1-based (ts[i], ts[i+1]) — both enumerate pairs 1..len-1.
     "q_bigram_lm" ->
-      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
          |  FROM documents),
          |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
          |  FROM ts WHERE len(ts) >= 2),
@@ -4524,7 +4554,7 @@ object SparkEntry {
            |  FROM nodes CROSS JOIN nn
            |  LEFT JOIN c${t + 1} ON c${t + 1}.dst = nodes.id)""".stripMargin
       }.mkString(",\n")
-      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
          |  FROM documents),
          |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
          |  FROM ts WHERE len(ts) >= 2),
@@ -4548,7 +4578,7 @@ object SparkEntry {
       val conds = graft.operators.TextAnalysis.PhraseTokens.zipWithIndex
         .map { case (w, j) => s"toks[p + $j] = '$w'" }.mkString(" AND ")
       s"""WITH t AS (SELECT doc_id,
-         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |    regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS toks
          |  FROM documents),
          |i AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM t)
          |SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos
@@ -4558,7 +4588,7 @@ object SparkEntry {
     // order; keep iff preceding mass is under num/den of the prefix total
     // (integer cross-multiplication — no float thresholds).
     "q_bigram_nucleus" ->
-      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+      s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
          |  FROM documents),
          |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
          |  FROM ts WHERE len(ts) >= 2),
@@ -4703,7 +4733,7 @@ object SparkEntry {
     // expressions, so the same oracle.
     "q_stream_wordcount_complete_oracle" ->
       """SELECT word, count(*) AS cnt FROM (
-        |  SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
+        |  SELECT regexp_replace(lower(unnest(string_split_regex(nfc_normalize(text), '\s+'))),
         |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
@@ -4711,13 +4741,13 @@ object SparkEntry {
     // drain's merged store equals the same batch counts.
     "q_stream_wordcount_update" ->
       """SELECT word, count(*) AS cnt FROM (
-        |  SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))),
+        |  SELECT regexp_replace(lower(unnest(string_split_regex(nfc_normalize(text), '\s+'))),
         |                        '^[.,!?:;"'']+|[.,!?:;"'']+$', '', 'g') AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
     // One surviving row per distinct fingerprint — the batch twin's keys.
     "q_stream_dedup_docs" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+      """SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents GROUP BY 1""".stripMargin,
     // The stateless gate's full drain equals the batch filter row for row;
     // token/stopword rule mirrors docStats' is_quality, PII patterns are
@@ -4735,7 +4765,7 @@ object SparkEntry {
     // TextAnalysis.tfIdfTopTerms for why ln() is not hash-portable.
     "q_tfidf_topterms" ->
       """WITH t AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\s+')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
         |  WHERE len(term) > 0 GROUP BY doc_id, term),
@@ -4764,7 +4794,7 @@ object SparkEntry {
     },
     "q_top_terms_per_lang" ->
       s"""WITH t AS (SELECT lang,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |    unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS term
          |  FROM documents),
          |c AS (SELECT lang, term, count(*) AS n FROM t
          |  WHERE len(term) > 0 GROUP BY lang, term)
@@ -4777,7 +4807,7 @@ object SparkEntry {
     // the window form's oracle.
     "q_top_terms_per_lang_scalable" ->
       s"""WITH t AS (SELECT lang,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |    unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS term
          |  FROM documents),
          |c AS (SELECT lang, term, count(*) AS n FROM t
          |  WHERE len(term) > 0 GROUP BY lang, term)
@@ -4884,7 +4914,7 @@ object SparkEntry {
     "q_dedup_soft" -> {
       val sd = graft.operators.Dedup.SoftDedupSeed
       s"""WITH fp AS (SELECT doc_id,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+         |    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS fp_md5
          |  FROM documents),
          |g AS (SELECT fp_md5, CAST(count(*) AS BIGINT) AS n_copies
          |  FROM fp GROUP BY fp_md5)
@@ -4899,7 +4929,7 @@ object SparkEntry {
       import graft.operators.TextAnalysis._
       val inList = Stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH tk AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |    unnest(regexp_split_to_array(trim(nfc_normalize(text)), '\\s+')) AS tok
          |  FROM documents),
          |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |    CAST(sum(length(tok)) AS BIGINT) AS n_tok_chars,
@@ -5131,7 +5161,7 @@ object SparkEntry {
          |      tok -> ${h60(ClsSeed, "tok")} % $ClsWeightMod - $ClsWeightShift)), 0)
          |      AS BIGINT) AS score
          |  FROM (SELECT doc_id, source,
-         |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      list_filter(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'),
          |        x -> x <> '') AS t
          |    FROM documents))""".stripMargin
     },
@@ -5247,7 +5277,7 @@ object SparkEntry {
     "q_filter_funnel" -> {
       import graft.operators.TextAnalysis._
       s"""WITH t AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
-         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |    list_filter(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'),
          |      x -> x <> '') AS tks
          |  FROM documents),
          |m AS (SELECT doc_id, source, n_chars,
@@ -5281,7 +5311,7 @@ object SparkEntry {
          |      tok -> ${h60(ClsSeed, "tok")} % $ClsWeightMod - $ClsWeightShift)), 0)
          |      AS BIGINT) AS score
          |  FROM (SELECT doc_id, source,
-         |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      list_filter(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'),
          |        x -> x <> '') AS t
          |    FROM documents)),
          |r AS (SELECT source, doc_id, n_toks, score,
@@ -5302,7 +5332,7 @@ object SparkEntry {
       import graft.operators.TextAnalysis.{ClsSeed, ClsWeightMod, ClsWeightShift}
       s"""WITH t AS (SELECT doc_id, source, lang,
          |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |    list_filter(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+'),
          |      x -> x <> '') AS tks
          |  FROM documents),
          |m AS (SELECT source, lang, n_chars,
@@ -5381,7 +5411,7 @@ object SparkEntry {
       import graft.operators.TextAnalysis.{DriftBuckets, DriftBucketShift}
       s"""WITH sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
          |b AS (SELECT doc_id >= sp.split AS is_shard,
-         |    least(len(regexp_split_to_array(trim(text), '\\s+')) >> $DriftBucketShift,
+         |    least(len(regexp_split_to_array(trim(nfc_normalize(text)), '\\s+')) >> $DriftBucketShift,
          |      ${DriftBuckets - 1}) AS bucket
          |  FROM documents, sp),
          |h AS (SELECT bucket,
@@ -5491,10 +5521,10 @@ object SparkEntry {
          |  WHERE len(t.toks) >= 10
          |    AND len(list_filter(t.toks, w -> list_contains($stopList, w))) > 0),
          |e AS (SELECT min(doc_id) AS doc_id
-         |  FROM q GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |  FROM q GROUP BY md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g'))),
          |s AS (SELECT q.* FROM q JOIN e USING (doc_id)),
          |st AS (SELECT doc_id,
-         |    regexp_split_to_array(trim(text), '\\s+')[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks
+         |    regexp_split_to_array(trim(nfc_normalize(text)), '\\s+')[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks
          |  FROM s),
          |sh AS (SELECT doc_id,
          |    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
@@ -5855,7 +5885,7 @@ object SparkEntry {
   private def hllVocabOracle: String = {
     import graft.operators.Sketches._
     s"""WITH t AS (SELECT lang,
-       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS tok
        |  FROM documents),
        |tt AS (SELECT lang, tok FROM t WHERE length(tok) > 0),
        |g AS (SELECT lang, ${h60(HllHashSeed, "tok")} AS gh FROM tt),
@@ -5895,7 +5925,7 @@ object SparkEntry {
     */
   private def langIdCtes: String =
     s"""t AS (SELECT doc_id,
-       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |  regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS toks FROM documents),
        |h AS (SELECT doc_id, $langHitCols FROM t),
        |li AS (SELECT d.doc_id, d.lang, h.hits_en, h.hits_de, h.hits_es, h.hits_fr,
        |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'

@@ -994,7 +994,7 @@ object Dedup {
     */
   def simhashSignatures(documents: DataFrame, seed: Int = 99): DataFrame = {
     val perToken = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), explode(split(trim(graft.functions.TextFunctions.nfc(col("text"))), "\\s+")).as("tok"))
       .select(col("doc_id"), HashFunctions.md5Int32(col("tok"), seed).as("h32"))
     val bitSums = (0 until 32).map(b =>
       sum(HashFunctions.simhashBitTerm(col("h32"), b)).as(s"b$b"))

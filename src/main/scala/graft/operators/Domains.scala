@@ -331,7 +331,7 @@ object Domains {
     * everything integer, so the verdict is bit-portable.
     */
   def domainQualityCard(documents: DataFrame): DataFrame = {
-    val lowToks = split(trim(lower(col("text"))), "\\s+")
+    val lowToks = split(trim(lower(graft.functions.TextFunctions.nfc(col("text")))), "\\s+")
     val f = urlTable(documents).select(
       col("domain"), col("tok"),
       TextAnalysis.classifierScoreOf(col("text")).as("score"),

@@ -63,7 +63,7 @@ object Dsir {
     * empty-token filter applied before BOTH unigram and bigram features.
     */
   private def cleanToks(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+    filter(split(trim(lower(graft.functions.TextFunctions.nfc(text))), "\\s+"), t => t =!= "")
 
   /** (doc_id, source, bucket, c) — hashed unigram+bigram feature counts
     * per document. One explode + one map-side-combined hash-agg; rows per

@@ -112,7 +112,7 @@ object GraphAnalytics {
     */
   private def cooccurrenceEdges(documents: DataFrame): DataFrame = {
     val ts = graft.Parallelism.ensure(documents)
-      .select(split(trim(lower(col("text"))), "\\s+").as("ts"))
+      .select(split(trim(lower(graft.functions.TextFunctions.nfc(col("text")))), "\\s+").as("ts"))
       .where(size(col("ts")) >= 2)
     ts
       .select(explode(expr(
@@ -201,7 +201,7 @@ object GraphAnalytics {
     */
   def wordPageRank(documents: DataFrame, k: Int = WordRankK): DataFrame = {
     val ts = graft.Parallelism.ensure(documents)
-      .select(split(trim(lower(col("text"))), "\\s+").as("ts"))
+      .select(split(trim(lower(graft.functions.TextFunctions.nfc(col("text")))), "\\s+").as("ts"))
       .where(size(col("ts")) >= 2)
     val edges = ts
       .select(explode(expr(

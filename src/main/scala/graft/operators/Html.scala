@@ -7,32 +7,56 @@ import org.apache.spark.sql.functions._
   * pipeline (trafilatura/jusText-style boilerplate removal), which every
   * downstream text operator in this suite implicitly assumes has already
   * happened. Raw crawl pages bury the prose in chrome: nav bars, ad
-  * blocks, related-links widgets, footers — and because that chrome
-  * carries page-unique tokens (ids, timestamps, "see also" links),
-  * byte-level dedup over raw HTML finds almost nothing while the actual
-  * CONTENT duplicates freely. Extraction is what makes dedup, quality
-  * scoring, and token accounting mean anything.
+  * blocks, script/style payloads, related-links widgets, footers — and
+  * because that chrome carries page-unique tokens (ids, timestamps,
+  * "see also" links), byte-level dedup over raw HTML finds almost
+  * nothing while the actual CONTENT duplicates freely. Extraction is
+  * what makes dedup, quality scoring, and token accounting mean
+  * anything.
   *
   * The driver corpus carries no HTML column, so [[withHtml]] DERIVES one
   * — a deterministic page around each document's text, in the
   * [[Domains.withUrl]] tradition: the oracle REBUILDS the page and
   * RE-RUNS the same extraction, so the extractor is what's checked, not
-  * assumed. The grammar plants exactly the traps a real extractor faces:
-  * page-unique chrome (`Page <doc_id>` title, `see also p<id+1>` links)
-  * that breaks raw-byte dedup, and boilerplate blocks holding plausible
-  * prose the extractor must NOT leak into the corpus.
+  * assumed. The r15 grammar plants the traps a real extractor faces:
   *
-  *   <html><head><title>Page {id}</title></head><body>
-  *   <nav>home | about | {source} | login</nav>
-  *   <div class="ad">SPONSORED: best {source} deals id {id mod 7}</div>
-  *   <p>{16-token chunk}</p>...            ← the document text
-  *   <div class="related">see also p{id+1} p{id+2}</div>
+  *   <html><head><title>Page {id}</title>
+  *   <style>…display:none…</style></head><body>          ← CSS payload
+  *   <nav id="n{id%5}">home | about | {source} | login</nav>
+  *   <script …>…trackPageView(…)…</script>               ← JS payload
+  *   <div class="ad" data-cid="{id%7}">SPONSORED: …      ← tag attributes
+  *     <div class="inner">deal of the day {id%3}</div>   ← NESTED div
+  *     <p>buy {source} premium today</p>                 ← boilerplate <p>
+  *     <img src="/b{id%7}.png"></div>                    ← void (unclosed) tag
+  *   <p class="c{i}">{escaped 16-token chunk}</p>…       ← the document text
+  *   <div class="related" data-rel="{id%5}">see also
+  *     <a href="/p{id+1}">p{id+1}</a> <a href="/p{id+2}">p{id+2}</a>
+  *     <p>related reading for page {id}</p></div>
+  *   <div class="promo">limited offer {id%11}            ← UNCLOSED div
   *   <footer>copyright 2026 {source} | privacy | terms</footer>
   *   </body></html>
   *
-  * Everything here is codegen'd builtins (concat / higher-order array
-  * lambdas / regexps — no UDF), and every regex is RE2-safe (no
-  * backreferences, no lookaround) so DuckDB replays it verbatim.
+  * Document text is ENTITY-ESCAPED into the page ([[escapeHtml]]) and
+  * unescaped after extraction ([[unescapeHtml]]) — r15, closing the r14
+  * tag-free-text precondition: a document whose prose carries literal
+  * `<b>`, `&amp;`, or quotes round-trips exactly ([[MarkupFixtures]] are
+  * oracle-checked rows of exactly that shape). The page-unique chrome
+  * (`Page {id}` title, `see also` links) still breaks raw-byte dedup,
+  * and the boilerplate/script prose must never leak into the corpus
+  * (HtmlSpec's leak cases pin each marker).
+  *
+  * Everything here is codegen'd builtins (concat / `replace` chains /
+  * higher-order array lambdas / regexps — no UDF), and every regex is
+  * RE2-safe (no backreferences, no lookaround; `[\s\S]` instead of
+  * dotall flags) so DuckDB replays it verbatim.
+  *
+  * Remaining honest preconditions (documented, not hidden): script and
+  * style BODIES must not contain their own closing tag or `<div`
+  * markup (true of the grammar; a real pipeline's tokenizer handles
+  * CDATA), divs nest at most [[DivNestPasses]] deep, and an UNCLOSED
+  * non-void div loses only its own (non-`<p>`) text — `<p>` prose inside
+  * an unclosed boilerplate div would leak, the classic failure mode of
+  * paragraph-anchored extractors on malformed pages.
   */
 object Html {
 
@@ -42,77 +66,199 @@ object Html {
     */
   val ParaTokens = 16
 
+  /** Text-only-div strip passes in [[mainContent]] — handles div nesting
+    * up to this depth inside boilerplate blocks (the grammar nests 2
+    * deep; one spare pass is margin, priced at one scan-speed regex).
+    */
+  val DivNestPasses = 2
+
+  /** Entity-escape document prose for embedding between tags: `&` first
+    * (it appears in every later replacement's output), then the four
+    * structural characters. Chained `replace` builtins — codegen'd, and
+    * DuckDB replays the identical chain.
+    */
+  def escapeHtml(text: Column): Column =
+    replace(
+      replace(
+        replace(
+          replace(
+            replace(text, lit("&"), lit("&amp;")),
+            lit("<"), lit("&lt;")),
+          lit(">"), lit("&gt;")),
+        lit("\""), lit("&quot;")),
+      lit("'"), lit("&#39;"))
+
+  /** Inverse of [[escapeHtml]]: the four structural entities first,
+    * `&amp;` LAST — so a document's literal `&lt;` (escaped to
+    * `&amp;lt;`) unescapes back to `&lt;`, not to `<`.
+    */
+  def unescapeHtml(text: Column): Column =
+    replace(
+      replace(
+        replace(
+          replace(
+            replace(text, lit("&#39;"), lit("'")),
+            lit("&quot;"), lit("\"")),
+          lit("&gt;"), lit(">")),
+        lit("&lt;"), lit("<")),
+      lit("&amp;"), lit("&"))
+
+  /** Oracle-checked fixture rows whose text carries LITERAL markup and
+    * entities — the escape/unescape pair's acceptance rows (r14 verdict
+    * item 2). Negative ids keep them disjoint from any driver corpus;
+    * -3 is an uppercase variant of -1, so the pair lands in
+    * [[dedupLift]]'s main-content dup groups THROUGH the markup.
+    */
+  val MarkupFixtures: Seq[(Long, String, String)] = Seq(
+    (-1L, "fixture", "literal <b>bold</b> markup & a pre-escaped &amp; survive"),
+    (-2L, "fixture", "quotes \"double\" and 'single' plus 1 < 2 > 0 and a&&b"),
+    (-3L, "fixture", "LITERAL <B>BOLD</B> MARKUP & A PRE-ESCAPED &AMP; SURVIVE"))
+
+  /** documents ∪ [[MarkupFixtures]], projected to the synthesis columns —
+    * the corpus every registered HTML query runs on, so the
+    * markup-bearing rows are exercised by the DuckDB gate itself.
+    */
+  def withFixtures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id", "source", "text")
+      .unionAll(MarkupFixtures.toDF("doc_id", "source", "text"))
+  }
+
   /** documents + a deterministic `html` column (see object doc). One
     * codegen'd projection; the paragraph split binds the token array
     * once through an outer column (the [[graft.functions.TextFunctions.shingles]]
-    * lambda-binding lesson).
-    *
-    * Precondition: document text is tag-free prose (true of the driver
-    * corpus, and of any real page's content, which its author
-    * HTML-escaped). A text carrying literal markup would need entity
-    * escaping here and unescaping in [[mainContent]] — a production
-    * synthesis adds that pair; the extractor itself is unchanged.
+    * lambda-binding lesson). Text is escaped BEFORE the whitespace split
+    * — escaping maps tokens 1:1 and never touches whitespace, so
+    * paragraph boundaries are those of the original prose.
     */
   def withHtml(documents: DataFrame): DataFrame =
     documents
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("toks", split(trim(escapeHtml(col("text"))), "\\s+"))
       .withColumn("para_html", expr(
         s"""array_join(transform(
            |  sequence(0, CAST((size(toks) - 1) DIV $ParaTokens AS INT)),
-           |  i -> concat('<p>',
+           |  i -> concat('<p class="c', CAST(i AS STRING), '">',
            |    array_join(slice(toks, i * $ParaTokens + 1, $ParaTokens), ' '),
            |    '</p>')), '')""".stripMargin))
       .withColumn("html", concat(
         lit("<html><head><title>Page "), col("doc_id").cast("string"),
-        lit("</title></head><body>"),
-        lit("<nav>home | about | "), col("source"), lit(" | login</nav>"),
-        lit("<div class=\"ad\">SPONSORED: best "), col("source"),
-        lit(" deals id "), pmod(col("doc_id"), lit(7L)).cast("string"),
-        lit("</div>"),
+        lit("</title><style>.ad{display:none}.x{color:#c00}</style></head><body>"),
+        lit("<nav id=\"n"), pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit("\">home | about | "), col("source"), lit(" | login</nav>"),
+        lit("<script type=\"text/javascript\">var p="),
+        col("doc_id").cast("string"),
+        lit(";if(p&&p>0){trackPageView(\"p\"+p);}</script>"),
+        lit("<div class=\"ad\" data-cid=\""), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit("\">SPONSORED: best "), col("source"), lit(" deals"),
+        lit("<div class=\"inner\">deal of the day "),
+        pmod(col("doc_id"), lit(3L)).cast("string"), lit("</div>"),
+        lit("<p>buy "), col("source"), lit(" premium today</p>"),
+        lit("<img src=\"/b"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".png\"></div>"),
         col("para_html"),
-        lit("<div class=\"related\">see also p"),
-        (col("doc_id") + 1L).cast("string"),
-        lit(" p"), (col("doc_id") + 2L).cast("string"), lit("</div>"),
-        lit("<footer>copyright 2026 "), col("source"),
+        lit("<div class=\"related\" data-rel=\""),
+        pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit("\">see also <a href=\"/p"), (col("doc_id") + 1L).cast("string"),
+        lit("\">p"), (col("doc_id") + 1L).cast("string"),
+        lit("</a> <a href=\"/p"), (col("doc_id") + 2L).cast("string"),
+        lit("\">p"), (col("doc_id") + 2L).cast("string"), lit("</a>"),
+        lit("<p>related reading for page "), col("doc_id").cast("string"),
+        lit("</p></div>"),
+        lit("<div class=\"promo\">limited offer "),
+        pmod(col("doc_id"), lit(11L)).cast("string"),
+        lit(" <footer>copyright 2026 "), col("source"),
         lit(" | privacy | terms</footer>"),
         lit("</body></html>")))
       .drop("toks", "para_html")
 
-  /** Boilerplate-block pattern: nav / footer / ad / related widgets.
+  /** Script/style payloads — stripped FIRST, so their text (which may
+    * contain `&&`, quotes, comparison operators) can never be mistaken
+    * for content or confuse later passes. Bodies must not contain their
+    * own closing tag (see object doc).
+    */
+  val ScriptStylePattern: String =
+    "<script[^>]*>[\\s\\S]*?</script>|<style[^>]*>[\\s\\S]*?</style>"
+
+  /** An innermost div: open tag (attributes allowed), NO `<` in the
+    * body, its own close. Applied [[DivNestPasses]] times, this deletes
+    * text-only divs innermost-first — after which every boilerplate div
+    * contains no nested `</div>` and the non-greedy [[BoilerplatePattern]]
+    * stops at the RIGHT close tag (the r14 advisor's nested-div leak).
+    * Main content is never touched: it lives in `<p>` blocks whose
+    * escaped text contains no `<`.
+    */
+  val TextOnlyDivPattern: String = "<div[^>]*>[^<]*</div>"
+
+  /** Boilerplate-block pattern: nav / footer / ad / related widgets, tag
+    * attributes allowed, bodies spanning any markup EXCEPT a nested
+    * `</div>` (guaranteed by the [[TextOnlyDivPattern]] passes).
     * Alternation instead of a backreference (`</\1>`) — RE2 (DuckDB) has
     * no backreferences, and the oracle must run the SAME regex.
+    * `[\s\S]` instead of dotall: multiline chrome strips in both engines
+    * (the r14 advisor's single-line-chrome caveat).
     */
   val BoilerplatePattern: String =
-    "<nav>.*?</nav>|<footer>.*?</footer>|" +
-      "<div class=\"ad\">.*?</div>|<div class=\"related\">.*?</div>"
+    "<nav[^>]*>[\\s\\S]*?</nav>|<footer[^>]*>[\\s\\S]*?</footer>|" +
+      "<div class=\"ad\"[^>]*>[\\s\\S]*?</div>|" +
+      "<div class=\"related\"[^>]*>[\\s\\S]*?</div>"
 
-  /** THE extractor: drop boilerplate blocks, then reassemble the `<p>`
-    * bodies in document order, space-joined. Two codegen'd regexps per
-    * page — scan speed, no shuffle, no UDF. The boilerplate pass is
-    * load-bearing even though this grammar's chrome holds no `<p>`:
-    * a real page's ad/related blocks do, and leaking them is exactly the
-    * failure mode extraction exists to prevent.
+  /** Content paragraphs: `<p>` with any attributes, body captured. */
+  val ParagraphPattern: String = "<p[^>]*>([\\s\\S]*?)</p>"
+
+  /** The page after the strip passes: script/style out, text-only divs
+    * out (innermost-first, [[DivNestPasses]]×), boilerplate blocks out.
+    * What remains is content `<p>` blocks plus inert leftovers (an
+    * unclosed div's open tag and stray text — outside any `<p>`, so the
+    * paragraph extraction never sees them).
+    */
+  private def strippedHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, ScriptStylePattern, " ")
+    val noInner = (1 to DivNestPasses).foldLeft(noScript)(
+      (c, _) => regexp_replace(c, TextOnlyDivPattern, " "))
+    regexp_replace(noInner, BoilerplatePattern, " ")
+  }
+
+  /** THE extractor: strip passes ([[strippedHtml]]), then reassemble the
+    * `<p>` bodies in document order, space-joined, entity-unescaped.
+    * A handful of codegen'd regexps per page — scan speed, no shuffle,
+    * no UDF. The boilerplate pass is load-bearing: the grammar's ad and
+    * related blocks each hold a plausible `<p>` sentence, and leaking
+    * them is exactly the failure mode extraction exists to prevent.
     */
   def mainContent(html: Column): Column =
-    array_join(
-      regexp_extract_all(
-        regexp_replace(html, BoilerplatePattern, " "),
-        lit("<p>(.*?)</p>"), lit(1)),
-      " ")
+    unescapeHtml(
+      array_join(
+        regexp_extract_all(strippedHtml(html),
+          lit(ParagraphPattern), lit(1)),
+        " "))
 
-  /** Per-document extraction report — `q_html_extract`: paragraph count,
-    * main-content length, and the ROUNDTRIP flag (extracted text equals
-    * the whitespace-normalized original — true for every synthesized
-    * page, and the property that pins the extractor's correctness
+  /** Per-document extraction report — `q_html_extract`: CONTENT
+    * paragraph count (counted after the strip passes, so boilerplate
+    * `<p>`s don't inflate it), main-content length, and the ROUNDTRIP
+    * flag (extracted text equals the whitespace-normalized original —
+    * true for every synthesized page INCLUDING the markup-bearing
+    * fixtures, and the property that pins the extractor's correctness
     * row-by-row in the oracle).
     */
   def extractionReport(documents: DataFrame): DataFrame =
+    extractionReportRaw(withFixtures(documents))
+
+  /** The report WITHOUT the fixture union — the streaming twin feeds
+    * micro-batches through this (fixtures arrive as their own final
+    * shard there, so they land exactly once in the union, matching the
+    * shared batch oracle).
+    */
+  def extractionReportRaw(documents: DataFrame): DataFrame =
     withHtml(graft.Parallelism.ensure(documents))
-      .withColumn("main", mainContent(col("html")))
+      .withColumn("stripped", strippedHtml(col("html")))
+      .withColumn("main", unescapeHtml(array_join(
+        regexp_extract_all(col("stripped"), lit(ParagraphPattern), lit(1)),
+        " ")))
       .select(
         col("doc_id"),
-        expr("CAST(size(regexp_extract_all(html, '<p>', 0)) AS BIGINT)")
-          .as("n_paras"),
+        size(regexp_extract_all(col("stripped"), lit(ParagraphPattern), lit(1)))
+          .cast("long").as("n_paras"),
         length(col("main")).cast("long").as("main_chars"),
         (col("main") ===
           array_join(split(trim(col("text")), "\\s+"), " ")).as("roundtrip_ok"))
@@ -123,7 +269,7 @@ object Html {
     * retention.
     */
   def boilerplateShare(documents: DataFrame): DataFrame =
-    withHtml(graft.Parallelism.ensure(documents))
+    withHtml(graft.Parallelism.ensure(withFixtures(documents)))
       .withColumn("main", mainContent(col("html")))
       .groupBy("source")
       .agg(
@@ -146,7 +292,7 @@ object Html {
     * (checkpointed), each |distinct|-bounded past the first agg.
     */
   def dedupLift(documents: DataFrame): DataFrame = {
-    val pages = withHtml(graft.Parallelism.ensure(documents))
+    val pages = withHtml(graft.Parallelism.ensure(withFixtures(documents)))
       .select(col("doc_id"), md5(lower(col("html"))).as("raw_fp"),
         md5(lower(mainContent(col("html")))).as("main_fp"))
       .localCheckpoint()

@@ -312,7 +312,7 @@ object Pipeline {
       .select(
         col("source"), col("lang"),
         length(col("text")).cast("long").as("n_chars"),
-        size(filter(split(trim(lower(col("text"))), "\\s+"), x => x =!= ""))
+        size(filter(split(trim(lower(graft.functions.TextFunctions.nfc(col("text")))), "\\s+"), x => x =!= ""))
           .cast("long").as("n_toks"),
         Splits.splitOf(col("doc_id")).as("split"),
         (TextAnalysis.classifierScoreOf(col("text")) > 0).as("cls_keep"))

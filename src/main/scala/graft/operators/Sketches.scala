@@ -63,7 +63,7 @@ object Sketches {
   private[graft] def tokenize(documents: DataFrame): DataFrame =
     documents
       .select(col("lang"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        explode(split(trim(lower(graft.functions.TextFunctions.nfc(col("text")))), "\\s+")).as("tok"))
       .where(length(col("tok")) > 0)
 
   /** (lang, tok) stream shared by both HLL forms and the exact count. */
@@ -227,7 +227,7 @@ object Sketches {
       (0 until CmsDepth).map(s =>
         HashFunctions.md5Long(c, CmsSeedBase + s) % CmsWidth): _*)
     val toks = graft.Parallelism.ensure(documents)
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .select(explode(split(trim(lower(graft.functions.TextFunctions.nfc(col("text")))), "\\s+")).as("tok"))
       .where(length(col("tok")) > 0)
     val counters = toks
       .select(posexplode(buckets(col("tok"))).as(Seq("row", "bucket")))

@@ -30,7 +30,17 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
-  private def toks(text: Column): Column = split(trim(text), "\\s+")
+  /** The house whitespace tokenizer, NFC-composed ([[TextFunctions.nfc]],
+    * allocation-free on already-NFC text) — r15: every identity-bearing
+    * consumer below (BPE word frequencies, NB vocabulary, language ID,
+    * LM bigrams, token ids, drift vocabularies) sees ONE token for "café"
+    * whether the source bytes were NFC or NFD, matching
+    * [[TextFunctions.tokens]] and the DuckDB oracles' `nfc_normalize`.
+    * NFC never maps characters to or from whitespace, so the count-only
+    * consumers (token counts, length buckets) are bit-unchanged.
+    */
+  private def toks(text: Column): Column =
+    split(trim(TextFunctions.nfc(text)), "\\s+")
 
   /** Per-document statistics and a quality score. All counts are integers;
     * the ratio is a single division of exact ints (engine-reproducible).
@@ -1153,7 +1163,7 @@ object TextAnalysis {
       evalMod: Int = EvalHoldoutMod): DataFrame = {
     val win = graft.Parallelism.ensure(documents)
       .select(col("doc_id"),
-        slice(split(trim(col("text")), "\\s+"), 1,
+        slice(split(trim(TextFunctions.nfc(col("text"))), "\\s+"), 1,
           graft.functions.TextFunctions.MaxShingleTokens).as("ts"))
       .where(size(col("ts")) >= n)
       .select(col("doc_id"), explode(expr(
@@ -1205,7 +1215,7 @@ object TextAnalysis {
       evalMod: Int = EvalHoldoutMod): DataFrame = {
     val win = graft.Parallelism.ensure(documents)
       .select(col("doc_id"),
-        slice(split(trim(col("text")), "\\s+"), 1,
+        slice(split(trim(TextFunctions.nfc(col("text"))), "\\s+"), 1,
           graft.functions.TextFunctions.MaxShingleTokens).as("ts"))
       .where(size(col("ts")) >= n)
       .select(col("doc_id"), explode(expr(
@@ -1834,8 +1844,12 @@ object TextAnalysis {
     // off it after is shuffle-cheap), once to extract the DISTINCT
     // content texts, which are then checkpointed so the bigram/vocab
     // consumers never rescan the corpus.
+    // NFC inside the fingerprint AND the rep text (r15): NFC-variant
+    // copies collapse into ONE content group, and since [[toks]] also
+    // composes, the m-weighted counts still reproduce per-doc brute
+    // force exactly (the DedupEquivalence fuzz covers NFC/NFD mixes)
     val fps = documents
-      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .select(col("doc_id"), md5(lower(TextFunctions.nfc(col("text")))).as("fp"))
       .localCheckpoint()
     val groups = fps.groupBy("fp")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
@@ -1843,8 +1857,8 @@ object TextAnalysis {
     val mapping = fps.join(groups.select("fp", "rep"), Seq("fp"))
       .select("doc_id", "rep")
     val reps = documents
-      .select(col("doc_id"), lower(col("text")).as("lt"),
-        md5(lower(col("text"))).as("fp"))
+      .select(col("doc_id"), lower(TextFunctions.nfc(col("text"))).as("lt"),
+        md5(lower(TextFunctions.nfc(col("text")))).as("fp"))
       .join(groups, Seq("fp"))
       .where(col("doc_id") === col("rep"))
       .select(col("rep"), col("m"), col("lt"))
@@ -1877,7 +1891,11 @@ object TextAnalysis {
     // exactly, so the per-doc output is bit-identical to the uncollapsed
     // form — the oracle row is untouched
     val ts = graft.Parallelism.ensure(reps)
-      .select(col("rep"), col("m"), toks(col("lt")).as("ts"))
+      // lt is already NFC-composed + lowered by [[contentGroups]]; a raw
+      // split here mirrors the oracle's lower(nfc_normalize(text)) EXACTLY
+      // ([[toks]] would re-normalize AFTER lowercasing, a different
+      // composition in the corner where lowercasing denormalizes)
+      .select(col("rep"), col("m"), split(trim(col("lt")), "\\s+").as("ts"))
     val pairs = ts.where(size(col("ts")) >= 2)
       .select(col("rep"), col("m"), explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
@@ -1963,7 +1981,11 @@ object TextAnalysis {
     */
   private[graft] def rareBigramRateByRep(reps: DataFrame): DataFrame = {
     val bg = graft.Parallelism.ensure(reps)
-      .select(col("rep"), col("m"), toks(col("lt")).as("ts"))
+      // lt is already NFC-composed + lowered by [[contentGroups]]; a raw
+      // split here mirrors the oracle's lower(nfc_normalize(text)) EXACTLY
+      // ([[toks]] would re-normalize AFTER lowercasing, a different
+      // composition in the corner where lowercasing denormalizes)
+      .select(col("rep"), col("m"), split(trim(col("lt")), "\\s+").as("ts"))
       .where(size(col("ts")) >= 2)
       .select(col("rep"), col("m"), explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
@@ -2030,11 +2052,15 @@ object TextAnalysis {
     }
   }
 
-  /** Whitespace-normalized lowercase form — the canonical text for exact
-    * dedup and fingerprinting.
+  /** Whitespace-normalized lowercase NFC form — the canonical text for
+    * exact dedup and fingerprinting. NFC-composed (r15) so an NFC and an
+    * NFD copy of the same document hash to ONE fingerprint — without it,
+    * exact dedup silently misses mixed-normalization duplicates, the
+    * precise failure mode the [[graft.functions.UnicodeExpressions]]
+    * docstring cites. Oracles mirror with `nfc_normalize`.
     */
   def normalized(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+    regexp_replace(lower(trim(TextFunctions.nfc(text))), "\\s+", " ")
 
   /** Document fingerprints: full-text md5 (exact dup key), a 60-bit integer
     * fingerprint, and a min-shingle-hash (rolling-hash-style content

@@ -264,7 +264,7 @@ object DocumentStreams {
     * codegen'd scan per micro-batch and shrinks everything downstream.
     */
   def qualityFiltered(docs: DataFrame): DataFrame = {
-    val ts = split(trim(col("text")), "\\s+")
+    val ts = split(trim(graft.functions.TextFunctions.nfc(col("text"))), "\\s+")
     val nStop = size(filter(ts, t => t.isin(TextAnalysis.Stopwords: _*)))
     def noHit(pattern: String) =
       size(regexp_extract_all(col("text"), lit(pattern), lit(0))) === 0
@@ -281,7 +281,7 @@ object DocumentStreams {
     * router of [[dlqSplitToBatch]] and the gate predicate's negation.
     */
   def rejectionReason: org.apache.spark.sql.Column = {
-    val ts = split(trim(col("text")), "\\s+")
+    val ts = split(trim(graft.functions.TextFunctions.nfc(col("text"))), "\\s+")
     val nStop = size(filter(ts, t => t.isin(TextAnalysis.Stopwords: _*)))
     def hits(p: String) =
       size(regexp_extract_all(col("text"), lit(p), lit(0))) > 0
@@ -459,13 +459,24 @@ object DocumentStreams {
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.Html.extractionReport(batch)
+          graft.operators.Html.extractionReportRaw(
+            batch.select("doc_id", "source", "text"))
             .write.mode("overwrite")
             .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
           ()
         }
         .start()
       q.awaitTermination()
+    }
+    // the markup fixtures arrive as their own final shard — exactly once
+    // across the whole stream, so the union matches the batch report
+    // (whose corpus is documents ∪ fixtures) row for row
+    locally {
+      import spark.implicits._
+      graft.operators.Html.extractionReportRaw(
+        graft.operators.Html.MarkupFixtures.toDF("doc_id", "source", "text"))
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("out").resolve("batch=fixtures").toString)
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType),

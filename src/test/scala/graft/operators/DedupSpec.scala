@@ -21,6 +21,21 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((3L, 1L), (1L, 4L))) // (n_copies, keeper)
   }
 
+  test("exact dedup collapses NFC and NFD spellings of the same text (r15)") {
+    // "café menu" precomposed (U+00E9) vs decomposed (e + U+0301): same
+    // visible text, different bytes — a mixed-normalization crawl's most
+    // common duplicate shape. The NFC-composed fingerprint must group
+    // them; pre-r15 they hashed apart.
+    val d = docs(
+      1L -> "café menu",
+      2L -> "café menu",
+      3L -> "CAFÉ MENU",
+      4L -> "tea menu")
+    val got = Dedup.exactDuplicates(d)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((3L, 1L), (1L, 4L)))
+  }
+
   test("minhash LSH finds planted near-dup pairs and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val nearDup = base.replace("delta", "DELTA-EDIT") // small edit

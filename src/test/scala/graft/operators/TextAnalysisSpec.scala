@@ -740,24 +740,37 @@ class TextAnalysisSpec extends SparkSpec {
     // against an uncollapsed per-document scala brute.
     val rnd = new scala.util.Random(20260815L)
     for (trial <- 1 to 5) {
-      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsi", "zeta")
+      // accented vocab on purpose: duplicates are emitted as case
+      // variants AND as NFD decompositions, so the r15 NFC-composed
+      // fingerprint/tokenizer must collapse all three spellings of a
+      // text into ONE content group for per-doc equality to hold
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "café", "züge")
       val nDistinct = 2 + rnd.nextInt(4)
       val bases = Vector.fill(nDistinct)(
         Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      def nfd(s: String): String =
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
       val docsSeq = (1 to 30).map { i =>
         val t0 = bases(rnd.nextInt(nDistinct))
-        (i.toLong, if (rnd.nextBoolean()) t0.toUpperCase else t0)
+        (i.toLong, rnd.nextInt(3) match {
+          case 0 => t0
+          case 1 => t0.toUpperCase
+          case _ => nfd(t0)
+        })
       }
       val d = docsSeq.toDF("doc_id", "text")
 
+      def norm(t: String): String =
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+          .toLowerCase
       def bigrams(t: String): Seq[(String, String)] = {
-        val ts = t.trim.toLowerCase.split("\\s+").toSeq
+        val ts = norm(t).trim.split("\\s+").toSeq
         if (ts.size < 2) Nil else ts.sliding(2).map(p => (p(0), p(1))).toSeq
       }
       val all = docsSeq.flatMap { case (_, t) => bigrams(t) }
       val lm = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
       val lmt = lm.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
-      val v = docsSeq.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      val v = docsSeq.flatMap(p => norm(p._2).trim.split("\\s+"))
         .filter(_.nonEmpty).distinct.size.toLong
 
       // lmSurprisal vs brute
