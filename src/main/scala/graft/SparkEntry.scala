@@ -462,15 +462,16 @@ object SparkEntry {
     // brute-force oracle with no banding-equivalence caveat.
     "q_neardup_exact" -> ((s, dir) =>
       Dedup.prefixNearDupPairs(SignatureStore.table(s, dir))),
-    // The DEPLOYABLE form of the exact miner: same prefix join under the
-    // banded miner's doc-weighted size cap, dropping degenerate prefix
-    // join keys (template-family boilerplate) before they go quadratic.
-    // Identical-content pairs always survive (they never join). On this
-    // corpus the cap never fires, so the output equals q_neardup_exact;
-    // the oracle still replays the full capped construction.
+    // The DEPLOYABLE form of the exact miner: same prefix join under a
+    // doc-weighted size cap, dropping degenerate prefix join keys
+    // (template-family boilerplate) before they go quadratic.
+    // Identical-content pairs always survive (they never join). r15:
+    // registered at ExercisedPrefixCap, which this corpus EXCEEDS — the
+    // valve fires under the oracle gate and the result observably
+    // differs from q_neardup_exact (see the constant's docstring).
     "q_neardup_exact_capped" -> ((s, dir) =>
       Dedup.prefixNearDupPairs(SignatureStore.table(s, dir),
-        maxPrefixGroup = Dedup.DefaultMaxBucketSize)),
+        maxPrefixGroup = Dedup.ExercisedPrefixCap)),
     // Banding S-curve tuning card: closed-form P(detect | jaccard) for the
     // configured (bands, rows) next to the observed verified-pair mass.
     "q_lsh_curve" -> ((s, dir) =>
@@ -5037,11 +5038,13 @@ object SparkEntry {
     // is the prefix construction itself (content-group collapse, df-asc
     // prefix, doc-weighted group cap, length filter, verify, member
     // expansion), so the oracle replays every step with window functions
-    // over the same integer arithmetic. On this corpus no prefix group
-    // exceeds the cap, so the result ALSO equals q_neardup_exact's — the
-    // replay keeps that equality a checked fact instead of an assumption.
+    // over the same integer arithmetic. r15: the registered cap
+    // (ExercisedPrefixCap) sits BELOW this corpus's max prefix-group
+    // mass, so keys are genuinely dropped under the gate and the result
+    // observably differs from q_neardup_exact — the valve itself is what
+    // this row verifies.
     "q_neardup_exact_capped" -> {
-      val cap = graft.operators.Dedup.DefaultMaxBucketSize
+      val cap = graft.operators.Dedup.ExercisedPrefixCap
       s"""WITH sh0 AS ($shCte),
          |ne AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
          |g AS (SELECT doc_id, sh,

@@ -39,6 +39,22 @@ object Dedup {
     */
   val DefaultMaxBucketSize = 10000
 
+  /** Prefix-group cap for the REGISTERED `q_neardup_exact_capped` query —
+    * deliberately set below this corpus family's maximum doc-weighted
+    * prefix-group mass (measured r15: max 3 at sf0.01, 12 at sf0.1, with
+    * 38 / 18,538 keys above the cap respectively), so the cap VALVE is
+    * exercised by the oracle gate itself: the DuckDB replay encodes the
+    * same capped construction and the result observably differs from the
+    * uncapped `q_neardup_exact` (24 vs 25 pairs at sf0.01, 130 vs 241 at
+    * sf0.1). r14's registration used [[DefaultMaxBucketSize]], which this
+    * corpus never reaches — the query re-paid the full mine to emit a
+    * copy of the uncapped result and the valve went untested (r14 verdict
+    * item 4). Production callers keep the [[DefaultMaxBucketSize]]
+    * default; this constant exists so the safety mechanism itself has a
+    * green row.
+    */
+  val ExercisedPrefixCap = 2
+
   /** Exact dedup on whitespace-normalized lowercase text: one hash-agg;
     * keeps the smallest doc_id as the cluster representative.
     */

@@ -870,6 +870,30 @@ class DedupSpec extends SparkSpec {
       (allPairs ++ Set((1L, 6L)) ++ (2L to 5L).map(b => (b, 6L)).toSet))
   }
 
+  test("ExercisedPrefixCap genuinely fires on the driver corpus (r15)") {
+    // the REGISTERED q_neardup_exact_capped cap must sit below the
+    // corpus's max prefix-group mass — r14 registered the production cap,
+    // which this corpus never reaches, so the valve went untested
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val tbl = Dedup.withContentGroups(Dedup.shingleSignatureTable(d))
+    val rowsOf = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val uncapped = rowsOf(Dedup.prefixNearDupPairs(tbl))
+    val capped = rowsOf(Dedup.prefixNearDupPairs(
+      tbl, maxPrefixGroup = Dedup.ExercisedPrefixCap))
+    assert(capped.keySet.subsetOf(uncapped.keySet), "the cap can only DROP pairs")
+    assert(capped.size < uncapped.size,
+      s"cap ${Dedup.ExercisedPrefixCap} must fire on this corpus " +
+        s"(${capped.size} vs ${uncapped.size} pairs) — if the corpus " +
+        "changed, re-measure and lower ExercisedPrefixCap")
+    // identical-content pairs never join, so the cap cannot touch them
+    // (none exist at sf0.001 — the planted-flood test below pins the
+    // survival property; this guards against a corpus regeneration)
+    val identicals = uncapped.collect { case (k, j) if j == 1.0 => k }.toSet
+    assert(identicals.subsetOf(capped.keySet),
+      "jaccard-1 pairs must survive any cap")
+  }
+
   test("prefixNearDupPairs cap: no-op on the driver corpus, drops a planted flood") {
     // at the production cap the gate must be invisible on real data:
     // bit-identical pair set on the sf0.001 corpus
