@@ -26,26 +26,9 @@ import org.apache.spark.sql.types._
   */
 object CentroidStore {
 
-  private val builtIvf =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
-  private val builtPq =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-  // exposed-for-spec build counters: the apply path must hit each key once
-  private val ivfBuildCounts =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Integer]()
-  private val pqBuildCounts =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Integer]()
-
-  private lazy val root = {
-    val p = java.nio.file.Files.createTempDirectory("graft_centroidstore")
-    graft.streaming.EventStreams.deleteRecursivelyOnExit(p)
-    p
-  }
-
-  private def artifactPath(tag: String): String =
-    root.resolve(
-      java.security.MessageDigest.getInstance("MD5").digest(tag.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString).toString
+  // the shared build-once kernel (r15): two key spaces, two stores
+  private val ivfStore = new graft.sources.ArtifactStore[(String, Int, Int)]("centroids_ivf")
+  private val pqStore = new graft.sources.ArtifactStore[(String, Int)]("centroids_pq")
 
   private val ivfSchema = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
@@ -67,17 +50,14 @@ object CentroidStore {
       nLists: Int = Similarity.IvfLists,
       iters: Int = Similarity.IvfTrainIters): Array[(Int, Array[Float])] = {
     val key = (dir, nLists, iters)
-    val path = builtIvf.computeIfAbsent(key, _ => {
-      ivfBuildCounts.merge(key, 1, (a, b) => a + b)
+    val path = ivfStore.getOrBuild(key) { out =>
       val cents = Similarity.trainedCentroids(
         graft.Tables.embeddings(spark, dir), nLists, iters)
-      val out = artifactPath(s"ivf:$dir:$nLists:$iters")
       val rows = cents.toSeq.map { case (i, v) => Row(i, v.toSeq) }
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), ivfSchema)
         .write.mode("overwrite").parquet(out)
-      out
-    })
+    }
     spark.read.schema(ivfSchema).parquet(path)
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
@@ -96,19 +76,16 @@ object CentroidStore {
       iters: Int = ProductQuantization.IvfIters): Array[(Int, Array[Float])] = {
     import org.apache.spark.sql.functions.col
     val key = (s"$dir#sample", nLists, iters)
-    val path = builtIvf.computeIfAbsent(key, _ => {
-      ivfBuildCounts.merge(key, 1, (a, b) => a + b)
+    val path = ivfStore.getOrBuild(key) { out =>
       val cents = Similarity.trainedCentroids(
         graft.Tables.embeddings(spark, dir)
           .where(col("vec_id") < ProductQuantization.TrainSampleN),
         nLists, iters)
-      val out = artifactPath(s"ivfsample:$dir:$nLists:$iters")
       val rows = cents.toSeq.map { case (i, v) => Row(i, v.toSeq) }
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), ivfSchema)
         .write.mode("overwrite").parquet(out)
-      out
-    })
+    }
     spark.read.schema(ivfSchema).parquet(path)
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
@@ -125,12 +102,10 @@ object CentroidStore {
       iters: Int = ProductQuantization.TrainIters): ProductQuantization.Codebooks = {
     import org.apache.spark.sql.functions.col
     val key = (dir, iters)
-    val path = builtPq.computeIfAbsent(key, _ => {
-      pqBuildCounts.merge(key, 1, (a, b) => a + b)
+    val path = pqStore.getOrBuild(key) { out =>
       val emb = graft.Tables.embeddings(spark, dir)
       val cb = ProductQuantization.trainCodebooks(
         emb.where(col("vec_id") < ProductQuantization.TrainSampleN), iters)
-      val out = artifactPath(s"pq:$dir:$iters")
       val rows = for {
         m <- cb.indices
         k <- cb(m).indices
@@ -138,8 +113,7 @@ object CentroidStore {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), pqSchema)
         .write.mode("overwrite").parquet(out)
-      out
-    })
+    }
     val rows = spark.read.schema(pqSchema).parquet(path).collect()
     val grouped = rows.groupBy(_.getInt(0))
     Array.tabulate(ProductQuantization.NumSubspaces) { m =>
@@ -154,8 +128,8 @@ object CentroidStore {
     */
   def ivfBuilds(dir: String, nLists: Int = Similarity.IvfLists,
       iters: Int = Similarity.IvfTrainIters): Int =
-    Option(ivfBuildCounts.get((dir, nLists, iters))).fold(0)(_.intValue)
+    ivfStore.builds((dir, nLists, iters))
 
   def pqBuilds(dir: String, iters: Int = ProductQuantization.TrainIters): Int =
-    Option(pqBuildCounts.get((dir, iters))).fold(0)(_.intValue)
+    pqStore.builds((dir, iters))
 }

@@ -1884,13 +1884,12 @@ object Dedup {
   * consumers. The store makes that cost once-per-document-ever.
   */
 object SignatureStore {
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
-  private lazy val root = {
-    val p = java.nio.file.Files.createTempDirectory("graft_sigstore")
-    graft.streaming.EventStreams.deleteRecursivelyOnExit(p)
-    p
-  }
+  // shared build-once kernel (r15); the schema side-map is filled inside
+  // the build closure (the built frame's schema is what the explicit-
+  // schema read-back needs, and it is deterministic per corpus)
+  private val store = new graft.sources.ArtifactStore[String]("sigstore")
+  private val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   /** The (doc_id, sh, mh0..mh15, group_id, members) table for a source
     * directory's documents, built+persisted on first call, read back from
@@ -1902,15 +1901,13 @@ object SignatureStore {
     * write leaves no footer to infer from).
     */
   def table(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val (path, schema) = built.computeIfAbsent(dir, d => {
+    val path = store.getOrBuild(dir) { out =>
       val df = Dedup.withContentGroups(
-        Dedup.shingleSignatureTable(graft.Tables.documents(spark, d)))
-      val out = root.resolve(
-        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString).toString
+        Dedup.shingleSignatureTable(graft.Tables.documents(spark, dir)))
       df.write.mode("overwrite").parquet(out)
-      (out, df.schema)
-    })
-    spark.read.schema(schema).parquet(path)
+      schemas.put(dir, df.schema)
+      ()
+    }
+    spark.read.schema(schemas.get(dir)).parquet(path)
   }
 }

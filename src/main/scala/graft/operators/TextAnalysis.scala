@@ -2299,13 +2299,8 @@ object TextAnalysis {
   * ids comparable across the whole system.
   */
 object TokenizerStore {
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-  private lazy val root = {
-    val p = java.nio.file.Files.createTempDirectory("graft_tokenizer")
-    graft.streaming.EventStreams.deleteRecursivelyOnExit(p)
-    p
-  }
+  private val store =
+    new graft.sources.ArtifactStore[(String, Int)]("tokenizer")
 
   /** The persisted merge table (rank, a, b, n) for a corpus directory,
     * trained+written on first call, parquet-read afterwards. Schema is
@@ -2313,14 +2308,10 @@ object TokenizerStore {
     */
   def mergesTable(spark: org.apache.spark.sql.SparkSession, dir: String,
       k: Int = TextAnalysis.DefaultBpeK): DataFrame = {
-    val path = built.computeIfAbsent((dir, k), { case (d, kk) =>
-      val df = TextAnalysis.bpeTrainedMerges(graft.Tables.documents(spark, d), kk)
-      val out = root.resolve(
-        java.security.MessageDigest.getInstance("MD5").digest(s"$d#$kk".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString).toString
-      df.write.mode("overwrite").parquet(out)
-      out
-    })
+    val path = store.getOrBuild((dir, k)) { out =>
+      TextAnalysis.bpeTrainedMerges(graft.Tables.documents(spark, dir), k)
+        .write.mode("overwrite").parquet(out)
+    }
     spark.read.schema(
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
@@ -2351,15 +2342,7 @@ object TokenizerStore {
   * `is_quality` label derivation runs on apply).
   */
 object ModelStore {
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  private val buildCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private lazy val root = {
-    val p = java.nio.file.Files.createTempDirectory("graft_nbmodel")
-    graft.streaming.EventStreams.deleteRecursivelyOnExit(p)
-    p
-  }
+  private val store = new graft.sources.ArtifactStore[String]("nbmodel")
 
   import org.apache.spark.sql.types._
   private val modelSchema = StructType(Seq(
@@ -2371,19 +2354,16 @@ object ModelStore {
     StructField("prior_f", LongType),
     StructField("unseen_f", LongType)))
 
-  private def paths(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    built.computeIfAbsent(dir, d => {
-      buildCounts.merge(d, 1, (a, b) => a + b)
-      val docs = graft.Tables.documents(spark, d)
+  private def paths(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val base = store.getOrBuild(dir) { out =>
+      val docs = graft.Tables.documents(spark, dir)
       val model = TextAnalysis.nbTrain(docs).localCheckpoint()
-      val base = root.resolve(
-        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString).toString
-      model.write.mode("overwrite").parquet(s"$base/model")
+      model.write.mode("overwrite").parquet(s"$out/model")
       TextAnalysis.nbConsts(docs, model)
-        .write.mode("overwrite").parquet(s"$base/consts")
-      (s"$base/model", s"$base/consts")
-    })
+        .write.mode("overwrite").parquet(s"$out/consts")
+    }
+    (s"$base/model", s"$base/consts")
+  }
 
   /** The persisted (model, consts) pair, trained on first call. */
   def model(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
@@ -2401,6 +2381,5 @@ object ModelStore {
       graft.Tables.documents(spark, dir), model(spark, dir), consts(spark, dir))
 
   /** Times the model for `dir` has been TRAINED (not read) — spec hook. */
-  def builds(dir: String): Int =
-    Option(buildCounts.get(dir)).fold(0)(_.intValue)
+  def builds(dir: String): Int = store.builds(dir)
 }
