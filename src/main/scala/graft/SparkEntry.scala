@@ -741,6 +741,11 @@ object SparkEntry {
     // card through the shared driftCardOf
     "q_stream_embed_drift" -> ((s, dir) =>
       graft.streaming.EmbeddingStreams.embeddingDriftToBatch(s, dir)),
+    // stored-index STALENESS: ann_ivf_stored's persisted centroids probed
+    // against a drifted replica (reversed-dim twins), recall vs a fresh
+    // retrain per region, retrain verdict — what the artifact stores
+    // defer and a real pipeline must trigger on (r15)
+    "q_ann_stale" -> ((s, dir) => Similarity.annStalenessCard(s, dir)),
     // continuous-ingestion SemDeDup: the incoming fifth probes the
     // corpus's persisted cells; the corpus is never self-joined again
     "q_semdedup_incremental" -> ((s, dir) =>
@@ -2035,15 +2040,16 @@ object SparkEntry {
     * silently apply to only one of them. `cn` is the centroid norm; pass
     * an expression when the CTE doesn't precompute it.
     */
-  private def ivfProbeCtes(centCte: String, cnExpr: String, nQueries: Int = 10): String =
-    s"""scores AS (SELECT e.vec_id, c.i,
+  private def ivfProbeCtes(centCte: String, cnExpr: String, nQueries: Int = 10,
+      pfx: String = "", src: String = "e"): String =
+    s"""${pfx}scores AS (SELECT e.vec_id, c.i,
        |    ${dotSql("e.v", "c.c")} / (sqrt(${selfDotSql("e.v")}) * $cnExpr) AS cs
-       |  FROM e CROSS JOIN $centCte c),
-       |ranked_cells AS (SELECT vec_id, i,
+       |  FROM $src e CROSS JOIN $centCte c),
+       |${pfx}ranked_cells AS (SELECT vec_id, i,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, i DESC) AS rn
-       |  FROM scores),
-       |assigned AS (SELECT vec_id AS neighbor_id, i AS cell FROM ranked_cells WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked_cells
+       |  FROM ${pfx}scores),
+       |${pfx}assigned AS (SELECT vec_id AS neighbor_id, i AS cell FROM ${pfx}ranked_cells WHERE rn = 1),
+       |${pfx}probes AS (SELECT vec_id AS query_id, i AS cell FROM ${pfx}ranked_cells
        |  WHERE rn <= 3 AND vec_id < $nQueries)""".stripMargin
 
   /** Shared exact-rerank tail over a `cand(query_id, neighbor_id)` CTE. */
@@ -2093,7 +2099,8 @@ object SparkEntry {
     * CTE — yielding `cent<iters>` as the trained centroids. Shared by the
     * trained-IVF and IVF-PQ oracles.
     */
-  private def ivfTrainCtes(nLists: Int, iters: Int, src: String = "e"): String = {
+  private def ivfTrainCtes(nLists: Int, iters: Int, src: String = "e",
+      pfx: String = ""): String = {
     val q = graft.operators.Similarity.MeanQuantum
     val sumCols = (1 to EmbDim)
       .map(d => s"sum(CAST(round(e.v[$d]*$q) AS BIGINT)) AS s$d")
@@ -2102,18 +2109,18 @@ object SparkEntry {
       .map(d => s"CAST(CAST(CAST(s$d AS DOUBLE)/n/$q.0 AS FLOAT) AS DOUBLE)")
       .mkString("[", ", ", "]")
     def iterCtes(t: Int): String =
-      s"""s$t AS (SELECT e.vec_id, c.i,
+      s"""${pfx}s$t AS (SELECT e.vec_id, c.i,
          |    ${dotSql("e.v", "c.c")} / (sqrt(${selfDotSql("e.v")}) * sqrt(${selfDotSql("c.c")})) AS cs
-         |  FROM $src e CROSS JOIN cent$t c),
-         |a$t AS (SELECT vec_id, i AS cell FROM (
+         |  FROM $src e CROSS JOIN ${pfx}cent$t c),
+         |${pfx}a$t AS (SELECT vec_id, i AS cell FROM (
          |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, i DESC) AS rn
-         |    FROM s$t) r WHERE rn = 1),
-         |m$t AS (SELECT a.cell, count(*) AS n, $sumCols
-         |  FROM a$t a JOIN $src e USING (vec_id) GROUP BY a.cell),
-         |cent${t + 1} AS (SELECT c0.i, COALESCE(m.c, c0.c) AS c
-         |  FROM cent$t c0 LEFT JOIN
-         |    (SELECT cell AS i, $meanList AS c FROM m$t) m USING (i))""".stripMargin
-    s"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c
+         |    FROM ${pfx}s$t) r WHERE rn = 1),
+         |${pfx}m$t AS (SELECT a.cell, count(*) AS n, $sumCols
+         |  FROM ${pfx}a$t a JOIN $src e USING (vec_id) GROUP BY a.cell),
+         |${pfx}cent${t + 1} AS (SELECT c0.i, COALESCE(m.c, c0.c) AS c
+         |  FROM ${pfx}cent$t c0 LEFT JOIN
+         |    (SELECT cell AS i, $meanList AS c FROM ${pfx}m$t) m USING (i))""".stripMargin
+    s"""${pfx}cent0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i, v AS c
        |  FROM $src ORDER BY vec_id ASC LIMIT $nLists),
        |${(0 until iters).map(iterCtes).mkString(",\n")}""".stripMargin
   }
@@ -2374,6 +2381,74 @@ object SparkEntry {
        |           THEN (coalesce(n_corpus, 0) * 1000) // t_corpus ELSE 0 END)
        |    AS delta_milli
        |FROM ch FULL OUTER JOIN shh USING (cell) CROSS JOIN tot""".stripMargin
+  }
+
+  /** DuckDB replay of `Similarity.annStalenessCard`: the drifted corpus
+    * (even ids original, odd ids dimension-reversed), the STORED
+    * centroid chain (k-means over the original corpus — bit-identical to
+    * CentroidStore's artifact, as `ann_ivf_stored` proves), a FRESH
+    * chain over the drifted corpus, both probes + candidate masses +
+    * brute-force truth, and the per-region milli-recall/retrain fold.
+    */
+  private def annStaleOracle: String = {
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
+    val nq = 20
+    val k = 5
+    val margin = graft.operators.Similarity.DriftRetrainMarginMilli
+    def tail(pfx: String): String =
+      s"""${pfx}cand AS (SELECT p.query_id, a.neighbor_id
+         |  FROM ${pfx}probes p JOIN ${pfx}assigned a USING (cell)
+         |  WHERE a.neighbor_id <> p.query_id),
+         |${pfx}topk AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${dotSql("q.v", "n.v")}
+         |                   / (sqrt(${selfDotSql("q.v")}) * sqrt(${selfDotSql("n.v")})) DESC,
+         |                 c.neighbor_id ASC) AS rank
+         |    FROM ${pfx}cand c JOIN d q ON q.vec_id = c.query_id
+         |                      JOIN d n ON n.vec_id = c.neighbor_id) x
+         |  WHERE rank <= $k)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |d AS (SELECT vec_id * 2 AS vec_id, v FROM e
+       |  UNION ALL SELECT vec_id * 2 + 1, list_reverse(v) FROM e),
+       |${ivfTrainCtes(nLists, iters)},
+       |${ivfTrainCtes(nLists, iters, src = "d", pfx = "f")},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})", nq, pfx = "st", src = "d")},
+       |${tail("st")},
+       |${ivfProbeCtes(s"fcent$iters", s"sqrt(${selfDotSql("c.c")})", nq, pfx = "fr", src = "d")},
+       |${tail("fr")},
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q.v", "n.v")}
+       |                   / (sqrt(${selfDotSql("q.v")}) * sqrt(${selfDotSql("n.v")})) DESC,
+       |                 n.vec_id ASC) AS rank
+       |    FROM d q JOIN d n ON n.vec_id <> q.vec_id WHERE q.vec_id < $nq) x
+       |  WHERE rank <= $k),
+       |poss AS (SELECT query_id % 2 AS r, CAST(count(*) AS BIGINT) AS n_possible
+       |  FROM truth GROUP BY 1),
+       |hs AS (SELECT t.query_id % 2 AS r, CAST(count(*) AS BIGINT) AS hits_stored
+       |  FROM truth t JOIN sttopk USING (query_id, neighbor_id) GROUP BY 1),
+       |hf AS (SELECT t.query_id % 2 AS r, CAST(count(*) AS BIGINT) AS hits_fresh
+       |  FROM truth t JOIN frtopk USING (query_id, neighbor_id) GROUP BY 1),
+       |cs AS (SELECT query_id % 2 AS r, CAST(count(*) AS BIGINT) AS cand_stored
+       |  FROM stcand GROUP BY 1),
+       |cf AS (SELECT query_id % 2 AS r, CAST(count(*) AS BIGINT) AS cand_fresh
+       |  FROM frcand GROUP BY 1)
+       |SELECT CASE WHEN r = 0 THEN 'base' ELSE 'drifted' END AS region,
+       |  n_possible,
+       |  coalesce(hits_stored, 0) AS hits_stored,
+       |  coalesce(hits_fresh, 0) AS hits_fresh,
+       |  coalesce(hits_stored, 0) * 1000 // n_possible AS recall_stored_milli,
+       |  coalesce(hits_fresh, 0) * 1000 // n_possible AS recall_fresh_milli,
+       |  coalesce(cand_stored, 0) AS cand_stored,
+       |  coalesce(cand_fresh, 0) AS cand_fresh,
+       |  (coalesce(hits_fresh, 0) * 1000 // n_possible
+       |     - coalesce(hits_stored, 0) * 1000 // n_possible) > $margin AS retrain
+       |FROM poss LEFT JOIN hs USING (r) LEFT JOIN hf USING (r)
+       |  LEFT JOIN cs USING (r) LEFT JOIN cf USING (r)""".stripMargin
   }
 
   /** The PQ pipeline CTEs (per-subspace codebook training, encoding,
@@ -5707,6 +5782,7 @@ object SparkEntry {
     // the streaming drain sums per-batch cell counts into the same card —
     // oracle shared verbatim with the batch twin
     "q_stream_embed_drift" -> embeddingDriftOracle,
+    "q_ann_stale" -> annStaleOracle,
     // the streaming twin probes the same frozen index per micro-batch —
     // same verdicts, same oracle, verbatim
     "q_stream_semdedup_incremental" -> semDeDupIncrementalOracle,

@@ -1110,6 +1110,110 @@ object Similarity {
       CentroidStore.ivfCentroids(spark, dir, nLists, iters),
       nQueries, k, nProbe)
 
+  /** Retrain verdict: the stored index must lag a fresh retrain by more
+    * than this much milli-recall in a region before the card flags it.
+    */
+  val DriftRetrainMarginMilli = 50L
+
+  /** STORED-INDEX STALENESS card — `q_ann_stale` (r14 verdict item 5):
+    * what happens to `ann_ivf_stored`'s PERSISTED centroids
+    * ([[CentroidStore]], trained on the corpus as it WAS) when the
+    * corpus grows a drifted replica — the question every artifact store
+    * defers ("persist forever, keyed by corpus+shape") and a real
+    * pipeline must answer with a retrain trigger.
+    *
+    * The drifted corpus doubles the table: even ids are the original
+    * vectors, odd ids their DIMENSION-REVERSED twins — a deterministic
+    * stand-in for re-encoded/new-topic mass that both engines rebuild
+    * exactly (`reverse` / `list_reverse`), preserving internal geometry
+    * (reversal is an isometry, so true neighbor structure transfers)
+    * while sitting where the stored centroids never trained. Queries are
+    * the first `nQueries` of EACH region, so the card separates base
+    * queries (stored index still fine) from drifted ones (where decay
+    * lives — measured r15: stored 580 vs fresh 740 milli-recall at
+    * sf0.01, 660 vs 860 at sf0.1).
+    *
+    * One row per region: exact-recall@k of the stored probe vs a
+    * fresh-trained probe against brute-force truth on the drifted
+    * corpus, the candidate mass each index pays, and the retrain verdict
+    * (fresh beats stored by > [[DriftRetrainMarginMilli]]). All-integer
+    * metrics; every stage is the proven IVF machinery
+    * ([[trainedCentroids]] / [[ivfProbe]] / [[bruteForceTopK]]), so the
+    * DuckDB oracle replays the whole card bit-exactly.
+    *
+    * Scale shape: the drifted table is scanned once per assignment
+    * (stored probe, fresh training rounds, fresh probe) plus the one
+    * bounded-query brute-force truth scan every recall evaluation pays;
+    * all the comparison frames are ≤ 2·nQueries·k rows.
+    */
+  def annStalenessCard(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nLists: Int = IvfLists,
+      nProbe: Int = 3, iters: Int = IvfTrainIters): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .where(col("embedding").isNotNull)
+    // consumed by 2 probes + `iters`+1 training scans + the truth scan —
+    // checkpoint so the union/reverse projection runs once
+    val drifted = emb
+      .select((col("vec_id") * 2).as("vec_id"), col("embedding"))
+      .unionAll(emb.select((col("vec_id") * 2 + 1).as("vec_id"),
+        reverse(col("embedding")).as("embedding")))
+      .localCheckpoint()
+    val stored = CentroidStore.ivfCentroids(spark, dir, nLists, iters)
+    val fresh = trainedCentroids(drifted, nLists, iters)
+    if (stored.isEmpty || fresh.isEmpty) {
+      // empty corpus → nothing to probe, nothing to retrain
+      return drifted.select(
+        lit("base").as("region"), lit(0L).as("n_possible"),
+        lit(0L).as("hits_stored"), lit(0L).as("hits_fresh"),
+        lit(0L).as("recall_stored_milli"), lit(0L).as("recall_fresh_milli"),
+        lit(0L).as("cand_stored"), lit(0L).as("cand_fresh"),
+        lit(false).as("retrain")).limit(0)
+    }
+    val nq = 2 * nQueries
+
+    val region = (pmod(col("query_id"), lit(2L))).cast("int").as("r")
+    def hitsOf(topk: DataFrame, truth: DataFrame, name: String) =
+      truth.join(topk, Seq("query_id", "neighbor_id"))
+        .groupBy(region).agg(count(lit(1)).as(name))
+    // candidate mass per region under a centroid set: one assignment
+    // scan + the probe explode — the cost half of the staleness story
+    def candsOf(cents: Array[(Int, Array[Float])], name: String) = {
+      val assigned = drifted.select(
+        col("vec_id").as("neighbor_id"),
+        bestCellOf(cents)(col("embedding")).as("cell"))
+      val probes = drifted.where(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"),
+          explode(probeCellsOf(cents, nProbe)(col("embedding"))).as("cell"))
+      broadcast(probes).join(assigned, Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .groupBy(region).agg(count(lit(1)).as(name))
+    }
+
+    val truth = bruteForceTopK(drifted, nq, k).select("query_id", "neighbor_id")
+      .localCheckpoint() // joined by both hit counts + the possible count
+    val possible = truth.groupBy(region).agg(count(lit(1)).as("n_possible"))
+    val card = possible
+      .join(hitsOf(ivfProbe(drifted, stored, nq, k, nProbe)
+        .select("query_id", "neighbor_id"), truth, "hits_stored"), Seq("r"), "left")
+      .join(hitsOf(ivfProbe(drifted, fresh, nq, k, nProbe)
+        .select("query_id", "neighbor_id"), truth, "hits_fresh"), Seq("r"), "left")
+      .join(candsOf(stored, "cand_stored"), Seq("r"), "left")
+      .join(candsOf(fresh, "cand_fresh"), Seq("r"), "left")
+      .na.fill(0L, Seq("hits_stored", "hits_fresh", "cand_stored", "cand_fresh"))
+    card
+      .withColumn("recall_stored_milli", expr("hits_stored * 1000 DIV n_possible"))
+      .withColumn("recall_fresh_milli", expr("hits_fresh * 1000 DIV n_possible"))
+      .withColumn("retrain",
+        col("recall_fresh_milli") - col("recall_stored_milli") >
+          DriftRetrainMarginMilli)
+      .select(
+        when(col("r") === 0, "base").otherwise("drifted").as("region"),
+        col("n_possible"), col("hits_stored"), col("hits_fresh"),
+        col("recall_stored_milli"), col("recall_fresh_milli"),
+        col("cand_stored"), col("cand_fresh"), col("retrain"))
+  }
+
   /** LSH-bucketed ANN with `tables` independent hash tables of `planes`
     * sign bits each: a candidate is considered if it shares a bucket with
     * the query in ANY table (union), then exact cosine reranks the

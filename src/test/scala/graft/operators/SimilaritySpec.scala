@@ -719,4 +719,34 @@ class SimilaritySpec extends SparkSpec {
       assert(maxErr <= math.ceil((mx - mn) / 512 * 1048576).toLong + 1)
     }
   }
+
+  test("annStalenessCard: two regions, bounded recalls, stored index never retrained (r15)") {
+    val dir = sf("sf0.001")
+    val spark0 = spark
+    val buildsBefore = CentroidStore.ivfBuilds(dir)
+    val rows = Similarity.annStalenessCard(spark0, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8))))
+      .toMap
+    assert(rows.keySet === Set("base", "drifted"))
+    rows.values.foreach { case (poss, rs, rf, cs_, cf_, _) =>
+      assert(poss > 0)
+      assert(rs >= 0 && rs <= 1000 && rf >= 0 && rf <= 1000)
+      assert(cs_ > 0 && cf_ > 0, "both indexes must generate candidates")
+    }
+    // staleness is concentrated where the stored index never trained:
+    // the drifted region's stored recall cannot beat the base region's
+    assert(rows("drifted")._2 <= rows("base")._2,
+      s"drifted-region stored recall ${rows("drifted")._2} should not " +
+        s"exceed base-region ${rows("base")._2}")
+    // the card PROBES the stored artifact — a second invocation must not
+    // train again (one build per (dir, shape) key for the whole JVM)
+    val again = Similarity.annStalenessCard(spark0, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8))))
+      .toMap
+    assert(again === rows, "card must be deterministic")
+    assert(CentroidStore.ivfBuilds(dir) <= math.max(buildsBefore, 1),
+      "the staleness card must never retrain the stored index")
+  }
 }
