@@ -216,12 +216,22 @@ object Sampling {
     // oracle's cum_before < budget rule). With the first bucket as
     // cutoff, base = 0 and the tie stage's base+before < budget keeps
     // zero rows, so the key is dropped entirely.
+    // uniqueness is STRUCTURAL (r15): the first qualifying bucket per
+    // key, ranked — not an arithmetic consequence of tn >= 1. With
+    // today's call sites (tok >= 1 so every bucket has tn >= 1) the
+    // predicate alone already admits exactly one bucket and the rank is
+    // a no-op, but a future caller feeding zero-weight rows would
+    // otherwise qualify EVERY leading empty bucket under budget <= 0 and
+    // fan out the tie-stage join (r14 advisor).
+    val qualW = Window.partitionBy(key).orderBy(col("hb").asc)
     val cutoff = hist
       .where(col("cum") >= col("budget") &&
         col("cum") - col("tn") < greatest(col("budget"), lit(1L)))
+      .withColumn("qrn", row_number().over(qualW))
+      .where(col("qrn") === 1)
       .select(col(key), col("hb").as("cut_hb"),
         (col("cum") - col("tn")).as("base"), col("budget"))
-      .localCheckpoint() // ≤ one row per key
+      .localCheckpoint() // exactly one row per crossing key
     val joined = hashed.join(broadcast(cutoff), Seq(key), "left")
     val below = joined.where(
       col("cut_hb").isNull || shiftright(col("h"), 8) < col("cut_hb"))

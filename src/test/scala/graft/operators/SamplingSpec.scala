@@ -406,9 +406,14 @@ class SamplingSpec extends SparkSpec {
     for (trial <- 1 to 30) {
       val nKeys = 1 + rnd.nextInt(4)
       val n = 1 + rnd.nextInt(250)
+      // tok range includes 0 (r15): zero-weight rows create tn = 0
+      // buckets, where cutoff uniqueness must be STRUCTURAL (the ranked
+      // first qualifying bucket) — under budget <= 0 every leading empty
+      // bucket satisfies the arithmetic predicate and the unranked form
+      // fanned out the tie join (r14 advisor)
       val rows = (1 to n).map { i =>
         (i.toLong, s"k${rnd.nextInt(nKeys)}",
-          1L + rnd.nextInt(20), rnd.nextInt(2048).toLong)
+          rnd.nextInt(21).toLong, rnd.nextInt(2048).toLong)
       }
       val capFrame = rows.map(r => (r._1, r._2, r._4)).toDF("doc_id", "key", "h")
       val target = 1L + rnd.nextInt(60)
