@@ -185,7 +185,7 @@ object PlanDump {
     "q_line_dedup_incremental" ->
       "ingestion line dedup: corpus-frozen slim frequency index (lines at freq >= minOcc-1 only), shard-side line scan + one equi-join + doc_id fold — the corpus is scanned at index build, never per batch",
     "q_neardup_exact_capped" ->
-      "the exact prefix join under the doc-weighted group cap: oversized join keys leave via a broadcast LEFT ANTI before the self-join — same pair pipeline as q_neardup_exact otherwise, and the cap is what turns the skew replica's 4.4e9-candidate OOM into an 8-second run",
+      "the exact prefix join under the doc-weighted group cap: oversized join keys leave via a broadcast LEFT ANTI before the self-join — r15: registered at ExercisedPrefixCap, which THIS corpus exceeds, so the anti-join genuinely drops keys under the oracle gate (~3x cheaper than the uncapped miner at every scale); the same valve turns the skew replica's 4.4e9-candidate OOM into an 8-second run",
     "q_ngram_novelty" ->
       "first-occurrence novelty: shingle explode -> (bucket, shingle) partial->final hash-agg -> min-bucket agg; the cumulative window runs over the <=16-row rollup, never the corpus",
     "q_heaps_fit" ->
@@ -261,9 +261,11 @@ object PlanDump {
     "ann_ivfpq_stored" ->
       "the composed production index under persisted artifacts: sample-trained IVF centroids + PQ codebooks from CentroidStore (the joint trainer is bit-identical to the separate loops, so the stored probe shares ann_ivfpq's oracle verbatim) — index build + cell probe + ADC + rerank, zero k-means jobs",
     "q_html_extract" ->
-      "HTML main-content extraction (r14): page synthesis + the two-regexp extractor (boilerplate strip, <p> reassembly) all inside ONE WholeStageCodegen projection — no UDF, no shuffle; the oracle rebuilds the page and re-runs the same RE2-safe regexps, and roundtrip_ok pins the extractor row-by-row",
+      "HTML main-content extraction (r15 hardened): entity-escaped page synthesis + the multi-pass extractor (script/style strip, innermost-text-div passes, boilerplate strip, <p[^>]*> reassembly, entity unescape) all inside ONE WholeStageCodegen projection — no UDF, no shuffle; the oracle rebuilds the page with the same escape chain and re-runs the same RE2-safe passes, and roundtrip_ok pins the extractor row-by-row incl. the literal-markup fixtures",
     "q_html_dedup_lift" ->
       "why extraction precedes dedup: two md5 hash-aggs over one checkpointed synthesis scan — raw pages are chrome-unique (ids in title/related) so raw dedup finds ~nothing, while the extracted main content recovers every true duplicate at replica scale",
+    "q_ann_stale" ->
+      "stored-index staleness: the drifted union (checkpointed once), the stored-centroid probe vs a fresh-trained probe (both cell equi-joins, centroids as broadcast literals), brute-force truth over the bounded query set, and a <=2-row per-region fold — no corpus^2 anywhere, the card never retrains the stored artifact",
     "q_nb_score_stored" ->
       "the production quality gate: model + constants read from the persisted ModelStore parquet (vocabulary-bounded), then the shared scoring fold — zero training aggregations on the apply path (ModelStoreSpec captures the plans: no label derivation, no class-count agg), 3.8x faster than the retrain form at sf10")
 
