@@ -42,6 +42,16 @@ object TextAnalysis {
   private def toks(text: Column): Column =
     split(trim(TextFunctions.nfc(text)), "\\s+")
 
+  /** The lowercased tokenizer — NFC composed BEFORE the case fold (the
+    * [[contentGroups]] order, and exactly the oracles'
+    * `lower(nfc_normalize(text))`). Defined directly rather than via
+    * [[toks]] so engine and oracle are the SAME expression — re-running
+    * NFC after the case fold would differ in the corner where
+    * lowercasing denormalizes (e.g. U+0130).
+    */
+  private def lowToks(text: Column): Column =
+    split(trim(lower(TextFunctions.nfc(text))), "\\s+")
+
   /** Per-document statistics and a quality score. All counts are integers;
     * the ratio is a single division of exact ints (engine-reproducible).
     *
@@ -83,7 +93,7 @@ object TextAnalysis {
       .when(hits("es") >= hits("fr"), "es")
       .otherwise("fr")
     documents
-      .select(col("doc_id"), col("lang"), explode(toks(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), col("lang"), explode(lowToks(col("text"))).as("tok"))
       .groupBy("doc_id", "lang")
       .agg(hitSums.head, hitSums.tail: _*)
       .select(
@@ -112,7 +122,7 @@ object TextAnalysis {
   def zipfFit(documents: DataFrame, k: Int = ZipfTopK): DataFrame = {
     import graft.functions.FixedPointLn.lnF
     val counts = graft.Parallelism.ensure(documents)
-      .select(explode(toks(lower(col("text")))).as("tok"))
+      .select(explode(lowToks(col("text"))).as("tok"))
       .where(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("freq"))
     val xy = counts
@@ -240,7 +250,7 @@ object TextAnalysis {
       phrases: Seq[String] = BlockedPhrases): DataFrame = {
     val d = graft.Parallelism.ensure(documents)
     val bi = d
-      .select(col("source"), col("doc_id"), toks(lower(col("text"))).as("ts"))
+      .select(col("source"), col("doc_id"), lowToks(col("text")).as("ts"))
       .where(size(col("ts")) >= 2)
       .select(col("source"), col("doc_id"), explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))"))
@@ -269,7 +279,7 @@ object TextAnalysis {
       phrases: Seq[String] = BlockedPhrases): DataFrame = {
     val bl = array(phrases.map(lit): _*)
     documents
-      .select(col("doc_id"), toks(lower(col("text"))).as("ts"), bl.as("bl"))
+      .select(col("doc_id"), lowToks(col("text")).as("ts"), bl.as("bl"))
       .select(
         col("doc_id"), col("ts"),
         size(col("ts")).cast("long").as("n_tokens"),
@@ -383,7 +393,7 @@ object TextAnalysis {
     */
   def tokenFrequencySpectrum(documents: DataFrame): DataFrame =
     graft.Parallelism.ensure(documents)
-      .select(explode(toks(lower(col("text")))).as("tok"))
+      .select(explode(lowToks(col("text"))).as("tok"))
       .where(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("tf"))
       .groupBy("tf").agg(count(lit(1)).as("n_types"))
@@ -409,7 +419,7 @@ object TextAnalysis {
     * shuffle. Whole-stage-codegen scan speed at any corpus size.
     */
   def classifierScore(documents: DataFrame): DataFrame = {
-    val t = filter(toks(lower(col("text"))), x => x =!= "")
+    val t = filter(lowToks(col("text")), x => x =!= "")
     documents.select(
       col("doc_id"), col("source"),
       size(t).cast("long").as("n_toks"),
@@ -423,7 +433,7 @@ object TextAnalysis {
     * zero element; `classifierScore` itself evaluates exactly this.
     */
   def classifierScoreOf(text: Column): Column = {
-    val t = filter(toks(lower(text)), x => x =!= "")
+    val t = filter(lowToks(text), x => x =!= "")
     val w = (tok: Column) =>
       HashFunctions.md5Long(tok, ClsSeed) % ClsWeightMod - ClsWeightShift
     aggregate(t, lit(0L), (acc, tok) => acc + w(tok))
@@ -468,7 +478,7 @@ object TextAnalysis {
     val perTok = graft.Parallelism.ensure(documents)
       .select(
         col("doc_id"), col("source"), length(col("text")).as("n_chars_txt"),
-        explode_outer(filter(toks(lower(col("text"))), x => x =!= "")).as("tok"))
+        explode_outer(filter(lowToks(col("text")), x => x =!= "")).as("tok"))
       .groupBy("doc_id", "source", "n_chars_txt", "tok")
       .agg(count(lit(1)).as("c"))
     val m = perTok
@@ -522,7 +532,7 @@ object TextAnalysis {
     val counts = graft.Parallelism.ensure(documents)
       .where(col("doc_id") % EvalHoldoutMod =!= 0)
       .select(col("doc_id"),
-        explode(filter(toks(lower(col("text"))), t => t =!= "")).as("tok"))
+        explode(filter(lowToks(col("text")), t => t =!= "")).as("tok"))
       .join(lab, "doc_id")
       .groupBy("tok")
       .agg(
@@ -586,7 +596,7 @@ object TextAnalysis {
       docs: DataFrame, model: DataFrame, consts: DataFrame): DataFrame =
     graft.Parallelism.ensure(docs)
       .select(col("doc_id"),
-        explode(filter(toks(lower(col("text"))), t => t =!= "")).as("tok"))
+        explode(filter(lowToks(col("text")), t => t =!= "")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .join(model.select("tok", "llr_f"), Seq("tok"), "left")
       .crossJoin(broadcast(consts))
@@ -689,7 +699,7 @@ object TextAnalysis {
   def topCollocations(documents: DataFrame, k: Int = CollocationK,
       minCount: Long = CollocationMinCount): DataFrame = {
     val ts = graft.Parallelism.ensure(documents)
-      .select(toks(lower(col("text"))).as("ts"))
+      .select(lowToks(col("text")).as("ts"))
     val bi = ts.where(size(col("ts")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
@@ -729,7 +739,7 @@ object TextAnalysis {
     */
   def tfIdfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
     val perTerm = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+      .select(col("doc_id"), explode(lowToks(col("text"))).as("term"))
       .where(length(col("term")) > 0)
     val tf = perTerm.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -768,7 +778,7 @@ object TextAnalysis {
   def tokenIdSequences(documents: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
     val positions = graft.Parallelism.ensure(documents)
       .select(col("doc_id"),
-        posexplode(toks(lower(col("text")))).as(Seq("pos", "tok")))
+        posexplode(lowToks(col("text"))).as(Seq("pos", "tok")))
     val vocab = positions
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("tok"))
@@ -829,7 +839,7 @@ object TextAnalysis {
       .localCheckpoint() // feeds the scalars, the join, and nothing else
     val scalars = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tok"))
     val tf = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), explode(toks(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(lowToks(col("text"))).as("tok"))
       .where(col("tok").isInCollection(terms))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -872,7 +882,7 @@ object TextAnalysis {
 
   def topTermsPerLang(documents: DataFrame, k: Int = DefaultTopTermsK): DataFrame = {
     val perTerm = graft.Parallelism.ensure(documents)
-      .select(col("lang"), explode(toks(lower(col("text")))).as("term"))
+      .select(col("lang"), explode(lowToks(col("text"))).as("term"))
       .where(length(col("term")) > 0)
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term").asc)
     perTerm
@@ -915,7 +925,7 @@ object TextAnalysis {
       }
     }
     val counts = graft.Parallelism.ensure(documents)
-      .select(col("lang"), explode(toks(lower(col("text")))).as("term"))
+      .select(col("lang"), explode(lowToks(col("text"))).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("lang", "term").agg(count(lit(1)).as("n"))
       .as[(String, String, Long)]
@@ -987,7 +997,7 @@ object TextAnalysis {
   def repetitionStats(documents: DataFrame): DataFrame = {
     val capped = slice(toks(col("text")), 1, TextFunctions.MaxShingleTokens)
     val topTok = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), explode(toks(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(lowToks(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
       .agg(max(col("n")).as("top_tok_n"), sum(col("n")).as("n_tokens"))
@@ -1282,7 +1292,7 @@ object TextAnalysis {
   def backoffSurprisal(
       documents: DataFrame, evalMod: Int = EvalHoldoutMod): DataFrame = {
     val ts = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), lowToks(col("text")).as("ts"))
     val lm = backoffLmTables(ts.where(col("doc_id") % evalMod =!= 0))
     val evalTris = ts.where(col("doc_id") % evalMod === 0)
       .where(size(col("ts")) >= 3)
@@ -1407,7 +1417,7 @@ object TextAnalysis {
       lineLen: Int = graft.operators.Dedup.LineLen): DataFrame = {
     import graft.functions.FixedPointLn.Scale
     val ts = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), toks(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), lowToks(col("text")).as("ts"))
     val lm = backoffLmTables(ts.where(col("doc_id") % evalMod =!= 0))
     val winTris = ts.where(col("doc_id") % evalMod === 0)
       .select(col("doc_id"), posexplode(expr(
@@ -1467,7 +1477,7 @@ object TextAnalysis {
     val pieces = bpeEncodeWithRules(documents, rules)
       .select(col("word"), col("n_pieces"))
     val docWords = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), explode(toks(lower(col("text")))).as("word"))
+      .select(col("doc_id"), explode(lowToks(col("text"))).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("freq"))
     // consumed by the corpus totals AND the final join — checkpoint so the
@@ -1511,7 +1521,7 @@ object TextAnalysis {
     */
   def bpeMergeCandidates(documents: DataFrame, k: Int = DefaultBpeK): DataFrame =
     graft.Parallelism.ensure(documents)
-      .select(explode(toks(lower(col("text")))).as("tok"))
+      .select(explode(lowToks(col("text"))).as("tok"))
       .where(length(col("tok")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
@@ -1528,7 +1538,7 @@ object TextAnalysis {
     */
   private def wordFreqs(documents: DataFrame): DataFrame =
     graft.Parallelism.ensure(documents)
-      .select(explode(toks(lower(col("text")))).as("word"))
+      .select(explode(lowToks(col("text"))).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
@@ -1711,7 +1721,7 @@ object TextAnalysis {
       documents: DataFrame, rules: Array[(String, String)]): DataFrame = {
     val encoded = bpeEncodeWithRules(documents, rules)
     val langWords = graft.Parallelism.ensure(documents)
-      .select(col("lang"), explode(toks(lower(col("text")))).as("word"))
+      .select(col("lang"), explode(lowToks(col("text"))).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
     langWords.join(encoded.select(col("word"), col("n_pieces")), "word")
@@ -1742,7 +1752,7 @@ object TextAnalysis {
     */
   def bigramNextTokens(documents: DataFrame, k: Int = DefaultBigramK): DataFrame = {
     val ts = graft.Parallelism.ensure(documents)
-      .select(toks(lower(col("text"))).as("ts"))
+      .select(lowToks(col("text")).as("ts"))
       .where(size(col("ts")) >= 2)
     val pairs = ts
       .select(explode(expr(
@@ -1779,7 +1789,7 @@ object TextAnalysis {
     */
   def bigramNucleus(documents: DataFrame): DataFrame = {
     val ts = graft.Parallelism.ensure(documents)
-      .select(toks(lower(col("text"))).as("ts"))
+      .select(lowToks(col("text")).as("ts"))
       .where(size(col("ts")) >= 2)
     val counts = ts
       .select(explode(expr(
@@ -2025,7 +2035,7 @@ object TextAnalysis {
     graft.Parallelism.ensure(documents)
       .select(
         col("doc_id"),
-        posexplode(toks(lower(col("text")))).as(Seq("pos", "term")))
+        posexplode(lowToks(col("text"))).as(Seq("pos", "term")))
 
   /** Phrase search via the positional index: occurrences of `phrase` as
     * adjacent tokens, returned as (`doc_id`, `pos`) of each match start.
