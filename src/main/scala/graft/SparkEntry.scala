@@ -427,6 +427,26 @@ object SparkEntry {
     // pipeline actually runs extraction in.
     "q_stream_html_extract" -> ((s, dir) =>
       graft.streaming.DocumentStreams.htmlExtractToBatch(s, dir)),
+    // --- host-level link graph (r15): the crawl-graph stage — anchors
+    // PARSED from the raw page bytes (absolute hrefs cross hosts via the
+    // grammar's `next` anchor; relative hrefs resolve to the page's own
+    // host), aggregated to the host webgraph, ranked by the all-integer
+    // PageRank kernel already proven on the word graph. The oracle
+    // rebuilds the pages and re-parses the same regexps end to end.
+    "q_link_hosts" -> ((s, dir) =>
+      LinkGraph.hostEdges(Tables.documents(s, dir))),
+    "q_link_rank" -> ((s, dir) =>
+      LinkGraph.hostRank(Tables.documents(s, dir))),
+    "q_link_frontier" -> ((s, dir) =>
+      LinkGraph.frontier(Tables.documents(s, dir))),
+    // STREAMING twin: per-batch doc-local anchor extraction appended to
+    // the anchor log, ONE post-drain cross-host rollup (shared
+    // edgesFromLinks) — the webgraph-accumulation position; shares the
+    // batch oracle verbatim.
+    "q_stream_link_hosts" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.linkHostsToBatch(s, dir)),
+    "q_link_authority" -> ((s, dir) =>
+      LinkGraph.authorityBySource(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -1082,15 +1102,23 @@ object SparkEntry {
     * re-parses the string it just built, so the extraction itself is
     * what's being checked, not assumed.
     */
-  private def domainUrlCtes: String = {
+  /** DuckDB replay of `Domains.hostOf(id, source)` — the
+    * `[www.]<source>.d<N>.com` host of page `id` (`id` is any SQL
+    * expression over a frame with a `source` column). ONE definition
+    * feeds both the URL-grammar oracles and the link-graph oracles'
+    * absolute-anchor rebuild, so the two can't drift.
+    */
+  private def hostOfSql(id: String): String = {
     import graft.operators.Domains.{DomainBuckets, DomainSeed, SubSeed}
+    s"CASE WHEN ${h60(SubSeed, id)} % 2 = 0 THEN '' ELSE 'www.' END || " +
+      s"source || '.d' || " +
+      s"($DomainBuckets // (${h60(DomainSeed, id)} % $DomainBuckets + 1)) || '.com'"
+  }
+
+  private def domainUrlCtes: String = {
     val hostRe = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)'"
     s"""u AS (SELECT doc_id, text,
-       |    'https://' ||
-       |    CASE WHEN ${h60(SubSeed, "doc_id")} % 2 = 0 THEN '' ELSE 'www.' END ||
-       |    source || '.d' ||
-       |    ($DomainBuckets // (${h60(DomainSeed, "doc_id")} % $DomainBuckets + 1)) ||
-       |    '.com/p/' || doc_id AS url
+       |    'https://' || ${hostOfSql("doc_id")} || '/p/' || doc_id AS url
        |  FROM documents),
        |x AS (SELECT doc_id, text, url,
        |    regexp_extract(url, $hostRe, 1) AS host,
@@ -1802,6 +1830,8 @@ object SparkEntry {
       s"(CAST($i AS BIGINT), '$src', '${t.replace("'", "''")}')"
     }.mkString(", ")
     def pm(k: Int) = s"CAST(((doc_id % $k) + $k) % $k AS VARCHAR)"
+    // Domains.hostOf(doc_id + 1, source): the r15 absolute anchor's host
+    val nextHostSql = hostOfSql("(doc_id + 1)")
     val esc = "replace(replace(replace(replace(replace(text," +
       " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')," +
       " '\"', '&quot;'), CHR(39), '&#39;')"
@@ -1830,6 +1860,8 @@ object SparkEntry {
        |      '">p' || CAST(doc_id + 1 AS VARCHAR) ||
        |      '</a> <a href="/p' || CAST(doc_id + 2 AS VARCHAR) ||
        |      '">p' || CAST(doc_id + 2 AS VARCHAR) || '</a>' ||
+       |      ' <a href="https://' || $nextHostSql || '/p/' ||
+       |      CAST(doc_id + 1 AS VARCHAR) || '">next</a>' ||
        |      '<p>related reading for page ' || CAST(doc_id AS VARCHAR) || '</p></div>' ||
        |      '<div class="promo">limited offer ' || ${pm(11)} ||
        |      ' <footer>copyright 2026 ' || source || ' | privacy | terms</footer>' ||
@@ -1846,6 +1878,66 @@ object SparkEntry {
        |hm AS (SELECT doc_id, source, text, html, stripped,
        |    ${unesc(s"array_to_string(regexp_extract_all(stripped, '${Html.ParagraphPattern}', 1), ' ')")} AS main
        |  FROM hs)""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of `GraphAnalytics.pageRank` over an
+    * edge CTE `$e(src, dst, w)`: per-source integer weight
+    * normalization, [[graft.operators.GraphAnalytics.PrIters]] rounds of
+    * floored contributions + damped update, every constant interpolated
+    * from the operator. The final rank frame is `pr<PrIters>(id, pr)`.
+    * ONE definition shared by the word-graph (`q_pagerank_words`) and
+    * host-graph (`q_link_rank`/`q_link_authority`) oracles.
+    */
+  private def pageRankCtes(e: String): String = {
+    import graft.operators.GraphAnalytics.{PrQ, WQ, DampNum, DampDen, PrIters}
+    val iterCtes = (0 until PrIters).map { t =>
+      s"""c${t + 1} AS (SELECT en.dst, CAST(sum((p.pr * en.wq) // $WQ) AS BIGINT) AS c
+         |  FROM en JOIN pr$t p ON p.id = en.src GROUP BY en.dst),
+         |pr${t + 1} AS (SELECT nodes.id,
+         |    (${DampDen - DampNum} * $PrQ) // ($DampDen * nn.n)
+         |      + ($DampNum * coalesce(c${t + 1}.c, 0)) // $DampDen AS pr
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c${t + 1} ON c${t + 1}.dst = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM $e GROUP BY src),
+       |en AS (SELECT $e.src, $e.dst, ($e.w * $WQ) // ws.wsum AS wq
+       |  FROM $e JOIN ws USING (src)),
+       |nodes AS (SELECT src AS id FROM $e UNION SELECT dst AS id FROM $e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT id, $PrQ // nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$iterCtes""".stripMargin
+  }
+
+  /** Link-extraction CTE chain (r15) on top of [[htmlCtes]]: anchors
+    * parsed back out of the REBUILT pages with the engine's own patterns
+    * (interpolated from [[graft.operators.LinkGraph]]), absolute URLs
+    * resolved through the same two-regexp host extraction, relative
+    * anchors resolved to the page's own [[hostOfSql]] host. `lall` keeps
+    * every anchor (frontier card); `le` is the cross-host weighted edge
+    * list.
+    */
+  private def linkCtes: String = {
+    import graft.operators.LinkGraph.{AbsHrefPattern, RelHrefPattern, AbsPagePattern, RelPagePattern}
+    val hostRe = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)'"
+    s"""$htmlCtes,
+       |labs AS (SELECT doc_id,
+       |    ${hostOfSql("doc_id")} AS src_host,
+       |    unnest(regexp_extract_all(html, '$AbsHrefPattern', 1)) AS u
+       |  FROM h),
+       |labr AS (SELECT doc_id, src_host,
+       |    regexp_extract(u, $hostRe, 1) AS dst_host,
+       |    CAST(regexp_extract(u, '$AbsPagePattern', 1) AS BIGINT) AS dst_page
+       |  FROM labs),
+       |lrels AS (SELECT doc_id,
+       |    ${hostOfSql("doc_id")} AS src_host,
+       |    unnest(regexp_extract_all(html, '$RelHrefPattern', 1)) AS u
+       |  FROM h),
+       |lrelr AS (SELECT doc_id, src_host, src_host AS dst_host,
+       |    CAST(regexp_extract(u, '$RelPagePattern', 1) AS BIGINT) AS dst_page
+       |  FROM lrels),
+       |lall AS (SELECT * FROM labr UNION ALL SELECT * FROM lrelr),
+       |le AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+       |  FROM lall WHERE dst_host <> src_host GROUP BY 1, 2)""".stripMargin
   }
 
   /** Shared by `q_html_extract` and its streaming twin. */
@@ -4226,6 +4318,62 @@ object SparkEntry {
          |    AS raw_dup_docs,
          |  CAST(coalesce((SELECT sum(n) FROM m WHERE n > 1), 0) AS BIGINT)
          |    AS main_dup_docs""".stripMargin,
+    // Host-level link graph (r15): pages rebuilt, anchors re-parsed with
+    // the engine's own patterns, resolved and aggregated to the
+    // cross-host edge list — the parse is what's checked, not assumed.
+    "q_link_hosts" ->
+      s"""WITH $linkCtes
+         |SELECT src_host, dst_host, n_links FROM le""".stripMargin,
+    // streaming twin: doc-local parse + shared post-drain rollup == batch
+    "q_stream_link_hosts" ->
+      s"""WITH $linkCtes
+         |SELECT src_host, dst_host, n_links FROM le""".stripMargin,
+    // Host authority: the shared all-integer PageRank unroll over the
+    // parsed host graph, plus distinct in/out counterparty counts.
+    "q_link_rank" -> {
+      import graft.operators.GraphAnalytics.PrIters
+      s"""WITH $linkCtes,
+         |e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM le),
+         |${pageRankCtes("e")},
+         |ind AS (SELECT dst_host, CAST(count(DISTINCT src_host) AS BIGINT) AS n_in
+         |  FROM le GROUP BY 1),
+         |outd AS (SELECT src_host, CAST(count(DISTINCT dst_host) AS BIGINT) AS n_out
+         |  FROM le GROUP BY 1)
+         |SELECT p.id AS host, p.pr,
+         |  CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in,
+         |  CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out
+         |FROM pr$PrIters p
+         |LEFT JOIN ind i ON i.dst_host = p.id
+         |LEFT JOIN outd o ON o.src_host = p.id""".stripMargin
+    },
+    // Crawl frontier: every anchor (absolute AND relative), targets
+    // anti-checked against the corpus id set per target host.
+    "q_link_frontier" ->
+      s"""WITH $linkCtes,
+         |k AS (SELECT DISTINCT doc_id FROM hd)
+         |SELECT dst_host,
+         |  CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT dst_page) AS BIGINT) AS n_targets,
+         |  CAST(count(DISTINCT CASE WHEN k.doc_id IS NULL THEN dst_page END)
+         |    AS BIGINT) AS n_frontier
+         |FROM lall LEFT JOIN k ON lall.dst_page = k.doc_id
+         |GROUP BY dst_host""".stripMargin,
+    // Authority-as-curation-prior: per source, the summed/avg host rank
+    // of its pages (isolated hosts count 0 — the honest floor).
+    "q_link_authority" -> {
+      import graft.operators.GraphAnalytics.PrIters
+      s"""WITH $linkCtes,
+         |e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM le),
+         |${pageRankCtes("e")},
+         |ph AS (SELECT doc_id, source, ${hostOfSql("doc_id")} AS host FROM hd)
+         |SELECT ph.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT ph.host) AS BIGINT) AS n_hosts,
+         |  CAST(sum(coalesce(p.pr, 0)) AS BIGINT) AS sum_pr,
+         |  CAST(sum(coalesce(p.pr, 0)) AS BIGINT)
+         |    // CAST(count(*) AS BIGINT) AS avg_pr
+         |FROM ph LEFT JOIN pr$PrIters p ON p.id = ph.host
+         |GROUP BY ph.source""".stripMargin
+    },
     // Domain x domain contamination: the brute-force pair set joined to
     // the rebuilt-and-reparsed domain of each endpoint.
     "q_domain_overlap" ->
@@ -4620,29 +4768,14 @@ object SparkEntry {
     // damped update base + (17·Σ)//20 — every constant interpolated from
     // GraphAnalytics, so both engines compute identical BIGINT scores.
     "q_pagerank_words" -> {
-      import graft.operators.GraphAnalytics.{PrQ, WQ, DampNum, DampDen, PrIters, WordRankK}
-      val iterCtes = (0 until PrIters).map { t =>
-        s"""c${t + 1} AS (SELECT en.dst, CAST(sum((p.pr * en.wq) // $WQ) AS BIGINT) AS c
-           |  FROM en JOIN pr$t p ON p.id = en.src GROUP BY en.dst),
-           |pr${t + 1} AS (SELECT nodes.id,
-           |    (${DampDen - DampNum} * $PrQ) // ($DampDen * nn.n)
-           |      + ($DampNum * coalesce(c${t + 1}.c, 0)) // $DampDen AS pr
-           |  FROM nodes CROSS JOIN nn
-           |  LEFT JOIN c${t + 1} ON c${t + 1}.dst = nodes.id)""".stripMargin
-      }.mkString(",\n")
+      import graft.operators.GraphAnalytics.{PrIters, WordRankK}
       s"""WITH ts AS (SELECT regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+') AS ts
          |  FROM documents),
          |bgidx AS (SELECT ts, unnest(range(1, len(ts))) AS i
          |  FROM ts WHERE len(ts) >= 2),
          |e AS (SELECT ts[i] AS src, ts[i+1] AS dst, count(*) AS w
          |  FROM bgidx GROUP BY 1, 2),
-         |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY src),
-         |en AS (SELECT e.src, e.dst, (e.w * $WQ) // ws.wsum AS wq
-         |  FROM e JOIN ws USING (src)),
-         |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |pr0 AS (SELECT id, $PrQ // nn.n AS pr FROM nodes CROSS JOIN nn),
-         |$iterCtes
+         |${pageRankCtes("e")}
          |SELECT id AS word, pr FROM pr$PrIters
          |ORDER BY pr DESC, id ASC LIMIT $WordRankK""".stripMargin
     },

@@ -61,25 +61,37 @@ object Domains {
   val DomainBudgetTokens = 800L
   val DomainBudgetSeed = 53
 
+  /** The grammar's host for page `id` under feed `source` —
+    * `[www.]<source>.d<N>.com` with the www coin and the power-law
+    * domain draw both hashed from `id`. Factored out of [[withUrl]] so
+    * [[LinkGraph]] can name the host of a LINK TARGET (page `id+1`)
+    * without synthesizing its whole URL; byte-identical to the host part
+    * [[urlHost]] extracts from a [[withUrl]] url.
+    */
+  def hostOf(id: Column, source: Column): Column = {
+    val www = when(
+      pmod(HashFunctions.md5Long(id.cast("string"), SubSeed),
+        lit(2L)) === 0L, lit("")).otherwise(lit("www."))
+    val domH = pmod(HashFunctions.md5Long(id.cast("string"), DomainSeed),
+      lit(DomainBuckets))
+    // Integer div via floor(double /): exact here — the true quotient
+    // 1024/(h+1) is either an integer or ≥ 1/1024 away from one, far
+    // beyond double rounding error, so this equals DuckDB's `//` (and
+    // the previous SQL `div`) bit-for-bit.
+    concat(www, source, lit(".d"),
+      floor(lit(DomainBuckets) / (domH + lit(1L))).cast("string"),
+      lit(".com"))
+  }
+
   /** documents + a deterministic `url` column (see the object doc for
     * the grammar and why it is derived rather than read). One codegen'd
     * projection: two md5 calls + string concat per row, no shuffle.
     */
-  def withUrl(documents: DataFrame): DataFrame = {
-    val www = when(
-      pmod(HashFunctions.md5Long(col("doc_id").cast("string"), SubSeed),
-        lit(2L)) === 0L, lit("")).otherwise(lit("www."))
+  def withUrl(documents: DataFrame): DataFrame =
     documents
-      .withColumn("dom_h",
-        pmod(HashFunctions.md5Long(col("doc_id").cast("string"), DomainSeed),
-          lit(DomainBuckets)))
-      // exact integer div on both engines (Spark `div`, DuckDB `//`)
       .withColumn("url",
-        concat(lit("https://"), www, col("source"), lit(".d"),
-          expr(s"${DomainBuckets}L div (dom_h + 1L)").cast("string"),
-          lit(".com/p/"), col("doc_id").cast("string")))
-      .drop("dom_h")
-  }
+        concat(lit("https://"), hostOf(col("doc_id"), col("source")),
+          lit("/p/"), col("doc_id").cast("string")))
 
   /** Host part of a URL: the authority between `://` and the first
     * `/ ? #` — one codegen'd regexp, no UDF.

@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
   *   <p class="c{i}">{escaped 16-token chunk}</p>…       ← the document text
   *   <div class="related" data-rel="{id%5}">see also
   *     <a href="/p{id+1}">p{id+1}</a> <a href="/p{id+2}">p{id+2}</a>
+  *     <a href="https://{host(id+1)}/p/{id+1}">next</a>  ← ABSOLUTE link
   *     <p>related reading for page {id}</p></div>
+  *
+  * The absolute anchor (r15) names the [[Domains.hostOf]] host of the
+  * next page slot UNDER THE PAGE'S OWN SOURCE — a deterministic
+  * cross-host edge, since the power-law domain draw re-hashes per id.
+  * [[LinkGraph]] parses it (and resolves the relative anchors against
+  * the page's own host) into the crawl's host-level link graph.
   *   <div class="promo">limited offer {id%11}            ← UNCLOSED div
   *   <footer>copyright 2026 {source} | privacy | terms</footer>
   *   </body></html>
@@ -163,6 +170,10 @@ object Html {
         lit("\">p"), (col("doc_id") + 1L).cast("string"),
         lit("</a> <a href=\"/p"), (col("doc_id") + 2L).cast("string"),
         lit("\">p"), (col("doc_id") + 2L).cast("string"), lit("</a>"),
+        lit(" <a href=\"https://"),
+        Domains.hostOf(col("doc_id") + 1L, col("source")),
+        lit("/p/"), (col("doc_id") + 1L).cast("string"),
+        lit("\">next</a>"),
         lit("<p>related reading for page "), col("doc_id").cast("string"),
         lit("</p></div>"),
         lit("<div class=\"promo\">limited offer "),

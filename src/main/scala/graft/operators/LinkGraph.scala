@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Host-level link graph — the crawl-graph stage between [[Html]]
+  * extraction and [[Domains]] curation. A production pipeline ranks the
+  * HOSTS of its crawl (Common Crawl publishes exactly this artifact: the
+  * host-level webgraph plus centrality scores) and uses the ranks as a
+  * curation prior: pages on well-linked hosts are kept at higher quality
+  * thresholds, frontier hosts feed the next crawl round. This module
+  * builds that artifact from the synthesized pages' OWN anchors — parsed
+  * from the raw page bytes exactly like a crawler would, never assumed
+  * from the grammar — and runs [[GraphAnalytics.pageRank]]'s all-integer
+  * kernel over it, so every score replays bit-exactly in DuckDB.
+  *
+  * Reference lineage: the reference's only graph is the word→count map
+  * (`mapreduce/mapreduce.go:33`); this is the same keyed-aggregation
+  * shape lifted to (src_host, dst_host) keys plus the BSP rank loop
+  * already proven on the word graph.
+  *
+  * Link semantics (what a crawler does, applied to the r15 grammar):
+  *
+  *   - ABSOLUTE anchors (`href="https://…"`) resolve to the host named
+  *     in the URL — the grammar's `next` anchor, whose target host
+  *     re-hashes per page id, so these are the cross-host edges.
+  *   - RELATIVE anchors (`href="/p{t}"`) resolve against the page's own
+  *     host ([[Domains.hostOf]] of its doc_id) — intra-host by
+  *     construction, so they never enter the cross-host edge list but do
+  *     count toward frontier discovery.
+  *   - `src=` attributes (the ad block's img) are fetches, not links —
+  *     excluded by anchoring the patterns on `href=`.
+  *
+  * Scale shape: link extraction is a scan-speed regexp over the page
+  * bytes (no shuffle); the page→host edge aggregation map-side combines
+  * into a host-graph frame bounded by |hosts|² (at 100 TB: millions of
+  * rows for hundreds of billions of pages — the whole point of ranking
+  * hosts, not pages); the rank iteration then runs on that small frame,
+  * never rescanning the corpus.
+  */
+object LinkGraph {
+
+  /** Absolute anchors: capture the full URL (RE2-safe, oracle-shared). */
+  val AbsHrefPattern: String = "href=\"(https://[^\"]+)\""
+
+  /** Relative page anchors `/p{id}` (ids may be negative — fixtures). */
+  val RelHrefPattern: String = "href=\"(/p-?[0-9]+)\""
+
+  /** Target page id inside an absolute URL's `/p/{id}` path. */
+  val AbsPagePattern: String = "/p/(-?[0-9]+)$"
+
+  /** Target page id of a relative `/p{id}` anchor. */
+  val RelPagePattern: String = "^/p(-?[0-9]+)$"
+
+  /** The crawl frame: documents ∪ [[Html.MarkupFixtures]], each with its
+    * synthesized page and its own host — (url, html) is what a real
+    * crawler hands this stage. Runs over the SAME corpus as the
+    * registered HTML queries so the fixtures' negative ids exercise the
+    * hash grammar's sign handling end to end.
+    */
+  def pages(documents: DataFrame): DataFrame =
+    pagesRaw(Html.withFixtures(graft.Parallelism.ensure(documents)))
+
+  /** [[pages]] without the fixture union/partitioning guard — the shard
+    * form the streaming twin runs per micro-batch (fixtures arrive as
+    * their own final shard there, the [[Html]] streaming convention).
+    */
+  def pagesRaw(frame: DataFrame): DataFrame =
+    Html.withHtml(frame)
+      .withColumn("host", Domains.hostOf(col("doc_id"), col("source")))
+
+  /** One row per anchor: (doc_id, src_host, dst_host, dst_page,
+    * absolute). Two scan-speed extraction passes unioned — no UDF, no
+    * shuffle; the union is a narrow concatenation.
+    */
+  def links(documents: DataFrame): DataFrame =
+    linksRaw(Html.withFixtures(graft.Parallelism.ensure(documents)))
+
+  /** [[links]] over an explicit (doc_id, source, text) frame — doc-local
+    * (parse only; no corpus state), so micro-batch unions equal the
+    * batch extraction row for row.
+    */
+  def linksRaw(frame: DataFrame): DataFrame = {
+    val p = pagesRaw(frame)
+    val abs = p
+      .select(col("doc_id"), col("host").as("src_host"),
+        explode(regexp_extract_all(col("html"), lit(AbsHrefPattern), lit(1)))
+          .as("u"))
+      .select(col("doc_id"), col("src_host"),
+        Domains.urlHost(col("u")).as("dst_host"),
+        regexp_extract(col("u"), AbsPagePattern, 1).cast("long").as("dst_page"),
+        lit(true).as("absolute"))
+    val rel = p
+      .select(col("doc_id"), col("host").as("src_host"),
+        explode(regexp_extract_all(col("html"), lit(RelHrefPattern), lit(1)))
+          .as("u"))
+      .select(col("doc_id"), col("src_host"),
+        col("src_host").as("dst_host"),
+        regexp_extract(col("u"), RelPagePattern, 1).cast("long").as("dst_page"),
+        lit(false).as("absolute"))
+    abs.unionAll(rel)
+  }
+
+  /** The host-level link graph — `q_link_hosts`: cross-host edges with
+    * link weights. Self-edges (an absolute anchor that happens to land
+    * on its own host, and every relative anchor) are dropped: host
+    * ranking wants the between-host structure, same as the published
+    * host-graph artifacts. One map-side-combined aggregation.
+    */
+  def hostEdges(documents: DataFrame): DataFrame =
+    edgesFromLinks(links(documents))
+
+  /** The cross-host aggregation over an anchor frame — shared verbatim
+    * by the batch path and the streaming twin's post-drain rollup, so
+    * the two cannot drift.
+    */
+  def edgesFromLinks(l: DataFrame): DataFrame =
+    l.where(col("dst_host") =!= col("src_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Host authority — `q_link_rank`: [[GraphAnalytics.pageRank]] (fixed
+    * [[GraphAnalytics.PrIters]] all-integer rounds) over [[hostEdges]],
+    * each host with its rank and distinct in/out counterparty counts.
+    * Frontier-only hosts (linked to, never crawled) are nodes too — they
+    * hold the base teleport mass, which is exactly how a crawler
+    * prioritizes them.
+    */
+  def hostRank(documents: DataFrame): DataFrame = {
+    val e = hostEdges(documents).localCheckpoint()
+    val pr = GraphAnalytics.pageRank(
+      e.select(col("src_host").as("src"), col("dst_host").as("dst"),
+        col("n_links").as("w")))
+    val outd = e.groupBy("src_host")
+      .agg(countDistinct("dst_host").as("n_out"))
+    val ind = e.groupBy("dst_host")
+      .agg(countDistinct("src_host").as("n_in"))
+    pr.join(outd, pr("id") === outd("src_host"), "left")
+      .join(ind, pr("id") === ind("dst_host"), "left")
+      .select(col("id").as("host"), col("pr"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"))
+  }
+
+  /** Crawl-frontier card — `q_link_frontier`: per target host, how many
+    * links point there, how many distinct pages they name, and how many
+    * of those pages are NOT in the corpus (discovered-but-uncrawled —
+    * the frame a crawler's scheduler is fed). Known-ness is by page id:
+    * one slim left join of the anchor frame against the corpus id set.
+    */
+  def frontier(documents: DataFrame): DataFrame = {
+    val l = links(documents)
+    val ids = Html.withFixtures(graft.Parallelism.ensure(documents))
+      .select(col("doc_id").as("t")).distinct()
+    l.join(ids, l("dst_page") === ids("t"), "left")
+      .groupBy("dst_host")
+      .agg(
+        count(lit(1)).as("n_links"),
+        countDistinct("dst_page").as("n_targets"),
+        countDistinct(when(col("t").isNull, col("dst_page")))
+          .as("n_frontier"))
+  }
+
+  /** Authority-as-curation-prior card — `q_link_authority`: per source
+    * feed, document count, distinct hosts, and the summed/average host
+    * rank of its pages (integer [[GraphAnalytics.PrQ]] units; `div`, not
+    * float). A source whose pages live on isolated hosts (rank NULL —
+    * possible only if every one of its cross-host anchors self-looped)
+    * counts 0, the honest floor. This is the join a selector uses to
+    * temper per-source budgets by link authority.
+    */
+  def authorityBySource(documents: DataFrame): DataFrame = {
+    val p = pages(documents).select(col("source"), col("host"))
+    val r = hostRank(documents).select(col("host"), col("pr"))
+    p.join(r, Seq("host"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("host").as("n_hosts"),
+        sum(coalesce(col("pr"), lit(0L))).as("sum_pr"))
+      .select(col("source"), col("n_docs"), col("n_hosts"), col("sum_pr"),
+        expr("sum_pr div n_docs").as("avg_pr"))
+  }
+}

@@ -490,6 +490,57 @@ object DocumentStreams {
     result
   }
 
+  /** STREAMING host-link-graph ingestion — `LinkGraph.hostEdges` built
+    * continuously: anchor PARSING is document-local (page in, anchor
+    * rows out — the shared `linksRaw`), so each micro-batch extracts its
+    * own links and appends them; the cross-host edge AGGREGATION is the
+    * one corpus-level step and runs once over the drained anchor log
+    * through the SHARED `edgesFromLinks`, exactly how a crawl pipeline
+    * accumulates its webgraph (per-fetch link records, periodic graph
+    * rollup). Fixtures arrive as their own final shard (the [[Html]]
+    * streaming convention), so the rollup equals the batch edge list row
+    * for row and shares `q_link_hosts`' oracle verbatim. Per-batch
+    * `batch=<id>` overwrite dirs: idempotent under replay.
+    */
+  def linkHostsToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.LinkGraph
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_links")
+    java.nio.file.Files.createDirectories(tmp.resolve("out"))
+    val stream = rawSource(spark, dir)
+    EventStreams.withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          LinkGraph.linksRaw(batch.select("doc_id", "source", "text"))
+            .write.mode("overwrite")
+            .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    locally {
+      import spark.implicits._
+      LinkGraph.linksRaw(
+        graft.operators.Html.MarkupFixtures.toDF("doc_id", "source", "text"))
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("out").resolve("batch=fixtures").toString)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("src_host", StringType),
+      StructField("dst_host", StringType),
+      StructField("dst_page", LongType),
+      StructField("absolute", BooleanType)))
+    val anchors = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(tmp.resolve("out").toString)
+    EventStreams.deleteRecursivelyOnExit(tmp)
+    LinkGraph.edgesFromLinks(anchors)
+  }
+
   /** STREAMING benchmark-contamination gate —
     * `Dedup.benchmarkContamination` as an ingestion-time filter: the
     * eval set's distinct window fingerprints are the FROZEN artifact

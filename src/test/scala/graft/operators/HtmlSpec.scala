@@ -110,7 +110,8 @@ class HtmlSpec extends SparkSpec {
       .collect().map(_.getString(0))
     val markers = Seq("trackPageView", "display:none", "SPONSORED",
       "deal of the day", "premium today", "see also", "related reading",
-      "limited offer", "copyright", "login", "<img", "<a href")
+      "limited offer", "copyright", "login", "<img", "<a href",
+      "\">next</a>", "https://")
     for (m <- mains; mk <- markers)
       assert(!m.contains(mk), s"leaked '$mk' into: $m")
   }

@@ -179,6 +179,18 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming link-graph ingestion equals the batch edge list (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = canon(DocumentStreams.linkHostsToBatch(spark, dir))
+    val batch = canon(graft.operators.LinkGraph.hostEdges(
+      graft.Tables.documents(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming HTML extraction equals the batch operator (driver data)") {
     val dir = sf("sf0.001")
     def canon(df: org.apache.spark.sql.DataFrame) =
