@@ -447,6 +447,10 @@ object SparkEntry {
       graft.streaming.DocumentStreams.linkHostsToBatch(s, dir)),
     "q_link_authority" -> ((s, dir) =>
       LinkGraph.authorityBySource(Tables.documents(s, dir))),
+    // pivot-sampled harmonic centrality (the other published host-rank
+    // metric): deterministic 8-pivot BFS, 3 unrolled all-integer rounds
+    "q_link_harmonic" -> ((s, dir) =>
+      LinkGraph.harmonicCentrality(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -4373,6 +4377,36 @@ object SparkEntry {
          |    // CAST(count(*) AS BIGINT) AS avg_pr
          |FROM ph LEFT JOIN pr$PrIters p ON p.id = ph.host
          |GROUP BY ph.source""".stripMargin
+    },
+    // Pivot-sampled harmonic centrality: same seeded-md5 pivot draw,
+    // HcRounds unrolled min-relaxation rounds (MATERIALIZED — each round
+    // references the previous twice), radius-truncated 1000//d scoring.
+    "q_link_harmonic" -> {
+      import graft.operators.LinkGraph.{HcPivots, HcRounds, HcSeed}
+      // `pivot` is a DuckDB keyword (PIVOT statement) — the replay
+      // names the column `piv`
+      val roundCtes = (0 until HcRounds).map { t =>
+        s"""d${t + 1} AS MATERIALIZED (SELECT piv, host, CAST(min(d) AS INTEGER) AS d FROM (
+           |  SELECT piv, host, d FROM d$t
+           |  UNION ALL
+           |  SELECT d$t.piv, e2.dst AS host, d$t.d + 1 AS d
+           |  FROM d$t JOIN e2 ON d$t.host = e2.src) t GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $linkCtes,
+         |e2 AS (SELECT src_host AS src, dst_host AS dst FROM le),
+         |hn AS (SELECT src AS host FROM e2 UNION SELECT dst FROM e2),
+         |pv AS (SELECT host AS piv FROM hn
+         |  ORDER BY ${h60(HcSeed, "host")} ASC, host ASC LIMIT $HcPivots),
+         |d0 AS MATERIALIZED (SELECT piv, piv AS host, 0 AS d FROM pv),
+         |$roundCtes,
+         |hc AS (SELECT host, CAST(sum(1000 // d) AS BIGINT) AS h,
+         |    CAST(count(*) AS BIGINT) AS r, CAST(min(d) AS INTEGER) AS m
+         |  FROM d$HcRounds WHERE d >= 1 GROUP BY host)
+         |SELECT hn.host,
+         |  CAST(coalesce(hc.h, 0) AS BIGINT) AS h_milli,
+         |  CAST(coalesce(hc.r, 0) AS BIGINT) AS n_pivots_reached,
+         |  CAST(coalesce(hc.m, 0) AS INTEGER) AS min_d
+         |FROM hn LEFT JOIN hc ON hc.host = hn.host""".stripMargin
     },
     // Domain x domain contamination: the brute-force pair set joined to
     // the rebuilt-and-reparsed domain of each endpoint.

@@ -161,6 +161,71 @@ object LinkGraph {
           .as("n_frontier"))
   }
 
+  /** Pivot count / BFS radius / pivot-draw seed for
+    * [[harmonicCentrality]]. Rounds stay small and static — the oracle
+    * unrolls them (the [[GraphAnalytics.PrIters]] contract).
+    */
+  val HcPivots = 8
+  val HcRounds = 3
+  val HcSeed = 61
+
+  /** Pivot-sampled harmonic centrality — `q_link_harmonic`: the OTHER
+    * published host-ranking metric (Common Crawl ships harmonic
+    * centrality beside PageRank for exactly this graph). Exact harmonic
+    * centrality needs all-pairs distances; the at-scale estimators
+    * sample — HyperBall via HLL counters, or pivot sampling (Eppstein &
+    * Wang 2004): run BFS from a small deterministic pivot set and score
+    * each host by its inverse distances FROM the pivots. This implements
+    * the pivot form, all-integer and radius-bounded so the whole
+    * computation replays in DuckDB:
+    *
+    *   - pivots = the [[HcPivots]] hosts with the smallest seeded md5
+    *     draw (host-name ties by name) — a uniform, deterministic sample;
+    *   - [[HcRounds]] BSP relaxation rounds of `d(p, v) =
+    *     min(d, 1 + min over in-edges)` — each round one join + one
+    *     min-agg over the ≤|hosts|·P distance frame;
+    *   - score = Σ_p 1000 div d(p, v) over reached pivots at d ≥ 1, in
+    *     exact milli units — the radius-R truncated estimator (unreached
+    *     pivots contribute 0, the standard harmonic convention).
+    *
+    * Every host appears in the card (unreached ⇒ 0), so the consumer
+    * can tell "peripheral" from "absent".
+    */
+  def harmonicCentrality(documents: DataFrame): DataFrame = {
+    val e = hostEdges(documents)
+      .select(col("src_host").as("src"), col("dst_host").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    val pivots = nodes
+      .orderBy(graft.functions.HashFunctions.md5Long(col("host"), HcSeed).asc,
+        col("host").asc)
+      .limit(HcPivots)
+      .select(col("host").as("pivot"))
+      .localCheckpoint()
+    var dist = pivots.select(col("pivot"), col("pivot").as("host"),
+      lit(0).as("d"))
+    for (_ <- 1 to HcRounds) {
+      val ext = dist.join(e, dist("host") === e("src"))
+        .select(col("pivot"), e("dst").as("host"), (col("d") + 1).as("d"))
+      dist = dist.unionAll(ext)
+        .groupBy("pivot", "host").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    val hc = dist.where(col("d") >= 1)
+      .groupBy("host")
+      .agg(sum(expr("1000 div d")).as("h"),
+        count(lit(1)).as("r"),
+        min("d").as("m"))
+    nodes.join(hc, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("h"), lit(0L)).as("h_milli"),
+        coalesce(col("r"), lit(0L)).as("n_pivots_reached"),
+        coalesce(col("m"), lit(0)).as("min_d"))
+  }
+
   /** Authority-as-curation-prior card — `q_link_authority`: per source
     * feed, document count, distinct hosts, and the summed/average host
     * rank of its pages (integer [[GraphAnalytics.PrQ]] units; `div`, not

@@ -129,6 +129,40 @@ class LinkGraphSpec extends SparkSpec {
     assert(got.map(_._4).sum > 0, "the corpus boundary must produce frontier targets")
   }
 
+  test("harmonicCentrality: equals an independent Scala BFS within the radius") {
+    val edges = LinkGraph.hostEdges(docs)
+      .as[(String, String, Long)].collect().map(e => (e._1, e._2)).toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    // independent md5 draw (java MessageDigest, not the Catalyst expr)
+    def md5h(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${LinkGraph.HcSeed}:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val pivots = nodes.sortBy(h => (md5h(h), h)).take(LinkGraph.HcPivots)
+    val adj = edges.groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    val dist = scala.collection.mutable.Map[(String, String), Int]()
+    for (p <- pivots) {
+      dist((p, p)) = 0
+      var frontier = Seq(p)
+      for (r <- 1 to LinkGraph.HcRounds) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .distinct.filter(v => !dist.contains((p, v)))
+        frontier.foreach(v => dist((p, v)) = r)
+      }
+    }
+    val brute = nodes.map { v =>
+      val ds = pivots.flatMap(p => dist.get((p, v))).filter(_ >= 1)
+      (v, ds.map(1000 / _).sum.toLong, ds.size.toLong,
+        if (ds.nonEmpty) ds.min else 0)
+    }.sorted
+    val got = LinkGraph.harmonicCentrality(docs)
+      .as[(String, Long, Long, Int)].collect().toSeq.sorted
+    assert(got === brute)
+    assert(got.exists(_._2 > 0), "some host must be reached by some pivot")
+  }
+
   test("authorityBySource: card reconciles against pages x rank brute force") {
     val rank = LinkGraph.hostRank(docs)
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
