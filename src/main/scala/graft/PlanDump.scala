@@ -227,7 +227,7 @@ object PlanDump {
     "q_embed_quant" ->
       "one posexplode scan -> |dim|-row min/max agg broadcast back -> per-value codegen projection -> |dim|-row rollup; state never exceeds the dimension count, errors floored to ints before the order-free sum",
     "q_link_rank" ->
-      "host authority (r15): anchor parsing is regexp work inside WholeStageCodegen (two scan passes unioned, no UDF), the (src_host, dst_host) agg map-side combines into the |hosts|^2-bounded edge frame, and the 3 PageRank supersteps are joins/aggs over THAT frame — pages are scanned, hosts are ranked; the corpus never re-enters after the edge agg",
+      "host authority (r15): anchor parsing is ONE regexp extraction pass inside WholeStageCodegen (both anchor kinds via one alternation + CASE resolution, no UDF — the corpus is scanned and the page synthesized once), the (src_host, dst_host) agg map-side combines into the |hosts|^2-bounded edge frame, and the 3 PageRank supersteps are joins/aggs over THAT frame — pages are scanned, hosts are ranked; the corpus never re-enters after the edge agg",
     "sketch_summary" ->
       "r13 rewrite: exact distinct counts, HLL/quantile sketches, and the sample rank-rail are THREE narrow scans joined broadcast on the 3-row group key — no Expand row ever carries an imperative sketch buffer, and no value-count map exists anywhere (the old exact-percentile rail was the suite's worst cost at 100-266 s); r14: HLL bands ride the exact x approx inner join (sample-independent), and pct_rail_checked makes a vacuous percentile pass visible (oracle recounts the same deterministic sample)",
     "q_domain_urls" ->

@@ -1921,25 +1921,21 @@ object SparkEntry {
     * list.
     */
   private def linkCtes: String = {
-    import graft.operators.LinkGraph.{AbsHrefPattern, RelHrefPattern, AbsPagePattern, RelPagePattern}
+    import graft.operators.LinkGraph.{AnyHrefPattern, AbsPagePattern, RelPagePattern}
     val hostRe = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)'"
     s"""$htmlCtes,
-       |labs AS (SELECT doc_id,
+       |lx AS (SELECT doc_id,
        |    ${hostOfSql("doc_id")} AS src_host,
-       |    unnest(regexp_extract_all(html, '$AbsHrefPattern', 1)) AS u
+       |    unnest(regexp_extract_all(html, '$AnyHrefPattern', 1)) AS u
        |  FROM h),
-       |labr AS (SELECT doc_id, src_host,
-       |    regexp_extract(u, $hostRe, 1) AS dst_host,
-       |    CAST(regexp_extract(u, '$AbsPagePattern', 1) AS BIGINT) AS dst_page
-       |  FROM labs),
-       |lrels AS (SELECT doc_id,
-       |    ${hostOfSql("doc_id")} AS src_host,
-       |    unnest(regexp_extract_all(html, '$RelHrefPattern', 1)) AS u
-       |  FROM h),
-       |lrelr AS (SELECT doc_id, src_host, src_host AS dst_host,
-       |    CAST(regexp_extract(u, '$RelPagePattern', 1) AS BIGINT) AS dst_page
-       |  FROM lrels),
-       |lall AS (SELECT * FROM labr UNION ALL SELECT * FROM lrelr),
+       |lall AS (SELECT doc_id, src_host,
+       |    CASE WHEN u LIKE 'https://%' THEN regexp_extract(u, $hostRe, 1)
+       |      ELSE src_host END AS dst_host,
+       |    CAST(CASE WHEN u LIKE 'https://%'
+       |      THEN regexp_extract(u, '$AbsPagePattern', 1)
+       |      ELSE regexp_extract(u, '$RelPagePattern', 1) END AS BIGINT)
+       |      AS dst_page
+       |  FROM lx),
        |le AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
        |  FROM lall WHERE dst_host <> src_host GROUP BY 1, 2)""".stripMargin
   }

@@ -46,6 +46,12 @@ object LinkGraph {
   /** Relative page anchors `/p{id}` (ids may be negative — fixtures). */
   val RelHrefPattern: String = "href=\"(/p-?[0-9]+)\""
 
+  /** Both anchor shapes in ONE alternation — the single extraction pass
+    * [[linksRaw]] runs, so the corpus is scanned (and the page
+    * synthesized) once per link query instead of once per anchor kind.
+    */
+  val AnyHrefPattern: String = "href=\"(https://[^\"]+|/p-?[0-9]+)\""
+
   /** Target page id inside an absolute URL's `/p/{id}` path. */
   val AbsPagePattern: String = "/p/(-?[0-9]+)$"
 
@@ -70,8 +76,10 @@ object LinkGraph {
       .withColumn("host", Domains.hostOf(col("doc_id"), col("source")))
 
   /** One row per anchor: (doc_id, src_host, dst_host, dst_page,
-    * absolute). Two scan-speed extraction passes unioned — no UDF, no
-    * shuffle; the union is a narrow concatenation.
+    * absolute). ONE scan-speed extraction pass ([[AnyHrefPattern]]) with
+    * CASE-based resolution — a two-pass union form would re-read the
+    * corpus and re-synthesize every page once per anchor kind; this
+    * parses both kinds from a single Generate. No UDF, no shuffle.
     */
   def links(documents: DataFrame): DataFrame =
     linksRaw(Html.withFixtures(graft.Parallelism.ensure(documents)))
@@ -82,23 +90,17 @@ object LinkGraph {
     */
   def linksRaw(frame: DataFrame): DataFrame = {
     val p = pagesRaw(frame)
-    val abs = p
-      .select(col("doc_id"), col("host").as("src_host"),
-        explode(regexp_extract_all(col("html"), lit(AbsHrefPattern), lit(1)))
+    val isAbs = col("u").startsWith("https://")
+    p.select(col("doc_id"), col("host").as("src_host"),
+        explode(regexp_extract_all(col("html"), lit(AnyHrefPattern), lit(1)))
           .as("u"))
       .select(col("doc_id"), col("src_host"),
-        Domains.urlHost(col("u")).as("dst_host"),
-        regexp_extract(col("u"), AbsPagePattern, 1).cast("long").as("dst_page"),
-        lit(true).as("absolute"))
-    val rel = p
-      .select(col("doc_id"), col("host").as("src_host"),
-        explode(regexp_extract_all(col("html"), lit(RelHrefPattern), lit(1)))
-          .as("u"))
-      .select(col("doc_id"), col("src_host"),
-        col("src_host").as("dst_host"),
-        regexp_extract(col("u"), RelPagePattern, 1).cast("long").as("dst_page"),
-        lit(false).as("absolute"))
-    abs.unionAll(rel)
+        when(isAbs, Domains.urlHost(col("u")))
+          .otherwise(col("src_host")).as("dst_host"),
+        when(isAbs, regexp_extract(col("u"), AbsPagePattern, 1))
+          .otherwise(regexp_extract(col("u"), RelPagePattern, 1))
+          .cast("long").as("dst_page"),
+        isAbs.as("absolute"))
   }
 
   /** The host-level link graph — `q_link_hosts`: cross-host edges with
@@ -235,7 +237,11 @@ object LinkGraph {
     * temper per-source budgets by link authority.
     */
   def authorityBySource(documents: DataFrame): DataFrame = {
-    val p = pages(documents).select(col("source"), col("host"))
+    // the doc→host map is a pure (doc_id, source) projection — no page
+    // synthesis needed here; only the rank side parses anchors
+    val p = Html.withFixtures(graft.Parallelism.ensure(documents))
+      .select(col("source"),
+        Domains.hostOf(col("doc_id"), col("source")).as("host"))
     val r = hostRank(documents).select(col("host"), col("pr"))
     p.join(r, Seq("host"), "left")
       .groupBy("source")
