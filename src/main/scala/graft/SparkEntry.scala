@@ -451,6 +451,10 @@ object SparkEntry {
     // metric): deterministic 8-pivot BFS, 3 unrolled all-integer rounds
     "q_link_harmonic" -> ((s, dir) =>
       LinkGraph.harmonicCentrality(Tables.documents(s, dir))),
+    // web communities: weakly-connected host components (per-source site
+    // families under this grammar) via the proven CC machinery
+    "q_link_components" -> ((s, dir) =>
+      LinkGraph.hostComponents(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -4404,6 +4408,23 @@ object SparkEntry {
          |  CAST(coalesce(hc.m, 0) AS INTEGER) AS min_d
          |FROM hn LEFT JOIN hc ON hc.host = hn.host""".stripMargin
     },
+    // Web communities: recursive-CTE transitive closure over the parsed
+    // host graph (the q_dedup_clusters oracle shape on string keys).
+    "q_link_components" ->
+      s"""WITH RECURSIVE $linkCtes,
+         |eu AS (SELECT src_host AS src, dst_host AS dst FROM le
+         |  UNION SELECT dst_host, src_host FROM le),
+         |hn AS (SELECT src AS host FROM eu UNION SELECT dst FROM eu),
+         |reach(id, root) AS (
+         |  SELECT host, host FROM hn
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN eu e ON e.src = r.id),
+         |labels AS (SELECT id AS host, min(root) AS component_id
+         |  FROM reach GROUP BY id),
+         |sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS component_n
+         |  FROM labels GROUP BY 1)
+         |SELECT l.host, l.component_id, s.component_n
+         |FROM labels l JOIN sizes s USING (component_id)""".stripMargin,
     // Domain x domain contamination: the brute-force pair set joined to
     // the rebuilt-and-reparsed domain of each endpoint.
     "q_domain_overlap" ->

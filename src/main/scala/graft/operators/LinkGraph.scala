@@ -228,6 +228,31 @@ object LinkGraph {
         coalesce(col("m"), lit(0)).as("min_d"))
   }
 
+  /** Web communities — `q_link_components`: weakly-connected components
+    * of the host graph through [[Dedup.clustersFromPairs]]'s proven
+    * min-label propagation (+ star-contraction fallback), string keys
+    * ordering lexicographically exactly like the DuckDB replay's `min`.
+    * Under this grammar the absolute anchor keeps the page's own source,
+    * so components are per-source site families — the structure a
+    * mixture balancer would budget over. Hosts with no cross-host edge
+    * are not graph nodes and do not appear (the card describes the
+    * GRAPH, not the corpus — [[harmonicCentrality]] covers every host).
+    */
+  def hostComponents(documents: DataFrame): DataFrame = {
+    val e = hostEdges(documents).localCheckpoint()
+    val pairs = e.select(
+        least(col("src_host"), col("dst_host")).as("doc_a"),
+        greatest(col("src_host"), col("dst_host")).as("doc_b"))
+      .distinct()
+    val nodes = e.select(col("src_host").as("doc_id"))
+      .union(e.select(col("dst_host").as("doc_id")))
+      .distinct()
+    Dedup.clustersFromPairs(nodes, pairs)
+      .select(col("doc_id").as("host"),
+        col("cluster_id").as("component_id"),
+        col("cluster_n").as("component_n"))
+  }
+
   /** Authority-as-curation-prior card — `q_link_authority`: per source
     * feed, document count, distinct hosts, and the summed/average host
     * rank of its pages (integer [[GraphAnalytics.PrQ]] units; `div`, not

@@ -178,6 +178,36 @@ class LinkGraphSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("hostComponents: equals an independent union-find over the edge list") {
+    val edges = LinkGraph.hostEdges(docs)
+      .as[(String, String, Long)].collect().map(e => (e._1, e._2)).toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val comp = nodes.groupBy(find).flatMap { case (_, members) =>
+      val label = members.min
+      members.map(m => (m, label, members.size.toLong))
+    }.toSeq.sorted
+    val got = LinkGraph.hostComponents(docs)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(got === comp)
+    // under this grammar components never cross sources (the absolute
+    // anchor keeps the page's own source), so every component's hosts
+    // share one source token
+    got.groupBy(_._2).foreach { case (_, members) =>
+      val sources = members.map(_._1.replaceAll("^www\\.", "").split("\\.d[0-9]+\\.com$")(0)).distinct
+      assert(sources.size === 1, s"component mixes sources: $members")
+    }
+  }
+
   test("partition invariance: edges, rank and frontier are layout-independent") {
     val base = LinkGraph.hostEdges(docs).as[(String, String, Long)].collect().toSeq.sorted
     val rep = LinkGraph.hostEdges(docs.repartition(7))
