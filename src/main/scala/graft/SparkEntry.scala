@@ -455,6 +455,11 @@ object SparkEntry {
     // families under this grammar) via the proven CC machinery
     "q_link_components" -> ((s, dir) =>
       LinkGraph.hostComponents(Tables.documents(s, dir))),
+    // authority under STORED ranks (RankStore on the ArtifactStore
+    // kernel): the periodic-webgraph-rebuild production shape — zero
+    // parse/rank jobs on the apply path; shares the fresh oracle
+    "q_link_authority_stored" -> ((s, dir) =>
+      RankStore.authorityBySource(s, dir)),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -1942,6 +1947,24 @@ object SparkEntry {
        |  FROM lx),
        |le AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
        |  FROM lall WHERE dst_host <> src_host GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Shared by `q_link_authority` and its stored-rank twin (integer
+    * ranks round-trip parquet exactly, so the two are hash-identical).
+    */
+  private def linkAuthorityOracle: String = {
+    import graft.operators.GraphAnalytics.PrIters
+    s"""WITH $linkCtes,
+       |e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM le),
+       |${pageRankCtes("e")},
+       |ph AS (SELECT doc_id, source, ${hostOfSql("doc_id")} AS host FROM hd)
+       |SELECT ph.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT ph.host) AS BIGINT) AS n_hosts,
+       |  CAST(sum(coalesce(p.pr, 0)) AS BIGINT) AS sum_pr,
+       |  CAST(sum(coalesce(p.pr, 0)) AS BIGINT)
+       |    // CAST(count(*) AS BIGINT) AS avg_pr
+       |FROM ph LEFT JOIN pr$PrIters p ON p.id = ph.host
+       |GROUP BY ph.source""".stripMargin
   }
 
   /** Shared by `q_html_extract` and its streaming twin. */
@@ -4364,20 +4387,10 @@ object SparkEntry {
          |GROUP BY dst_host""".stripMargin,
     // Authority-as-curation-prior: per source, the summed/avg host rank
     // of its pages (isolated hosts count 0 — the honest floor).
-    "q_link_authority" -> {
-      import graft.operators.GraphAnalytics.PrIters
-      s"""WITH $linkCtes,
-         |e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM le),
-         |${pageRankCtes("e")},
-         |ph AS (SELECT doc_id, source, ${hostOfSql("doc_id")} AS host FROM hd)
-         |SELECT ph.source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(count(DISTINCT ph.host) AS BIGINT) AS n_hosts,
-         |  CAST(sum(coalesce(p.pr, 0)) AS BIGINT) AS sum_pr,
-         |  CAST(sum(coalesce(p.pr, 0)) AS BIGINT)
-         |    // CAST(count(*) AS BIGINT) AS avg_pr
-         |FROM ph LEFT JOIN pr$PrIters p ON p.id = ph.host
-         |GROUP BY ph.source""".stripMargin
-    },
+    "q_link_authority" -> linkAuthorityOracle,
+    // stored-rank twin: integer ranks round-trip parquet exactly, so the
+    // card is hash-identical and shares the fresh oracle verbatim
+    "q_link_authority_stored" -> linkAuthorityOracle,
     // Pivot-sampled harmonic centrality: same seeded-md5 pivot draw,
     // HcRounds unrolled min-relaxation rounds (MATERIALIZED — each round
     // references the previous twice), radius-truncated 1000//d scoring.

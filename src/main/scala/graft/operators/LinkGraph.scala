@@ -261,13 +261,22 @@ object LinkGraph {
     * counts 0, the honest floor. This is the join a selector uses to
     * temper per-source budgets by link authority.
     */
-  def authorityBySource(documents: DataFrame): DataFrame = {
-    // the doc→host map is a pure (doc_id, source) projection — no page
-    // synthesis needed here; only the rank side parses anchors
-    val p = Html.withFixtures(graft.Parallelism.ensure(documents))
+  def authorityBySource(documents: DataFrame): DataFrame =
+    authorityTail(docHosts(documents),
+      hostRank(documents).select(col("host"), col("pr")))
+
+  /** The doc→host map — a pure (doc_id, source) projection; no page
+    * synthesis needed (only the rank side parses anchors).
+    */
+  private[operators] def docHosts(documents: DataFrame): DataFrame =
+    Html.withFixtures(graft.Parallelism.ensure(documents))
       .select(col("source"),
         Domains.hostOf(col("doc_id"), col("source")).as("host"))
-    val r = hostRank(documents).select(col("host"), col("pr"))
+
+  /** The card tail shared by the fresh and stored-rank forms, so the two
+    * cannot drift.
+    */
+  private[operators] def authorityTail(p: DataFrame, r: DataFrame): DataFrame =
     p.join(r, Seq("host"), "left")
       .groupBy("source")
       .agg(
@@ -276,5 +285,47 @@ object LinkGraph {
         sum(coalesce(col("pr"), lit(0L))).as("sum_pr"))
       .select(col("source"), col("n_docs"), col("n_hosts"), col("sum_pr"),
         expr("sum_pr div n_docs").as("avg_pr"))
-  }
+}
+
+/** Session-persisted host-rank artifact — the link graph's
+  * train-once/apply-everywhere seam on the shared
+  * [[graft.sources.ArtifactStore]] kernel (the CentroidStore/ModelStore
+  * contract): a production pipeline rebuilds its webgraph ranks in a
+  * periodic batch job and every consumer (curation, crawl scheduling,
+  * mixture tempering) reads the LAST published ranks instead of
+  * re-parsing the corpus. Ranks are integer [[GraphAnalytics.PrQ]] units,
+  * so the parquet round-trip is exact and
+  * `q_link_authority_stored` shares `q_link_authority`'s oracle verbatim.
+  */
+object RankStore {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types._
+
+  private val store = new graft.sources.ArtifactStore[String]("hostrank")
+
+  private val schema = StructType(Seq(
+    StructField("host", StringType),
+    StructField("pr", LongType),
+    StructField("n_in", LongType),
+    StructField("n_out", LongType)))
+
+  /** The persisted rank card for `dir`, computed on first call. */
+  def ranks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(schema).parquet(store.getOrBuild(dir) { out =>
+      LinkGraph.hostRank(graft.Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(out)
+    })
+
+  /** The authority card under STORED ranks — zero parse/rank jobs on the
+    * apply path beyond the doc→host projection.
+    */
+  def authorityBySource(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.authorityTail(
+      LinkGraph.docHosts(graft.Tables.documents(spark, dir)),
+      ranks(spark, dir).select(
+        org.apache.spark.sql.functions.col("host"),
+        org.apache.spark.sql.functions.col("pr")))
+
+  /** Times the ranks for `dir` have been BUILT (not read) — spec hook. */
+  def builds(dir: String): Int = store.builds(dir)
 }

@@ -208,6 +208,26 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("RankStore: stored authority card == fresh, ranks built exactly once") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val fresh = canon(LinkGraph.authorityBySource(
+      graft.Tables.documents(spark, dir)))
+    val stored1 = canon(RankStore.authorityBySource(spark, dir))
+    val stored2 = canon(RankStore.authorityBySource(spark, dir))
+    assert(stored1 === fresh, "stored ranks must reproduce the fresh card exactly")
+    assert(stored2 === fresh)
+    assert(RankStore.builds(dir) === 1,
+      "the rank artifact must be built exactly once per corpus")
+    // the stored card's plan never parses anchors: no regexp extraction
+    // anywhere in the executed plan tree (the fresh rank path's marker)
+    val plan = RankStore.authorityBySource(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("regexp_extract"),
+      "apply path must read the artifact, not re-parse the corpus")
+  }
+
   test("partition invariance: edges, rank and frontier are layout-independent") {
     val base = LinkGraph.hostEdges(docs).as[(String, String, Long)].collect().toSeq.sorted
     val rep = LinkGraph.hostEdges(docs.repartition(7))
