@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions._
   * rows for hundreds of billions of pages — the whole point of ranking
   * hosts, not pages); the rank iteration then runs on that small frame,
   * never rescanning the corpus.
+  *
+  * The family: [[hostEdges]] (the webgraph), [[hostRank]] (PageRank
+  * authority), [[harmonicCentrality]] (the pivot-sampled CC-style
+  * metric), [[hostComponents]] (site families), [[frontier]] (the crawl
+  * scheduler's frame), [[authorityBySource]] (curation prior), its
+  * [[RankStore]] stored-rank twin, and the streaming ingestion twin in
+  * `DocumentStreams.linkHostsToBatch`.
   */
 object LinkGraph {
 
