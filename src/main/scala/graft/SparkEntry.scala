@@ -460,6 +460,10 @@ object SparkEntry {
     // parse/rank jobs on the apply path; shares the fresh oracle
     "q_link_authority_stored" -> ((s, dir) =>
       RankStore.authorityBySource(s, dir)),
+    // TrustRank: personalized PageRank from a trusted seed-host set —
+    // the link-spam demotion signal; trust flows only outward from seeds
+    "q_link_trustrank" -> ((s, dir) =>
+      LinkGraph.trustRank(Tables.documents(s, dir))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -1918,6 +1922,37 @@ object SparkEntry {
        |nodes AS (SELECT src AS id FROM $e UNION SELECT dst AS id FROM $e),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |pr0 AS (SELECT id, $PrQ // nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$iterCtes""".stripMargin
+  }
+
+  /** Personalized variant of [[pageRankCtes]] — DuckDB replay of
+    * `GraphAnalytics.personalizedPageRank` over edge CTE `$e(src, dst,
+    * w)` with seed CTE `$seeds(id)`: teleport mass and initial mass
+    * restricted to the seed ∩ node set, 0 elsewhere. Final frame
+    * `pr<PrIters>(id, seed, pr)`.
+    */
+  private def personalizedPageRankCtes(e: String, seeds: String): String = {
+    import graft.operators.GraphAnalytics.{PrQ, WQ, DampNum, DampDen, PrIters}
+    val iterCtes = (0 until PrIters).map { t =>
+      s"""c${t + 1} AS (SELECT en.dst, CAST(sum((p.pr * en.wq) // $WQ) AS BIGINT) AS c
+         |  FROM en JOIN pr$t p ON p.id = en.src GROUP BY en.dst),
+         |pr${t + 1} AS (SELECT fl.id, fl.seed,
+         |    (CASE WHEN fl.seed
+         |       THEN (${DampDen - DampNum} * $PrQ) // ($DampDen * sn.s)
+         |       ELSE 0 END)
+         |      + ($DampNum * coalesce(c${t + 1}.c, 0)) // $DampDen AS pr
+         |  FROM fl CROSS JOIN sn
+         |  LEFT JOIN c${t + 1} ON c${t + 1}.dst = fl.id)""".stripMargin
+    }.mkString(",\n")
+    s"""ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM $e GROUP BY src),
+       |en AS (SELECT $e.src, $e.dst, ($e.w * $WQ) // ws.wsum AS wq
+       |  FROM $e JOIN ws USING (src)),
+       |nodes AS (SELECT src AS id FROM $e UNION SELECT dst AS id FROM $e),
+       |fl AS (SELECT nodes.id, ($seeds.id IS NOT NULL) AS seed
+       |  FROM nodes LEFT JOIN $seeds ON $seeds.id = nodes.id),
+       |sn AS (SELECT count(*) AS s FROM fl WHERE seed),
+       |pr0 AS (SELECT id, seed, CASE WHEN seed THEN $PrQ // sn.s ELSE 0 END AS pr
+       |  FROM fl CROSS JOIN sn),
        |$iterCtes""".stripMargin
   }
 
@@ -4420,6 +4455,19 @@ object SparkEntry {
          |  CAST(coalesce(hc.r, 0) AS BIGINT) AS n_pivots_reached,
          |  CAST(coalesce(hc.m, 0) AS INTEGER) AS min_d
          |FROM hn LEFT JOIN hc ON hc.host = hn.host""".stripMargin
+    },
+    // TrustRank: the personalized unroll with the deterministic seed
+    // rule (hosts of the lexicographically first source) replayed.
+    "q_link_trustrank" -> {
+      import graft.operators.GraphAnalytics.PrIters
+      s"""WITH $linkCtes,
+         |ss AS (SELECT min(source) AS ssrc FROM hd),
+         |sd AS (SELECT DISTINCT ${hostOfSql("doc_id")} AS id
+         |  FROM hd, ss WHERE hd.source = ss.ssrc),
+         |e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM le),
+         |${personalizedPageRankCtes("e", "sd")}
+         |SELECT id AS host, pr AS trust, seed AS is_seed
+         |FROM pr$PrIters""".stripMargin
     },
     // Web communities: recursive-CTE transitive closure over the parsed
     // host graph (the q_dedup_clusters oracle shape on string keys).

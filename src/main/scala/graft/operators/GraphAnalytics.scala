@@ -92,6 +92,54 @@ object GraphAnalytics {
     pr
   }
 
+  /** Personalized PageRank (TrustRank-style): identical integer contract
+    * to [[pageRank]] except the teleport term is restricted to a SEED
+    * set — `base = (DampDen−DampNum)·PrQ div (DampDen·S)` for the S
+    * seed nodes and 0 for everyone else, and the initial mass
+    * `PrQ div S` sits on the seeds. Trust therefore flows ONLY outward
+    * from seeds along edges (a node unreachable from every seed within
+    * `iters` hops scores exactly 0) — the Gyöngyi et al. 2004 TrustRank
+    * shape, used at crawl scale to demote link-spam: rank mass a page
+    * cannot trace back to a trusted set is suspect. Seeds outside the
+    * node set are ignored (an isolated trusted host can't pass trust).
+    * Same per-round BSP cost as [[pageRank]].
+    */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iters: Int = PrIters): DataFrame = {
+    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
+    val norm = edges.join(wsum, "src")
+      .select(col("src"), col("dst"), expr(s"(w * ${WQ}L) div wsum").as("wq"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    // seed flag materialized once; S counts seeds that are graph nodes
+    val flagged = nodes
+      .join(seeds.select(col("id")).distinct().withColumn("s1", lit(true)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("s1"), lit(false)).as("seed"))
+      .localCheckpoint()
+    val s = flagged.where(col("seed")).count()
+    if (s == 0) return flagged.select(col("id"), lit(0L).as("pr"),
+      col("seed").as("is_seed"))
+    val base = (DampDen - DampNum) * PrQ / (DampDen * s)
+    var pr = flagged.select(col("id"), col("seed"),
+      when(col("seed"), lit(PrQ / s)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = norm.join(pr, norm("src") === pr("id"))
+        .select(col("dst"), expr(s"(pr * wq) div ${WQ}L").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("c"))
+      pr = flagged.join(contrib, flagged("id") === contrib("dst"), "left")
+        .select(
+          col("id"), col("seed"),
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($DampNum * coalesce(c, 0L)) div ${DampDen}L")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id"), col("pr"), col("seed").as("is_seed"))
+  }
+
   /** Top words of the registered TextRank query. */
   val WordRankK = 50
 

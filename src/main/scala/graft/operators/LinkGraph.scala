@@ -235,6 +235,35 @@ object LinkGraph {
         coalesce(col("m"), lit(0)).as("min_d"))
   }
 
+  /** TrustRank — `q_link_trustrank`:
+    * [[GraphAnalytics.personalizedPageRank]] over the host graph with
+    * the teleport set restricted to a TRUSTED seed set — the published
+    * link-spam demotion signal (rank mass a host cannot trace back to a
+    * trusted set is suspect; a selector demotes high-PageRank/low-trust
+    * hosts). The seed rule is deterministic and data-driven: the hosts
+    * of the lexicographically FIRST source feed (a real deployment
+    * plugs in its curated whitelist — the operator contract is the seed
+    * frame, not the rule). Under this grammar trust cannot cross source
+    * boundaries, so every host outside the seed source scores EXACTLY
+    * 0 — the sharp property the spec pins.
+    */
+  def trustRank(documents: DataFrame): DataFrame = {
+    val e = hostEdges(documents).localCheckpoint()
+    val docsH = Html.withFixtures(graft.Parallelism.ensure(documents))
+      .select(col("source"),
+        Domains.hostOf(col("doc_id"), col("source")).as("host"))
+    // 1-row scalar: the seed source (bounded broadcast, the Dsir idiom)
+    val seedSrc = docsH.agg(min("source").as("ssrc"))
+    val seeds = docsH.crossJoin(seedSrc)
+      .where(col("source") === col("ssrc"))
+      .select(col("host").as("id")).distinct()
+    GraphAnalytics.personalizedPageRank(
+      e.select(col("src_host").as("src"), col("dst_host").as("dst"),
+        col("n_links").as("w")),
+      seeds)
+      .select(col("id").as("host"), col("pr").as("trust"), col("is_seed"))
+  }
+
   /** Web communities — `q_link_components`: weakly-connected components
     * of the host graph through [[Dedup.clustersFromPairs]]'s proven
     * min-label propagation (+ star-contraction fallback), string keys

@@ -208,6 +208,50 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("trustRank: seeds carry mass, trust never crosses a source boundary") {
+    val rows = LinkGraph.trustRank(docs)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val seedSrc = LinkGraph.pages(docs).select("source")
+      .as[String].collect().min
+    def srcOf(h: String): String =
+      h.replaceAll("^www\\.", "").split("\\.d[0-9]+\\.com$")(0)
+    rows.foreach { case (h, trust, isSeed) =>
+      if (srcOf(h) != seedSrc) {
+        assert(!isSeed, s"$h flagged seed outside $seedSrc")
+        assert(trust === 0L,
+          s"trust leaked across the source boundary to $h")
+      }
+    }
+    assert(rows.filter(_._3).forall(_._2 > 0L), "every seed holds teleport mass")
+    assert(rows.exists(r => !r._3 && r._2 > 0L && srcOf(r._1) == seedSrc),
+      "trust must flow outward to at least one non-seed host of the seed source")
+  }
+
+  test("trustRank: equals an independent integer iteration (brute force)") {
+    import graft.operators.GraphAnalytics.{PrQ, WQ, DampNum, DampDen, PrIters}
+    val edges = LinkGraph.hostEdges(docs)
+      .as[(String, String, Long)].collect().toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val got = LinkGraph.trustRank(docs)
+      .as[(String, Long, Boolean)].collect().toSeq
+    val seeds = got.filter(_._3).map(_._1).toSet
+    val s = seeds.size.toLong
+    val wsum = edges.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+    val wq = edges.map { case (a, b, w) => (a, b, w * WQ / wsum(a)) }
+    val base = (DampDen - DampNum) * PrQ / (DampDen * s)
+    var pr = nodes.map(n => n -> (if (seeds(n)) PrQ / s else 0L)).toMap
+    for (_ <- 1 to PrIters) {
+      val c = wq.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _, q) => pr(src) * q / WQ }.sum
+      }
+      pr = nodes.map(n =>
+        n -> ((if (seeds(n)) base else 0L) +
+          DampNum * c.getOrElse(n, 0L) / DampDen)).toMap
+    }
+    assert(got.map(r => (r._1, r._2)).sorted === pr.toSeq.sorted)
+  }
+
   test("RankStore: stored authority card == fresh, ranks built exactly once") {
     val dir = sf("sf0.001")
     def canon(df: org.apache.spark.sql.DataFrame) =
