@@ -38,8 +38,26 @@ for name in sorted(oracle):
     if not os.path.isdir(res_dir):
         print(f"MISSING  {name} (no verify output)"); fail += 1; continue
     try:
-        gdf = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-        wdf = con.execute(oracle[name]).df()
+        try:
+            gdf = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+            wdf = con.execute(oracle[name]).df()
+        except duckdb.OutOfMemoryException:
+            # Transient host-memory pressure surfaces as tiny-block
+            # allocation failures ("Failed to allocate block of 16384
+            # bytes") on queries that pass standalone — the bench-drift
+            # lesson applied to this gate: retry ONCE on a fresh
+            # connection before reporting, so a flake adjudicates itself
+            # instead of burning a round-trip. A real memory blow-up
+            # fails identically twice.
+            con2 = duckdb.connect()
+            for t in ["region","nation","customer","supplier","part","orders",
+                      "lineitem","events","documents","embeddings"]:
+                con2.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+            gdf = con2.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+            wdf = con2.execute(oracle[name]).df()
+            print(f"RETRY-OK {name}: transient DuckDB allocation failure, "
+                  f"clean on a fresh connection")
     except Exception as e:
         print(f"ERROR    {name}: {e}"); fail += 1; continue
     if sorted(gdf.columns) != sorted(wdf.columns):
