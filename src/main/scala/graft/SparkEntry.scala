@@ -1975,7 +1975,7 @@ object SparkEntry {
        |lall AS (SELECT doc_id, src_host,
        |    CASE WHEN u LIKE 'https://%' THEN regexp_extract(u, $hostRe, 1)
        |      ELSE src_host END AS dst_host,
-       |    CAST(CASE WHEN u LIKE 'https://%'
+       |    TRY_CAST(CASE WHEN u LIKE 'https://%'
        |      THEN regexp_extract(u, '$AbsPagePattern', 1)
        |      ELSE regexp_extract(u, '$RelPagePattern', 1) END AS BIGINT)
        |      AS dst_page

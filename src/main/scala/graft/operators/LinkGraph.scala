@@ -47,17 +47,25 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
-  /** Absolute anchors: capture the full URL (RE2-safe, oracle-shared). */
-  val AbsHrefPattern: String = "href=\"(https://[^\"]+)\""
+  /** Absolute-URL alternative (RE2-safe, oracle-shared). */
+  private val AbsHrefAlt = "https://[^\"]+"
 
-  /** Relative page anchors `/p{id}` (ids may be negative — fixtures). */
-  val RelHrefPattern: String = "href=\"(/p-?[0-9]+)\""
+  /** Relative `/p{id}` alternative (ids may be negative — fixtures). */
+  private val RelHrefAlt = "/p-?[0-9]+"
+
+  /** Absolute anchors: capture the full URL. */
+  val AbsHrefPattern: String = s"""href="($AbsHrefAlt)""""
+
+  /** Relative page anchors `/p{id}`. */
+  val RelHrefPattern: String = s"""href="($RelHrefAlt)""""
 
   /** Both anchor shapes in ONE alternation — the single extraction pass
     * [[linksRaw]] runs, so the corpus is scanned (and the page
     * synthesized) once per link query instead of once per anchor kind.
+    * Built from the same alternatives as the single-kind patterns so the
+    * three regexes cannot diverge.
     */
-  val AnyHrefPattern: String = "href=\"(https://[^\"]+|/p-?[0-9]+)\""
+  val AnyHrefPattern: String = s"""href="($AbsHrefAlt|$RelHrefAlt)""""
 
   /** Target page id inside an absolute URL's `/p/{id}` path. */
   val AbsPagePattern: String = "/p/(-?[0-9]+)$"

@@ -3,18 +3,56 @@
 oracle SQL in DuckDB over the sf parquet tables, compare (schema-insensitive:
 columns sorted by name, rows sorted) against the Verify.scala parquet dumps.
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [jsonOut]
+
+Load-awareness (the r14 bench lesson applied to this gate): the r15 round
+lost 12 rows to DuckDB OutOfMemoryException because the checker ran beside
+a 36-minute bench JVM. Now the checker (a) refuses to start while another
+graft JVM is live, backing off up to WAIT_MAX seconds, and (b) stamps
+loadavg + JVM count into the JSON artifact so a contended run adjudicates
+itself from data.
 """
-import sys, json, math, glob, os
+import sys, json, math, glob, os, time
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+WAIT_MAX = 1800   # refuse-and-back-off window for a live graft JVM
+WAIT_STEP = 30
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def graft_jvms():
+    """Pids of live JVMs that belong to this repo (sbt, Bench, Verify...).
+
+    /proc scan, no external tools: a java process whose cmdline mentions
+    graft or sbt counts; the checker's own python process does not.
+    """
+    pids = []
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "java" in cmd and ("graft" in cmd or "sbt" in cmd.lower()):
+            pids.append(int(p))
+    return pids
+
+
+def load_markers():
+    la1, la5, la15 = os.getloadavg()
+    return {"loadavg_1m": round(la1, 2), "loadavg_5m": round(la5, 2),
+            "loadavg_15m": round(la15, 2), "graft_jvms": len(graft_jvms())}
+
+
+def connect_views(sfdir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return c
+
 
 def canon(df):
     # Dataframe-based on purpose: the driver compares pandas dataframes, so
@@ -32,55 +70,109 @@ def canon(df):
         out.append("|".join(rr))
     return sorted(out)
 
-fail = ok = 0
-for name in sorted(oracle):
-    res_dir = f"{outdir}/{name}"
-    if not os.path.isdir(res_dir):
-        print(f"MISSING  {name} (no verify output)"); fail += 1; continue
-    try:
-        try:
-            gdf = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-            wdf = con.execute(oracle[name]).df()
-        except duckdb.OutOfMemoryException:
-            # Transient host-memory pressure surfaces as tiny-block
-            # allocation failures ("Failed to allocate block of 16384
-            # bytes") on queries that pass standalone — the bench-drift
-            # lesson applied to this gate: retry ONCE on a fresh
-            # connection before reporting, so a flake adjudicates itself
-            # instead of burning a round-trip. A real memory blow-up
-            # fails identically twice.
-            con2 = duckdb.connect()
-            for t in ["region","nation","customer","supplier","part","orders",
-                      "lineitem","events","documents","embeddings"]:
-                con2.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
-            gdf = con2.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-            wdf = con2.execute(oracle[name]).df()
-            print(f"RETRY-OK {name}: transient DuckDB allocation failure, "
-                  f"clean on a fresh connection")
-    except Exception as e:
-        print(f"ERROR    {name}: {e}"); fail += 1; continue
-    if sorted(gdf.columns) != sorted(wdf.columns):
-        print(f"SCHEMA   {name}: got {sorted(gdf.columns)} want {sorted(wdf.columns)}"); fail += 1; continue
-    cg, cw = canon(gdf), canon(wdf)
-    if cg == cw:
-        print(f"OK       {name} ({len(cg)} rows)"); ok += 1
-    else:
-        print(f"MISMATCH {name}: {len(cg)} vs {len(cw)} rows")
-        gs, ws = set(cg), set(cw)
-        for x in list(gs - ws)[:3]: print(f"  spark-only: {x}")
-        for x in list(ws - gs)[:3]: print(f"  oracle-only: {x}")
-        fail += 1
 
-# rows-only queries (no oracle)
-for d in sorted(glob.glob(f"{outdir}/*/")):
-    name = os.path.basename(d.rstrip("/"))
-    if name in oracle: continue
-    try:
-        n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
-        print(f"{'ROWS-OK ' if n > 0 else 'EMPTY!  '} {name} ({n} rows)")
-        if n == 0: fail += 1
-    except Exception as e:
-        print(f"ERROR    {name}: {e}"); fail += 1
-print(f"\n{ok} oracle-ok, {fail} problems")
-sys.exit(1 if fail else 0)
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+
+    waited = 0
+    while True:
+        jvms = graft_jvms()
+        if not jvms:
+            break
+        if waited >= WAIT_MAX:
+            print(f"WARN: proceeding after {waited}s with graft JVMs still "
+                  f"live ({jvms}) — results may carry contention flakes")
+            break
+        print(f"BUSY: graft JVM(s) live {jvms}; backing off {WAIT_STEP}s "
+              f"({waited}/{WAIT_MAX})", flush=True)
+        time.sleep(WAIT_STEP)
+        waited += WAIT_STEP
+    markers_start = load_markers()
+
+    con = connect_views(sfdir)
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+
+    fail = ok = 0
+    for name in sorted(oracle):
+        res_dir = f"{outdir}/{name}"
+        if not os.path.isdir(res_dir):
+            print(f"MISSING  {name} (no verify output)")
+            results[name] = {"err": "no verify output"}; fail += 1; continue
+        try:
+            # Transient host-memory pressure surfaces as tiny-block
+            # allocation failures on queries that pass standalone. The
+            # r15 lesson (12 rows lost to a contended checker) plus the
+            # r16 rerun (1 row lost even serially, right after the Verify
+            # JVM exited): retry on a FRESH connection with growing
+            # pauses so the page cache / allocator pressure drains. The
+            # fresh connection also replaces `con` for the rest of the
+            # loop — the failed allocation may have poisoned the old one.
+            # A real memory blow-up fails identically on every attempt.
+            for attempt in range(4):
+                try:
+                    gdf = con.execute(
+                        f"SELECT * FROM '{res_dir}/*.parquet'").df()
+                    wdf = con.execute(oracle[name]).df()
+                    if attempt:
+                        print(f"RETRY-OK {name}: transient DuckDB "
+                              f"allocation failure, clean on attempt "
+                              f"{attempt + 1}")
+                    break
+                except duckdb.OutOfMemoryException:
+                    if attempt == 3:
+                        raise
+                    time.sleep(10 * (attempt + 1))
+                    con = connect_views(sfdir)
+        except Exception as e:
+            print(f"ERROR    {name}: {e}")
+            results[name] = {"err": str(e)[:400]}; fail += 1; continue
+        row = {"spark_rows": len(gdf), "oracle_rows": len(wdf),
+               "rows_match": len(gdf) == len(wdf),
+               "schema_match": sorted(gdf.columns) == sorted(wdf.columns),
+               "hash_match": False, "err": None}
+        if not row["schema_match"]:
+            print(f"SCHEMA   {name}: got {sorted(gdf.columns)} "
+                  f"want {sorted(wdf.columns)}")
+            results[name] = row; fail += 1; continue
+        cg, cw = canon(gdf), canon(wdf)
+        row["hash_match"] = cg == cw
+        results[name] = row
+        if cg == cw:
+            print(f"OK       {name} ({len(cg)} rows)"); ok += 1
+        else:
+            print(f"MISMATCH {name}: {len(cg)} vs {len(cw)} rows")
+            gs, ws = set(cg), set(cw)
+            for x in list(gs - ws)[:3]: print(f"  spark-only: {x}")
+            for x in list(ws - gs)[:3]: print(f"  oracle-only: {x}")
+            fail += 1
+
+    # rows-only queries (no oracle)
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracle: continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+            print(f"{'ROWS-OK ' if n > 0 else 'EMPTY!  '} {name} ({n} rows)")
+            results[name] = {"spark_rows": n, "rows_only": True, "err": None}
+            if n == 0: fail += 1
+        except Exception as e:
+            print(f"ERROR    {name}: {e}")
+            results[name] = {"err": str(e)[:400]}; fail += 1
+
+    markers_end = load_markers()
+    artifact = {"queries": results, "ok": ok, "fail": fail,
+                "load_start": markers_start, "load_end": markers_end,
+                "waited_for_jvms_sec": waited}
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    print(f"\n{ok} oracle-ok, {fail} problems  "
+          f"(load start {markers_start} end {markers_end})")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
