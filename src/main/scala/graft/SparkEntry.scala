@@ -464,6 +464,23 @@ object SparkEntry {
     // the link-spam demotion signal; trust flows only outward from seeds
     "q_link_trustrank" -> ((s, dir) =>
       LinkGraph.trustRank(Tables.documents(s, dir))),
+    // STORED-RANK staleness: RankStore's persisted ranks probed against
+    // a grown re-crawl (even/odd page-id replica) — per-status host
+    // buckets, rank-shift mass, frontier delta, rebuild verdict (r16)
+    "q_link_rank_stale" -> ((s, dir) =>
+      LinkGraph.rankStalenessCard(s, dir)),
+    // ANCHOR-TEXT hybrid retrieval: BM25 over the anchor-text index
+    // (cross-host anchor tokens keyed by TARGET host, from the same
+    // single-pass extraction as the edge list) RRF-fused with content
+    // BM25 (r16)
+    "q_anchor_bm25" -> ((s, dir) =>
+      Pipeline.anchorHybridTopK(Tables.documents(s, dir))),
+    // retention funnel with the TrustRank spam gate composed in: every
+    // doc's FIRST-reject verdict across quality -> spam-host -> exact ->
+    // near-dup, per (source, verdict) — counts sum to the corpus (r16)
+    "q_pipeline_trust_funnel" -> ((s, dir) =>
+      Pipeline.retentionFunnel(Tables.documents(s, dir),
+        sigTable = Some(SignatureStore.table(s, dir)))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -783,6 +800,20 @@ object SparkEntry {
     // retrain per region, retrain verdict — what the artifact stores
     // defer and a real pipeline must trigger on (r15)
     "q_ann_stale" -> ((s, dir) => Similarity.annStalenessCard(s, dir)),
+    // METADATA-FILTERED ANN (the RAG-serving shape): stored-index IVF
+    // probe with the label class composed into the candidate JOIN KEY —
+    // the filter prunes before any cosine (r16)
+    "q_ann_filtered" -> ((s, dir) => {
+      requireOracleDim(Tables.embeddings(s, dir))
+      Similarity.ivfFilteredTopK(s, dir)
+    }),
+    // recall-vs-filter-selectivity: filtered probe vs filtered brute
+    // force at label-congruence tiers 10/5/2/1 — prices the candidate
+    // starvation narrowing filters cause (r16)
+    "q_ann_filtered_recall" -> ((s, dir) => {
+      requireOracleDim(Tables.embeddings(s, dir))
+      Similarity.annFilteredRecallCard(s, dir)
+    }),
     // continuous-ingestion SemDeDup: the incoming fifth probes the
     // corpus's persisted cells; the corpus is never self-joined again
     "q_semdedup_incremental" -> ((s, dir) =>
@@ -1837,7 +1868,16 @@ object SparkEntry {
     * needs the 'g' flag (Spark's replaces all by default); the
     * boilerplate pattern is RE2-safe by construction.
     */
-  private def htmlCtes: String = {
+  private def htmlCtes: String = htmlCtesOver()
+
+  /** [[htmlCtes]] parameterized for multi-chain oracles (the rank
+    * staleness card needs the base crawl AND a drifted one in ONE
+    * query): `x` suffixes every CTE name (`hd$x` … `hm$x`); `docs` is
+    * the FROM source of the document rows (default the base table; a
+    * drifted caller passes a derived-table subquery). The fixture union
+    * stays in every chain — fixtures are "stable pages" of any crawl.
+    */
+  private def htmlCtesOver(sfx: String = "", docs: String = "documents"): String = {
     import graft.operators.Html
     val p = Html.ParaTokens
     // fixture rows as SQL VALUES (single quotes doubled); pm() emulates
@@ -1855,9 +1895,9 @@ object SparkEntry {
     def unesc(x: String) = "replace(replace(replace(replace(replace(" + x +
       ", '&#39;', CHR(39)), '&quot;', '\"'), '&gt;', '>'), '&lt;', '<')," +
       " '&amp;', '&')"
-    s"""hd AS (SELECT doc_id, source, text FROM documents
-       |    UNION ALL SELECT * FROM (VALUES $fixtures) fx(doc_id, source, text)),
-       |h AS (SELECT doc_id, source, text,
+    s"""hd$sfx AS (SELECT doc_id, source, text FROM $docs
+       |    UNION ALL SELECT * FROM (VALUES $fixtures) fx$sfx(doc_id, source, text)),
+       |h$sfx AS (SELECT doc_id, source, text,
        |    '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) ||
        |      '</title><style>.ad{display:none}.x{color:#c00}</style></head><body>' ||
        |      '<nav id="n' || ${pm(5)} || '">home | about | ' || source || ' | login</nav>' ||
@@ -1878,23 +1918,24 @@ object SparkEntry {
        |      '</a> <a href="/p' || CAST(doc_id + 2 AS VARCHAR) ||
        |      '">p' || CAST(doc_id + 2 AS VARCHAR) || '</a>' ||
        |      ' <a href="https://' || $nextHostSql || '/p/' ||
-       |      CAST(doc_id + 1 AS VARCHAR) || '">next</a>' ||
+       |      CAST(doc_id + 1 AS VARCHAR) || '">next ' ||
+       |      array_to_string(toks[1:${Html.AnchorTeaserTokens}], ' ') || '</a>' ||
        |      '<p>related reading for page ' || CAST(doc_id AS VARCHAR) || '</p></div>' ||
        |      '<div class="promo">limited offer ' || ${pm(11)} ||
        |      ' <footer>copyright 2026 ' || source || ' | privacy | terms</footer>' ||
        |      '</body></html>' AS html
        |  FROM (SELECT doc_id, source, text,
-       |    regexp_split_to_array(trim($esc), '\\s+') AS toks FROM hd)),
-       |hs AS (SELECT doc_id, source, text, html,
+       |    regexp_split_to_array(trim($esc), '\\s+') AS toks FROM hd$sfx)),
+       |hs$sfx AS (SELECT doc_id, source, text, html,
        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
        |      '${Html.ScriptStylePattern}', ' ', 'g'),
        |      '${Html.TextOnlyDivPattern}', ' ', 'g'),
        |      '${Html.TextOnlyDivPattern}', ' ', 'g'),
        |      '${Html.BoilerplatePattern}', ' ', 'g') AS stripped
-       |  FROM h),
-       |hm AS (SELECT doc_id, source, text, html, stripped,
+       |  FROM h$sfx),
+       |hm$sfx AS (SELECT doc_id, source, text, html, stripped,
        |    ${unesc(s"array_to_string(regexp_extract_all(stripped, '${Html.ParagraphPattern}', 1), ' ')")} AS main
-       |  FROM hs)""".stripMargin
+       |  FROM hs$sfx)""".stripMargin
   }
 
   /** Unrolled DuckDB replay of `GraphAnalytics.pageRank` over an
@@ -1905,23 +1946,24 @@ object SparkEntry {
     * ONE definition shared by the word-graph (`q_pagerank_words`) and
     * host-graph (`q_link_rank`/`q_link_authority`) oracles.
     */
-  private def pageRankCtes(e: String): String = {
+  private def pageRankCtes(e: String, sfx: String = ""): String = {
     import graft.operators.GraphAnalytics.{PrQ, WQ, DampNum, DampDen, PrIters}
     val iterCtes = (0 until PrIters).map { t =>
-      s"""c${t + 1} AS (SELECT en.dst, CAST(sum((p.pr * en.wq) // $WQ) AS BIGINT) AS c
-         |  FROM en JOIN pr$t p ON p.id = en.src GROUP BY en.dst),
-         |pr${t + 1} AS (SELECT nodes.id,
-         |    (${DampDen - DampNum} * $PrQ) // ($DampDen * nn.n)
-         |      + ($DampNum * coalesce(c${t + 1}.c, 0)) // $DampDen AS pr
-         |  FROM nodes CROSS JOIN nn
-         |  LEFT JOIN c${t + 1} ON c${t + 1}.dst = nodes.id)""".stripMargin
+      s"""c${t + 1}$sfx AS (SELECT en$sfx.dst, CAST(sum((p.pr * en$sfx.wq) // $WQ) AS BIGINT) AS c
+         |  FROM en$sfx JOIN pr$t$sfx p ON p.id = en$sfx.src GROUP BY en$sfx.dst),
+         |pr${t + 1}$sfx AS (SELECT nodes$sfx.id,
+         |    (${DampDen - DampNum} * $PrQ) // ($DampDen * nn$sfx.n)
+         |      + ($DampNum * coalesce(c${t + 1}$sfx.c, 0)) // $DampDen AS pr
+         |  FROM nodes$sfx CROSS JOIN nn$sfx
+         |  LEFT JOIN c${t + 1}$sfx ON c${t + 1}$sfx.dst = nodes$sfx.id)""".stripMargin
     }.mkString(",\n")
-    s"""ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM $e GROUP BY src),
-       |en AS (SELECT $e.src, $e.dst, ($e.w * $WQ) // ws.wsum AS wq
-       |  FROM $e JOIN ws USING (src)),
-       |nodes AS (SELECT src AS id FROM $e UNION SELECT dst AS id FROM $e),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |pr0 AS (SELECT id, $PrQ // nn.n AS pr FROM nodes CROSS JOIN nn),
+    s"""ws$sfx AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM $e GROUP BY src),
+       |en$sfx AS (SELECT $e.src, $e.dst, ($e.w * $WQ) // ws$sfx.wsum AS wq
+       |  FROM $e JOIN ws$sfx USING (src)),
+       |nodes$sfx AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM $e UNION ALL SELECT dst AS id FROM $e) u$sfx),
+       |nn$sfx AS (SELECT count(*) AS n FROM nodes$sfx),
+       |pr0$sfx AS (SELECT id, $PrQ // nn$sfx.n AS pr FROM nodes$sfx CROSS JOIN nn$sfx),
        |$iterCtes""".stripMargin
   }
 
@@ -1931,28 +1973,30 @@ object SparkEntry {
     * restricted to the seed ∩ node set, 0 elsewhere. Final frame
     * `pr<PrIters>(id, seed, pr)`.
     */
-  private def personalizedPageRankCtes(e: String, seeds: String): String = {
+  private def personalizedPageRankCtes(
+      e: String, seeds: String, sfx: String = ""): String = {
     import graft.operators.GraphAnalytics.{PrQ, WQ, DampNum, DampDen, PrIters}
     val iterCtes = (0 until PrIters).map { t =>
-      s"""c${t + 1} AS (SELECT en.dst, CAST(sum((p.pr * en.wq) // $WQ) AS BIGINT) AS c
-         |  FROM en JOIN pr$t p ON p.id = en.src GROUP BY en.dst),
-         |pr${t + 1} AS (SELECT fl.id, fl.seed,
-         |    (CASE WHEN fl.seed
-         |       THEN (${DampDen - DampNum} * $PrQ) // ($DampDen * sn.s)
+      s"""c${t + 1}$sfx AS (SELECT en$sfx.dst, CAST(sum((p.pr * en$sfx.wq) // $WQ) AS BIGINT) AS c
+         |  FROM en$sfx JOIN pr$t$sfx p ON p.id = en$sfx.src GROUP BY en$sfx.dst),
+         |pr${t + 1}$sfx AS (SELECT fl$sfx.id, fl$sfx.seed,
+         |    (CASE WHEN fl$sfx.seed
+         |       THEN (${DampDen - DampNum} * $PrQ) // ($DampDen * sn$sfx.s)
          |       ELSE 0 END)
-         |      + ($DampNum * coalesce(c${t + 1}.c, 0)) // $DampDen AS pr
-         |  FROM fl CROSS JOIN sn
-         |  LEFT JOIN c${t + 1} ON c${t + 1}.dst = fl.id)""".stripMargin
+         |      + ($DampNum * coalesce(c${t + 1}$sfx.c, 0)) // $DampDen AS pr
+         |  FROM fl$sfx CROSS JOIN sn$sfx
+         |  LEFT JOIN c${t + 1}$sfx ON c${t + 1}$sfx.dst = fl$sfx.id)""".stripMargin
     }.mkString(",\n")
-    s"""ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM $e GROUP BY src),
-       |en AS (SELECT $e.src, $e.dst, ($e.w * $WQ) // ws.wsum AS wq
-       |  FROM $e JOIN ws USING (src)),
-       |nodes AS (SELECT src AS id FROM $e UNION SELECT dst AS id FROM $e),
-       |fl AS (SELECT nodes.id, ($seeds.id IS NOT NULL) AS seed
-       |  FROM nodes LEFT JOIN $seeds ON $seeds.id = nodes.id),
-       |sn AS (SELECT count(*) AS s FROM fl WHERE seed),
-       |pr0 AS (SELECT id, seed, CASE WHEN seed THEN $PrQ // sn.s ELSE 0 END AS pr
-       |  FROM fl CROSS JOIN sn),
+    s"""ws$sfx AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM $e GROUP BY src),
+       |en$sfx AS (SELECT $e.src, $e.dst, ($e.w * $WQ) // ws$sfx.wsum AS wq
+       |  FROM $e JOIN ws$sfx USING (src)),
+       |nodes$sfx AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM $e UNION ALL SELECT dst AS id FROM $e) u$sfx),
+       |fl$sfx AS (SELECT nodes$sfx.id, ($seeds.id IS NOT NULL) AS seed
+       |  FROM nodes$sfx LEFT JOIN $seeds ON $seeds.id = nodes$sfx.id),
+       |sn$sfx AS (SELECT count(*) AS s FROM fl$sfx WHERE seed),
+       |pr0$sfx AS (SELECT id, seed, CASE WHEN seed THEN $PrQ // sn$sfx.s ELSE 0 END AS pr
+       |  FROM fl$sfx CROSS JOIN sn$sfx),
        |$iterCtes""".stripMargin
   }
 
@@ -1964,24 +2008,42 @@ object SparkEntry {
     * every anchor (frontier card); `le` is the cross-host weighted edge
     * list.
     */
-  private def linkCtes: String = {
-    import graft.operators.LinkGraph.{AnyHrefPattern, AbsPagePattern, RelPagePattern}
+  private def linkCtes: String = linkCtesOver()
+
+  /** [[linkCtes]] parameterized like [[htmlCtesOver]] (same `sfx`/`docs`
+    * contract) — the anchor-ELEMENT extraction (r16): one pass captures
+    * whole `<a …>…</a>` elements, from which the href AND the anchor
+    * text derive (the engine's `LinkGraph.linksRaw` shape), so `lall`
+    * carries `atext` for the anchor-text index oracles.
+    */
+  private def linkCtesOver(sfx: String = "", docs: String = "documents"): String = {
+    import graft.operators.LinkGraph.{
+      AnchorElemPattern, AnyHrefPattern, AnchorTextPattern, AbsPagePattern, RelPagePattern}
     val hostRe = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)'"
-    s"""$htmlCtes,
-       |lx AS (SELECT doc_id,
+    // Html.unescapeHtml replayed (structural entities first, &amp; last)
+    def unesc(x: String) = "replace(replace(replace(replace(replace(" + x +
+      ", '&#39;', CHR(39)), '&quot;', '\"'), '&gt;', '>'), '&lt;', '<')," +
+      " '&amp;', '&')"
+    s"""${htmlCtesOver(sfx, docs)},
+       |lx$sfx AS (SELECT doc_id,
        |    ${hostOfSql("doc_id")} AS src_host,
-       |    unnest(regexp_extract_all(html, '$AnyHrefPattern', 1)) AS u
-       |  FROM h),
-       |lall AS (SELECT doc_id, src_host,
+       |    unnest(regexp_extract_all(html, '$AnchorElemPattern', 0)) AS el
+       |  FROM h$sfx),
+       |lu$sfx AS (SELECT doc_id, src_host,
+       |    regexp_extract(el, '$AnyHrefPattern', 1) AS u,
+       |    ${unesc(s"regexp_extract(el, '$AnchorTextPattern', 1)")} AS atext
+       |  FROM lx$sfx),
+       |lall$sfx AS (SELECT doc_id, src_host,
        |    CASE WHEN u LIKE 'https://%' THEN regexp_extract(u, $hostRe, 1)
        |      ELSE src_host END AS dst_host,
        |    TRY_CAST(CASE WHEN u LIKE 'https://%'
        |      THEN regexp_extract(u, '$AbsPagePattern', 1)
        |      ELSE regexp_extract(u, '$RelPagePattern', 1) END AS BIGINT)
-       |      AS dst_page
-       |  FROM lx),
-       |le AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
-       |  FROM lall WHERE dst_host <> src_host GROUP BY 1, 2)""".stripMargin
+       |      AS dst_page,
+       |    atext
+       |  FROM lu$sfx),
+       |le$sfx AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+       |  FROM lall$sfx WHERE dst_host <> src_host GROUP BY 1, 2)""".stripMargin
   }
 
   /** Shared by `q_link_authority` and its stored-rank twin (integer
@@ -2000,6 +2062,256 @@ object SparkEntry {
        |    // CAST(count(*) AS BIGINT) AS avg_pr
        |FROM ph LEFT JOIN pr$PrIters p ON p.id = ph.host
        |GROUP BY ph.source""".stripMargin
+  }
+
+  /** DuckDB replay of `LinkGraph.rankStalenessCard` (r16): the base link
+    * chain + integer PageRank (this IS the stored-rank replay — integer
+    * pr round-trips parquet exactly, the `q_link_authority_stored`
+    * argument), a second `d`-suffixed chain over the GROWN re-crawl
+    * (even/odd page-id replica, the `q_ann_stale` idiom), FULL-joined
+    * per host into status buckets, plus both crawls' frontier totals
+    * and the mass-based rebuild verdict.
+    */
+  private def linkRankStaleOracle: String = {
+    import graft.operators.GraphAnalytics.PrIters
+    import graft.operators.LinkGraph.{StaleShiftDenom, StaleRebuildDenom}
+    val driftedDocs = "(SELECT doc_id * 2 AS doc_id, source, text FROM documents" +
+      " UNION ALL SELECT doc_id * 2 + 1, source, text FROM documents)"
+    def frontier(sfx: String, name: String) =
+      s"""SELECT CAST(count(DISTINCT dst_host || '|' || CAST(dst_page AS VARCHAR)) AS BIGINT) AS $name
+         |  FROM lall$sfx LEFT JOIN (SELECT DISTINCT doc_id AS t FROM hd$sfx) i$sfx
+         |    ON lall$sfx.dst_page = i$sfx.t
+         |  WHERE i$sfx.t IS NULL AND lall$sfx.dst_page IS NOT NULL""".stripMargin
+    s"""WITH $linkCtes,
+       |e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM le),
+       |${pageRankCtes("e")},
+       |${linkCtesOver("_d", driftedDocs)},
+       |e_d AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM le_d),
+       |${pageRankCtes("e_d", "_d")},
+       |fs AS (${frontier("", "n_frontier_stored")}),
+       |fd AS (${frontier("_d", "n_frontier_fresh")}),
+       |j AS (SELECT coalesce(s.id, f.id) AS host, s.pr AS prs, f.pr AS prf
+       |  FROM pr$PrIters s FULL JOIN pr${PrIters}_d f ON s.id = f.id),
+       |sb AS (SELECT CASE WHEN prs IS NULL THEN 'new_host'
+       |      WHEN prf IS NULL THEN 'vanished'
+       |      WHEN abs(prf - prs) * $StaleShiftDenom > prs THEN 'shifted'
+       |      ELSE 'stable' END AS status,
+       |    coalesce(prs, 0) AS prs, coalesce(prf, 0) AS prf,
+       |    CASE WHEN prs IS NULL THEN prf WHEN prf IS NULL THEN prs
+       |      ELSE abs(prf - prs) END AS sh
+       |  FROM j),
+       |g AS (SELECT status, CAST(count(*) AS BIGINT) AS n_hosts,
+       |    CAST(sum(prs) AS BIGINT) AS sum_pr_stored,
+       |    CAST(sum(prf) AS BIGINT) AS sum_pr_fresh,
+       |    CAST(sum(sh) AS BIGINT) AS shift_abs
+       |  FROM sb GROUP BY status),
+       |tt AS (SELECT CAST(sum(shift_abs) AS BIGINT) AS ts,
+       |    CAST(sum(sum_pr_stored) AS BIGINT) AS tm FROM g)
+       |SELECT g.status, g.n_hosts, g.sum_pr_stored, g.sum_pr_fresh, g.shift_abs,
+       |  fs.n_frontier_stored, fd.n_frontier_fresh,
+       |  (tt.ts * $StaleRebuildDenom > tt.tm) AS rebuild
+       |FROM g CROSS JOIN fs CROSS JOIN fd CROSS JOIN tt""".stripMargin
+  }
+
+  /** DuckDB replay of `Pipeline.anchorHybridTopK` (r16): the shared
+    * content-BM25 CTE, the anchor-text index rebuilt from `lall`'s
+    * cross-host anchors (tokens of the unescaped anchor text keyed by
+    * TARGET host), the identical integer-ratio BM25 over it at host
+    * granularity, host→doc pool expansion, and the `q_hybrid_rrf`
+    * integer fusion tail.
+    */
+  private def anchorBm25Oracle: String = {
+    import graft.operators.TextAnalysis._
+    import graft.operators.LinkGraph.AnchorHostK
+    import graft.operators.Pipeline.{RrfC, RrfK}
+    val poolK = Bm25K
+    val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen
+    val denTf = Bm25K1Den * Bm25BDen
+    val denS = Bm25K1Num * (Bm25BDen - Bm25BNum)
+    val denDl = Bm25K1Num * Bm25BNum
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val pivot = Bm25Query
+      .map(t => s"COALESCE(max(CASE WHEN tok = '$t' THEN ts END), 0)")
+      .mkString(" + ")
+    s"""WITH $linkCtes,
+       |bm AS ($bm25TopKOracle),
+       |txt AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+       |  FROM bm),
+       |at AS (SELECT dst_host AS host,
+       |    unnest(list_filter(regexp_split_to_array(
+       |      trim(lower(nfc_normalize(atext))), '\\s+'), x -> x <> '')) AS tok
+       |  FROM lall WHERE dst_host <> src_host),
+       |adl AS (SELECT host, CAST(count(*) AS BIGINT) AS dl FROM at GROUP BY host),
+       |asc2 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS s_tok FROM adl),
+       |atf AS (SELECT host, tok, CAST(count(*) AS BIGINT) AS tf FROM at
+       |  WHERE tok IN ($inList) GROUP BY host, tok),
+       |adf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM atf GROUP BY tok),
+       |aper AS (SELECT t.host, t.tok,
+       |    (CAST(t.tf * $numF * sc.s_tok AS DOUBLE)
+       |      / CAST(t.tf * $denTf * sc.s_tok + $denS * sc.s_tok
+       |             + $denDl * d.dl * sc.n_docs AS DOUBLE))
+       |    * (CAST(sc.n_docs AS DOUBLE) / CAST(q.df + 1 AS DOUBLE)) AS ts
+       |  FROM atf t JOIN adl d USING (host) JOIN adf q USING (tok) CROSS JOIN asc2 sc),
+       |ah AS (SELECT host, $pivot AS score FROM aper GROUP BY host
+       |  ORDER BY score DESC, host ASC LIMIT $AnchorHostK),
+       |ahr AS (SELECT host,
+       |    row_number() OVER (ORDER BY score DESC, host ASC) AS host_rank
+       |  FROM ah),
+       |ad AS (SELECT d.doc_id, ahr.host_rank FROM documents d
+       |  JOIN ahr ON ${hostOfSql("doc_id")} = ahr.host
+       |  ORDER BY ahr.host_rank ASC, d.doc_id ASC LIMIT $poolK),
+       |adr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY host_rank ASC, doc_id ASC) AS anchor_rank
+       |  FROM ad)
+       |SELECT COALESCE(txt.doc_id, adr.doc_id) AS doc_id, text_rank, anchor_rank,
+       |  COALESCE(1000000 // ($RrfC + text_rank), 0)
+       |    + COALESCE(1000000 // ($RrfC + anchor_rank), 0) AS rrf_micro
+       |FROM txt FULL OUTER JOIN adr ON txt.doc_id = adr.doc_id
+       |ORDER BY rrf_micro DESC, doc_id ASC LIMIT $RrfK""".stripMargin
+  }
+
+  /** DuckDB replay of `Pipeline.retentionFunnel` (r16): the link chain
+    * feeds integer PageRank AND `t`-suffixed personalized PageRank from
+    * the min-document-source seed hosts; the spam set is the
+    * high-rank/low-trust rule; then the `q_pipeline_retained` stages
+    * re-expressed as a first-reject CASE — quality, spam host, exact
+    * keeper, near-dup cluster rep (recursive CC over the reachers' pair
+    * graph) — rolled up per (source, verdict).
+    */
+  private def trustFunnelOracle: String = {
+    import graft.operators.GraphAnalytics.{PrIters, PrQ}
+    import graft.operators.LinkGraph.{SpamRankMult, SpamTrustMult}
+    s"""WITH RECURSIVE $linkCtes,
+       |e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM le),
+       |${pageRankCtes("e")},
+       |ms AS (SELECT min(source) AS s FROM documents),
+       |sd AS (SELECT DISTINCT ${hostOfSql("doc_id")} AS id
+       |  FROM documents CROSS JOIN ms WHERE source = ms.s),
+       |${personalizedPageRankCtes("e", "sd", "t")},
+       |nnr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr$PrIters),
+       |spam AS (SELECT p.id AS host FROM pr$PrIters p CROSS JOIN nnr
+       |  LEFT JOIN pr${PrIters}t t2 ON t2.id = p.id
+       |  WHERE p.pr * nnr.n > $SpamRankMult * $PrQ
+       |    AND coalesce(t2.pr, 0) * $SpamTrustMult < p.pr),
+       |tk AS ($tokCte),
+       |bse AS (SELECT d.doc_id, d.source,
+       |    CAST(len(tk.toks) AS BIGINT) AS n_toks,
+       |    (len(tk.toks) >= 10 AND len(list_filter(tk.toks,
+       |      w -> list_contains($stopList, w))) > 0) AS q_ok,
+       |    (sp.host IS NOT NULL) AS spam,
+       |    md5(regexp_replace(lower(trim(nfc_normalize(d.text))), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents d JOIN tk ON d.doc_id = tk.doc_id
+       |  LEFT JOIN spam sp ON sp.host = ${hostOfSql("d.doc_id")}),
+       |kk AS (SELECT fp, min(doc_id) AS keeper FROM bse
+       |  WHERE q_ok AND NOT spam GROUP BY fp),
+       |stg AS (SELECT bse.*, (bse.doc_id = kk.keeper) AS is_keeper
+       |  FROM bse LEFT JOIN kk USING (fp)),
+       |r4 AS (SELECT doc_id FROM stg WHERE q_ok AND NOT spam AND is_keeper),
+       |st AS (SELECT d.doc_id,
+       |    regexp_split_to_array(trim(nfc_normalize(d.text)), '\\s+')[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks
+       |  FROM documents d JOIN r4 USING (doc_id)),
+       |shf AS (SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+       |      range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')))
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM st),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, root) AS (
+       |  SELECT doc_id, doc_id FROM r4
+       |  UNION
+       |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.id),
+       |labels AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+       |v AS (SELECT stg.source,
+       |    CASE WHEN NOT q_ok THEN 'low_quality'
+       |      WHEN spam THEN 'spam_host'
+       |      WHEN NOT is_keeper THEN 'exact_dup'
+       |      WHEN l.cluster_id <> stg.doc_id THEN 'near_dup'
+       |      ELSE 'kept' END AS verdict,
+       |    n_toks
+       |  FROM stg LEFT JOIN labels l ON l.doc_id = stg.doc_id)
+       |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM v GROUP BY source, verdict""".stripMargin
+  }
+
+  /** DuckDB replay of `Similarity.ivfFilteredTopK` (r16): the trained
+    * centroids (the stored index trains on the corpus as it is — the
+    * `ann_ivf_stored` argument), the shared probe CTEs, then the label
+    * class composed into the candidate join exactly like the engine's
+    * (cell, fl) key, and the shared exact rerank.
+    */
+  private def annFilteredOracle: String = {
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
+    val m = graft.operators.Similarity.FilteredLabelMod
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |${ivfTrainCtes(nLists, iters)},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})")},
+       |cand AS (SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  JOIN lab ql ON ql.vec_id = p.query_id
+       |  JOIN lab al ON al.vec_id = a.neighbor_id
+       |  WHERE a.neighbor_id <> p.query_id AND ql.label % $m = al.label % $m),
+       |$exactRerankSql""".stripMargin
+  }
+
+  /** DuckDB replay of `Similarity.annFilteredRecallCard` (r16): ONE
+    * labeled query×corpus cosine frame and ONE unfiltered probe pair
+    * set, then per [[graft.operators.Similarity.FilterMods]] tier the
+    * filtered truth, filtered candidates, filtered top-k, and the
+    * integer recall/pool/candidate counts, unioned.
+    */
+  private def annFilteredRecallOracle: String = {
+    val (nLists, iters) = (graft.operators.Similarity.IvfLists,
+      graft.operators.Similarity.IvfTrainIters)
+    val (nq, k) = (10, 5)
+    val mods = graft.operators.Similarity.FilterMods
+    def tier(m: Int): String =
+      s"""t$m AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, neighbor_id ASC) AS rank
+         |    FROM cosf WHERE q_label % $m = n_label % $m) x WHERE rank <= $k),
+         |f$m AS (SELECT c.query_id, c.neighbor_id, c.cs FROM cp
+         |  JOIN cosf c USING (query_id, neighbor_id)
+         |  WHERE c.q_label % $m = c.n_label % $m),
+         |k$m AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, neighbor_id ASC) AS rank FROM f$m) x WHERE rank <= $k),
+         |r$m AS (SELECT $m AS filter_mod,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cosf
+         |       WHERE q_label % $m = n_label % $m) AS n_pool,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t$m) AS n_possible,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t$m
+         |       JOIN k$m USING (query_id, neighbor_id)) AS n_hits,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM f$m) AS n_cand)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |${ivfTrainCtes(nLists, iters)},
+       |${ivfProbeCtes(s"cent$iters", s"sqrt(${selfDotSql("c.c")})", nq)},
+       |cp AS (SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.neighbor_id <> p.query_id),
+       |cosf AS (SELECT q.vec_id AS query_id, ql.label AS q_label,
+       |    n.vec_id AS neighbor_id, nl.label AS n_label,
+       |    ${dotSql("q.v", "n.v")} / (sqrt(${selfDotSql("q.v")}) * sqrt(${selfDotSql("n.v")})) AS cs
+       |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+       |  JOIN lab ql ON ql.vec_id = q.vec_id
+       |  JOIN lab nl ON nl.vec_id = n.vec_id
+       |  WHERE q.vec_id < $nq),
+       |${mods.map(tier).mkString(",\n")}
+       |SELECT filter_mod, n_pool, n_possible, n_hits,
+       |  CASE WHEN n_possible > 0 THEN n_hits * 1000 // n_possible ELSE 0 END AS recall_milli,
+       |  n_cand
+       |FROM (${mods.map(m => s"SELECT * FROM r$m").mkString(" UNION ALL ")})""".stripMargin
   }
 
   /** Shared by `q_html_extract` and its streaming twin. */
@@ -4469,6 +4781,16 @@ object SparkEntry {
          |SELECT id AS host, pr AS trust, seed AS is_seed
          |FROM pr$PrIters""".stripMargin
     },
+    // Stored-rank staleness: base chain (= the stored ranks, integers
+    // round-trip parquet) vs a d-suffixed grown-re-crawl chain, per-host
+    // FULL join into status buckets + frontier totals + rebuild verdict.
+    "q_link_rank_stale" -> linkRankStaleOracle,
+    // Anchor-text hybrid: anchor index from lall's cross-host anchors,
+    // host-level integer-ratio BM25, doc expansion, RRF fusion.
+    "q_anchor_bm25" -> anchorBm25Oracle,
+    // Retention funnel with the TrustRank spam gate: PR + personalized
+    // PR over the link chain, then first-reject CASE per document.
+    "q_pipeline_trust_funnel" -> trustFunnelOracle,
     // Web communities: recursive-CTE transitive closure over the parsed
     // host graph (the q_dedup_clusters oracle shape on string keys).
     "q_link_components" ->
@@ -6028,6 +6350,10 @@ object SparkEntry {
     // oracle shared verbatim with the batch twin
     "q_stream_embed_drift" -> embeddingDriftOracle,
     "q_ann_stale" -> annStaleOracle,
+    // metadata-filtered IVF probe: label class in the candidate join
+    "q_ann_filtered" -> annFilteredOracle,
+    // recall vs filter selectivity at label-congruence tiers 10/5/2/1
+    "q_ann_filtered_recall" -> annFilteredRecallOracle,
     // the streaming twin probes the same frozen index per micro-batch —
     // same verdicts, same oracle, verbatim
     "q_stream_semdedup_incremental" -> semDeDupIncrementalOracle,

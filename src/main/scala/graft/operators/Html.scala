@@ -31,14 +31,19 @@ import org.apache.spark.sql.functions._
   *   <p class="c{i}">{escaped 16-token chunk}</p>…       ← the document text
   *   <div class="related" data-rel="{id%5}">see also
   *     <a href="/p{id+1}">p{id+1}</a> <a href="/p{id+2}">p{id+2}</a>
-  *     <a href="https://{host(id+1)}/p/{id+1}">next</a>  ← ABSOLUTE link
+  *     <a href="https://{host(id+1)}/p/{id+1}">next {4 teaser tokens}</a>
   *     <p>related reading for page {id}</p></div>
   *
   * The absolute anchor (r15) names the [[Domains.hostOf]] host of the
   * next page slot UNDER THE PAGE'S OWN SOURCE — a deterministic
   * cross-host edge, since the power-law domain draw re-hashes per id.
   * [[LinkGraph]] parses it (and resolves the relative anchors against
-  * the page's own host) into the crawl's host-level link graph.
+  * the page's own host) into the crawl's host-level link graph. Its
+  * inner text (r16) is a "read more" TEASER — `next` plus the page's
+  * first [[AnchorTeaserTokens]] prose tokens — so the crawl carries
+  * real anchor TEXT, the signal [[LinkGraph.anchorBm25Hosts]] indexes
+  * by target host (anchors sit inside the boilerplate `related` div,
+  * so extraction still never leaks them into main content).
   *   <div class="promo">limited offer {id%11}            ← UNCLOSED div
   *   <footer>copyright 2026 {source} | privacy | terms</footer>
   *   </body></html>
@@ -78,6 +83,12 @@ object Html {
     * deep; one spare pass is margin, priced at one scan-speed regex).
     */
   val DivNestPasses = 2
+
+  /** Leading prose tokens the absolute anchor's teaser text carries —
+    * the source page describing the link in its own words, which is
+    * what makes an anchor-text index BM25-matchable (r16).
+    */
+  val AnchorTeaserTokens = 4
 
   /** Entity-escape document prose for embedding between tags: `&` first
     * (it appears in every later replacement's output), then the four
@@ -173,7 +184,9 @@ object Html {
         lit(" <a href=\"https://"),
         Domains.hostOf(col("doc_id") + 1L, col("source")),
         lit("/p/"), (col("doc_id") + 1L).cast("string"),
-        lit("\">next</a>"),
+        lit("\">next "),
+        array_join(slice(col("toks"), 1, AnchorTeaserTokens), " "),
+        lit("</a>"),
         lit("<p>related reading for page "), col("doc_id").cast("string"),
         lit("</p></div>"),
         lit("<div class=\"promo\">limited offer "),

@@ -67,6 +67,18 @@ object LinkGraph {
     */
   val AnyHrefPattern: String = s"""href="($AbsHrefAlt|$RelHrefAlt)""""
 
+  /** A whole anchor ELEMENT — href plus inner text (entity-escaped
+    * prose never contains `<`, so `[^<]*` spans exactly the anchor
+    * text). [[linksRaw]] extracts these in ONE pass and derives href
+    * and text per element, so the edge list and the anchor-text index
+    * ([[anchorBm25Hosts]]) share a single corpus scan.
+    */
+  val AnchorElemPattern: String =
+    s"""<a href="($AbsHrefAlt|$RelHrefAlt)">[^<]*</a>"""
+
+  /** The inner text of a captured anchor element. */
+  val AnchorTextPattern: String = ">([^<]*)</a>"
+
   /** Target page id inside an absolute URL's `/p/{id}` path. */
   val AbsPagePattern: String = "/p/(-?[0-9]+)$"
 
@@ -91,10 +103,13 @@ object LinkGraph {
       .withColumn("host", Domains.hostOf(col("doc_id"), col("source")))
 
   /** One row per anchor: (doc_id, src_host, dst_host, dst_page,
-    * absolute). ONE scan-speed extraction pass ([[AnyHrefPattern]]) with
-    * CASE-based resolution — a two-pass union form would re-read the
-    * corpus and re-synthesize every page once per anchor kind; this
-    * parses both kinds from a single Generate. No UDF, no shuffle.
+    * absolute, anchor_text). ONE scan-speed extraction pass
+    * ([[AnchorElemPattern]] — whole elements, so href AND anchor text
+    * come from the same Generate) with CASE-based resolution — a
+    * two-pass union form would re-read the corpus and re-synthesize
+    * every page once per anchor kind. No UDF, no shuffle. The anchor
+    * text is entity-UNESCAPED back to prose — it feeds the token-level
+    * index ([[anchorBm25Hosts]]), not the page bytes.
     */
   def links(documents: DataFrame): DataFrame =
     linksRaw(Html.withFixtures(graft.Parallelism.ensure(documents)))
@@ -107,15 +122,20 @@ object LinkGraph {
     val p = pagesRaw(frame)
     val isAbs = col("u").startsWith("https://")
     p.select(col("doc_id"), col("host").as("src_host"),
-        explode(regexp_extract_all(col("html"), lit(AnyHrefPattern), lit(1)))
-          .as("u"))
+        explode(regexp_extract_all(col("html"), lit(AnchorElemPattern), lit(0)))
+          .as("el"))
+      .select(col("doc_id"), col("src_host"),
+        regexp_extract(col("el"), AnyHrefPattern, 1).as("u"),
+        Html.unescapeHtml(regexp_extract(col("el"), AnchorTextPattern, 1))
+          .as("anchor_text"))
       .select(col("doc_id"), col("src_host"),
         when(isAbs, Domains.urlHost(col("u")))
           .otherwise(col("src_host")).as("dst_host"),
         when(isAbs, regexp_extract(col("u"), AbsPagePattern, 1))
           .otherwise(regexp_extract(col("u"), RelPagePattern, 1))
           .cast("long").as("dst_page"),
-        isAbs.as("absolute"))
+        isAbs.as("absolute"),
+        col("anchor_text"))
   }
 
   /** The host-level link graph — `q_link_hosts`: cross-host edges with
@@ -329,6 +349,236 @@ object LinkGraph {
         sum(coalesce(col("pr"), lit(0L))).as("sum_pr"))
       .select(col("source"), col("n_docs"), col("n_hosts"), col("sum_pr"),
         expr("sum_pr div n_docs").as("avg_pr"))
+
+  // ------------------------------------------------------------------
+  // Anchor-text retrieval (r16)
+  // ------------------------------------------------------------------
+
+  /** Host pool of the anchor-BM25 ranking (small: hosts are the bounded
+    * key — ~2·64·|sources| under this grammar, millions at 100 TB).
+    */
+  val AnchorHostK = 20
+
+  /** The anchor-text INDEX rows: every CROSS-HOST anchor's unescaped,
+    * lowercased tokens keyed by TARGET host — what real web ranking
+    * indexes (anchor text describes the page it points AT, not the page
+    * it sits on; same-host anchors are nav chrome and are excluded by
+    * the [[hostEdges]] rule). Under the r16 grammar the cross-host
+    * anchor is the teaser (`next` + the source page's leading prose), so
+    * the index carries real corpus tokens.
+    *
+    * Shape: the [[links]] single-pass extraction (the SAME pass the edge
+    * list reads — anchor text rides the already-captured elements), one
+    * explode, scan speed. At 100 TB this is the per-fetch anchor log a
+    * crawler already materializes.
+    */
+  private[operators] def anchorTokens(documents: DataFrame): DataFrame =
+    links(documents)
+      .where(col("dst_host") =!= col("src_host"))
+      .select(col("dst_host").as("host"),
+        explode(TextAnalysis.lowToks(col("anchor_text"))).as("tok"))
+      .where(col("tok") =!= "")
+
+  /** BM25 over the anchor-text index — `q_anchor_bm25`'s anchor side:
+    * each host's "document" is the bag of anchor tokens pointing at it;
+    * scoring is [[TextAnalysis.bm25TopK]]'s exact integer-ratio form
+    * (constants imported, not copied) with the host as the document
+    * key, top-k hosts by (score DESC, host ASC).
+    *
+    * Shape: the anchor log is checkpointed once (it feeds the length
+    * frame and the tf frame); everything after the `tok IN query` filter
+    * is host-bounded — df/scalars broadcast back exactly like the text
+    * BM25.
+    */
+  def anchorBm25Hosts(
+      documents: DataFrame, terms: Seq[String] = TextAnalysis.Bm25Query,
+      k: Int = AnchorHostK): DataFrame = {
+    import TextAnalysis.{Bm25K1Num, Bm25K1Den, Bm25BNum, Bm25BDen}
+    require(terms.nonEmpty)
+    val at = anchorTokens(documents).localCheckpoint() // feeds dl + tf
+    val dl = at.groupBy("host").agg(count(lit(1)).as("dl"))
+    val scalars = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tok"))
+    val tf = at.where(col("tok").isInCollection(terms))
+      .groupBy("host", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen        // 20
+    val denTf = Bm25K1Den * Bm25BDen                     // 8
+    val denS = Bm25K1Num * (Bm25BDen - Bm25BNum)         // 3
+    val denDl = Bm25K1Num * Bm25BNum                     // 9
+    val core = (col("tf") * numF * col("s_tok")).cast("double") /
+      (col("tf") * denTf * col("s_tok") + lit(denS.toLong) * col("s_tok") +
+        lit(denDl.toLong) * col("dl") * col("n_docs")).cast("double")
+    val idf = col("n_docs").cast("double") / (col("df") + lit(1L)).cast("double")
+    val perTerm = tf
+      .join(dl, "host")
+      .join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(scalars))
+      .select(col("host"), col("tok"), (core * idf).as("ts"))
+    val score = terms
+      .map(t => coalesce(max(when(col("tok") === t, col("ts"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    perTerm.groupBy("host")
+      .agg(score.as("score"))
+      .orderBy(desc("score"), asc("host"))
+      .limit(k)
+  }
+
+  /** The anchor ranking EXPANDED to documents for rank fusion: hosts
+    * ranked 1..[[AnchorHostK]] by [[anchorBm25Hosts]], every corpus doc
+    * on a ranked host pooled by (host_rank ASC, doc_id ASC) and cut at
+    * `poolK` — the host-level anchor signal transferred to the pages
+    * that live there (the curation-prior move, like
+    * [[authorityBySource]]). The pool cut is a TakeOrdered (distributed
+    * heap, never a corpus sort); the 1..poolK rank window runs over
+    * ≤ poolK rows (the `bm25Ranks` single-task detail).
+    */
+  def anchorDocRanks(documents: DataFrame, poolK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hostRanks = anchorBm25Hosts(documents)
+      .select(col("host"), row_number().over(
+        Window.orderBy(desc("score"), asc("host"))).as("host_rank"))
+    val docs = documents.select(col("doc_id"),
+      Domains.hostOf(col("doc_id"), col("source")).as("host"))
+    val pool = docs.join(broadcast(hostRanks), "host")
+      .orderBy(asc("host_rank"), asc("doc_id"))
+      .limit(poolK)
+    pool
+      .select(col("doc_id").as("neighbor_id"),
+        row_number().over(
+          Window.orderBy(asc("host_rank"), asc("doc_id"))).as("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // Stored-rank staleness (r16) and the TrustRank spam gate
+  // ------------------------------------------------------------------
+
+  /** A host's rank is "shifted" iff |fresh − stored| · this > stored. */
+  val StaleShiftDenom = 8L
+
+  /** Rebuild verdict: total shifted mass · this > total stored mass. */
+  val StaleRebuildDenom = 4L
+
+  /** STORED-RANK STALENESS card — `q_link_rank_stale` (the
+    * `q_ann_stale` framing applied to [[RankStore]]): what happens to
+    * the persisted host ranks when the crawl GROWS — the first question
+    * the stored-artifact design raises ("stored is 4-6× faster — until
+    * when?"). The drifted crawl doubles the page set deterministically
+    * (the ann card's even/odd idiom: base pages re-keyed to 2·id, grown
+    * replica at 2·id+1), so host mass redistributes over the bounded
+    * host set, a few tail hosts vanish, new tail hosts appear, and the
+    * frontier grows — all exactly replayable in DuckDB because page
+    * synthesis, anchor parsing, and the integer PageRank are the shared
+    * grammar.
+    *
+    * One row per host status bucket (`stable` / `shifted` /
+    * `new_host` / `vanished`, by the [[StaleShiftDenom]] relative-shift
+    * rule) with host counts, stored/fresh rank mass, and absolute shift
+    * mass (new/vanished hosts count their whole rank as shift); plus
+    * the frontier sizes of both crawls (distinct uncrawled targets) and
+    * the [[StaleRebuildDenom]] rebuild verdict over total shifted mass.
+    *
+    * Shape: stored ranks are READ (zero jobs — the stored-artifact
+    * point); the drifted crawl pays one anchor extraction (checkpointed
+    * — it feeds the edge rollup and the frontier) plus the
+    * host-bounded rank iteration; the base frontier pays one more
+    * extraction; every comparison frame is host-bounded.
+    */
+  def rankStalenessCard(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val stored = RankStore.ranks(spark, dir)
+      .select(col("host"), col("pr").as("pr_stored"))
+    val drifted = docs
+      .select((col("doc_id") * 2).as("doc_id"), col("source"), col("text"))
+      .unionAll(docs.select((col("doc_id") * 2 + 1).as("doc_id"),
+        col("source"), col("text")))
+    val lFresh = links(drifted).localCheckpoint() // edges + frontier
+    val fresh = GraphAnalytics.pageRank(
+      edgesFromLinks(lFresh).select(col("src_host").as("src"),
+        col("dst_host").as("dst"), col("n_links").as("w")))
+      .select(col("id").as("host"), col("pr").as("pr_fresh"))
+    val j = stored.join(fresh, Seq("host"), "full_outer")
+    val status = when(col("pr_stored").isNull, "new_host")
+      .when(col("pr_fresh").isNull, "vanished")
+      .when(abs(col("pr_fresh") - col("pr_stored")) * StaleShiftDenom >
+        col("pr_stored"), "shifted")
+      .otherwise("stable")
+    val shift = when(col("pr_stored").isNull, col("pr_fresh"))
+      .when(col("pr_fresh").isNull, col("pr_stored"))
+      .otherwise(abs(col("pr_fresh") - col("pr_stored")))
+    val g = j
+      .select(status.as("status"),
+        coalesce(col("pr_stored"), lit(0L)).as("prs"),
+        coalesce(col("pr_fresh"), lit(0L)).as("prf"), shift.as("sh"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_hosts"), sum("prs").as("sum_pr_stored"),
+        sum("prf").as("sum_pr_fresh"), sum("sh").as("shift_abs"))
+      .localCheckpoint() // ≤ 4 rows; feeds the totals and the card
+    val tot = g.agg(sum("shift_abs").as("tot_shift"),
+      sum("sum_pr_stored").as("tot_stored"))
+    g.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(
+        frontierTotal(links(docs), docs).select(col("n").as("n_frontier_stored"))))
+      .crossJoin(broadcast(
+        frontierTotal(lFresh, drifted).select(col("n").as("n_frontier_fresh"))))
+      .select(col("status"), col("n_hosts"), col("sum_pr_stored"),
+        col("sum_pr_fresh"), col("shift_abs"),
+        col("n_frontier_stored"), col("n_frontier_fresh"),
+        (col("tot_shift") * StaleRebuildDenom > col("tot_stored")).as("rebuild"))
+  }
+
+  /** Total frontier size of a crawl — distinct uncrawled (host, page)
+    * targets (the [[frontier]] card's grand total; NULL target pages —
+    * impossible under this grammar — are outside the count, matching
+    * `q_link_frontier`).
+    */
+  private def frontierTotal(l: DataFrame, corpus: DataFrame): DataFrame = {
+    val ids = Html.withFixtures(graft.Parallelism.ensure(corpus))
+      .select(col("doc_id").as("t")).distinct()
+    l.join(ids, l("dst_page") === ids("t"), "left")
+      .where(col("t").isNull && col("dst_page").isNotNull)
+      .agg(countDistinct(
+        concat(col("dst_host"), lit("|"), col("dst_page").cast("string")))
+        .as("n"))
+  }
+
+  /** "High rank": pr · n_nodes > this · PrQ (≥ 2× the uniform share). */
+  val SpamRankMult = 2L
+
+  /** "Low trust": trust · this < pr (trust under ¼ of rank mass). */
+  val SpamTrustMult = 4L
+
+  /** The TrustRank DEMOTION set — hosts whose PageRank the trusted seed
+    * set cannot vouch for (Gyöngyi et al.'s spam-mass rule: high
+    * [[hostRank]] authority, low [[trustRank]] trust): pr at least
+    * [[SpamRankMult]]× the uniform share AND trust · [[SpamTrustMult]]
+    * < pr. Seeds are the hosts of the lexicographically first DOCUMENT
+    * source (the whitelist a real deployment plugs in). Both rank
+    * frames run over ONE checkpointed edge list; output is
+    * host-bounded.
+    */
+  def spamHosts(documents: DataFrame): DataFrame = {
+    val e = hostEdges(documents).localCheckpoint()
+    val edges = e.select(col("src_host").as("src"), col("dst_host").as("dst"),
+      col("n_links").as("w"))
+    val docsH = documents.select(col("source"),
+      Domains.hostOf(col("doc_id"), col("source")).as("host"))
+    val seedSrc = docsH.agg(min("source").as("ssrc")) // 1-row broadcast
+    val seeds = docsH.crossJoin(broadcast(seedSrc))
+      .where(col("source") === col("ssrc"))
+      .select(col("host").as("id")).distinct()
+    val rank = GraphAnalytics.pageRank(edges)
+      .select(col("id").as("host"), col("pr"))
+    val trust = GraphAnalytics.personalizedPageRank(edges, seeds)
+      .select(col("id").as("host"), col("pr").as("trust"))
+    val n = rank.agg(count(lit(1)).as("n_nodes"))
+    rank.join(trust, Seq("host"), "left")
+      .crossJoin(broadcast(n))
+      .where(col("pr") * col("n_nodes") >
+          lit(SpamRankMult) * lit(GraphAnalytics.PrQ) &&
+        coalesce(col("trust"), lit(0L)) * SpamTrustMult < col("pr"))
+      .select("host")
+  }
 }
 
 /** Session-persisted host-rank artifact — the link graph's

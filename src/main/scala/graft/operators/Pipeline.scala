@@ -390,17 +390,115 @@ object Pipeline {
   }
 
   /** The shared integer RRF fusion tail over a text-rank frame and any
-    * (query_id, neighbor_id, rank) dense ranking for query vector 0.
+    * (neighbor_id, rank) second ranking; `rankName` labels the second
+    * list's rank column in the output (`vec_rank` for the dense
+    * retrievers, `anchor_rank` for the anchor-text one).
     */
-  private def rrfFuse(text: DataFrame, denseRanks: DataFrame, k: Int): DataFrame = {
+  private def rrfFuse(text: DataFrame, denseRanks: DataFrame, k: Int,
+      rankName: String = "vec_rank"): DataFrame = {
     val dense = denseRanks
-      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+      .select(col("neighbor_id").as("doc_id"), col("rank").as(rankName))
     text.join(dense, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+      .select(col("doc_id"), col("text_rank"), col(rankName),
         (coalesce(expr(s"1000000 div ($RrfC + text_rank)"), lit(0L)) +
-          coalesce(expr(s"1000000 div ($RrfC + vec_rank)"), lit(0L)))
+          coalesce(expr(s"1000000 div ($RrfC + $rankName)"), lit(0L)))
           .as("rrf_micro"))
       .orderBy(desc("rrf_micro"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** ANCHOR-TEXT hybrid retrieval — `q_anchor_bm25`: the same integer
+    * RRF fusion with the second list swapped for the anchor-text index
+    * ranking ([[LinkGraph.anchorBm25Hosts]] → docs via
+    * [[LinkGraph.anchorDocRanks]]) — content BM25 says "this page SAYS
+    * hash/join/vector", the anchor list says "pages elsewhere DESCRIBE
+    * this page's host with those words" (the two signals web ranking has
+    * fused since anchor text was first indexed). Documents reached by
+    * only one list keep that list's contribution — the RRF behavior that
+    * lets an anchor-only hit surface.
+    */
+  def anchorHybridTopK(
+      documents: DataFrame, poolK: Int = TextAnalysis.Bm25K,
+      k: Int = RrfK): DataFrame =
+    rrfFuse(
+      bm25Ranks(documents, poolK),
+      LinkGraph.anchorDocRanks(documents, poolK),
+      k, "anchor_rank")
+
+  /** RETENTION FUNNEL with first-reject attribution —
+    * `q_pipeline_trust_funnel`: the [[retainedCorpus]] pipeline EXTENDED
+    * with the r15/r16 link-graph spam gate and accounted the
+    * [[TextAnalysis.filterFunnel]] way: every document gets exactly ONE
+    * verdict, the first stage that rejects it, so per-(source, verdict)
+    * counts sum exactly to the corpus and a policy change shows up as a
+    * count migration, never silence. Stage order (cheap scans first,
+    * corpus-level state later — the [[retainedCorpus]] rationale):
+    *
+    *   1. `low_quality` — the quality gate (< 10 tokens or no stopword)
+    *   2. `spam_host`   — the [[LinkGraph.spamHosts]] TrustRank demotion
+    *                      (high-PageRank hosts the trusted seed source
+    *                      cannot vouch for)
+    *   3. `exact_dup`   — not the min-id keeper of its normalized text
+    *                      among stage-3 reachers
+    *   4. `near_dup`    — not its near-dup cluster representative among
+    *                      stage-4 reachers (MinHash pair graph, the
+    *                      stored-signature probe)
+    *   5. `kept`
+    *
+    * Shape: one corpus projection (token count, quality flag, host,
+    * normalized-text fp — all codegen'd) checkpointed once; the spam
+    * set is host-bounded and broadcast; exact keepers are one hash-agg
+    * on fp; the near-dup stage probes the stored signature table
+    * semi-joined to reachers (the [[retainedCorpus]] production shape);
+    * the rollup is |sources|×5 rows.
+    */
+  def retentionFunnel(
+      documents: DataFrame, threshold: Double = 0.5,
+      sigTable: Option[DataFrame] = None): DataFrame = {
+    val toksC = split(trim(col("text")), "\\s+")
+    val nStop = size(filter(toksC, t => t.isin(TextAnalysis.Stopwords: _*)))
+    val base = graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(toksC).cast("long").as("n_toks"),
+        (size(toksC) >= 10 && nStop > 0).as("q_ok"),
+        Domains.hostOf(col("doc_id"), col("source")).as("host"),
+        md5(TextAnalysis.normalized(col("text"))).as("fp"))
+      .localCheckpoint() // feeds gate flags, keepers, clusters, rollup
+    val spam = LinkGraph.spamHosts(documents)
+      .select(col("host"), lit(true).as("spam_flag"))
+    val flagged = base
+      .join(broadcast(spam), Seq("host"), "left")
+      .withColumn("spam", coalesce(col("spam_flag"), lit(false)))
+    val reach3 = col("q_ok") && !col("spam")
+    val keepers = flagged.where(reach3)
+      .groupBy("fp").agg(min("doc_id").as("keeper"))
+    val staged = flagged
+      .join(keepers, Seq("fp"), "left")
+      .withColumn("is_keeper", col("doc_id") === col("keeper"))
+      .localCheckpoint() // read by the r4 projection and the rollup
+    val r4 = staged.where(reach3 && col("is_keeper"))
+    val pairs = (sigTable match {
+      case Some(tbl) =>
+        // pair verdicts are pairwise, so all-pairs ∩ reachers² equals
+        // the reacher pair set (the retainedCorpus argument verbatim)
+        Dedup.nearDuplicatePairsFromTable(tbl, threshold)
+          .join(r4.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(r4.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      case None =>
+        Dedup.nearDuplicatePairs(r4.select("doc_id", "text"), threshold)
+    }).select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.clustersFromPairs(r4.select("doc_id"), pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val verdict =
+      when(!col("q_ok"), "low_quality")
+        .when(col("spam"), "spam_host")
+        .when(!col("is_keeper"), "exact_dup")
+        .when(col("cluster_id") =!= col("doc_id"), "near_dup")
+        .otherwise(lit("kept"))
+    staged
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("source"), verdict.as("verdict"), col("n_toks"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
   }
 }

@@ -1214,6 +1214,138 @@ object Similarity {
         col("cand_stored"), col("cand_fresh"), col("retrain"))
   }
 
+  /** Metadata filter tiers for the filtered-ANN recall card: a candidate
+    * passes tier `m` iff its label is CONGRUENT to the query's mod `m` —
+    * 10 is the exact label (~1/10 of the 10-label corpus), 5/2 widen the
+    * class, 1 is unfiltered. One knob sweeping selectivity 10%→100%.
+    */
+  val FilterMods: Seq[Int] = Seq(10, 5, 2, 1)
+
+  /** The registered filtered query's tier — the exact label. */
+  val FilteredLabelMod = 10
+
+  /** METADATA-FILTERED ANN — `q_ann_filtered` (the RAG-serving shape:
+    * "nearest neighbors of q AMONG vectors with my tenant/lang/label"):
+    * the stored-index IVF probe ([[CentroidStore]] centroids, zero
+    * training jobs) with the label predicate composed INTO the candidate
+    * join key — candidates join on (cell, label class), so the filter
+    * prunes at the hash join BEFORE any cosine is computed (pre-filter,
+    * not post-rerank: a post-filter at the same k returns fewer than k
+    * where the filter bites; this returns the true filtered top-k of the
+    * probed cells). The price is candidate starvation where probed cells
+    * hold few same-class vectors — `q_ann_filtered_recall` measures
+    * exactly that against filtered brute force.
+    */
+  def ivfFilteredTopK(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nLists: Int = IvfLists,
+      nProbe: Int = 3, iters: Int = IvfTrainIters,
+      filterMod: Int = FilteredLabelMod): DataFrame =
+    ivfFilteredProbe(
+      graft.Tables.embeddings(spark, dir),
+      CentroidStore.ivfCentroids(spark, dir, nLists, iters),
+      nQueries, k, nProbe, filterMod)
+
+  /** The filtered APPLY half — [[ivfProbe]] with the label-congruence
+    * class in the join key.
+    */
+  private[graft] def ivfFilteredProbe(
+      embeddings: DataFrame, centroids: Array[(Int, Array[Float])],
+      nQueries: Int, k: Int, nProbe: Int, filterMod: Int): DataFrame = {
+    if (centroids.isEmpty) {
+      return embeddings.select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank")).limit(0)
+    }
+    val fl = pmod(col("label"), lit(filterMod.toLong)).as("fl")
+    val assigned = graft.Parallelism.ensure(embeddings).select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"), fl,
+      bestCellOf(centroids)(col("embedding")).as("cell"))
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"), fl,
+        explode(probeCellsOf(centroids, nProbe)(col("embedding"))).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(queries)
+      .join(assigned, Seq("cell", "fl"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+  }
+
+  /** RECALL-vs-FILTER-SELECTIVITY card — `q_ann_filtered_recall`: one
+    * row per [[FilterMods]] tier comparing the filtered IVF probe to
+    * filtered BRUTE-FORCE truth. The starvation effect this prices:
+    * the index probes the same `nProbe` cells regardless of the filter,
+    * so as the filter narrows, probed cells hold fewer eligible
+    * candidates and recall decays — the number that tells a vector-store
+    * operator when filtered search needs more probes (or a
+    * label-partitioned index).
+    *
+    * Shape: ONE query×corpus cosine frame with labels (the standard
+    * bounded-query evaluation scan, checkpointed — every tier's truth,
+    * rerank, and pool count read it) and ONE unfiltered probe pair set
+    * (assignment is filter-independent); per tier the work is window
+    * ranks over ≤ nQueries·corpus-slice frames and 1-row aggregates.
+    * All-integer metrics.
+    */
+  def annFilteredRecallCard(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nLists: Int = IvfLists,
+      nProbe: Int = 3, iters: Int = IvfTrainIters): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cents = CentroidStore.ivfCentroids(spark, dir, nLists, iters)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val cand = graft.Parallelism.ensure(emb).select(
+      col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val cos = broadcast(queries)
+      .join(cand, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .localCheckpoint()
+    val assigned = emb.select(col("vec_id").as("neighbor_id"),
+      bestCellOf(cents)(col("embedding")).as("cell"))
+    val probes = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(probeCellsOf(cents, nProbe)(col("embedding"))).as("cell"))
+    val candPairs = broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    FilterMods.map { m =>
+      val ok = pmod(col("q_label"), lit(m.toLong)) ===
+        pmod(col("n_label"), lit(m.toLong))
+      val pool = cos.where(ok)
+      val truth = pool
+        .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+        .where(col("rank") <= k).select("query_id", "neighbor_id")
+      val filtCands = candPairs.join(cos, Seq("query_id", "neighbor_id")).where(ok)
+      val topk = filtCands
+        .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+        .where(col("rank") <= k).select("query_id", "neighbor_id")
+      truth.agg(count(lit(1)).as("n_possible"))
+        .crossJoin(truth.join(topk, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")))
+        .crossJoin(pool.agg(count(lit(1)).as("n_pool")))
+        .crossJoin(filtCands.agg(count(lit(1)).as("n_cand")))
+        .select(lit(m).as("filter_mod"), col("n_pool"), col("n_possible"),
+          col("n_hits"),
+          when(col("n_possible") > 0L,
+            expr("n_hits * 1000 div n_possible")).otherwise(0L)
+            .as("recall_milli"),
+          col("n_cand"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** LSH-bucketed ANN with `tables` independent hash tables of `planes`
     * sign bits each: a candidate is considered if it shares a bucket with
     * the query in ANY table (union), then exact cosine reranks the

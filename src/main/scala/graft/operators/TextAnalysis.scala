@@ -49,7 +49,7 @@ object TextAnalysis {
     * NFC after the case fold would differ in the corner where
     * lowercasing denormalizes (e.g. U+0130).
     */
-  private def lowToks(text: Column): Column =
+  private[operators] def lowToks(text: Column): Column =
     split(trim(lower(TextFunctions.nfc(text))), "\\s+")
 
   /** Per-document statistics and a quality score. All counts are integers;

@@ -286,4 +286,109 @@ class LinkGraphSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq.sorted
     assert(f1 === f2)
   }
+
+  test("links: anchor TEXT — relatives carry p{id}, the absolute carries the unescaped teaser") {
+    val allText = (docs.as[(Long, String, String)].collect().map(r => r._1 -> r._2) ++
+      Html.MarkupFixtures.map(f => f._1 -> f._3)).toMap
+    val rows = LinkGraph.links(docs).collect()
+    assert(rows.length === allText.size * 3)
+    rows.foreach { r =>
+      val (id, at) = (r.getLong(0), r.getString(5))
+      if (r.getBoolean(4)) {
+        // escape maps tokens 1:1 without touching whitespace and
+        // unescape inverts it, so the teaser equals the ORIGINAL first
+        // AnchorTeaserTokens tokens — including on the markup fixtures
+        val teaser = allText(id).trim.split("\\s+")
+          .take(Html.AnchorTeaserTokens).mkString(" ")
+        assert(at === s"next $teaser", s"teaser of doc $id")
+      } else {
+        assert(at === s"p${r.getLong(3)}", s"relative anchor text of doc $id")
+      }
+    }
+  }
+
+  test("anchorBm25Hosts equals an in-memory BM25 over the collected anchor log") {
+    import graft.operators.TextAnalysis.{Bm25Query, Bm25K1Num, Bm25K1Den, Bm25BNum, Bm25BDen}
+    val sfDocs = Tables.documents(spark, sf("sf0.001"))
+    val log = LinkGraph.links(sfDocs)
+      .where(col("dst_host") =!= col("src_host"))
+      .select("dst_host", "anchor_text")
+      .as[(String, String)].collect().toSeq
+    val toks = log.flatMap { case (h, t) =>
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map(h -> _)
+    }
+    val dl = toks.groupBy(_._1).map { case (h, g) => h -> g.size.toLong }
+    val (nDocs, sTok) = (dl.size.toLong, dl.values.sum)
+    val tf = toks.filter(p => Bm25Query.contains(p._2))
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val dfq = tf.keys.toSeq.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen
+    val denTf = Bm25K1Den * Bm25BDen
+    val denS = Bm25K1Num * (Bm25BDen - Bm25BNum)
+    val denDl = Bm25K1Num * Bm25BNum
+    // same arithmetic, same order: one int64 division, one idf division,
+    // fixed-order term sum
+    def score(h: String): Double = Bm25Query.map { t =>
+      tf.get((h, t)).map { f =>
+        ((f * numF * sTok).toDouble /
+          (f * denTf * sTok + denS * sTok + denDl * dl(h) * nDocs).toDouble) *
+          (nDocs.toDouble / (dfq(t) + 1L).toDouble)
+      }.getOrElse(0.0)
+    }.reduceLeft(_ + _)
+    val want = tf.keys.map(_._1).toSeq.distinct.map(h => (h, score(h)))
+      .sortBy { case (h, sc) => (-sc, h) }.take(LinkGraph.AnchorHostK)
+    val got = LinkGraph.anchorBm25Hosts(sfDocs)
+      .as[(String, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "the teaser anchors must carry query terms")
+  }
+
+  test("spamHosts: exactly the high-rank/low-trust hosts under the document-source seed") {
+    val sfDocs = Tables.documents(spark, sf("sf0.001"))
+    val e = LinkGraph.hostEdges(sfDocs)
+      .select(col("src_host").as("src"), col("dst_host").as("dst"),
+        col("n_links").as("w"))
+    val rank = GraphAnalytics.pageRank(e)
+      .as[(String, Long)].collect().toMap
+    val seedSrc = sfDocs.select(min("source")).as[String].collect().head
+    val seeds = sfDocs.where(col("source") === seedSrc)
+      .select(Domains.hostOf(col("doc_id"), col("source")).as("id")).distinct()
+    val trust = GraphAnalytics.personalizedPageRank(e, seeds)
+      .select("id", "pr").as[(String, Long)].collect().toMap
+    val n = rank.size.toLong
+    val want = rank.filter { case (h, pr) =>
+      pr * n > LinkGraph.SpamRankMult * GraphAnalytics.PrQ &&
+        trust.getOrElse(h, 0L) * LinkGraph.SpamTrustMult < pr
+    }.keySet
+    val got = LinkGraph.spamHosts(sfDocs).as[String].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty, "the rule must engage on this corpus")
+    assert(got.size < rank.size, "the rule must not flag every host")
+  }
+
+  test("rankStalenessCard: buckets reconcile with the stored ranks; verdict follows the mass rule") {
+    val dir = sf("sf0.001")
+    val card = LinkGraph.rankStalenessCard(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7))))
+      .toMap
+    assert(card.keySet.subsetOf(
+      Set("stable", "shifted", "new_host", "vanished")))
+    // stored mass partitions exactly across buckets
+    val storedTotal = RankStore.ranks(spark, dir)
+      .agg(sum("pr")).as[Long].collect().head
+    assert(card.values.map(_._2).sum === storedTotal)
+    // new hosts carry no stored mass; vanished hosts no fresh mass
+    card.get("new_host").foreach { b => assert(b._2 === 0L) }
+    card.get("vanished").foreach { b => assert(b._3 === 0L) }
+    // the rebuild verdict is exactly the mass rule over the card itself
+    val ts = card.values.map(_._4).sum
+    val wantRebuild = ts * LinkGraph.StaleRebuildDenom > storedTotal
+    card.values.foreach { b => assert(b._7 === wantRebuild) }
+    // frontier totals are global columns (constant) and non-trivial here
+    assert(card.values.map(_._5).toSet.size === 1)
+    assert(card.values.map(_._6).toSet.size === 1)
+    assert(card.values.head._5 > 0 && card.values.head._6 > 0)
+  }
 }

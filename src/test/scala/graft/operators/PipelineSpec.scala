@@ -189,4 +189,79 @@ class PipelineSpec extends SparkSpec {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.9, s"fusion recall vs brute-force hybrid was $recall")
   }
+
+  test("anchorHybridTopK equals the integer RRF of bm25 and the anchor-doc ranking") {
+    val dir = sf("sf0.001")
+    val documents = graft.Tables.documents(spark, dir)
+    val textRank = TextAnalysis.bm25TopK(documents).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val anchorRank = LinkGraph
+      .anchorDocRanks(documents, TextAnalysis.Bm25K).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val want = (textRank.keySet ++ anchorRank.keySet).toSeq.map { id =>
+      val rrf =
+        textRank.get(id).map(r => 1000000L / (Pipeline.RrfC + r)).getOrElse(0L) +
+          anchorRank.get(id).map(r => 1000000L / (Pipeline.RrfC + r)).getOrElse(0L)
+      (id, rrf)
+    }.sortBy { case (id, rrf) => (-rrf, id) }.take(Pipeline.RrfK)
+    val got = Pipeline.anchorHybridTopK(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.size === Pipeline.RrfK)
+    // fusion genuinely mixes: at least one doc from each pool survives
+    val cut = got.map(_._1).toSet
+    assert((cut intersect textRank.keySet).nonEmpty)
+    assert((cut intersect anchorRank.keySet).nonEmpty)
+  }
+
+  test("retentionFunnel: first-reject verdicts partition the corpus, stage by stage") {
+    val dir = sf("sf0.001")
+    val documents = graft.Tables.documents(spark, dir)
+    val got = Pipeline.retentionFunnel(documents,
+      sigTable = Some(SignatureStore.table(spark, dir))).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keys.map(_._2).toSet.subsetOf(
+      Set("low_quality", "spam_host", "exact_dup", "near_dup", "kept")))
+    // the funnel property: verdict counts sum exactly to the corpus,
+    // globally and per source
+    assert(got.values.sum === documents.count())
+    val perSource = documents.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.keys.map(_._1).toSeq.distinct.foreach { src =>
+      assert(got.filter(_._1._1 == src).values.sum === perSource(src), src)
+    }
+    // stage 1 replay: low_quality counts equal the brute quality rule
+    import org.apache.spark.sql.functions.{col, size, split, trim}
+    val lowQ = documents.select(col("source"),
+        split(trim(col("text")), "\\s+").as("t")).collect()
+      .map { r =>
+        val toks = r.getSeq[String](1)
+        (r.getString(0),
+          toks.size < 10 || !toks.exists(TextAnalysis.Stopwords.contains))
+      }
+      .groupBy(_._1).map { case (s, g) => s -> g.count(_._2).toLong }
+    lowQ.foreach { case (src, n) =>
+      assert(got.getOrElse((src, "low_quality"), 0L) === n, s"low_quality of $src")
+    }
+    // stage 2 replay: spam_host counts equal quality survivors on
+    // spamHosts hosts
+    val spam = LinkGraph.spamHosts(documents)
+      .collect().map(_.getString(0)).toSet
+    assert(spam.nonEmpty, "gate must engage on this corpus")
+    val spamCounts = documents.select(col("source"), col("doc_id"),
+        split(trim(col("text")), "\\s+").as("t"),
+        Domains.hostOf(col("doc_id"), col("source")).as("host")).collect()
+      .map { r =>
+        val toks = r.getSeq[String](2)
+        val qOk = toks.size >= 10 && toks.exists(TextAnalysis.Stopwords.contains)
+        (r.getString(0), qOk && spam.contains(r.getString(3)))
+      }
+      .groupBy(_._1).map { case (s, g) => s -> g.count(_._2).toLong }
+    spamCounts.foreach { case (src, n) =>
+      assert(got.getOrElse((src, "spam_host"), 0L) === n, s"spam_host of $src")
+    }
+    assert(got.keys.exists(_._2 == "kept"))
+    assert(got.keys.exists(_._2 == "near_dup") || got.keys.exists(_._2 == "exact_dup"))
+  }
 }

@@ -749,4 +749,75 @@ class SimilaritySpec extends SparkSpec {
     assert(CentroidStore.ivfBuilds(dir) <= math.max(buildsBefore, 1),
       "the staleness card must never retrain the stored index")
   }
+
+  test("ivfFilteredTopK: filterMod=1 degenerates to the unfiltered stored probe") {
+    // fl = 0 for every row at mod 1, so the (cell, fl) join key carries
+    // no information — the filtered operator must reproduce the plain
+    // stored-index ranking exactly
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(Similarity.ivfFilteredTopK(spark, dir, filterMod = 1)) ===
+      rows(Similarity.ivfTopKStored(spark, dir)))
+  }
+
+  test("ivfFilteredTopK: the filtered top-k is the label-congruent prefix of the unfiltered candidate ranking") {
+    val dir = sf("sf0.001")
+    val m = Similarity.FilteredLabelMod
+    val embAll = graft.Tables.embeddings(spark, dir)
+    val n = embAll.count().toInt
+    val labels = embAll.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = CentroidStore.ivfCentroids(
+      spark, dir, Similarity.IvfLists, Similarity.IvfTrainIters)
+    // the unfiltered probe ranked ALL the way down (k = corpus) orders
+    // candidates exactly as the filtered ranking does (cos DESC, id ASC),
+    // so the filtered top-5 must be the first 5 congruent entries
+    val full = Similarity.ivfProbe(embAll, cents, 10, n, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val want = full.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy(_._3).toSeq
+        .filter(p => labels(p._2) % m == labels(q) % m)
+        .take(5).zipWithIndex
+        .map { case (p, i) => (q, p._2, i + 1) }
+    }.toSet
+    val got = Similarity.ivfFilteredTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    got.foreach { case (q, nb, _) =>
+      assert(labels(nb) % m === labels(q) % m, s"query $q neighbor $nb")
+    }
+  }
+
+  test("annFilteredRecallCard: tiers consistent, nested tiers monotone, unfiltered tier exact") {
+    val dir = sf("sf0.001")
+    val card = Similarity.annFilteredRecallCard(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(card.keySet === Similarity.FilterMods.toSet)
+    card.foreach { case (m, (pool, poss, hits, recall, cand)) =>
+      assert(hits <= poss, s"tier $m")
+      assert(recall === (if (poss > 0) hits * 1000 / poss else 0L), s"tier $m")
+      assert(cand <= pool, s"tier $m candidates exceed its pool")
+    }
+    // congruence mod 10 implies congruence mod 5/2/1 — nested tiers can
+    // only grow the pool, the possible set, and the candidate set
+    for (wider <- Seq(5, 2, 1)) {
+      assert(card(10)._1 <= card(wider)._1, s"pool 10 vs $wider")
+      assert(card(10)._5 <= card(wider)._5, s"cand 10 vs $wider")
+    }
+    // the unfiltered tier IS plain stored-probe recall vs brute force
+    val emb = graft.Tables.embeddings(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, 10, 5))
+    val approx = pairs(Similarity.ivfTopKStored(spark, dir))
+    assert(card(1)._2 === exact.size.toLong)
+    assert(card(1)._3 === (exact intersect approx).size.toLong)
+    // starvation is real on this corpus: the exact-label tier pays fewer
+    // candidates than the unfiltered one
+    assert(card(10)._5 < card(1)._5)
+  }
 }
