@@ -269,7 +269,17 @@ object PlanDump {
     "q_ann_stale" ->
       "stored-index staleness: the drifted union (checkpointed once), the stored-centroid probe vs a fresh-trained probe (both cell equi-joins, centroids as broadcast literals), brute-force truth over the bounded query set, and a <=2-row per-region fold — no corpus^2 anywhere, the card never retrains the stored artifact",
     "q_nb_score_stored" ->
-      "the production quality gate: model + constants read from the persisted ModelStore parquet (vocabulary-bounded), then the shared scoring fold — zero training aggregations on the apply path (ModelStoreSpec captures the plans: no label derivation, no class-count agg), 3.8x faster than the retrain form at sf10")
+      "the production quality gate: model + constants read from the persisted ModelStore parquet (vocabulary-bounded), then the shared scoring fold — zero training aggregations on the apply path (ModelStoreSpec captures the plans: no label derivation, no class-count agg), 3.8x faster than the retrain form at sf10",
+    "q_link_rank_stale" ->
+      "stored-rank staleness (r16): RankStore ranks READ (parquet, zero rank jobs), the grown re-crawl's anchor log checkpointed ONCE (feeds the edge rollup AND the frontier count), host-bounded rank iteration, <=4-row bucket agg with 1-row totals/frontier broadcasts — the card prices the stored shortcut without ever re-ranking the stored side",
+    "q_anchor_bm25" ->
+      "anchor-text hybrid (r16): anchor TEXT rides the same single-pass element extraction as the edge list (one Generate, href + text derived per element); the anchor log checkpointed once feeds the host-length and tf frames; host BM25 is the text BM25 plan at host granularity (scan-speed tok IN filter, broadcast df/scalars); doc expansion is a TakeOrderedAndProject; fusion is the 2xpoolK-row full-outer + top-k tail",
+    "q_pipeline_trust_funnel" ->
+      "retention funnel with the spam gate (r16): ONE corpus projection (tokens, quality flag, host, fp — all codegen'd) checkpointed; PR + personalized PR run on the SAME checkpointed host-edge frame; the spam set is host-bounded and broadcast; exact keepers one fp hash-agg; near-dup probes the stored signature table semi-joined to reachers; |sources|x5-row rollup — first-reject attribution adds no corpus-scale step the retained pipeline didn't already pay",
+    "q_ann_filtered" ->
+      "metadata-filtered ANN (r16): stored centroids (parquet artifact), assignment kernel inside WholeStageCodegen, and the label class IN THE JOIN KEY (cell, fl) — the filter prunes at the hash join build, BEFORE any vec_dot; bounded rerank unchanged",
+    "q_ann_filtered_recall" ->
+      "filter-selectivity card (r16): ONE labeled query x corpus cosine frame (bounded-query evaluation scan, checkpointed) + ONE unfiltered probe pair set (assignment is filter-independent) feed all four tiers; per tier only window ranks over query-bounded slices and 1-row aggregates — 4 tiers cost one scan, not four")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
