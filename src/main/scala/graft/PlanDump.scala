@@ -279,7 +279,9 @@ object PlanDump {
     "q_ann_filtered" ->
       "metadata-filtered ANN (r16): stored centroids (parquet artifact), assignment kernel inside WholeStageCodegen, and the label class IN THE JOIN KEY (cell, fl) — the filter prunes at the hash join build, BEFORE any vec_dot; bounded rerank unchanged",
     "q_ann_filtered_recall" ->
-      "filter-selectivity card (r16): ONE labeled query x corpus cosine frame (bounded-query evaluation scan, checkpointed) + ONE unfiltered probe pair set (assignment is filter-independent) feed all four tiers; per tier only window ranks over query-bounded slices and 1-row aggregates — 4 tiers cost one scan, not four")
+      "filter-selectivity card (r16): ONE labeled query x corpus cosine frame (bounded-query evaluation scan, checkpointed) + ONE unfiltered probe pair set (assignment is filter-independent) feed all four tiers; per tier only window ranks over query-bounded slices and 1-row aggregates — 4 tiers cost one scan, not four",
+    "q_anchor_bm25_stored" ->
+      "the fused retrieval under the PERSISTED AnchorStore term index (r16): the anchor side is a host x vocab-bounded parquet read — zero page synthesis, zero regexp extraction in the plan; the residual scan is the content-BM25 side both forms pay")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

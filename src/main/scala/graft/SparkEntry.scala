@@ -475,6 +475,11 @@ object SparkEntry {
     // BM25 (r16)
     "q_anchor_bm25" -> ((s, dir) =>
       Pipeline.anchorHybridTopK(Tables.documents(s, dir))),
+    // the same fusion under the PERSISTED AnchorStore term index — zero
+    // page synthesis / anchor parsing on the query path; exact longs
+    // round-trip parquet so it shares the fresh oracle (r16)
+    "q_anchor_bm25_stored" -> ((s, dir) =>
+      Pipeline.anchorHybridStoredTopK(s, dir)),
     // retention funnel with the TrustRank spam gate composed in: every
     // doc's FIRST-reject verdict across quality -> spam-host -> exact ->
     // near-dup, per (source, verdict) — counts sum to the corpus (r16)
@@ -4788,6 +4793,9 @@ object SparkEntry {
     // Anchor-text hybrid: anchor index from lall's cross-host anchors,
     // host-level integer-ratio BM25, doc expansion, RRF fusion.
     "q_anchor_bm25" -> anchorBm25Oracle,
+    // stored-index twin: exact (host, tok, tf) longs round-trip parquet,
+    // so the fused card is hash-identical and shares the fresh oracle
+    "q_anchor_bm25_stored" -> anchorBm25Oracle,
     // Retention funnel with the TrustRank spam gate: PR + personalized
     // PR over the link chain, then first-reject CASE per document.
     "q_pipeline_trust_funnel" -> trustFunnelOracle,

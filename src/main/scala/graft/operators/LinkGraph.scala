@@ -379,27 +379,46 @@ object LinkGraph {
         explode(TextAnalysis.lowToks(col("anchor_text"))).as("tok"))
       .where(col("tok") =!= "")
 
+  /** The anchor-term INDEX frame — (host, tok, tf) over the FULL anchor
+    * vocabulary (not just one query's terms): what a web index
+    * materializes at crawl time and every retrieval reads. This is the
+    * artifact [[AnchorStore]] persists; the fresh path builds it
+    * inline. One map-side-combined hash-agg over the anchor log,
+    * bounded by |hosts| × anchor vocabulary.
+    */
+  def anchorTermIndex(documents: DataFrame): DataFrame =
+    anchorTokens(documents).groupBy("host", "tok").agg(count(lit(1)).as("tf"))
+
   /** BM25 over the anchor-text index — `q_anchor_bm25`'s anchor side:
     * each host's "document" is the bag of anchor tokens pointing at it;
     * scoring is [[TextAnalysis.bm25TopK]]'s exact integer-ratio form
     * (constants imported, not copied) with the host as the document
-    * key, top-k hosts by (score DESC, host ASC).
-    *
-    * Shape: the anchor log is checkpointed once (it feeds the length
-    * frame and the tf frame); everything after the `tok IN query` filter
-    * is host-bounded — df/scalars broadcast back exactly like the text
-    * BM25.
+    * key, top-k hosts by (score DESC, host ASC). ONE scoring definition
+    * ([[anchorBm25FromIndex]]) serves the fresh build and the
+    * [[AnchorStore]] stored read — tf/dl are exact longs either way, so
+    * the two are hash-identical and share one oracle.
     */
   def anchorBm25Hosts(
       documents: DataFrame, terms: Seq[String] = TextAnalysis.Bm25Query,
+      k: Int = AnchorHostK): DataFrame =
+    anchorBm25FromIndex(anchorTermIndex(documents), terms, k)
+
+  /** The scoring tail over an explicit (host, tok, tf) index frame.
+    *
+    * Shape: the index is checkpointed once (it feeds the length frame
+    * and the tf filter); everything after the `tok IN query` filter is
+    * host-bounded — df/scalars broadcast back exactly like the text
+    * BM25. `dl = Σ tf` equals the raw token count by construction.
+    */
+  def anchorBm25FromIndex(
+      index: DataFrame, terms: Seq[String] = TextAnalysis.Bm25Query,
       k: Int = AnchorHostK): DataFrame = {
     import TextAnalysis.{Bm25K1Num, Bm25K1Den, Bm25BNum, Bm25BDen}
     require(terms.nonEmpty)
-    val at = anchorTokens(documents).localCheckpoint() // feeds dl + tf
-    val dl = at.groupBy("host").agg(count(lit(1)).as("dl"))
+    val at = index.localCheckpoint() // feeds dl + tf
+    val dl = at.groupBy("host").agg(sum("tf").as("dl"))
     val scalars = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tok"))
     val tf = at.where(col("tok").isInCollection(terms))
-      .groupBy("host", "tok").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen        // 20
     val denTf = Bm25K1Den * Bm25BDen                     // 8
@@ -432,9 +451,16 @@ object LinkGraph {
     * heap, never a corpus sort); the 1..poolK rank window runs over
     * ≤ poolK rows (the `bm25Ranks` single-task detail).
     */
-  def anchorDocRanks(documents: DataFrame, poolK: Int): DataFrame = {
+  def anchorDocRanks(documents: DataFrame, poolK: Int): DataFrame =
+    anchorDocRanksFrom(documents, anchorBm25Hosts(documents), poolK)
+
+  /** [[anchorDocRanks]] over an explicit (host, score) anchor ranking —
+    * the seam the [[AnchorStore]] stored path plugs into.
+    */
+  private[operators] def anchorDocRanksFrom(
+      documents: DataFrame, hosts: DataFrame, poolK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hostRanks = anchorBm25Hosts(documents)
+    val hostRanks = hosts
       .select(col("host"), row_number().over(
         Window.orderBy(desc("score"), asc("host"))).as("host_rank"))
     val docs = documents.select(col("doc_id"),
@@ -621,5 +647,48 @@ object RankStore {
         org.apache.spark.sql.functions.col("pr")))
 
   /** Times the ranks for `dir` have been BUILT (not read) — spec hook. */
+  def builds(dir: String): Int = store.builds(dir)
+}
+
+/** Session-persisted anchor-text INDEX — the retrieval-side stored
+  * artifact of the link family on the shared
+  * [[graft.sources.ArtifactStore]] kernel: a web index materializes
+  * (host, term, tf) at crawl time, once, and every query reads the
+  * index instead of re-synthesizing pages and re-parsing anchors.
+  * tf/dl are exact longs, so the parquet round-trip is bit-exact and
+  * `q_anchor_bm25_stored` shares `q_anchor_bm25`'s oracle verbatim
+  * (the [[RankStore]] argument).
+  */
+object AnchorStore {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types._
+
+  private val store = new graft.sources.ArtifactStore[String]("anchortf")
+
+  private val schema = StructType(Seq(
+    StructField("host", StringType),
+    StructField("tok", StringType),
+    StructField("tf", LongType)))
+
+  /** The persisted (host, tok, tf) anchor-term index for `dir`, built on
+    * first call — full anchor vocabulary, so ANY term query serves from
+    * the same artifact.
+    */
+  def index(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(schema).parquet(store.getOrBuild(dir) { out =>
+      LinkGraph.anchorTermIndex(graft.Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(out)
+    })
+
+  /** The anchor-side host ranking under the STORED index — zero page
+    * synthesis, zero anchor parsing on the query path.
+    */
+  def anchorBm25Hosts(
+      spark: SparkSession, dir: String,
+      terms: Seq[String] = TextAnalysis.Bm25Query,
+      k: Int = LinkGraph.AnchorHostK): DataFrame =
+    LinkGraph.anchorBm25FromIndex(index(spark, dir), terms, k)
+
+  /** Times the index for `dir` has been BUILT (not read) — spec hook. */
   def builds(dir: String): Int = store.builds(dir)
 }

@@ -425,6 +425,23 @@ object Pipeline {
       LinkGraph.anchorDocRanks(documents, poolK),
       k, "anchor_rank")
 
+  /** [[anchorHybridTopK]] with the anchor side served from the PERSISTED
+    * [[AnchorStore]] index — the production shape (the index is a
+    * crawl-time artifact; retrieval reads it), zero page synthesis or
+    * anchor parsing on the query path. Exact longs round-trip parquet,
+    * so this shares `q_anchor_bm25`'s oracle verbatim.
+    */
+  def anchorHybridStoredTopK(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      poolK: Int = TextAnalysis.Bm25K, k: Int = RrfK): DataFrame = {
+    val documents = graft.Tables.documents(spark, dir)
+    rrfFuse(
+      bm25Ranks(documents, poolK),
+      LinkGraph.anchorDocRanksFrom(
+        documents, AnchorStore.anchorBm25Hosts(spark, dir), poolK),
+      k, "anchor_rank")
+  }
+
   /** RETENTION FUNNEL with first-reject attribution —
     * `q_pipeline_trust_funnel`: the [[retainedCorpus]] pipeline EXTENDED
     * with the r15/r16 link-graph spam gate and accounted the

@@ -391,4 +391,24 @@ class LinkGraphSpec extends SparkSpec {
     assert(card.values.map(_._6).toSet.size === 1)
     assert(card.values.head._5 > 0 && card.values.head._6 > 0)
   }
+
+  test("AnchorStore: stored index reproduces the fresh fused ranking bit-exactly; built once") {
+    val dir = sf("sf0.001")
+    val sfDocs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val fresh = rows(Pipeline.anchorHybridTopK(sfDocs))
+    val stored = rows(Pipeline.anchorHybridStoredTopK(spark, dir))
+    assert(stored === fresh)
+    // a second invocation must READ, not rebuild (one build per dir/JVM)
+    val again = rows(Pipeline.anchorHybridStoredTopK(spark, dir))
+    assert(again === fresh)
+    assert(AnchorStore.builds(dir) === 1)
+    // the stored index itself carries exact counts: dl recomputed from
+    // the artifact equals the fresh anchor-log token count
+    val storedTotal = AnchorStore.index(spark, dir)
+      .agg(sum("tf")).as[Long].collect().head
+    val freshTotal = LinkGraph.anchorTokens(sfDocs).count()
+    assert(storedTotal === freshTotal)
+  }
 }
