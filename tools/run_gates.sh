@@ -16,7 +16,10 @@ sbt -batch test
 
 echo "=== gate 2/3: correctness (Verify + DuckDB oracle, sf0.01) ==="
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gates_verify"
-python3 tools/check_correctness.py /root/testdata/sf0.01 /tmp/gates_verify
+# third arg writes the load-marker-stamped JSON artifact (r16): commit it
+# as CORRECTNESS_r<N>.json so the round closes with marker evidence
+python3 tools/check_correctness.py /root/testdata/sf0.01 /tmp/gates_verify \
+  /tmp/gates_correctness.json
 
 echo "=== gate 3/3: bench regression (sf0.1 vs BENCH_BASELINE.json) ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
