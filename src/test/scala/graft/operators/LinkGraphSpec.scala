@@ -410,5 +410,11 @@ class LinkGraphSpec extends SparkSpec {
       .agg(sum("tf")).as[Long].collect().head
     val freshTotal = LinkGraph.anchorTokens(sfDocs).count()
     assert(storedTotal === freshTotal)
+    // the stored ANCHOR SIDE never synthesizes pages or parses anchors:
+    // no regexp extraction in its executed plan (the RankStore marker)
+    val plan = AnchorStore.anchorBm25Hosts(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("regexp_extract"),
+      "stored anchor ranking must read the artifact, not re-parse pages")
   }
 }
