@@ -58,11 +58,19 @@ object Sessions {
     *   - `spark.sql.files.maxPartitionBytes` left at its 128 MB default on
     *     purpose: with ~100 MB row groups it gives one task per row group;
     *     shrink it only for CPU-bound scans.
+    *   - `spark.graft.checkpoint.reliable=true`: the iterative loops
+    *     (PageRank/TrustRank supersteps, k-core peeling, the funnel's
+    *     staged corpus) cut lineage through [[Materialize.iteration]];
+    *     under this flag that is a durable `checkpoint()` instead of the
+    *     local default, so a preempted executor re-reads loop state from
+    *     storage instead of failing the truncated-lineage chain (set
+    *     `spark.graft.checkpoint.dir` to an HDFS/object-store path).
     */
   val clusterProfile: Map[String, String] = Map(
     "spark.speculation" -> "true",
     "spark.speculation.multiplier" -> "3",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    Materialize.ReliableKey -> "true")
 }

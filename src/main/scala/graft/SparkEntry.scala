@@ -480,11 +480,33 @@ object SparkEntry {
     // round-trip parquet so it shares the fresh oracle (r16)
     "q_anchor_bm25_stored" -> ((s, dir) =>
       Pipeline.anchorHybridStoredTopK(s, dir)),
+    // per-anchor ±N-token visible-prose context windows (r17): the
+    // anchor text says what the TARGET is; the window says what the
+    // source was talking about — the row-level extraction card
+    "q_anchor_context" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      LinkGraph.anchorContexts(Tables.documents(s, dir))
+        .select(col("doc_id"), col("src_host"), col("dst_host"),
+          col("absolute"), col("anchor_text"),
+          array_join(col("ctx_before"), " ").as("ctx_before"),
+          array_join(col("ctx_after"), " ").as("ctx_after"))
+    }),
+    // anchor-context retrieval through the STORED context index (r17):
+    // anchor + window tokens per target host, BM25 scoring shared with
+    // the inner-text path — zero parsing on the query path
+    "q_anchor_ctx_bm25_stored" -> ((s, dir) =>
+      AnchorStore.anchorCtxBm25Hosts(s, dir)),
     // retention funnel with the TrustRank spam gate composed in: every
     // doc's FIRST-reject verdict across quality -> spam-host -> exact ->
     // near-dup, per (source, verdict) — counts sum to the corpus (r16)
     "q_pipeline_trust_funnel" -> ((s, dir) =>
       Pipeline.retentionFunnel(Tables.documents(s, dir),
+        sigTable = Some(SignatureStore.table(s, dir)))),
+    // continuous-ingestion twin: the arriving fifth scored first-reject
+    // against artifacts FROZEN on the existing corpus (spam set, keeper
+    // fps, keeper LSH band index) — no per-batch PageRank/rerank (r17)
+    "q_trust_funnel_incremental" -> ((s, dir) =>
+      Pipeline.incrementalTrustFunnel(Tables.documents(s, dir),
         sigTable = Some(SignatureStore.table(s, dir)))),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
@@ -1846,17 +1868,13 @@ object SparkEntry {
        |FROM r$EpochRounds, sp""".stripMargin
   }
 
-  /** The k-round BPE training CTE chain (see `q_bpe_trained`): `w` =
-    * weighted vocabulary, `s0` = per-word code-point pieces, then per
-    * round `m<i>` (the top weighted pair of segmentation `s<i-1>`, ties
-    * (count DESC, a ASC, b ASC)) and `s<i>` (the `list_reduce`
-    * leftmost-first fold of that merge — bit-equal to the
-    * [[graft.functions.BpeSegments]] kernel rule). The LEFT JOIN ON true
-    * keeps `s<i>` total when a round finds no pairs (fully merged
-    * vocabulary), matching the engine's early stop.
+  /** The k-round BPE training replay (see [[bpeChainCtes]] for the
+    * one-row-state recursion): merge table `m` (rank, a, b, n), final
+    * segmentation `s<k>` — ties (count DESC, a ASC, b ASC), folds
+    * bit-equal to the [[graft.functions.BpeSegments]] kernel rule.
     */
   private def bpeRoundCtes(k: Int): String =
-    "WITH " + bpeChainCtes(k, w = "w", s = "s", m = "m", docWhere = "")
+    "WITH RECURSIVE " + bpeChainCtes(k, w = "w", s = "s", m = "m", docWhere = "")
 
   /** DuckDB membership test of the engine's deterministic BPE doc
     * sample (`TextAnalysis.bpeSampledDocs`).
@@ -2177,6 +2195,87 @@ object SparkEntry {
        |ORDER BY rrf_micro DESC, doc_id ASC LIMIT $RrfK""".stripMargin
   }
 
+  /** DuckDB replay of `LinkGraph.anchorContexts` (r17): pages rebuilt by
+    * [[htmlCtesOver]], anchor elements re-extracted, the page split at
+    * each element's first occurrence (strpos — elements are unique per
+    * page under the grammar), both halves script/style- then tag-
+    * stripped, entity-unescaped, lowToks'd, and the last / first
+    * [[graft.operators.LinkGraph.AnchorContextTokens]] non-empty tokens
+    * kept. Ends with frame `acw(doc_id, src_host, dst_host, absolute,
+    * atext, atoks, ctx_b, ctx_a)`.
+    */
+  private def anchorContextCtes: String = {
+    import graft.operators.LinkGraph.{
+      AnchorElemPattern, AnyHrefPattern, AnchorTextPattern, AnchorContextTokens}
+    import graft.operators.Html.ScriptStylePattern
+    val hostRe = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)'"
+    def unesc(x: String) = "replace(replace(replace(replace(replace(" + x +
+      ", '&#39;', CHR(39)), '&quot;', '\"'), '&gt;', '>'), '&lt;', '<')," +
+      " '&amp;', '&')"
+    def vis(x: String) =
+      "list_filter(regexp_split_to_array(trim(lower(nfc_normalize(" +
+        unesc(s"regexp_replace(regexp_replace($x, '$ScriptStylePattern', ' ', 'g')," +
+          " '<[^>]*>', ' ', 'g')") +
+        "))), '\\s+'), t -> t <> '')"
+    s"""${htmlCtesOver()},
+       |acx AS (SELECT doc_id, source, html, ${hostOfSql("doc_id")} AS src_host,
+       |    unnest(regexp_extract_all(html, '$AnchorElemPattern', 0)) AS el
+       |  FROM h),
+       |acp AS (SELECT doc_id, src_host,
+       |    regexp_extract(el, '$AnyHrefPattern', 1) AS u,
+       |    ${unesc(s"regexp_extract(el, '$AnchorTextPattern', 1)")} AS atext,
+       |    ${vis("substr(html, 1, strpos(html, el) - 1)")} AS tb,
+       |    ${vis("substr(html, strpos(html, el) + length(el))")} AS ta
+       |  FROM acx),
+       |acw AS (SELECT doc_id, src_host,
+       |    CASE WHEN u LIKE 'https://%' THEN regexp_extract(u, $hostRe, 1)
+       |      ELSE src_host END AS dst_host,
+       |    (u LIKE 'https://%') AS absolute,
+       |    atext,
+       |    list_filter(regexp_split_to_array(trim(lower(nfc_normalize(atext))),
+       |      '\\s+'), t -> t <> '') AS atoks,
+       |    tb[greatest(len(tb) - $AnchorContextTokens + 1, 1):len(tb)] AS ctx_b,
+       |    ta[1:$AnchorContextTokens] AS ctx_a
+       |  FROM acp)""".stripMargin
+  }
+
+  /** The context-extended anchor BM25 oracle (r17): [[anchorContextCtes]]
+    * feeding the SAME integer-ratio BM25 tail as [[anchorBm25Oracle]]'s
+    * anchor side, each cross-host anchor contributing anchor + window
+    * tokens to the TARGET host's bag. Serves the STORED-index query too —
+    * tf/dl are exact longs, so the parquet round-trip is bit-exact (the
+    * RankStore argument).
+    */
+  private def anchorCtxBm25Oracle: String = {
+    import graft.operators.TextAnalysis._
+    import graft.operators.LinkGraph.AnchorHostK
+    val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen
+    val denTf = Bm25K1Den * Bm25BDen
+    val denS = Bm25K1Num * (Bm25BDen - Bm25BNum)
+    val denDl = Bm25K1Num * Bm25BNum
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val pivot = Bm25Query
+      .map(t => s"COALESCE(max(CASE WHEN tok = '$t' THEN ts END), 0)")
+      .mkString(" + ")
+    s"""WITH $anchorContextCtes,
+       |ct AS (SELECT dst_host AS host, unnest(atoks || ctx_b || ctx_a) AS tok
+       |  FROM acw WHERE dst_host <> src_host),
+       |cdl AS (SELECT host, CAST(count(*) AS BIGINT) AS dl FROM ct GROUP BY host),
+       |csc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS s_tok FROM cdl),
+       |ctf AS (SELECT host, tok, CAST(count(*) AS BIGINT) AS tf FROM ct
+       |  WHERE tok IN ($inList) GROUP BY host, tok),
+       |cdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ctf GROUP BY tok),
+       |cper AS (SELECT t.host, t.tok,
+       |    (CAST(t.tf * $numF * sc.s_tok AS DOUBLE)
+       |      / CAST(t.tf * $denTf * sc.s_tok + $denS * sc.s_tok
+       |             + $denDl * d.dl * sc.n_docs AS DOUBLE))
+       |    * (CAST(sc.n_docs AS DOUBLE) / CAST(q.df + 1 AS DOUBLE)) AS ts
+       |  FROM ctf t JOIN cdl d USING (host) JOIN cdf q USING (tok) CROSS JOIN csc sc)
+       |SELECT host, $pivot AS score FROM cper GROUP BY host
+       |ORDER BY score DESC, host ASC LIMIT $AnchorHostK""".stripMargin
+  }
+
   /** DuckDB replay of `Pipeline.retentionFunnel` (r16): the link chain
     * feeds integer PageRank AND `t`-suffixed personalized PageRank from
     * the min-document-source seed hosts; the spam set is the
@@ -2242,6 +2341,82 @@ object SparkEntry {
        |      ELSE 'kept' END AS verdict,
        |    n_toks
        |  FROM stg LEFT JOIN labels l ON l.doc_id = stg.doc_id)
+       |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM v GROUP BY source, verdict""".stripMargin
+  }
+
+  /** DuckDB replay of `Pipeline.incrementalTrustFunnel` (r17): every
+    * frozen artifact recomposed from the EXISTING sub-corpus (doc_id
+    * below the ⌊4·(max+1)/5⌋ ingest boundary) — the link chain, integer
+    * PageRank, `t`-suffixed TrustRank and the spam rule over existing
+    * docs only; keepers among existing reachers — then the ARRIVING
+    * shard scored first-reject against them: quality (per-doc), frozen
+    * spam set, fp ∈ existing keepers, brute-force shingle Jaccard vs the
+    * existing keeper set (probe-only — no shard-internal pairs, the
+    * incremental dedup contract). Rolled up per (source, verdict) over
+    * arrivals only.
+    */
+  private def trustFunnelIncrementalOracle: String = {
+    import graft.operators.GraphAnalytics.{PrIters, PrQ}
+    import graft.operators.LinkGraph.{SpamRankMult, SpamTrustMult}
+    val existingDocs = "(SELECT d.doc_id, d.source, d.text FROM documents d," +
+      " esplit WHERE d.doc_id < esplit.b)"
+    s"""WITH esplit AS (SELECT (max(doc_id) + 1) * 4 // 5 AS b FROM documents),
+       |${linkCtesOver("", existingDocs)},
+       |e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM le),
+       |${pageRankCtes("e")},
+       |ms AS (SELECT min(source) AS s FROM documents, esplit
+       |  WHERE doc_id < esplit.b),
+       |sd AS (SELECT DISTINCT ${hostOfSql("doc_id")} AS id
+       |  FROM documents CROSS JOIN ms CROSS JOIN esplit
+       |  WHERE source = ms.s AND doc_id < esplit.b),
+       |${personalizedPageRankCtes("e", "sd", "t")},
+       |nnr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr$PrIters),
+       |spam AS (SELECT p.id AS host FROM pr$PrIters p CROSS JOIN nnr
+       |  LEFT JOIN pr${PrIters}t t2 ON t2.id = p.id
+       |  WHERE p.pr * nnr.n > $SpamRankMult * $PrQ
+       |    AND coalesce(t2.pr, 0) * $SpamTrustMult < p.pr),
+       |tk AS ($tokCte),
+       |bse AS (SELECT d.doc_id, d.source,
+       |    CAST(len(tk.toks) AS BIGINT) AS n_toks,
+       |    (len(tk.toks) >= 10 AND len(list_filter(tk.toks,
+       |      w -> list_contains($stopList, w))) > 0) AS q_ok,
+       |    (sp.host IS NOT NULL) AS spam,
+       |    md5(regexp_replace(lower(trim(nfc_normalize(d.text))), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents d JOIN tk ON d.doc_id = tk.doc_id
+       |  LEFT JOIN spam sp ON sp.host = ${hostOfSql("d.doc_id")}),
+       |kk AS (SELECT fp, min(bse.doc_id) AS keeper FROM bse, esplit
+       |  WHERE bse.doc_id < esplit.b AND q_ok AND NOT spam GROUP BY fp),
+       |r4e AS (SELECT bse.doc_id FROM bse JOIN kk USING (fp), esplit
+       |  WHERE bse.doc_id < esplit.b AND q_ok AND NOT spam
+       |    AND bse.doc_id = kk.keeper),
+       |arr AS (SELECT bse.*, (kk.fp IS NOT NULL) AS exact_dup
+       |  FROM bse LEFT JOIN kk USING (fp), esplit
+       |  WHERE bse.doc_id >= esplit.b),
+       |st AS (SELECT d.doc_id,
+       |    regexp_split_to_array(trim(nfc_normalize(d.text)), '\\s+')[1:${graft.functions.TextFunctions.MaxShingleTokens}] AS toks
+       |  FROM documents d),
+       |shf AS (SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+       |      range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')))
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM st),
+       |sa AS (SELECT shf.doc_id, sh FROM shf JOIN arr USING (doc_id)
+       |  WHERE arr.q_ok AND NOT arr.spam AND NOT arr.exact_dup),
+       |se AS (SELECT shf.doc_id, sh FROM shf JOIN r4e USING (doc_id)),
+       |nd AS (SELECT DISTINCT sa.doc_id FROM sa JOIN se ON true
+       |  WHERE len(sa.sh) > 0 AND len(se.sh) > 0
+       |    AND CAST(len(list_intersect(sa.sh, se.sh)) AS DOUBLE)
+       |          / len(list_distinct(sa.sh || se.sh)) >= 0.5),
+       |v AS (SELECT arr.source,
+       |    CASE WHEN NOT q_ok THEN 'low_quality'
+       |      WHEN spam THEN 'spam_host'
+       |      WHEN exact_dup THEN 'exact_dup'
+       |      WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       |      ELSE 'kept' END AS verdict,
+       |    n_toks
+       |  FROM arr LEFT JOIN nd ON nd.doc_id = arr.doc_id)
        |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
        |FROM v GROUP BY source, verdict""".stripMargin
@@ -2332,50 +2507,88 @@ object SparkEntry {
   /** One named BPE training chain — parameterized so the sample-
     * agreement oracle can run TWO trainings (full corpus vs the
     * deterministic doc sample) side by side without CTE-name collisions.
+    *
+    * ONE-ROW-STATE RECURSION (the caller's WITH must say RECURSIVE). The
+    * r15/r16 driver artifacts lost the agreement card to host-pressure
+    * OOMs: the per-round materialized chain held 3 chains × 20 vocab-size
+    * CTEs ≈ 300 plan operators, each allocating 32 KB+ buffer blocks per
+    * thread — the single heaviest-allocating oracle of the 266. The
+    * recursion keeps ONE copy of the round body and one row of state
+    * (round, seg LIST, rules LIST), cutting peak RSS ~2× and making plan
+    * size independent of k. One-row list state is fine here: the oracle
+    * replays at sf0.01 (and the engine now trains bounded-local too —
+    * [[graft.operators.TextAnalysis]] trainBpeRules).
+    *
+    * Defines: `<s>r` (seed: char-segmentation list), `<m>tr` (the
+    * recursion), `<m>f` (final state), `<m>` (merge table rank,a,b,n),
+    * `<s><k>` (final segmentation rows: word, freq, pieces).
+    *
+    * Per round: adjacent (a, b, freq) triples flatten from the seg list;
+    * list_sort + a run-length list_reduce groups them into weighted
+    * counts; an argmax reduce picks (n DESC, a ASC, b ASC); the seg fold
+    * is the kernel's leftmost-first merge. Early stop: no pairs left →
+    * best NULL → recursion ends with fewer than k rules.
     */
   private def bpeChainCtes(
-      k: Int, w: String, s: String, m: String, docWhere: String): String = {
-    val head =
-      s"""$w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-         |  SELECT unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS word
-         |  FROM documents$docWhere) t
-         |  WHERE length(word) >= 1 GROUP BY word),
-         |${s}0 AS MATERIALIZED (SELECT word, freq,
-         |  list_transform(range(1, length(word) + 1),
-         |    i -> substr(word, CAST(i AS INTEGER), 1)) AS pieces
-         |  FROM $w)""".stripMargin
-    val rounds = (1 to k).map(i => bpeRoundPair(s, m, i, s"$s${i - 1}"))
-    (head +: rounds).mkString(",\n")
-  }
+      k: Int, w: String, s: String, m: String, docWhere: String): String =
+    s"""${s}r AS (SELECT list({'word': word, 'freq': freq,
+       |    'pieces': list_transform(range(1, length(word) + 1),
+       |      i -> substr(word, CAST(i AS INTEGER), 1))} ORDER BY word) AS seg
+       |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS word
+       |    FROM documents$docWhere) t
+       |    WHERE length(word) >= 1 GROUP BY word) $w),
+       |${m}tr AS (
+       |  SELECT 0 AS round, ${s}r.seg AS seg,
+       |    CAST([] AS STRUCT(rank BIGINT, a VARCHAR, b VARCHAR, n BIGINT)[]) AS rules
+       |  FROM ${s}r
+       |  UNION ALL
+       |  SELECT round + 1,
+       |    list_transform(seg, s -> {'word': s.word, 'freq': s.freq,
+       |      'pieces': list_reduce(list_transform(s.pieces, p -> [p]),
+       |        (acc, x) -> CASE WHEN acc[-1] = best.a AND x[1] = best.b
+       |          THEN acc[1:len(acc)-1] || [best.a || best.b] ELSE acc || x END)}),
+       |    rules || [{'rank': round + 1, 'a': best.a, 'b': best.b, 'n': best.n}]
+       |  FROM (
+       |    SELECT round, seg, rules,
+       |      CASE WHEN len(pairs) = 0 THEN NULL ELSE
+       |        list_reduce(
+       |          list_reduce(list_transform(list_sort(pairs),
+       |              p -> [{'a': p.a, 'b': p.b, 'n': p.f}]),
+       |            (acc, x) -> CASE WHEN acc[-1].a = x[1].a AND acc[-1].b = x[1].b
+       |              THEN acc[1:len(acc)-1]
+       |                || [{'a': x[1].a, 'b': x[1].b, 'n': acc[-1].n + x[1].n}]
+       |              ELSE acc || x END),
+       |          (x, y) -> CASE WHEN y.n > x.n OR (y.n = x.n
+       |              AND (y.a < x.a OR (y.a = x.a AND y.b < x.b)))
+       |            THEN y ELSE x END)
+       |      END AS best
+       |    FROM (
+       |      SELECT round, seg, rules,
+       |        flatten(list_transform(seg, s -> list_transform(range(1, len(s.pieces)),
+       |          j -> {'a': s.pieces[j], 'b': s.pieces[j+1], 'f': s.freq}))) AS pairs
+       |      FROM ${m}tr WHERE round < $k) p0
+       |  ) q WHERE best IS NOT NULL),
+       |${m}f AS (SELECT seg, rules FROM ${m}tr ORDER BY round DESC LIMIT 1),
+       |$m AS (SELECT r.rank, r.a, r.b, r.n FROM ${m}f, unnest(${m}f.rules) AS t(r)),
+       |$s$k AS (SELECT s.word, s.freq, s.pieces FROM ${m}f, unnest(${m}f.seg) AS t(s))""".stripMargin
 
-  /** One (merge-pick, fold) round pair: `m<i>` = the top weighted pair of
-    * segmentation `from`; `s<i>` = the leftmost-first fold of that merge.
+  /** APPLY-ONLY twin: ONE nested-fold CTE `$u` applying chain `$m`'s
+    * trained rules in rank order over chain seed `$seedRow`'s char
+    * segmentation — how the agreement oracle applies the sample-trained
+    * rules to the FULL vocabulary. The outer reduce walks the rules (the
+    * accumulator is the pieces list, seeded by list_prepend); the inner
+    * reduce is the kernel's leftmost-first single-rule merge pass.
     */
-  private def bpeRoundPair(s: String, m: String, i: Int, from: String): String =
-    s"""$m$i AS MATERIALIZED (SELECT a, b, n FROM (
-       |  SELECT pieces[j] AS a, pieces[j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
-       |  FROM (SELECT freq, pieces, unnest(range(1, len(pieces))) AS j FROM $from) t
-       |  GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1)),
-       |$s$i AS MATERIALIZED (${bpeFoldSql(m, i, from)})""".stripMargin
-
-  /** APPLY-ONLY chain: fold an EXISTING rule chain's merges `m1..mk`
-    * over a different base segmentation (`from0`) — how the agreement
-    * oracle applies the sample-trained rules to the FULL vocabulary.
-    */
-  private def bpeApplyCtes(k: Int, u: String, m: String, from0: String): String =
-    (1 to k).map { i =>
-      val from = if (i == 1) from0 else s"$u${i - 1}"
-      s"""$u$i AS MATERIALIZED (${bpeFoldSql(m, i, from)})""".stripMargin
-    }.mkString(",\n")
-
-  private def bpeFoldSql(m: String, i: Int, from: String): String =
-    s"""SELECT word, freq,
-       |  CASE WHEN $m$i.a IS NULL THEN pieces ELSE
-       |    list_reduce(list_transform(pieces, p -> [p]),
-       |      (acc, x) -> CASE WHEN acc[-1] = $m$i.a AND x[1] = $m$i.b
-       |        THEN acc[1:len(acc)-1] || [$m$i.a || $m$i.b] ELSE acc || x END)
-       |  END AS pieces
-       |  FROM $from LEFT JOIN $m$i ON true""".stripMargin
+  private def bpeApplyCtes(u: String, m: String, seedRow: String): String =
+    s"""$u AS (SELECT s.word, s.freq,
+       |  list_reduce(list_prepend(s.pieces,
+       |      list_transform(${m}f.rules, r0 -> [r0.a, r0.b])),
+       |    (acc, r) -> list_reduce(list_transform(acc, p -> [p]),
+       |      (a2, x2) -> CASE WHEN a2[-1] = r[1] AND x2[1] = r[2]
+       |        THEN a2[1:len(a2)-1] || [r[1] || r[2]] ELSE a2 || x2 END))
+       |    AS pieces
+       |  FROM $seedRow, ${m}f, unnest($seedRow.seg) AS t(s))""".stripMargin
 
   /** Embedding dimensionality of the driver's testdata (all SFs). The
     * engine reads the dim dynamically; the static oracle SQL is generated
@@ -4796,9 +5009,16 @@ object SparkEntry {
     // stored-index twin: exact (host, tok, tf) longs round-trip parquet,
     // so the fused card is hash-identical and shares the fresh oracle
     "q_anchor_bm25_stored" -> anchorBm25Oracle,
+    "q_anchor_context" -> (s"WITH $anchorContextCtes\n" +
+      """SELECT doc_id, src_host, dst_host, absolute, atext AS anchor_text,
+        |  array_to_string(ctx_b, ' ') AS ctx_before,
+        |  array_to_string(ctx_a, ' ') AS ctx_after
+        |FROM acw""".stripMargin),
+    "q_anchor_ctx_bm25_stored" -> anchorCtxBm25Oracle,
     // Retention funnel with the TrustRank spam gate: PR + personalized
     // PR over the link chain, then first-reject CASE per document.
     "q_pipeline_trust_funnel" -> trustFunnelOracle,
+    "q_trust_funnel_incremental" -> trustFunnelIncrementalOracle,
     // Web communities: recursive-CTE transitive closure over the parsed
     // host graph (the q_dedup_clusters oracle shape on string keys).
     "q_link_components" ->
@@ -5017,46 +5237,44 @@ object SparkEntry {
          |FROM tri JOIN tok ON tri.doc_id = tok.doc_id""".stripMargin,
     // The full k-round BPE training loop replayed: per round a weighted
     // pair count over the current segmentation (top-1 by count DESC, pair
-    // ASC) and a list_reduce fold identical to the kernel's leftmost-first
-    // merge. CTEs are MATERIALIZED: each round's state feeds two
-    // consumers, and inlining would blow up exponentially.
+    // ASC), the segmentation re-derived from s0 by a streaming nested
+    // list_reduce identical to the kernel's leftmost-first merge — only
+    // the 1-row merge CTEs are MATERIALIZED (see bpeChainCtes).
     "q_bpe_trained" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + "\n" +
-      (1 to TextAnalysis.DefaultBpeK)
-        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM m$i")
-        .mkString("\nUNION ALL\n")),
+      "SELECT rank, a, b, n FROM m"),
     // The SAME k-round training replay, but over the deterministic 1/16
     // doc sample (h60 membership mirrors the engine's md5Long draw)
-    "q_bpe_sampled" -> ("WITH " +
+    "q_bpe_sampled" -> ("WITH RECURSIVE " +
       bpeChainCtes(TextAnalysis.DefaultBpeK, w = "wq", s = "t", m = "mm",
         docWhere = bpeSampleWhere) + "\n" +
-      (1 to TextAnalysis.DefaultBpeK)
-        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM mm$i")
-        .mkString("\nUNION ALL\n")),
+      "SELECT rank, a, b, n FROM mm"),
     // Agreement card: BOTH trainings side by side (exact chain w/s/m,
     // sampled chain wq/t/mm), the sampled rules APPLIED to the full
-    // vocabulary (u chain folding mm over s0), and the freq-weighted
-    // segmentation-agreement scalar — all replayed, nothing asserted.
+    // vocabulary (u folding mm's rules over the exact seed sr), and the
+    // freq-weighted segmentation-agreement scalar — all replayed,
+    // nothing asserted. The rank scaffold keeps the output at exactly k
+    // rows with NULL rule columns past an early stop (engine parity).
     "q_bpe_sample_agreement" -> {
       val k = TextAnalysis.DefaultBpeK
-      "WITH " + bpeChainCtes(k, w = "w", s = "s", m = "m", docWhere = "") + ",\n" +
+      "WITH RECURSIVE " +
+        bpeChainCtes(k, w = "w", s = "s", m = "m", docWhere = "") + ",\n" +
         bpeChainCtes(k, w = "wq", s = "t", m = "mm", docWhere = bpeSampleWhere) + ",\n" +
-        bpeApplyCtes(k, u = "u", m = "mm", from0 = "s0") + ",\n" +
+        bpeApplyCtes(u = "u", m = "mm", seedRow = "sr") + ",\n" +
         s"""agree AS MATERIALIZED (SELECT
            |    (CAST(sum(CASE WHEN array_to_string(e.pieces, ' ')
            |                      = array_to_string(u.pieces, ' ')
            |         THEN e.freq ELSE 0 END) AS BIGINT) * 1000)
            |      // CAST(sum(e.freq) AS BIGINT) AS seg_agree_milli
-           |  FROM s$k e JOIN u$k u USING (word))
-           |""".stripMargin +
-        (1 to k).map { i =>
-          s"""SELECT CAST($i AS BIGINT) AS rank,
-             |  m$i.a AS exact_a, m$i.b AS exact_b,
-             |  mm$i.a AS sample_a, mm$i.b AS sample_b,
-             |  coalesce(m$i.a = mm$i.a AND m$i.b = mm$i.b, FALSE) AS rule_match,
-             |  agree.seg_agree_milli
-             |FROM (SELECT 1 AS one) o
-             |LEFT JOIN m$i ON true LEFT JOIN mm$i ON true CROSS JOIN agree""".stripMargin
-        }.mkString("\nUNION ALL\n")
+           |  FROM s$k e JOIN u USING (word))
+           |SELECT rk.rank,
+           |  me.a AS exact_a, me.b AS exact_b,
+           |  ms.a AS sample_a, ms.b AS sample_b,
+           |  coalesce(me.a = ms.a AND me.b = ms.b, FALSE) AS rule_match,
+           |  agree.seg_agree_milli
+           |FROM (SELECT unnest(range(1, $k + 1)) AS rank) rk
+           |LEFT JOIN m me ON me.rank = rk.rank
+           |LEFT JOIN mm ms ON ms.rank = rk.rank
+           |CROSS JOIN agree""".stripMargin
     },
     "q_bpe_encode" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + "\n" +
       s"""SELECT word, freq, array_to_string(pieces, ' ') AS pieces,

@@ -64,11 +64,11 @@ object GraphAnalytics {
     val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
     val norm = edges.join(wsum, "src")
       .select(col("src"), col("dst"), expr(s"(w * ${WQ}L) div wsum").as("wq"))
-      .localCheckpoint()
+      .transform(graft.Materialize.iteration)
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Materialize.iteration)
     val n = nodes.count()
     // Empty graph (e.g. an empty lake partition) is a legitimate input:
     // return the empty (id, pr) frame with the right schema instead of
@@ -87,7 +87,7 @@ object GraphAnalytics {
           col("id"),
           (lit(base) +
             expr(s"($DampNum * coalesce(c, 0L)) div ${DampDen}L")).as("pr"))
-        .localCheckpoint()
+        .transform(graft.Materialize.iteration)
     }
     pr
   }
@@ -109,7 +109,7 @@ object GraphAnalytics {
     val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
     val norm = edges.join(wsum, "src")
       .select(col("src"), col("dst"), expr(s"(w * ${WQ}L) div wsum").as("wq"))
-      .localCheckpoint()
+      .transform(graft.Materialize.iteration)
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
@@ -118,7 +118,7 @@ object GraphAnalytics {
       .join(seeds.select(col("id")).distinct().withColumn("s1", lit(true)),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("s1"), lit(false)).as("seed"))
-      .localCheckpoint()
+      .transform(graft.Materialize.iteration)
     val s = flagged.where(col("seed")).count()
     if (s == 0) return flagged.select(col("id"), lit(0L).as("pr"),
       col("seed").as("is_seed"))
@@ -135,7 +135,7 @@ object GraphAnalytics {
           col("id"), col("seed"),
           (when(col("seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($DampNum * coalesce(c, 0L)) div ${DampDen}L")).as("pr"))
-        .localCheckpoint()
+        .transform(graft.Materialize.iteration)
     }
     pr.select(col("id"), col("pr"), col("seed").as("is_seed"))
   }
@@ -187,13 +187,13 @@ object GraphAnalytics {
     */
   def kCoreWords(
       documents: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
-    var edges = cooccurrenceEdges(documents).localCheckpoint()
+    var edges = cooccurrenceEdges(documents).transform(graft.Materialize.iteration)
     for (_ <- 1 to rounds) {
       val keep = degreesOf(edges).where(col("d") >= k).select("w")
       edges = edges
         .join(keep.select(col("w").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("w").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .transform(graft.Materialize.iteration)
     }
     degreesOf(edges).select(col("w").as("word"), col("d").as("degree"))
   }
@@ -215,7 +215,7 @@ object GraphAnalytics {
     */
   def wordTriangles(documents: DataFrame, k: Int = TriangleK): DataFrame = {
     // reused three ways: degrees, orientation, wedge closing
-    val edges = cooccurrenceEdges(documents).localCheckpoint()
+    val edges = cooccurrenceEdges(documents).transform(graft.Materialize.iteration)
     val deg = degreesOf(edges)
     val oriented = edges
       .join(deg.select(col("w").as("a"), col("d").as("da")), "a")

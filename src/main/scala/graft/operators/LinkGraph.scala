@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Host-level link graph — the crawl-graph stage between [[Html]]
@@ -53,11 +53,6 @@ object LinkGraph {
   /** Relative `/p{id}` alternative (ids may be negative — fixtures). */
   private val RelHrefAlt = "/p-?[0-9]+"
 
-  /** Absolute anchors: capture the full URL. */
-  val AbsHrefPattern: String = s"""href="($AbsHrefAlt)""""
-
-  /** Relative page anchors `/p{id}`. */
-  val RelHrefPattern: String = s"""href="($RelHrefAlt)""""
 
   /** Both anchor shapes in ONE alternation — the single extraction pass
     * [[linksRaw]] runs, so the corpus is scanned (and the page
@@ -164,7 +159,7 @@ object LinkGraph {
     * prioritizes them.
     */
   def hostRank(documents: DataFrame): DataFrame = {
-    val e = hostEdges(documents).localCheckpoint()
+    val e = hostEdges(documents).transform(graft.Materialize.iteration)
     val pr = GraphAnalytics.pageRank(
       e.select(col("src_host").as("src"), col("dst_host").as("dst"),
         col("n_links").as("w")))
@@ -231,17 +226,17 @@ object LinkGraph {
   def harmonicCentrality(documents: DataFrame): DataFrame = {
     val e = hostEdges(documents)
       .select(col("src_host").as("src"), col("dst_host").as("dst"))
-      .localCheckpoint()
+      .transform(graft.Materialize.iteration)
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Materialize.iteration)
     val pivots = nodes
       .orderBy(graft.functions.HashFunctions.md5Long(col("host"), HcSeed).asc,
         col("host").asc)
       .limit(HcPivots)
       .select(col("host").as("pivot"))
-      .localCheckpoint()
+      .transform(graft.Materialize.iteration)
     var dist = pivots.select(col("pivot"), col("pivot").as("host"),
       lit(0).as("d"))
     for (_ <- 1 to HcRounds) {
@@ -249,7 +244,7 @@ object LinkGraph {
         .select(col("pivot"), e("dst").as("host"), (col("d") + 1).as("d"))
       dist = dist.unionAll(ext)
         .groupBy("pivot", "host").agg(min("d").as("d"))
-        .localCheckpoint()
+        .transform(graft.Materialize.iteration)
     }
     val hc = dist.where(col("d") >= 1)
       .groupBy("host")
@@ -276,7 +271,7 @@ object LinkGraph {
     * 0 — the sharp property the spec pins.
     */
   def trustRank(documents: DataFrame): DataFrame = {
-    val e = hostEdges(documents).localCheckpoint()
+    val e = hostEdges(documents).transform(graft.Materialize.iteration)
     val docsH = Html.withFixtures(graft.Parallelism.ensure(documents))
       .select(col("source"),
         Domains.hostOf(col("doc_id"), col("source")).as("host"))
@@ -303,7 +298,7 @@ object LinkGraph {
     * GRAPH, not the corpus — [[harmonicCentrality]] covers every host).
     */
   def hostComponents(documents: DataFrame): DataFrame = {
-    val e = hostEdges(documents).localCheckpoint()
+    val e = hostEdges(documents).transform(graft.Materialize.iteration)
     val pairs = e.select(
         least(col("src_host"), col("dst_host")).as("doc_a"),
         greatest(col("src_host"), col("dst_host")).as("doc_b"))
@@ -389,6 +384,73 @@ object LinkGraph {
   def anchorTermIndex(documents: DataFrame): DataFrame =
     anchorTokens(documents).groupBy("host", "tok").agg(count(lit(1)).as("tf"))
 
+  /** Visible-prose tokens kept on EACH side of an anchor element — the
+    * ±N context window a crawl-scale retrieval index stores next to the
+    * anchor text itself (anchor text says what the TARGET is; the words
+    * around it say what the source was TALKING ABOUT when it linked).
+    */
+  val AnchorContextTokens = 3
+
+  /** One row per anchor WITH its ±[[AnchorContextTokens]] context
+    * windows: (doc_id, src_host, dst_host, absolute, anchor_text,
+    * ctx_before, ctx_after). The window is defined on the page's visible
+    * prose: split the page at the anchor element's first occurrence
+    * (elements are unique within a page under the grammar — a real
+    * pipeline's positioned tokenizer removes that precondition), strip
+    * script/style bodies then tags from each half, entity-unescape,
+    * tokenize like [[TextAnalysis]]'s lowToks, and keep the last /
+    * first N non-empty tokens. Everything is codegen'd builtins on a
+    * per-page axis — no corpus state, no shuffle, and the DuckDB oracle
+    * replays the identical strpos/strip/slice chain.
+    */
+  def anchorContexts(documents: DataFrame): DataFrame =
+    anchorContextsRaw(Html.withFixtures(graft.Parallelism.ensure(documents)))
+
+  private[operators] def anchorContextsRaw(frame: DataFrame): DataFrame = {
+    def visible(x: Column): Column =
+      filter(
+        TextAnalysis.lowToks(Html.unescapeHtml(regexp_replace(
+          regexp_replace(x, Html.ScriptStylePattern, " "),
+          "<[^>]*>", " "))),
+        t => t =!= "")
+    val isAbs = col("u").startsWith("https://")
+    pagesRaw(frame)
+      .select(col("doc_id"), col("host").as("src_host"), col("html"),
+        explode(regexp_extract_all(col("html"), lit(AnchorElemPattern), lit(0)))
+          .as("el"))
+      .select(col("doc_id"), col("src_host"),
+        regexp_extract(col("el"), AnyHrefPattern, 1).as("u"),
+        Html.unescapeHtml(regexp_extract(col("el"), AnchorTextPattern, 1))
+          .as("anchor_text"),
+        visible(expr("substring(html, 1, instr(html, el) - 1)")).as("tb"),
+        visible(expr("substring(html, instr(html, el) + length(el))")).as("ta"))
+      .select(col("doc_id"), col("src_host"),
+        when(isAbs, Domains.urlHost(col("u")))
+          .otherwise(col("src_host")).as("dst_host"),
+        isAbs.as("absolute"),
+        col("anchor_text"),
+        expr(s"slice(tb, greatest(size(tb) - $AnchorContextTokens + 1, 1), " +
+          s"$AnchorContextTokens)").as("ctx_before"),
+        expr(s"slice(ta, 1, $AnchorContextTokens)").as("ctx_after"))
+  }
+
+  /** The context-EXTENDED anchor-term index — (host, tok, tf) where each
+    * cross-host anchor contributes its anchor-text tokens AND its ±N
+    * context-window tokens to the TARGET host's bag (the standard
+    * anchor-context retrieval index; scoring stays
+    * [[anchorBm25FromIndex]]). Same shape and bounds as
+    * [[anchorTermIndex]] — one map-side-combined hash-agg, ≤ (2N +
+    * anchor-len) tokens per anchor.
+    */
+  def anchorContextTermIndex(documents: DataFrame): DataFrame =
+    anchorContexts(documents)
+      .where(col("dst_host") =!= col("src_host"))
+      .select(col("dst_host").as("host"),
+        explode(concat(
+          filter(TextAnalysis.lowToks(col("anchor_text")), t => t =!= ""),
+          col("ctx_before"), col("ctx_after"))).as("tok"))
+      .groupBy("host", "tok").agg(count(lit(1)).as("tf"))
+
   /** BM25 over the anchor-text index — `q_anchor_bm25`'s anchor side:
     * each host's "document" is the bag of anchor tokens pointing at it;
     * scoring is [[TextAnalysis.bm25TopK]]'s exact integer-ratio form
@@ -415,7 +477,7 @@ object LinkGraph {
       k: Int = AnchorHostK): DataFrame = {
     import TextAnalysis.{Bm25K1Num, Bm25K1Den, Bm25BNum, Bm25BDen}
     require(terms.nonEmpty)
-    val at = index.localCheckpoint() // feeds dl + tf
+    val at = index.transform(graft.Materialize.iteration) // feeds dl + tf
     val dl = at.groupBy("host").agg(sum("tf").as("dl"))
     val scalars = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tok"))
     val tf = at.where(col("tok").isInCollection(terms))
@@ -518,7 +580,7 @@ object LinkGraph {
       .select((col("doc_id") * 2).as("doc_id"), col("source"), col("text"))
       .unionAll(docs.select((col("doc_id") * 2 + 1).as("doc_id"),
         col("source"), col("text")))
-    val lFresh = links(drifted).localCheckpoint() // edges + frontier
+    val lFresh = links(drifted).transform(graft.Materialize.iteration) // edges + frontier
     val fresh = GraphAnalytics.pageRank(
       edgesFromLinks(lFresh).select(col("src_host").as("src"),
         col("dst_host").as("dst"), col("n_links").as("w")))
@@ -539,7 +601,7 @@ object LinkGraph {
       .groupBy("status")
       .agg(count(lit(1)).as("n_hosts"), sum("prs").as("sum_pr_stored"),
         sum("prf").as("sum_pr_fresh"), sum("sh").as("shift_abs"))
-      .localCheckpoint() // ≤ 4 rows; feeds the totals and the card
+      .transform(graft.Materialize.iteration) // ≤ 4 rows; feeds the totals and the card
     val tot = g.agg(sum("shift_abs").as("tot_shift"),
       sum("sum_pr_stored").as("tot_stored"))
     g.crossJoin(broadcast(tot))
@@ -584,7 +646,7 @@ object LinkGraph {
     * host-bounded.
     */
   def spamHosts(documents: DataFrame): DataFrame = {
-    val e = hostEdges(documents).localCheckpoint()
+    val e = hostEdges(documents).transform(graft.Materialize.iteration)
     val edges = e.select(col("src_host").as("src"), col("dst_host").as("dst"),
       col("n_links").as("w"))
     val docsH = documents.select(col("source"),
@@ -691,4 +753,30 @@ object AnchorStore {
 
   /** Times the index for `dir` has been BUILT (not read) — spec hook. */
   def builds(dir: String): Int = store.builds(dir)
+
+  private val ctxStore = new graft.sources.ArtifactStore[String]("anchorctx")
+
+  /** The persisted CONTEXT-EXTENDED anchor index (r17): same (host, tok,
+    * tf) schema, tokens = anchor text ∪ the ±N visible-prose window
+    * around each anchor ([[LinkGraph.anchorContextTermIndex]]) — what a
+    * production crawl index actually stores, built once at crawl time.
+    */
+  def contextIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(schema).parquet(ctxStore.getOrBuild(dir) { out =>
+      LinkGraph.anchorContextTermIndex(graft.Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(out)
+    })
+
+  /** Host ranking under the STORED context index — zero page synthesis,
+    * zero anchor/window parsing on the query path; scoring shared with
+    * the inner-text path ([[LinkGraph.anchorBm25FromIndex]]).
+    */
+  def anchorCtxBm25Hosts(
+      spark: SparkSession, dir: String,
+      terms: Seq[String] = TextAnalysis.Bm25Query,
+      k: Int = LinkGraph.AnchorHostK): DataFrame =
+    LinkGraph.anchorBm25FromIndex(contextIndex(spark, dir), terms, k)
+
+  /** Times the context index for `dir` has been BUILT — spec hook. */
+  def ctxBuilds(dir: String): Int = ctxStore.builds(dir)
 }

@@ -139,7 +139,7 @@ object Pipeline {
     val survivors = quality
       .join(exactKeepers, Seq("doc_id"), "left_semi")
       .select(survivorCols: _*)
-      .localCheckpoint()
+      .transform(graft.Materialize.iteration)
     val pairs = sigTable match {
       case Some(tbl) =>
         // mine pairs on the FULL store (its ingest-time group_id/members
@@ -205,7 +205,7 @@ object Pipeline {
     */
   def selectBestPerSource(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = TextAnalysis.classifierScore(documents).localCheckpoint()
+    val scored = TextAnalysis.classifierScore(documents).transform(graft.Materialize.iteration)
     val cumW = Window.partitionBy("source").orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hist = scored.groupBy("source", "score")
@@ -224,7 +224,7 @@ object Pipeline {
         (col("cum_n") - col("n")).as("n_above"),
         (col("cum_toks") - col("toks")).as("toks_above"),
         (col("k") - (col("cum_n") - col("n"))).as("need"))
-      .localCheckpoint() // tiny: one row per source
+      .transform(graft.Materialize.iteration) // tiny: one row per source
     // rank ONLY the cutoff tie group by doc_id to fill the budget
     val tieTaken = scored
       .join(
@@ -472,15 +472,8 @@ object Pipeline {
   def retentionFunnel(
       documents: DataFrame, threshold: Double = 0.5,
       sigTable: Option[DataFrame] = None): DataFrame = {
-    val toksC = split(trim(col("text")), "\\s+")
-    val nStop = size(filter(toksC, t => t.isin(TextAnalysis.Stopwords: _*)))
-    val base = graft.Parallelism.ensure(documents)
-      .select(col("doc_id"), col("source"), col("text"),
-        size(toksC).cast("long").as("n_toks"),
-        (size(toksC) >= 10 && nStop > 0).as("q_ok"),
-        Domains.hostOf(col("doc_id"), col("source")).as("host"),
-        md5(TextAnalysis.normalized(col("text"))).as("fp"))
-      .localCheckpoint() // feeds gate flags, keepers, clusters, rollup
+    val base = funnelProjection(documents)
+      .transform(graft.Materialize.iteration) // feeds gate flags, keepers, clusters, rollup
     val spam = LinkGraph.spamHosts(documents)
       .select(col("host"), lit(true).as("spam_flag"))
     val flagged = base
@@ -492,12 +485,19 @@ object Pipeline {
     val staged = flagged
       .join(keepers, Seq("fp"), "left")
       .withColumn("is_keeper", col("doc_id") === col("keeper"))
-      .localCheckpoint() // read by the r4 projection and the rollup
+      .transform(graft.Materialize.iteration) // read by the r4 projection and the rollup
     val r4 = staged.where(reach3 && col("is_keeper"))
     val pairs = (sigTable match {
       case Some(tbl) =>
         // pair verdicts are pairwise, so all-pairs ∩ reachers² equals
-        // the reacher pair set (the retainedCorpus argument verbatim)
+        // the reacher pair set (the retainedCorpus argument verbatim) —
+        // PROVIDED no band bucket exceeds Dedup.DefaultMaxBucketSize:
+        // the table path's oversized-bucket valve is evaluated over
+        // full-corpus bucket membership, so past the cap it can drop
+        // pairs a reacher-only training would keep (and the DuckDB
+        // oracle brute-forces uncapped). Dedup.minhashBucketLoads is the
+        // monitoring query that shows whether the valve engaged on a
+        // given corpus, so a future oracle mismatch self-explains.
         Dedup.nearDuplicatePairsFromTable(tbl, threshold)
           .join(r4.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
           .join(r4.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
@@ -518,4 +518,116 @@ object Pipeline {
       .groupBy("source", "verdict")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
   }
+
+  /** The funnel's per-doc projection, shared by the batch funnel and its
+    * incremental twin: token count, quality flag, host, exact-dedup
+    * fingerprint — all codegen'd scan-speed expressions. NFC-composed
+    * before tokenizing, like TextAnalysis.lowToks and the DuckDB oracle's
+    * tokCte (nfc_normalize) — identical on ASCII but the stopword gate
+    * would otherwise diverge on decomposed-form corpora.
+    */
+  private def funnelProjection(documents: DataFrame): DataFrame = {
+    val toksC = split(trim(graft.functions.TextFunctions.nfc(col("text"))), "\\s+")
+    val nStop = size(filter(toksC, t => t.isin(TextAnalysis.Stopwords: _*)))
+    graft.Parallelism.ensure(documents)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(toksC).cast("long").as("n_toks"),
+        (size(toksC) >= 10 && nStop > 0).as("q_ok"),
+        Domains.hostOf(col("doc_id"), col("source")).as("host"),
+        md5(TextAnalysis.normalized(col("text"))).as("fp"))
+  }
+
+  /** Continuous-ingestion twin of [[retentionFunnel]] — the same
+    * first-reject verdicts for an ARRIVING shard (the top fifth of the
+    * doc_id range, the `Dedup.ingestSplitOf` boundary every incremental
+    * card shares), scored against artifacts FROZEN on the existing
+    * corpus, with no PageRank / keeper / signature recomputation per
+    * batch:
+    *
+    *   - `spam_host`  — the [[LinkGraph.spamHosts]] set of the EXISTING
+    *                   corpus (the published [[LinkGraph.RankStore]]-style
+    *                   rank/trust artifact; a batch never reranks the web
+    *                   graph, and never lets arriving link spam vote on
+    *                   its own trust);
+    *   - `exact_dup`  — fingerprint ∈ the existing reachers' keeper-fp
+    *                   table (probe-only: an arrival matching corpus
+    *                   content is the duplicate, the corpus keeps its
+    *                   keeper);
+    *   - `near_dup`   — the stage-4 survivors probe the existing
+    *                   keepers' stored LSH band index
+    *                   ([[Dedup.probeStoredIndex]], O(shard + matched
+    *                   buckets) per batch); shard-INTERNAL pairs are
+    *                   contractually deferred to the next artifact
+    *                   publication, exactly like the incremental dedup
+    *                   family.
+    *
+    * Output: per (source, verdict) rollup over the ARRIVING docs only —
+    * counts sum to the shard. Cost per batch: one scan of the shard +
+    * bounded probes; the existing-corpus work is the artifact build a
+    * production pipeline amortizes across batches.
+    */
+  def incrementalTrustFunnel(
+      documents: DataFrame, threshold: Double = 0.5,
+      sigTable: Option[DataFrame] = None): DataFrame =
+    Dedup.ingestSplitOf(documents) match {
+      case None =>
+        documents.select(col("source"), lit("kept").as("verdict"),
+          lit(0L).as("n_docs"), lit(0L).as("n_tokens")).limit(0)
+      case Some(split) =>
+        val existing = documents.where(col("doc_id") < split)
+        val arriving = documents.where(col("doc_id") >= split)
+        // --- frozen artifacts (existing corpus only) ---
+        val spam = LinkGraph.spamHosts(existing)
+          .select(col("host"), lit(true).as("spam_flag"))
+        val exBase = funnelProjection(existing)
+          .join(broadcast(spam), Seq("host"), "left")
+          .withColumn("spam", coalesce(col("spam_flag"), lit(false)))
+        val exReach3 = exBase.where(col("q_ok") && !col("spam"))
+        val keepers = exReach3
+          .groupBy("fp").agg(min("doc_id").as("keeper"))
+          .transform(graft.Materialize.iteration) // the published exact-dedup artifact
+        val exR4 = exReach3
+          .join(keepers, Seq("fp"))
+          .where(col("doc_id") === col("keeper"))
+          .select("doc_id")
+        // --- arrival scoring (probe-only) ---
+        val arrBase = funnelProjection(arriving)
+          .join(broadcast(spam), Seq("host"), "left")
+          .withColumn("spam", coalesce(col("spam_flag"), lit(false)))
+          .join(keepers.select(col("fp"), lit(true).as("fp_known")),
+            Seq("fp"), "left")
+          .withColumn("exact_dup", coalesce(col("fp_known"), lit(false)))
+          .transform(graft.Materialize.iteration) // read by the probe input and the rollup
+        val stage4 = arrBase
+          .where(col("q_ok") && !col("spam") && !col("exact_dup"))
+          .select("doc_id")
+        val nearPairs = sigTable match {
+          case Some(tbl) =>
+            Dedup.probeStoredIndex(
+              Dedup.corpusBandIndexFromTable(
+                tbl.join(exR4, Seq("doc_id"), "left_semi")),
+              tbl.join(stage4, Seq("doc_id"), "left_semi"),
+              tbl.select(col("doc_id"), col("sh")), threshold)
+          case None =>
+            val sh = Dedup.shingled(documents).transform(graft.Materialize.iteration)
+            Dedup.probeCorpusIndex(
+              sh.join(stage4, Seq("doc_id"), "left_semi"),
+              Dedup.corpusBandIndex(sh.join(exR4, Seq("doc_id"), "left_semi")),
+              sh, threshold)
+        }
+        val nearDup = nearPairs
+          .select(col("shard_doc").as("doc_id")).distinct()
+          .withColumn("near_flag", lit(true))
+        val verdict =
+          when(!col("q_ok"), "low_quality")
+            .when(col("spam"), "spam_host")
+            .when(col("exact_dup"), "exact_dup")
+            .when(coalesce(col("near_flag"), lit(false)), "near_dup")
+            .otherwise(lit("kept"))
+        arrBase
+          .join(nearDup, Seq("doc_id"), "left")
+          .select(col("source"), verdict.as("verdict"), col("n_toks"))
+          .groupBy("source", "verdict")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    }
 }

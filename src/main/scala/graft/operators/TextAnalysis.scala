@@ -1542,41 +1542,101 @@ object TextAnalysis {
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** The REAL iterative BPE trainer: k rounds, each re-counting adjacent
-    * PIECE pairs over the current segmentation (weighted by word
-    * frequency) and merging the top pair by (count DESC, pair ASC) —
-    * unlike [[bpeMergeCandidates]]'s single-round character-pair
-    * statistic, later rounds see merged pieces ("atc"+"h", "b"+"atch" on
-    * the driver corpus). Each round is ONE vocabulary-scale scan: the
-    * rules-so-far ride in the [[graft.functions.BpeSegments]] kernel
-    * (reference object — no per-round recompile), the pair explode is
-    * piece-bounded, and the top-1 collect is the only driver traffic.
+  /** Vocabulary cap for the driver-local training loop: [[trainBpeRules]]
+    * collects at most this many (word, freq) rows — the top-V by
+    * (freq DESC, word ASC), i.e. a `TakeOrderedAndProject`, never a full
+    * collect. This is the standard trainer shape (in-memory training over
+    * a word-count table; the distributed work is the ONE corpus-scale
+    * count that builds it): at the driver's SFs the vocabulary is orders
+    * of magnitude below the cap, so the trained rules are bit-identical
+    * to the uncapped DuckDB replay; at 100 TB the cap is what bounds the
+    * driver at ~32 MB while the rare sub-cap tail it can drop carries
+    * negligible pair mass by construction (lowest-frequency words).
+    */
+  val DefaultBpeTrainVocab: Int = 1 << 20
+
+  /** Spark's string sort order (UTF8 binary) for the local tie-break —
+    * a Scala String comparison would diverge on supplementary planes.
+    */
+  private def utf8Cmp(x: String, y: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+
+  /** One leftmost-first merge pass — the exact per-rule fold of the
+    * [[graft.functions.BpeSegments]] kernel (and of the oracle's
+    * `list_reduce`), applied in place during local training.
+    */
+  private def mergeOnce(pieces: Array[String], a: String, b: String): Array[String] = {
+    if (pieces.length < 2) return pieces
+    val out = scala.collection.mutable.ArrayBuffer[String](pieces(0))
+    var i = 1
+    while (i < pieces.length) {
+      if (out.last == a && pieces(i) == b) out(out.length - 1) = a + b
+      else out += pieces(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The REAL iterative BPE trainer — one distributed job, then local
+    * rounds. The cluster computes (and [[DefaultBpeTrainVocab]]-bounds)
+    * the weighted vocabulary; every merge round is then a driver-local
+    * rescan of the collected segmentations: count adjacent piece pairs
+    * weighted by word frequency, pick the top by (count DESC, pair ASC
+    * in UTF8 order), fold it leftmost-first, repeat. Identical rules to
+    * the previous k-job distributed loop (the DuckDB oracle replays the
+    * uncapped training and stays hash-green), at 1/k the job count —
+    * this was the 5th-slowest bench family purely on job scheduling.
     * Stops early if no pairs remain (fully merged vocabulary).
     */
   private def trainBpeRules(
       words: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
-    var rules = Vector.empty[(String, String)]
+    val vocab = words
+      .orderBy(desc("freq"), asc("word"))
+      .limit(DefaultBpeTrainVocab)
+      .collect()
+    val freqs = new Array[Long](vocab.length)
+    val segs = new Array[Array[String]](vocab.length)
+    var i = 0
+    while (i < vocab.length) {
+      freqs(i) = vocab(i).getLong(1)
+      segs(i) = vocab(i).getString(0) // code-point split, like the kernel
+        .codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      i += 1
+    }
     var out = Vector.empty[(Int, String, String, Long)]
     var done = false
-    while (!done && rules.size < k) {
-      val top = words
-        .select(graft.functions.BpeExpressions
-          .bpeSegments(col("word"), rules.toArray).as("pieces"), col("freq"))
-        .where(size(col("pieces")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(pieces) - 1), " +
-            "j -> struct(element_at(pieces, j) AS a, element_at(pieces, j + 1) AS b))"))
-          .as("p"), col("freq"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("n"))
-        .orderBy(desc("n"), asc("a"), asc("b"))
-        .limit(1)
-        .collect()
-      top.headOption match {
-        case Some(r) =>
-          rules = rules :+ ((r.getString(0), r.getString(1)))
-          out = out :+ ((rules.size, r.getString(0), r.getString(1), r.getLong(2)))
-        case None => done = true
+    while (!done && out.size < k) {
+      val counts = new java.util.HashMap[(String, String), Long]
+      var wi = 0
+      while (wi < segs.length) {
+        val ps = segs(wi)
+        val f = freqs(wi)
+        var j = 0
+        while (j < ps.length - 1) {
+          counts.merge((ps(j), ps(j + 1)), f, _ + _)
+          j += 1
+        }
+        wi += 1
+      }
+      var bestA: String = null
+      var bestB: String = null
+      var bestN = 0L
+      counts.forEach { (p, n) =>
+        val better = bestA == null || n > bestN || (n == bestN && {
+          val ca = utf8Cmp(p._1, bestA)
+          ca < 0 || (ca == 0 && utf8Cmp(p._2, bestB) < 0)
+        })
+        if (better) { bestA = p._1; bestB = p._2; bestN = n }
+      }
+      if (bestA == null) done = true
+      else {
+        out = out :+ ((out.size + 1, bestA, bestB, bestN))
+        wi = 0
+        while (wi < segs.length) {
+          segs(wi) = mergeOnce(segs(wi), bestA, bestB)
+          wi += 1
+        }
       }
     }
     out
@@ -1590,7 +1650,8 @@ object TextAnalysis {
   def bpeTrainedMerges(documents: DataFrame, k: Int = DefaultBpeK): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val words = wordFreqs(documents).localCheckpoint()
+    // no checkpoint: the local trainer reads the word table exactly once
+    val words = wordFreqs(documents)
     trainBpeRules(words, k).toDF("rank", "a", "b", "n")
       .select(col("rank").cast("long"), col("a"), col("b"), col("n"))
   }
@@ -1671,8 +1732,7 @@ object TextAnalysis {
     import spark.implicits._
     val words = wordFreqs(documents).localCheckpoint()
     val exact = trainBpeRules(words, k)
-    val sampled = trainBpeRules(
-      wordFreqs(bpeSampledDocs(documents)).localCheckpoint(), k)
+    val sampled = trainBpeRules(wordFreqs(bpeSampledDocs(documents)), k)
     val exactRules = exact.map(r => (r._2, r._3)).toArray
     val sampledRules = sampled.map(r => (r._2, r._3)).toArray
     // Option: NULL on an empty vocabulary (agreement is undefined; the

@@ -417,4 +417,46 @@ class LinkGraphSpec extends SparkSpec {
     assert(!plan.contains("regexp_extract"),
       "stored anchor ranking must read the artifact, not re-parse pages")
   }
+
+  test("anchorContexts: ±N visible-prose windows around each grammar anchor") {
+    // one 20-token page: the related div reads
+    //   "see also <a>/p6</a> <a>/p7</a> <a abs>next t01..t04</a>
+    //    <p>related reading for page 5</p>"
+    // so each anchor's window is hand-derivable from the grammar
+    val text = (1 to 20).map(i => f"t$i%02d").mkString(" ")
+    val one = Seq((5L, "s", text)).toDF("doc_id", "source", "text")
+    val got = LinkGraph.anchorContextsRaw(one).collect()
+      .map(r => (r.getString(4), r.getSeq[String](5).toList,
+        r.getSeq[String](6).toList, r.getBoolean(3))).toSet
+    assert(got === Set(
+      ("p6", List("t20", "see", "also"), List("p7", "next", "t01"), false),
+      ("p7", List("see", "also", "p6"), List("next", "t01", "t02"), false),
+      ("next t01 t02 t03 t04",
+        List("also", "p6", "p7"), List("related", "reading", "for"), true)))
+  }
+
+  test("AnchorStore context index: stored == fresh ranking; built once; no re-parse") {
+    val dir = sf("sf0.001")
+    val sfDocs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+      df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val fresh = rows(LinkGraph.anchorBm25FromIndex(
+      LinkGraph.anchorContextTermIndex(sfDocs)))
+    val stored = rows(AnchorStore.anchorCtxBm25Hosts(spark, dir))
+    assert(stored === fresh)
+    assert(fresh.nonEmpty)
+    val again = rows(AnchorStore.anchorCtxBm25Hosts(spark, dir))
+    assert(again === fresh)
+    assert(AnchorStore.ctxBuilds(dir) === 1)
+    // the context window genuinely extends the index: more total mass
+    // than the inner-text index (window tokens are extra per anchor)
+    val ctxTotal = AnchorStore.contextIndex(spark, dir)
+      .agg(sum("tf")).as[Long].collect().head
+    val innerTotal = LinkGraph.anchorTokens(sfDocs).count()
+    assert(ctxTotal > innerTotal)
+    val plan = AnchorStore.anchorCtxBm25Hosts(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("regexp_extract"),
+      "stored context ranking must read the artifact, not re-parse pages")
+  }
 }

@@ -264,4 +264,60 @@ class PipelineSpec extends SparkSpec {
     assert(got.keys.exists(_._2 == "kept"))
     assert(got.keys.exists(_._2 == "near_dup") || got.keys.exists(_._2 == "exact_dup"))
   }
+
+  test("incrementalTrustFunnel: arrival verdicts replay against FROZEN artifacts") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val dir = sf("sf0.001")
+    val documents = graft.Tables.documents(spark, dir)
+    val maxId = documents.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0)
+    val split = (maxId + 1L) * 4L / 5L
+    // brute per-doc frame: (doc_id, source, host, fp, toks)
+    val rows = documents.select(col("doc_id"), col("source"),
+        Domains.hostOf(col("doc_id"), col("source")).as("host"),
+        md5(TextAnalysis.normalized(col("text"))).as("fp"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4).trim.split("\\s+").toSeq))
+    def qOk(toks: Seq[String]) =
+      toks.size >= 10 && toks.exists(TextAnalysis.Stopwords.contains)
+    // frozen artifacts: spam hosts + keeper fps of the EXISTING sub-corpus
+    val spam = LinkGraph.spamHosts(documents.where(col("doc_id") < split))
+      .collect().map(_.getString(0)).toSet
+    val existing = rows.filter(_._1 < split)
+    val arriving = rows.filter(_._1 >= split)
+    assert(arriving.nonEmpty && existing.nonEmpty)
+    val exReach = existing.filter(r => qOk(r._5) && !spam.contains(r._3))
+    val keeperByFp = exReach.groupBy(_._4).map { case (fp, g) =>
+      fp -> g.map(_._1).min }
+    def shingles(toks: Seq[String]): Set[String] = {
+      val capped = toks.take(graft.functions.TextFunctions.MaxShingleTokens)
+      if (capped.size < 3) Set.empty
+      else capped.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val exKeeperSh = exReach
+      .filter(r => keeperByFp(r._4) == r._1).map(r => shingles(r._5))
+      .filter(_.nonEmpty)
+    val want = arriving.map { r =>
+      val verdict =
+        if (!qOk(r._5)) "low_quality"
+        else if (spam.contains(r._3)) "spam_host"
+        else if (keeperByFp.contains(r._4)) "exact_dup"
+        else {
+          val sh = shingles(r._5)
+          val near = sh.nonEmpty && exKeeperSh.exists(e =>
+            (sh intersect e).size.toDouble / (sh union e).size >= 0.5)
+          if (near) "near_dup" else "kept"
+        }
+      ((r._2, verdict), r._5.size.toLong)
+    }.groupBy(_._1).map { case (k, g) =>
+      k -> ((g.size.toLong, g.map(_._2).sum)) }
+    val got = Pipeline.incrementalTrustFunnel(documents,
+      sigTable = Some(SignatureStore.table(spark, dir))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // the funnel property on the shard: verdict counts sum to arrivals
+    assert(got.values.map(_._1).sum === arriving.size.toLong)
+  }
 }

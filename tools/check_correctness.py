@@ -17,15 +17,19 @@ import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
-WAIT_MAX = 1800   # refuse-and-back-off window for a live graft JVM
+# refuse-and-back-off window for a live graft JVM; env-overridable so an
+# operator who KNOWS the other JVM is unrelated can shorten the wait
+WAIT_MAX = int(os.environ.get("GRAFT_CHECK_WAIT_MAX", "1800"))
 WAIT_STEP = 30
+REPO_DIR = os.path.realpath(os.path.join(os.path.dirname(__file__), ".."))
 
 
 def graft_jvms():
-    """Pids of live JVMs that belong to this repo (sbt, Bench, Verify...).
+    """Pids of live JVMs that belong to THIS repo (sbt, Bench, Verify...).
 
-    /proc scan, no external tools: a java process whose cmdline mentions
-    graft or sbt counts; the checker's own python process does not.
+    /proc scan, no external tools. Scoped to the repo (cmdline mentions the
+    repo path, or the process cwd is inside it) so an unrelated sbt server
+    elsewhere on the host doesn't stall this gate for WAIT_MAX seconds.
     """
     pids = []
     for p in os.listdir("/proc"):
@@ -36,9 +40,31 @@ def graft_jvms():
                 cmd = f.read().replace(b"\0", b" ").decode("utf-8", "replace")
         except OSError:
             continue
-        if "java" in cmd and ("graft" in cmd or "sbt" in cmd.lower()):
+        if "java" not in cmd:
+            continue
+        try:
+            cwd = os.path.realpath(f"/proc/{p}/cwd")
+        except OSError:
+            cwd = ""
+        in_repo = REPO_DIR in cmd or cwd.startswith(REPO_DIR)
+        if in_repo and ("graft" in cmd or "sbt" in cmd.lower()):
             pids.append(int(p))
     return pids
+
+
+def mem_limit_mb():
+    """75% of currently-available RAM, floored at 1 GiB: big enough for
+    every oracle, small enough that DuckDB spills to temp_directory instead
+    of dying with 'Failed to allocate block' under host pressure (the
+    r15/r16 q_bpe_sample_agreement failure mode)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return max(1024, int(line.split()[1]) * 3 // 4 // 1024)
+    except OSError:
+        pass
+    return 8192
 
 
 def load_markers():
@@ -49,6 +75,10 @@ def load_markers():
 
 def connect_views(sfdir):
     c = duckdb.connect()
+    # Cap memory + give a spill directory: an oracle that exceeds the cap
+    # spills and slows down instead of OutOfMemoryException-ing the row.
+    c.execute(f"PRAGMA memory_limit='{mem_limit_mb()}MB'")
+    c.execute("PRAGMA temp_directory='/tmp/graft_duckdb_spill'")
     for t in TABLES:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     return c
