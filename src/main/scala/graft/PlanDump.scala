@@ -281,7 +281,13 @@ object PlanDump {
     "q_ann_filtered_recall" ->
       "filter-selectivity card (r16): ONE labeled query x corpus cosine frame (bounded-query evaluation scan, checkpointed) + ONE unfiltered probe pair set (assignment is filter-independent) feed all four tiers; per tier only window ranks over query-bounded slices and 1-row aggregates — 4 tiers cost one scan, not four",
     "q_anchor_bm25_stored" ->
-      "the fused retrieval under the PERSISTED AnchorStore term index (r16): the anchor side is a host x vocab-bounded parquet read — zero page synthesis, zero regexp extraction in the plan; the residual scan is the content-BM25 side both forms pay")
+      "the fused retrieval under the PERSISTED AnchorStore term index (r16): the anchor side is a host x vocab-bounded parquet read — zero page synthesis, zero regexp extraction in the plan; the residual scan is the content-BM25 side both forms pay",
+    "q_trust_funnel_incremental" ->
+      "continuous-ingestion trust funnel (r17): artifacts frozen on the existing corpus (spam set BROADCAST, keeper-fp hash join, keeper LSH band index), the arriving fifth scored probe-only — banded equi-join candidates then exact-Jaccard verify, no CartesianProduct, no per-batch PageRank on the scoring path",
+    "q_anchor_context" ->
+      "anchor ±3-token visible-prose windows (r17): scan-shaped — page synthesis + element Generate + per-half strip/unescape/slice all inside one projection pipeline, no shuffle before the output",
+    "q_anchor_ctx_bm25_stored" ->
+      "anchor-context BM25 under the PERSISTED context index (r17): a host x vocab-bounded parquet read + the shared integer-ratio scoring tail — zero regexp extraction in the plan (the AnchorStore argument, window tokens riding the same schema)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -508,6 +508,11 @@ object SparkEntry {
     "q_trust_funnel_incremental" -> ((s, dir) =>
       Pipeline.incrementalTrustFunnel(Tables.documents(s, dir),
         sigTable = Some(SignatureStore.table(s, dir)))),
+    // streaming twin: per-micro-batch first-reject scoring against the
+    // same frozen artifacts inside foreachBatch (shared
+    // scoreShardAgainstFunnel), rollup post-drain — shared oracle
+    "q_stream_trust_funnel" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.trustFunnelToBatch(s, dir)),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -5019,6 +5024,7 @@ object SparkEntry {
     // PR over the link chain, then first-reject CASE per document.
     "q_pipeline_trust_funnel" -> trustFunnelOracle,
     "q_trust_funnel_incremental" -> trustFunnelIncrementalOracle,
+    "q_stream_trust_funnel" -> trustFunnelIncrementalOracle,
     // Web communities: recursive-CTE transitive closure over the parsed
     // host graph (the q_dedup_clusters oracle shape on string keys).
     "q_link_components" ->

@@ -574,60 +574,99 @@ object Pipeline {
         documents.select(col("source"), lit("kept").as("verdict"),
           lit(0L).as("n_docs"), lit(0L).as("n_tokens")).limit(0)
       case Some(split) =>
-        val existing = documents.where(col("doc_id") < split)
-        val arriving = documents.where(col("doc_id") >= split)
-        // --- frozen artifacts (existing corpus only) ---
-        val spam = LinkGraph.spamHosts(existing)
-          .select(col("host"), lit(true).as("spam_flag"))
-        val exBase = funnelProjection(existing)
-          .join(broadcast(spam), Seq("host"), "left")
-          .withColumn("spam", coalesce(col("spam_flag"), lit(false)))
-        val exReach3 = exBase.where(col("q_ok") && !col("spam"))
-        val keepers = exReach3
-          .groupBy("fp").agg(min("doc_id").as("keeper"))
-          .transform(graft.Materialize.iteration) // the published exact-dedup artifact
-        val exR4 = exReach3
-          .join(keepers, Seq("fp"))
-          .where(col("doc_id") === col("keeper"))
-          .select("doc_id")
-        // --- arrival scoring (probe-only) ---
-        val arrBase = funnelProjection(arriving)
-          .join(broadcast(spam), Seq("host"), "left")
-          .withColumn("spam", coalesce(col("spam_flag"), lit(false)))
-          .join(keepers.select(col("fp"), lit(true).as("fp_known")),
-            Seq("fp"), "left")
-          .withColumn("exact_dup", coalesce(col("fp_known"), lit(false)))
-          .transform(graft.Materialize.iteration) // read by the probe input and the rollup
-        val stage4 = arrBase
-          .where(col("q_ok") && !col("spam") && !col("exact_dup"))
-          .select("doc_id")
-        val nearPairs = sigTable match {
-          case Some(tbl) =>
-            Dedup.probeStoredIndex(
-              Dedup.corpusBandIndexFromTable(
-                tbl.join(exR4, Seq("doc_id"), "left_semi")),
-              tbl.join(stage4, Seq("doc_id"), "left_semi"),
-              tbl.select(col("doc_id"), col("sh")), threshold)
-          case None =>
-            val sh = Dedup.shingled(documents).transform(graft.Materialize.iteration)
-            Dedup.probeCorpusIndex(
-              sh.join(stage4, Seq("doc_id"), "left_semi"),
-              Dedup.corpusBandIndex(sh.join(exR4, Seq("doc_id"), "left_semi")),
-              sh, threshold)
-        }
-        val nearDup = nearPairs
-          .select(col("shard_doc").as("doc_id")).distinct()
-          .withColumn("near_flag", lit(true))
-        val verdict =
-          when(!col("q_ok"), "low_quality")
-            .when(col("spam"), "spam_host")
-            .when(col("exact_dup"), "exact_dup")
-            .when(coalesce(col("near_flag"), lit(false)), "near_dup")
-            .otherwise(lit("kept"))
-        arrBase
-          .join(nearDup, Seq("doc_id"), "left")
-          .select(col("source"), verdict.as("verdict"), col("n_toks"))
-          .groupBy("source", "verdict")
-          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        funnelRollup(scoreShardAgainstFunnel(
+          documents.where(col("doc_id") >= split),
+          funnelArtifacts(documents, split, sigTable, threshold)))
     }
+
+  /** The frozen artifact bundle a funnel shard probe reads — what a
+    * production pipeline publishes per artifact cycle and every
+    * batch/micro-batch consumes unchanged: the spam-host set, the
+    * keeper-fp table, the existing keepers' LSH band index, and the
+    * shingle frame resolving the index side of the verification join.
+    */
+  private[graft] final case class FunnelArtifacts(
+      spam: DataFrame, keepers: DataFrame, idx: DataFrame,
+      corpusSh: DataFrame, threshold: Double)
+
+  /** Build (and materialize once) the [[FunnelArtifacts]] of the corpus
+    * below `split`. With a signature table, the band index derives from
+    * STORED signatures — nothing re-shingles the corpus per batch.
+    */
+  private[graft] def funnelArtifacts(
+      documents: DataFrame, split: Long,
+      sigTable: Option[DataFrame], threshold: Double): FunnelArtifacts = {
+    val existing = documents.where(col("doc_id") < split)
+    val spam = LinkGraph.spamHosts(existing)
+      .select(col("host"), lit(true).as("spam_flag"))
+      .transform(graft.Materialize.iteration)
+    val exBase = funnelProjection(existing)
+      .join(broadcast(spam), Seq("host"), "left")
+      .withColumn("spam", coalesce(col("spam_flag"), lit(false)))
+    val exReach3 = exBase.where(col("q_ok") && !col("spam"))
+    val keepers = exReach3
+      .groupBy("fp").agg(min("doc_id").as("keeper"))
+      .transform(graft.Materialize.iteration) // the published exact-dedup artifact
+    val exR4 = exReach3
+      .join(keepers, Seq("fp"))
+      .where(col("doc_id") === col("keeper"))
+      .select("doc_id")
+    val keeperSh = (sigTable match {
+      case Some(tbl) => tbl.select(col("doc_id"), col("sh"))
+      case None => Dedup.shingled(existing)
+    }).join(exR4, Seq("doc_id"), "left_semi")
+      .transform(graft.Materialize.iteration)
+    val idx = (sigTable match {
+      case Some(tbl) =>
+        Dedup.corpusBandIndexFromTable(tbl.join(exR4, Seq("doc_id"), "left_semi"))
+      case None => Dedup.corpusBandIndex(keeperSh)
+    }).transform(graft.Materialize.iteration)
+    FunnelArtifacts(spam, keepers, idx, keeperSh, threshold)
+  }
+
+  /** Per-doc first-reject verdicts of ONE arriving shard against the
+    * frozen artifacts — (doc_id, source, verdict, n_toks). Shard-local
+    * except the bounded probes: the spam set broadcasts, the keeper-fp
+    * join is fp-keyed, the near-dup probe is the banded equi-join
+    * against the stored index. Verdicts depend only on the artifacts
+    * (probe-only, no shard-internal pairs), so micro-batch unions equal
+    * the batch twin row for row — the shared-oracle contract every
+    * streaming twin in this repo rides.
+    */
+  private[graft] def scoreShardAgainstFunnel(
+      shard: DataFrame, arts: FunnelArtifacts): DataFrame = {
+    val base = funnelProjection(shard)
+      .join(broadcast(arts.spam), Seq("host"), "left")
+      .withColumn("spam", coalesce(col("spam_flag"), lit(false)))
+      .join(arts.keepers.select(col("fp"), lit(true).as("fp_known")),
+        Seq("fp"), "left")
+      .withColumn("exact_dup", coalesce(col("fp_known"), lit(false)))
+      .transform(graft.Materialize.iteration) // probe input + the verdict read
+    val stage4 = base
+      .where(col("q_ok") && !col("spam") && !col("exact_dup"))
+      .select("doc_id")
+    // the shard derives its own shingles/signatures (doc-local, the
+    // streaming-twin convention); the corpus side comes from the artifact
+    val shardSh = Dedup.shingled(shard.select("doc_id", "text"))
+      .join(stage4, Seq("doc_id"), "left_semi")
+    val nearDup = Dedup
+      .probeCorpusIndex(shardSh, arts.idx, arts.corpusSh, arts.threshold)
+      .select(col("shard_doc").as("doc_id")).distinct()
+      .withColumn("near_flag", lit(true))
+    val verdict =
+      when(!col("q_ok"), "low_quality")
+        .when(col("spam"), "spam_host")
+        .when(col("exact_dup"), "exact_dup")
+        .when(coalesce(col("near_flag"), lit(false)), "near_dup")
+        .otherwise(lit("kept"))
+    base
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), verdict.as("verdict"), col("n_toks"))
+  }
+
+  /** The |sources|×5 funnel rollup over per-doc verdict rows. */
+  private[graft] def funnelRollup(perDoc: DataFrame): DataFrame =
+    perDoc
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
 }

@@ -633,6 +633,54 @@ object DocumentStreams {
     }
   }
 
+  /** STREAMING trust funnel — `Pipeline.incrementalTrustFunnel` as
+    * continuous ingestion: the frozen artifact bundle (spam-host set,
+    * keeper-fp table, keeper LSH band index — `Pipeline.funnelArtifacts`)
+    * is built ONCE below the ingest split; each arriving micro-batch is
+    * scored per-doc through the SHARED `scoreShardAgainstFunnel`, and
+    * the rollup runs once post-drain. Verdicts are probe-only against
+    * the artifacts (no shard-internal pairs), so the union over batches
+    * equals the batch twin row for row and both share one oracle.
+    * Per-batch `batch=<id>` overwrite dirs — this file's exactly-once
+    * sink contract.
+    */
+  def trustFunnelToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Pipeline, SignatureStore}
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None => Pipeline.incrementalTrustFunnel(docs) // empty in, empty out
+      case Some(split) =>
+        val arts = Pipeline.funnelArtifacts(
+          docs, split, Some(SignatureStore.table(spark, dir)), 0.5)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_funnel")
+        java.nio.file.Files.createDirectories(tmp.resolve("out"))
+        val stream = rawSource(spark, dir).where(col("doc_id") >= split)
+        EventStreams.withStreamShufflePartitions(spark) {
+          val q = stream.writeStream
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              Pipeline.scoreShardAgainstFunnel(batch, arts)
+                .write.mode("overwrite")
+                .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("verdict", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_toks", org.apache.spark.sql.types.LongType)))
+        val perDoc = spark.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(tmp.resolve("out").toString)
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        Pipeline.funnelRollup(perDoc)
+    }
+  }
+
   /** STREAMING incremental LINE dedup — `Dedup.incrementalLineDedup`
     * running as continuous ingestion: the corpus's slim line-frequency
     * index (lines one occurrence short of the excision threshold) is the

@@ -262,6 +262,19 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(whole.nonEmpty)
   }
 
+  test("streaming trust funnel equals the batch incremental rollup (driver data)") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = canon(DocumentStreams.trustFunnelToBatch(spark, dir))
+    val batch = canon(graft.operators.Pipeline.incrementalTrustFunnel(
+      graft.Tables.documents(spark, dir),
+      sigTable = Some(graft.operators.SignatureStore.table(spark, dir))))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming DSIR scoring equals the batch operator (driver data)") {
     val dir = sf("sf0.001")
     def canon(df: org.apache.spark.sql.DataFrame) =
