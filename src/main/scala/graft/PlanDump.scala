@@ -287,7 +287,11 @@ object PlanDump {
     "q_anchor_context" ->
       "anchor ±3-token visible-prose windows (r17): scan-shaped — page synthesis + element Generate + per-half strip/unescape/slice all inside one projection pipeline, no shuffle before the output",
     "q_anchor_ctx_bm25_stored" ->
-      "anchor-context BM25 under the PERSISTED context index (r17): a host x vocab-bounded parquet read + the shared integer-ratio scoring tail — zero regexp extraction in the plan (the AnchorStore argument, window tokens riding the same schema)")
+      "anchor-context BM25 under the PERSISTED context index (r17): a host x vocab-bounded parquet read + the shared integer-ratio scoring tail — zero regexp extraction in the plan (the AnchorStore argument, window tokens riding the same schema)",
+    "q_anchor_ctx_fused" ->
+      "fused retrieval over the context index (r17): content BM25 + the stored context-anchor ranking through the shared integer RRF tail — the anchor side is the bounded artifact read, the residual scan is the content side both retrievers pay",
+    "q_trust_funnel_stored" ->
+      "the funnel under the PERSISTED FunnelStore bundle (r17): spam/keepers/index are parquet artifact reads (spam BROADCAST, keeper-fp hash join, banded equi-join probe + exact-Jaccard verify) — zero regexp extraction, zero PageRank in the executed plan; the shard pays only its own scan + MinHash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -496,6 +496,10 @@ object SparkEntry {
     // the inner-text path — zero parsing on the query path
     "q_anchor_ctx_bm25_stored" -> ((s, dir) =>
       AnchorStore.anchorCtxBm25Hosts(s, dir)),
+    // fused retrieval over the context index: content BM25 + the
+    // context-anchor ranking through the same stored path + RRF (r17)
+    "q_anchor_ctx_fused" -> ((s, dir) =>
+      Pipeline.anchorCtxHybridStoredTopK(s, dir)),
     // retention funnel with the TrustRank spam gate composed in: every
     // doc's FIRST-reject verdict across quality -> spam-host -> exact ->
     // near-dup, per (source, verdict) — counts sum to the corpus (r16)
@@ -513,6 +517,11 @@ object SparkEntry {
     // scoreShardAgainstFunnel), rollup post-drain — shared oracle
     "q_stream_trust_funnel" -> ((s, dir) =>
       graft.streaming.DocumentStreams.trustFunnelToBatch(s, dir)),
+    // stored-bundle twin: the arriving shard scored against the
+    // PERSISTED FunnelStore artifacts — zero PageRank / keeper / corpus
+    // work on the scoring path (r17); shares the incremental oracle
+    "q_trust_funnel_stored" -> ((s, dir) =>
+      FunnelStore.trustFunnelStored(s, dir)),
     // curriculum order: length-banded difficulty buckets, hash-shuffled
     // within bucket; bucket-major + interleaved order keys
     "q_curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(Tables.documents(s, dir))),
@@ -2251,7 +2260,17 @@ object SparkEntry {
     * tf/dl are exact longs, so the parquet round-trip is bit-exact (the
     * RankStore argument).
     */
-  private def anchorCtxBm25Oracle: String = {
+  private def anchorCtxBm25Oracle: String =
+    s"""WITH $anchorContextCtes,
+       |$anchorCtxScoreCtes
+       |SELECT host, score FROM ah2""".stripMargin
+
+  /** The scoring CTEs over [[anchorContextCtes]]'s `acw` frame — the
+    * context-extended (host, tok, tf) bag and the anchor BM25 math,
+    * ending in `ah2(host, score)` (the top-k host ranking). Shared by
+    * the stored-index ranking oracle and the fused-retrieval oracle.
+    */
+  private def anchorCtxScoreCtes: String = {
     import graft.operators.TextAnalysis._
     import graft.operators.LinkGraph.AnchorHostK
     val numF = (Bm25K1Num + Bm25K1Den) * Bm25BDen
@@ -2262,8 +2281,7 @@ object SparkEntry {
     val pivot = Bm25Query
       .map(t => s"COALESCE(max(CASE WHEN tok = '$t' THEN ts END), 0)")
       .mkString(" + ")
-    s"""WITH $anchorContextCtes,
-       |ct AS (SELECT dst_host AS host, unnest(atoks || ctx_b || ctx_a) AS tok
+    s"""ct AS (SELECT dst_host AS host, unnest(atoks || ctx_b || ctx_a) AS tok
        |  FROM acw WHERE dst_host <> src_host),
        |cdl AS (SELECT host, CAST(count(*) AS BIGINT) AS dl FROM ct GROUP BY host),
        |csc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -2276,9 +2294,39 @@ object SparkEntry {
        |      / CAST(t.tf * $denTf * sc.s_tok + $denS * sc.s_tok
        |             + $denDl * d.dl * sc.n_docs AS DOUBLE))
        |    * (CAST(sc.n_docs AS DOUBLE) / CAST(q.df + 1 AS DOUBLE)) AS ts
-       |  FROM ctf t JOIN cdl d USING (host) JOIN cdf q USING (tok) CROSS JOIN csc sc)
-       |SELECT host, $pivot AS score FROM cper GROUP BY host
-       |ORDER BY score DESC, host ASC LIMIT $AnchorHostK""".stripMargin
+       |  FROM ctf t JOIN cdl d USING (host) JOIN cdf q USING (tok) CROSS JOIN csc sc),
+       |ah2 AS (SELECT host, $pivot AS score FROM cper GROUP BY host
+       |  ORDER BY score DESC, host ASC LIMIT $AnchorHostK)""".stripMargin
+  }
+
+  /** The fused retrieval over the CONTEXT index (r17): content BM25 +
+    * the context-anchor host ranking expanded to docs, fused through the
+    * same integer RRF tail as [[anchorBm25Oracle]] — the stored-path
+    * query `q_anchor_ctx_fused`'s replay.
+    */
+  private def anchorCtxFusedOracle: String = {
+    import graft.operators.TextAnalysis.Bm25K
+    import graft.operators.Pipeline.{RrfC, RrfK}
+    s"""WITH $anchorContextCtes,
+       |$anchorCtxScoreCtes,
+       |bm AS ($bm25TopKOracle),
+       |txt AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+       |  FROM bm),
+       |ahr AS (SELECT host,
+       |    row_number() OVER (ORDER BY score DESC, host ASC) AS host_rank
+       |  FROM ah2),
+       |ad AS (SELECT d.doc_id, ahr.host_rank FROM documents d
+       |  JOIN ahr ON ${hostOfSql("doc_id")} = ahr.host
+       |  ORDER BY ahr.host_rank ASC, d.doc_id ASC LIMIT $Bm25K),
+       |adr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY host_rank ASC, doc_id ASC) AS anchor_rank
+       |  FROM ad)
+       |SELECT COALESCE(txt.doc_id, adr.doc_id) AS doc_id, text_rank, anchor_rank,
+       |  COALESCE(1000000 // ($RrfC + text_rank), 0)
+       |    + COALESCE(1000000 // ($RrfC + anchor_rank), 0) AS rrf_micro
+       |FROM txt FULL OUTER JOIN adr ON txt.doc_id = adr.doc_id
+       |ORDER BY rrf_micro DESC, doc_id ASC LIMIT $RrfK""".stripMargin
   }
 
   /** DuckDB replay of `Pipeline.retentionFunnel` (r16): the link chain
@@ -5020,11 +5068,13 @@ object SparkEntry {
         |  array_to_string(ctx_a, ' ') AS ctx_after
         |FROM acw""".stripMargin),
     "q_anchor_ctx_bm25_stored" -> anchorCtxBm25Oracle,
+    "q_anchor_ctx_fused" -> anchorCtxFusedOracle,
     // Retention funnel with the TrustRank spam gate: PR + personalized
     // PR over the link chain, then first-reject CASE per document.
     "q_pipeline_trust_funnel" -> trustFunnelOracle,
     "q_trust_funnel_incremental" -> trustFunnelIncrementalOracle,
     "q_stream_trust_funnel" -> trustFunnelIncrementalOracle,
+    "q_trust_funnel_stored" -> trustFunnelIncrementalOracle,
     // Web communities: recursive-CTE transitive closure over the parsed
     // host graph (the q_dedup_clusters oracle shape on string keys).
     "q_link_components" ->

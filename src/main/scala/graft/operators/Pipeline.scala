@@ -442,6 +442,24 @@ object Pipeline {
       k, "anchor_rank")
   }
 
+  /** [[anchorHybridStoredTopK]] with the anchor side scored over the
+    * PERSISTED CONTEXT index (r17): the fusion consumes the richer
+    * anchor+window term bag — what the source pages were TALKING ABOUT
+    * when they linked, not just the link labels — still with zero page
+    * synthesis or parsing on the query path (the AnchorStore contract),
+    * and the identical integer RRF tail.
+    */
+  def anchorCtxHybridStoredTopK(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      poolK: Int = TextAnalysis.Bm25K, k: Int = RrfK): DataFrame = {
+    val documents = graft.Tables.documents(spark, dir)
+    rrfFuse(
+      bm25Ranks(documents, poolK),
+      LinkGraph.anchorDocRanksFrom(
+        documents, AnchorStore.anchorCtxBm25Hosts(spark, dir), poolK),
+      k, "anchor_rank")
+  }
+
   /** RETENTION FUNNEL with first-reject attribution —
     * `q_pipeline_trust_funnel`: the [[retainedCorpus]] pipeline EXTENDED
     * with the r15/r16 link-graph spam gate and accounted the
@@ -669,4 +687,78 @@ object Pipeline {
     perDoc
       .groupBy("source", "verdict")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+}
+
+/** Session-persisted funnel ARTIFACT bundle — the retention pipeline's
+  * train-once/apply-everywhere seam on the shared
+  * [[graft.sources.ArtifactStore]] kernel (the RankStore/AnchorStore
+  * contract): a production pipeline publishes the spam-host set, the
+  * keeper-fp table, and the keeper LSH band index in a periodic artifact
+  * job, and every ingest batch scores against the PUBLISHED bundle —
+  * zero PageRank, zero keeper recomputation, zero corpus shingling on
+  * the scoring path. Hosts/fps are exact strings and the index rows are
+  * (long, int, md5-string), so the parquet round-trip is bit-exact and
+  * `q_trust_funnel_stored` shares `q_trust_funnel_incremental`'s oracle
+  * verbatim.
+  */
+object FunnelStore {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types._
+
+  private val store = new graft.sources.ArtifactStore[String]("funnel")
+
+  private val spamSchema = StructType(Seq(StructField("host", StringType)))
+  private val keeperSchema = StructType(Seq(
+    StructField("fp", StringType), StructField("keeper", LongType)))
+  private val idxSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("key", StringType)))
+  private val shSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(StringType, containsNull = false))))
+
+  /** The persisted artifact bundle for `dir`, built ONCE per JVM from
+    * the corpus below the ingest split (+ the stored signature table).
+    * None on an empty corpus (no split exists).
+    */
+  def artifacts(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.5): Option[Pipeline.FunnelArtifacts] = {
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs).map { split =>
+      val out = store.getOrBuild(dir) { o =>
+        val arts = Pipeline.funnelArtifacts(
+          docs, split, Some(SignatureStore.table(spark, dir)), threshold)
+        arts.spam.select("host").write.mode("overwrite").parquet(s"$o/spam")
+        arts.keepers.write.mode("overwrite").parquet(s"$o/keepers")
+        arts.idx.write.mode("overwrite").parquet(s"$o/idx")
+        arts.corpusSh.write.mode("overwrite").parquet(s"$o/sh")
+      }
+      Pipeline.FunnelArtifacts(
+        spark.read.schema(spamSchema).parquet(s"$out/spam")
+          .withColumn("spam_flag",
+            org.apache.spark.sql.functions.lit(true)),
+        spark.read.schema(keeperSchema).parquet(s"$out/keepers"),
+        spark.read.schema(idxSchema).parquet(s"$out/idx"),
+        spark.read.schema(shSchema).parquet(s"$out/sh"),
+        threshold)
+    }
+  }
+
+  /** The funnel rollup of the arriving shard under the STORED bundle —
+    * what a production batch actually runs per artifact cycle.
+    */
+  def trustFunnelStored(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    (Dedup.ingestSplitOf(docs), artifacts(spark, dir)) match {
+      case (Some(split), Some(arts)) =>
+        Pipeline.funnelRollup(Pipeline.scoreShardAgainstFunnel(
+          docs.where(org.apache.spark.sql.functions.col("doc_id") >= split),
+          arts))
+      case _ => Pipeline.incrementalTrustFunnel(docs) // empty in, empty out
+    }
+  }
+
+  /** Times the bundle for `dir` has been BUILT (not read) — spec hook. */
+  def builds(dir: String): Int = store.builds(dir)
 }

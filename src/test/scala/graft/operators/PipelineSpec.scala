@@ -215,6 +215,30 @@ class PipelineSpec extends SparkSpec {
     assert((cut intersect anchorRank.keySet).nonEmpty)
   }
 
+  test("anchorCtxHybridStoredTopK equals the integer RRF over the context index") {
+    val dir = sf("sf0.001")
+    val documents = graft.Tables.documents(spark, dir)
+    val textRank = TextAnalysis.bm25TopK(documents).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    // fresh context-anchor ranking from public parts (the stored path
+    // must reproduce it — exact longs round-trip the artifact)
+    val anchorRank = LinkGraph.anchorDocRanksFrom(documents,
+        LinkGraph.anchorBm25FromIndex(LinkGraph.anchorContextTermIndex(documents)),
+        TextAnalysis.Bm25K).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val want = (textRank.keySet ++ anchorRank.keySet).toSeq.map { id =>
+      val rrf =
+        textRank.get(id).map(r => 1000000L / (Pipeline.RrfC + r)).getOrElse(0L) +
+          anchorRank.get(id).map(r => 1000000L / (Pipeline.RrfC + r)).getOrElse(0L)
+      (id, rrf)
+    }.sortBy { case (id, rrf) => (-rrf, id) }.take(Pipeline.RrfK)
+    val got = Pipeline.anchorCtxHybridStoredTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.size === Pipeline.RrfK)
+  }
+
   test("retentionFunnel: first-reject verdicts partition the corpus, stage by stage") {
     val dir = sf("sf0.001")
     val documents = graft.Tables.documents(spark, dir)
@@ -263,6 +287,30 @@ class PipelineSpec extends SparkSpec {
     }
     assert(got.keys.exists(_._2 == "kept"))
     assert(got.keys.exists(_._2 == "near_dup") || got.keys.exists(_._2 == "exact_dup"))
+  }
+
+  test("FunnelStore: stored bundle reproduces the incremental rollup; built once; no re-rank") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val fresh = canon(Pipeline.incrementalTrustFunnel(docs,
+      sigTable = Some(SignatureStore.table(spark, dir))))
+    val stored = canon(FunnelStore.trustFunnelStored(spark, dir))
+    assert(stored === fresh)
+    assert(stored.nonEmpty)
+    // a second invocation must READ, not rebuild (one build per dir/JVM)
+    val again = canon(FunnelStore.trustFunnelStored(spark, dir))
+    assert(again === fresh)
+    assert(FunnelStore.builds(dir) === 1)
+    // the stored scoring path never synthesizes pages or re-ranks the
+    // webgraph: no regexp extraction in its executed plan (the
+    // RankStore/AnchorStore marker — page parsing is regexp_extract_all)
+    val plan = FunnelStore.trustFunnelStored(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("regexp_extract"),
+      "stored funnel scoring must read the artifacts, not re-parse pages")
   }
 
   test("incrementalTrustFunnel: arrival verdicts replay against FROZEN artifacts") {
