@@ -269,6 +269,16 @@ object SparkEntry {
     // — encode never retrains).
     "q_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncodeWithRules(Tables.documents(s, dir), TokenizerStore.rules(s, dir))),
+    // vocab-sizing curve (r17): ONE training to the deepest checkpoint,
+    // then per-checkpoint rule-prefix encodes — fertility/compression/
+    // distinct-piece utilization vs merge count, all exact integers
+    "q_bpe_vocab_curve" -> ((s, dir) =>
+      TextAnalysis.bpeVocabCurve(Tables.documents(s, dir))),
+    // byte-fallback card (r17): character_coverage-kept alphabet ∪ merge
+    // outputs from the SAMPLED trainer; full corpus encoded under the
+    // sampled rules, OOV pieces expanded to UTF-8 bytes — per-lang rates
+    "q_bpe_byte_fallback" -> ((s, dir) =>
+      TextAnalysis.bpeByteFallback(Tables.documents(s, dir))),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramNextTokens(Tables.documents(s, dir))),
     // per-lang BPE fertility under the PERSISTED tokenizer (tokenizer QA)
     "q_tokenizer_fertility" -> ((s, dir) =>
@@ -500,6 +510,18 @@ object SparkEntry {
     // context-anchor ranking through the same stored path + RRF (r17)
     "q_anchor_ctx_fused" -> ((s, dir) =>
       Pipeline.anchorCtxHybridStoredTopK(s, dir)),
+    // continuous-crawl twin (r17): the arriving shard is the ONLY thing
+    // parsed; its term counts merge additively with the stored base
+    // index (base ⊎ shard ≡ full rebuild exactly — shares the fresh
+    // oracle), then one BM25 pass over the merged index
+    "q_anchor_ctx_incremental" -> ((s, dir) =>
+      AnchorStore.anchorCtxBm25Incremental(s, dir)),
+    // streaming twin: per-micro-batch shard-only parse appended to the
+    // persisted base index inside foreachBatch, one post-drain rollup +
+    // BM25 pass — batches compose additively, so stream ≡ incremental ≡
+    // full and all three share one oracle (r17)
+    "q_stream_anchor_ctx" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.anchorCtxToBatch(s, dir)),
     // retention funnel with the TrustRank spam gate composed in: every
     // doc's FIRST-reject verdict across quality -> spam-host -> exact ->
     // near-dup, per (source, verdict) — counts sum to the corpus (r16)
@@ -2582,15 +2604,23 @@ object SparkEntry {
     * is the kernel's leftmost-first merge. Early stop: no pairs left →
     * best NULL → recursion ends with fewer than k rules.
     */
-  private def bpeChainCtes(
-      k: Int, w: String, s: String, m: String, docWhere: String): String =
-    s"""${s}r AS (SELECT list({'word': word, 'freq': freq,
+  /** The one-row-state SEED alone — the whole weighted vocabulary as a
+    * single LIST<STRUCT> row with per-char `pieces` (round 0 of the
+    * training recursion; also the apply-side seed for encoding a corpus
+    * under rules trained elsewhere, e.g. the byte-fallback card).
+    */
+  private def bpeSeedCte(name: String, w: String, docWhere: String): String =
+    s"""$name AS (SELECT list({'word': word, 'freq': freq,
        |    'pieces': list_transform(range(1, length(word) + 1),
        |      i -> substr(word, CAST(i AS INTEGER), 1))} ORDER BY word) AS seg
        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS word
        |    FROM documents$docWhere) t
-       |    WHERE length(word) >= 1 GROUP BY word) $w),
+       |    WHERE length(word) >= 1 GROUP BY word) $w)""".stripMargin
+
+  private def bpeChainCtes(
+      k: Int, w: String, s: String, m: String, docWhere: String): String =
+    s"""${bpeSeedCte(s"${s}r", w, docWhere)},
        |${m}tr AS (
        |  SELECT 0 AS round, ${s}r.seg AS seg,
        |    CAST([] AS STRUCT(rank BIGINT, a VARCHAR, b VARCHAR, n BIGINT)[]) AS rules
@@ -5068,6 +5098,12 @@ object SparkEntry {
         |  array_to_string(ctx_a, ' ') AS ctx_after
         |FROM acw""".stripMargin),
     "q_anchor_ctx_bm25_stored" -> anchorCtxBm25Oracle,
+    // incremental twin: base ⊎ shard term counts ≡ the full index (tf is
+    // per-page additive), so the merged ranking replays the fresh oracle
+    "q_anchor_ctx_incremental" -> anchorCtxBm25Oracle,
+    // streaming twin: micro-batches partition the shard and tf partials
+    // sum in the post-drain rollup — same additive argument, same oracle
+    "q_stream_anchor_ctx" -> anchorCtxBm25Oracle,
     "q_anchor_ctx_fused" -> anchorCtxFusedOracle,
     // Retention funnel with the TrustRank spam gate: PR + personalized
     // PR over the link chain, then first-reject CASE per document.
@@ -5380,6 +5416,77 @@ object SparkEntry {
          |    < (t_chars * ${1000 * TextAnalysis.CompressionFloorNum})
          |      // (t_bpe * ${TextAnalysis.CompressionFloorDen}) AS flagged
          |FROM documents d LEFT JOIN perdoc p USING (doc_id) CROSS JOIN tot""".stripMargin),
+    // Vocab-sizing curve: the SAME training recursion's intermediate
+    // round states (round r of mtr = segmentation under the first r
+    // rules — BPE's greedy prefix invariant), aggregated per checkpoint
+    "q_bpe_vocab_curve" -> (bpeRoundCtes(TextAnalysis.DefaultBpeK) + ",\n" +
+      s"""ckpts AS (SELECT round, seg FROM mtr
+         |  WHERE round IN (${TextAnalysis.BpeCurveCheckpoints.mkString(", ")})),
+         |cbase AS (SELECT CAST(sum(s.freq) AS BIGINT) AS n_words,
+         |    CAST(sum(s.freq * length(s.word)) AS BIGINT) AS n_chars
+         |  FROM sr, unnest(sr.seg) AS t0(s)),
+         |cagg AS (SELECT round,
+         |    CAST(sum(freq) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(count(DISTINCT piece) AS BIGINT) AS n_distinct_pieces
+         |  FROM (SELECT round, s.freq AS freq, unnest(s.pieces) AS piece
+         |    FROM (SELECT round, unnest(seg) AS s FROM ckpts) z0) z1
+         |  GROUP BY round)
+         |SELECT CAST(round AS BIGINT) AS vocab_k,
+         |  CAST(round AS BIGINT) AS n_rules,
+         |  n_distinct_pieces, n_words, n_chars, n_bpe_tokens,
+         |  (n_bpe_tokens * 1000) // n_words AS fertility_milli,
+         |  (n_chars * 1000) // n_bpe_tokens AS compression_milli
+         |FROM cagg CROSS JOIN cbase""".stripMargin),
+    // Byte-fallback card: sampled trainer chain (wq/t/mm) + full-corpus
+    // seed (fsr) folded under the sampled rules (u); the kept alphabet
+    // is the minimal coverage prefix (cum_before·den < total·num), the
+    // vocabulary alphabet ∪ merge outputs (DISTINCT over UNION ALL — the
+    // WITH RECURSIVE UNION-dedup pitfall), OOV pieces expand to strlen
+    // bytes (DuckDB strlen = UTF-8 bytes = Spark octet_length)
+    "q_bpe_byte_fallback" -> {
+      val k = TextAnalysis.DefaultBpeK
+      "WITH RECURSIVE " +
+        bpeChainCtes(k, w = "wq", s = "t", m = "mm",
+          docWhere = bpeSampleWhere) + ",\n" +
+        bpeSeedCte("fsr", "fw", "") + ",\n" +
+        bpeApplyCtes(u = "u", m = "mm", seedRow = "fsr") + ",\n" +
+        s"""cfr AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cf FROM (
+           |    SELECT s.freq AS freq, unnest(s.pieces) AS piece
+           |    FROM tr, unnest(tr.seg) AS t0(s)) z GROUP BY piece),
+           |alpha AS (SELECT piece FROM (
+           |    SELECT piece, cf,
+           |      coalesce(sum(cf) OVER (ORDER BY cf DESC, piece ASC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |        AS cum_before,
+           |      sum(cf) OVER () AS cf_total
+           |    FROM cfr) a
+           |  WHERE cum_before * ${TextAnalysis.BpeCoverageDen}
+           |      < cf_total * ${TextAnalysis.BpeCoverageNum}),
+           |vocabp AS (SELECT DISTINCT piece FROM (
+           |    SELECT piece FROM alpha
+           |    UNION ALL SELECT a || b AS piece FROM mm) vv),
+           |pstat AS (SELECT p.word AS word, CAST(count(*) AS BIGINT) AS wp,
+           |    CAST(sum(CASE WHEN v.piece IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS wo,
+           |    CAST(sum(CASE WHEN v.piece IS NULL THEN strlen(p.piece)
+           |      ELSE 1 END) AS BIGINT) AS wt
+           |  FROM (SELECT u.word AS word, unnest(u.pieces) AS piece FROM u) p
+           |  LEFT JOIN vocabp v ON p.piece = v.piece
+           |  GROUP BY p.word),
+           |lw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq FROM (
+           |    SELECT lang, unnest(regexp_split_to_array(trim(lower(nfc_normalize(text))), '\\s+')) AS word
+           |    FROM documents) t
+           |  WHERE length(word) >= 1 GROUP BY lang, word)
+           |SELECT lw.lang,
+           |  CAST(sum(lw.freq) AS BIGINT) AS n_words,
+           |  CAST(sum(lw.freq * ps.wp) AS BIGINT) AS n_pieces,
+           |  CAST(sum(lw.freq * ps.wo) AS BIGINT) AS n_oov_pieces,
+           |  CAST(sum(lw.freq * ps.wt) AS BIGINT) AS n_tokens,
+           |  (CAST(sum(lw.freq * ps.wo) AS BIGINT) * 1000)
+           |    // CAST(sum(lw.freq * ps.wp) AS BIGINT) AS oov_permille
+           |FROM lw JOIN pstat ps USING (word)
+           |GROUP BY lw.lang""".stripMargin
+    },
     // BPE step-one merge candidates: adjacent character pairs inside
     // lowercase tokens; substr is character-based in both engines and the
     // offset axes match (sequence 1..len-1 inclusive == range(1, len)).

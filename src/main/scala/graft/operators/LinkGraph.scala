@@ -443,7 +443,22 @@ object LinkGraph {
     * anchor-len) tokens per anchor.
     */
   def anchorContextTermIndex(documents: DataFrame): DataFrame =
-    anchorContexts(documents)
+    termIndexOfContexts(anchorContexts(documents))
+
+  /** The context index of an arriving shard ALONE — no markup fixtures
+    * (those are stable pages of the base crawl, already in the stored
+    * base index; a shard contributes only its own pages). This is the
+    * only thing the incremental stored path parses.
+    */
+  private[graft] def anchorContextTermIndexShard(documents: DataFrame): DataFrame =
+    termIndexOfContexts(anchorContextsRaw(graft.Parallelism.ensure(documents)))
+
+  /** The (host, tok, tf) rollup of a context frame — shared by the full
+    * build and the shard-only incremental build so both count the same
+    * way (tf is a per-page additive count: base ⊎ shard ≡ full).
+    */
+  private def termIndexOfContexts(ctx: DataFrame): DataFrame =
+    ctx
       .where(col("dst_host") =!= col("src_host"))
       .select(col("dst_host").as("host"),
         explode(concat(
@@ -779,4 +794,50 @@ object AnchorStore {
 
   /** Times the context index for `dir` has been BUILT — spec hook. */
   def ctxBuilds(dir: String): Int = ctxStore.builds(dir)
+
+  private val ctxBaseStore =
+    new graft.sources.ArtifactStore[String]("anchorctxbase")
+
+  /** The persisted BASE-CRAWL context index: pages below the ingest
+    * split (plus the markup fixtures — stable pages of any crawl),
+    * parsed and indexed ONCE. The incremental query path never touches
+    * these pages again.
+    */
+  private[graft] def ctxBaseIndex(
+      spark: SparkSession, dir: String, split: Long): DataFrame =
+    spark.read.schema(schema).parquet(ctxBaseStore.getOrBuild(dir) { out =>
+      LinkGraph.anchorContextTermIndex(
+        graft.Tables.documents(spark, dir)
+          .where(org.apache.spark.sql.functions.col("doc_id") < split))
+        .write.mode("overwrite").parquet(out)
+    })
+
+  /** INCREMENTAL context retrieval — the continuous-crawl twin of
+    * [[anchorCtxBm25Hosts]]: only the arriving shard (docs at/above the
+    * ingest split) is parsed; its term counts merge ADDITIVELY with the
+    * stored base index (tf is a per-page count and page extraction is
+    * row-local, so base ⊎ shard ≡ full rebuild EXACTLY — the merged
+    * ranking shares the fresh path's oracle verbatim), and one BM25
+    * scoring pass runs over the merged index. Per-batch cost is
+    * O(shard parse + index merge), never a corpus re-parse.
+    */
+  def anchorCtxBm25Incremental(
+      spark: SparkSession, dir: String,
+      terms: Seq[String] = TextAnalysis.Bm25Query,
+      k: Int = LinkGraph.AnchorHostK): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None => anchorCtxBm25Hosts(spark, dir, terms, k) // empty corpus
+      case Some(split) =>
+        val merged = ctxBaseIndex(spark, dir, split)
+          .unionByName(LinkGraph.anchorContextTermIndexShard(
+            docs.where(col("doc_id") >= split)))
+          .groupBy("host", "tok").agg(sum("tf").as("tf"))
+        LinkGraph.anchorBm25FromIndex(merged, terms, k)
+    }
+  }
+
+  /** Times the base context index for `dir` has been BUILT — spec hook. */
+  def ctxBaseBuilds(dir: String): Int = ctxBaseStore.builds(dir)
 }

@@ -1793,6 +1793,137 @@ object TextAnalysis {
       .withColumn("fertility_milli", expr("(n_bpe_tokens * 1000) div n_words"))
   }
 
+  /** Merge-count checkpoints for the vocab-sizing curve card — ascending,
+    * ending at the full trained depth ([[DefaultBpeK]]).
+    */
+  val BpeCurveCheckpoints: Seq[Int] = Seq(5, 10, DefaultBpeK)
+
+  /** Tokenizer VOCAB-SIZING curve — the "how many merges buy how much"
+    * card a pipeline runs before committing to a vocabulary size. BPE's
+    * greedy invariant makes the first k rules of a deeper training
+    * identical to a k-round training, so ONE training to the deepest
+    * checkpoint serves every point on the curve; each checkpoint then
+    * costs one vocabulary-bounded encode pass under the rule PREFIX.
+    * Reported per checkpoint, all exact integers: rules in effect,
+    * distinct pieces actually used (vocabulary utilization), corpus
+    * word/char totals, BPE token total, fertility (pieces per word,
+    * milli) and compression (chars per piece, milli).
+    *
+    * Scale shape: the corpus-scale work is [[wordFreqs]]'s ONE count;
+    * checkpoints add |vocab|-row kernel scans + two-column aggregates.
+    * The DuckDB oracle reads the SAME training recursion's intermediate
+    * round states — nothing retrains per checkpoint on either side.
+    */
+  def bpeVocabCurve(
+      documents: DataFrame,
+      checkpoints: Seq[Int] = BpeCurveCheckpoints): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted,
+      "checkpoints must be ascending")
+    val words = wordFreqs(documents).localCheckpoint()
+    val rules = trainBpeRules(words, checkpoints.max)
+      .map(r => (r._2, r._3)).toArray
+    val base = words.agg(
+      sum("freq").as("n_words"),
+      sum(col("freq") * length(col("word"))).as("n_chars"))
+    // a checkpoint deeper than the achieved rounds has no training
+    // state (the oracle's recursion stops when no pairs remain) — it
+    // contributes no curve row rather than a duplicate of the last one
+    def rowFor(k: Int, emit: Boolean) = {
+      val rk = rules.take(k)
+      words
+        .select(col("freq"),
+          explode(graft.functions.BpeExpressions
+            .bpeSegments(col("word"), rk)).as("piece"))
+        .agg(sum("freq").as("n_bpe_tokens"),
+          countDistinct(col("piece")).as("n_distinct_pieces"))
+        .select(lit(k.toLong).as("vocab_k"),
+          lit(rk.length.toLong).as("n_rules"),
+          col("n_distinct_pieces"), col("n_bpe_tokens"))
+        .where(lit(emit))
+    }
+    val perK = checkpoints.map(k => rowFor(k, emit = k <= rules.length))
+      .reduce(_ union _)
+    // empty corpus → empty curve (the oracle's recursion never reaches
+    // any checkpoint round); non-empty training always has ≥1 word row
+    perK.crossJoin(broadcast(base))
+      .where(col("n_words").isNotNull)
+      .withColumn("fertility_milli", expr("(n_bpe_tokens * 1000) div n_words"))
+      .withColumn("compression_milli", expr("(n_chars * 1000) div n_bpe_tokens"))
+      .select("vocab_k", "n_rules", "n_distinct_pieces", "n_words",
+        "n_chars", "n_bpe_tokens", "fertility_milli", "compression_milli")
+  }
+
+  /** `character_coverage` as an exact ratio (SentencePiece's 0.9995):
+    * the vocabulary keeps the most frequent code points covering at
+    * least this share of the TRAINING corpus's weighted char
+    * occurrences; everything rarer encodes via UTF-8 byte fallback.
+    */
+  val BpeCoverageNum = 9995L
+  val BpeCoverageDen = 10000L
+
+  /** BYTE-FALLBACK card — what shipping the sampled-trained vocabulary
+    * costs per language in out-of-vocabulary expansion. The vocabulary
+    * is built the way production byte-fallback tokenizers build theirs:
+    * rank the training corpus's code points by weighted frequency
+    * (DESC, char ASC tie-break) and keep the minimal prefix covering
+    * ≥ [[BpeCoverageNum]]/[[BpeCoverageDen]] of char occurrences
+    * (`cum_before · den < total · num` — the exact-integer form of
+    * `cum_before < ceil(total·cov)`), plus every trained merge output.
+    * The FULL corpus is then encoded under the sampled rules; a piece
+    * outside the vocabulary (necessarily a single dropped/unseen char —
+    * merges only produce trained outputs) expands to its UTF-8 bytes.
+    * Per language: word/piece totals, OOV piece occurrences, the
+    * byte-expanded token total, and the OOV rate in permille.
+    *
+    * Scale shape: training is the bounded sampled trainer; the kept
+    * alphabet is a |code points|-row window (bounded by Unicode, a
+    * single-task detail like bm25Ranks); the vocab join is a broadcast;
+    * the only corpus-scale passes are the two word counts
+    * ([[wordFreqs]] + the per-lang one) the fertility card already
+    * established.
+    */
+  def bpeByteFallback(documents: DataFrame, k: Int = DefaultBpeK): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sampledWords = wordFreqs(bpeSampledDocs(documents)).localCheckpoint()
+    val rules = trainBpeRules(sampledWords, k).map(r => (r._2, r._3)).toArray
+    val charFreq = sampledWords
+      .select(col("freq"), explode(graft.functions.BpeExpressions
+        .bpeSegments(col("word"), Array.empty)).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cf"))
+    val cumW = Window.orderBy(desc("cf"), asc("piece"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val alphabet = charFreq
+      .withColumn("cum_before", coalesce(sum("cf").over(cumW), lit(0L)))
+      .crossJoin(broadcast(charFreq.agg(sum("cf").as("cf_total"))))
+      .where(col("cum_before") * BpeCoverageDen < col("cf_total") * BpeCoverageNum)
+      .select("piece")
+    val vocab = alphabet
+      .union(rules.map { case (a, b) => a + b }.toSeq.toDF("piece"))
+      .distinct()
+    val pieceStats = wordFreqs(documents)
+      .select(col("word"), explode(graft.functions.BpeExpressions
+        .bpeSegments(col("word"), rules)).as("piece"))
+      .join(broadcast(vocab.withColumn("in_vocab", lit(true))),
+        Seq("piece"), "left")
+      .groupBy("word")
+      .agg(count(lit(1)).as("wp"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("wo"),
+        sum(when(col("in_vocab").isNull,
+          octet_length(col("piece")).cast("long")).otherwise(1L)).as("wt"))
+    val langWords = graft.Parallelism.ensure(documents)
+      .select(col("lang"), explode(lowToks(col("text"))).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+    langWords.join(pieceStats, "word")
+      .groupBy("lang")
+      .agg(sum("freq").as("n_words"),
+        sum(col("freq") * col("wp")).as("n_pieces"),
+        sum(col("freq") * col("wo")).as("n_oov_pieces"),
+        sum(col("freq") * col("wt")).as("n_tokens"))
+      .withColumn("oov_permille", expr("(n_oov_pieces * 1000) div n_pieces"))
+  }
+
   /** Next-token candidates per [[bigramNextTokens]] prefix. */
   val DefaultBigramK = 3
 

@@ -1001,4 +1001,53 @@ object DocumentStreams {
     EventStreams.deleteRecursivelyOnExit(tmp)
     result
   }
+
+  /** STREAMING anchor-context indexing — the continuous-crawl form of
+    * `AnchorStore.anchorCtxBm25Incremental`: the PERSISTED base-crawl
+    * context index is the frozen artifact; each arriving micro-batch
+    * parses ONLY its own pages (`anchorContextTermIndexShard` — no
+    * fixtures, those live in the base index) and appends its partial
+    * (host, tok, tf) counts; the post-drain rollup sums the base index
+    * with every batch's partials and scores once with the shared BM25
+    * tail. tf is additive and page extraction row-local, so batches
+    * compose exactly: stream ≡ incremental ≡ full rebuild, one oracle
+    * for all three. Per-batch `batch=<id>` overwrite dirs — this file's
+    * exactly-once sink contract.
+    */
+  def anchorCtxToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AnchorStore, Dedup, LinkGraph}
+    val docs = graft.Tables.documents(spark, dir)
+    Dedup.ingestSplitOf(docs) match {
+      case None => AnchorStore.anchorCtxBm25Hosts(spark, dir) // empty corpus
+      case Some(split) =>
+        val base = AnchorStore.ctxBaseIndex(spark, dir, split)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_anchorctx")
+        java.nio.file.Files.createDirectories(tmp.resolve("out"))
+        val stream = rawSource(spark, dir).where(col("doc_id") >= split)
+        EventStreams.withStreamShufflePartitions(spark) {
+          val q = stream.writeStream
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              LinkGraph.anchorContextTermIndexShard(batch)
+                .write.mode("overwrite")
+                .parquet(tmp.resolve("out").resolve(s"batch=$batchId").toString)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val schema = StructType(Seq(
+          StructField("host", StringType),
+          StructField("tok", StringType),
+          StructField("tf", LongType)))
+        val partials = spark.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(tmp.resolve("out").toString)
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        val merged = base.unionByName(partials)
+          .groupBy("host", "tok").agg(sum("tf").as("tf"))
+        LinkGraph.anchorBm25FromIndex(merged)
+    }
+  }
 }

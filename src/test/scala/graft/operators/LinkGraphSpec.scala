@@ -459,4 +459,42 @@ class LinkGraphSpec extends SparkSpec {
     assert(!plan.contains("regexp_extract"),
       "stored context ranking must read the artifact, not re-parse pages")
   }
+
+  test("anchorCtxBm25Incremental: stored base ⊎ shard parse ≡ full rebuild; base built once") {
+    val dir = sf("sf0.001")
+    val sfDocs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+      df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // index-level exactness first: base (with fixtures — stable pages of
+    // the base crawl) plus the shard-only parse must reproduce the full
+    // index row for row (tf is a per-page additive count)
+    val split = Dedup.ingestSplitOf(sfDocs).get
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val merged = LinkGraph.anchorContextTermIndex(
+        sfDocs.where(col("doc_id") < split))
+      .unionByName(LinkGraph.anchorContextTermIndexShard(
+        sfDocs.where(col("doc_id") >= split)))
+      .groupBy("host", "tok")
+      .agg(org.apache.spark.sql.functions.sum("tf").as("tf"))
+    assert(idxRows(merged) === idxRows(LinkGraph.anchorContextTermIndex(sfDocs)))
+    // the query path: incremental ranking ≡ the fresh full ranking
+    val fresh = rows(LinkGraph.anchorBm25FromIndex(
+      LinkGraph.anchorContextTermIndex(sfDocs)))
+    val inc = rows(AnchorStore.anchorCtxBm25Incremental(spark, dir))
+    assert(inc === fresh)
+    assert(fresh.nonEmpty)
+    // a second invocation READS the base artifact (one build per dir/JVM)
+    assert(rows(AnchorStore.anchorCtxBm25Incremental(spark, dir)) === fresh)
+    assert(AnchorStore.ctxBaseBuilds(dir) === 1)
+    // the base side the incremental path consumes is a parquet scan of
+    // the persisted artifact, never a page parse (the ranking's own
+    // executed plan starts at the Materialize.iteration checkpoint, so
+    // the evidence lives on the base read itself)
+    val basePlan = AnchorStore.ctxBaseIndex(spark, dir, split)
+      .queryExecution.executedPlan.toString
+    assert(basePlan.contains("anchorctxbase") &&
+      !basePlan.contains("regexp_extract"),
+      "base context index must be an artifact scan, not a re-parse")
+  }
 }

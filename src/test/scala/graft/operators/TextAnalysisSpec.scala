@@ -1136,4 +1136,79 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_._1).toSet === Set(3L, 4L, 5L))
     assert(got.map(_._2).toSet.size === 1)
   }
+
+  test("bpeVocabCurve: hand-derived checkpoints; greedy prefix invariant; early stop drops deep rows") {
+    // 'abab' x3, 'ab' x2 — round 1 merges (a,b), round 2 (ab,ab)
+    val d = docs(0L -> "abab abab abab ab ab")
+    val got = TextAnalysis.bpeVocabCurve(d, checkpoints = Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    // k=1: abab->[ab,ab], ab->[ab]: n_bpe = 3*2+2 = 8, pieces {ab};
+    //      words 5, chars 16; fert 8000/5 = 1600; comp 16000/8 = 2000
+    // k=2: abab->[abab], ab->[ab]: n_bpe = 5, pieces {abab, ab};
+    //      fert 1000; comp 16000/5 = 3200
+    assert(got === Set(
+      (1L, 1L, 1L, 5L, 16L, 8L, 1600L, 2000L),
+      (2L, 2L, 2L, 5L, 16L, 5L, 1000L, 3200L)))
+    // training merges out after 2 rounds: a deeper checkpoint has no
+    // training state and contributes no row (the oracle's recursion
+    // never reaches it)
+    val stopped = TextAnalysis.bpeVocabCurve(d, checkpoints = Seq(2, 5))
+      .collect().map(_.getLong(0)).toSet
+    assert(stopped === Set(2L))
+    // real-table invariants: one row per reachable checkpoint; token
+    // totals non-increasing in k (merges only fuse); the deepest
+    // checkpoint agrees with the standalone encode
+    val dir = sf("sf0.001")
+    val sfDocs = graft.Tables.documents(spark, dir)
+    val curve = TextAnalysis.bpeVocabCurve(sfDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).sortBy(_._1)
+    assert(curve.map(_._1) ===
+      TextAnalysis.BpeCurveCheckpoints.map(_.toLong).toArray)
+    assert(curve.sliding(2).forall(w => w(1)._2 <= w(0)._2))
+    val encTotal = TextAnalysis.bpeEncode(sfDocs)
+      .agg(org.apache.spark.sql.functions.sum(
+        col("freq") * col("n_pieces"))).collect().head.getLong(0)
+    assert(curve.last._2 === encTotal)
+  }
+
+  test("bpeByteFallback: kept alphabet + merge outputs in vocab; OOV pieces expand to UTF-8 bytes") {
+    import spark.implicits._
+    // recover the engine's deterministic 1/16 sample membership on a
+    // small id range (same md5 predicate as bpeSampledDocs)
+    val ids = spark.range(0, 200).toDF("doc_id")
+      .withColumn("in_sample", org.apache.spark.sql.functions.pmod(
+        graft.functions.HashFunctions.md5Long(
+          col("doc_id").cast("string"), TextAnalysis.BpeSampleSeed),
+        org.apache.spark.sql.functions.lit(TextAnalysis.BpeSampleMod)) === 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val inId = ids.collectFirst { case (i, true) => i }.get
+    val outId = ids.collectFirst { case (i, false) => i }.get
+    // sampled doc trains on {a, b}: rules (a,a) then (b,b); both chars
+    // kept (two chars can't exceed the 0.05% tail). unsampled doc brings
+    // unseen chars: z (1 byte) and ¢ (2 bytes) — every piece OOV
+    val d = Seq(
+      (inId, "en", "aa aa bb"),
+      (outId, "xx", "zz ¢x")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.bpeByteFallback(d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // en: aa->[aa] x2, bb->[bb]: 3 words, 3 pieces, 0 oov, 3 tokens
+    // xx: zz->[z,z] (2 oov x 1 byte), ¢x->[¢,x] (2 oov, 2+1 bytes):
+    //     2 words, 4 pieces, 4 oov, 5 tokens, 1000 permille
+    assert(got === Map(
+      "en" -> ((3L, 3L, 0L, 3L, 0L)),
+      "xx" -> ((2L, 4L, 4L, 5L, 1000L))))
+    // character_coverage drops the tail: 'q' carries 1 of 9999 char
+    // occurrences (> the 0.05% boundary), so it falls out of the kept
+    // alphabet even though it WAS in the training corpus
+    val skew = Seq((inId, "en",
+      (Seq.fill(4999)("aa") :+ "q").mkString(" "))).toDF("doc_id", "lang", "text")
+    val row = TextAnalysis.bpeByteFallback(skew).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getLong(3) === 1L, "q must be out-of-vocabulary") // n_oov_pieces
+    assert(r.getLong(1) === 5000L)                             // n_words
+  }
 }

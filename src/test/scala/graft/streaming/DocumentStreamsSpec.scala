@@ -360,4 +360,18 @@ class DocumentStreamsSpec extends SparkSpec {
       .sortBy { case (id, _, key) => (key, id) }.take(k.toInt).toSet
     assert(mergedRaw === whole)
   }
+
+  test("streaming anchor-context retrieval equals the full-rebuild ranking (driver data)") {
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val streamed = rows(DocumentStreams.anchorCtxToBatch(spark, dir))
+    // batches partition the shard and tf partials sum post-drain, so the
+    // stream must reproduce the fresh full index's ranking bit-exactly
+    val full = rows(graft.operators.LinkGraph.anchorBm25FromIndex(
+      graft.operators.LinkGraph.anchorContextTermIndex(
+        graft.Tables.documents(spark, dir))))
+    assert(streamed === full)
+    assert(streamed.nonEmpty)
+  }
 }
