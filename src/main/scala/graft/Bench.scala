@@ -40,6 +40,24 @@ object LoadMarkers {
       finally s.close()
     } catch { case _: Throwable => -1 }
 
+  /** Cumulative hypervisor-STEAL ticks (/proc/stat `cpu` line, field 8):
+    * cycles a co-tenant VM took while our vCPUs were runnable. This is
+    * the contention mode the other markers CANNOT see — steal slows
+    * every task uniformly without adding runnable load, so loadavg and
+    * cpu/wall both look clean. The r17 close found exactly that: a
+    * uniform 1.21× whole-suite min-vs-min shift at other_load 0.93,
+    * whose only host-side fingerprint was a live steal counter. -1 when
+    * unavailable (non-Linux or bare metal).
+    */
+  def stealTicks(): Long =
+    try {
+      val first = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next()
+      val f = first.trim.split("\\s+")
+      if (f.length > 8 && f(0) == "cpu") f(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+
   /** This JVM's cumulative CPU seconds (all threads). Against wall time
     * it gives the run's achieved parallelism: loadavg far above cpu/wall
     * means OTHER processes held the cores.
@@ -117,10 +135,11 @@ object Bench {
     // (see [[LoadMarkers]] — the artifact carries its own contention
     // evidence so a later comparison can refuse to judge a tainted run)
     val jvmsAtStart = LoadMarkers.jvmCount()
-    val passMarkers = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    val passMarkers = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
     val samples = (1 to Passes).flatMap { _ =>
       val w0 = System.nanoTime()
       val c0 = LoadMarkers.procCpuSec()
+      val s0 = LoadMarkers.stealTicks()
       val out = queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val failed = try { drain(fn(spark, sfDir)); false } catch { case _: Throwable => true }
@@ -129,10 +148,13 @@ object Bench {
         // a failed pass must not report its time-to-exception as a score
         name -> (if (failed) -1.0 else dt)
       }
+      val s1 = LoadMarkers.stealTicks()
       passMarkers += ((
         (System.nanoTime() - w0) / 1e9,
         LoadMarkers.procCpuSec() - c0,
-        LoadMarkers.loadAvg()))
+        LoadMarkers.loadAvg(),
+        // steal in CPU-seconds over the pass (USER_HZ=100 ticks/s)
+        if (s0 < 0 || s1 < 0) -1.0 else (s1 - s0) / 100.0))
       out
     }
     val results = queries.map { case (name, _) =>
@@ -159,15 +181,22 @@ object Bench {
     // parallelism (cpu/wall) estimates the RUNNABLE LOAD THAT ISN'T US;
     // its max over passes is the single number the regression gate
     // thresholds on. -1 components mean the marker was unavailable.
-    val otherLoadMax = passMarkers.map { case (wall, cpu, la) =>
+    val otherLoadMax = passMarkers.map { case (wall, cpu, la, _) =>
       if (la < 0 || cpu < 0 || wall <= 0) -1.0
       else math.max(0.0, la - cpu / wall)
     }.foldLeft(-1.0)(math.max)
+    // steal as a FRACTION of the machine's cycles over the pass
+    // (stealSec / (wall · cores)) — the uniform-slowdown contention mode
+    // loadavg can't see; its max is the second number the gate thresholds
+    val stealFracMax = passMarkers.map { case (wall, _, _, st) =>
+      if (st < 0 || wall <= 0 || cpus <= 0) -1.0
+      else st / (wall * cpus)
+    }.foldLeft(-1.0)(math.max)
     val loadJson = {
-      val passes = passMarkers.map { case (wall, cpu, la) =>
-        s"""{"wall":${fmt(wall)},"cpu":${fmt(cpu)},"loadavg":${fmt(la)}}"""
+      val passes = passMarkers.map { case (wall, cpu, la, st) =>
+        s"""{"wall":${fmt(wall)},"cpu":${fmt(cpu)},"loadavg":${fmt(la)},"steal":${fmt(st)}}"""
       }.mkString("[", ",", "]")
-      s"""{"cores":$cpus,"jvms":$jvmsAtStart,"passes":$passes,"other_load_max":${fmt(otherLoadMax)}}"""
+      s"""{"cores":$cpus,"jvms":$jvmsAtStart,"passes":$passes,"other_load_max":${fmt(otherLoadMax)},"steal_frac_max":${fmt(stealFracMax)}}"""
     }
     // Field order is deliberate: the round driver archives only the LAST
     // ~2 KB of stdout into BENCH_r*.json, so the bulky "spread" map goes

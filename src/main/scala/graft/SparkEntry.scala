@@ -522,6 +522,11 @@ object SparkEntry {
     // full and all three share one oracle (r17)
     "q_stream_anchor_ctx" -> ((s, dir) =>
       graft.streaming.DocumentStreams.anchorCtxToBatch(s, dir)),
+    // publish/compaction: base ⊎ shard persisted as the NEXT base-crawl
+    // artifact, per-host rollup read back FROM the artifact — closes the
+    // probe → publish → probe loop; published ≡ full rebuild (r17)
+    "q_anchor_ctx_publish" -> ((s, dir) =>
+      AnchorStore.publishCtxBase(s, dir)),
     // retention funnel with the TrustRank spam gate composed in: every
     // doc's FIRST-reject verdict across quality -> spam-host -> exact ->
     // near-dup, per (source, verdict) — counts sum to the corpus (r16)
@@ -5104,6 +5109,15 @@ object SparkEntry {
     // streaming twin: micro-batches partition the shard and tf partials
     // sum in the post-drain rollup — same additive argument, same oracle
     "q_stream_anchor_ctx" -> anchorCtxBm25Oracle,
+    // publish/compaction: the published artifact must equal the full
+    // rebuild, so the oracle replays the full context bag and rolls it
+    // up per host (n_terms = distinct tokens, dl = total occurrences)
+    "q_anchor_ctx_publish" -> (s"""WITH $anchorContextCtes,
+       |ct AS (SELECT dst_host AS host, unnest(atoks || ctx_b || ctx_a) AS tok
+       |  FROM acw WHERE dst_host <> src_host)
+       |SELECT host, CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+       |  CAST(count(*) AS BIGINT) AS dl
+       |FROM ct GROUP BY host""".stripMargin),
     "q_anchor_ctx_fused" -> anchorCtxFusedOracle,
     // Retention funnel with the TrustRank spam gate: PR + personalized
     // PR over the link chain, then first-reject CASE per document.

@@ -840,4 +840,40 @@ object AnchorStore {
 
   /** Times the base context index for `dir` has been BUILT — spec hook. */
   def ctxBaseBuilds(dir: String): Int = ctxBaseStore.builds(dir)
+
+  private val ctxPubStore =
+    new graft.sources.ArtifactStore[String]("anchorctxpub")
+
+  /** PUBLISH/compaction — the end of the incremental lifecycle: fold the
+    * arriving shard's counts into the stored base and persist the merged
+    * index as the NEXT base-crawl artifact (what a periodic index-publish
+    * job ships; the next ingest batch probes this, closing the
+    * probe → publish → probe loop). Returns the published artifact's
+    * per-host rollup (host, n_terms, dl) READ BACK FROM THE ARTIFACT, so
+    * the card verifies the parquet round-trip and the additive-compaction
+    * contract (published ≡ full rebuild) against the full-corpus oracle.
+    * Publish cost is the shard parse + one index-sized merge — the base
+    * pages are never re-parsed.
+    */
+  def publishCtxBase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, countDistinct, sum}
+    val docs = graft.Tables.documents(spark, dir)
+    val published = Dedup.ingestSplitOf(docs) match {
+      case None => contextIndex(spark, dir) // empty corpus: nothing to fold
+      case Some(split) =>
+        spark.read.schema(schema).parquet(ctxPubStore.getOrBuild(dir) { out =>
+          ctxBaseIndex(spark, dir, split)
+            .unionByName(LinkGraph.anchorContextTermIndexShard(
+              docs.where(col("doc_id") >= split)))
+            .groupBy("host", "tok")
+            .agg(sum("tf").as("tf"))
+            .write.mode("overwrite").parquet(out)
+        })
+    }
+    published.groupBy("host")
+      .agg(countDistinct(col("tok")).as("n_terms"), sum("tf").as("dl"))
+  }
+
+  /** Times the published context index for `dir` has been BUILT. */
+  def ctxPubBuilds(dir: String): Int = ctxPubStore.builds(dir)
 }

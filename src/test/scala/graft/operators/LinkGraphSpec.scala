@@ -497,4 +497,22 @@ class LinkGraphSpec extends SparkSpec {
       !basePlan.contains("regexp_extract"),
       "base context index must be an artifact scan, not a re-parse")
   }
+
+  test("publishCtxBase: published artifact rollup ≡ full-rebuild index; built once") {
+    val dir = sf("sf0.001")
+    val sfDocs = Tables.documents(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val published = canon(AnchorStore.publishCtxBase(spark, dir))
+    // the compaction contract: the shipped artifact's per-host rollup
+    // must equal the full-corpus index's — distinct terms AND total mass
+    val full = canon(LinkGraph.anchorContextTermIndex(sfDocs)
+      .groupBy("host")
+      .agg(countDistinct(col("tok")).as("n_terms"), sum("tf").as("dl")))
+    assert(published === full)
+    assert(published.nonEmpty)
+    // second publish READS the shipped artifact (one build per dir/JVM)
+    assert(canon(AnchorStore.publishCtxBase(spark, dir)) === full)
+    assert(AnchorStore.ctxPubBuilds(dir) === 1)
+  }
 }

@@ -33,6 +33,12 @@ import sys
 # other-load differs by more than this are not comparable either way
 CONTENTION_FRAC = 0.15
 
+# stolen hypervisor cycles above this fraction of (wall x cores) mark a
+# run as contended even when other-load is clean (uniform slowdown mode);
+# idle baseline on this host is ~0.028, the r17 1.21x incident implies
+# ~0.17 — the bar sits well between the two
+STEAL_FRAC = 0.05
+
 
 def load(path):
     with open(path) as f:
@@ -73,6 +79,23 @@ def load_verdict(base_load, new_load):
             and abs(ob - on) > 0.5 * min(lim_b, lim_n)):
         return True, (f"load markers differ materially: other-load "
                       f"{ob:.2f} (baseline) vs {on:.2f} (new)")
+    # hypervisor steal (r17 marker): a co-tenant VM's cycles slow every
+    # task UNIFORMLY without adding runnable load, so other-load stays
+    # clean — the r17 close measured a 1.21x whole-suite min-vs-min shift
+    # at other_load 0.93 whose only fingerprint was /proc/stat steal.
+    # steal_frac_max is stolen-cycles / (wall x cores) per pass, maxed.
+    def steal(l):
+        if not l or l.get("steal_frac_max", -1) < 0:
+            return None
+        return float(l["steal_frac_max"])
+    sb, sn = steal(base_load), steal(new_load)
+    for side, s in (("baseline", sb), ("new", sn)):
+        if s is not None and s > STEAL_FRAC:
+            return True, (f"{side} run is STEAL-CONTENDED: steal fraction "
+                          f"{s:.3f} > {STEAL_FRAC} of machine cycles")
+    if sb is not None and sn is not None and abs(sb - sn) > 0.5 * STEAL_FRAC:
+        return True, (f"steal markers differ materially: "
+                      f"{sb:.3f} (baseline) vs {sn:.3f} (new)")
     return False, None
 
 
@@ -91,6 +114,7 @@ def main():
         if l:
             print(f"{tag} load: jvms={l.get('jvms')} "
                   f"other_load_max={l.get('other_load_max')} "
+                  f"steal_frac_max={l.get('steal_frac_max', 'n/a')} "
                   f"cores={l.get('cores')}")
         else:
             print(f"{tag} load: no markers (pre-r15 artifact)")
@@ -168,6 +192,26 @@ def self_test():
         ("one-sided markers compare (old baseline)", None, clean, False),
         ("unavailable marker (-1) treated as absent", clean,
          dict(clean, other_load_max=-1), False),
+        # r17 steal cases: uniform hypervisor slowdown with CLEAN
+        # other-load must still refuse (the 1.21x-at-other_load-0.93
+        # incident), and idle-level steal must stay comparable
+        ("steal-contended NEW run refused (clean other-load)",
+         dict(clean, steal_frac_max=0.02),
+         dict(clean, steal_frac_max=0.17), True),
+        ("steal-contended BASELINE refused",
+         dict(clean, steal_frac_max=0.17),
+         dict(clean, steal_frac_max=0.02), True),
+        ("materially different steal refused",
+         dict(clean, steal_frac_max=0.005),
+         dict(clean, steal_frac_max=0.045), True),
+        ("idle-level steal both sides compares",
+         dict(clean, steal_frac_max=0.028),
+         dict(clean, steal_frac_max=0.031), False),
+        ("absent steal marker (old artifact) compares",
+         clean, dict(clean, steal_frac_max=0.03), False),
+        ("unavailable steal (-1) treated as absent",
+         dict(clean, steal_frac_max=-1),
+         dict(clean, steal_frac_max=0.03), False),
     ]
     failed = 0
     for name, b, n, want_refuse in cases:

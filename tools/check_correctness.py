@@ -67,10 +67,24 @@ def mem_limit_mb():
     return 8192
 
 
+def steal_ticks():
+    """Cumulative hypervisor-steal ticks (/proc/stat cpu field 8) — the
+    uniform-slowdown contention mode loadavg can't see (r17); the start/end
+    stamps let a reader compute the run's stolen CPU-seconds (delta/100).
+    -1 when unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if parts[:1] == ["cpu"] and len(parts) > 8 else -1
+    except (OSError, ValueError, IndexError):
+        return -1
+
+
 def load_markers():
     la1, la5, la15 = os.getloadavg()
     return {"loadavg_1m": round(la1, 2), "loadavg_5m": round(la5, 2),
-            "loadavg_15m": round(la15, 2), "graft_jvms": len(graft_jvms())}
+            "loadavg_15m": round(la15, 2), "graft_jvms": len(graft_jvms()),
+            "steal_ticks": steal_ticks()}
 
 
 def connect_views(sfdir):
