@@ -125,7 +125,8 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // warmup pass: JIT + codegen caches + parquet footer caches, so the
     // measured passes reflect steady-state per-query cost
-    queries.foreach { case (_, fn) =>
+    queries.foreach { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"warmup:$name")
       try drain(fn(spark, sfDir)) catch { case _: Throwable => () }
       clearCaches()
     }
@@ -141,6 +142,10 @@ object Bench {
       val c0 = LoadMarkers.procCpuSec()
       val s0 = LoadMarkers.stealTicks()
       val out = queries.toSeq.map { case (name, fn) =>
+        // label the query's jobs (guide §1.5) so an event-log diagnostic
+        // run attributes every job/stage to its query; sub-microsecond,
+        // thread-local — does not perturb the timing
+        spark.sparkContext.setJobDescription(name)
         val t0 = System.nanoTime()
         val failed = try { drain(fn(spark, sfDir)); false } catch { case _: Throwable => true }
         val dt = (System.nanoTime() - t0) / 1e9

@@ -15,6 +15,7 @@ object RunOne {
     val spark =
       Sessions.local(cores = cpus, shufflePartitions = cpus, appName = "graft-runone")
     try names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+      spark.sparkContext.setJobDescription(n) // guide §1.5: label jobs
       val t0 = System.nanoTime()
       // drain InternalRows, not .count(): same honesty rationale as Bench
       // (count lets Catalyst delete projections and aggregate expressions)

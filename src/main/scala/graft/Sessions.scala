@@ -20,7 +20,7 @@ object Sessions {
       shufflePartitions: Int = 32,
       appName: String = "graft",
       maxTaskFailures: Int = 1): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       // local[c, f]: f = maxTaskFailures — retries on so the chaos parity
       // run (ChaosRun) can exercise lineage-based task re-execution
@@ -32,6 +32,33 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Generated-class cache (STATIC conf, JVM-wide; key = generated
+      // source). The default 100 entries thrashes under this engine's
+      // ~280-query surface — each query compiles several WholeStageCodegen
+      // / expression classes, so by the time a query re-runs, its classes
+      // have been evicted and Janino recompiles EVERY span on EVERY run
+      // (measured: ~0.2-0.5 s of driver gap per mid-size query per pass).
+      // 8192 entries holds the whole suite's codegen steady-state; the
+      // entries are compiled classes, small relative to the 8g driver
+      // heap. Not a local-mode trick: any long-lived Spark service running
+      // a wide query mix hits the same eviction wall (the cache is
+      // driver/executor-side and scale-independent).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
+    // dev affordance (guide §1: measure first): SPARK_GRAFT_EVENTLOG=<dir>
+    // turns on Spark's JSON event log so a diagnostic run's per-job /
+    // per-stage timings can be read offline (the UI is disabled for bench
+    // hygiene). Never set by the driver; zero effect when unset.
+    sys.env.get("SPARK_GRAFT_EVENTLOG").foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      builder
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+        // plain JSON, single file — the analyzer reads it offline without
+        // zstd tooling; diagnostics only, never the bench path
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+    }
+    val spark = builder
       // engine-wide data-model decision, set statically at build time:
       // INT64 TIMESTAMP(NANOS) parquet columns surface as raw long nanos
       // (Spark's vectorized reader has no nanos timestamp type). The

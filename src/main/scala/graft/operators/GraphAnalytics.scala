@@ -140,6 +140,76 @@ object GraphAnalytics {
     pr.select(col("id"), col("pr"), col("seed").as("is_seed"))
   }
 
+  /** [[pageRank]] and [[personalizedPageRank]] fused into ONE BSP loop —
+    * (`id`, `pr`, `trust`, `is_seed`), bit-identical to running the two
+    * loops separately (the per-column integer arithmetic is untouched and
+    * the columns never interact), for HALF the supersteps: callers that
+    * need both vectors over the same edge list (`LinkGraph.spamHosts`,
+    * i.e. every trust-funnel query) previously normalized the edges,
+    * built the node frame, counted nodes, and ran `iters` join+agg+join
+    * rounds TWICE. Here each round's shuffle of the rank frame carries
+    * both rank columns (16 extra bytes/row) instead of running twice, the
+    * edge normalization and the node/seed frame are computed once, and
+    * the two driver-side counts collapse into one action.
+    *
+    * At 100 TB the same fusion halves the number of full |nodes|-scale
+    * shuffles per superstep — the guide §2.4 "two operations keyed the
+    * same way share one exchange" rule applied to the iteration loop.
+    */
+  def rankAndTrust(
+      edges: DataFrame, seeds: DataFrame, iters: Int = PrIters): DataFrame = {
+    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
+    val norm = edges.join(wsum, "src")
+      .select(col("src"), col("dst"), expr(s"(w * ${WQ}L) div wsum").as("wq"))
+      .transform(graft.Materialize.iteration)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val flagged = nodes
+      .join(seeds.select(col("id")).distinct().withColumn("s1", lit(true)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("s1"), lit(false)).as("seed"))
+      .transform(graft.Materialize.iteration)
+    // ONE driver action for both counts (pageRank's n and the ppr's s)
+    val cnt = flagged
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("seed"), 1L).otherwise(0L)).as("s"))
+      .head()
+    val n = cnt.getLong(0)
+    val s = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
+    if (n == 0)
+      return flagged.select(col("id"), lit(0L).as("pr"),
+        lit(0L).as("trust"), col("seed").as("is_seed"))
+    val basePr = (DampDen - DampNum) * PrQ / (DampDen * n)
+    // s == 0: personalizedPageRank's contract is an all-zero trust vector
+    // (no seed mass to flow); the seed base term below stays 0 for all
+    val baseTr = if (s == 0) 0L else (DampDen - DampNum) * PrQ / (DampDen * s)
+    val seedInit =
+      if (s == 0) lit(0L) else when(col("seed"), lit(PrQ / s)).otherwise(lit(0L))
+    var pr = flagged.select(col("id"), col("seed"),
+      lit(PrQ / n).as("pr"), seedInit.as("trust"))
+    for (_ <- 1 to iters) {
+      val contrib = norm.join(pr, norm("src") === pr("id"))
+        .select(col("dst"),
+          expr(s"(pr * wq) div ${WQ}L").as("c"),
+          expr(s"(trust * wq) div ${WQ}L").as("ct"))
+        .groupBy("dst")
+        .agg(sum("c").as("c"), sum("ct").as("ct"))
+      val seedBase =
+        if (s == 0) lit(0L)
+        else when(col("seed"), lit(baseTr)).otherwise(lit(0L))
+      pr = flagged.join(contrib, flagged("id") === contrib("dst"), "left")
+        .select(
+          col("id"), col("seed"),
+          (lit(basePr) +
+            expr(s"($DampNum * coalesce(c, 0L)) div ${DampDen}L")).as("pr"),
+          (seedBase +
+            expr(s"($DampNum * coalesce(ct, 0L)) div ${DampDen}L")).as("trust"))
+        .transform(graft.Materialize.iteration)
+    }
+    pr.select(col("id"), col("pr"), col("trust"), col("seed").as("is_seed"))
+  }
+
   /** Top words of the registered TextRank query. */
   val WordRankK = 50
 

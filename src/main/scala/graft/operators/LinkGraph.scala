@@ -670,13 +670,13 @@ object LinkGraph {
     val seeds = docsH.crossJoin(broadcast(seedSrc))
       .where(col("source") === col("ssrc"))
       .select(col("host").as("id")).distinct()
-    val rank = GraphAnalytics.pageRank(edges)
-      .select(col("id").as("host"), col("pr"))
-    val trust = GraphAnalytics.personalizedPageRank(edges, seeds)
-      .select(col("id").as("host"), col("pr").as("trust"))
-    val n = rank.agg(count(lit(1)).as("n_nodes"))
-    rank.join(trust, Seq("host"), "left")
-      .crossJoin(broadcast(n))
+    // ONE fused BSP loop for both vectors (half the supersteps, and the
+    // rank⋈trust re-join disappears — both columns ride the same row);
+    // bit-identical to the two-loop form, see GraphAnalytics.rankAndTrust
+    val rt = GraphAnalytics.rankAndTrust(edges, seeds)
+      .select(col("id").as("host"), col("pr"), col("trust"))
+    val n = rt.agg(count(lit(1)).as("n_nodes"))
+    rt.crossJoin(broadcast(n))
       .where(col("pr") * col("n_nodes") >
           lit(SpamRankMult) * lit(GraphAnalytics.PrQ) &&
         coalesce(col("trust"), lit(0L)) * SpamTrustMult < col("pr"))

@@ -102,6 +102,35 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $got")
   }
 
+  test("rankAndTrust ≡ pageRank + personalizedPageRank, bit for bit") {
+    import spark.implicits._
+    // deterministic pseudo-random weighted digraph with a seed subset,
+    // dangling nodes (n0 only ever a target), self-contained weights
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 60).map { _ =>
+      (s"n${rnd.nextInt(12)}", s"n${rnd.nextInt(12) + 1}", rnd.nextInt(5) + 1L)
+    }.filter { case (a, b, _) => a != b }
+    val e = edges(es)
+    val seeds = Seq("n1", "n4", "n9", "nMissing").toDF("id")
+    val fused = rankAndTrust(e, seeds).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val pr = pageRank(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ppr = personalizedPageRank(e, seeds).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(fused.keySet === pr.keySet)
+    fused.foreach { case (id, (p, t, s)) =>
+      assert(p === pr(id), s"pr mismatch at $id")
+      assert(t === ppr(id)._1, s"trust mismatch at $id")
+      assert(s === ppr(id)._2, s"seed flag mismatch at $id")
+    }
+    // empty seed set: trust is identically 0 (the ppr contract)
+    val noSeeds = rankAndTrust(e, Seq.empty[String].toDF("id")).collect()
+    assert(noSeeds.forall(_.getLong(2) === 0L))
+    assert(noSeeds.map(r => r.getString(0) -> r.getLong(1)).toMap === pr)
+  }
+
   test("wordTriangles is partitioning-invariant and never double-counts") {
     import spark.implicits._
     // deterministic pseudo-random graph text
