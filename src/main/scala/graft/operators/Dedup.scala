@@ -135,6 +135,32 @@ object Dedup {
   private def sigCols(tbl: DataFrame): DataFrame =
     tbl.select(col("doc_id") +: (0 until NumHashes).map(i => col(s"mh$i")): _*)
 
+  /** Pin a verification input onto `defaultParallelism` hash partitions
+    * of `key` — the CPU-width guard for the exact-Jaccard verify joins.
+    *
+    * Why (r17, measured): AQE coalesces post-shuffle partitions by BYTE
+    * size, but a verify stage's cost is the `array_intersect`/
+    * `array_union` over two shingle arrays per row — heavily CPU-bound
+    * relative to its bytes. On the bench corpus the uncapped exact
+    * miner's verify stage was coalesced to 7 partitions and ran 6-10 s
+    * at 7/32 of machine width. An explicit numPartitions repartition is
+    * exempt from AQE coalescing, and hashing on the join key means the
+    * join reuses the exchange (no extra shuffle) — the join's other,
+    * slim side aligns to it. Width = defaultParallelism, i.e. derived
+    * from the cluster, not a constant. Per-key skew is bounded by the
+    * miners' bucket/prefix caps (one key joins ≤ cap members).
+    *
+    * Scoped to [[prefixNearDupPairs]] ONLY, by measurement: the
+    * recall-1 prefix miner is the one path whose verify set is
+    * structurally large (no banding loss, no cap by default — at sf0.1
+    * its verify stage alone was 6-10 s). The banded miner and the
+    * incremental/streaming probes verify tiny, cap-bounded candidate
+    * sets; pinning them cost +0.3-1.3 s each in forced-exchange
+    * overhead with nothing to parallelize (measured r17, reverted).
+    */
+  private def pinWidth(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** Exact-Jaccard verification of candidate pairs against the true
     * shingle sets — the tail shared by the from-text and from-table pair
     * generators.
@@ -439,8 +465,15 @@ object Dedup {
       .select(col("l.rep_id").as("rep_a"), col("r.rep_id").as("rep_b"))
       .distinct()
     val repSh = reps.select(col("rep_id"), col("sh"))
-    val repPairs = candidates
+    // UNCAPPED verify runs at full machine width (see [[pinWidth]]); a
+    // capped run's verify mass is bounded by the cap, so there the
+    // forced exchanges would cost more than they parallelize (measured)
+    val wide = maxPrefixGroup == Int.MaxValue
+    def widen(key: String)(df: DataFrame): DataFrame =
+      if (wide) pinWidth(df, key) else df
+    val repPairs = candidates.transform(widen("rep_a"))
       .join(repSh.select(col("rep_id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
+      .transform(widen("rep_b"))
       .join(repSh.select(col("rep_id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
       .select(
         col("rep_a"), col("rep_b"),

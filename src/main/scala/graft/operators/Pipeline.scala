@@ -274,11 +274,14 @@ object Pipeline {
     // joins. Corpus-relative stats (the LM mean) use the same m-weighted
     // sums, so the 8 output cells are bit-identical to the per-doc form.
     val (_, reps) = TextAnalysis.contentGroups(documents) // reps checkpointed there, read 3×
+    // ONE bigram count kernel for both LM signals (r17) — previously each
+    // signal re-exploded and re-aggregated the same bigrams
+    val counts = Some(TextAnalysis.bigramCountsByRep(reps))
     val cls = reps.select(col("rep"),
       (TextAnalysis.classifierScoreOf(col("lt")) > 0).as("cls_keep"))
-    val lm = TextAnalysis.lmSurprisalByRep(reps)
+    val lm = TextAnalysis.lmSurprisalByRep(reps, counts)
       .select(col("rep"), col("m"), col("n_bigrams"), col("avg_nll_f"))
-    val rare = TextAnalysis.rareBigramRateByRep(reps)
+    val rare = TextAnalysis.rareBigramRateByRep(reps, counts)
       .select(col("rep"), col("flagged").as("rare_flag"))
     val lmTot = lm.where(col("n_bigrams") > 0)
       .agg(sum("m").as("n_scored"),

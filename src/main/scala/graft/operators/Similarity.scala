@@ -1319,6 +1319,11 @@ object Similarity {
     val candPairs = broadcast(probes).join(assigned, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
+    // candidate cosines resolved ONCE (r17): the tiers differ only in
+    // the label-congruence predicate, so the candPairs⋈cos join — the
+    // only non-trivial join in the tier loop — is hoisted out and each
+    // tier filters the checkpointed result (4 joins → 1, same rows)
+    val candCos = candPairs.join(cos, Seq("query_id", "neighbor_id"))
       .localCheckpoint()
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     FilterMods.map { m =>
@@ -1328,7 +1333,7 @@ object Similarity {
       val truth = pool
         .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
         .where(col("rank") <= k).select("query_id", "neighbor_id")
-      val filtCands = candPairs.join(cos, Seq("query_id", "neighbor_id")).where(ok)
+      val filtCands = candCos.where(ok)
       val topk = filtCands
         .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
         .where(col("rank") <= k).select("query_id", "neighbor_id")

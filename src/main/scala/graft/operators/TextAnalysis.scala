@@ -2081,30 +2081,45 @@ object TextAnalysis {
       .join(lmSurprisalByRep(reps).drop("m"), Seq("rep"))
       .drop("rep")
 
+  /** The per-(rep, bigram) count frame — (rep, m, w1, w2, c), the SHARED
+    * corpus-proportional kernel of [[lmSurprisalByRep]] and
+    * [[rareBigramRateByRep]] (r17: the agreement card previously paid
+    * the bigram explode + hash-agg TWICE, once per signal; both signals
+    * derive every corpus table from exactly this frame, so it is
+    * computed and checkpointed once and passed to both). Checkpointed:
+    * every caller scans it at least twice (corpus tables + the per-rep
+    * scoring join).
+    */
+  private[graft] def bigramCountsByRep(reps: DataFrame): DataFrame =
+    graft.Parallelism.ensure(reps)
+      // lt is already NFC-composed + lowered by [[contentGroups]]; a raw
+      // split here mirrors the oracle's lower(nfc_normalize(text)) EXACTLY
+      // ([[toks]] would re-normalize AFTER lowercasing, a different
+      // composition in the corner where lowercasing denormalizes)
+      .select(col("rep"), col("m"), split(trim(col("lt")), "\\s+").as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("rep"), col("m"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("rep"), col("m"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("rep", "m", "w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+
   /** The per-DISTINCT-CONTENT core of [[lmSurprisal]]: one row per rep
     * with its multiplicity `m` — the agreement card aggregates these
     * directly (Σm per cell) without ever fanning back out to documents.
+    * `counts` lets the agreement card inject the shared
+    * [[bigramCountsByRep]] frame (computed once for both signals).
     */
-  private[graft] def lmSurprisalByRep(reps: DataFrame): DataFrame = {
+  private[graft] def lmSurprisalByRep(
+      reps: DataFrame, counts: Option[DataFrame] = None): DataFrame = {
     import graft.functions.FixedPointLn.lnF
     // every corpus-proportional step below runs over DISTINCT content
     // (the reps); the m-weighted sums reproduce whole-corpus counts
     // exactly, so the per-doc output is bit-identical to the uncollapsed
     // form — the oracle row is untouched
     val ts = graft.Parallelism.ensure(reps)
-      // lt is already NFC-composed + lowered by [[contentGroups]]; a raw
-      // split here mirrors the oracle's lower(nfc_normalize(text)) EXACTLY
-      // ([[toks]] would re-normalize AFTER lowercasing, a different
-      // composition in the corner where lowercasing denormalizes)
       .select(col("rep"), col("m"), split(trim(col("lt")), "\\s+").as("ts"))
-    val pairs = ts.where(size(col("ts")) >= 2)
-      .select(col("rep"), col("m"), explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
-      .select(col("rep"), col("m"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // the per-(rep, bigram) counts feed the LM, its totals AND the scoring
-    // join — checkpoint so distinct content is tokenized/exploded once
-    val dbc = pairs.groupBy("rep", "m", "w1", "w2").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val dbc = counts.getOrElse(bigramCountsByRep(reps))
     val lm = dbc.groupBy("w1", "w2").agg(sum(col("c") * col("m")).as("n_pair"))
     val lmTot = lm.groupBy("w1").agg(sum("n_pair").as("n_w1"))
     // distinct vocabulary over reps == over the corpus (duplicates add
@@ -2178,29 +2193,20 @@ object TextAnalysis {
       .drop("rep")
 
   /** The per-DISTINCT-CONTENT core of [[rareBigramRate]] (one row per
-    * rep + multiplicity), mirroring [[lmSurprisalByRep]].
+    * rep + multiplicity), mirroring [[lmSurprisalByRep]]. `counts`
+    * injects the shared [[bigramCountsByRep]] frame (agreement card).
     */
-  private[graft] def rareBigramRateByRep(reps: DataFrame): DataFrame = {
-    val bg = graft.Parallelism.ensure(reps)
-      // lt is already NFC-composed + lowered by [[contentGroups]]; a raw
-      // split here mirrors the oracle's lower(nfc_normalize(text)) EXACTLY
-      // ([[toks]] would re-normalize AFTER lowercasing, a different
-      // composition in the corner where lowercasing denormalizes)
-      .select(col("rep"), col("m"), split(trim(col("lt")), "\\s+").as("ts"))
-      .where(size(col("ts")) >= 2)
-      .select(col("rep"), col("m"), explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
-      .select(col("rep"), col("m"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val repPair = bg.groupBy("rep", "m", "w1", "w2").agg(count(lit(1)).as("n_doc"))
-      .localCheckpoint() // scanned twice: corpus counts + the rarity join
+  private[graft] def rareBigramRateByRep(
+      reps: DataFrame, counts: Option[DataFrame] = None): DataFrame = {
+    val repPair = counts.getOrElse(bigramCountsByRep(reps))
     val corpus = repPair.groupBy("w1", "w2")
-      .agg(sum(col("n_doc") * col("m")).as("n_corpus"))
+      .agg(sum(col("c") * col("m")).as("n_corpus"))
     val total = corpus.agg(sum("n_corpus").as("t"))
     val perRep = repPair.join(corpus, Seq("w1", "w2"))
       .crossJoin(broadcast(total))
       .groupBy("rep")
-      .agg(sum("n_doc").as("n_bigrams"),
-        sum(when(col("n_corpus") * RareDen < col("t"), col("n_doc"))
+      .agg(sum("c").as("n_bigrams"),
+        sum(when(col("n_corpus") * RareDen < col("t"), col("c"))
           .otherwise(0L)).as("n_rare"))
     reps.select("rep", "m").join(perRep, Seq("rep"), "left")
       .select(col("rep"), col("m"),

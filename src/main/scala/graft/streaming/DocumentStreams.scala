@@ -801,8 +801,15 @@ object DocumentStreams {
     Dedup.ingestSplitOf(docs) match {
       case None => Dedup.emptyIncrementalPairs(docs)
       case Some(split) =>
-        val corpusSh = Dedup.shingled(docs.where(col("doc_id") < split)).localCheckpoint()
-        val idx = Dedup.corpusBandIndex(corpusSh).localCheckpoint()
+        // corpus shingles + band index from the PERSISTED SignatureStore
+        // (r17) — the batch twin's (`q_dedup_incremental`) production
+        // shape: stored rows are pure functions of the text, so the
+        // probe output (and the shared oracle) is bit-identical to
+        // re-shingling the corpus here.
+        val corpusTbl = graft.operators.SignatureStore.table(spark, dir)
+          .where(col("doc_id") < split)
+        val corpusSh = corpusTbl.select(col("doc_id"), col("sh")).localCheckpoint()
+        val idx = Dedup.corpusBandIndexFromTable(corpusTbl).localCheckpoint()
         val tmp = java.nio.file.Files.createTempDirectory("graft_stream_incdedup")
         java.nio.file.Files.createDirectories(tmp.resolve("out"))
         val stream = rawSource(spark, dir).where(col("doc_id") >= split)
@@ -909,15 +916,21 @@ object DocumentStreams {
           lit("train").as("split"), lit(false).as("inherited")).limit(0)
       case Some(split) =>
         val corpus = docs.where(col("doc_id") < split)
-        // the corpus is shingled ONCE and its signatures computed ONCE;
-        // the checkpointed artifact feeds the pair miner (assignment),
-        // the band index, and every batch's verification join
-        val corpusSh = Dedup.shingled(corpus).localCheckpoint()
+        // corpus shingles + signatures come from the PERSISTED
+        // SignatureStore (r17) — the incremental twin's production shape
+        // (`Splits.incrementalLeakFreeSplit`): signatures are pure
+        // functions of the text, so the stored rows are bit-identical to
+        // re-shingling the corpus here, and the shared oracle is
+        // untouched. The store's group columns span the WHOLE table, so
+        // the corpus slice regroups its own rows (the same move as the
+        // incremental twin); the checkpointed artifact feeds the pair
+        // miner (assignment), the band index, and every batch's
+        // verification join.
         val corpusTbl = Dedup.withContentGroups(
-          Dedup.signaturesFromShingled(corpusSh).join(corpusSh, Seq("doc_id"))
-            .select(col("doc_id") +: col("sh") +:
-              (0 until Dedup.NumHashes).map(i => col(s"mh$i")): _*))
+          graft.operators.SignatureStore.table(spark, dir)
+            .where(col("doc_id") < split).drop("group_id", "members"))
           .localCheckpoint()
+        val corpusSh = corpusTbl.select(col("doc_id"), col("sh"))
         val idx = Dedup.corpusBandIndexFromTable(corpusTbl).localCheckpoint()
         val corpusAssign = Splits.leakFreeSplit(
           corpus, Dedup.nearDuplicatePairsFromTable(corpusTbl))
